@@ -1,0 +1,47 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The table container: a name → DataFrame map over a directory of Parquet
+  * files, replacing the reference's live database catalog
+  * (/root/reference/psql_database_helper.py:181-188 `list_all_tables`).
+  * Table names are kept as opaque strings; `schema.table` qualification is
+  * split exactly like the reference (/root/reference/subset_utils.py:78-83).
+  */
+object Catalog {
+
+  def schemaName(table: String): Option[String] =
+    if (table.contains('.')) Some(table.split('.').head) else None
+
+  def tableName(table: String): String = {
+    val split = table.split('.')
+    if (split.length > 1) split(1) else split(0)
+  }
+
+  /** Load every `*.parquet` under `dir` as a table named by file basename. */
+  def loadDir(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = p.getFileName.toString.stripSuffix(".parquet")
+        name -> spark.read.parquet(p.toString)
+      }
+      .toMap
+
+  /** Load an explicit table list (names may be schema-qualified; files are
+    * looked up by bare table name).
+    */
+  def load(spark: SparkSession, dir: String, tables: Seq[String]): Map[String, DataFrame] =
+    tables.map(t => t -> spark.read.parquet(s"$dir/${tableName(t)}.parquet")).toMap
+
+  /** Materialize an output catalog, one Parquet directory per table —
+    * the destination-database replacement (overwrite mode = the reference's
+    * teardown+create, /root/reference/psql_database_creator.py:56-67).
+    */
+  def save(out: Map[String, DataFrame], dir: String): Unit =
+    out.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/${tableName(t)}.parquet")
+    }
+}

@@ -1,0 +1,145 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable relational primitives, one per operator family in SURVEY.md §2.
+  * All of them are pure DataFrame transformations: Catalyst handles predicate
+  * pushdown, column pruning, and physical join selection (AQE broadcasts the
+  * small side at runtime), so the same code path scales from sf0.001 to a
+  * multi-executor cluster purely by partitioning.
+  *
+  * Composite (multi-column) keys are supported everywhere via `Seq[String]`
+  * key lists, mirroring the reference's tuple syntax
+  * (/root/reference/subset_utils.py:85-89).
+  */
+object Ops {
+
+  /** Join `df` to the distinct key set of `target` renamed to avoid
+    * name collisions; used by both semi and anti flavors.
+    */
+  private def keyJoin(
+      df: DataFrame,
+      dfKeys: Seq[String],
+      target: DataFrame,
+      targetKeys: Seq[String],
+      joinType: String): DataFrame = {
+    require(dfKeys.length == targetKeys.length, "key arity mismatch")
+    val renamed = target
+      .select(targetKeys.map(col): _*)
+      .toDF(targetKeys.indices.map(i => s"__graft_k$i"): _*)
+    val cond = dfKeys.zipWithIndex
+      .map { case (k, i) => df(k) === renamed(s"__graft_k$i") }
+      .reduce(_ && _)
+    df.join(renamed, cond, joinType)
+  }
+
+  /** J1 — semi-join: rows of `df` whose `(fkCols)` tuple appears among
+    * `(targetCols)` of `target`, i.e. the generated
+    * `(fk) IN (SELECT pk FROM target)` (/root/reference/subset.py:141).
+    * `===` is null-rejecting, matching SQL `IN` semantics for NULL FK tuples
+    * (SURVEY.md §2.3 box).
+    */
+  def semiJoin(
+      df: DataFrame,
+      fkCols: Seq[String],
+      target: DataFrame,
+      targetCols: Seq[String]): DataFrame =
+    keyJoin(df, fkCols, target, targetCols, "left_semi")
+
+  /** U2/J3 — anti-join: rows of `df` whose key tuple does NOT appear in
+    * `target` (`NOT IN` with the reference's explicit NULL-tuple drop,
+    * /root/reference/subset.py:180,195 — callers must `na.drop` key columns
+    * first; `missingIds` below does).
+    */
+  def antiJoin(
+      df: DataFrame,
+      dfKeys: Seq[String],
+      target: DataFrame,
+      targetCols: Seq[String]): DataFrame =
+    keyJoin(df, dfKeys, target, targetCols, "left_anti")
+
+  /** J3 — the downstream id-gathering operator: distinct non-NULL FK tuples
+    * of `referencing` that are missing from `existing`. Output columns are
+    * renamed to `existingKeyCols` (the target table's PK names), ready to
+    * drive the fetch semi-join (/root/reference/subset.py:166-198). The
+    * reference's 100k-id IN-list chunking disappears: both sides stay
+    * distributed DataFrames.
+    */
+  def missingIds(
+      referencing: DataFrame,
+      fkCols: Seq[String],
+      existing: DataFrame,
+      existingKeyCols: Seq[String]): DataFrame = {
+    val ids = referencing
+      .select(fkCols.map(col): _*)
+      .na.drop("any")
+      .distinct()
+      .toDF(existingKeyCols: _*)
+    antiJoin(ids, existingKeyCols, existing, existingKeyCols)
+  }
+
+  /** P2 — NULL-substituting projection for dependency-break redaction:
+    * replace each listed column with a typed NULL, preserving schema and
+    * column order (/root/reference/subset_utils.py:8-21).
+    */
+  def nullOutColumns(df: DataFrame, colsToNull: Set[String]): DataFrame =
+    if (colsToNull.isEmpty) df
+    else
+      df.select(df.schema.fields.map { f =>
+        if (colsToNull.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+
+  /** P4 — Bernoulli percent sample, seeded for reproducibility
+    * (reference: `WHERE random() < p/100`, /root/reference/subset.py:110-114).
+    * Not oracle-verifiable (see `deterministicSample` for the t2 surface).
+    */
+  def percentSample(df: DataFrame, percent: Double, seed: Long): DataFrame =
+    df.filter(rand(seed) < lit(percent / 100.0))
+
+  /** P4 (deterministic variant) — key-mod sample: identical results in any
+    * engine, used wherever a DuckDB oracle must hash-match (SURVEY.md §7.3).
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, mod: Int, rem: Int = 0): DataFrame =
+    df.filter(col(keyCol) % mod === rem)
+
+  /** J4 — orphan-FK scrub: NULL out FK cells whose target row is absent
+    * (UPDATE … WHERE NOT EXISTS,
+    * /root/reference/psql_database_helper.py:85-94). Implemented as a single
+    * left-outer join + conditional projection, no mutation.
+    */
+  def orphanScrub(
+      df: DataFrame,
+      fkCols: Seq[String],
+      target: DataFrame,
+      targetCols: Seq[String]): DataFrame = {
+    val marker = "__graft_present"
+    val keys = target
+      .select(targetCols.map(col): _*)
+      .distinct()
+      .toDF(targetCols.indices.map(i => s"__graft_k$i"): _*)
+      .withColumn(marker, lit(true))
+    val cond = fkCols.zipWithIndex
+      .map { case (k, i) => df(k) === keys(s"__graft_k$i") }
+      .reduce(_ && _)
+    val joined = df.join(keys, cond, "left_outer")
+    joined.select(df.schema.fieldNames.map { n =>
+      if (fkCols.contains(n))
+        when(col(marker), col(n)).otherwise(lit(null).cast(df.schema(n).dataType)).as(n)
+      else col(n)
+    }.toIndexedSeq: _*)
+  }
+
+  /** L1 — optional row cap (`max_rows_per_table` LIMIT,
+    * /root/reference/subset.py:75-76,145-146).
+    */
+  def limitCap(df: DataFrame, maxRows: Option[Long]): DataFrame =
+    maxRows.fold(df)(n => df.limit(n.toInt))
+
+  /** U1 — accumulate phase outputs into one table, deduplicating on the PK
+    * where phases can overlap (SURVEY.md §7.3 item 5).
+    */
+  def unionDedup(a: DataFrame, b: DataFrame, pkCols: Seq[String]): DataFrame =
+    a.unionByName(b).dropDuplicates(pkCols)
+}
