@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's t2 correctness gate.
+
+Usage: python3 scripts/check_oracles.py <verify_out_dir> <sf_dir>
+
+For each query dumped by `graft.Verify` (a parquet dir per query plus
+oracle_sql.json), run the oracle SQL in DuckDB against views over the sf
+tables and compare with the Spark result: columns sorted by name, rows
+sorted, values stringified and hashed. Development-only — the shipped Scala
+library never touches DuckDB.
+"""
+import json, math, os, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["\t".join(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as fp:
+        oracles = json.load(fp)
+
+    n_pass = n_fail = 0
+    declared = sorted(d for d in os.listdir(out_dir)
+                      if os.path.isdir(os.path.join(out_dir, d)))
+    for name in declared:
+        spark_glob = os.path.join(out_dir, name, "*.parquet")
+        try:
+            sdf = con.execute(f"SELECT * FROM '{spark_glob}'")
+            scols = [c[0] for c in sdf.description]
+            srows = sdf.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name])
+            ocols = [c[0] for c in odf.description]
+            orows = odf.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            n_fail += 1
+            continue
+        sc, oc = canon(srows, scols), canon(orows, ocols)
+        if len(sc) != len(oc):
+            print(f"FAIL {name}: rows {len(sc)} != {len(oc)}")
+            n_fail += 1
+        elif sc != oc:
+            diffs = [i for i, (a, b) in enumerate(zip(sc, oc)) if a != b][:3]
+            print(f"FAIL {name}: {len(sc)} rows, value mismatch at {diffs}")
+            for i in diffs[:1]:
+                print(f"  spark:  {sc[i][:300]}")
+                print(f"  oracle: {oc[i][:300]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sc)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(declared) - n_pass - n_fail} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

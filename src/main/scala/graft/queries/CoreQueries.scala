@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.engine.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The t2 query surface for the reference-parity operators (SURVEY.md §2
+  * "planned query key" column). Every query here has a DuckDB oracle in
+  * [[CoreOracles]]; column names are aligned on both sides because the
+  * driver's compare sorts columns by name before hashing.
+  *
+  * Float-summing queries cast to DECIMAL before aggregating so the result is
+  * exact and order-independent (shuffle order must not change the hash), then
+  * cast back to DOUBLE — both engines perform the identical exact-decimal →
+  * nearest-double conversion.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** Deterministic 10% sample of orders — the t2 stand-in for Bernoulli
+    * sampling (SURVEY.md §7.3 item 3).
+    */
+  private def sampledOrders(s: SparkSession, dir: String): DataFrame =
+    Ops.deterministicSample(t(s, dir, "orders"), "o_orderkey", 10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 — full-table scan / passthrough copy
+    "passthrough_region" -> ((s, dir) => t(s, dir, "region")),
+
+    // P2 — NULL-substituting projection (dependency-break redaction)
+    "depbreak_null_projection" -> ((s, dir) =>
+      Ops.nullOutColumns(t(s, dir, "nation"), Set("n_regionkey"))),
+
+    // P3 — user WHERE filter passed verbatim
+    "direct_where_filter" -> ((s, dir) =>
+      t(s, dir, "orders").filter(expr("o_totalprice > 150000.0"))),
+
+    // P4 — percent sample (deterministic key-mod form)
+    "direct_percent_sample" -> ((s, dir) => sampledOrders(s, dir)),
+
+    // J1 — the core upstream semi-join
+    "upstream_semi_join" -> ((s, dir) =>
+      Ops.semiJoin(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        sampledOrders(s, dir), Seq("o_orderkey"))),
+
+    // J2 — conjunctive multi-FK semi-join (ALL memberships must hold)
+    "upstream_multi_fk" -> ((s, dir) => {
+      val li = Ops.semiJoin(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        sampledOrders(s, dir), Seq("o_orderkey"))
+      Ops.semiJoin(li, Seq("l_partkey"),
+        Ops.deterministicSample(t(s, dir, "part"), "p_partkey", 7), Seq("p_partkey"))
+    }),
+
+    // P5 — upstream filter injection (extra AND clause)
+    "upstream_filter" -> ((s, dir) =>
+      Ops.semiJoin(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        sampledOrders(s, dir), Seq("o_orderkey"))
+        .filter(expr("l_quantity > 25.0"))),
+
+    // J3 — downstream anti-join: referenced-but-missing id gathering
+    "downstream_anti_join" -> ((s, dir) =>
+      Ops.missingIds(sampledOrders(s, dir), Seq("o_custkey"),
+        Ops.deterministicSample(t(s, dir, "customer"), "c_custkey", 5),
+        Seq("c_custkey"))),
+
+    // J4 — orphan-FK scrub (NULL out FK cells whose target row is absent)
+    "orphan_fk_scrub" -> ((s, dir) =>
+      Ops.orphanScrub(t(s, dir, "customer"), Seq("c_nationkey"),
+        t(s, dir, "nation").filter(col("n_nationkey") < 13), Seq("n_nationkey"))),
+
+    // J5 — catalog-style equi-joins over data tables (3-way + aggregate)
+    "fk_metadata_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+    }),
+
+    // A1 — DISTINCT id-tuples
+    "distinct_ids" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()),
+
+    // A2 — GROUP BY + ordered collect
+    "groupby_collect" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))),
+
+    // A3 — per-table row counts (the result report)
+    "rowcount_report" -> ((s, dir) =>
+      Seq("customer", "orders", "lineitem")
+        .map(n => t(s, dir, n).agg(count(lit(1)).as("n"))
+          .select(lit(n).as("tbl"), col("n")))
+        .reduce(_ unionByName _)),
+
+    // A4 — UNNEST / explode of an array column
+    "explode_array" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), explode(col("embedding")).as("e"))
+        .groupBy(col("vec_id"))
+        .agg(
+          count(lit(1)).as("n_elems"),
+          sum(when(col("e") > 0f, 1L).otherwise(0L)).as("n_pos"))),
+
+    // L1 — row cap (deterministic via ORDER BY)
+    "limit_cap" -> ((s, dir) =>
+      t(s, dir, "orders").orderBy(col("o_orderkey")).limit(1000)),
+
+    // L2 — ORDER BY + top-k (TakeOrderedAndProject)
+    "orderby_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // U1/U2 — union of phase outputs with dedup
+    "union_phases" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Ops.deterministicSample(o, "o_orderkey", 10)
+        .unionByName(o.filter(expr("o_totalprice > 300000.0")))
+        .distinct()
+    }),
+
+    // Flagship pricing-summary aggregate (headline bench query; exercises
+    // scan + filter pushdown + partial aggregation)
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base_price"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("sum_disc_price"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2))) * " +
+            "(1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "passthrough_region" -> "SELECT * FROM region",
+    "depbreak_null_projection" ->
+      "SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation",
+    "direct_where_filter" -> "SELECT * FROM orders WHERE o_totalprice > 150000.0",
+    "direct_percent_sample" -> "SELECT * FROM orders WHERE o_orderkey % 10 = 0",
+    "upstream_semi_join" ->
+      ("SELECT * FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)"),
+    "upstream_multi_fk" ->
+      ("SELECT * FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0) " +
+        "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_partkey % 7 = 0)"),
+    "upstream_filter" ->
+      ("SELECT * FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0) " +
+        "AND l_quantity > 25.0"),
+    "downstream_anti_join" ->
+      ("SELECT DISTINCT o_custkey AS c_custkey FROM orders " +
+        "WHERE o_orderkey % 10 = 0 AND o_custkey NOT IN " +
+        "(SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)"),
+    "orphan_fk_scrub" ->
+      ("SELECT c_custkey, c_name, CASE WHEN c_nationkey IN " +
+        "(SELECT n_nationkey FROM nation WHERE n_nationkey < 13) " +
+        "THEN c_nationkey ELSE NULL END AS c_nationkey, c_acctbal, c_mktsegment " +
+        "FROM customer"),
+    "fk_metadata_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    "distinct_ids" ->
+      "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 100 = 0",
+    "groupby_collect" ->
+      ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names " +
+        "FROM nation GROUP BY n_regionkey"),
+    "rowcount_report" ->
+      ("SELECT 'customer' AS tbl, count(*) AS n FROM customer " +
+        "UNION ALL SELECT 'orders', count(*) FROM orders " +
+        "UNION ALL SELECT 'lineitem', count(*) FROM lineitem"),
+    "explode_array" ->
+      ("SELECT vec_id, count(*) AS n_elems, " +
+        "CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+        "FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings) u " +
+        "GROUP BY vec_id"),
+    "limit_cap" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000",
+    "orderby_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "union_phases" ->
+      ("SELECT DISTINCT * FROM (SELECT * FROM orders WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT * FROM orders WHERE o_totalprice > 300000.0) u"),
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge, " +
+        "count(*) AS count_order, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus")
+  )
+}

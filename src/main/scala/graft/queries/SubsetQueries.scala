@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.config._
+import graft.engine.{Catalog, Subsetter}
+import graft.graph.Fk
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end verification of the middle-out subsetter: one canonical config
+  * (FIXTURES.md "representative subset-config fixture", made deterministic
+  * with a key-mod `where` instead of `percent`) is run once per scale factor
+  * and each output table is exposed as a t2 query whose oracle is the
+  * hand-written closure SQL. This is the strongest correctness check in the
+  * suite — it validates phase ordering, semi/anti-join composition and
+  * passthrough handling in one shot.
+  */
+object SubsetQueries {
+
+  /** The 7 fixture FK records (FIXTURES.md §FK graph). */
+  val fixtureFks: Seq[Fk] = Seq(
+    Fk("nation", Seq("n_regionkey"), "region", Seq("r_regionkey")),
+    Fk("customer", Seq("c_nationkey"), "nation", Seq("n_nationkey")),
+    Fk("supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey")),
+    Fk("orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
+    Fk("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+    Fk("lineitem", Seq("l_partkey"), "part", Seq("p_partkey")),
+    Fk("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey")))
+
+  val starTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  val fixtureConfig: SubsetConfig = SubsetConfig(
+    initialTargets = Seq(InitialTarget("orders", where = Some("o_orderkey % 10 = 0"))),
+    passthroughTables = Seq("region"),
+    fkAugmentation = fixtureFks,
+    upstreamFilters = Seq(UpstreamFilter("l_quantity > 5", column = Some("l_quantity"))))
+
+  // One subsetter run per (session, sfDir): the Verify harness asks for each
+  // output table as a separate query; recomputing the whole closure per table
+  // would be wasted work (outputs are localCheckpoint-ed by the Subsetter).
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, DataFrame]]
+
+  private def subsetOutput(s: SparkSession, dir: String): Map[String, DataFrame] =
+    cache.getOrElseUpdate(dir + "#" + System.identityHashCode(s), {
+      val source = Catalog.load(s, dir, starTables)
+      new Subsetter(fixtureConfig, source).run()
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    starTables.map { table =>
+      s"subset_out_$table" ->
+        ((s: SparkSession, dir: String) => subsetOutput(s, dir)(table))
+    }.toMap
+
+  // Hand-derived closure SQL: orders = direct sample; lineitem = semi-join +
+  // upstream filter; customer/part/supplier = downstream needs of those;
+  // nation = needs of customer+supplier; region = passthrough.
+  private val cte: String =
+    "WITH ord AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0), " +
+      "li AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ord) AND l_quantity > 5), " +
+      "cust AS (SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM ord)), " +
+      "supp AS (SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)), " +
+      "prt AS (SELECT * FROM part WHERE p_partkey IN (SELECT l_partkey FROM li)), " +
+      "nat AS (SELECT * FROM nation WHERE n_nationkey IN " +
+      "(SELECT c_nationkey FROM cust UNION SELECT s_nationkey FROM supp)) "
+
+  val oracles: Map[String, String] = Map(
+    "subset_out_region" -> "SELECT * FROM region",
+    "subset_out_orders" -> (cte + "SELECT * FROM ord"),
+    "subset_out_lineitem" -> (cte + "SELECT * FROM li"),
+    "subset_out_customer" -> (cte + "SELECT * FROM cust"),
+    "subset_out_supplier" -> (cte + "SELECT * FROM supp"),
+    "subset_out_part" -> (cte + "SELECT * FROM prt"),
+    "subset_out_nation" -> (cte + "SELECT * FROM nat"))
+}
