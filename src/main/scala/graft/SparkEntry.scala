@@ -18,10 +18,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ SubsetQueries.queries
+    CoreQueries.queries ++ SubsetQueries.queries ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ SubsetQueries.oracles
+    CoreQueries.oracles ++ SubsetQueries.oracles ++ ExtensionQueries.oracles
 }

@@ -1,0 +1,83 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `BinaryType` columns with typed metadata, processed per-partition in
+  * batches. The actual media decode is STUBBED (this container has no
+  * image/audio libraries): [[fakeDecodeMeta]] derives deterministic
+  * pseudo-metadata from the bytes, while the Spark-side contract — schema,
+  * batch iteration, partition shape — is real and tested. Swap the stub for
+  * a JNI/library call without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Canonical asset schema: id + opaque payload + declared kind. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Extracted-metadata schema appended by the decoder. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** Fabricate a binary-asset table from any string column — the test-data
+    * path (UTF-8 bytes stand in for media payloads).
+    */
+  def assetsFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit("image/fake").as("kind"),
+      col(textCol).cast("binary").as("payload"))
+
+  /** STUB decoder ??? replacement: deterministic fake "header parse" that
+    * reads dimensions from the first payload bytes (as a real decoder would
+    * read a PNG IHDR). Runs per-partition over iterator batches — the same
+    * execution shape a native decoder needs (one library handle per
+    * partition, streaming batches, no driver involvement).
+    */
+  def fakeDecodeMeta(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(metaSchema)
+    assets.select("asset_id", "kind", "payload").mapPartitions { rows =>
+      // per-partition "codec handle" would be initialized here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val n = if (payload == null) 0L else payload.length.toLong
+        // deterministic fake: dimensions from the first two bytes
+        val w = if (n >= 1) (payload(0) & 0xff) + 1 else 0
+        val h = if (n >= 2) (payload(1) & 0xff) + 1 else 0
+        Row(r.getLong(0), r.getString(1), n, w, h)
+      }
+    }(enc)
+  }
+
+  /** Pure-expression metadata over binary payloads (codegen'd, no stub):
+    * byte length, first-byte value, content hash. This is the oracle-checked
+    * surface proving binary columns flow through scan → project → hash.
+    */
+  def binaryMeta(assets: DataFrame): DataFrame =
+    assets.select(
+      col("asset_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      ascii(col("payload").cast("string")).as("first_byte"),
+      md5(col("payload")).as("content_md5"))
+
+  /** Frame-sampling shape: explode `nFrames` evenly spaced offsets per
+    * asset — the distributed fan-out a video pipeline needs (decode happens
+    * downstream per frame row).
+    */
+  def sampleFrameOffsets(assets: DataFrame, nFrames: Int): DataFrame =
+    assets.select(col("asset_id"),
+      explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+
+  def loadAssets(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(assetSchema).parquet(path)
+}

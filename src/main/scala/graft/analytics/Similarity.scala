@@ -1,0 +1,68 @@
+package graft.analytics
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Two paths:
+  *
+  *   - brute force: broadcast the query vector, score every row, top-k —
+  *     the exact baseline, O(N) per query but embarrassingly parallel;
+  *   - sign-LSH buckets: pre-bucket by hyperplane sign bits, probe only the
+  *     query's bucket — the 100 TB path (bucket key is shuffle/partition
+  *     key; with bucketed storage the probe is a single partition read).
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors of `queryId` (excluded from results).
+    * The one-row query side is broadcast — no shuffle of the big side.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosineRounded(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Add the sign-LSH bucket key. At scale, write the table bucketed/
+    * partitioned by this column so probes prune to one partition.
+    */
+  def withSignBucket(embeddings: DataFrame, nBits: Int = 8): DataFrame =
+    embeddings.withColumn("bucket", signBucket(col("embedding"), nBits))
+
+  /** ANN top-k restricted to the query's sign-LSH bucket: scans ~N/2^nBits
+    * rows instead of N. Exact within the bucket (same scoring as brute
+    * force), so recall degrades only across bucket boundaries.
+    */
+  def lshBucketTopK(embeddings: DataFrame, queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
+    val bucketed = withSignBucket(embeddings, nBits)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), "bucket")
+      .select(col("vec_id"),
+        cosineRounded(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** All near-duplicate pairs by embedding cosine within sign-LSH buckets —
+    * the embedding-space analogue of MinHash near-dup detection. Pairs are
+    * generated per bucket (the LSH candidate cut), then thresholded on the
+    * rounded cosine.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, minSim: Double, nBits: Int = 8): DataFrame = {
+    val bucketed = withSignBucket(embeddings, nBits)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineRounded(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

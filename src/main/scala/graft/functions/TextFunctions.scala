@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline operators (dedup,
+  * language-ID, quality scoring, fingerprinting). All pure `Column`
+  * expressions over built-ins — codegen'd, shuffle-free until the caller
+  * aggregates.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (fixture docs are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as an array column; empty for docs shorter than
+    * `n` tokens. 1-based `element_at` keeps parity with SQL list indexing.
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array())
+
+  /** md5 of a string column as lowercase hex — the cross-engine stable hash
+    * used for fingerprints, MinHash and SimHash.
+    */
+  def md5Hex(c: Column): Column = md5(c.cast("binary"))
+
+  /** Content-defined document fingerprint: hash of the normalized text. */
+  def fingerprint(text: Column): Column = md5Hex(lower(trim(text)))
+
+  /** Token count / distinct-token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Stopword-ratio language-ID heuristic: predict `lang` when at least
+    * `1/ratioDen` of tokens are in the language's stopword list. An n-gram
+    * model would slot in the same way; the contract is a deterministic score
+    * over token membership.
+    */
+  def langIdHeuristic(
+      text: Column,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+      lang: String = "en",
+      ratioDen: Int = 10): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(hits * ratioDen >= size(toks), lit(lang)).otherwise(lit("unk"))
+  }
+
+  /** Integer-only quality features: char/letter counts plus a
+    * length-band flag. Exact in any engine (no floating point).
+    */
+  def qualityFlag(text: Column, minTokens: Int = 20, maxTokens: Int = 400): Column =
+    when(size(tokens(text)).between(minTokens, maxTokens), lit(1)).otherwise(lit(0))
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.analytics._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data-pipeline extension surface (SURVEY.md §7.5): dedup,
+  * similarity search, text analysis, time-series, multimodal plumbing. Every
+  * key is DuckDB-oracle-verified except where noted (the library offers more
+  * — e.g. seeded Bernoulli sampling — but only deterministic ops are
+  * declared here).
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----
+    "dedup_exact" -> ((s, dir) => Dedup.exactGroups(t(s, dir, "documents"))),
+    "dedup_count_distinct" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        countDistinct(col("text")).as("n_unique"),
+        count(lit(1)).as("n_total"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+    "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"))),
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 200))),
+    "minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(t(s, dir, "documents"))),
+    "simhash_signatures" -> ((s, dir) =>
+      Dedup.simhashSignatures(t(s, dir, "documents"))),
+
+    // ---- similarity search ----
+    "cosine_topk_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    "cosine_topk_lsh_bucket" -> ((s, dir) =>
+      Similarity.lshBucketTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5, nBits = 8)),
+
+    // ---- text analysis ----
+    "text_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct"))),
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+        qualityFlag(col("text")).as("quality_flag"))),
+    "text_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        langIdHeuristic(col("text")).as("lang_pred"))),
+
+    // ---- events time-series ----
+    "events_tumbling" -> ((s, dir) => EventsAnalytics.tumbling(t(s, dir, "events"))),
+    "events_sliding" -> ((s, dir) => EventsAnalytics.sliding(t(s, dir, "events"))),
+    "events_session" -> ((s, dir) => EventsAnalytics.sessions(t(s, dir, "events"))),
+    "events_rank_lag" -> ((s, dir) => EventsAnalytics.rankLag(t(s, dir, "events"))),
+    "events_json" -> ((s, dir) => EventsAnalytics.jsonProps(t(s, dir, "events"))),
+
+    // ---- multimodal plumbing (binary columns) ----
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(
+        Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups " +
+        "FROM documents GROUP BY text"),
+    "dedup_count_distinct" ->
+      ("SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_unique, " +
+        "count(*) AS n_total FROM documents"),
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+    "dedup_fingerprint" ->
+      ("SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, " +
+        "count(*) AS n_dups FROM documents GROUP BY 1"),
+    "ngram_jaccard_pairs" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200), " +
+        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE 5 * n_common >= (sa.n + sb.n - n_common)"),
+    "minhash_lsh_pairs" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
+        "mh AS (SELECT doc_id, j, min(md5(j || ':' || s)) AS h " +
+        "FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) seeds GROUP BY doc_id, j), " +
+        "bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band, " +
+        "md5(string_agg(h, ',' ORDER BY j)) AS bkey FROM mh GROUP BY doc_id, j // 4), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.band " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, count(*) AS n_shared_bands FROM pairs GROUP BY 1, 2"),
+    "simhash_signatures" ->
+      ("WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS t FROM documents) u), " +
+        "hb AS (SELECT doc_id, md5(t) AS h, unnest(generate_series(0, 63)) AS b FROM toks), " +
+        "bits AS (SELECT doc_id, b, " +
+        "((('0x' || substr(h, 1 + CAST(b // 4 AS INT), 1))::BIGINT >> CAST(3 - b % 4 AS INT)) & 1) AS bit FROM hb), " +
+        "votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b) " +
+        "SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash " +
+        "FROM votes GROUP BY doc_id"),
+    "cosine_topk_bruteforce" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "prod AS (SELECT e.vec_id, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS dot, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS na, " +
+        "list_sum([CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(q.qe))]) AS nq " +
+        "FROM embeddings e, q WHERE e.vec_id != 0) " +
+        "SELECT vec_id, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
+        "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
+    "cosine_topk_lsh_bucket" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
+        "q AS (SELECT embedding AS qe, bucket FROM b WHERE vec_id = 0), " +
+        "prod AS (SELECT e.vec_id, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS dot, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS na, " +
+        "list_sum([CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(q.qe))]) AS nq " +
+        "FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id != 0) " +
+        "SELECT vec_id, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
+        "FROM prod ORDER BY sim DESC, vec_id LIMIT 5"),
+    "text_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct " +
+        "FROM documents"),
+    "text_quality" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, " +
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters, " +
+        "CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 400 THEN 1 ELSE 0 END AS quality_flag " +
+        "FROM documents"),
+    "text_lang_id" ->
+      ("SELECT doc_id, CASE WHEN 10 * len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('the', 'a', 'of', 'and'))) >= len(string_split(text, ' ')) " +
+        "THEN 'en' ELSE 'unk' END AS lang_pred FROM documents"),
+    "events_tumbling" ->
+      ("SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_ts, " +
+        "event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1, 2"),
+    "events_sliding" ->
+      ("SELECT ws, event_type, count(*) AS n FROM " +
+        "(SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900 AS ws, event_type " +
+        "FROM events, (SELECT unnest(generate_series(0, 3)) AS k) offs) sub " +
+        "GROUP BY 1, 2"),
+    "events_session" ->
+      ("WITH o AS (SELECT user_id, ts, value, CASE WHEN ts - lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM o) " +
+        "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, " +
+        "count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM s GROUP BY user_id, sid"),
+    "events_rank_lag" ->
+      ("SELECT event_id, user_id, CAST(row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn, " +
+        "lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event " +
+        "FROM events"),
+    "events_json" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
+    "multimodal_meta" ->
+      ("SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "ascii(substr(text, 1, 1)) AS first_byte, md5(text) AS content_md5 " +
+        "FROM documents")
+  )
+}
