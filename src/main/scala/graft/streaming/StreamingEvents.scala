@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the events analytics: the same logical
+  * transforms as [[graft.analytics.EventsAnalytics]] expressed over an
+  * unbounded source with watermarks. Batch results stay the oracle (the t2
+  * gate runs batch); these entry points exist so the engine can run the
+  * identical pipeline incrementally — `readStream` → transform →
+  * `writeStream` with checkpointed state.
+  */
+object StreamingEvents {
+
+  /** The events schema as written by the fixtures (ts = Long nanoseconds,
+    * see build.sbt nanosAsLong note).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a parquet path (new files are picked
+    * up incrementally — the standard landing-zone pattern).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(path)
+      .withColumn("tsd", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour counts with a 2-hour watermark: late events beyond the
+    * watermark are dropped, state is bounded — the scale requirement for an
+    * unbounded source.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsd", "2 hours")
+      .groupBy(window(col("tsd"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n"))
+
+  /** Sessionized per-user counts (30-minute gap), watermarked. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsd", "2 hours")
+      .groupBy(session_window(col("tsd"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"))
+
+  /** Drive a streaming DataFrame to a named in-memory table and process all
+    * currently-available input — the local smoke path (a real deployment
+    * would use a durable sink + trigger).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "complete"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+}

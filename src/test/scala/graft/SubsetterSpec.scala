@@ -1,0 +1,91 @@
+package graft
+
+import graft.config._
+import graft.engine.{Catalog, Ops, Subsetter}
+import graft.queries.SubsetQueries
+
+/** End-to-end middle-out subsetter tests on sf0.001 (SURVEY.md §5 items 3-4):
+  * referential closure, subset property, passthrough equality, phase
+  * behaviors (breaks, caps, disconnected handling).
+  */
+class SubsetterSpec extends SparkSpecBase {
+
+  private lazy val source = Catalog.load(spark, sfDir, SubsetQueries.starTables)
+  private lazy val fks = SubsetQueries.fixtureFks
+
+  private def closureOrphans(dest: Map[String, org.apache.spark.sql.DataFrame]): Long =
+    fks.map { fk =>
+      Ops.antiJoin(
+        dest(fk.fkTable).na.drop("any", fk.fkCols),
+        fk.fkCols, dest(fk.targetTable), fk.targetCols).count()
+    }.sum
+
+  test("fixture config: closure holds, ratios as expected") {
+    val dest = new Subsetter(SubsetQueries.fixtureConfig, source).run()
+    assert(dest("orders").count() == 150)
+    assert(dest("region").count() == 5)
+    assert(closureOrphans(dest) == 0)
+    // subset property: orders ⊆ source by PK
+    assert(Ops.antiJoin(dest("orders"), Seq("o_orderkey"),
+      source("orders"), Seq("o_orderkey")).count() == 0)
+  }
+
+  test("percent targets: seeded, closed, ratio band") {
+    val cfg = SubsetQueries.fixtureConfig.copy(
+      initialTargets = Seq(InitialTarget("orders", percent = Some(10.0))))
+    val dest = new Subsetter(cfg, source).run()
+    val n = dest("orders").count()
+    assert(n > 50 && n < 350)
+    assert(closureOrphans(dest) == 0)
+  }
+
+  test("max_rows_per_table caps upstream and passthrough phases") {
+    val cfg = SubsetQueries.fixtureConfig.copy(maxRowsPerTable = Some(100L))
+    val dest = new Subsetter(cfg, source).run()
+    assert(dest("lineitem").count() <= 100) // upstream capped
+    assert(dest("region").count() == 5)     // passthrough under cap
+  }
+
+  test("dependency break NULLs FK columns and un-cycles the graph") {
+    // break lineitem→part: lineitem.l_partkey must be NULL everywhere
+    val cfg = SubsetQueries.fixtureConfig.copy(
+      dependencyBreaks = Seq(BreakSpec("lineitem", "part")))
+    val dest = new Subsetter(cfg, source).run()
+    assert(dest("lineitem").count() > 0)
+    assert(dest("lineitem").filter("l_partkey IS NOT NULL").count() == 0)
+    // part no longer pulled downstream by lineitem
+    assert(dest("part").count() == 0)
+  }
+
+  test("opportunistic break preserves FK values") {
+    val cfg = SubsetQueries.fixtureConfig.copy(
+      dependencyBreaks = Seq(
+        BreakSpec("lineitem", "part", preserveFkOpportunistically = true)))
+    val dest = new Subsetter(cfg, source).run()
+    assert(dest("lineitem").filter("l_partkey IS NOT NULL").count() > 0)
+  }
+
+  test("disconnected tables copied in full iff keep_disconnected_tables") {
+    val full = Catalog.loadDir(spark, sfDir) // includes documents/events/embeddings
+    val kept = new Subsetter(
+      SubsetQueries.fixtureConfig.copy(keepDisconnectedTables = true), full).run()
+    assert(kept("documents").count() == full("documents").count())
+    val dropped = new Subsetter(SubsetQueries.fixtureConfig, full).run()
+    assert(dropped("documents").count() == 0)
+  }
+
+  test("excluded tables never appear in the destination") {
+    val cfg = SubsetQueries.fixtureConfig.copy(
+      excludedTables = Seq("part"),
+      dependencyBreaks = Seq(BreakSpec("lineitem", "part")))
+    val dest = new Subsetter(cfg, source).run()
+    assert(!dest.contains("part"))
+  }
+
+  test("determinism: two runs produce identical orders output") {
+    val d1 = new Subsetter(SubsetQueries.fixtureConfig, source).run()
+    val d2 = new Subsetter(SubsetQueries.fixtureConfig, source).run()
+    assert(d1("lineitem").exceptAll(d2("lineitem")).count() == 0)
+    assert(d2("lineitem").exceptAll(d1("lineitem")).count() == 0)
+  }
+}
