@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/parquet paths once so the first timed query
+    // doesn't absorb session startup; measures queries, not JIT.
+    try {
+      val warm = spark.read.parquet(s"$sfDir/region.parquet")
+      warm.groupBy("r_name").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

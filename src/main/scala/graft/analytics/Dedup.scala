@@ -29,9 +29,14 @@ object Dedup {
 
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base
     * relation for Jaccard and MinHash.
+    *
+    * The token array is bound to a column first: inlining `split()` into the
+    * shingle generator would re-split the text for every `element_at`
+    * reference (~3x tokens per shingle) — measured 4x slower.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(wordShingles(tokens(col("text")), n)).as("s"))
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("s"))
       .distinct()
 
   /** N-gram Jaccard near-duplicate pairs, exact: |A∩B| via shingle
@@ -47,7 +52,9 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       thresholdDen: Int = 5): DataFrame = {
-    val sh = shingles(docs, n)
+    // the shingle relation feeds the size aggregate and both join sides —
+    // materialize once instead of recomputing the explode+distinct 3x
+    val sh = shingles(docs, n).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id_a", "s")
     val b = sh.toDF("id_b", "s")
@@ -62,38 +69,51 @@ object Dedup {
       .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the minimum md5 over the document's shingles. The md5 hex string is the
-    * hash value — lexicographic min of fixed-width hex equals numeric min of
-    * the 128-bit value, and is bit-identical in every engine.
-    * Output: (doc_id, j, h).
+  /** Modulus for the affine MinHash family: 2^40 keeps every intermediate
+    * (h1 + 7·h2 < 2^43) inside BIGINT range in any engine.
     */
-  def minHashSignatures(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame =
-    shingles(docs, n)
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
-      .select(col("doc_id"), col("j"),
-        md5Hex(concat(col("j").cast("string"), lit(":"), col("s"))).as("hv"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("hv")).as("h"))
+  val MinHashMod: Long = 1L << 40
+
+  /** MinHash signatures via the standard affine (Carter-Wegman) family:
+    * one md5 per shingle yields two 40-bit base hashes h1/h2, and hash
+    * function j is `g_j = (h1 + j*h2) mod 2^40`. One wide groupBy computes
+    * all `numHashes` minima at once — no per-seed row explosion, and md5
+    * keeps the result bit-identical across engines and partitionings.
+    * Output: (doc_id, m0..m{numHashes-1}).
+    */
+  def minHashSignatures(docs: DataFrame, numHashes: Int = 8, n: Int = 3): DataFrame = {
+    val withH = shingles(docs, n)
+      .withColumn("hh", md5Hex(col("s")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(hh, 1, 10), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(hh, 11, 10), 16, 10) AS BIGINT)").as("h2"))
+    val mins = (0 until numHashes).map(j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % MinHashMod).as(s"m$j"))
+    withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
   /** LSH banding over MinHash signatures: hash each band of `rowsPerBand`
     * consecutive minhashes to a bucket key. Output: (doc_id, band, bkey).
     */
-  def lshBands(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4, n: Int = 3): DataFrame =
-    minHashSignatures(docs, numHashes, n)
-      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5Hex(
-        expr("array_join(transform(sort_array(collect_list(struct(j, h))), x -> x.h), ',')"))
-        .as("bkey"))
+  def lshBands(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val sig = minHashSignatures(docs, numHashes, n)
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        md5Hex(concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
 
   /** MinHash+LSH candidate pairs: documents sharing at least one band
     * bucket, with the number of shared bands. The bucket join shuffles on
     * (band, bkey) — the LSH scale path: candidates ≪ all-pairs.
     */
   def lshCandidatePairs(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
-    val bands = lshBands(docs, numHashes, rowsPerBand, n)
+    // both sides of the bucket self-join share this pipeline — materialize once
+    val bands = lshBands(docs, numHashes, rowsPerBand, n).localCheckpoint()
     val a = bands.toDF("id_a", "band", "bkey")
     val b = bands.toDF("id_b", "band", "bkey")
     a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))

@@ -29,7 +29,20 @@ import org.apache.spark.sql.functions._
 final class Subsetter(
     config: SubsetConfig,
     source: Map[String, DataFrame],
-    materialize: DataFrame => DataFrame = Subsetter.defaultMaterialize) {
+    materialize: DataFrame => DataFrame = Subsetter.defaultMaterialize,
+    materializeThreshold: Long = 50000L) {
+
+  // Checkpoint only tables whose *source* is large (parquet footer counts are
+  // ~free): cutting lineage matters where re-computation is expensive; for
+  // small dimension tables an eager checkpoint job costs more than the lazy
+  // recompute it would save.
+  private lazy val sourceCounts: Map[String, Long] =
+    source.map { case (t, df) => t -> df.count() }
+
+  private def cut(table: String, df: DataFrame): DataFrame =
+    if (sourceCounts.getOrElse(table, Long.MaxValue) >= materializeThreshold)
+      materialize(df)
+    else df
 
   private val allTables: Seq[String] =
     source.keys.toSeq.sorted.filterNot(config.excludedTables.toSet)
@@ -57,7 +70,7 @@ final class Subsetter(
 
     // Phase 1 — direct targets (/root/reference/subset.py:49-56)
     for (target <- config.initialTargets) {
-      imported += target.table -> materialize(subsetDirect(target))
+      imported += target.table -> cut(target.table, subsetDirect(target))
       processed += target.table
     }
 
@@ -73,7 +86,7 @@ final class Subsetter(
         for (cond <- upstreamFilterMatch(t))
           df = df.filter(expr(cond))
         df = Ops.limitCap(df, config.maxRowsPerTable)
-        imported += t -> materialize(df)
+        imported += t -> cut(t, df)
         processed += t
       }
     }
@@ -98,7 +111,7 @@ final class Subsetter(
           .reduce(_ unionByName _)
         val missing = Ops.missingIds(needed, pkCols, existing, pkCols)
         val fetched = Ops.semiJoin(columnsToCopy(t), pkCols, missing, pkCols)
-        imported += t -> materialize(existing.unionByName(fetched))
+        imported += t -> cut(t, existing.unionByName(fetched))
       }
     }
 

@@ -92,10 +92,16 @@ object ExtensionQueries {
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
         "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
-        "mh AS (SELECT doc_id, j, min(md5(j || ':' || s)) AS h " +
-        "FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) seeds GROUP BY doc_id, j), " +
-        "bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band, " +
-        "md5(string_agg(h, ',' ORDER BY j)) AS bkey FROM mh GROUP BY doc_id, j // 4), " +
+        "hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 10))::BIGINT AS h1, " +
+        "('0x' || substr(md5(s), 11, 10))::BIGINT AS h2 FROM sh), " +
+        "sig AS (SELECT doc_id, " +
+        "min((h1 + 0 * h2) % 1099511627776) AS m0, min((h1 + 1 * h2) % 1099511627776) AS m1, " +
+        "min((h1 + 2 * h2) % 1099511627776) AS m2, min((h1 + 3 * h2) % 1099511627776) AS m3, " +
+        "min((h1 + 4 * h2) % 1099511627776) AS m4, min((h1 + 5 * h2) % 1099511627776) AS m5, " +
+        "min((h1 + 6 * h2) % 1099511627776) AS m6, min((h1 + 7 * h2) % 1099511627776) AS m7 " +
+        "FROM hs GROUP BY doc_id), " +
+        "bands AS (SELECT doc_id, 0 AS band, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS bkey FROM sig " +
+        "UNION ALL SELECT doc_id, 1, md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) FROM sig), " +
         "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.band " +
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
         "AND a.doc_id < b.doc_id) " +
