@@ -132,6 +132,57 @@ object CoreQueries {
         .distinct()
     }),
 
+    // S13 — arbitrary SQL passthrough: statements run verbatim against temp
+    // views of the catalog (pre_constraint_sql / post_subset_sql path)
+    "sql_passthrough" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_view")
+      s.sql("SELECT o_orderstatus, count(*) AS n FROM orders_view " +
+        "WHERE o_totalprice > 200000.0 GROUP BY o_orderstatus")
+    }),
+
+    // F2-F5 / §7.5 scalar set: dates, string ops, casts, exact math
+    "scalar_functions" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_ts"),
+        expr("split_part(o_orderpriority, '-', 1)").as("prio_code"),
+        lower(substring(col("o_orderpriority"), 1, 4)).as("prio_lc"),
+        concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("tag"),
+        abs(col("o_totalprice") - 200000.0).as("dist"),
+        col("o_custkey").cast("string").as("cust_str"))),
+
+    // L2+frame — running sum with an explicit ROWS frame over a total order
+    "window_running_sum" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (" +
+          "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)")
+          .as("running_qty"))),
+
+    // Second join headline: revenue top-k per order for one segment
+    "q3_segment_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // A-family approx aggregate — no oracle (estimator-specific), declared
+    // for the rows-only check; DuckDB's approx_count_distinct uses a
+    // different sketch so values can't hash-match
+    "approx_distinct_parts" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))),
+
     // Flagship pricing-summary aggregate (headline bench query; exercises
     // scan + filter pushdown + partial aggregation)
     "q1_pricing_summary" -> ((s, dir) =>
@@ -204,6 +255,30 @@ object CoreQueries {
     "union_phases" ->
       ("SELECT DISTINCT * FROM (SELECT * FROM orders WHERE o_orderkey % 10 = 0 " +
         "UNION ALL SELECT * FROM orders WHERE o_totalprice > 300000.0) u"),
+    "sql_passthrough" ->
+      ("SELECT o_orderstatus, count(*) AS n FROM orders " +
+        "WHERE o_totalprice > 200000.0 GROUP BY o_orderstatus"),
+    "scalar_functions" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, " +
+        "CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_ts, " +
+        "split_part(o_orderpriority, '-', 1) AS prio_code, " +
+        "lower(substr(o_orderpriority, 1, 4)) AS prio_lc, " +
+        "o_orderstatus || '/' || o_orderpriority AS tag, " +
+        "abs(o_totalprice - 200000.0) AS dist, " +
+        "CAST(o_custkey AS VARCHAR) AS cust_str FROM orders"),
+    "window_running_sum" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (" +
+        "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty " +
+        "FROM lineitem"),
+    "q3_segment_topk" ->
+      ("SELECT o_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey " +
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
