@@ -34,23 +34,42 @@ object SubsetQueries {
     fkAugmentation = fixtureFks,
     upstreamFilters = Seq(UpstreamFilter("l_quantity > 5", column = Some("l_quantity"))))
 
-  // One subsetter run per (session, sfDir): the Verify harness asks for each
-  // output table as a separate query; recomputing the whole closure per table
-  // would be wasted work (outputs are localCheckpoint-ed by the Subsetter).
+  /** A second scenario with TWO overlapping targets: customer is both a
+    * direct target and downstream of sampled orders — exercising the
+    * direct∪downstream overlap semantics (the downstream NOT-IN only fetches
+    * ids missing from the already-imported table, so no duplicates).
+    */
+  val multiTargetConfig: SubsetConfig = SubsetConfig(
+    initialTargets = Seq(
+      InitialTarget("orders", where = Some("o_orderkey % 10 = 0")),
+      InitialTarget("customer", where = Some("c_custkey % 7 = 0"))),
+    passthroughTables = Seq("region"),
+    fkAugmentation = fixtureFks)
+
+  // One subsetter run per (session, sfDir, config): the Verify harness asks
+  // for each output table as a separate query; recomputing the whole closure
+  // per table would be wasted work (big outputs are checkpointed by the
+  // Subsetter).
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, DataFrame]]
 
-  private def subsetOutput(s: SparkSession, dir: String): Map[String, DataFrame] =
-    cache.getOrElseUpdate(dir + "#" + System.identityHashCode(s), {
+  private def subsetOutput(
+      s: SparkSession, dir: String, key: String, cfg: SubsetConfig): Map[String, DataFrame] =
+    cache.getOrElseUpdate(s"$dir#$key#${System.identityHashCode(s)}", {
       val source = Catalog.load(s, dir, starTables)
-      new Subsetter(fixtureConfig, source).run()
+      new Subsetter(cfg, source).run()
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     starTables.map { table =>
       s"subset_out_$table" ->
-        ((s: SparkSession, dir: String) => subsetOutput(s, dir)(table))
-    }.toMap
+        ((s: SparkSession, dir: String) =>
+          subsetOutput(s, dir, "fixture", fixtureConfig)(table))
+    }.toMap ++ Map(
+      "subset2_out_customer" -> ((s: SparkSession, dir: String) =>
+        subsetOutput(s, dir, "multi", multiTargetConfig)("customer")),
+      "subset2_out_nation" -> ((s: SparkSession, dir: String) =>
+        subsetOutput(s, dir, "multi", multiTargetConfig)("nation")))
 
   // Hand-derived closure SQL: orders = direct sample; lineitem = semi-join +
   // upstream filter; customer/part/supplier = downstream needs of those;
@@ -64,7 +83,18 @@ object SubsetQueries {
       "nat AS (SELECT * FROM nation WHERE n_nationkey IN " +
       "(SELECT c_nationkey FROM cust UNION SELECT s_nationkey FROM supp)) "
 
+  private val cte2: String =
+    "WITH ord AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0), " +
+      "cust AS (SELECT * FROM customer WHERE c_custkey % 7 = 0 " +
+      "OR c_custkey IN (SELECT o_custkey FROM ord)), " +
+      "li AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ord)), " +
+      "supp AS (SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)), " +
+      "nat AS (SELECT * FROM nation WHERE n_nationkey IN " +
+      "(SELECT c_nationkey FROM cust UNION SELECT s_nationkey FROM supp)) "
+
   val oracles: Map[String, String] = Map(
+    "subset2_out_customer" -> (cte2 + "SELECT * FROM cust"),
+    "subset2_out_nation" -> (cte2 + "SELECT * FROM nat"),
     "subset_out_region" -> "SELECT * FROM region",
     "subset_out_orders" -> (cte + "SELECT * FROM ord"),
     "subset_out_lineitem" -> (cte + "SELECT * FROM li"),
