@@ -35,7 +35,11 @@ object Dedup {
     * reference (~3x tokens per shingle) — measured 4x slower.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    docs
+      // fixture tables are single-row-group files (one scan task); spread
+      // rows before the explode so shingle generation parallelizes
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("s"))
       .distinct()
 
@@ -128,6 +132,7 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
       .select(col("doc_id"), md5Hex(col("t")).as("h"))
     toks

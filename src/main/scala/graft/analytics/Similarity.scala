@@ -22,6 +22,8 @@ object Similarity {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     embeddings.filter(col("vec_id") =!= queryId)
+      // single-row-group input: spread rows so scoring parallelizes
+      .repartition(col("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         cosineRounded(col("embedding"), col("q_emb")).as("sim"))
@@ -33,7 +35,8 @@ object Similarity {
     * partitioned by this column so probes prune to one partition.
     */
   def withSignBucket(embeddings: DataFrame, nBits: Int = 8): DataFrame =
-    embeddings.withColumn("bucket", signBucket(col("embedding"), nBits))
+    embeddings.repartition(col("vec_id"))
+      .withColumn("bucket", signBucket(col("embedding"), nBits))
 
   /** ANN top-k restricted to the query's sign-LSH bucket: scans ~N/2^nBits
     * rows instead of N. Exact within the bucket (same scoring as brute
