@@ -126,6 +126,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** SimHash near-duplicate pairs via the pigeonhole trick: split each
+    * 64-bit signature into 4 chunks of 16 bits; pairs within Hamming
+    * distance d < 4 share at least one exact chunk, so the chunk equi-join
+    * generates the candidate set (a shuffle on 16-bit keys — the scale
+    * path), then the native `hamming` expression filters exactly.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 12): DataFrame = {
+    graft.functions.NativeExpressions.register(docs.sparkSession)
+    val sigs = simhashSignatures(docs).localCheckpoint()
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("substring(simhash, 1 + 16 * c, 16)"))
+    val a = chunks.toDF("id_a", "sig_a", "c", "chunk")
+    val b = chunks.toDF("id_b", "sig_b", "c", "chunk")
+    a.join(b, Seq("c", "chunk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("hamming(sig_a, sig_b)").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** 64-bit SimHash per document from distinct-token md5 hashes: per bit
     * position, majority vote of the token-hash bits. Output the signature as
     * a 64-char bit-string (exact in any engine; integer math only).

@@ -54,6 +54,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k on the native codegen'd `float_dot` expression — the
+    * throughput path (one tight primitive loop per row inside whole-stage
+    * codegen). Results are IEEE-double sequential sums: deterministic, but
+    * not DECIMAL-exact like [[bruteForceTopK]], so this path is benchmarked
+    * rather than oracle-hashed.
+    */
+  def fastCosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .repartition(col("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr("float_dot(embedding, q_emb)") /
+          (sqrt(expr("float_dot(embedding, embedding)")) *
+            sqrt(expr("float_dot(q_emb, q_emb)"))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** All near-duplicate pairs by embedding cosine within sign-LSH buckets —
     * the embedding-space analogue of MinHash near-dup detection. Pairs are
     * generated per bucket (the LSH candidate cut), then thresholded on the

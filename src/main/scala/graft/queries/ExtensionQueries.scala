@@ -32,12 +32,16 @@ object ExtensionQueries {
       Dedup.lshCandidatePairs(t(s, dir, "documents"))),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
+    "simhash_neardup_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 12)),
 
     // ---- similarity search ----
     "cosine_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
     "cosine_topk_lsh_bucket" -> ((s, dir) =>
       Similarity.lshBucketTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5, nBits = 8)),
+    "cosine_topk_native" -> ((s, dir) =>
+      Similarity.fastCosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
@@ -115,6 +119,33 @@ object ExtensionQueries {
         "votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b) " +
         "SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash " +
         "FROM votes GROUP BY doc_id"),
+    "simhash_neardup_pairs" ->
+      ("WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS t FROM documents) u), " +
+        "hb AS (SELECT doc_id, md5(t) AS h, unnest(generate_series(0, 63)) AS b FROM toks), " +
+        "bits AS (SELECT doc_id, b, " +
+        "((('0x' || substr(h, 1 + CAST(b // 4 AS INT), 1))::BIGINT >> CAST(3 - b % 4 AS INT)) & 1) AS bit FROM hb), " +
+        "votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b), " +
+        "sigs AS (SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash " +
+        "FROM votes GROUP BY doc_id), " +
+        "chunks AS (SELECT doc_id, simhash, c, substr(simhash, 1 + 16 * c, 16) AS chunk " +
+        "FROM sigs, (SELECT unnest(generate_series(0, 3)) AS c) cs), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "a.simhash AS sig_a, b.simhash AS sig_b FROM chunks a JOIN chunks b " +
+        "ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(len(list_filter(generate_series(1, 64), " +
+        "i -> substr(sig_a, i, 1) != substr(sig_b, i, 1))) AS INTEGER) AS dist " +
+        "FROM cand WHERE len(list_filter(generate_series(1, 64), " +
+        "i -> substr(sig_a, i, 1) != substr(sig_b, i, 1))) <= 12"),
+    "cosine_topk_native" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "prod AS (SELECT e.vec_id, " +
+        "list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) AS dot, " +
+        "list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) AS na, " +
+        "list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(q.qe))]) AS nq " +
+        "FROM embeddings e, q WHERE e.vec_id != 0) " +
+        "SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS sim " +
+        "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
     "cosine_topk_bruteforce" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +
