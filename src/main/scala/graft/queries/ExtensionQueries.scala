@@ -33,7 +33,8 @@ object ExtensionQueries {
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     "simhash_neardup_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 12)),
+      Dedup.simhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000), maxDist = 12)),
 
     // ---- similarity search ----
     "cosine_topk_bruteforce" -> ((s, dir) =>
@@ -121,7 +122,7 @@ object ExtensionQueries {
         "FROM votes GROUP BY doc_id"),
     "simhash_neardup_pairs" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
-        "unnest(string_split(text, ' ')) AS t FROM documents) u), " +
+        "unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id < 1000) u), " +
         "hb AS (SELECT doc_id, md5(t) AS h, unnest(generate_series(0, 63)) AS b FROM toks), " +
         "bits AS (SELECT doc_id, b, " +
         "((('0x' || substr(h, 1 + CAST(b // 4 AS INT), 1))::BIGINT >> CAST(3 - b % 4 AS INT)) & 1) AS bit FROM hb), " +
