@@ -53,6 +53,39 @@ object StreamingEvents {
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup: drop documents whose content fingerprint was
+    * already seen, keeping state across micro-batches — the incremental form
+    * of [[graft.analytics.Dedup.fingerprintGroups]]. In production add
+    * `withWatermark` on an arrival-time column to bound state.
+    */
+  def streamingDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicates("fp")
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * counts updated each micro-batch (the
+    * `KeyValueGroupedDataset.mapGroupsWithState` extension point for state
+    * the built-in aggregations can't express).
+    */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events")
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table and process all
     * currently-available input — the local smoke path (a real deployment
     * would use a durable sink + trigger).

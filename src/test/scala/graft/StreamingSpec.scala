@@ -31,6 +31,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming dedup keeps one row per fingerprint across micro-batches") {
+    import java.nio.file._
+    // stage the same docs file TWICE so every doc is a cross-batch duplicate
+    val dir = Files.createTempDirectory("graft_dedup_stream")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"), dir.resolve("b.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingDedup(stream), "stream_dedup", outputMode = "append")
+    val batchDistinct = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("md5(CAST(lower(trim(text)) AS BINARY))").distinct().count()
+    assert(spark.table("stream_dedup").count() == batchDistinct)
+  }
+
+  test("mapGroupsWithState running user counts reach the batch totals") {
+    val stream = StreamingEvents.readEvents(spark, streamDir)
+    StreamingEvents.runToMemory(
+      StreamingEvents.runningUserCounts(stream), "stream_ucounts", outputMode = "update")
+    val streamed = spark.table("stream_ucounts")
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count()
+    assert(streamed.count() == batch.count())
+    assert(streamed.join(batch,
+      streamed("user_id") === batch("user_id") &&
+        streamed("n_events") === batch("count")).count() == batch.count())
+  }
+
   test("streaming sessionization produces bounded per-user sessions") {
     val stream = StreamingEvents.readEvents(spark, streamDir)
     StreamingEvents.runToMemory(
