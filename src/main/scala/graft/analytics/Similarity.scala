@@ -75,6 +75,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid cell; a query probes only the `nProbe` cells nearest
+    * to it. Centroids here are taken deterministically (first `nCells`
+    * vectors) — swap in k-means centroids without changing the shape. At
+    * scale the cell id is the partition/bucket key, so a probe reads
+    * nProbe/nCells of the data.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val centroids = broadcast(
+      embeddings.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
+
+    def nearestCells(df: DataFrame, embCol: String, n: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val scored = df.crossJoin(centroids)
+        .withColumn("c_sim",
+          round(expr(s"float_dot($embCol, c_emb)") /
+            (sqrt(expr(s"float_dot($embCol, $embCol)")) *
+              sqrt(expr("float_dot(c_emb, c_emb)"))), 6))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cell_id").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .drop("__rk", "c_emb", "c_sim")
+    }
+
+    // index: each vector in exactly its nearest cell
+    val indexed = nearestCells(
+      embeddings.repartition(col("vec_id")), "embedding", 1)
+    // query: probe the nProbe nearest cells
+    val q = embeddings.filter(col("vec_id") === queryId)
+    val probeCells = nearestCells(q, "embedding", nProbe)
+      .select(col("cell_id")).distinct()
+    val qEmb = broadcast(q.select(col("embedding").as("q_emb")))
+    indexed
+      .join(broadcast(probeCells), "cell_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(qEmb)
+      .select(col("vec_id"),
+        round(expr("float_dot(embedding, q_emb)") /
+          (sqrt(expr("float_dot(embedding, embedding)")) *
+            sqrt(expr("float_dot(q_emb, q_emb)"))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** All near-duplicate pairs by embedding cosine within sign-LSH buckets —
     * the embedding-space analogue of MinHash near-dup detection. Pairs are
     * generated per bucket (the LSH candidate cut), then thresholded on the

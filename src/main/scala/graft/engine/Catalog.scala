@@ -44,4 +44,21 @@ object Catalog {
     out.foreach { case (t, df) =>
       df.write.mode("overwrite").parquet(s"$dir/${tableName(t)}.parquet")
     }
+
+  /** Write a table bucketed (and sorted) by its join key into the session
+    * catalog. Two tables bucketed the same way join with NO shuffle on
+    * either side — the co-located-join layout that matters at 100 TB, where
+    * re-shuffling the fact table per query is the dominant cost.
+    */
+  def saveBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

@@ -142,4 +142,30 @@ object Ops {
     */
   def unionDedup(a: DataFrame, b: DataFrame, pkCols: Seq[String]): DataFrame =
     a.unionByName(b).dropDuplicates(pkCols)
+
+  /** Skew-resistant equi-join: split each hot key of the big side across
+    * `saltN` sub-partitions (seeded, reproducible salt) and replicate the
+    * small side once per salt value. Use when one key holds a large share of
+    * the rows and AQE's skew handling isn't available/sufficient — the salt
+    * bounds any single task at ~1/saltN of the hot key.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      bigKeys: Seq[String],
+      small: DataFrame,
+      smallKeys: Seq[String],
+      saltN: Int,
+      seed: Long = 42L): DataFrame = {
+    val salted = big.withColumn("__graft_salt", (rand(seed) * saltN).cast("int"))
+    val replicated = small
+      .withColumn("__graft_salt", explode(sequence(lit(0), lit(saltN - 1))))
+    val cond = bigKeys.zip(smallKeys)
+      .map { case (bk, sk) => salted(bk) === replicated(sk) }
+      .reduce(_ && _) && salted("__graft_salt") === replicated("__graft_salt")
+    val joined = salted.join(replicated, cond, "inner")
+    // keep keys once (big side) and drop the salt plumbing
+    smallKeys.foldLeft(joined)((df, k) => df.drop(replicated(k)))
+      .drop(salted("__graft_salt"))
+      .drop(replicated("__graft_salt"))
+  }
 }

@@ -21,6 +21,21 @@ object Profile {
       val n = f
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
     }
+    {
+      import graft.engine.{Catalog, Subsetter}
+      import graft.queries.SubsetQueries
+      val source = Catalog.load(spark, dir, SubsetQueries.starTables)
+      time("subsetter_run_eager") {
+        val dest = new Subsetter(SubsetQueries.fixtureConfig, source).run()
+        dest("customer").count()
+      }
+      val source2 = Catalog.load(spark, dir, SubsetQueries.starTables)
+      time("subsetter_no_checkpoint") {
+        val dest = new Subsetter(SubsetQueries.fixtureConfig, source2,
+          materializeThreshold = Long.MaxValue).run()
+        dest("customer").count()
+      }
+    }
     time("tokens+explode")(docs.selectExpr("doc_id", "explode(split(text, ' ')) AS t").count())
     time("shingles_nodistinct")(
       docs.selectExpr("doc_id",

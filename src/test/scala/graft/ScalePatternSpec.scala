@@ -1,0 +1,58 @@
+package graft
+
+import graft.analytics.Similarity
+import graft.engine.{Catalog, Ops}
+import org.apache.spark.sql.functions._
+
+/** Tests for the cluster-scale layout patterns: bucketed co-located joins,
+  * skew salting, IVF probing.
+  */
+class ScalePatternSpec extends SparkSpecBase {
+
+  test("bucketed tables join without a shuffle on either side") {
+    // tables land in the default ./spark-warehouse (gitignored)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    Catalog.saveBucketed(orders, "b_orders", Seq("o_orderkey"), 4)
+    Catalog.saveBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", Seq("o_orderkey"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), "o_orderkey")
+      assert(joined.count() == lineitem.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join equals the plain join result") {
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val plain = lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey"), "inner")
+    val salted = Ops.saltedJoin(
+      lineitem, Seq("l_orderkey"), orders, Seq("o_orderkey"), saltN = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.count(_ == "o_orderkey") == 0) // small-side key dropped
+    assert(salted.agg(sum("o_totalprice")).head.getDouble(0) ==
+      plain.agg(sum("o_totalprice")).head.getDouble(0))
+  }
+
+  test("IVF top-k overlaps brute force and never returns the query") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = Similarity.ivfTopK(emb, queryId = 0L, k = 10).collect()
+    assert(ivf.nonEmpty && ivf.forall(_.getLong(0) != 0L))
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    // probing 4/16 cells should still recover a reasonable share of the
+    // true top-k for these clustered fixtures
+    assert(ivf.map(_.getLong(0)).count(brute.contains) >= 2)
+  }
+}
