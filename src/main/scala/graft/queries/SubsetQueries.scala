@@ -69,7 +69,13 @@ object SubsetQueries {
       "subset2_out_customer" -> ((s: SparkSession, dir: String) =>
         subsetOutput(s, dir, "multi", multiTargetConfig)("customer")),
       "subset2_out_nation" -> ((s: SparkSession, dir: String) =>
-        subsetOutput(s, dir, "multi", multiTargetConfig)("nation")))
+        subsetOutput(s, dir, "multi", multiTargetConfig)("nation")),
+      // G8 — the end-of-run result tabulation as a relation
+      "subset_report" -> ((s: SparkSession, dir: String) => {
+        val source = graft.engine.Catalog.load(s, dir, starTables)
+        graft.engine.Report.tabulateDf(
+          s, source, subsetOutput(s, dir, "fixture", fixtureConfig))
+      }))
 
   // Hand-derived closure SQL: orders = direct sample; lineitem = semi-join +
   // upstream filter; customer/part/supplier = downstream needs of those;
@@ -92,7 +98,19 @@ object SubsetQueries {
       "nat AS (SELECT * FROM nation WHERE n_nationkey IN " +
       "(SELECT c_nationkey FROM cust UNION SELECT s_nationkey FROM supp)) "
 
+  private def reportRow(table: String, destRel: String): String =
+    s"SELECT '$table' AS table_name, (SELECT count(*) FROM $table) AS source_rows, " +
+      s"(SELECT count(*) FROM $destRel) AS dest_rows, " +
+      s"CAST((SELECT count(*) FROM $destRel) AS DOUBLE) / " +
+      s"(SELECT count(*) FROM $table) AS ratio"
+
   val oracles: Map[String, String] = Map(
+    "subset_report" -> (cte +
+      Seq(
+        reportRow("customer", "cust"), reportRow("lineitem", "li"),
+        reportRow("nation", "nat"), reportRow("orders", "ord"),
+        reportRow("part", "prt"), reportRow("region", "region"),
+        reportRow("supplier", "supp")).mkString(" UNION ALL ")),
     "subset2_out_customer" -> (cte2 + "SELECT * FROM cust"),
     "subset2_out_nation" -> (cte2 + "SELECT * FROM nat"),
     "subset_out_region" -> "SELECT * FROM region",

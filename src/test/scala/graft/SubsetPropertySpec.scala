@@ -65,6 +65,30 @@ class SubsetPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("composite-key FKs: closure holds end to end") {
+    import spark.implicits._
+    val parent = Seq((1L, "a", 10.0), (1L, "b", 11.0), (2L, "a", 12.0), (3L, "c", 13.0))
+      .toDF("pk1", "pk2", "pv")
+    val child = Seq(
+      (100L, 1L, "a"), (101L, 1L, "b"), (102L, 2L, "a"),
+      (103L, 3L, "c"), (104L, 9L, "z"))
+      .toDF("id", "fk1", "fk2")
+    val fks = Seq(Fk("child", Seq("fk1", "fk2"), "parent", Seq("pk1", "pk2")))
+    val cfg = SubsetConfig(
+      initialTargets = Seq(InitialTarget("child", where = Some("id <= 102"))),
+      fkAugmentation = fks)
+    val dest = new Subsetter(cfg, Map("parent" -> parent, "child" -> child)).run()
+    assert(dest("child").count() == 3)
+    // downstream pulls exactly the referenced composite parents
+    val parents = dest("parent").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(parents == Set((1L, "a"), (1L, "b"), (2L, "a")))
+    assert(orphans(dest, fks) == 0)
+  }
+
+  test("entry() smoke: flagship query returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("multi-target overlap: direct ∪ downstream has no duplicates") {
     import graft.queries.SubsetQueries
     val source = graft.engine.Catalog.load(spark, sfDir, SubsetQueries.starTables)
