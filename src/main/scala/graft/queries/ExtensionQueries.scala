@@ -64,6 +64,11 @@ object ExtensionQueries {
     "events_session" -> ((s, dir) => EventsAnalytics.sessions(t(s, dir, "events"))),
     "events_rank_lag" -> ((s, dir) => EventsAnalytics.rankLag(t(s, dir, "events"))),
     "events_json" -> ((s, dir) => EventsAnalytics.jsonProps(t(s, dir, "events"))),
+    "events_value_quantiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"))),
 
     // ---- multimodal plumbing (binary columns) ----
     "multimodal_meta" -> ((s, dir) =>
@@ -205,6 +210,10 @@ object ExtensionQueries {
         "FROM events"),
     "events_json" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
+    "events_value_quantiles" ->
+      ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
+        "quantile_cont(value, 0.9) AS p90, count(*) AS n " +
+        "FROM events GROUP BY event_type"),
     "multimodal_meta" ->
       ("SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "ascii(substr(text, 1, 1)) AS first_byte, md5(text) AS content_md5 " +

@@ -57,7 +57,11 @@ object SubsetQueries {
       s: SparkSession, dir: String, key: String, cfg: SubsetConfig): Map[String, DataFrame] =
     cache.getOrElseUpdate(s"$dir#$key#${System.identityHashCode(s)}", {
       val source = Catalog.load(s, dir, starTables)
+      // every output table is consumed several times by this surface (its
+      // own key + the report + downstream closures of sibling keys), so pin
+      // each one once regardless of the Subsetter's size-aware policy
       new Subsetter(cfg, source).run()
+        .map { case (t, df) => t -> df.localCheckpoint() }
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
