@@ -46,6 +46,7 @@ object SubsetRunner {
   def run(spark: SparkSession, config: SubsetConfig, sourceDir: String): RunResult = {
     val source = Catalog.loadDir(spark, sourceDir)
     val subsetter = new Subsetter(config, source)
+    subsetter.verbose = true
     var dest = timed("middle-out subset")(subsetter.run())
 
     // pre_constraint_sql / post_subset_sql run verbatim against the

@@ -53,6 +53,20 @@ final class Subsetter(
   private val relationships: Seq[Fk] = config.fkAugmentation.distinct
   private val redacted: Seq[Fk] = FkGraph.redact(relationships, config.breaks)
 
+  /** Per-phase progress/timing instrumentation, mirroring the reference's
+    * prints (/root/reference/subset.py:49-97); off by default for library
+    * use, enabled by the CLI runner.
+    */
+  var verbose: Boolean = false
+
+  private def phase[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (verbose)
+      println(f"$label completed in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   /** Run every phase; returns the complete destination catalog (unprocessed
     * tables present but empty, like freshly created destination tables).
     */
@@ -69,12 +83,15 @@ final class Subsetter(
       imported.getOrElse(t, source(t).limit(0))
 
     // Phase 1 — direct targets (/root/reference/subset.py:49-56)
-    for (target <- config.initialTargets) {
-      imported += target.table -> cut(target.table, subsetDirect(target))
-      processed += target.table
+    phase("Direct target tables") {
+      for (target <- config.initialTargets) {
+        imported += target.table -> cut(target.table, subsetDirect(target))
+        processed += target.table
+      }
     }
 
     // Phase 2 — greedy upstream (/root/reference/subset.py:59-67)
+    phase("Greedy subsettings") {
     for (t <- FkGraph.upstreamTables(config.targetTables, strata)) {
       val relevant = redacted.filter(r => processed(r.targetTable) && r.fkTable == t)
       // empty if nothing processed references it, or it was a direct target
@@ -90,17 +107,21 @@ final class Subsetter(
         processed += t
       }
     }
+    }
 
     // Phase 3 — passthrough, before downstream so passthrough rows' FK needs
     // are satisfied too (/root/reference/subset.py:69-78). The reference
     // *appends* (INSERT) even if earlier phases populated the table; mirror.
-    for (t <- passthrough) {
-      val full = Ops.limitCap(source(t), config.maxRowsPerTable)
-      imported += t -> imported.get(t).map(_.unionByName(full)).getOrElse(full)
+    phase("Pass-through") {
+      for (t <- passthrough) {
+        val full = Ops.limitCap(source(t), config.maxRowsPerTable)
+        imported += t -> imported.get(t).map(_.unionByName(full)).getOrElse(full)
+      }
     }
 
     // Phase 4 — downstream closure, most-upstream first so needs cascade in
     // one pass (/root/reference/subset.py:81-87,166-204)
+    phase("Downstream subsetting") {
     for (t <- FkGraph.downstreamTables(passthrough, disconnected, strata)) {
       val refs = redacted.filter(r => r.targetTable == t && allTables.contains(r.fkTable))
       if (refs.nonEmpty) {
@@ -113,6 +134,7 @@ final class Subsetter(
         val fetched = Ops.semiJoin(columnsToCopy(t), pkCols, missing, pkCols)
         imported += t -> cut(t, existing.unionByName(fetched))
       }
+    }
     }
 
     // Phase 5 — disconnected tables (/root/reference/subset.py:89-97)

@@ -161,6 +161,15 @@ object CoreQueries {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)")
           .as("running_qty"))),
 
+    // L2+RANGE frame — value-based window frame (vs the ROWS frame above)
+    "window_range_frame" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+          "PARTITION BY o_custkey ORDER BY o_orderkey " +
+          "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)")
+          .as("recent_total"))),
+
     // Second join headline: revenue top-k per order for one segment
     "q3_segment_topk" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -272,6 +281,12 @@ object CoreQueries {
         "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty " +
         "FROM lineitem"),
+    "window_range_frame" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS recent_total " +
+        "FROM orders"),
     "q3_segment_topk" ->
       ("SELECT o_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +

@@ -73,6 +73,11 @@ object ExtensionQueries {
     // ---- multimodal plumbing (binary columns) ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(
+        Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))),
+    // the mapPartitions stub decoder itself: deterministic fake header
+    // parse, so even the per-partition iterator path is oracle-checked
+    "multimodal_decode_stub" -> ((s, dir) =>
+      Multimodal.fakeDecodeMeta(
         Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text")))
   )
 
@@ -217,6 +222,11 @@ object ExtensionQueries {
     "multimodal_meta" ->
       ("SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "ascii(substr(text, 1, 1)) AS first_byte, md5(text) AS content_md5 " +
-        "FROM documents")
+        "FROM documents"),
+    "multimodal_decode_stub" ->
+      ("SELECT doc_id AS asset_id, 'image/fake' AS kind, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "ascii(substr(text, 1, 1)) + 1 AS width, " +
+        "ascii(substr(text, 2, 1)) + 1 AS height FROM documents")
   )
 }
