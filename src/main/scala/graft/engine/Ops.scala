@@ -143,6 +143,51 @@ object Ops {
   def unionDedup(a: DataFrame, b: DataFrame, pkCols: Seq[String]): DataFrame =
     a.unionByName(b).dropDuplicates(pkCols)
 
+  /** As-of join: for every left row, attach the payload of the latest right
+    * row with `rightTs <= leftTs` within the same key group (DuckDB/kdb
+    * `ASOF JOIN` semantics, left-outer flavor).
+    *
+    * Spark has no native as-of join; rather than a custom SparkPlan this is
+    * the composition built-ins admit: tag and union both sides, then a
+    * single carry-forward window (`last(..., ignoreNulls)` over the
+    * ts-ordered union) per key. One shuffle on the key — the same cost as
+    * the sort-merge join a native implementation would do, and it inherits
+    * AQE/skew handling for free.
+    *
+    * @param tieBreak extra right-side ordering columns so equal-timestamp
+    *                 right rows resolve deterministically (last wins).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__graft_ts")) ++
+        payload.map(c => col(c).as(s"asof_$c")) ++
+        tieBreak.map(c => col(c).as(s"__graft_tb_$c")): _*)
+      .withColumn("__graft_src", lit(0))
+    val l = left
+      .withColumn("__graft_ts", col(leftTs))
+      .withColumn("__graft_src", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col("__graft_ts"), col("__graft_src")) ++
+        tieBreak.map(c => col(s"__graft_tb_$c"))): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    val cleaned = tieBreak.foldLeft(
+      carried.filter(col("__graft_src") === 1)
+        .drop("__graft_ts", "__graft_src"))((df, c) => df.drop(s"__graft_tb_$c"))
+    cleaned
+  }
+
   /** Skew-resistant equi-join: split each hot key of the big side across
     * `saltN` sub-partitions (seeded, reproducible salt) and replicate the
     * small side once per salt value. Use when one key holds a large share of

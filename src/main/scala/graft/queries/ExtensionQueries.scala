@@ -69,6 +69,17 @@ object ExtensionQueries {
         expr("percentile(value, 0.5)").as("med"),
         expr("percentile(value, 0.9)").as("p90"),
         count(lit(1)).as("n"))),
+    // as-of join: for each purchase, the user's latest prior click
+    "events_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.engine.Ops.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("event_id"), tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("prev_click"))
+    }),
 
     // ---- multimodal plumbing (binary columns) ----
     "multimodal_meta" -> ((s, dir) =>
@@ -219,6 +230,11 @@ object ExtensionQueries {
       ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
         "quantile_cont(value, 0.9) AS p90, count(*) AS n " +
         "FROM events GROUP BY event_type"),
+    "events_asof_join" ->
+      ("SELECT p.event_id, p.user_id, c.event_id AS prev_click " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"),
     "multimodal_meta" ->
       ("SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "ascii(substr(text, 1, 1)) AS first_byte, md5(text) AS content_md5 " +

@@ -65,6 +65,28 @@ class OpsSpec extends SparkSpecBase {
     assert(n == orders.filter("o_orderkey % 10 = 0").count())
   }
 
+  test("asofJoin: latest right at-or-before each left, nulls before any right") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (1L, 25L, "r@25"),
+      (2L, 9L, "r@9"))
+      .toDF("k", "ts", "rv")
+    val got = Ops.asofJoin(left, right, Seq("k"), "ts", "ts",
+      payload = Seq("rv"), tieBreak = Seq("ts"))
+      .select("lv", "asof_rv").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("l1").contains("r@10")) // equal ts matches (<= semantics)
+    assert(got("l2").contains("r@15")) // latest prior, not the future r@25
+    assert(got("l3").isEmpty)          // no right at-or-before → null
+  }
+
+  test("saltedJoin composite keys preserve plain-join semantics") {
+    val got = Ops.saltedJoin(left, Seq("a", "b"), target.toDF("a", "b"),
+      Seq("a", "b"), saltN = 4)
+    assert(got.count() == 2) // (1,1,x) and (2,1,z) match
+  }
+
   test("percentSample is seeded-reproducible and in a sane band") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val n1 = Ops.percentSample(orders, 10.0, seed = 7).count()
