@@ -89,7 +89,28 @@ object ExtensionQueries {
     // parse, so even the per-partition iterator path is oracle-checked
     "multimodal_decode_stub" -> ((s, dir) =>
       Multimodal.fakeDecodeMeta(
-        Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text")))
+        Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))),
+    // per-asset frame fan-out (the video frame-sampling shape)
+    "multimodal_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrameOffsets(
+        Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"),
+        nFrames = 4)),
+
+    // range (theta) join: events classified into value bands via a
+    // broadcast non-equi join
+    "events_value_band_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 50.0), ("mid", 50.0, 100.0),
+        ("high", 100.0, 200.0), ("extreme", 200.0, 1e9))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "events")
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"), "inner")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,6 +264,15 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, 'image/fake' AS kind, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "ascii(substr(text, 1, 1)) + 1 AS width, " +
-        "ascii(substr(text, 2, 1)) + 1 AS height FROM documents")
+        "ascii(substr(text, 2, 1)) + 1 AS height FROM documents"),
+    "multimodal_frame_sample" ->
+      ("SELECT doc_id AS asset_id, CAST(unnest(generate_series(0, 3)) AS INTEGER) AS frame_idx " +
+        "FROM documents"),
+    "events_value_band_join" ->
+      ("SELECT band, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total FROM events " +
+        "JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 100.0), " +
+        "('high', 100.0, 200.0), ('extreme', 200.0, 1e9)) AS bands(band, lo, hi) " +
+        "ON value >= lo AND value < hi GROUP BY band")
   )
 }
