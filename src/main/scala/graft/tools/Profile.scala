@@ -35,6 +35,19 @@ object Profile {
           materializeThreshold = Long.MaxValue).run()
         dest("customer").count()
       }
+      val source3 = Catalog.load(spark, dir, SubsetQueries.starTables)
+      time("pin_all_no_internal") {
+        val dest = new Subsetter(SubsetQueries.fixtureConfig, source3,
+          materializeThreshold = Long.MaxValue).run()
+          .map { case (t, df) => t -> df.localCheckpoint() }
+        dest.values.map(_.count()).sum
+      }
+      val source4 = Catalog.load(spark, dir, SubsetQueries.starTables)
+      time("pin_all_with_internal") {
+        val dest = new Subsetter(SubsetQueries.fixtureConfig, source4).run()
+          .map { case (t, df) => t -> df.localCheckpoint() }
+        dest.values.map(_.count()).sum
+      }
     }
     time("tokens+explode")(docs.selectExpr("doc_id", "explode(split(text, ' ')) AS t").count())
     time("shingles_nodistinct")(
