@@ -126,6 +126,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Winnowing document fingerprints (the MOSS rolling-hash scheme): hash
+    * every character `k`-gram with a polynomial hash mod 2^40, then keep the
+    * minimum of each sliding window of `window` consecutive hashes. The
+    * distinct minima are the document's fingerprint set — two documents
+    * sharing text runs ≥ window+k-1 chars are guaranteed to share a
+    * fingerprint. Integer-only math, identical in any engine.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, k: Int = 8, window: Int = 16, base: Long = 131L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.repartition(col("doc_id"))
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"))
+    val powers = (0 until k).map(j => math.pow(base.toDouble, j.toDouble).toLong)
+    val poly = (0 until k)
+      .map(j => expr(s"ascii(substring(text, i + $j, 1))").cast("long") * lit(powers(j)))
+      .reduce(_ + _)
+    val hashed = pos.select(col("doc_id"), col("i"), (poly % lit(MinHashMod)).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    hashed.select(col("doc_id"), min(col("h")).over(w).as("fp")).distinct()
+  }
+
   /** SimHash near-duplicate pairs via the pigeonhole trick: split each
     * 64-bit signature into 4 chunks of 16 bits; pairs within Hamming
     * distance d < 4 share at least one exact chunk, so the chunk equi-join

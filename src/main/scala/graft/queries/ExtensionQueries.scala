@@ -28,6 +28,8 @@ object ExtensionQueries {
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 200))),
+    "doc_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents").filter(col("doc_id") < 500))),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(t(s, dir, "documents"))),
     "simhash_signatures" -> ((s, dir) =>
@@ -48,7 +50,10 @@ object ExtensionQueries {
     "text_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
-        distinctTokenCount(col("text")).as("n_distinct"))),
+        distinctTokenCount(col("text")).as("n_distinct"),
+        // BPE-ish subword segmentation: letter runs / digit runs / symbols
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe_tokens"))),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
@@ -135,6 +140,16 @@ object ExtensionQueries {
         "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
         "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
         "WHERE 5 * n_common >= (sa.n + sb.n - n_common)"),
+    "doc_winnow_fingerprints" ->
+      ("WITH pos AS (SELECT doc_id, text, " +
+        "unnest([i FOR i IN generate_series(1, length(text) - 7)]) AS i " +
+        "FROM documents WHERE length(text) >= 8 AND doc_id < 500), " +
+        "hashed AS (SELECT doc_id, i, " +
+        "CAST(list_sum([ascii(substr(text, i + j, 1)) * CAST(power(131, j) AS BIGINT) " +
+        "FOR j IN generate_series(0, 7)]) % 1099511627776 AS BIGINT) AS h FROM pos), " +
+        "winnowed AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS fp FROM hashed) " +
+        "SELECT DISTINCT doc_id, fp FROM winnowed"),
     "minhash_lsh_pairs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
@@ -211,7 +226,8 @@ object ExtensionQueries {
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 5"),
     "text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens " +
         "FROM documents"),
     "text_quality" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, " +
