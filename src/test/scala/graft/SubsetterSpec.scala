@@ -82,6 +82,33 @@ class SubsetterSpec extends SparkSpecBase {
     assert(!dest.contains("part"))
   }
 
+  test("empty direct sample: all connected tables come out empty, no errors") {
+    val cfg = SubsetQueries.fixtureConfig.copy(
+      initialTargets = Seq(InitialTarget("orders", where = Some("o_orderkey < 0"))))
+    val dest = new Subsetter(cfg, source).run()
+    assert(dest("orders").count() == 0)
+    assert(dest("lineitem").count() == 0)
+    assert(dest("customer").count() == 0)
+    assert(dest("region").count() == 5) // passthrough unaffected
+  }
+
+  test("schema-qualified table names resolve to bare parquet files") {
+    import graft.graph.Fk
+    val qSource = Map(
+      "main.orders" -> source("orders"),
+      "main.lineitem" -> source("lineitem"))
+    val cfg = SubsetConfig(
+      initialTargets = Seq(
+        InitialTarget("main.orders", where = Some("o_orderkey % 10 = 0"))),
+      fkAugmentation = Seq(
+        Fk("main.lineitem", Seq("l_orderkey"), "main.orders", Seq("o_orderkey"))))
+    val dest = new Subsetter(cfg, qSource).run()
+    assert(dest("main.orders").count() == 150)
+    assert(dest("main.lineitem").count() > 0)
+    assert(graft.engine.Catalog.tableName("main.orders") == "orders")
+    assert(graft.engine.Catalog.schemaName("main.orders").contains("main"))
+  }
+
   test("determinism: two runs produce identical orders output") {
     val d1 = new Subsetter(SubsetQueries.fixtureConfig, source).run()
     val d2 = new Subsetter(SubsetQueries.fixtureConfig, source).run()
