@@ -184,6 +184,26 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Pivot: order counts per segment × status (wide aggregation)
+    "pivot_status_by_segment" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+    }),
+
+    // Unpivot/melt: long-form metrics from wide per-order columns
+    "unpivot_order_metrics" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey_d"))
+        .unpivot(
+          Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey_d")),
+          "metric", "val")),
+
     // A-family approx aggregate — no oracle (estimator-specific), declared
     // for the rows-only check; DuckDB's approx_count_distinct uses a
     // different sketch so values can't hash-match
@@ -287,6 +307,16 @@ object CoreQueries {
         "PARTITION BY o_custkey ORDER BY o_orderkey " +
         "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS recent_total " +
         "FROM orders"),
+    "pivot_status_by_segment" ->
+      ("SELECT c_mktsegment, " +
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F, " +
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O, " +
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment"),
+    "unpivot_order_metrics" ->
+      ("SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val FROM orders " +
+        "UNION ALL SELECT o_orderkey, 'o_custkey_d', CAST(o_custkey AS DOUBLE) FROM orders"),
     "q3_segment_topk" ->
       ("SELECT o_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
