@@ -135,7 +135,7 @@ object Ops {
     * /root/reference/subset.py:75-76,145-146).
     */
   def limitCap(df: DataFrame, maxRows: Option[Long]): DataFrame =
-    maxRows.fold(df)(n => df.limit(n.toInt))
+    maxRows.fold(df)(n => df.limit(math.min(n, Int.MaxValue.toLong).toInt))
 
   /** U1 — accumulate phase outputs into one table, deduplicating on the PK
     * where phases can overlap (SURVEY.md §7.3 item 5).
