@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Keep sbt's "[success] Total time" footer off stdout so the single JSON
+// line printed by graft.Bench / graft.Verify is the last line of output
+// (the bench harness parses the final stdout line).
+Global / showSuccess := false
 name := "condenserspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
@@ -11,6 +15,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that breaks the bench harness's parse of
+// the JSON result line. StdoutOutput passes the child's stdout through
+// verbatim (and its stderr to stderr).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
