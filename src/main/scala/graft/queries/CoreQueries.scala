@@ -184,6 +184,31 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Third join headline (TPC-H Q5 shape): 6-table star join. The fact
+    // tables (lineitem ⋈ orders ⋈ customer) shuffle on their keys; the
+    // dimension sides (supplier, nation, region) are broadcast so the
+    // region filter prunes before any wide shuffle — the plan that holds
+    // at 1000 executors.
+    "q5_local_supplier_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'"))
+      val c = t(s, dir, "customer")
+      val sup = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+    }),
+
     // Pivot: order counts per segment × status (wide aggregation)
     "pivot_status_by_segment" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -324,6 +349,18 @@ object CoreQueries {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey " +
         "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "q5_local_supplier_revenue" ->
+      ("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00' " +
+        "GROUP BY n_name"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

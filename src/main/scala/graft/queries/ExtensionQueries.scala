@@ -45,6 +45,10 @@ object ExtensionQueries {
       Similarity.lshBucketTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5, nBits = 8)),
     "cosine_topk_native" -> ((s, dir) =>
       Similarity.fastCosineTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // embedding-space near-dup detection: all pairs above a cosine
+    // threshold, candidate-cut by sign-LSH buckets
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), minSim = 0.30, nBits = 8)),
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
@@ -224,6 +228,17 @@ object ExtensionQueries {
         "FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id != 0) " +
         "SELECT vec_id, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 5"),
+    "dedup_embedding_cosine" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
+        "pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, " +
+        "a.embedding AS ea, b2.embedding AS eb FROM b a " +
+        "JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), " +
+        "s AS (SELECT id_a, id_b, round(" +
+        "CAST(list_sum([CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(ea))]) AS DOUBLE) / " +
+        "(sqrt(CAST(list_sum([CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(ea))]) AS DOUBLE)) * " +
+        "sqrt(CAST(list_sum([CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(eb))]) AS DOUBLE))), 6) AS sim " +
+        "FROM pairs) SELECT id_a, id_b, sim FROM s WHERE sim >= 0.30"),
     "text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, " +
