@@ -9,14 +9,28 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bare count()/min/max over parquet resolve from footer statistics
+      // instead of scanning — the subset report and row-count surfaces are
+      // metadata-only at any scale
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/parquet paths once so the first timed query
-    // doesn't absorb session startup; measures queries, not JIT.
+    // doesn't absorb session startup; measures queries, not JIT. The tiny
+    // region/nation tables exercise each physical-operator family the
+    // timed queries use: aggregate, broadcast-hash join, left-semi join,
+    // window.
     try {
+      import org.apache.spark.sql.functions.{broadcast, col, expr}
       val warm = spark.read.parquet(s"$sfDir/region.parquet")
       warm.groupBy("r_name").count().count()
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(broadcast(warm), n("n_regionkey") === warm("r_regionkey")).count()
+      n.join(n.select(col("n_nationkey").as("k")),
+        col("n_nationkey") === col("k"), "left_semi").count()
+      n.select(expr("sum(n_nationkey) OVER " +
+        "(PARTITION BY n_regionkey ORDER BY n_nationkey)")).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

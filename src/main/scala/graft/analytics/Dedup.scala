@@ -135,19 +135,31 @@ object Dedup {
     */
   def winnowFingerprints(
       docs: DataFrame, k: Int = 8, window: Int = 16, base: Long = 131L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pos = docs.repartition(col("doc_id"))
-      .filter(length(col("text")) >= k)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"))
+    // All per-position work stays inside per-row higher-order functions:
+    // char codes and k-gram hashes are arrays (element_at is O(1), unlike
+    // substring(text, i) which rescans the prefix), and the sliding-window
+    // minima are array_min over slices — so the whole operator is one
+    // codegen'd narrow stage with no window-function shuffle at all.
     val powers = (0 until k).map(j => math.pow(base.toDouble, j.toDouble).toLong)
-    val poly = (0 until k)
-      .map(j => expr(s"ascii(substring(text, i + $j, 1))").cast("long") * lit(powers(j)))
-      .reduce(_ + _)
-    val hashed = pos.select(col("doc_id"), col("i"), (poly % lit(MinHashMod)).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(-(window - 1), Window.currentRow)
-    hashed.select(col("doc_id"), min(col("h")).over(w).as("fp")).distinct()
+    val polyExpr = (0 until k)
+      .map(j => s"CAST(ascii(element_at(cs, i + $j)) AS BIGINT) * ${powers(j)}L")
+      .mkString("(", " + ", s") % ${MinHashMod}L")
+    docs.repartition(col("doc_id"))
+      .filter(length(col("text")) >= k)
+      // split with Spark's default limit -1 appends a trailing "" element;
+      // slice to exactly length(text) chars
+      .select(col("doc_id"),
+        slice(split(col("text"), ""), lit(1), length(col("text"))).as("cs"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, size(cs) - ${k - 1}), i -> $polyExpr)")
+          .as("hs"))
+      // per position i: min over the trailing window [max(1, i-(w-1)), i] —
+      // identical to ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW
+      .select(col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, size(hs)), i -> " +
+            s"array_min(slice(hs, greatest(i - ${window - 1}, 1), " +
+            s"i - greatest(i - ${window - 1}, 1) + 1))))")).as("fp"))
   }
 
   /** SimHash near-duplicate pairs via the pigeonhole trick: split each

@@ -19,14 +19,19 @@ object Similarity {
     * The one-row query side is broadcast — no shuffle of the big side.
     */
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    // the query norm is constant — compute it once on the broadcast side
+    // rather than once per scored row
     val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
+      .select(col("embedding").as("q_emb"),
+        sqrt(normSqDecimal(col("embedding")).cast("double")).as("q_norm"))
     embeddings.filter(col("vec_id") =!= queryId)
       // single-row-group input: spread rows so scoring parallelizes
       .repartition(col("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        cosineRounded(col("embedding"), col("q_emb")).as("sim"))
+        round(dotDecimal(col("embedding"), col("q_emb")).cast("double") /
+          (sqrt(normSqDecimal(col("embedding")).cast("double")) * col("q_norm")),
+          6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -45,11 +50,14 @@ object Similarity {
   def lshBucketTopK(embeddings: DataFrame, queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
     val bucketed = withSignBucket(embeddings, nBits)
     val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket"))
+      .select(col("embedding").as("q_emb"), col("bucket"),
+        sqrt(normSqDecimal(col("embedding")).cast("double")).as("q_norm"))
     bucketed.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), "bucket")
       .select(col("vec_id"),
-        cosineRounded(col("embedding"), col("q_emb")).as("sim"))
+        round(dotDecimal(col("embedding"), col("q_emb")).cast("double") /
+          (sqrt(normSqDecimal(col("embedding")).cast("double")) * col("q_norm")),
+          6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -133,12 +141,18 @@ object Similarity {
     * rounded cosine.
     */
   def cosineNearDupPairs(embeddings: DataFrame, minSim: Double, nBits: Int = 8): DataFrame = {
+    // per-vector norms are computed once on the bucketed relation (N rows)
+    // instead of twice per candidate pair (O(N²/buckets) rows)
     val bucketed = withSignBucket(embeddings, nBits)
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("nrm", sqrt(normSqDecimal(col("embedding")).cast("double")))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineRounded(col("emb_a"), col("emb_b")).as("sim"))
+        round(dotDecimal(col("emb_a"), col("emb_b")).cast("double") /
+          (col("nrm_a") * col("nrm_b")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

@@ -20,16 +20,29 @@ object Report {
       TableReport(t, source(t).count(), dest.get(t).map(_.count()).getOrElse(0L))
     }
 
-  /** The same report as a DataFrame, for programmatic/SQL consumption. */
+  /** The same report as a single lazy DataFrame: one Spark job computing all
+    * per-table count aggregates in parallel, instead of 2N serial driver-side
+    * `count()` actions. Each side collapses to a 1-row aggregate (footer
+    * metadata under parquet aggregate pushdown), so the cross join is a
+    * trivial 1×1 nested loop.
+    */
   def tabulateDf(
       spark: SparkSession,
       source: Map[String, DataFrame],
-      dest: Map[String, DataFrame]): DataFrame = {
-    import spark.implicits._
-    tabulate(source, dest)
-      .map(r => (r.table, r.sourceRows, r.destRows, r.ratio))
-      .toDF("table_name", "source_rows", "dest_rows", "ratio")
-  }
+      dest: Map[String, DataFrame]): DataFrame =
+    source.keys.toSeq.sorted.map { t =>
+      val s = source(t).groupBy().agg(count(lit(1)).as("source_rows"))
+      val d = dest.get(t)
+        .map(_.groupBy().agg(count(lit(1)).as("dest_rows")))
+        .getOrElse(spark.range(1).select(lit(0L).as("dest_rows")))
+      s.crossJoin(d).select(
+        lit(t).as("table_name"),
+        col("source_rows"),
+        col("dest_rows"),
+        when(col("source_rows") === 0, lit(0.0))
+          .otherwise(col("dest_rows").cast("double") / col("source_rows"))
+          .as("ratio"))
+    }.reduce(_ unionByName _)
 
   def render(reports: Seq[TableReport]): String = {
     val header = f"${"table"}%-30s ${"source"}%12s ${"dest"}%12s ${"ratio"}%8s"

@@ -53,15 +53,32 @@ object SubsetQueries {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, DataFrame]]
 
+  // the source catalog (schema footer reads) is config-independent — share
+  // it across the fixture and multi-target runs
+  private val sourceCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, DataFrame]]
+
+  private def sourceFor(s: SparkSession, dir: String): Map[String, DataFrame] =
+    sourceCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}",
+      Catalog.load(s, dir, starTables))
+
   private def subsetOutput(
       s: SparkSession, dir: String, key: String, cfg: SubsetConfig): Map[String, DataFrame] =
     cache.getOrElseUpdate(s"$dir#$key#${System.identityHashCode(s)}", {
-      val source = Catalog.load(s, dir, starTables)
       // every output table is consumed several times by this surface (its
       // own key + the report + downstream closures of sibling keys), so pin
-      // each one once regardless of the Subsetter's size-aware policy
-      new Subsetter(cfg, source).run()
-        .map { case (t, df) => t -> df.localCheckpoint() }
+      // each one once regardless of the Subsetter's size-aware policy, and
+      // materialize all pinned caches as CONCURRENT jobs: the run costs the
+      // wall-clock of the slowest table, not the serial sum.
+      val out = new Subsetter(cfg, sourceFor(s, dir)).run()
+        .map { case (t, df) => t -> df.persist() }
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence(out.values.toSeq.map(df => Future(df.count()))),
+        30.minutes)
+      out
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -75,11 +92,9 @@ object SubsetQueries {
       "subset2_out_nation" -> ((s: SparkSession, dir: String) =>
         subsetOutput(s, dir, "multi", multiTargetConfig)("nation")),
       // G8 — the end-of-run result tabulation as a relation
-      "subset_report" -> ((s: SparkSession, dir: String) => {
-        val source = graft.engine.Catalog.load(s, dir, starTables)
+      "subset_report" -> ((s: SparkSession, dir: String) =>
         graft.engine.Report.tabulateDf(
-          s, source, subsetOutput(s, dir, "fixture", fixtureConfig))
-      }))
+          s, sourceFor(s, dir), subsetOutput(s, dir, "fixture", fixtureConfig))))
 
   // Hand-derived closure SQL: orders = direct sample; lineitem = semi-join +
   // upstream filter; customer/part/supplier = downstream needs of those;

@@ -24,29 +24,22 @@ object Profile {
     {
       import graft.engine.{Catalog, Subsetter}
       import graft.queries.SubsetQueries
-      val source = Catalog.load(spark, dir, SubsetQueries.starTables)
-      time("subsetter_run_eager") {
-        val dest = new Subsetter(SubsetQueries.fixtureConfig, source).run()
-        dest("customer").count()
+      var source: Map[String, org.apache.spark.sql.DataFrame] = null
+      time("catalog_load") { source = Catalog.load(spark, dir, SubsetQueries.starTables); 0L }
+      var dest: Map[String, org.apache.spark.sql.DataFrame] = null
+      time("run_plan_only") {
+        dest = new Subsetter(SubsetQueries.fixtureConfig, source).run()
+          .map { case (t, df) => t -> df.persist() }
+        0L
       }
+      time("first_count_customer")(dest("customer").count())
+      time("count_rest")(dest.values.map(_.count()).sum)
+      time("count_again_cached")(dest.values.map(_.count()).sum)
       val source2 = Catalog.load(spark, dir, SubsetQueries.starTables)
-      time("subsetter_no_checkpoint") {
-        val dest = new Subsetter(SubsetQueries.fixtureConfig, source2,
+      time("run2_nocut_plan") {
+        new Subsetter(SubsetQueries.fixtureConfig, source2,
           materializeThreshold = Long.MaxValue).run()
-        dest("customer").count()
-      }
-      val source3 = Catalog.load(spark, dir, SubsetQueries.starTables)
-      time("pin_all_no_internal") {
-        val dest = new Subsetter(SubsetQueries.fixtureConfig, source3,
-          materializeThreshold = Long.MaxValue).run()
-          .map { case (t, df) => t -> df.localCheckpoint() }
-        dest.values.map(_.count()).sum
-      }
-      val source4 = Catalog.load(spark, dir, SubsetQueries.starTables)
-      time("pin_all_with_internal") {
-        val dest = new Subsetter(SubsetQueries.fixtureConfig, source4).run()
-          .map { case (t, df) => t -> df.localCheckpoint() }
-        dest.values.map(_.count()).sum
+        0L
       }
     }
     time("tokens+explode")(docs.selectExpr("doc_id", "explode(split(text, ' ')) AS t").count())
