@@ -36,6 +36,33 @@ object Catalog {
   def load(spark: SparkSession, dir: String, tables: Seq[String]): Map[String, DataFrame] =
     tables.map(t => t -> spark.read.parquet(s"$dir/${tableName(t)}.parquet")).toMap
 
+  /** Load/save a single table in any Spark DataSource format — the
+    * source/sink abstraction matching the reference's pluggable database
+    * helpers (/root/reference/db_connect.py:10-36 chooses postgres vs mysql
+    * by a `db_type` string the same way `format` does here). CSV and JSON
+    * carry no schema in the files, so writers emit a header (CSV) and
+    * readers accept an explicit schema or infer.
+    */
+  def loadTable(
+      spark: SparkSession,
+      path: String,
+      format: String = "parquet",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val base = spark.read.format(format)
+    val withSchema = schema.map(base.schema).getOrElse(base)
+    format match {
+      case "csv" =>
+        val r = withSchema.option("header", "true")
+        (if (schema.isEmpty) r.option("inferSchema", "true") else r).load(path)
+      case _ => withSchema.load(path)
+    }
+  }
+
+  def saveTable(df: DataFrame, path: String, format: String = "parquet"): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+  }
+
   /** Materialize an output catalog, one Parquet directory per table —
     * the destination-database replacement (overwrite mode = the reference's
     * teardown+create, /root/reference/psql_database_creator.py:56-67).

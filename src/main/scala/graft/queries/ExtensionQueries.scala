@@ -66,6 +66,28 @@ object ExtensionQueries {
     "text_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         langIdHeuristic(col("text")).as("lang_pred"))),
+    // corpus-level vocabulary: the LM-data "what's in this corpus" sweep —
+    // explode shuffles on token, partial map-side counts keep it narrow
+    "text_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(25)),
+    // corpus-level word-trigram frequencies (n-gram LM statistics)
+    "text_trigram_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(explode(wordShingles(tokens(col("text")), 3)).as("trigram"))
+        .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram").asc)
+        .limit(25)),
+    // document-length histogram in 100-char buckets
+    "text_length_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
 
     // ---- events time-series ----
     "events_tumbling" -> ((s, dir) => EventsAnalytics.tumbling(t(s, dir, "events"))),
@@ -253,6 +275,19 @@ object ExtensionQueries {
       ("SELECT doc_id, CASE WHEN 10 * len(list_filter(string_split(text, ' '), " +
         "x -> x IN ('the', 'a', 'of', 'and'))) >= len(string_split(text, ' ')) " +
         "THEN 'en' ELSE 'unk' END AS lang_pred FROM documents"),
+    "text_vocab_topk" ->
+      ("SELECT token, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) u " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 25"),
+    "text_trigram_topk" ->
+      ("SELECT s AS trigram, count(*) AS n FROM " +
+        "(SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "FOR i IN generate_series(1, len(w)-2)]) AS s FROM " +
+        "(SELECT string_split(text, ' ') AS w FROM documents) t) u " +
+        "GROUP BY s ORDER BY n DESC, trigram LIMIT 25"),
+    "text_length_histogram" ->
+      ("SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket, " +
+        "count(*) AS n FROM documents GROUP BY 1"),
     "events_tumbling" ->
       ("SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_ts, " +
         "event_type, count(*) AS n, " +
