@@ -229,6 +229,16 @@ object CoreQueries {
           Array(col("o_totalprice"), col("o_custkey_d")),
           "metric", "val")),
 
+    // Hierarchical aggregate (ROLLUP): per status×priority, per status, and
+    // grand total in one pass — Spark expands grouping sets inside a single
+    // shuffle, no N-pass union
+    "rollup_order_stats" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("total"))),
+
     // A-family approx aggregate — no oracle (estimator-specific), declared
     // for the rows-only check; DuckDB's approx_count_distinct uses a
     // different sketch so values can't hash-match
@@ -349,6 +359,10 @@ object CoreQueries {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey " +
         "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "rollup_order_stats" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
     "q5_local_supplier_revenue" ->
       ("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +

@@ -86,6 +86,28 @@ object StreamingEvents {
       .toDF("user_id", "n_events")
   }
 
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * clicks within the preceding hour. Watermarks on BOTH sides plus the
+    * time-bound join condition let Spark GC join state — without them a
+    * stream-stream join buffers forever, the failure mode that matters on
+    * an unbounded source.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsd").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsd").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table and process all
     * currently-available input — the local smoke path (a real deployment
     * would use a durable sink + trigger).

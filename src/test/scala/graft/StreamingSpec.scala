@@ -60,6 +60,19 @@ class StreamingSpec extends SparkSpecBase {
         streamed("n_events") === batch("count")).count() == batch.count())
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = StreamingEvents.readEvents(spark, streamDir)
+    StreamingEvents.runToMemory(
+      StreamingEvents.purchaseClickJoin(stream), "stream_ssjoin",
+      outputMode = "append")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("tsd", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    val batch = StreamingEvents.purchaseClickJoin(ev)
+    assert(spark.table("stream_ssjoin").count() == batch.count())
+    assert(spark.table("stream_ssjoin").exceptAll(batch).count() == 0)
+  }
+
   test("streaming sessionization produces bounded per-user sessions") {
     val stream = StreamingEvents.readEvents(spark, streamDir)
     StreamingEvents.runToMemory(
