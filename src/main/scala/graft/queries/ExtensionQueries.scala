@@ -79,7 +79,10 @@ object ExtensionQueries {
     "text_trigram_topk" -> ((s, dir) =>
       t(s, dir, "documents")
         .repartition(col("doc_id"))
-        .select(explode(wordShingles(tokens(col("text")), 3)).as("trigram"))
+        // bind the token array before the shingle lambda — inlining split()
+        // into every element_at reference re-splits the text ~3x per shingle
+        .select(tokens(col("text")).as("w"))
+        .select(explode(wordShingles(col("w"), 3)).as("trigram"))
         .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram").asc)
         .limit(25)),
