@@ -229,6 +229,21 @@ object CoreQueries {
           Array(col("o_totalprice"), col("o_custkey_d")),
           "metric", "val")),
 
+    // Set intersection (distinct): customers of the BUILDING segment that
+    // actually placed orders
+    "intersect_custkeys" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .intersect(
+          t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey").as("custkey")))),
+
+    // Multiset difference (EXCEPT ALL): lineitem order keys with one
+    // occurrence removed per matching orders row — preserves multiplicity,
+    // unlike the anti-join (J3) which is set-semantics
+    "except_all_orderkeys" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey").as("okey"))
+        .exceptAll(t(s, dir, "orders").select(col("o_orderkey").as("okey")))),
+
     // Hierarchical aggregate (ROLLUP): per status×priority, per status, and
     // grand total in one pass — Spark expands grouping sets inside a single
     // shuffle, no N-pass union
@@ -359,6 +374,12 @@ object CoreQueries {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey " +
         "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "intersect_custkeys" ->
+      ("SELECT o_custkey AS custkey FROM orders INTERSECT " +
+        "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"),
+    "except_all_orderkeys" ->
+      ("SELECT l_orderkey AS okey FROM lineitem EXCEPT ALL " +
+        "SELECT o_orderkey AS okey FROM orders"),
     "rollup_order_stats" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
