@@ -115,6 +115,17 @@ object ExtensionQueries {
           col("asof_event_id").as("prev_click"))
     }),
 
+    // grouped top-k via the custom whole-operator tier (LogicalPlan +
+    // Strategy + SparkPlan with bounded per-key heaps): first 3 events per
+    // user under the total order (ts, event_id)
+    "topk_per_user_events" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        t(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"), 3)
+        // ts is Long ns; DuckDB reads the same parquet at µs precision, so
+        // the comparable output is the µs value
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"))),
+
     // ---- multimodal plumbing (binary columns) ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(
@@ -325,6 +336,11 @@ object ExtensionQueries {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "topk_per_user_events" ->
+      ("SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM " +
+        "(SELECT user_id, event_id, ts, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) r " +
+        "WHERE rn <= 3"),
     "multimodal_meta" ->
       ("SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "ascii(substr(text, 1, 1)) AS first_byte, md5(text) AS content_md5 " +

@@ -1,0 +1,68 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom grouped-top-k operator must equal the row_number window
+  * formulation on every input shape, and its plan must show the bounded-heap
+  * exec (not a window sort).
+  */
+class TopKPerKeySpec extends SparkSpecBase {
+
+  private lazy val events = spark.read.parquet(s"$sfDir/events.parquet")
+
+  private def windowTopK(k: Int) =
+    events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= k)
+      .select("user_id", "event_id")
+
+  test("equals the row_number window formulation for k = 1, 3, 10") {
+    for (k <- Seq(1, 3, 10)) {
+      val got = TopKPerKey.topKPerKey(
+        events, Seq("user_id"), Seq("ts", "event_id"), k)
+        .select("user_id", "event_id")
+      assert(got.count() == windowTopK(k).count(), s"count mismatch k=$k")
+      assert(got.exceptAll(windowTopK(k)).count() == 0, s"rows mismatch k=$k")
+    }
+  }
+
+  test("k larger than every group passes all rows through") {
+    val got = TopKPerKey.topKPerKey(
+      events, Seq("user_id"), Seq("ts", "event_id"), 1000000)
+    assert(got.count() == events.count())
+  }
+
+  test("physical plan uses TopKPerKeyExec with a single hash exchange") {
+    val df = TopKPerKey.topKPerKey(
+      events, Seq("user_id"), Seq("ts", "event_id"), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Window"), "must not fall back to a window sort")
+  }
+
+  test("composite keys and empty input") {
+    val got = TopKPerKey.topKPerKey(
+      events, Seq("user_id", "event_type"), Seq("ts", "event_id"), 2)
+    val oracle = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 2).drop("rn")
+    assert(got.count() == oracle.count())
+    val empty = TopKPerKey.topKPerKey(
+      events.filter(lit(false)), Seq("user_id"), Seq("ts"), 3)
+    assert(empty.count() == 0)
+  }
+
+  test("unknown column raises a friendly error") {
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(events, Seq("nope"), Seq("ts"), 3)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
