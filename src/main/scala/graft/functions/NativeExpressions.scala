@@ -147,5 +147,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("hamming"),
       new ExpressionInfo(classOf[NativeExpressions.HammingDistance].getName, "hamming"),
       (exprs: Seq[Expression]) => NativeExpressions.HammingDistance(exprs(0), exprs(1))))
+    // whole-operator tier: grouped top-k strategy + the optimizer rule that
+    // rewrites row_number-window-filter into it
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
   }
 }

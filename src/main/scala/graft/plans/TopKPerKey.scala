@@ -109,15 +109,26 @@ object TopKPerKey {
     * otherwise rank-k ties are implementation-defined, same as
     * `row_number`). Registers the strategy in the session on first use.
     */
+  /** Register the strategy (and the row_number rewrite rule) in a session
+    * built without `GraftExtensions` — `experimental` is the public escape
+    * hatch for both.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations.contains(RowNumberTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RowNumberTopKRewrite
+  }
+
   def topKPerKey(
       df: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[String],
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    install(spark)
     val plan = df.queryExecution.analyzed
     def resolve(name: String): Attribute =
       plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))

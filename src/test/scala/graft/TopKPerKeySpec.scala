@@ -59,6 +59,42 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(empty.count() == 0)
   }
 
+  test("optimizer rule rewrites the row_number window idiom to TopKPerKey") {
+    TopKPerKey.install(spark)
+    val idiom = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id")
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    // no window exec ("Window [") and no residual group-limit either
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    // and the rewritten plan still returns the window answer
+    val direct = TopKPerKey.topKPerKey(
+      events, Seq("user_id"), Seq("ts", "event_id"), 3)
+      .select("user_id", "event_id")
+    assert(idiom.exceptAll(direct).count() == 0)
+    assert(idiom.count() == direct.count())
+  }
+
+  test("rewrite does NOT fire when rank is kept or function is rank()") {
+    TopKPerKey.install(spark)
+    val keepsRn = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "rn")
+    assert(keepsRn.queryExecution.executedPlan.toString.contains("Window"))
+    val usesRank = events
+      .withColumn("rk", rank().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rk") <= 3)
+      .select("user_id", "event_id")
+    assert(usesRank.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("unknown column raises a friendly error") {
     val e = intercept[IllegalArgumentException] {
       TopKPerKey.topKPerKey(events, Seq("nope"), Seq("ts"), 3)
