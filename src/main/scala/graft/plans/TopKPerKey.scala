@@ -76,15 +76,18 @@ case class TopKPerKeyExec(
       // codegen'd comparator over the sort order, bound to the child schema
       val rowOrd = GenerateOrdering.generate(ord, schema)
       // max-heap per key: head is the WORST of the current best k, so each
-      // new row needs one comparison against the head in the common case
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
-      val heapOrd: Ordering[UnsafeRow] = (a, b) => rowOrd.compare(a, b)
+      // new row needs one comparison against the head in the common case.
+      // Rows are stored via copy() — child rows may be reused UnsafeRows or
+      // any other InternalRow (cache, AQE reuse), so no concrete type is
+      // assumed.
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      val heapOrd: Ordering[InternalRow] = (a, b) => rowOrd.compare(a, b)
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = iter.next()
         val key = keyProj(row)
         var q = heaps.get(key)
         if (q == null) {
-          q = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+          q = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
           heaps.put(key.copy(), q)
         }
         if (q.size < kk) q.enqueue(row.copy())

@@ -95,6 +95,17 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(usesRank.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("works over a cached (columnar InMemoryRelation) child") {
+    val cached = events.cache()
+    try {
+      val got = TopKPerKey.topKPerKey(
+        cached, Seq("user_id"), Seq("ts", "event_id"), 3)
+        .select("user_id", "event_id")
+      assert(got.count() == windowTopK(3).count())
+      assert(got.exceptAll(windowTopK(3)).count() == 0)
+    } finally cached.unpersist()
+  }
+
   test("unknown column raises a friendly error") {
     val e = intercept[IllegalArgumentException] {
       TopKPerKey.topKPerKey(events, Seq("nope"), Seq("ts"), 3)
