@@ -31,6 +31,22 @@ object Bench {
         col("n_nationkey") === col("k"), "left_semi").count()
       n.select(expr("sum(n_nationkey) OVER " +
         "(PARTITION BY n_regionkey ORDER BY n_nationkey)")).count()
+      // one tiny subsetter pass over the two smallest tables: JITs the
+      // semi/anti-join + union + checkpoint code paths the subset keys use.
+      // Deliberately NOT the benched fixture config — the memoized result
+      // cache stays cold, so the timed keys still do their full work.
+      locally {
+        import graft.config.{InitialTarget, SubsetConfig}
+        import graft.graph.Fk
+        val cfg = SubsetConfig(
+          initialTargets =
+            Seq(InitialTarget("nation", where = Some("n_nationkey % 5 = 0"))),
+          fkAugmentation = Seq(
+            Fk("nation", Seq("n_regionkey"), "region", Seq("r_regionkey"))))
+        val src = graft.engine.Catalog.load(spark, sfDir, Seq("region", "nation"))
+        new graft.engine.Subsetter(cfg, src, materializeThreshold = 0L)
+          .run().values.foreach(_.count())
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
