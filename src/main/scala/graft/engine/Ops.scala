@@ -104,6 +104,26 @@ object Ops {
   def deterministicSample(df: DataFrame, keyCol: String, mod: Int, rem: Int = 0): DataFrame =
     df.filter(col(keyCol) % mod === rem)
 
+  /** P4 (stratified variant) — per-stratum keep-1-in-den sampling, the
+    * class-balancing shape a training-data pipeline uses (`sampleBy` with
+    * deterministic key-mod predicates instead of rand, so results are
+    * engine-exact). Strata absent from `dens` fall back to `defaultDen`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      dens: Map[String, Int],
+      defaultDen: Int): DataFrame = {
+    val cond = dens.toSeq.sortBy(_._1).foldRight(
+      pmod(col(keyCol), lit(defaultDen)) === 0) {
+      case ((stratum, den), els) =>
+        when(col(stratumCol) === stratum, pmod(col(keyCol), lit(den)) === 0)
+          .otherwise(els)
+    }
+    df.filter(cond)
+  }
+
   /** J4 — orphan-FK scrub: NULL out FK cells whose target row is absent
     * (UPDATE … WHERE NOT EXISTS,
     * /root/reference/psql_database_helper.py:85-94). Implemented as a single

@@ -86,6 +86,12 @@ object ExtensionQueries {
         .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram").asc)
         .limit(25)),
+    // deterministic stratified sampling: keep 1-in-2 English docs, 1-in-5
+    // of every other language — the class-rebalancing sampler
+    "stratified_sample_docs" -> ((s, dir) =>
+      graft.engine.Ops.stratifiedSample(
+        t(s, dir, "documents"), stratumCol = "lang", keyCol = "doc_id",
+        dens = Map("en" -> 2), defaultDen = 5)),
     // document-length histogram in 100-char buckets
     "text_length_histogram" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -302,6 +308,9 @@ object ExtensionQueries {
     "text_length_histogram" ->
       ("SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket, " +
         "count(*) AS n FROM documents GROUP BY 1"),
+    "stratified_sample_docs" ->
+      ("SELECT * FROM documents WHERE CASE WHEN lang = 'en' " +
+        "THEN doc_id % 2 = 0 ELSE doc_id % 5 = 0 END"),
     "events_tumbling" ->
       ("SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_ts, " +
         "event_type, count(*) AS n, " +

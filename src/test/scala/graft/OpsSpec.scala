@@ -24,6 +24,25 @@ class OpsSpec extends SparkSpecBase {
   private lazy val target = spark.createDataFrame(
     Seq(Row(1, 1), Row(2, 1)).asJava, targetSchema)
 
+  test("stratified sample equals the CASE predicate and thins each stratum") {
+    import org.apache.spark.sql.functions.expr
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.engine.Ops.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 2), defaultDen = 5)
+    val oracle = docs.filter(expr(
+      "CASE WHEN lang = 'en' THEN doc_id % 2 = 0 ELSE doc_id % 5 = 0 END"))
+    assert(got.count() == oracle.count())
+    assert(got.exceptAll(oracle).count() == 0)
+    // en kept at roughly half, others at roughly a fifth
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") * 10 > src("en") * 3 && byLang("en") * 10 < src("en") * 7)
+    for ((l, n) <- byLang if l != "en")
+      assert(n * 10 < src(l) * 4, s"lang $l kept $n of ${src(l)}")
+  }
+
   test("composite-key semi-join keeps only matching tuples, drops NULL keys") {
     val got = Ops.semiJoin(left, Seq("a", "b"), target, Seq("p", "q"))
       .select("v").collect().map(_.getString(0)).toSet
