@@ -32,6 +32,25 @@ class ScalePatternSpec extends SparkSpecBase {
     }
   }
 
+  test("TopKPerKey over a bucketed table elides the shuffle") {
+    // ClusteredDistribution(user_id) is satisfied by the bucketed layout's
+    // HashPartitioning, so the custom operator plans with NO Exchange —
+    // the property that makes repeated per-key top-k queries cheap at scale
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    Catalog.saveBucketed(events, "b_events", Seq("user_id"), 4)
+    try {
+      val topk = graft.plans.TopKPerKey.topKPerKey(
+        spark.table("b_events"), Seq("user_id"), Seq("ts", "event_id"), 3)
+      val plan = topk.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed top-k shuffled:\n$plan")
+      // and the answer still matches the unbucketed operator
+      val plain = graft.plans.TopKPerKey.topKPerKey(
+        events, Seq("user_id"), Seq("ts", "event_id"), 3)
+      assert(topk.count() == plain.count())
+    } finally spark.sql("DROP TABLE IF EXISTS b_events")
+  }
+
   test("salted join equals the plain join result") {
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
