@@ -86,6 +86,31 @@ object ExtensionQueries {
         .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram").asc)
         .limit(25)),
+    // training-sequence packing: greedy running-token-count pack assignment,
+    // sharded by source so the window parallelizes (each shard packs
+    // independently — the distributed form of sequence packing)
+    "doc_pack_by_source" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(Long.MinValue, 0)))
+        .select(col("doc_id"), col("source"),
+          floor(col("cum") / 2048.0).cast("long").as("pack_id"))),
+    // decontamination scan: which benchmark strings occur in the corpus,
+    // via a broadcast pattern list + substring containment join
+    "contamination_scan" -> ((s, dir) => {
+      import s.implicits._
+      val pats = Seq("scan", "window", "quantile", "zzz_never_present")
+        .toDF("pattern")
+      t(s, dir, "documents")
+        .crossJoin(broadcast(pats))
+        .filter(instr(col("text"), col("pattern")) > 0)
+        .groupBy(col("pattern"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+    }),
     // deterministic stratified sampling: keep 1-in-2 English docs, 1-in-5
     // of every other language — the class-rebalancing sampler
     "stratified_sample_docs" -> ((s, dir) =>
@@ -311,6 +336,16 @@ object ExtensionQueries {
     "stratified_sample_docs" ->
       ("SELECT * FROM documents WHERE CASE WHEN lang = 'en' " +
         "THEN doc_id % 2 = 0 ELSE doc_id % 5 = 0 END"),
+    "doc_pack_by_source" ->
+      ("SELECT doc_id, source, CAST(floor(cum / 2048.0) AS BIGINT) AS pack_id " +
+        "FROM (SELECT doc_id, source, " +
+        "sum(len(string_split(text, ' '))) OVER (PARTITION BY source " +
+        "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) t"),
+    "contamination_scan" ->
+      ("SELECT pattern, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+        "FROM documents, (VALUES ('scan'), ('window'), ('quantile'), " +
+        "('zzz_never_present')) pats(pattern) " +
+        "WHERE position(pattern IN text) > 0 GROUP BY pattern"),
     "events_tumbling" ->
       ("SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_ts, " +
         "event_type, count(*) AS n, " +
