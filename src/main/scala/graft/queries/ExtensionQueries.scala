@@ -49,6 +49,10 @@ object ExtensionQueries {
     // threshold, candidate-cut by sign-LSH buckets
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), minSim = 0.30, nBits = 8)),
+    // IVF ANN: deterministic coarse quantizer (first 16 vectors as
+    // centroids), probe the 4 cells nearest the query
+    "cosine_topk_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
@@ -295,6 +299,24 @@ object ExtensionQueries {
         "FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id != 0) " +
         "SELECT vec_id, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 5"),
+    "cosine_topk_ivf" ->
+      ("WITH cs AS (SELECT e.vec_id, c.vec_id AS cell_id, round(" +
+        "list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) / " +
+        "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))])) * " +
+        "sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(c.embedding))]))), 6) AS c_sim " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        "assign AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell_id) AS rn FROM cs) a WHERE rn = 1), " +
+        "probe AS (SELECT cell_id FROM (SELECT cell_id, " +
+        "row_number() OVER (ORDER BY c_sim DESC, cell_id) AS rn FROM cs WHERE vec_id = 0) p WHERE rn <= 4), " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT e.vec_id, round(" +
+        "list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) / " +
+        "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))])) * " +
+        "sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(q.qe))]))), 6) AS sim " +
+        "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
+        "JOIN probe p ON a.cell_id = p.cell_id, q WHERE e.vec_id != 0 " +
+        "ORDER BY sim DESC, e.vec_id LIMIT 10"),
     "dedup_embedding_cosine" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
