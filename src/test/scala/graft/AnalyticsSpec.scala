@@ -9,6 +9,31 @@ class AnalyticsSpec extends SparkSpecBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("winnowing guarantee: docs sharing a run >= window+k-1 chars share a fingerprint") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // k=8, window=16 → any common substring of 23+ chars must yield a
+    // common fingerprint (the MOSS winnowing theorem)
+    val shared = "the quick brown fox jumps!!"  // 27 chars
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    import scala.jdk.CollectionConverters._
+    val two = spark.createDataFrame(Seq(
+      Row(1L, s"aaaa $shared bbbb"),
+      Row(2L, s"cccccc $shared dddd zz")).asJava, schema)
+    val fps = Dedup.winnowFingerprints(two)
+    val common = fps.filter(col("doc_id") === 1).select("fp")
+      .intersect(fps.filter(col("doc_id") === 2).select("fp"))
+    assert(common.count() > 0)
+    // and two disjoint-alphabet docs share nothing
+    val disjoint = spark.createDataFrame(Seq(
+      Row(1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      Row(2L, "bbbbbbbbbbbbbbbbbbbbbbbbbbbbbb")).asJava, schema)
+    val dfps = Dedup.winnowFingerprints(disjoint)
+    assert(dfps.filter(col("doc_id") === 1).select("fp")
+      .intersect(dfps.filter(col("doc_id") === 2).select("fp")).count() == 0)
+  }
+
   test("exact dedup groups cover all docs") {
     val g = Dedup.exactGroups(docs)
     assert(g.agg(sum("n_dups")).head.getLong(0) == docs.count())

@@ -95,6 +95,32 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(usesRank.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("descending order through the rewrite keeps the k largest") {
+    TopKPerKey.install(spark)
+    val idiom = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rn") <= 2)
+      .select("user_id", "event_id")
+    assert(idiom.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = idiom.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: the same window query with the rewrite UNinstalled
+    val saved = spark.experimental.extraOptimizations
+    val oracle =
+      try {
+        spark.experimental.extraOptimizations = Nil
+        events
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id")
+              .orderBy(col("value").desc, col("event_id"))))
+          .filter(col("rn") <= 2)
+          .select("user_id", "event_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally spark.experimental.extraOptimizations = saved
+    assert(got == oracle)
+  }
+
   test("works over a cached (columnar InMemoryRelation) child") {
     val cached = events.cache()
     try {
