@@ -70,6 +70,40 @@ object Multimodal {
       ascii(col("payload").cast("string")).as("first_byte"),
       md5(col("payload")).as("content_md5"))
 
+  /** Resize shape over decoded metadata: target dimensions preserving
+    * aspect ratio with the long side capped at `maxSide` (integer-floor
+    * arithmetic — deterministic in any engine). The pixel resample itself
+    * would run in the partition decoder; this computes the plan every
+    * resize needs.
+    */
+  def resizeDims(meta: DataFrame, maxSide: Int = 224): DataFrame =
+    meta.select(col("asset_id"), col("width"), col("height"),
+      when(greatest(col("width"), col("height")) <= maxSide, col("width"))
+        .otherwise(floor(col("width") * maxSide /
+          greatest(col("width"), col("height"))).cast("int"))
+        .as("out_w"),
+      when(greatest(col("width"), col("height")) <= maxSide, col("height"))
+        .otherwise(floor(col("height") * maxSide /
+          greatest(col("width"), col("height"))).cast("int"))
+        .as("out_h"))
+
+  /** Feature extraction over raw payload bytes — a 16-bucket byte
+    * histogram in long form (asset_id, bucket, n). Real (not stubbed):
+    * byte-level features need no media library, and the shape (explode →
+    * groupBy on (id, bucket)) is exactly a per-asset feature aggregation
+    * at scale.
+    */
+  def byteHistogram(assets: DataFrame, nBuckets: Int = 16): DataFrame =
+    assets
+      .repartition(col("asset_id"))
+      .select(col("asset_id"),
+        slice(split(col("payload").cast("string"), ""), lit(1),
+          length(col("payload").cast("string"))).as("cs"))
+      .select(col("asset_id"),
+        explode(expr(s"transform(cs, c -> ascii(c) % $nBuckets)")).as("bucket"))
+      .groupBy(col("asset_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Frame-sampling shape: explode `nFrames` evenly spaced offsets per
     * asset — the distributed fan-out a video pipeline needs (decode happens
     * downstream per frame row).

@@ -175,6 +175,14 @@ object ExtensionQueries {
       Multimodal.sampleFrameOffsets(
         Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"),
         nFrames = 4)),
+    // aspect-preserving resize planning over the stub-decoded dims
+    "multimodal_resize_stub" -> ((s, dir) =>
+      Multimodal.resizeDims(Multimodal.fakeDecodeMeta(
+        Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text")))),
+    // byte-level feature extraction (16-bucket histogram, long form)
+    "multimodal_byte_histogram" -> ((s, dir) =>
+      Multimodal.byteHistogram(
+        Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))),
 
     // range (theta) join: events classified into value bands via a
     // broadcast non-equi join
@@ -419,6 +427,18 @@ object ExtensionQueries {
     "multimodal_frame_sample" ->
       ("SELECT doc_id AS asset_id, CAST(unnest(generate_series(0, 3)) AS INTEGER) AS frame_idx " +
         "FROM documents"),
+    "multimodal_resize_stub" ->
+      ("SELECT asset_id, width, height, " +
+        "CASE WHEN greatest(width, height) <= 224 THEN width " +
+        "ELSE CAST(floor(width * 224 / greatest(width, height)) AS INT) END AS out_w, " +
+        "CASE WHEN greatest(width, height) <= 224 THEN height " +
+        "ELSE CAST(floor(height * 224 / greatest(width, height)) AS INT) END AS out_h " +
+        "FROM (SELECT doc_id AS asset_id, ascii(substr(text, 1, 1)) + 1 AS width, " +
+        "ascii(substr(text, 2, 1)) + 1 AS height FROM documents) t"),
+    "multimodal_byte_histogram" ->
+      ("SELECT doc_id AS asset_id, ascii(c) % 16 AS bucket, count(*) AS n FROM " +
+        "(SELECT doc_id, unnest([substr(text, i, 1) FOR i IN generate_series(1, length(text))]) AS c " +
+        "FROM documents) t GROUP BY 1, 2"),
     "events_value_band_join" ->
       ("SELECT band, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total FROM events " +
