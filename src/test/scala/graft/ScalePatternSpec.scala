@@ -64,6 +64,29 @@ class ScalePatternSpec extends SparkSpecBase {
       plain.agg(sum("o_totalprice")).head.getDouble(0))
   }
 
+  test("DECIMAL-sum aggregates are bit-identical across shuffle partitionings") {
+    // the partition-independence property: what makes local[32] results
+    // equal a 1000-executor cluster's
+    def q1Rows(parts: String): Set[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        graft.queries.CoreQueries.queries("q1_pricing_summary")(spark, sfDir)
+          .collect().map(_.toString).toSet
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(q1Rows("1") == q1Rows("13"))
+    def cosRows(parts: String): Set[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        graft.queries.ExtensionQueries.queries("cosine_topk_bruteforce")(spark, sfDir)
+          .collect().map(_.toString).toSet
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(cosRows("2") == cosRows("11"))
+  }
+
   test("IVF top-k overlaps brute force and never returns the query") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val ivf = Similarity.ivfTopK(emb, queryId = 0L, k = 10).collect()
