@@ -27,6 +27,16 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Apply the fingerprint dedup: keep exactly one representative document
+    * (min id) per normalized-content group — the materialization step a
+    * pipeline runs after detection. A semi-join against the keep-set, so at
+    * scale it is one shuffle on the hash + one on the id.
+    */
+  def dedupApply(docs: DataFrame): DataFrame = {
+    val keep = fingerprintGroups(docs).select(col("keep_id"))
+    docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
+  }
+
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base
     * relation for Jaccard and MinHash.
     *

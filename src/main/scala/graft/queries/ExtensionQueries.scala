@@ -26,6 +26,7 @@ object ExtensionQueries {
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"))),
+    "dedup_apply" -> ((s, dir) => Dedup.dedupApply(t(s, dir, "documents"))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 200))),
     "doc_winnow_fingerprints" -> ((s, dir) =>
@@ -213,6 +214,10 @@ object ExtensionQueries {
     "dedup_fingerprint" ->
       ("SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, " +
         "count(*) AS n_dups FROM documents GROUP BY 1"),
+    "dedup_apply" ->
+      ("SELECT d.* FROM documents d JOIN (SELECT min(doc_id) AS keep_id " +
+        "FROM documents GROUP BY md5(lower(trim(text)))) k " +
+        "ON d.doc_id = k.keep_id"),
     "ngram_jaccard_pairs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200), " +
         "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
