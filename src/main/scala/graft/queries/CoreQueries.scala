@@ -229,6 +229,22 @@ object CoreQueries {
           Array(col("o_totalprice"), col("o_custkey_d")),
           "metric", "val")),
 
+    // Fourth join headline (TPC-H Q18 shape): grouped join with a HAVING
+    // filter on the aggregate — the post-aggregation predicate pushes
+    // nothing to the scan but prunes before the final sort/collect
+    "q18_order_quantity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("o_orderkey"))
+        .agg(expr("sum(CAST(l_quantity AS DECIMAL(18,2)))").as("q_dec"))
+        .filter(col("q_dec") > 150)
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("q_dec").cast("double").as("total_qty"))
+    }),
+
     // Set intersection (distinct): customers of the BUILDING segment that
     // actually placed orders
     "intersect_custkeys" -> ((s, dir) =>
@@ -374,6 +390,13 @@ object CoreQueries {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey " +
         "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "q18_order_quantity" ->
+      ("SELECT c_custkey, o_orderkey, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, o_orderkey " +
+        "HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150"),
     "intersect_custkeys" ->
       ("SELECT o_custkey AS custkey FROM orders INTERSECT " +
         "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"),
