@@ -260,6 +260,17 @@ object CoreQueries {
       t(s, dir, "lineitem").select(col("l_orderkey").as("okey"))
         .exceptAll(t(s, dir, "orders").select(col("o_orderkey").as("okey")))),
 
+    // Argmax aggregate (max_by shape) with a deterministic total order:
+    // max over (price, orderkey) structs breaks price ties by key, so the
+    // result is engine-exact — bare max_by leaves ties undefined
+    "argmax_order_per_cust" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"),
+          col("m.o_orderkey").as("top_order"),
+          col("m.o_totalprice").as("top_price"))),
+
     // Hierarchical aggregate (ROLLUP): per status×priority, per status, and
     // grand total in one pass — Spark expands grouping sets inside a single
     // shuffle, no N-pass union
@@ -403,6 +414,10 @@ object CoreQueries {
     "except_all_orderkeys" ->
       ("SELECT l_orderkey AS okey FROM lineitem EXCEPT ALL " +
         "SELECT o_orderkey AS okey FROM orders"),
+    "argmax_order_per_cust" ->
+      ("SELECT o_custkey, m.k AS top_order, m.p AS top_price FROM " +
+        "(SELECT o_custkey, max(struct_pack(p := o_totalprice, k := o_orderkey)) AS m " +
+        "FROM orders GROUP BY o_custkey) t"),
     "rollup_order_stats" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
