@@ -100,7 +100,12 @@ object Dedup {
     // inner loop stays inside whole-stage codegen this way. (A map-only
     // higher-order-function variant was measured 4x slower — HOF lambdas
     // evaluate interpreted, which dominates for hash-heavy inner loops.)
-    val withH = shingles(docs, n)
+    // No DISTINCT before hashing: min over duplicate shingles equals min
+    // over the distinct set, so the dedup shuffle is pure waste here.
+    val withH = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("s"))
       .withColumn("hh", md5Hex(col("s")))
       .select(col("doc_id"),
         expr("CAST(conv(substring(hh, 1, 10), 16, 10) AS BIGINT)").as("h1"),
