@@ -72,6 +72,14 @@ object Catalog {
       df.write.mode("overwrite").parquet(s"$dir/${tableName(t)}.parquet")
     }
 
+  /** Write a table hive-partitioned by the given columns — the layout that
+    * turns predicates on those columns into directory pruning (the scan
+    * never opens non-matching files). The right layout for low-cardinality
+    * filter columns (date, type, language) at 100 TB.
+    */
+  def savePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Write a table bucketed (and sorted) by its join key into the session
     * catalog. Two tables bucketed the same way join with NO shuffle on
     * either side — the co-located-join layout that matters at 100 TB, where

@@ -46,6 +46,23 @@ class CatalogFormatSpec extends SparkSpecBase {
     assert(back.columns.toSeq == nation.columns.toSeq)
   }
 
+  test("partitioned layout prunes non-matching partitions at scan time") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    Catalog.savePartitioned(events, s"$dir/events", Seq("event_type"))
+    val clicks = spark.read.parquet(s"$dir/events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not in the row-level data filters
+    val scan = clicks.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan)
+    assert(scan.contains("(event_type"), scan)  // the equality predicate too
+    // and no row-level data filter remains — pruning did all the work
+    assert(scan.contains("DataFilters: []"), scan)
+    assert(clicks.count() ==
+      events.filter(org.apache.spark.sql.functions.col("event_type") === "click").count())
+  }
+
   test("orc roundtrip preserves rows and schema exactly") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
