@@ -62,6 +62,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH top-k: probe the query's bucket AND every bucket at
+    * Hamming distance 1 (Lv et al., multi-probe LSH) — recovers most of the
+    * recall lost at bucket boundaries for ~(nBits+1)/2^nBits of the scan
+    * cost. The probe set is a tiny broadcast relation, so the big side
+    * still moves only once.
+    */
+  def lshMultiProbeTopK(embeddings: DataFrame, queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bucketed = withSignBucket(embeddings, nBits)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket"),
+        sqrt(normSqDecimal(col("embedding")).cast("double")).as("q_norm"))
+    val qRow = q.head()
+    val qBucket = qRow.getString(1)
+    val probes = (qBucket +: (0 until nBits).map { i =>
+      val flipped = if (qBucket(i) == '1') '0' else '1'
+      qBucket.updated(i, flipped)
+    }).toDF("bucket")
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), "bucket")
+      .crossJoin(broadcast(q.drop("bucket")))
+      .select(col("vec_id"),
+        round(dotDecimal(col("embedding"), col("q_emb")).cast("double") /
+          (sqrt(normSqDecimal(col("embedding")).cast("double")) * col("q_norm")),
+          6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Brute-force top-k on the native codegen'd `float_dot` expression — the
     * throughput path (one tight primitive loop per row inside whole-stage
     * codegen). Results are IEEE-double sequential sums: deterministic, but

@@ -87,6 +87,19 @@ class ScalePatternSpec extends SparkSpecBase {
     assert(cosRows("2") == cosRows("11"))
   }
 
+  test("multi-probe LSH recall dominates single-bucket LSH") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    val single = Similarity.lshBucketTopK(emb, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    val multi = Similarity.lshMultiProbeTopK(emb, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    // probing the 8 Hamming-1 neighbor buckets can only add candidates
+    assert(multi.count(brute.contains) >= single.count(brute.contains))
+    assert(multi.nonEmpty && !multi.contains(0L))
+  }
+
   test("IVF top-k overlaps brute force and never returns the query") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val ivf = Similarity.ivfTopK(emb, queryId = 0L, k = 10).collect()
