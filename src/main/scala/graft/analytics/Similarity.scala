@@ -69,18 +69,17 @@ object Similarity {
     * still moves only once.
     */
   def lshMultiProbeTopK(embeddings: DataFrame, queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val bucketed = withSignBucket(embeddings, nBits)
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("bucket"),
         sqrt(normSqDecimal(col("embedding")).cast("double")).as("q_norm"))
-    val qRow = q.head()
-    val qBucket = qRow.getString(1)
-    val probes = (qBucket +: (0 until nBits).map { i =>
-      val flipped = if (qBucket(i) == '1') '0' else '1'
-      qBucket.updated(i, flipped)
-    }).toDF("bucket")
+    // the probe set (bucket + its nBits single-bit flips) is generated
+    // lazily on the one-row query side — no driver-side collect
+    val probes = q.select(explode(expr(
+      s"array_union(array(bucket), transform(sequence(1, $nBits), i -> " +
+        "concat(substring(bucket, 1, i - 1), " +
+        "CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END, " +
+        "substring(bucket, i + 1))))")).as("bucket"))
     bucketed.filter(col("vec_id") =!= queryId)
       .join(broadcast(probes), "bucket")
       .crossJoin(broadcast(q.drop("bucket")))
