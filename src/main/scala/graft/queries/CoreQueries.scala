@@ -260,6 +260,28 @@ object CoreQueries {
       t(s, dir, "lineitem").select(col("l_orderkey").as("okey"))
         .exceptAll(t(s, dir, "orders").select(col("o_orderkey").as("okey")))),
 
+    // Nested semi-join chain (TPC-H Q20 shape): suppliers that shipped
+    // PROMO parts — two-level IN, each level a broadcast-able left_semi
+    "q20_promo_suppliers" -> ((s, dir) => {
+      val promoParts = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val li = t(s, dir, "lineitem")
+      val promoLines = li
+        .join(promoParts, li("l_partkey") === promoParts("p_partkey"), "left_semi")
+      t(s, dir, "supplier")
+        .join(promoLines, col("s_suppkey") === promoLines("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // Correlated-min shape (TPC-H Q2): per part, the single cheapest
+    // lineitem under a total order — served by the custom grouped top-k
+    // operator with k=1 (bounded heap, no per-group sort)
+    "q2_min_price_line" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        t(s, dir, "lineitem"), Seq("l_partkey"),
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"), 1)
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_orderkey"))),
+
     // Argmax aggregate (max_by shape) with a deterministic total order:
     // max over (price, orderkey) structs breaks price ties by key, so the
     // result is engine-exact — bare max_by leaves ties undefined
@@ -414,6 +436,16 @@ object CoreQueries {
     "except_all_orderkeys" ->
       ("SELECT l_orderkey AS okey FROM lineitem EXCEPT ALL " +
         "SELECT o_orderkey AS okey FROM orders"),
+    "q20_promo_suppliers" ->
+      ("SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN " +
+        "(SELECT l_suppkey FROM lineitem WHERE l_partkey IN " +
+        "(SELECT p_partkey FROM part WHERE p_type = 'PROMO'))"),
+    "q2_min_price_line" ->
+      ("SELECT l_partkey, l_suppkey, l_extendedprice, l_orderkey FROM " +
+        "(SELECT l_partkey, l_suppkey, l_extendedprice, l_orderkey, " +
+        "row_number() OVER (PARTITION BY l_partkey " +
+        "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn " +
+        "FROM lineitem) t WHERE rn = 1"),
     "argmax_order_per_cust" ->
       ("SELECT o_custkey, m.k AS top_order, m.p AS top_price FROM " +
         "(SELECT o_custkey, max(struct_pack(p := o_totalprice, k := o_orderkey)) AS m " +
