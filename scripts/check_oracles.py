@@ -35,12 +35,22 @@ def canon(rows, cols):
     return out
 
 
-def main(out_dir, sf_dir):
-    con = duckdb.connect()
+def fresh_con(sf_dir):
+    # Fresh connection per oracle, capped at 4 threads: DuckDB 1.0.0's
+    # PARALLEL window path returns nondeterministically wrong running sums
+    # at high thread counts (reproduced at sf0.1 / threads=32: a windowed
+    # DECIMAL cumsum flips between 7728 and the correct 7731; threads<=4
+    # and a Python serial recomputation agree with Spark). Engine results
+    # are correct — this caps the ORACLE evaluator below the buggy path.
+    con = duckdb.connect(config={"threads": 4})
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(out_dir, sf_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as fp:
         oracles = json.load(fp)
 
@@ -48,6 +58,7 @@ def main(out_dir, sf_dir):
     declared = sorted(d for d in os.listdir(out_dir)
                       if os.path.isdir(os.path.join(out_dir, d)))
     for name in declared:
+        con = fresh_con(sf_dir)
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
             sdf = con.execute(f"SELECT * FROM '{spark_glob}'")
