@@ -29,13 +29,15 @@ object Dedup {
 
   /** Apply the fingerprint dedup: keep exactly one representative document
     * (min id) per normalized-content group — the materialization step a
-    * pipeline runs after detection. A semi-join against the keep-set, so at
-    * scale it is one shuffle on the hash + one on the id.
+    * pipeline runs after detection. Served by the grouped top-k operator
+    * with k=1 on the fingerprint: ONE scan and ONE shuffle (an
+    * aggregate-then-semi-join formulation scans the corpus twice).
     */
-  def dedupApply(docs: DataFrame): DataFrame = {
-    val keep = fingerprintGroups(docs).select(col("keep_id"))
-    docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
-  }
+  def dedupApply(docs: DataFrame): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      docs.withColumn("__fp", fingerprint(col("text"))),
+      Seq("__fp"), Seq("doc_id"), 1)
+      .drop("__fp")
 
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base
     * relation for Jaccard and MinHash.
