@@ -86,6 +86,60 @@ object StreamingEvents {
       .toDF("user_id", "n_events")
   }
 
+  /** Per-user session state for [[closedSessions]]. */
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  /** Closed-session emission via `flatMapGroupsWithState` + event-time
+    * timeout: a session (30-minute gap rule, matching the batch
+    * `session_window`) is emitted exactly once — either when a later event
+    * opens the next session, or when the watermark passes its end. This is
+    * the state shape the built-in aggregations can't express: arbitrary
+    * per-key state, multiple outputs per key per batch, and timeout-driven
+    * flushing with bounded state.
+    *
+    * Output: (user_id, session_start_ms, n_events).
+    */
+  def closedSessions(events: DataFrame, gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("tsd", "2 hours")
+      // the watermarked timestamp column itself must reach the stateful
+      // operator — convert to millis inside the lambda, not in a projection
+      .select(col("user_id"), col("tsd"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, raw: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessState]) =>
+          val rows = raw.map(r => (r._1, r._2.getTime))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single((user, s.start, s.n))
+          } else {
+            var closed = List.empty[(Long, Long, Long)]
+            var cur = state.getOption
+            rows.map(_._2).toArray.sorted.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.last >= gapMs =>
+                  closed ::= ((user, s.start, s.n))
+                  Some(SessState(t, t, 1))
+                case Some(s) => Some(s.copy(last = t, n = s.n + 1))
+                case None => Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+      .toDF("user_id", "session_start_ms", "n_events")
+  }
+
   /** Stream-stream interval join: each purchase matched to the same user's
     * clicks within the preceding hour. Watermarks on BOTH sides plus the
     * time-bound join condition let Spark GC join state — without them a

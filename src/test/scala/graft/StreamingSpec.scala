@@ -60,6 +60,39 @@ class StreamingSpec extends SparkSpecBase {
         streamed("n_events") === batch("count")).count() == batch.count())
   }
 
+  test("flatMapGroupsWithState emits each closed session once, matching batch sessions") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    // stage the fixture in two time-ordered halves so the watermark
+    // advances across micro-batches and event-time timeouts fire
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val cut = events.selectExpr("percentile(ts, 0.5)").head.getDouble(0).toLong
+    val dir = Files.createTempDirectory("graft_sess_stream")
+    events.filter(col("ts") <= cut).coalesce(1)
+      .write.parquet(s"$dir/batch1")
+    events.filter(col("ts") > cut).coalesce(1)
+      .write.parquet(s"$dir/batch2")
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .withColumn("tsd", expr("timestamp_micros(ts div 1000)"))
+    StreamingEvents.runToMemory(
+      StreamingEvents.closedSessions(stream), "stream_closed", outputMode = "append")
+    val emitted = spark.table("stream_closed")
+    assert(emitted.count() > 0, "watermark should close most sessions")
+    // no session emitted twice
+    assert(emitted.distinct().count() == emitted.count())
+    // every emitted session is a genuine batch session (same start + size)
+    val batch = EventsAnalytics.sessions(events)  // user_id, session_start(s), n_events, total
+    val joined = emitted.join(batch,
+      emitted("user_id") === batch("user_id") &&
+        (emitted("session_start_ms") / 1000).cast("long") === batch("session_start") &&
+        emitted("n_events") === batch("n_events"))
+    assert(joined.count() == emitted.count(),
+      s"emitted ${emitted.count()} but only ${joined.count()} match batch sessions")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val stream = StreamingEvents.readEvents(spark, streamDir)
     StreamingEvents.runToMemory(
