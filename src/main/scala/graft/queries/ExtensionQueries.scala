@@ -54,6 +54,9 @@ object ExtensionQueries {
     // centroids), probe the 4 cells nearest the query
     "cosine_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // multi-probe LSH: query bucket + all Hamming-1 neighbor buckets
+    "cosine_topk_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
@@ -330,6 +333,20 @@ object ExtensionQueries {
         "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
         "JOIN probe p ON a.cell_id = p.cell_id, q WHERE e.vec_id != 0 " +
         "ORDER BY sim DESC, e.vec_id LIMIT 10"),
+    "cosine_topk_lsh_multiprobe" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
+        "q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0), " +
+        "probes AS (SELECT DISTINCT unnest(list_append(" +
+        "[substr(qb, 1, i - 1) || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END) || substr(qb, i + 1) " +
+        "FOR i IN generate_series(1, 8)], qb)) AS bucket FROM q), " +
+        "prod AS (SELECT e.vec_id, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS dot, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS na, " +
+        "list_sum([CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(q.qe))]) AS nq " +
+        "FROM b e JOIN probes p ON e.bucket = p.bucket, q WHERE e.vec_id != 0) " +
+        "SELECT vec_id, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
+        "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
     "dedup_embedding_cosine" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
