@@ -260,6 +260,26 @@ object CoreQueries {
       t(s, dir, "lineitem").select(col("l_orderkey").as("okey"))
         .exceptAll(t(s, dir, "orders").select(col("o_orderkey").as("okey")))),
 
+    // Fifth join headline (TPC-H Q10 shape): returned-item revenue per
+    // customer — 4-table join, date + flag filters pushed to the scans,
+    // broadcast nation, DECIMAL-exact aggregate, top-20
+    "q10_returned_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"))
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // Nested semi-join chain (TPC-H Q20 shape): suppliers that shipped
     // PROMO parts — two-level IN, each level a broadcast-able left_semi
     "q20_promo_suppliers" -> ((s, dir) => {
@@ -436,6 +456,18 @@ object CoreQueries {
     "except_all_orderkeys" ->
       ("SELECT l_orderkey AS okey FROM lineitem EXCEPT ALL " +
         "SELECT o_orderkey AS okey FROM orders"),
+    "q10_returned_revenue" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
     "q20_promo_suppliers" ->
       ("SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN " +
         "(SELECT l_suppkey FROM lineitem WHERE l_partkey IN " +
