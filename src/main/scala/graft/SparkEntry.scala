@@ -6,8 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The query surface is assembled from per-domain modules:
-  *   - [[graft.queries.CoreQueries]]   — reference-parity operators (SURVEY §2)
-  *   - [[graft.queries.SubsetQueries]] — end-to-end middle-out subsetter outputs
+  *   - [[graft.queries.CoreQueries]]      — reference-parity operators (SURVEY §2)
+  *   - [[graft.queries.SubsetQueries]]    — end-to-end middle-out subsetter outputs
+  *   - [[graft.queries.ExtensionQueries]] — training-data pipeline operators
+  *     (dedup, similarity, text/corpus statistics, time-series, multimodal)
   * Every key has a DuckDB oracle unless the operator is not SQL-expressible.
   */
 object SparkEntry {
