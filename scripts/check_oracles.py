@@ -58,45 +58,50 @@ def main(out_dir, sf_dir):
     declared = sorted(d for d in os.listdir(out_dir)
                       if os.path.isdir(os.path.join(out_dir, d)))
     for name in declared:
+        # connection closed per iteration (continue still runs the finally) —
+        # 84 oracles would otherwise accumulate 84 open connections
         con = fresh_con(sf_dir)
-        spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
-            sdf = con.execute(f"SELECT * FROM '{spark_glob}'")
-            scols = [c[0] for c in sdf.description]
-            srows = sdf.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: cannot read spark output: {e}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows)")
-            continue
-        try:
-            odf = con.execute(oracles[name])
-            ocols = [c[0] for c in odf.description]
-            orows = odf.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
-            n_fail += 1
-            continue
-        sc, oc = canon(srows, scols), canon(orows, ocols)
-        if len(sc) != len(oc):
-            print(f"FAIL {name}: rows {len(sc)} != {len(oc)}")
-            n_fail += 1
-        elif sc != oc:
-            diffs = [i for i, (a, b) in enumerate(zip(sc, oc)) if a != b][:3]
-            print(f"FAIL {name}: {len(sc)} rows, value mismatch at {diffs}")
-            for i in diffs[:1]:
-                print(f"  spark:  {sc[i][:300]}")
-                print(f"  oracle: {oc[i][:300]}")
-            n_fail += 1
-        else:
-            print(f"PASS {name}: {len(sc)} rows")
-            n_pass += 1
+            spark_glob = os.path.join(out_dir, name, "*.parquet")
+            try:
+                sdf = con.execute(f"SELECT * FROM '{spark_glob}'")
+                scols = [c[0] for c in sdf.description]
+                srows = sdf.fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: cannot read spark output: {e}")
+                n_fail += 1
+                continue
+            if name not in oracles:
+                print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows)")
+                continue
+            try:
+                odf = con.execute(oracles[name])
+                ocols = [c[0] for c in odf.description]
+                orows = odf.fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                n_fail += 1
+                continue
+            if sorted(scols) != sorted(ocols):
+                print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+                n_fail += 1
+                continue
+            sc, oc = canon(srows, scols), canon(orows, ocols)
+            if len(sc) != len(oc):
+                print(f"FAIL {name}: rows {len(sc)} != {len(oc)}")
+                n_fail += 1
+            elif sc != oc:
+                diffs = [i for i, (a, b) in enumerate(zip(sc, oc)) if a != b][:3]
+                print(f"FAIL {name}: {len(sc)} rows, value mismatch at {diffs}")
+                for i in diffs[:1]:
+                    print(f"  spark:  {sc[i][:300]}")
+                    print(f"  oracle: {oc[i][:300]}")
+                n_fail += 1
+            else:
+                print(f"PASS {name}: {len(sc)} rows")
+                n_pass += 1
+        finally:
+            con.close()
     print(f"== {n_pass} pass, {n_fail} fail, "
           f"{len(declared) - n_pass - n_fail} rows-only")
     return 1 if n_fail else 0

@@ -48,20 +48,45 @@ object Bench {
           .run().values.foreach(_.count())
       }
     } catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        // a failing query must be VISIBLE, not a fast-looking elapsed time:
+        // record it and flag the whole run via exit code below
+        case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so any shutdown logging lands above the
-    // JSON line; the harness parses the last line of stdout.
+    // JSON lines; the harness parses the LAST line of stdout and captures
+    // only its tail (~2000 chars), so the per-key detail goes on an EARLIER
+    // line and the final line stays short.
     spark.stop()
+    println(s"""{"detail":"per-query seconds","queries":$qs,"errors":$errJson}""")
+    // the final line keeps the contract's "queries" map but caps it at the
+    // slowest keys that fit a 1,600-char budget so the whole line stays
+    // inside the capture window
+    val slowest = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+    val budget = 1600
+    val kept = slowest.scanLeft(0)((acc, e) => acc + e.length + 1)
+      .tail.zip(slowest).takeWhile(_._1 <= budget).map(_._2)
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     println(json)
     System.out.flush()
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, v) => System.err.println(s"BENCH FAILURE $k: $v") }
+      sys.exit(1)
+    }
   }
 }

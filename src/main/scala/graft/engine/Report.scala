@@ -42,7 +42,11 @@ object Report {
         when(col("source_rows") === 0, lit(0.0))
           .otherwise(col("dest_rows").cast("double") / col("source_rows"))
           .as("ratio"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _)
+      // empty catalog → empty report with the same schema, not a throw
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("table_name"), lit(0L).as("source_rows"),
+          lit(0L).as("dest_rows"), lit(0.0).as("ratio")))
 
   def render(reports: Seq[TableReport]): String = {
     val header = f"${"table"}%-30s ${"source"}%12s ${"dest"}%12s ${"ratio"}%8s"

@@ -48,9 +48,21 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
       val k = limitOf(cond, alias.exprId).get
       // Spark's own InferWindowGroupLimit may already have inserted a
       // WindowGroupLimit below the window; TopKPerKey subsumes it (and its
-      // sort requirement), so strip it rather than limit twice.
+      // sort requirement), so strip it rather than limit twice — but ONLY
+      // when it is the one inferred from THIS window (same partition/order,
+      // row_number rank, limit ≥ k). An unrelated or stricter group limit
+      // stays in place.
       val child = w.child match {
-        case wgl: WindowGroupLimit => wgl.child
+        case wgl: WindowGroupLimit
+            if wgl.limit >= k &&
+              wgl.rankLikeFunction.isInstanceOf[RowNumber] &&
+              wgl.partitionSpec.length == w.partitionSpec.length &&
+              wgl.partitionSpec.zip(w.partitionSpec).forall {
+                case (a, b) => a.semanticEquals(b) } &&
+              wgl.orderSpec.length == w.orderSpec.length &&
+              wgl.orderSpec.zip(w.orderSpec).forall {
+                case (a, b) => a.semanticEquals(b) } =>
+          wgl.child
         case other => other
       }
       Project(projectList, TopKPerKey(w.partitionSpec, w.orderSpec, k, child))

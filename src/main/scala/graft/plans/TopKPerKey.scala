@@ -115,8 +115,16 @@ object TopKPerKey {
   /** Register the strategy (and the row_number rewrite rule) in a session
     * built without `GraftExtensions` — `experimental` is the public escape
     * hatch for both.
+    *
+    * SESSION-WIDE side effect: once installed, every `row_number() ≤ k`
+    * idiom in the session plans through [[TopKPerKeyExec]] (identical
+    * results under a total order; rank-k ties — implementation-defined in
+    * both forms — may resolve differently). [[topKPerKey]] installs
+    * implicitly on first use; sessions that must not be touched should plan
+    * with a separate `spark.newSession()`. Synchronized: the check-then-
+    * append below must not race a concurrent first use.
     */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

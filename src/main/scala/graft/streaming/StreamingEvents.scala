@@ -126,13 +126,21 @@ object StreamingEvents {
                 case Some(s) if t - s.last >= gapMs =>
                   closed ::= ((user, s.start, s.n))
                   Some(SessState(t, t, 1))
-                case Some(s) => Some(s.copy(last = t, n = s.n + 1))
+                // an above-watermark event may still arrive with t < s.last
+                // (cross-batch disorder): extend the session on BOTH ends —
+                // never regress `last` or the next event sees a spurious gap
+                case Some(s) =>
+                  Some(SessState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case None => Some(SessState(t, t, 1))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // the timeout must land strictly above the current watermark
+              // or the runtime rejects it (possible when a late-but-valid
+              // event merges into a session the watermark already passed)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.reverse.iterator
           }

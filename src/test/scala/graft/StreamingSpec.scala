@@ -93,6 +93,37 @@ class StreamingSpec extends SparkSpecBase {
       s"emitted ${emitted.count()} but only ${joined.count()} match batch sessions")
   }
 
+  test("closedSessions merges cross-batch out-of-order events instead of splitting") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ooo_sess")
+    def stage(name: String, tsSec: Seq[Long]): Unit =
+      tsSec.map(t => (1L, t)).toDF("user_id", "sec")
+        .select(col("user_id"), timestamp_seconds(col("sec")).as("tsd"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // batch1 ends at t=1100; batch2 delivers t=1050 OUT OF ORDER (above
+    // watermark) then t=2870: within the 30-min gap of last=1100, but beyond
+    // the gap of 1050 — a buggy merge that regresses `last` to 1050 would
+    // split one real session into two here
+    stage("b1", Seq(1000L, 1100L))
+    stage("b2", Seq(1050L, 2870L))
+    // far-future batch advances the watermark so the event-time timeout
+    // flushes the open session
+    stage("b3", Seq(100000L))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.closedSessions(stream), "stream_ooo", outputMode = "append")
+    val rows = spark.table("stream_ooo")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains((1000000L, 4L)),
+      s"expected one merged 4-event session starting at t=1000s, got $rows")
+    assert(!rows.exists(_._1 == 2870000L),
+      s"session was split at the out-of-order boundary: $rows")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val stream = StreamingEvents.readEvents(spark, streamDir)
     StreamingEvents.runToMemory(
