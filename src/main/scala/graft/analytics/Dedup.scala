@@ -55,22 +55,36 @@ object Dedup {
       .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("s"))
       .distinct()
 
-  /** N-gram Jaccard near-duplicate pairs, exact: |A∩B| via shingle
-    * self-join, |A∪B| = |A|+|B|−|A∩B|, thresholded with integer
-    * cross-multiplication (`thresholdDen * inter >= union` ⇔ Jaccard ≥
-    * 1/thresholdDen) so no floating point is involved.
+  /** N-gram Jaccard near-duplicate pairs, exact over the df-capped shingle
+    * sets: |A∩B| via shingle self-join, |A∪B| = |A|+|B|−|A∩B|, thresholded
+    * with integer cross-multiplication (`thresholdDen * inter >= union` ⇔
+    * Jaccard ≥ 1/thresholdDen) so no floating point is involved.
     *
-    * The self-join shuffles on the shingle string — at scale this is the
-    * standard candidate-generation shuffle; pair it with [[lshCandidatePairs]]
-    * to cut the candidate set first.
+    * The self-join shuffles on the shingle string — the standard
+    * candidate-generation shuffle. `dfCap` is the scale guard: a
+    * stop-shingle ("of the and") present in ~every document would put O(n²)
+    * pairs on ONE join key, so shingles with document frequency > dfCap are
+    * dropped before the join (standard practice — such shingles carry no
+    * near-dup signal). Sizes and intersections are both computed over the
+    * surviving shingles, so the Jaccard is exact on that universe.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 3,
-      thresholdDen: Int = 5): DataFrame = {
-    // the shingle relation feeds the size aggregate and both join sides —
-    // materialize once instead of recomputing the explode+distinct 3x
-    val sh = shingles(docs, n).localCheckpoint()
+      thresholdDen: Int = 5,
+      dfCap: Int = 100): DataFrame = {
+    // the shingle relation feeds the df filter, the size aggregate and both
+    // join sides — materialize once instead of recomputing explode+distinct
+    val shAll = shingles(docs, n).localCheckpoint()
+    // df filter shuffles on the same key as the self-join below, so the
+    // capped relation arrives pre-clustered for it
+    val rare = shAll.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+      .select(col("s"))
+    // the USING-join puts the key column first — restore (doc_id, s) order
+    // for the positional renames below
+    val sh = shAll.join(rare, Seq("s"), "left_semi")
+      .select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.toDF("id_a", "s")
     val b = sh.toDF("id_b", "s")
@@ -183,18 +197,36 @@ object Dedup {
             s"i - greatest(i - ${window - 1}, 1) + 1))))")).as("fp"))
   }
 
-  /** SimHash near-duplicate pairs via the pigeonhole trick: split each
-    * 64-bit signature into 4 chunks of 16 bits; pairs within Hamming
-    * distance d < 4 share at least one exact chunk, so the chunk equi-join
-    * generates the candidate set (a shuffle on 16-bit keys — the scale
-    * path), then the native `hamming` expression filters exactly.
+  /** SimHash near-duplicate pairs via the pigeonhole trick, COMPLETE for the
+    * advertised radius: the 64-bit signature is split into `maxDist + 1`
+    * near-equal chunks, so any pair within Hamming distance ≤ maxDist leaves
+    * at least one chunk untouched and is guaranteed to meet in the chunk
+    * equi-join; the native `hamming` expression then filters exactly. Recall
+    * is 100% by construction — no candidate-limited semantics.
+    *
+    * Scale trade-off is explicit in the parameter: chunk width is
+    * ~64/(maxDist+1) bits, and the candidate join buckets on chunk values,
+    * so small radii keep wide chunks (maxDist=3 ⇒ 16-bit chunks, 65k buckets
+    * per index) while wide radii pay quadratic-per-bucket cost on narrow
+    * chunks (maxDist=12 ⇒ ~5-bit chunks) — the standard recall/cost dial.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 12): DataFrame = {
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"simhashNearDupPairs: maxDist must be in [0, 64), got $maxDist")
     graft.functions.NativeExpressions.register(docs.sparkSession)
+    val nChunks = maxDist + 1
+    val lens = (0 until nChunks).map(i =>
+      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val starts = lens.scanLeft(1)(_ + _)
+    val chunkStructs = (0 until nChunks).map(i =>
+      struct(lit(i).as("c"),
+        expr(s"substring(simhash, ${starts(i)}, ${lens(i)})").as("chunk")))
     val sigs = simhashSignatures(docs).localCheckpoint()
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("substring(simhash, 1 + 16 * c, 16)"))
+    val chunks = sigs
+      .select(col("doc_id"), col("simhash"),
+        explode(array(chunkStructs: _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"),
+        col("cc.c").as("c"), col("cc.chunk").as("chunk"))
     val a = chunks.toDF("id_a", "sig_a", "c", "chunk")
     val b = chunks.toDF("id_b", "sig_b", "c", "chunk")
     a.join(b, Seq("c", "chunk")).filter(col("id_a") < col("id_b"))

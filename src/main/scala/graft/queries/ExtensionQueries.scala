@@ -27,15 +27,25 @@ object ExtensionQueries {
       t(s, dir, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"))),
     "dedup_apply" -> ((s, dir) => Dedup.dedupApply(t(s, dir, "documents"))),
+    // full corpus (no input cap): the df-cap inside the operator bounds the
+    // hot-shingle join skew instead
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 200))),
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"))),
     "doc_winnow_fingerprints" -> ((s, dir) =>
       Dedup.winnowFingerprints(t(s, dir, "documents").filter(col("doc_id") < 500))),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(t(s, dir, "documents"))),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
+    // complete recall at radius 3 (4 chunks of 16 bits); the oracle is a
+    // BRUTE-FORCE all-pairs Hamming scan, so the hash-match proves recall,
+    // not just chunk-set self-consistency
     "simhash_neardup_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 1000), maxDist = 3)),
+    // wide radius: 13 chunks of ~5 bits, still complete by pigeonhole;
+    // brute-force oracle again
+    "simhash_neardup_pairs_wide" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(
         t(s, dir, "documents").filter(col("doc_id") < 1000), maxDist = 12)),
 
@@ -205,6 +215,25 @@ object ExtensionQueries {
     })
   )
 
+  /** Brute-force ALL-pairs Hamming oracle (no chunk logic): hash-matching
+    * against this proves the engine's pigeonhole candidate generation loses
+    * no pair within the radius.
+    */
+  private def simhashBruteForceOracle(maxDist: Int): String =
+    "WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id < 1000) u), " +
+      "hb AS (SELECT doc_id, md5(t) AS h, unnest(generate_series(0, 63)) AS b FROM toks), " +
+      "bits AS (SELECT doc_id, b, " +
+      "((('0x' || substr(h, 1 + CAST(b // 4 AS INT), 1))::BIGINT >> CAST(3 - b % 4 AS INT)) & 1) AS bit FROM hb), " +
+      "votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b), " +
+      "sigs AS (SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash " +
+      "FROM votes GROUP BY doc_id), " +
+      "d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(len(list_filter(generate_series(1, 64), " +
+      "i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1))) AS INTEGER) AS dist " +
+      "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) " +
+      s"SELECT id_a, id_b, dist FROM d WHERE dist <= $maxDist"
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups " +
@@ -222,9 +251,11 @@ object ExtensionQueries {
         "FROM documents GROUP BY md5(lower(trim(text)))) k " +
         "ON d.doc_id = k.keep_id"),
     "ngram_jaccard_pairs" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200), " +
-        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
         "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
+        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) d WHERE df <= 100), " +
+        "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)), " +
         "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common " +
         "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
@@ -268,24 +299,8 @@ object ExtensionQueries {
         "votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b) " +
         "SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash " +
         "FROM votes GROUP BY doc_id"),
-    "simhash_neardup_pairs" ->
-      ("WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
-        "unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id < 1000) u), " +
-        "hb AS (SELECT doc_id, md5(t) AS h, unnest(generate_series(0, 63)) AS b FROM toks), " +
-        "bits AS (SELECT doc_id, b, " +
-        "((('0x' || substr(h, 1 + CAST(b // 4 AS INT), 1))::BIGINT >> CAST(3 - b % 4 AS INT)) & 1) AS bit FROM hb), " +
-        "votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b), " +
-        "sigs AS (SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash " +
-        "FROM votes GROUP BY doc_id), " +
-        "chunks AS (SELECT doc_id, simhash, c, substr(simhash, 1 + 16 * c, 16) AS chunk " +
-        "FROM sigs, (SELECT unnest(generate_series(0, 3)) AS c) cs), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "a.simhash AS sig_a, b.simhash AS sig_b FROM chunks a JOIN chunks b " +
-        "ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
-        "SELECT id_a, id_b, CAST(len(list_filter(generate_series(1, 64), " +
-        "i -> substr(sig_a, i, 1) != substr(sig_b, i, 1))) AS INTEGER) AS dist " +
-        "FROM cand WHERE len(list_filter(generate_series(1, 64), " +
-        "i -> substr(sig_a, i, 1) != substr(sig_b, i, 1))) <= 12"),
+    "simhash_neardup_pairs" -> simhashBruteForceOracle(3),
+    "simhash_neardup_pairs_wide" -> simhashBruteForceOracle(12),
     "cosine_topk_native" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +

@@ -57,6 +57,58 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(sigs2.head.getString(1).length == 64)
   }
 
+  test("simhash near-dup pairs: pigeonhole chunking loses no pair within the radius") {
+    // compare the chunked operator against a brute-force all-pairs scan of
+    // the same signatures for BOTH a narrow and a wide radius; the appended
+    // duplicate of doc 0 guarantees at least one in-radius pair exists
+    val dup = docs.limit(1).withColumn("doc_id", lit(999999L))
+    val subset = docs.limit(60).union(dup)
+    for (maxDist <- Seq(3, 12)) {
+      val pairs = Dedup.simhashNearDupPairs(subset, maxDist)
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sigs = Dedup.simhashSignatures(subset).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+      val brute = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.length
+        d = sigs(i)._2.zip(sigs(j)._2).count { case (a, b) => a != b }
+        if d <= maxDist
+      } yield (sigs(i)._1, sigs(j)._1, d)).toSet
+      assert(brute.exists(_._3 == 0), "expected the duplicated doc pair")
+      assert(pairs == brute,
+        s"maxDist=$maxDist: chunked=${pairs.size} brute=${brute.size}")
+    }
+  }
+
+  test("ngram jaccard df-cap drops hot shingles from candidates and sizes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    import scala.jdk.CollectionConverters._
+    // "hot hot hot hot" puts the shingle "hot hot hot" in every doc; with
+    // dfCap=2 it must not create candidate pairs between otherwise-unrelated
+    // docs 1/2/3, while the genuinely-shared rare shingles of 1 and 2 must
+    // still pair them (Jaccard over surviving shingles = 3/3... compute)
+    val hot = "hot hot hot hot"
+    val rows = spark.createDataFrame(Seq(
+      Row(1L, s"alpha beta gamma delta $hot"),
+      Row(2L, s"alpha beta gamma delta $hot"),
+      Row(3L, s"omega psi chi phi $hot")).asJava, schema)
+    val capped = Dedup.ngramJaccardPairs(rows, thresholdDen = 5, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1,2 share all surviving shingles → Jaccard 1 → pair kept;
+    // doc 3 shares ONLY df-capped shingles with 1,2 → no pair at all
+    assert(capped == Set((1L, 2L)), s"got $capped")
+    // without the cap, the hot shingle alone is not enough to clear the
+    // 1/5 threshold here, but it does create candidates — verify the capped
+    // variant computed sizes over surviving shingles only (union of 1,2 is
+    // exactly their shared rare shingles → n_common == n_union)
+    val row12 = Dedup.ngramJaccardPairs(rows, thresholdDen = 5, dfCap = 2)
+      .filter(col("id_a") === 1 && col("id_b") === 2).head
+    assert(row12.getLong(2) == row12.getLong(3))
+  }
+
   test("cosine of a vector with itself rounds to 1") {
     val self = emb.limit(5)
       .select(VectorFunctions.cosineRounded(col("embedding"), col("embedding")).as("c"))
