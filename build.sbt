@@ -20,6 +20,10 @@ run / fork := true
 // the JSON result line. StdoutOutput passes the child's stdout through
 // verbatim (and its stderr to stderr).
 run / outputStrategy := Some(StdoutOutput)
+// Forward the sbt process's stdin to the forked run JVM so
+// `SubsetRunner -` can read its config from a pipe (direct_subset.py
+// stdin-mode parity).
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -72,10 +72,13 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       thresholdDen: Int = 5,
-      dfCap: Int = 100): DataFrame = {
+      dfCap: Int = 100,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     // the shingle relation feeds the df filter, the size aggregate and both
     // join sides — materialize once instead of recomputing explode+distinct
-    val shAll = shingles(docs, n).localCheckpoint()
+    // (pass Materialize.parquet(dir) on a real cluster: localCheckpoint
+    // blocks don't survive executor loss)
+    val shAll = materialize(shingles(docs, n))
     // df filter shuffles on the same key as the self-join below, so the
     // capped relation arrives pre-clustered for it
     val rare = shAll.groupBy(col("s"))
@@ -150,9 +153,14 @@ object Dedup {
     * bucket, with the number of shared bands. The bucket join shuffles on
     * (band, bkey) — the LSH scale path: candidates ≪ all-pairs.
     */
-  def lshCandidatePairs(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+  def lshCandidatePairs(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      n: Int = 3,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     // both sides of the bucket self-join share this pipeline — materialize once
-    val bands = lshBands(docs, numHashes, rowsPerBand, n).localCheckpoint()
+    val bands = materialize(lshBands(docs, numHashes, rowsPerBand, n))
     val a = bands.toDF("id_a", "band", "bkey")
     val b = bands.toDF("id_b", "band", "bkey")
     a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
@@ -197,38 +205,75 @@ object Dedup {
             s"i - greatest(i - ${window - 1}, 1) + 1))))")).as("fp"))
   }
 
-  /** SimHash near-duplicate pairs via the pigeonhole trick, COMPLETE for the
-    * advertised radius: the 64-bit signature is split into `maxDist + 1`
-    * near-equal chunks, so any pair within Hamming distance ≤ maxDist leaves
-    * at least one chunk untouched and is guaranteed to meet in the chunk
-    * equi-join; the native `hamming` expression then filters exactly. Recall
-    * is 100% by construction — no candidate-limited semantics.
+  /** SimHash near-duplicate pairs, COMPLETE for the advertised radius, with
+    * two candidate-generation schemes selected by radius:
     *
-    * Scale trade-off is explicit in the parameter: chunk width is
-    * ~64/(maxDist+1) bits, and the candidate join buckets on chunk values,
-    * so small radii keep wide chunks (maxDist=3 ⇒ 16-bit chunks, 65k buckets
-    * per index) while wide radii pay quadratic-per-bucket cost on narrow
-    * chunks (maxDist=12 ⇒ ~5-bit chunks) — the standard recall/cost dial.
+    *   - `maxDist ≤ 7` — single-chunk pigeonhole: split the 64-bit signature
+    *     into `maxDist + 1` near-equal chunks; a pair within the radius
+    *     leaves ≥ 1 chunk untouched and meets in the chunk equi-join. Chunk
+    *     width stays ≥ 8 bits in this range.
+    *   - `8 ≤ maxDist ≤ 15` — Manku-style block combinations (Manku et al.,
+    *     "Detecting Near-Duplicates for Web Crawling", WWW'07): split into
+    *     m = 16 blocks of 4 bits; a pair within the radius touches ≤ maxDist
+    *     blocks, so ≥ 16 − maxDist blocks are clean, and the pair meets on
+    *     the key formed by SOME combination of r = min(4, 16 − maxDist)
+    *     clean blocks. Enumerating all C(16, r) combinations as join keys
+    *     keeps the key width at 4·r bits (16 bits at maxDist ≤ 12 — a 65k
+    *     key space per combination index) instead of the ~64/(maxDist+1)-bit
+    *     chunks the single-chunk scheme degrades to; the cost moves into a
+    *     C(16, r)-way key replication, which is linear, not quadratic.
+    *
+    * Either way the native `hamming` expression filters candidates exactly,
+    * so recall is 100% by construction — the scheme only changes cost shape.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      maxDist: Int = 3,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"simhashNearDupPairs: maxDist must be in [0, 64), got $maxDist")
     graft.functions.NativeExpressions.register(docs.sparkSession)
-    val nChunks = maxDist + 1
-    val lens = (0 until nChunks).map(i =>
-      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
-    val starts = lens.scanLeft(1)(_ + _)
-    val chunkStructs = (0 until nChunks).map(i =>
-      struct(lit(i).as("c"),
-        expr(s"substring(simhash, ${starts(i)}, ${lens(i)})").as("chunk")))
-    val sigs = simhashSignatures(docs).localCheckpoint()
-    val chunks = sigs
-      .select(col("doc_id"), col("simhash"),
-        explode(array(chunkStructs: _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"),
-        col("cc.c").as("c"), col("cc.chunk").as("chunk"))
-    val a = chunks.toDF("id_a", "sig_a", "c", "chunk")
-    val b = chunks.toDF("id_b", "sig_b", "c", "chunk")
+    val sigs = materialize(simhashSignatures(docs))
+
+    // (combo index, 4r-bit key) per signature: the join key relation
+    val keyed: DataFrame =
+      if (maxDist >= 8 && maxDist <= 15) {
+        // Manku block-combination keys: m = 16 blocks of 4 bits
+        val m = 16
+        val blockLen = 64 / m
+        val r = math.min(4, m - maxDist)
+        import docs.sparkSession.implicits._
+        val combosDF = (0 until m).combinations(r).toSeq.zipWithIndex
+          .map { case (bs, i) => (i, bs) }.toDF("c", "bs")
+          .select(col("c") +:
+            (0 until r).map(j => element_at(col("bs"), j + 1).as(s"b$j")): _*)
+        val withBlocks = sigs.select(col("doc_id"), col("simhash"),
+          array((0 until m).map(i =>
+            expr(s"substring(simhash, ${1 + blockLen * i}, $blockLen)")): _*)
+            .as("blocks"))
+        // the combination table is tiny (≤ C(16,4) = 1820 rows) — broadcast
+        // it so the replication is a map-side fan-out, not a shuffle
+        withBlocks.crossJoin(broadcast(combosDF))
+          .select(col("doc_id"), col("simhash"), col("c"),
+            concat((0 until r).map(j =>
+              element_at(col("blocks"), col(s"b$j") + 1)): _*).as("chunk"))
+      } else {
+        val nChunks = maxDist + 1
+        val lens = (0 until nChunks).map(i =>
+          64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+        val starts = lens.scanLeft(1)(_ + _)
+        val chunkStructs = (0 until nChunks).map(i =>
+          struct(lit(i).as("c"),
+            expr(s"substring(simhash, ${starts(i)}, ${lens(i)})").as("chunk")))
+        sigs
+          .select(col("doc_id"), col("simhash"),
+            explode(array(chunkStructs: _*)).as("cc"))
+          .select(col("doc_id"), col("simhash"),
+            col("cc.c").as("c"), col("cc.chunk").as("chunk"))
+      }
+
+    val a = keyed.toDF("id_a", "sig_a", "c", "chunk")
+    val b = keyed.toDF("id_b", "sig_b", "c", "chunk")
     a.join(b, Seq("c", "chunk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
       .select(col("id_a"), col("id_b"),

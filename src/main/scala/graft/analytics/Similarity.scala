@@ -112,44 +112,92 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to its
-    * nearest centroid cell; a query probes only the `nProbe` cells nearest
-    * to it. Centroids here are taken deterministically (first `nCells`
-    * vectors) — swap in k-means centroids without changing the shape. At
-    * scale the cell id is the partition/bucket key, so a probe reads
-    * nProbe/nCells of the data.
+  /** Nearest `n` cells per vector by squared-L2 distance (the k-means
+    * metric). Distances are sequential-fold IEEE-double sums rounded to 9
+    * decimals, so the argmin order is identical in any engine that folds
+    * left-to-right (DuckDB `list_sum` does — verified for the native-dot
+    * oracle); ties break on `cell_id`. Output keeps the embedding so callers
+    * need no re-join. The centroid side is broadcast — the big side never
+    * shuffles for assignment.
+    */
+  private def assignCells(embeddings: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d2 = round(
+      aggregate(
+        zip_with(col("embedding"), col("c_emb"),
+          (e, c) => (e.cast("double") - c) * (e.cast("double") - c)),
+        lit(0.0),
+        (acc, x) => acc + x),
+      9)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d2").asc, col("cell_id").asc)
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("__d2", d2)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .select(col("vec_id"), col("cell_id"), col("embedding"))
+  }
+
+  /** Deterministic fixed-seed k-means coarse quantizer: centroids start at
+    * the first `nCells` vectors (the fixed seed) and take `iters` Lloyd
+    * iterations, all as DataFrame ops — assignment is a broadcast cross-join
+    * argmin, the centroid update is one posexplode + groupBy per iteration.
+    *
+    * Engine-exact on purpose, so a DuckDB oracle can mirror it: per-dimension
+    * means accumulate in DECIMAL (order-independent, exact) and divide once
+    * in IEEE double; assignment distances are rounded sequential double sums
+    * (see [[assignCells]]). A cell that loses all members simply drops out of
+    * the next iteration — mirrored naturally by the oracle's join shape.
+    *
+    * Returns (cell_id, c_emb: Array[Double]).
+    */
+  def kMeansCentroids(embeddings: DataFrame, nCells: Int = 16, iters: Int = 3): DataFrame = {
+    var centroids = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+    for (_ <- 1 to iters) {
+      centroids = assignCells(embeddings, centroids, 1)
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(
+          sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 16))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell_id"), col("pos"),
+          (col("s").cast("double") / col("n").cast("double")).as("v"))
+        .groupBy(col("cell_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), p -> p.v)")
+          .as("c_emb"))
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: the k-means coarse quantizer assigns every
+    * vector to its nearest centroid cell; a query probes only the `nProbe`
+    * cells nearest to it, then scores candidates by exact cosine. At scale
+    * the cell id is the partition/bucket key, so a probe reads
+    * nProbe/nCells of the data — and because the centroids are real k-means
+    * cell centers (not arbitrary seed vectors), cell populations track the
+    * data distribution and probe recall holds on real corpora.
     */
   def ivfTopK(
       embeddings: DataFrame,
       queryId: Long,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      iters: Int = 3): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
-    val centroids = broadcast(
-      embeddings.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
-
-    def nearestCells(df: DataFrame, embCol: String, n: Int): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val scored = df.crossJoin(centroids)
-        .withColumn("c_sim",
-          round(expr(s"float_dot($embCol, c_emb)") /
-            (sqrt(expr(s"float_dot($embCol, $embCol)")) *
-              sqrt(expr("float_dot(c_emb, c_emb)"))), 6))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("cell_id").asc)
-      scored.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .drop("__rk", "c_emb", "c_sim")
-    }
+    val spread = embeddings.repartition(col("vec_id"))
+    // 16 rows consumed by two assignment passes — cut the 3-iteration
+    // window/agg lineage once
+    val centroids = kMeansCentroids(spread, nCells, iters).localCheckpoint()
 
     // index: each vector in exactly its nearest cell
-    val indexed = nearestCells(
-      embeddings.repartition(col("vec_id")), "embedding", 1)
+    val indexed = assignCells(spread, centroids, 1)
     // query: probe the nProbe nearest cells
     val q = embeddings.filter(col("vec_id") === queryId)
-    val probeCells = nearestCells(q, "embedding", nProbe)
+    val probeCells = assignCells(q, centroids, nProbe)
       .select(col("cell_id")).distinct()
     val qEmb = broadcast(q.select(col("embedding").as("q_emb")))
     indexed

@@ -63,6 +63,41 @@ object Catalog {
     (if (format == "csv") w.option("header", "true") else w).save(path)
   }
 
+  /** Load a table over JDBC — the analogue of the reference's live-database
+    * source (/root/reference/db_connect.py:29-36 builds a connection from
+    * url/user/password the same way `props` does here). `table` may be a
+    * bare/qualified table name or a full `(SELECT …) alias` pushdown query —
+    * both are what Spark's `dbtable` accepts.
+    *
+    * At scale, pass `partitionColumn`/`lowerBound`/`upperBound`/
+    * `numPartitions` in `props` so the read issues parallel range-bounded
+    * queries instead of one single-connection scan.
+    */
+  def loadJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty): DataFrame =
+    props.foldLeft(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  /** Write a table over JDBC (overwrite = the reference's teardown+create,
+    * /root/reference/psql_database_creator.py:56-67). Writes happen one
+    * INSERT batch per partition in parallel; `props` may carry
+    * `batchsize`/`isolationLevel`/`truncate` tuning.
+    */
+  def saveJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty): Unit =
+    props.foldLeft(df.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", table)) {
+      case (w, (k, v)) => w.option(k, v)
+    }.save()
+
   /** Materialize an output catalog, one Parquet directory per table —
     * the destination-database replacement (overwrite mode = the reference's
     * teardown+create, /root/reference/psql_database_creator.py:56-67).

@@ -213,6 +213,12 @@ object Ops {
     * small side once per salt value. Use when one key holds a large share of
     * the rows and AQE's skew handling isn't available/sufficient — the salt
     * bounds any single task at ~1/saltN of the hot key.
+    *
+    * The salt is a pure hash of the whole big-side row plus the seed — never
+    * `rand(seed)`, whose value depends on the partition layout and so can
+    * differ under task retry after a nondeterministic upstream shuffle,
+    * silently duplicating or dropping rows. A hash salt is bit-stable across
+    * retries and re-runs.
     */
   def saltedJoin(
       big: DataFrame,
@@ -221,7 +227,8 @@ object Ops {
       smallKeys: Seq[String],
       saltN: Int,
       seed: Long = 42L): DataFrame = {
-    val salted = big.withColumn("__graft_salt", (rand(seed) * saltN).cast("int"))
+    val salted = big.withColumn("__graft_salt",
+      pmod(hash(big.columns.map(col) :+ lit(seed): _*), lit(saltN)))
     val replicated = small
       .withColumn("__graft_salt", explode(sequence(lit(0), lit(saltN - 1))))
     val cond = bigKeys.zip(smallKeys)

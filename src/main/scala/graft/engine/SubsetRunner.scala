@@ -9,6 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   runMain graft.engine.SubsetRunner <config.json> <sourceDir> <outDir>
   *
+  * A config path of `-` (or `--stdin`) reads the JSON config from stdin,
+  * matching the reference's stdin mode (/root/reference/direct_subset.py:22-26).
+  *
   * Reads the Parquet source catalog, runs the middle-out subsetter, applies
   * `pre_constraint_sql`/`post_subset_sql` against temp views of the output
   * (S13 arbitrary-SQL passthrough), writes the destination catalog, and
@@ -16,9 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SubsetRunner {
 
+  /** Resolve the config argument: `-`/`--stdin` → read all of `in`,
+    * otherwise read the file at the given path.
+    */
+  def readConfigSource(configArg: String, in: java.io.InputStream = System.in): String =
+    if (configArg == "-" || configArg == "--stdin")
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    else Files.readString(Paths.get(configArg))
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
-      "usage: SubsetRunner <config.json> <sourceDir> <outDir>")
+      "usage: SubsetRunner <config.json | - | --stdin> <sourceDir> <outDir>")
     val Array(configPath, sourceDir, outDir) = args
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -31,7 +42,7 @@ object SubsetRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val config = SubsetConfig.fromJson(Files.readString(Paths.get(configPath)))
+      val config = SubsetConfig.fromJson(readConfigSource(configPath))
       val result = run(spark, config, sourceDir)
       Catalog.save(result.dest, outDir)
       println(Report.render(Report.tabulate(result.source, result.dest)))

@@ -188,6 +188,8 @@ final class Subsetter(
 }
 
 object Subsetter {
-  /** Cut lineage + materialize once per phase mutation (SURVEY.md §4.4). */
-  def defaultMaterialize(df: DataFrame): DataFrame = df.localCheckpoint()
+  /** Cut lineage + materialize once per phase mutation (SURVEY.md §4.4).
+    * Single-JVM default; pass [[Materialize.parquet]] on a real cluster.
+    */
+  def defaultMaterialize(df: DataFrame): DataFrame = Materialize.local(df)
 }

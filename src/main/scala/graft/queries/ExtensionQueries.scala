@@ -31,23 +31,25 @@ object ExtensionQueries {
     // hot-shingle join skew instead
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"))),
+    // full corpus: the positional-window oracle is O(len·docs) in DuckDB,
+    // fine at the sf0.01 correctness gate (500 docs)
     "doc_winnow_fingerprints" -> ((s, dir) =>
-      Dedup.winnowFingerprints(t(s, dir, "documents").filter(col("doc_id") < 500))),
+      Dedup.winnowFingerprints(t(s, dir, "documents"))),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(t(s, dir, "documents"))),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
-    // complete recall at radius 3 (4 chunks of 16 bits); the oracle is a
-    // BRUTE-FORCE all-pairs Hamming scan, so the hash-match proves recall,
-    // not just chunk-set self-consistency
+    // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
+    // oracle is a BRUTE-FORCE all-pairs Hamming scan (quadratic in DuckDB —
+    // 125k pairs at the sf0.01 gate), so the hash-match proves recall, not
+    // just chunk-set self-consistency
     "simhash_neardup_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(
-        t(s, dir, "documents").filter(col("doc_id") < 1000), maxDist = 3)),
-    // wide radius: 13 chunks of ~5 bits, still complete by pigeonhole;
-    // brute-force oracle again
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 3)),
+    // full corpus, wide radius: Manku block-combination keys (C(16,4)
+    // combinations of 4-bit blocks ⇒ 16-bit join keys), still complete by
+    // pigeonhole; brute-force oracle again
     "simhash_neardup_pairs_wide" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(
-        t(s, dir, "documents").filter(col("doc_id") < 1000), maxDist = 12)),
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 12)),
 
     // ---- similarity search ----
     "cosine_topk_bruteforce" -> ((s, dir) =>
@@ -60,8 +62,8 @@ object ExtensionQueries {
     // threshold, candidate-cut by sign-LSH buckets
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), minSim = 0.30, nBits = 8)),
-    // IVF ANN: deterministic coarse quantizer (first 16 vectors as
-    // centroids), probe the 4 cells nearest the query
+    // IVF ANN: fixed-seed k-means coarse quantizer (3 Lloyd iterations,
+    // seeded at the first 16 vectors), probe the 4 cells nearest the query
     "cosine_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
     // multi-probe LSH: query bucket + all Hamming-1 neighbor buckets
@@ -221,7 +223,7 @@ object ExtensionQueries {
     */
   private def simhashBruteForceOracle(maxDist: Int): String =
     "WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
-      "unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id < 1000) u), " +
+      "unnest(string_split(text, ' ')) AS t FROM documents) u), " +
       "hb AS (SELECT doc_id, md5(t) AS h, unnest(generate_series(0, 63)) AS b FROM toks), " +
       "bits AS (SELECT doc_id, b, " +
       "((('0x' || substr(h, 1 + CAST(b // 4 AS INT), 1))::BIGINT >> CAST(3 - b % 4 AS INT)) & 1) AS bit FROM hb), " +
@@ -233,6 +235,44 @@ object ExtensionQueries {
       "i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1))) AS INTEGER) AS dist " +
       "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) " +
       s"SELECT id_a, id_b, dist FROM d WHERE dist <= $maxDist"
+
+  /** Mirror of [[Similarity.kMeansCentroids]] + [[Similarity.ivfTopK]]: the
+    * same fixed seed (first `nCells` vectors), the same Lloyd iterations
+    * (squared-L2 assignment on `round(list_sum(...), 9)` sequential double
+    * sums, per-dimension DECIMAL-sum/double-divide centroid update), the same
+    * probe and final cosine scoring — hash-matching this proves the engine's
+    * quantizer is real data-dependent k-means, not a placeholder.
+    */
+  private def ivfKmeansOracle(
+      nCells: Int, nProbe: Int, iters: Int, k: Int, queryId: Long): String = {
+    def dist(cRel: String, out: String) =
+      s"$out AS (SELECT e.vec_id, c.cell_id, e.embedding, round(list_sum([" +
+        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) " +
+        s"FOR i IN generate_series(1, len(e.embedding))]), 9) AS d2 FROM embeddings e, $cRel c)"
+    def argmin(dRel: String, out: String) =
+      s"$out AS (SELECT vec_id, cell_id, embedding FROM (SELECT vec_id, cell_id, embedding, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM $dRel) t WHERE rn = 1)"
+    def update(aRel: String, uOut: String, cOut: String) =
+      s"$uOut AS (SELECT cell_id, unnest([{'pos': i, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+        s"FOR i IN generate_series(1, len(embedding))], recursive := true) FROM $aRel), " +
+        s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
+        s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
+    val iterCtes = (1 to iters).map { i =>
+      dist(s"c${i - 1}", s"a${i}d") + ", " + argmin(s"a${i}d", s"a$i") + ", " +
+        update(s"a$i", s"u$i", s"c$i")
+    }.mkString(", ")
+    s"WITH c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      s"FROM embeddings WHERE vec_id < $nCells), " + iterCtes + ", " +
+      dist(s"c$iters", "afd") + ", " + argmin("afd", "af") + ", " +
+      "probe AS (SELECT cell_id FROM (SELECT cell_id, row_number() OVER (ORDER BY d2, cell_id) AS rn " +
+      s"FROM afd WHERE vec_id = $queryId) p WHERE rn <= $nProbe), " +
+      s"q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) " +
+      "SELECT e.vec_id, round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) / " +
+      "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))])) * " +
+      "sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(q.qe))]))), 6) AS sim " +
+      "FROM embeddings e JOIN af a ON e.vec_id = a.vec_id JOIN probe p ON a.cell_id = p.cell_id, q " +
+      s"WHERE e.vec_id != $queryId ORDER BY sim DESC, e.vec_id LIMIT $k"
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -265,7 +305,7 @@ object ExtensionQueries {
     "doc_winnow_fingerprints" ->
       ("WITH pos AS (SELECT doc_id, text, " +
         "unnest([i FOR i IN generate_series(1, length(text) - 7)]) AS i " +
-        "FROM documents WHERE length(text) >= 8 AND doc_id < 500), " +
+        "FROM documents WHERE length(text) >= 8), " +
         "hashed AS (SELECT doc_id, i, " +
         "CAST(list_sum([ascii(substr(text, i + j, 1)) * CAST(power(131, j) AS BIGINT) " +
         "FOR j IN generate_series(0, 7)]) % 1099511627776 AS BIGINT) AS h FROM pos), " +
@@ -331,23 +371,7 @@ object ExtensionQueries {
         "SELECT vec_id, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 5"),
     "cosine_topk_ivf" ->
-      ("WITH cs AS (SELECT e.vec_id, c.vec_id AS cell_id, round(" +
-        "list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) / " +
-        "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))])) * " +
-        "sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(c.embedding))]))), 6) AS c_sim " +
-        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
-        "assign AS (SELECT vec_id, cell_id FROM (SELECT vec_id, cell_id, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell_id) AS rn FROM cs) a WHERE rn = 1), " +
-        "probe AS (SELECT cell_id FROM (SELECT cell_id, " +
-        "row_number() OVER (ORDER BY c_sim DESC, cell_id) AS rn FROM cs WHERE vec_id = 0) p WHERE rn <= 4), " +
-        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
-        "SELECT e.vec_id, round(" +
-        "list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) / " +
-        "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))])) * " +
-        "sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(q.qe))]))), 6) AS sim " +
-        "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id " +
-        "JOIN probe p ON a.cell_id = p.cell_id, q WHERE e.vec_id != 0 " +
-        "ORDER BY sim DESC, e.vec_id LIMIT 10"),
+      ivfKmeansOracle(nCells = 16, nProbe = 4, iters = 3, k = 10, queryId = 0L),
     "cosine_topk_lsh_multiprobe" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +

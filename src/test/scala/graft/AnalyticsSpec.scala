@@ -109,6 +109,31 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(row12.getLong(2) == row12.getLong(3))
   }
 
+  test("k-means centroids are data-dependent cell means, not the seed vectors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.analytics.Similarity.kMeansCentroids(emb, nCells = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.nonEmpty && cents.size <= 4)
+    val seeds = emb.filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    // Lloyd updates must move at least one surviving centroid off its seed
+    // vector (a placeholder quantizer would leave all of them in place)
+    assert(cents.exists { case (id, c) =>
+      seeds.get(id).exists(s => s.zip(c).exists { case (a, b) => math.abs(a - b) > 1e-9 })
+    }, "centroids identical to seed vectors — quantizer did no learning")
+    // and every centroid is dimension-consistent with the data
+    assert(cents.values.forall(_.length == seeds.values.head.length))
+  }
+
+  test("ivf top-k returns k rows, descending, query excluded") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = graft.analytics.Similarity.ivfTopK(emb, queryId = 0L, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == 5)
+    assert(!got.map(_._1).contains(0L))
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("cosine of a vector with itself rounds to 1") {
     val self = emb.limit(5)
       .select(VectorFunctions.cosineRounded(col("embedding"), col("embedding")).as("c"))

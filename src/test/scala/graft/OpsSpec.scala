@@ -106,6 +106,29 @@ class OpsSpec extends SparkSpecBase {
     assert(got.count() == 2) // (1,1,x) and (2,1,z) match
   }
 
+  test("saltedJoin is bit-stable across runs and spreads a hot key") {
+    import spark.implicits._
+    // one hot key (1) carrying 400 distinct rows, one cold key
+    val big = (0 until 400).map(i => (1L, s"p$i")) :+ (2L, "cold")
+    val bigDf = big.toDF("k", "payload").repartition(7)
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "dv")
+    def run() = Ops.saltedJoin(bigDf, Seq("k"), small, Seq("k"), saltN = 8)
+      .select("k", "payload", "dv").collect().map(_.toSeq).toSet
+    val r1 = run()
+    // identical output across two runs (hash salt, not rand: partition
+    // layout and task retries cannot change row routing)
+    assert(r1 == run())
+    assert(r1.size == 401)
+    // the hot key's rows actually fan out over several salt values
+    val salts = bigDf.filter($"k" === 1L)
+      .withColumn("s", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          $"k", $"payload", org.apache.spark.sql.functions.lit(42L)),
+        org.apache.spark.sql.functions.lit(8)))
+      .select("s").distinct().count()
+    assert(salts >= 4, s"hot key used only $salts of 8 salt buckets")
+  }
+
   test("percentSample is seeded-reproducible and in a sane band") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val n1 = Ops.percentSample(orders, 10.0, seed = 7).count()

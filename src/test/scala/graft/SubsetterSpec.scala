@@ -109,6 +109,26 @@ class SubsetterSpec extends SparkSpecBase {
     assert(graft.engine.Catalog.schemaName("main.orders").contains("main"))
   }
 
+  test("runner reads config from stdin for '-' / '--stdin' (direct_subset.py parity)") {
+    import graft.engine.SubsetRunner
+    val json =
+      """{"initial_targets": [{"table": "orders", "where": "o_orderkey % 10 = 0"}],
+        | "fk_augmentation": [], "passthrough_tables": ["region"]}""".stripMargin
+    def in() = new java.io.ByteArrayInputStream(
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(SubsetRunner.readConfigSource("-", in()) == json)
+    assert(SubsetRunner.readConfigSource("--stdin", in()) == json)
+    // and the stdin text parses into the same config a file would give
+    val cfg = SubsetConfig.fromJson(SubsetRunner.readConfigSource("-", in()))
+    assert(cfg.initialTargets.map(_.table) == Seq("orders"))
+    assert(cfg.passthroughTables == Seq("region"))
+    // a real path argument still reads the file, not stdin
+    val f = java.nio.file.Files.createTempFile("graft_cfg", ".json")
+    java.nio.file.Files.writeString(f, json)
+    assert(SubsetRunner.readConfigSource(f.toString,
+      new java.io.ByteArrayInputStream(Array.emptyByteArray)) == json)
+  }
+
   test("determinism: two runs produce identical orders output") {
     val d1 = new Subsetter(SubsetQueries.fixtureConfig, source).run()
     val d2 = new Subsetter(SubsetQueries.fixtureConfig, source).run()
