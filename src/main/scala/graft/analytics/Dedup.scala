@@ -212,19 +212,37 @@ object Dedup {
     *     into `maxDist + 1` near-equal chunks; a pair within the radius
     *     leaves ≥ 1 chunk untouched and meets in the chunk equi-join. Chunk
     *     width stays ≥ 8 bits in this range.
-    *   - `8 ≤ maxDist ≤ 15` — Manku-style block combinations (Manku et al.,
-    *     "Detecting Near-Duplicates for Web Crawling", WWW'07): split into
-    *     m = 16 blocks of 4 bits; a pair within the radius touches ≤ maxDist
-    *     blocks, so ≥ 16 − maxDist blocks are clean, and the pair meets on
-    *     the key formed by SOME combination of r = min(4, 16 − maxDist)
-    *     clean blocks. Enumerating all C(16, r) combinations as join keys
-    *     keeps the key width at 4·r bits (16 bits at maxDist ≤ 12 — a 65k
-    *     key space per combination index) instead of the ~64/(maxDist+1)-bit
-    *     chunks the single-chunk scheme degrades to; the cost moves into a
-    *     C(16, r)-way key replication, which is linear, not quadratic.
+    *   - `maxDist ≥ 8` — generalized pigeonhole with 1-flip probe expansion
+    *     (the HmSearch shape, Zhang et al. SSDBM'13): split into
+    *     m = maxDist/2 + 1 chunks, so if EVERY chunk differed by ≥ 2 the
+    *     total would be ≥ 2m > maxDist — some chunk has Hamming distance
+    *     ≤ 1. The index side keys on the exact chunk; the probe side emits
+    *     the chunk plus its 1→0 flips of each SET bit — a dist-1 chunk pair
+    *     has exactly one side holding a '1' at the differing position, so
+    *     that side's flip meets the other's exact key (dist-0 meets
+    *     exact-exact), and restricting to set bits makes the match
+    *     one-directional, halving both probe fan-out and duplicate
+    *     candidates. Probe fan-out is ~m·(chunkLen/2+1) ≈ 40 keys/doc at
+    *     maxDist = 12 — ~45× fewer than the C(16,4) = 1820 Manku
+    *     block-combination keys this replaced, and a close pair collides in
+    *     ≤ ~m indexes instead of up to C(16,4), which is what made the
+    *     combination scheme quadratic-in-practice on a duplicate-heavy
+    *     corpus.
     *
-    * Either way the native `hamming` expression filters candidates exactly,
-    * so recall is 100% by construction — the scheme only changes cost shape.
+    * Both schemes emit every qualifying pair EXACTLY ONCE, so there is no
+    * candidate `distinct` (and no shuffle at all downstream of the
+    * signature scan): the join condition only accepts a match at the FIRST
+    * chunk index whose chunk distance is within the per-chunk threshold
+    * (earlier chunks all differ by more — unrolled per-chunk `hamming`
+    * calls on the carried signatures), exact-key matches are tie-broken by
+    * `pid < iid`, and flip matches are already one-directional. The native
+    * `hamming` expression then filters to the exact radius inside the same
+    * join condition. Recall is 100% by construction — the scheme only
+    * changes cost shape. At 100 TB the per-index key space (2^9 at
+    * maxDist = 12) is the dial to watch: a radius-12 ball of a 64-bit
+    * simhash is inherently coarse (37% of ALL doc pairs qualify on the
+    * correlated test corpus), and the scale answer is a wider signature
+    * (128-bit), not more index replication.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -235,50 +253,74 @@ object Dedup {
     graft.functions.NativeExpressions.register(docs.sparkSession)
     val sigs = materialize(simhashSignatures(docs))
 
-    // (combo index, 4r-bit key) per signature: the join key relation
-    val keyed: DataFrame =
-      if (maxDist >= 8 && maxDist <= 15) {
-        // Manku block-combination keys: m = 16 blocks of 4 bits
-        val m = 16
-        val blockLen = 64 / m
-        val r = math.min(4, m - maxDist)
-        import docs.sparkSession.implicits._
-        val combosDF = (0 until m).combinations(r).toSeq.zipWithIndex
-          .map { case (bs, i) => (i, bs) }.toDF("c", "bs")
-          .select(col("c") +:
-            (0 until r).map(j => element_at(col("bs"), j + 1).as(s"b$j")): _*)
-        val withBlocks = sigs.select(col("doc_id"), col("simhash"),
-          array((0 until m).map(i =>
-            expr(s"substring(simhash, ${1 + blockLen * i}, $blockLen)")): _*)
-            .as("blocks"))
-        // the combination table is tiny (≤ C(16,4) = 1820 rows) — broadcast
-        // it so the replication is a map-side fan-out, not a shuffle
-        withBlocks.crossJoin(broadcast(combosDF))
-          .select(col("doc_id"), col("simhash"), col("c"),
-            concat((0 until r).map(j =>
-              element_at(col("blocks"), col(s"b$j") + 1)): _*).as("chunk"))
-      } else {
-        val nChunks = maxDist + 1
-        val lens = (0 until nChunks).map(i =>
-          64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
-        val starts = lens.scanLeft(1)(_ + _)
-        val chunkStructs = (0 until nChunks).map(i =>
-          struct(lit(i).as("c"),
-            expr(s"substring(simhash, ${starts(i)}, ${lens(i)})").as("chunk")))
+    // near-equal chunk boundaries over the 64-char bit string: (start, len),
+    // start is 1-based for substring()
+    def bounds(m: Int): Seq[(Int, Int)] = {
+      val lens = (0 until m).map(i => 64 / m + (if (i < 64 % m) 1 else 0))
+      val starts = lens.scanLeft(1)(_ + _)
+      (0 until m).map(i => (starts(i), lens(i)))
+    }
+
+    // per-chunk match threshold and chunk count: wide radii pair a 1-flip
+    // probe expansion with threshold 1; narrow radii match chunks exactly
+    val t = if (maxDist >= 8) 1 else 0
+    val m = if (maxDist >= 8) maxDist / 2 + 1 else maxDist + 1
+    val bs = bounds(m)
+
+    // index side: (iid, ic, ichunk, sig_i) on exact chunks
+    val exactStructs = bs.zipWithIndex.map { case ((st, ln), i) =>
+      struct(lit(i).as("c"), expr(s"substring(simhash, $st, $ln)").as("chunk"))
+    }
+    val index = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(exactStructs: _*)).as("cc"))
+      .select(col("doc_id").as("iid"), col("cc.c").as("ic"),
+        col("cc.chunk").as("ichunk"), col("simhash").as("sig_i"))
+
+    // probe side: (pid, pc, pchunk, ex, sig_p). ex marks the unmodified
+    // chunk; for t = 1, j in [1, len] flips bit j ONLY where that bit is
+    // '1' (canonical direction, so a dist-1 chunk pair meets exactly once:
+    // the side holding the '1' probes the other's exact key) — all inside
+    // one codegen'd narrow stage
+    val probe =
+      if (t == 0)
+        index.toDF("pid", "pc", "pchunk", "sig_p").withColumn("ex", lit(true))
+          .select(col("pid"), col("pc"), col("pchunk"), col("ex"), col("sig_p"))
+      else {
+        val variantArrays = bs.zipWithIndex.map { case ((st, ln), i) =>
+          expr(
+            s"""transform(
+               |  filter(sequence(0, $ln),
+               |    j -> j = 0 OR substring(simhash, $st + j - 1, 1) = '1'),
+               |  j -> named_struct(
+               |    'c', $i,
+               |    'ex', j = 0,
+               |    'chunk', CASE WHEN j = 0 THEN substring(simhash, $st, $ln)
+               |      ELSE concat(
+               |        substring(simhash, $st, j - 1),
+               |        '0',
+               |        substring(simhash, $st + j, $ln - j)) END))""".stripMargin)
+        }
         sigs
           .select(col("doc_id"), col("simhash"),
-            explode(array(chunkStructs: _*)).as("cc"))
-          .select(col("doc_id"), col("simhash"),
-            col("cc.c").as("c"), col("cc.chunk").as("chunk"))
+            explode(flatten(array(variantArrays: _*))).as("cc"))
+          .select(col("doc_id").as("pid"), col("cc.c").as("pc"),
+            col("cc.chunk").as("pchunk"), col("cc.ex").as("ex"),
+            col("simhash").as("sig_p"))
       }
 
-    val a = keyed.toDF("id_a", "sig_a", "c", "chunk")
-    val b = keyed.toDF("id_b", "sig_b", "c", "chunk")
-    a.join(b, Seq("c", "chunk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
-      .select(col("id_a"), col("id_b"),
-        expr("hamming(sig_a, sig_b)").as("dist"))
-      .filter(col("dist") <= maxDist)
+    // first chunk index where the pair's chunk distance is within t
+    // (single-pass native expression): each pair passes the condition at
+    // exactly one c, so NO downstream distinct (and no shuffle) is needed
+    val once = expr(
+      s"""pid != iid AND (NOT ex OR pid < iid)
+         |AND first_chunk_within(sig_p, sig_i, $m, $t) = pc
+         |AND hamming(sig_p, sig_i) <= $maxDist""".stripMargin)
+
+    probe.join(index,
+        col("pc") === col("ic") && col("pchunk") === col("ichunk") && once)
+      .select(least(col("pid"), col("iid")).as("id_a"),
+        greatest(col("pid"), col("iid")).as("id_b"),
+        expr("hamming(sig_p, sig_i)").as("dist"))
   }
 
   /** 64-bit SimHash per document from distinct-token md5 hashes: per bit

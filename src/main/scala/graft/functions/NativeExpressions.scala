@@ -120,8 +120,104 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Register `float_dot` and `hamming` as SQL functions in the session, so
-    * they are usable from `expr(...)`/`spark.sql(...)`.
+  /** Single pass of `firstChunkWithin`: split the common prefix of x/y into
+    * `m` near-equal chunks (earlier chunks get the remainder) and return the
+    * first chunk index whose byte-Hamming distance is ≤ t, else -1. Shared
+    * by interpreted eval and the generated code (static call — no
+    * allocations beyond the operands' own getBytes).
+    */
+  def firstChunkJava(x: Array[Byte], y: Array[Byte], m: Int, t: Int): Int = {
+    val n = math.min(x.length, y.length)
+    val base = n / m
+    val rem = n % m
+    var pos = 0
+    var c = 0
+    while (c < m) {
+      val len = base + (if (c < rem) 1 else 0)
+      var d = 0
+      var i = pos
+      val end = pos + len
+      while (i < end && d <= t) { if (x(i) != y(i)) d += 1; i += 1 }
+      if (d <= t) return c
+      pos = end
+      c += 1
+    }
+    -1
+  }
+
+  /** first_chunk_within(sig_a, sig_b, m, t) → Int: first of `m` near-equal
+    * chunks of the signatures whose Hamming distance is ≤ t, else -1. The
+    * one-pass fused form of `m` substring+hamming calls — the candidate
+    * uniqueness test of the simhash near-dup join evaluates this once per
+    * joined row, so allocation-free matters.
+    */
+  case class FirstChunkWithin(
+      sig1: Expression, sig2: Expression,
+      numChunks: Expression, threshold: Expression) extends Expression {
+    override def children: Seq[Expression] = Seq(sig1, sig2, numChunks, threshold)
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = sig1.nullable || sig2.nullable
+    override def prettyName: String = "first_chunk_within"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (sig1.dataType == StringType && sig2.dataType == StringType &&
+        numChunks.dataType == IntegerType && threshold.dataType == IntegerType &&
+        numChunks.foldable && threshold.foldable)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "first_chunk_within expects (string, string, int literal, int literal)")
+
+    private lazy val m = numChunks.eval().asInstanceOf[Int]
+    private lazy val t = threshold.eval().asInstanceOf[Int]
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = sig1.eval(input)
+      val b = sig2.eval(input)
+      if (a == null || b == null) null
+      else firstChunkJava(
+        a.asInstanceOf[UTF8String].getBytes,
+        b.asInstanceOf[UTF8String].getBytes, m, t)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+      val c1 = sig1.genCode(ctx)
+      val c2 = sig2.genCode(ctx)
+      val value = JavaCode.variable(ctx.freshName("value"), IntegerType)
+      if (nullable) {
+        val isNull = JavaCode.isNullVariable(ctx.freshName("isNull"))
+        ev.copy(code =
+          code"""
+            |${c1.code}
+            |${c2.code}
+            |boolean $isNull = ${c1.isNull} || ${c2.isNull};
+            |int $value = -1;
+            |if (!$isNull) {
+            |  $value = graft.functions.NativeExpressions.firstChunkJava(
+            |    ${c1.value}.getBytes(), ${c2.value}.getBytes(), $m, $t);
+            |}
+          """.stripMargin, isNull = isNull, value = value)
+      } else {
+        ev.copy(code =
+          code"""
+            |${c1.code}
+            |${c2.code}
+            |int $value = graft.functions.NativeExpressions.firstChunkJava(
+            |  ${c1.value}.getBytes(), ${c2.value}.getBytes(), $m, $t);
+          """.stripMargin, isNull = FalseLiteral, value = value)
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(sig1 = newChildren(0), sig2 = newChildren(1),
+        numChunks = newChildren(2), threshold = newChildren(3))
+  }
+
+  /** Register `float_dot`, `hamming` and `first_chunk_within` as SQL
+    * functions in the session, so they are usable from
+    * `expr(...)`/`spark.sql(...)`.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -129,6 +225,10 @@ object NativeExpressions {
       "float_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "first_chunk_within",
+      exprs => FirstChunkWithin(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
   }
 }
 

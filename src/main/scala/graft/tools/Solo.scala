@@ -1,0 +1,34 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Time individual query keys in isolation (dev tool):
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.Solo key [key…]
+  * Repeats each key `SPARK_GRAFT_REPS` times (default 1) after one warm-up
+  * pass over region/nation so JIT noise doesn't drown the signal.
+  */
+object Solo {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$dir/region.parquet").groupBy("r_name").count().count()
+    args.foreach { name =>
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        println(f"SOLO $name%-32s rep$i ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}
