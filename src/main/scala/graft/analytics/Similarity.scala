@@ -121,21 +121,26 @@ object Similarity {
     * shuffles for assignment.
     */
   private def assignCells(embeddings: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d2 = round(
-      aggregate(
-        zip_with(col("embedding"), col("c_emb"),
-          (e, c) => (e.cast("double") - c) * (e.cast("double") - c)),
-        lit(0.0),
-        (acc, x) => acc + x),
-      9)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__d2").asc, col("cell_id").asc)
-    embeddings.crossJoin(broadcast(centroids))
-      .withColumn("__d2", d2)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n)
-      .select(col("vec_id"), col("cell_id"), col("embedding"))
+    // Map-only assignment: the ≤ nCells centroids collapse into ONE sorted
+    // array row (a 16-row aggregate — the only shuffle here), and each
+    // vector picks its n nearest cells per row via array_sort + slice over
+    // that broadcast array. The previous formulation ranked a
+    // crossJoin(N × nCells) with a row_number window — a data-sized
+    // shuffle per Lloyd iteration that this removes; at scale, assignment
+    // is now pure map work. Sorting struct(d2, cell_id) reproduces the
+    // window's (d2 asc, cell_id asc) order exactly, so results (and the
+    // DuckDB oracle) are unchanged.
+    val cells = centroids.agg(
+      array_sort(collect_list(struct(col("cell_id"), col("c_emb")))).as("cells"))
+    val d2 = "round(aggregate(zip_with(embedding, c.c_emb, " +
+      "(e, cc) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
+    embeddings.crossJoin(broadcast(cells))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(
+          s"slice(array_sort(transform(cells, c -> " +
+            s"struct($d2 AS d2, c.cell_id AS cell_id))), 1, $n)")).as("a"))
+      .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("embedding"))
   }
 
   /** Deterministic fixed-seed k-means coarse quantizer: centroids start at
