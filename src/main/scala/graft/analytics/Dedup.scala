@@ -296,14 +296,18 @@ object Dedup {
             col("simhash").as("sig_p"))
       }
 
-    // first chunk index where the pair's chunk distance is within t
-    // (single-pass native expression): each pair passes the condition at
-    // exactly one c, so NO downstream distinct (and no shuffle) is needed
+    // single-emission + radius test INSIDE the join condition (native
+    // single-pass expressions), so failing candidates are never written as
+    // join output rows: the pair passes only at its first chunk index with
+    // chunk distance ≤ t and within the exact radius — each pair is
+    // emitted exactly once, so NO downstream distinct (no shuffle) is
+    // needed. (Measured against evaluating a fused dist expression in the
+    // projection + filter: losing the in-join test costs ~15% because
+    // non-matching rows then materialize both signatures into output rows.)
     val once = expr(
       s"""pid != iid AND (NOT ex OR pid < iid)
          |AND first_chunk_within(sig_p, sig_i, $m, $t) = pc
          |AND hamming(sig_p, sig_i) <= $maxDist""".stripMargin)
-
     probe.join(index,
         col("pc") === col("ic") && col("pchunk") === col("ichunk") && once)
       .select(least(col("pid"), col("iid")).as("id_a"),
@@ -315,20 +319,18 @@ object Dedup {
     * position, majority vote of the token-hash bits. Output the signature as
     * a 64-char bit-string (exact in any engine; integer math only).
     */
-  def simhashSignatures(docs: DataFrame): DataFrame =
-    // Map-only: per doc, hash the distinct tokens once, then for each of the
-    // 64 bit positions take the majority vote with a nested aggregate over
-    // the hash array. vote = Σ(bit·2−1) > 0  ⇔  2·Σbit > n_tokens. The old
-    // formulation exploded tokens×64 rows through two shuffles; this is one
-    // narrow codegen'd stage — the shape that scales as pure map work.
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    // Map-only, one compiled pass per row (native `simhash64` Expression).
+    // History: the first formulation exploded tokens×64 rows through two
+    // shuffles; the second was a narrow HOF stage but evaluated the
+    // per-token majority vote through interpreted lambdas (~2s hidden in
+    // every near-dup key at sf0.1); this one keeps the map-only shape with
+    // the token/md5/vote loop compiled. Output is bit-identical (same
+    // split-on-space tokens incl. empties, same md5-nibble bit
+    // extraction, same strict-majority vote) — the DuckDB oracle is
+    // unchanged.
+    graft.functions.NativeExpressions.register(docs.sparkSession)
     docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr("transform(array_distinct(split(text, ' ')), t -> md5(CAST(t AS BINARY)))")
-          .as("hs"))
-      .select(col("doc_id"),
-        expr("array_join(transform(sequence(0, 63), b -> " +
-          "CASE WHEN 2 * aggregate(hs, 0L, (acc, h) -> acc + " +
-          "(shiftright(CAST(conv(substring(h, 1 + CAST(b / 4 AS INT), 1), 16, 10) AS BIGINT), " +
-          "CAST(3 - b % 4 AS INT)) & 1)) > size(hs) THEN '1' ELSE '0' END), '')")
-          .as("simhash"))
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+  }
 }

@@ -303,9 +303,79 @@ object NativeExpressions {
         wExpr = newChildren(2), baseExpr = newChildren(3))
   }
 
-  /** Register `float_dot`, `hamming`, `first_chunk_within` and
-    * `winnow_minima` as SQL functions in the session, so they are usable
-    * from `expr(...)`/`spark.sql(...)`.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash of one document in a single compiled pass: distinct
+    * space-split tokens (split keeps empty strings, exactly like
+    * `split(text, ' ')` in Spark SQL and `string_split` in the oracle), md5
+    * per token, per-bit strict-majority vote (`2·Σbit > n`). Bit `b` of the
+    * hex digest is `(digest[b/8] >>> (7 − b%8)) & 1` — identical to the HOF
+    * formulation's `conv(substring(hex, 1 + b/4, 1))` nibble extraction.
+    * Returns the 64-char '0'/'1' string.
+    */
+  def simhash64Java(s: UTF8String): UTF8String = {
+    val toks = s.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](64)
+    val md = md5Local.get()
+    var n = 0
+    var ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti)
+      if (seen.add(t)) {
+        n += 1
+        md.reset()
+        val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < 64) {
+          counts(b) += (digest(b / 8) >>> (7 - b % 8)) & 1
+          b += 1
+        }
+      }
+      ti += 1
+    }
+    val out = new Array[Char](64)
+    var b = 0
+    while (b < 64) {
+      out(b) = if (2 * counts(b) > n) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  /** simhash64(text) → 64-char bit-string signature. CodegenFallback on
+    * purpose — evaluated once per ROW with all the token/md5 work in one
+    * compiled helper, replacing the interpreted per-token HOF majority
+    * vote (the hidden cost inside every simhash near-dup key).
+    */
+  case class Simhash64(text: Expression) extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def children: Seq[Expression] = Seq(text)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = text.nullable
+    override def prettyName: String = "simhash64"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (text.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects string, got ${text.dataType}")
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val s = text.eval(input)
+      if (s == null) null else simhash64Java(s.asInstanceOf[UTF8String])
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(text = newChildren(0))
+  }
+
+  /** Register `float_dot`, `hamming`, `first_chunk_within`,
+    * `winnow_minima` and `simhash64` as SQL functions in the session, so
+    * they are usable from `expr(...)`/`spark.sql(...)`.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -321,6 +391,8 @@ object NativeExpressions {
       "winnow_minima",
       exprs => WinnowMinima(exprs(0), exprs(1), exprs(2), exprs(3)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash64(exprs(0)), "scala_udf")
   }
 }
 
