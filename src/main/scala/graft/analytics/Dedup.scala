@@ -229,22 +229,26 @@ object Dedup {
     * changes cost shape. At 100 TB the per-index key space (2^9 at
     * maxDist = 12) is the dial to watch: a radius-12 ball of a 64-bit
     * simhash is inherently coarse (37% of ALL doc pairs qualify on the
-    * correlated test corpus), and the scale answer is a wider signature
-    * (128-bit), not more index replication.
+    * correlated test corpus), and the scale answer is a wider signature —
+    * pass `sigBits = 128` (md5 width; chunks double to ~18 bits at the
+    * same radius and the chunk scheme adapts automatically), not more
+    * index replication.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
       maxDist: Int = 3,
-      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64,
-      s"simhashNearDupPairs: maxDist must be in [0, 64), got $maxDist")
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local,
+      sigBits: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist < sigBits,
+      s"simhashNearDupPairs: maxDist must be in [0, $sigBits), got $maxDist")
     graft.functions.NativeExpressions.register(docs.sparkSession)
-    val sigs = materialize(simhashSignatures(docs))
+    val sigs = materialize(simhashSignatures(docs, sigBits))
 
-    // near-equal chunk boundaries over the 64-char bit string: (start, len),
-    // start is 1-based for substring()
+    // near-equal chunk boundaries over the sigBits-char bit string:
+    // (start, len), start is 1-based for substring()
     def bounds(m: Int): Seq[(Int, Int)] = {
-      val lens = (0 until m).map(i => 64 / m + (if (i < 64 % m) 1 else 0))
+      val lens = (0 until m).map(i =>
+        sigBits / m + (if (i < sigBits % m) 1 else 0))
       val starts = lens.scanLeft(1)(_ + _)
       (0 until m).map(i => (starts(i), lens(i)))
     }
@@ -319,7 +323,7 @@ object Dedup {
     * position, majority vote of the token-hash bits. Output the signature as
     * a 64-char bit-string (exact in any engine; integer math only).
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+  def simhashSignatures(docs: DataFrame, bits: Int = 64): DataFrame = {
     // Map-only, one compiled pass per row (native `simhash64` Expression).
     // History: the first formulation exploded tokens×64 rows through two
     // shuffles; the second was a narrow HOF stage but evaluated the
@@ -331,6 +335,6 @@ object Dedup {
     // unchanged.
     graft.functions.NativeExpressions.register(docs.sparkSession)
     docs.repartition(col("doc_id"))
-      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+      .select(col("doc_id"), expr(s"simhash64(text, $bits)").as("simhash"))
   }
 }

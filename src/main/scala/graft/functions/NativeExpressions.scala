@@ -308,18 +308,20 @@ object NativeExpressions {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** 64-bit SimHash of one document in a single compiled pass: distinct
-    * space-split tokens (split keeps empty strings, exactly like
+  /** `bits`-wide SimHash of one document in a single compiled pass:
+    * distinct space-split tokens (split keeps empty strings, exactly like
     * `split(text, ' ')` in Spark SQL and `string_split` in the oracle), md5
     * per token, per-bit strict-majority vote (`2·Σbit > n`). Bit `b` of the
     * hex digest is `(digest[b/8] >>> (7 − b%8)) & 1` — identical to the HOF
     * formulation's `conv(substring(hex, 1 + b/4, 1))` nibble extraction.
-    * Returns the 64-char '0'/'1' string.
+    * Returns the `bits`-char '0'/'1' string; bits ≤ 128 (one md5 per
+    * token). The first 64 chars of the 128-bit signature ARE the 64-bit
+    * signature, so widening is monotone.
     */
-  def simhash64Java(s: UTF8String): UTF8String = {
+  def simhashJava(s: UTF8String, bits: Int): UTF8String = {
     val toks = s.toString.split(" ", -1)
     val seen = new java.util.HashSet[String]()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](bits)
     val md = md5Local.get()
     var n = 0
     var ti = 0
@@ -330,47 +332,56 @@ object NativeExpressions {
         md.reset()
         val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var b = 0
-        while (b < 64) {
+        while (b < bits) {
           counts(b) += (digest(b / 8) >>> (7 - b % 8)) & 1
           b += 1
         }
       }
       ti += 1
     }
-    val out = new Array[Char](64)
+    val out = new Array[Char](bits)
     var b = 0
-    while (b < 64) {
+    while (b < bits) {
       out(b) = if (2 * counts(b) > n) '1' else '0'
       b += 1
     }
     UTF8String.fromString(new String(out))
   }
 
-  /** simhash64(text) → 64-char bit-string signature. CodegenFallback on
-    * purpose — evaluated once per ROW with all the token/md5 work in one
-    * compiled helper, replacing the interpreted per-token HOF majority
-    * vote (the hidden cost inside every simhash near-dup key).
+  /** simhash64(text[, bits]) → bit-string signature (default 64 bits, up
+    * to 128 — the radius-12 scale dial: doubling the signature width is
+    * what keeps a fixed radius selective on a larger corpus).
+    * CodegenFallback on purpose — evaluated once per ROW with all the
+    * token/md5 work in one compiled helper, replacing the interpreted
+    * per-token HOF majority vote (the hidden cost inside every simhash
+    * near-dup key).
     */
-  case class Simhash64(text: Expression) extends Expression
+  case class Simhash64(text: Expression, bitsExpr: Expression) extends Expression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-    override def children: Seq[Expression] = Seq(text)
+    override def children: Seq[Expression] = Seq(text, bitsExpr)
     override def dataType: DataType = StringType
     override def nullable: Boolean = text.nullable
     override def prettyName: String = "simhash64"
 
     override def checkInputDataTypes(): TypeCheckResult =
-      if (text.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      if (text.dataType == StringType && bitsExpr.dataType == IntegerType &&
+        bitsExpr.foldable &&
+        bitsExpr.eval().asInstanceOf[Int] >= 1 &&
+        bitsExpr.eval().asInstanceOf[Int] <= 128)
+        TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"simhash64 expects string, got ${text.dataType}")
+        s"simhash64 expects (string[, int literal in [1, 128]])")
+
+    private lazy val bits = bitsExpr.eval().asInstanceOf[Int]
 
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val s = text.eval(input)
-      if (s == null) null else simhash64Java(s.asInstanceOf[UTF8String])
+      if (s == null) null else simhashJava(s.asInstanceOf[UTF8String], bits)
     }
 
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
-      copy(text = newChildren(0))
+      copy(text = newChildren(0), bitsExpr = newChildren(1))
   }
 
   /** Register `float_dot`, `hamming`, `first_chunk_within`,
@@ -392,7 +403,11 @@ object NativeExpressions {
       exprs => WinnowMinima(exprs(0), exprs(1), exprs(2), exprs(3)),
       "scala_udf")
     reg.createOrReplaceTempFunction(
-      "simhash64", exprs => Simhash64(exprs(0)), "scala_udf")
+      "simhash64",
+      exprs => Simhash64(exprs(0),
+        if (exprs.length > 1) exprs(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(64)),
+      "scala_udf")
   }
 }
 

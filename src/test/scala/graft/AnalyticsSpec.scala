@@ -80,6 +80,45 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash near-dup at 128-bit signatures: recall complete, widening monotone") {
+    // the 128-bit scale dial: same operator, wider signature — recall
+    // still matches brute force, and the first 64 chars of every 128-bit
+    // signature equal the 64-bit signature (so widening only REMOVES
+    // coincidental near-dup pairs, never invents them)
+    val dup = docs.limit(1).withColumn("doc_id", lit(999999L))
+    val subset = docs.limit(60).union(dup)
+    val sigs128 = Dedup.simhashSignatures(subset, bits = 128).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(sigs128.forall(_._2.length == 128))
+    val sigs64 = Dedup.simhashSignatures(subset).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs128.forall { case (id, s) => s.take(64) == sigs64(id) })
+    val maxDist = 12
+    val pairs = Dedup.simhashNearDupPairs(subset, maxDist, sigBits = 128)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      i <- sigs128.indices; j <- (i + 1) until sigs128.length
+      d = sigs128(i)._2.zip(sigs128(j)._2).count { case (a, b) => a != b }
+      if d <= maxDist
+    } yield (sigs128(i)._1, sigs128(j)._1, d)).toSet
+    assert(brute.exists(_._3 == 0), "expected the duplicated doc pair")
+    assert(pairs == brute, s"128-bit: chunked=${pairs.size} brute=${brute.size}")
+  }
+
+  test("simhash near-dup plan has no shuffle downstream of the signature scan") {
+    // the single-emission join condition removed the candidate distinct —
+    // the ONLY remaining exchange in the whole query is the broadcast of
+    // the index side (at cluster scale a non-broadcastable index side
+    // degrades to one shuffle join, still with no distinct after it)
+    for (maxDist <- Seq(3, 12)) {
+      val q = Dedup.simhashNearDupPairs(docs.limit(100), maxDist)
+      val plan = q.queryExecution.executedPlan.toString
+      val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+      assert(shuffles == 0, s"maxDist=$maxDist: unexpected shuffle in\n$plan")
+    }
+  }
+
   test("ngram jaccard df-cap drops hot shingles from candidates and sizes") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
