@@ -39,6 +39,25 @@ object Dedup {
       Seq("__fp"), Seq("doc_id"), 1)
       .drop("__fp")
 
+  /** Incremental (cross-snapshot) dedup — the nightly-ingest shape: which
+    * rows of `newBatch` are worth admitting into a corpus that already
+    * contains `corpus`. A new document survives iff (a) it is the min-id
+    * representative of its normalized fingerprint WITHIN the batch and
+    * (b) its fingerprint is absent from the corpus. Both sides reduce to
+    * one md5 per distinct document before the anti-join, so at 100 TB the
+    * shuffle carries fingerprints, never text — and on a real deployment
+    * the corpus side is a pre-computed fingerprint table, making the
+    * nightly cost O(batch), not O(corpus).
+    */
+  def incrementalNew(corpus: DataFrame, newBatch: DataFrame): DataFrame = {
+    val reps = newBatch
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val seen = corpus.select(fingerprint(col("text")).as("fp")).distinct()
+    reps.join(seen, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base
     * relation for Jaccard and MinHash.
     *

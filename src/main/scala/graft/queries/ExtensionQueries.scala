@@ -27,6 +27,15 @@ object ExtensionQueries {
       t(s, dir, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"))),
     "dedup_apply" -> ((s, dir) => Dedup.dedupApply(t(s, dir, "documents"))),
+    // incremental ingest dedup: docs with doc_id % 10 = 0 play the "new
+    // batch", the rest the existing corpus — batch-internal dedup plus a
+    // fingerprint anti-join against the corpus
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNew(
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        newBatch = docs.filter(col("doc_id") % 10 === 0))
+    }),
     // full corpus (no input cap): the df-cap inside the operator bounds the
     // hot-shingle join skew instead
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -45,11 +54,19 @@ object ExtensionQueries {
     // just chunk-set self-consistency
     "simhash_neardup_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 3)),
-    // full corpus, wide radius: Manku block-combination keys (C(16,4)
-    // combinations of 4-bit blocks ⇒ 16-bit join keys), still complete by
-    // pigeonhole; brute-force oracle again
+    // full corpus, wide radius: generalized pigeonhole (m = maxDist/2 + 1
+    // chunks, 1-flip probe expansion), complete by construction;
+    // brute-force oracle again
     "simhash_neardup_pairs_wide" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 12)),
+    // the documented scale dial for wide radii, exercised end-to-end: the
+    // SAME radius over a 128-bit signature — chunks widen to ~18 bits (the
+    // per-index key space the 100 TB shape needs) and a radius-12 ball of
+    // a 128-bit simhash is selective again instead of covering 37% of all
+    // pairs; brute-force 128-bit oracle
+    "simhash_neardup_pairs_128" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 12,
+        sigBits = 128)),
 
     // ---- similarity search ----
     "cosine_topk_bruteforce" -> ((s, dir) =>
@@ -86,6 +103,30 @@ object ExtensionQueries {
     "text_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         langIdHeuristic(col("text")).as("lang_pred"))),
+    // Gopher/C4-style repetition signals, as exact integer counts (the
+    // ratios a filter would threshold are count/count — emitting counts
+    // keeps the oracle hash integer-stable): top-token multiplicity and
+    // duplicate word-bigram volume per document. Two explode→groupBy
+    // corpus sweeps joined on doc_id — both shuffles are on (doc_id, gram)
+    // then doc_id, the partition-friendly shape at corpus scale.
+    "text_repetition" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+      val uni = tok.select(col("doc_id"), explode(col("w")).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("n")).as("n_tokens"), max(col("n")).as("top_token_n"))
+      val bi = tok
+        .select(col("doc_id"), explode(wordShingles(col("w"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("n")).as("n_2grams"),
+          (sum(col("n")) - count(lit(1))).as("n_dup_2grams"))
+      uni.join(bi, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("top_token_n"),
+          coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+          coalesce(col("n_dup_2grams"), lit(0L)).as("n_dup_2grams"))
+    }),
     // corpus-level vocabulary: the LM-data "what's in this corpus" sweep —
     // explode shuffles on token, partial map-side counts keep it narrow
     "text_vocab_topk" -> ((s, dir) =>
@@ -130,6 +171,18 @@ object ExtensionQueries {
         .filter(instr(col("text"), col("pattern")) > 0)
         .groupBy(col("pattern"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
+    }),
+    // n-gram-overlap decontamination at eval-suite scale: docs with
+    // doc_id % 50 = 0 play the benchmark; a distributed BloomFilterAggregate
+    // over the benchmark word-4-grams prefilters the exploded corpus grams
+    // map-side (codegen'd might_contain), then an exact semi-join confirms —
+    // bloom-accelerated but exact, so the oracle is a plain equality join
+    "contamination_bloom_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.bloomNgramScan(
+        corpus = docs.filter(col("doc_id") % 50 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 50 === 0),
+        n = 4)
     }),
     // deterministic stratified sampling: keep 1-in-2 English docs, 1-in-5
     // of every other language — the class-rebalancing sampler
@@ -221,17 +274,17 @@ object ExtensionQueries {
     * against this proves the engine's pigeonhole candidate generation loses
     * no pair within the radius.
     */
-  private def simhashBruteForceOracle(maxDist: Int): String =
+  private def simhashBruteForceOracle(maxDist: Int, bits: Int = 64): String =
     "WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
       "unnest(string_split(text, ' ')) AS t FROM documents) u), " +
-      "hb AS (SELECT doc_id, md5(t) AS h, unnest(generate_series(0, 63)) AS b FROM toks), " +
+      s"hb AS (SELECT doc_id, md5(t) AS h, unnest(generate_series(0, ${bits - 1})) AS b FROM toks), " +
       "bits AS (SELECT doc_id, b, " +
       "((('0x' || substr(h, 1 + CAST(b // 4 AS INT), 1))::BIGINT >> CAST(3 - b % 4 AS INT)) & 1) AS bit FROM hb), " +
       "votes AS (SELECT doc_id, b, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b), " +
       "sigs AS (SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash " +
       "FROM votes GROUP BY doc_id), " +
       "d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-      "CAST(len(list_filter(generate_series(1, 64), " +
+      s"CAST(len(list_filter(generate_series(1, $bits), " +
       "i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1))) AS INTEGER) AS dist " +
       "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) " +
       s"SELECT id_a, id_b, dist FROM d WHERE dist <= $maxDist"
@@ -290,6 +343,19 @@ object ExtensionQueries {
       ("SELECT d.* FROM documents d JOIN (SELECT min(doc_id) AS keep_id " +
         "FROM documents GROUP BY md5(lower(trim(text)))) k " +
         "ON d.doc_id = k.keep_id"),
+    "contamination_bloom_ngram" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] " +
+        "FOR i IN generate_series(1, len(w) - 3)]) AS s FROM toks) u), " +
+        "bg AS (SELECT DISTINCT s FROM grams WHERE doc_id % 50 = 0) " +
+        "SELECT g.doc_id, count(*) AS n_contaminated_grams FROM grams g " +
+        "JOIN bg USING (s) WHERE g.doc_id % 50 != 0 GROUP BY g.doc_id"),
+    "dedup_incremental" ->
+      ("WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents), " +
+        "reps AS (SELECT fp, min(doc_id) AS doc_id FROM fp WHERE doc_id % 10 = 0 GROUP BY fp) " +
+        "SELECT doc_id, fp FROM reps WHERE fp NOT IN " +
+        "(SELECT fp FROM fp WHERE doc_id % 10 != 0)"),
     "ngram_jaccard_pairs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
@@ -341,6 +407,7 @@ object ExtensionQueries {
         "FROM votes GROUP BY doc_id"),
     "simhash_neardup_pairs" -> simhashBruteForceOracle(3),
     "simhash_neardup_pairs_wide" -> simhashBruteForceOracle(12),
+    "simhash_neardup_pairs_128" -> simhashBruteForceOracle(12, bits = 128),
     "cosine_topk_native" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +
@@ -411,6 +478,16 @@ object ExtensionQueries {
       ("SELECT doc_id, CASE WHEN 10 * len(list_filter(string_split(text, ' '), " +
         "x -> x IN ('the', 'a', 'of', 'and'))) >= len(string_split(text, ' ')) " +
         "THEN 'en' ELSE 'unk' END AS lang_pred FROM documents"),
+    "text_repetition" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "uni AS (SELECT doc_id, t, count(*) AS n FROM (SELECT doc_id, unnest(w) AS t FROM toks) u GROUP BY doc_id, t), " +
+        "us AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, max(n) AS top_token_n FROM uni GROUP BY doc_id), " +
+        "bg AS (SELECT doc_id, g, count(*) AS n FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS g FROM toks) u GROUP BY doc_id, g), " +
+        "bs AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2grams, " +
+        "CAST(sum(n) - count(*) AS BIGINT) AS n_dup_2grams FROM bg GROUP BY doc_id) " +
+        "SELECT us.doc_id, n_tokens, top_token_n, coalesce(n_2grams, 0) AS n_2grams, " +
+        "coalesce(n_dup_2grams, 0) AS n_dup_2grams FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id"),
     "text_vocab_topk" ->
       ("SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) u " +

@@ -208,4 +208,33 @@ class AnalyticsSpec extends SparkSpecBase {
     val total = s.agg(sum("n_events")).head.getLong(0)
     assert(total == events.count())
   }
+
+  test("incremental dedup admits only batch-representative, corpus-unseen docs") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = spark.createDataFrame(Seq(
+      Row(1L, "seen before"), Row(2L, "also seen")).asJava, schema)
+    val batch = spark.createDataFrame(Seq(
+      Row(10L, "Seen BEFORE "), // fingerprint-dup of corpus doc 1 → dropped
+      Row(11L, "brand new"), // genuinely new → admitted
+      Row(12L, "brand new"), // batch-internal dup of 11 → dropped
+      Row(13L, "another new one")).asJava, schema)
+    val admitted = Dedup.incrementalNew(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(11L, 13L))
+  }
+
+  test("bloom-prefiltered contamination scan equals the exact join (bloom adds no rows, loses none)") {
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val viaBloom = Decontaminate.bloomNgramScan(corpus, bench, n = 3)
+    val exact = Dedup.shingles(corpus, 3)
+      .join(Dedup.shingles(bench, 3).select("s").distinct(), Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated_grams"))
+    assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty)
+    assert(viaBloom.count() > 0) // non-vacuous at sf0.001 with 3-grams
+  }
 }
