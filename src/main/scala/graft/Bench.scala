@@ -22,7 +22,7 @@ object Bench {
     // timed queries use: aggregate, broadcast-hash join, left-semi join,
     // window.
     try {
-      import org.apache.spark.sql.functions.{broadcast, col, expr}
+      import org.apache.spark.sql.functions.{broadcast, col, expr, max, sum}
       val warm = spark.read.parquet(s"$sfDir/region.parquet")
       warm.groupBy("r_name").count().count()
       val n = spark.read.parquet(s"$sfDir/nation.parquet")
@@ -31,6 +31,16 @@ object Bench {
         col("n_nationkey") === col("k"), "left_semi").count()
       n.select(expr("sum(n_nationkey) OVER " +
         "(PARTITION BY n_regionkey ORDER BY n_nationkey)")).count()
+      // tiny higher-order-function + decimal-aggregate pass: JITs the
+      // lambda-eval and DECIMAL codegen families the embedding/k-means keys
+      // use (measured: the first decimal HOF plan otherwise pays ~3-4s of
+      // one-time JIT inside whatever key runs it first)
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(32)
+        .select(expr("round(aggregate(zip_with(embedding, embedding, " +
+          "(a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), " +
+          "(acc, x) -> acc + x), 9)").as("d"),
+          expr("CAST(element_at(embedding, 1) AS DECIMAL(18,16))").as("v"))
+        .agg(sum(col("v")), max(col("d"))).count()
       // one tiny subsetter pass over the two smallest tables: JITs the
       // semi/anti-join + union + checkpoint code paths the subset keys use.
       // Deliberately NOT the benched fixture config — the memoized result

@@ -144,9 +144,16 @@ object Similarity {
   }
 
   /** Deterministic fixed-seed k-means coarse quantizer: centroids start at
-    * the first `nCells` vectors (the fixed seed) and take `iters` Lloyd
-    * iterations, all as DataFrame ops — assignment is a broadcast cross-join
-    * argmin, the centroid update is one posexplode + groupBy per iteration.
+    * the training set's first `nCells` vectors (the fixed seed) and take
+    * `iters` Lloyd iterations, all as DataFrame ops — assignment is a
+    * broadcast cross-join argmin, the centroid update is one posexplode +
+    * groupBy per iteration.
+    *
+    * `trainMod` sub-samples the training set deterministically
+    * (`vec_id % trainMod = 0`) — the standard quantizer-training practice
+    * at corpus scale: you never run Lloyd over 100 TB of vectors, you train
+    * on a sample and assign everything. Sampling only changes which
+    * centroids come out, never the exactness of the downstream assignment.
     *
     * Engine-exact on purpose, so a DuckDB oracle can mirror it: per-dimension
     * means accumulate in DECIMAL (order-independent, exact) and divide once
@@ -156,12 +163,17 @@ object Similarity {
     *
     * Returns (cell_id, c_emb: Array[Double]).
     */
-  def kMeansCentroids(embeddings: DataFrame, nCells: Int = 16, iters: Int = 3): DataFrame = {
-    var centroids = embeddings.filter(col("vec_id") < nCells)
+  def kMeansCentroids(
+      embeddings: DataFrame, nCells: Int = 16, iters: Int = 3,
+      trainMod: Int = 1): DataFrame = {
+    val train =
+      if (trainMod <= 1) embeddings
+      else embeddings.filter(col("vec_id") % trainMod === 0)
+    var centroids = train.filter(col("vec_id") < nCells.toLong * trainMod)
       .select(col("vec_id").as("cell_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
     for (_ <- 1 to iters) {
-      centroids = assignCells(embeddings, centroids, 1)
+      centroids = assignCells(train, centroids, 1)
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos"))
         .agg(
@@ -191,12 +203,14 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      trainMod: Int = 1): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     // 16 rows consumed by two assignment passes — cut the 3-iteration
     // window/agg lineage once
-    val centroids = kMeansCentroids(spread, nCells, iters).localCheckpoint()
+    val centroids =
+      kMeansCentroids(spread, nCells, iters, trainMod).localCheckpoint()
 
     // index: each vector in exactly its nearest cell
     val indexed = assignCells(spread, centroids, 1)
