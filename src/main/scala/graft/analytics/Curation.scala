@@ -1,0 +1,114 @@
+package graft.analytics
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: source mixing,
+  * corpus-frequency scoring, quantile-band quality filtering, PII scrubbing
+  * and deterministic training-order shuffling. Like the dedup tier, every
+  * operator is a shuffle-on-key DataFrame transform with engine-independent
+  * (integer / md5 / single-IEEE-op) arithmetic, so results are identical
+  * across partitionings and across engines — the property the DuckDB oracle
+  * hash-checks.
+  */
+object Curation {
+
+  /** Temperature-based source mixing (the multi-corpus sampling step of LM
+    * training): source `s` with `n_s` documents gets a quota proportional to
+    * `n_s^alpha` (alpha = 1/2 here — the sqrt tempering that upweights small
+    * sources), and the quota is filled deterministically by smallest doc id.
+    *
+    * Arithmetic is oracle-exact by construction: the per-source weight is
+    * `round(sqrt(n_s), 9)` accumulated as DECIMAL (order-independent exact
+    * sum), and the final quota is a single IEEE double multiply/divide/ceil
+    * — identical in any engine. The quota table is tiny (one row per
+    * source) and broadcast; the only corpus-sized shuffle is the per-source
+    * rank window, partitioned by source so it parallelizes.
+    */
+  def sourceMixSample(
+      docs: DataFrame,
+      targetTotal: Long,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = round(sqrt(col("n").cast("double")), 9).cast("decimal(38,9)")
+    val weights = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n")).select(col(sourceCol), w.as("w"))
+    val total = weights.agg(sum(col("w")).as("sw"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        ceil(lit(targetTotal.toDouble) * col("w").cast("double") /
+          col("sw").cast("double")).as("quota"))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
+      .join(broadcast(quotas), Seq(sourceCol))
+      .filter(col("rk") <= col("quota"))
+      .select(col(idCol), col(sourceCol), col("rk"))
+  }
+
+  /** Corpus-frequency document scoring — the unigram-LM-likelihood proxy
+    * kept integer-exact: one corpus sweep builds the term-frequency table,
+    * then each document is scored by the frequencies of its own token
+    * occurrences (total / min / rare-count). Low `sum_tf` / high `n_rare`
+    * marks out-of-distribution documents the way low unigram log-likelihood
+    * would, without any floating-point log (so the oracle hash is stable).
+    *
+    * Both shuffles are on the token string — the same key — so the tf build
+    * and the score join co-partition; no corpus-sized broadcast anywhere.
+    */
+  def unigramScore(docs: DataFrame, rareMax: Long = 50): DataFrame = {
+    val occ = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+    val tf = occ.groupBy(col("tk")).agg(count(lit(1)).as("tf"))
+    occ.join(tf, Seq("tk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"),
+        sum(when(col("tf") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+  }
+
+  /** Quantile-band quality filter: keep documents whose length sits between
+    * the corpus p25 and p75 — the "trim both tails" curation step. The two
+    * quantiles are one tiny aggregate row, broadcast against the corpus; the
+    * corpus itself is a single filtered scan (no shuffle at all), which is
+    * the right shape at 100 TB: quantiles from a cheap first pass (or a
+    * sketch), then a map-only filter.
+    */
+  def lengthBandFilter(
+      docs: DataFrame,
+      lenCol: String = "n_chars",
+      lo: Double = 0.25,
+      hi: Double = 0.75): DataFrame = {
+    val bands = docs.agg(
+      expr(s"percentile($lenCol, $lo)").as("p_lo"),
+      expr(s"percentile($lenCol, $hi)").as("p_hi"))
+    docs.crossJoin(broadcast(bands))
+      .filter(col(lenCol) >= col("p_lo") && col(lenCol) <= col("p_hi"))
+      .select(col("doc_id"), col(lenCol))
+  }
+
+  /** Deterministic corpus shuffle for training order — the distributed
+    * shape: a content hash keyed by (seed, doc_id) assigns every document a
+    * shard and a position within the shard. No global row_number (which
+    * would serialize the corpus through one window partition); each shard's
+    * window ranks independently, which is exactly how shuffled training
+    * shards are written at scale. Re-running with the same seed reproduces
+    * the order bit-for-bit.
+    */
+  def shuffleShards(docs: DataFrame, seed: String, nShards: Int = 64): DataFrame = {
+    val skey = md5Hex(concat(lit(seed + "-"), col("doc_id").cast("string")))
+    docs
+      .select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 4), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+}

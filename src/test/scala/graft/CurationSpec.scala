@@ -1,0 +1,64 @@
+package graft
+
+import graft.analytics.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpecBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("paragraph dedup: kept-paragraph counts are bounded and a self-union halves") {
+    val base = Dedup.paragraphDedup(docs)
+    // every doc keeps between 0 and all of its paragraphs
+    assert(base.filter(col("n_kept") > col("n_paras") || col("n_kept") < 0).count() == 0)
+    // duplicating the whole corpus (ids shifted above the originals) keeps
+    // nothing from the copies: every paragraph's first occurrence is in the
+    // original id range
+    val shift = docs.count()
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + shift))
+    val dd = Dedup.paragraphDedup(doubled)
+    assert(dd.filter(col("doc_id") >= shift).agg(sum("n_kept")).head.getLong(0) == 0L)
+    assert(dd.filter(col("doc_id") < shift).agg(sum("n_kept")).head.getLong(0) ==
+      base.agg(sum("n_kept")).head.getLong(0))
+  }
+
+  test("source mix sample: quotas respect the sqrt tempering and ranks are contiguous") {
+    val out = Curation.sourceMixSample(docs, targetTotal = 100)
+    // per-source selection is a prefix by doc_id: max rank == row count
+    val bySrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rk").as("max_rk"))
+    assert(bySrc.filter(col("n") =!= col("max_rk")).count() == 0)
+    // ceil rounding overshoots the target by at most one doc per source
+    val total = out.count()
+    val nSources = bySrc.count()
+    assert(total >= 100 && total <= 100 + nSources)
+    // determinism
+    assert(Curation.sourceMixSample(docs, 100).exceptAll(out).count() == 0)
+  }
+
+  test("unigram score: sum_tf >= n_tokens and every doc is scored") {
+    val s = Curation.unigramScore(docs)
+    assert(s.count() == docs.count())
+    assert(s.filter(col("sum_tf") < col("n_tokens") || col("min_tf") < 1).count() == 0)
+  }
+
+  test("length band filter keeps an interquartile-sized slice") {
+    val kept = Curation.lengthBandFilter(docs).count().toDouble
+    val n = docs.count().toDouble
+    assert(kept / n >= 0.40 && kept / n <= 0.70) // ~50% plus boundary ties
+  }
+
+  test("shuffle shards: a permutation, deterministic in the seed, shard-bounded") {
+    val a = Curation.shuffleShards(docs, "seed42")
+    assert(a.count() == docs.count())
+    assert(a.select("doc_id").distinct().count() == docs.count())
+    assert(a.filter(col("shard") < 0 || col("shard") >= 64).count() == 0)
+    // per-shard positions are 1..n_shard
+    assert(a.groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("m"))
+      .filter(col("n") =!= col("m")).count() == 0)
+    assert(Curation.shuffleShards(docs, "seed42").exceptAll(a).count() == 0)
+    // a different seed yields a different order (some doc changes position)
+    val b = Curation.shuffleShards(docs, "seed43")
+    assert(b.exceptAll(a).count() > 0)
+  }
+}
