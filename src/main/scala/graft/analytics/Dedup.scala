@@ -100,6 +100,47 @@ object Dedup {
           " ")).as("clean_md5"))
   }
 
+  /** Connected components over a near-duplicate pair relation — the
+    * clustering step a dedup pipeline runs after pair detection, so each
+    * component keeps exactly one representative. Min-label propagation as
+    * iterated DataFrame ops: every vertex starts as its own label and each
+    * round takes the min label over itself and its neighbors. `rounds`
+    * bounds propagation to that graph distance — near-dup components are
+    * shallow (stars/short chains around a template), so a small fixed bound
+    * is exact in practice and keeps the computation deterministic for the
+    * oracle; at adversarial diameters the same loop structure accepts more
+    * rounds (or the large-star/small-star variant that converges in
+    * O(log n) rounds) without changing any shuffle shape. Each round is one
+    * groupBy on the vertex id over the (tiny) edge relation joined with the
+    * label relation — at 100 TB both sides shuffle on the same key every
+    * round, so AQE reuses the partitioning.
+    *
+    * Returns (doc_id, component) with component = min doc_id reachable
+    * within `rounds` hops.
+    */
+  def connectedComponents(
+      edges: DataFrame, rounds: Int = 10,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    // undirected adjacency, self-loops so isolated endpoints keep a row
+    val adj = materialize(
+      edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .union(edges.select(col("id_a").as("src"), col("id_a").as("dst")))
+        .union(edges.select(col("id_b").as("src"), col("id_b").as("dst")))
+        .distinct())
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    for (i <- 1 to rounds) {
+      val next = adj.join(labels, adj("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("component"))
+        .select(col("src").as("id"), col("component"))
+      // cut lineage every few rounds: an iterated plan otherwise doubles in
+      // depth per round (analysis/codegen cost grows superlinearly)
+      labels = if (i % 3 == 0) materialize(next) else next
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base
     * relation for Jaccard and MinHash.
     *

@@ -231,6 +231,120 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ANN (Jégou et al., PQ with asymmetric distance
+    * computation): the embedding is split into `m` contiguous subspaces,
+    * each with its own k-means codebook of `ksub` centroids (the same
+    * deterministic Lloyd quantizer as IVF, run per subspace), and every
+    * vector is encoded as its `m` nearest-centroid codes. A query builds one
+    * tiny distance table per subspace (ksub entries: squared-L2 from the
+    * query's sub-vector to each centroid), and each candidate's approximate
+    * distance is the SUM of `m` table lookups — never a full-dimension scan.
+    * The ADC shortlist (`shortK` by approximate distance) is then re-ranked
+    * by exact cosine.
+    *
+    * This is the memory story at 100 TB: a 64-dim float vector is 256
+    * bytes, its PQ code is `m` small ints — the index fits in RAM at
+    * corpus scale, with the exact vectors touched only for the shortlist.
+    * The distance tables are broadcast (m·ksub rows); codes shuffle once on
+    * vec_id for the per-vector sum (on a real deployment codes are stored
+    * as m columns and the sum is map-only).
+    *
+    * Oracle-exact: per-table distances are rounded sequential double sums
+    * (same contract as [[assignCells]]) accumulated as DECIMAL(38,9) — an
+    * order-independent exact sum — and both the shortlist and final rank
+    * tie-break on vec_id.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      m: Int = 4,
+      subDim: Int = 16,
+      ksub: Int = 16,
+      iters: Int = 2,
+      shortK: Int = 50,
+      trainMod: Int = 1): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+
+    // one row per (vector, subspace): ALL m sub-quantizers train, encode
+    // and probe through a single chain of jobs over this stacked relation
+    // (m independent Lloyd chains would serialize m× the stages for the
+    // same math — measured 3× slower on the fixture)
+    def stack(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "embedding")))
+    val stacked = stack(spread)
+    val train = stacked.filter(col("vec_id") % trainMod === 0)
+
+    // grouped Lloyd: identical per-subspace math to kMeansCentroids, keyed
+    // by (sub, cell_id); the per-sub codebooks ride one broadcast m-row
+    // cells relation per iteration
+    val d2 = "round(aggregate(zip_with(embedding, c.c_emb, " +
+      "(e, cc) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
+    def assign(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+      val cells = cents.groupBy(col("sub"))
+        .agg(array_sort(collect_list(struct(col("cell_id"), col("c_emb")))).as("cells"))
+      df.join(broadcast(cells), "sub")
+        .select(col("sub"), col("vec_id"), col("embedding"),
+          explode(expr(s"slice(array_sort(transform(cells, c -> " +
+            s"struct($d2 AS d2, c.cell_id AS cell_id))), 1, $n)")).as("a"))
+        .select(col("sub"), col("vec_id"), col("embedding"),
+          col("a.cell_id").as("cell_id"))
+    }
+    var cents = train.filter(col("vec_id") < ksub.toLong * trainMod)
+      .select(col("sub"), col("vec_id").as("cell_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+    for (_ <- 1 to iters) {
+      cents = assign(train, cents, 1)
+        .select(col("sub"), col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell_id"), col("pos"))
+        .agg(
+          sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 16))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("cell_id"), col("pos"),
+          (col("s").cast("double") / col("n").cast("double")).as("v"))
+        .groupBy(col("sub"), col("cell_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), p -> p.v)")
+          .as("c_emb"))
+    }
+    // codebooks consumed by the encode pass and the distance tables — cut
+    // the Lloyd lineage once (cluster deployments swap in a reliable
+    // materializer exactly as in ivfTopK)
+    val codebooks = cents.localCheckpoint()
+
+    val codes = assign(stacked, codebooks, 1)
+      .select(col("vec_id"), col("sub"), col("cell_id"))
+    val d2ToQ = "round(aggregate(zip_with(c_emb, qe, " +
+      "(cc, e) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
+    val dtab = codebooks
+      .join(broadcast(stack(q).select(col("sub"), col("embedding").as("qe"))), "sub")
+      .select(col("sub"), col("cell_id"),
+        expr(d2ToQ).cast("decimal(38,9)").as("d2q"))
+
+    val shortlist = codes
+      .join(broadcast(dtab), Seq("sub", "cell_id"))
+      .groupBy(col("vec_id")).agg(sum(col("d2q")).as("adc"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(shortK)
+
+    val qEmb = broadcast(q.select(col("embedding").as("q_emb")))
+    shortlist.join(spread, Seq("vec_id"))
+      .crossJoin(qEmb)
+      .select(col("vec_id"),
+        round(expr("float_dot(embedding, q_emb)") /
+          (sqrt(expr("float_dot(embedding, embedding)")) *
+            sqrt(expr("float_dot(q_emb, q_emb)"))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** All near-duplicate pairs by embedding cosine within sign-LSH buckets —
     * the embedding-space analogue of MinHash near-dup detection. Pairs are
     * generated per bucket (the LSH candidate cut), then thresholded on the

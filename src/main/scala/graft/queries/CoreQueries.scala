@@ -170,6 +170,38 @@ object CoreQueries {
           "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)")
           .as("recent_total"))),
 
+    // L2+distribution window functions: ntile / percent_rank / cume_dist
+    // (exact rationals in IEEE double — engine-identical) plus a framed
+    // nth value, all over one per-customer sort
+    "window_ntile_cume" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)")
+          .as("quartile"),
+        expr("percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)")
+          .as("pr"),
+        expr("cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)")
+          .as("cd"),
+        expr("first_value(o_orderkey) OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")
+          .as("frame_first"))
+        .withColumn("quartile", col("quartile").cast("long"))),
+
+    // J5+full outer join with null-side coalescing — the reconciliation
+    // shape (customers without orders, orders whose customer fell away)
+    "join_full_outer_recon" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      val o = t(s, dir, "orders").filter(col("o_custkey") % 2 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          when(c("c_custkey").isNull, lit("orders_only"))
+            .when(o("o_custkey").isNull, lit("customer_only"))
+            .otherwise(lit("both")).as("side"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
     // Second join headline: revenue top-k per order for one segment
     "q3_segment_topk" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -426,6 +458,23 @@ object CoreQueries {
         "PARTITION BY o_custkey ORDER BY o_orderkey " +
         "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS recent_total " +
         "FROM orders"),
+    "window_ntile_cume" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS quartile, " +
+        "percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pr, " +
+        "cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS cd, " +
+        "first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_first " +
+        "FROM orders"),
+    "join_full_outer_recon" ->
+      ("WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0), " +
+        "o AS (SELECT o_custkey, count(*) AS n_orders FROM orders " +
+        "WHERE o_custkey % 2 = 0 GROUP BY o_custkey) " +
+        "SELECT coalesce(c_custkey, o_custkey) AS custkey, " +
+        "CASE WHEN c_custkey IS NULL THEN 'orders_only' " +
+        "WHEN o_custkey IS NULL THEN 'customer_only' ELSE 'both' END AS side, " +
+        "coalesce(n_orders, 0) AS n_orders " +
+        "FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"),
     "pivot_status_by_segment" ->
       ("SELECT c_mktsegment, " +
         "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F, " +

@@ -52,6 +52,13 @@ object ExtensionQueries {
       Dedup.winnowFingerprints(t(s, dir, "documents"))),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(t(s, dir, "documents"))),
+    // dedup clustering: connected components over the MinHash candidate
+    // pairs (min-label propagation; each cluster keeps min doc_id as its
+    // representative label)
+    "neardup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(t(s, dir, "documents"))
+          .select(col("id_a"), col("id_b")))),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -94,6 +101,11 @@ object ExtensionQueries {
     // multi-probe LSH: query bucket + all Hamming-1 neighbor buckets
     "cosine_topk_lsh_multiprobe" -> ((s, dir) =>
       Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // product quantization (asymmetric distance): 4 per-subspace k-means
+    // codebooks, ADC shortlist from broadcast distance tables, exact rerank
+    "cosine_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
+        trainMod = 2)),
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
@@ -383,7 +395,87 @@ object ExtensionQueries {
       s"WHERE e.vec_id != $queryId ORDER BY sim DESC, e.vec_id LIMIT $k"
   }
 
+  /** Mirror of [[Similarity.pqTopK]]: per-subspace sliced embeddings run the
+    * same fixed-seed Lloyd chain as the IVF oracle, codes are the final
+    * argmin assignment, the query's per-subspace distance tables use the
+    * same rounded sequential sums, and the ADC is an order-independent
+    * DECIMAL(38,9) sum of table lookups — so the hash-match proves codebook
+    * training, encoding, ADC scoring and the rerank all agree.
+    */
+  private def pqOracle(
+      m: Int, subDim: Int, ksub: Int, iters: Int, k: Int, shortK: Int,
+      queryId: Long, trainMod: Int): String = {
+    def dist(eRel: String, cRel: String, out: String) =
+      s"$out AS (SELECT e.vec_id, c.cell_id, e.embedding, round(list_sum([" +
+        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) " +
+        s"FOR i IN generate_series(1, len(e.embedding))]), 9) AS d2 FROM $eRel e, $cRel c)"
+    def argmin(dRel: String, out: String) =
+      s"$out AS (SELECT vec_id, cell_id, embedding FROM (SELECT vec_id, cell_id, embedding, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM $dRel) t WHERE rn = 1)"
+    def update(aRel: String, uOut: String, cOut: String) =
+      s"$uOut AS (SELECT cell_id, unnest([{'pos': i, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+        s"FOR i IN generate_series(1, len(embedding))], recursive := true) FROM $aRel), " +
+        s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
+        s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
+    val subCtes = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      val kmeans = (1 to iters).map { i =>
+        dist(s"train_$s", s"c${i - 1}_$s", s"a${i}d_$s") + ", " +
+          argmin(s"a${i}d_$s", s"a${i}_$s") + ", " +
+          update(s"a${i}_$s", s"u${i}_$s", s"c${i}_$s")
+      }.mkString(", ")
+      s"es_$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings), " +
+        s"train_$s AS (SELECT * FROM es_$s WHERE vec_id % $trainMod = 0), " +
+        s"c0_$s AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+        s"FROM train_$s WHERE vec_id < ${ksub.toLong * trainMod}), " + kmeans + ", " +
+        dist(s"es_$s", s"c${iters}_$s", s"cd_$s") + ", " + argmin(s"cd_$s", s"codes_$s") + ", " +
+        s"dtab_$s AS (SELECT c.cell_id, round(list_sum([" +
+        "(CAST(q.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(q.embedding[i] AS DOUBLE) - c.c[i]) " +
+        s"FOR i IN generate_series(1, len(q.embedding))]), 9) AS d2q FROM c${iters}_$s c, " +
+        s"(SELECT embedding[$lo:$hi] AS embedding FROM embeddings WHERE vec_id = $queryId) q)"
+    }.mkString(", ")
+    val codesU = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS sub, cell_id FROM codes_$s").mkString(" UNION ALL ")
+    val dtabU = (0 until m)
+      .map(s => s"SELECT $s AS sub, cell_id, d2q FROM dtab_$s").mkString(" UNION ALL ")
+    s"WITH $subCtes, codes AS ($codesU), dtab AS ($dtabU), " +
+      "adc AS (SELECT vec_id, sum(CAST(d2q AS DECIMAL(38,9))) AS adc " +
+      s"FROM codes JOIN dtab USING (sub, cell_id) WHERE vec_id != $queryId GROUP BY vec_id), " +
+      "short AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER " +
+      s"(ORDER BY adc, vec_id) AS rn FROM adc) t WHERE rn <= $shortK), " +
+      s"qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) " +
+      "SELECT e.vec_id, round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) / " +
+      "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))])) * " +
+      "sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(q.qe))]))), 6) AS sim " +
+      "FROM embeddings e JOIN short USING (vec_id), qv q " +
+      s"ORDER BY sim DESC, e.vec_id LIMIT $k"
+  }
+
+  /** Shared CTE chain for the MinHash LSH candidate pairs (mirrors
+    * [[Dedup.lshCandidatePairs]]): ends in `pairs(id_a, id_b, band)`.
+    */
+  private val minhashPairCtes: String =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+      "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
+      "hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 10))::BIGINT AS h1, " +
+      "('0x' || substr(md5(s), 11, 10))::BIGINT AS h2 FROM sh), " +
+      "sig AS (SELECT doc_id, " +
+      "min((h1 + 0 * h2) % 1099511627776) AS m0, min((h1 + 1 * h2) % 1099511627776) AS m1, " +
+      "min((h1 + 2 * h2) % 1099511627776) AS m2, min((h1 + 3 * h2) % 1099511627776) AS m3, " +
+      "min((h1 + 4 * h2) % 1099511627776) AS m4, min((h1 + 5 * h2) % 1099511627776) AS m5, " +
+      "min((h1 + 6 * h2) % 1099511627776) AS m6, min((h1 + 7 * h2) % 1099511627776) AS m7 " +
+      "FROM hs GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, 0 AS band, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS bkey FROM sig " +
+      "UNION ALL SELECT doc_id, 1, md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) FROM sig), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.band " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+      "AND a.doc_id < b.doc_id)"
+
   val oracles: Map[String, String] = Map(
+    "cosine_topk_pq" ->
+      pqOracle(m = 4, subDim = 16, ksub = 16, iters = 2, k = 10, shortK = 50,
+        queryId = 0L, trainMod = 2),
     "dedup_exact" ->
       ("SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups " +
         "FROM documents GROUP BY text"),
@@ -485,23 +577,20 @@ object ExtensionQueries {
         "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS fp FROM hashed) " +
         "SELECT DISTINCT doc_id, fp FROM winnowed"),
     "minhash_lsh_pairs" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
-        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
-        "hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 10))::BIGINT AS h1, " +
-        "('0x' || substr(md5(s), 11, 10))::BIGINT AS h2 FROM sh), " +
-        "sig AS (SELECT doc_id, " +
-        "min((h1 + 0 * h2) % 1099511627776) AS m0, min((h1 + 1 * h2) % 1099511627776) AS m1, " +
-        "min((h1 + 2 * h2) % 1099511627776) AS m2, min((h1 + 3 * h2) % 1099511627776) AS m3, " +
-        "min((h1 + 4 * h2) % 1099511627776) AS m4, min((h1 + 5 * h2) % 1099511627776) AS m5, " +
-        "min((h1 + 6 * h2) % 1099511627776) AS m6, min((h1 + 7 * h2) % 1099511627776) AS m7 " +
-        "FROM hs GROUP BY doc_id), " +
-        "bands AS (SELECT doc_id, 0 AS band, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS bkey FROM sig " +
-        "UNION ALL SELECT doc_id, 1, md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) FROM sig), " +
-        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.band " +
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
-        "AND a.doc_id < b.doc_id) " +
-        "SELECT id_a, id_b, count(*) AS n_shared_bands FROM pairs GROUP BY 1, 2"),
+      ("WITH " + minhashPairCtes +
+        " SELECT id_a, id_b, count(*) AS n_shared_bands FROM pairs GROUP BY 1, 2"),
+    // exact transitive closure (recursive CTE) vs the engine's bounded
+    // min-label propagation: equal because near-dup components on the
+    // fixture corpus have diameter << 10 rounds
+    "neardup_components" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " +
+        "e AS (SELECT DISTINCT id_a, id_b FROM pairs), " +
+        "und AS (SELECT id_a AS src, id_b AS dst FROM e " +
+        "UNION SELECT id_b, id_a FROM e " +
+        "UNION SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e), " +
+        "reach AS (SELECT src, dst FROM und UNION " +
+        "SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src) " +
+        "SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
     "simhash_signatures" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
         "unnest(string_split(text, ' ')) AS t FROM documents) u), " +

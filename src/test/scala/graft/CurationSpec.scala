@@ -22,6 +22,23 @@ class CurationSpec extends SparkSpecBase {
       base.agg(sum("n_kept")).head.getLong(0))
   }
 
+  test("connected components: chains and cliques collapse to their min label") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    // a 4-chain, a triangle, an isolated pair
+    val edges = spark.createDataFrame(Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(3L, 4L),
+      Row(10L, 11L), Row(11L, 12L), Row(10L, 12L),
+      Row(20L, 21L)).asJava, schema)
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("source mix sample: quotas respect the sqrt tempering and ranks are contiguous") {
     val out = Curation.sourceMixSample(docs, targetTotal = 100)
     // per-source selection is a prefix by doc_id: max rank == row count

@@ -110,4 +110,18 @@ class ScalePatternSpec extends SparkSpecBase {
     // true top-k for these clustered fixtures
     assert(ivf.map(_.getLong(0)).count(brute.contains) >= 2)
   }
+
+  test("PQ ADC top-k overlaps brute force, is deterministic, never returns the query") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pq = Similarity.pqTopK(emb, queryId = 0L, k = 10).collect()
+    assert(pq.nonEmpty && pq.forall(_.getLong(0) != 0L))
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    // a 50-candidate ADC shortlist over 4 codebooks should recover most of
+    // the true top-k on the clustered fixtures
+    assert(pq.map(_.getLong(0)).count(brute.contains) >= 5)
+    val again = Similarity.pqTopK(emb, queryId = 0L, k = 10).collect()
+    assert(pq.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
 }
