@@ -55,21 +55,27 @@ object Curation {
     * marks out-of-distribution documents the way low unigram log-likelihood
     * would, without any floating-point log (so the oracle hash is stable).
     *
-    * Both shuffles are on the token string — the same key — so the tf build
-    * and the score join co-partition; no corpus-sized broadcast anywhere.
+    * Occurrences are pre-aggregated to per-document distinct tokens with
+    * counts BEFORE the tf join, so the join key ("the", in every document)
+    * carries one row per DOCUMENT, not one per occurrence — the skew bound
+    * that keeps the hot-token partitions proportional to corpus size, not
+    * token frequency. Both shuffles are on the token string — the same key
+    * — so the tf build and the score join co-partition; no corpus-sized
+    * broadcast anywhere.
     */
   def unigramScore(docs: DataFrame, rareMax: Long = 50): DataFrame = {
-    val occ = docs
+    val perDoc = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-    val tf = occ.groupBy(col("tk")).agg(count(lit(1)).as("tf"))
-    occ.join(tf, Seq("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+    val tf = perDoc.groupBy(col("tk")).agg(sum(col("c")).as("tf"))
+    perDoc.join(tf, Seq("tk"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("tf")).as("sum_tf"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("tf")).as("sum_tf"),
         min(col("tf")).as("min_tf"),
-        sum(when(col("tf") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+        sum(when(col("tf") <= rareMax, col("c")).otherwise(0L)).as("n_rare"))
   }
 
   /** Quantile-band quality filter: keep documents whose length sits between

@@ -59,6 +59,24 @@ object ExtensionQueries {
       Dedup.connectedComponents(
         Dedup.lshCandidatePairs(t(s, dir, "documents"))
           .select(col("id_a"), col("id_b")))),
+    // apply the clustering: the deduplicated corpus = every document that
+    // is not a non-representative member of some near-dup component
+    "dedup_cluster_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val drop = Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(docs).select(col("id_a"), col("id_b")))
+        .filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+    }),
+    // semantic dedup: the same clustering over embedding-cosine near-dup
+    // pairs — components in embedding space rather than token space
+    "semantic_dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+          minSim = 0.30, nBits = 8).select(col("id_a"), col("id_b")))
+        .withColumnRenamed("doc_id", "vec_id")),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -317,6 +335,17 @@ object ExtensionQueries {
       Multimodal.byteHistogram(
         Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))),
 
+    // Z-order (Morton) clustering key over the two hottest event filter
+    // dims — the multi-dimensional layout lever for file pruning at scale
+    // (the write-side repartitionByRange(z) + sortWithinPartitions layout
+    // itself is proven by LayoutSpec; this key verifies the curve math)
+    "zorder_events" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        graft.engine.Layout.zValue(
+          col("user_id").bitwiseAND(lit(65535L)),
+          floor(col("value")).cast("long").bitwiseAND(lit(65535L)))
+          .as("z"))),
+
     // range (theta) join: events classified into value bands via a
     // broadcast non-equi join
     "events_value_band_join" -> ((s, dir) => {
@@ -472,6 +501,35 @@ object ExtensionQueries {
       "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
       "AND a.doc_id < b.doc_id)"
 
+  /** Shared CTE chain for the sign-LSH embedding-cosine near-dup pairs
+    * (mirrors [[Similarity.cosineNearDupPairs]]): ends in
+    * `cpairs(id_a, id_b, sim)`.
+    */
+  private val cosinePairCtes: String =
+    "b AS (SELECT vec_id, embedding, " +
+      "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
+      "cp0 AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, " +
+      "a.embedding AS ea, b2.embedding AS eb FROM b a " +
+      "JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), " +
+      "cs AS (SELECT id_a, id_b, round(" +
+      "CAST(list_sum([CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(ea))]) AS DOUBLE) / " +
+      "(sqrt(CAST(list_sum([CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(ea))]) AS DOUBLE)) * " +
+      "sqrt(CAST(list_sum([CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(eb))]) AS DOUBLE))), 6) AS sim " +
+      "FROM cp0), " +
+      "cpairs AS (SELECT id_a, id_b, sim FROM cs WHERE sim >= 0.30)"
+
+  /** Exact transitive closure over a pair relation, for the connected-
+    * components oracles: `reach(src, dst)` reaches every vertex in the same
+    * component (self-loops included).
+    */
+  private def closureCtes(pairsRel: String): String =
+    s"e AS (SELECT DISTINCT id_a, id_b FROM $pairsRel), " +
+      "und AS (SELECT id_a AS src, id_b AS dst FROM e " +
+      "UNION SELECT id_b, id_a FROM e " +
+      "UNION SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e), " +
+      "reach AS (SELECT src, dst FROM und UNION " +
+      "SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)"
+
   val oracles: Map[String, String] = Map(
     "cosine_topk_pq" ->
       pqOracle(m = 4, subDim = 16, ksub = 16, iters = 2, k = 10, shortK = 50,
@@ -583,14 +641,16 @@ object ExtensionQueries {
     // min-label propagation: equal because near-dup components on the
     // fixture corpus have diameter << 10 rounds
     "neardup_components" ->
-      ("WITH RECURSIVE " + minhashPairCtes + ", " +
-        "e AS (SELECT DISTINCT id_a, id_b FROM pairs), " +
-        "und AS (SELECT id_a AS src, id_b AS dst FROM e " +
-        "UNION SELECT id_b, id_a FROM e " +
-        "UNION SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e), " +
-        "reach AS (SELECT src, dst FROM und UNION " +
-        "SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src) " +
-        "SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
+      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
+        " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
+    "dedup_cluster_apply" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") + ", " +
+        "comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src) " +
+        "SELECT doc_id, source FROM documents WHERE doc_id NOT IN " +
+        "(SELECT src FROM comp WHERE component != src)"),
+    "semantic_dedup_components" ->
+      ("WITH RECURSIVE " + cosinePairCtes + ", " + closureCtes("cpairs") +
+        " SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src"),
     "simhash_signatures" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, " +
         "unnest(string_split(text, ' ')) AS t FROM documents) u), " +
@@ -650,16 +710,7 @@ object ExtensionQueries {
         "SELECT vec_id, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
     "dedup_embedding_cosine" ->
-      ("WITH b AS (SELECT vec_id, embedding, " +
-        "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
-        "pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, " +
-        "a.embedding AS ea, b2.embedding AS eb FROM b a " +
-        "JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), " +
-        "s AS (SELECT id_a, id_b, round(" +
-        "CAST(list_sum([CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(ea))]) AS DOUBLE) / " +
-        "(sqrt(CAST(list_sum([CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(ea))]) AS DOUBLE)) * " +
-        "sqrt(CAST(list_sum([CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(eb))]) AS DOUBLE))), 6) AS sim " +
-        "FROM pairs) SELECT id_a, id_b, sim FROM s WHERE sim >= 0.30"),
+      ("WITH " + cosinePairCtes + " SELECT id_a, id_b, sim FROM cpairs"),
     "text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, " +
@@ -773,6 +824,11 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, ascii(c) % 16 AS bucket, count(*) AS n FROM " +
         "(SELECT doc_id, unnest([substr(text, i, 1) FOR i IN generate_series(1, length(text))]) AS c " +
         "FROM documents) t GROUP BY 1, 2"),
+    "zorder_events" ->
+      ("SELECT event_id, CAST(list_sum([" +
+        "(((user_id & 65535) >> i) & 1) * power(2, 2 * i)::BIGINT + " +
+        "(((CAST(floor(value) AS BIGINT) & 65535) >> i) & 1) * power(2, 2 * i + 1)::BIGINT " +
+        "FOR i IN generate_series(0, 15)]) AS BIGINT) AS z FROM events"),
     "events_value_band_join" ->
       ("SELECT band, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total FROM events " +

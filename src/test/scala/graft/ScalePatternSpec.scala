@@ -111,6 +111,35 @@ class ScalePatternSpec extends SparkSpecBase {
     assert(ivf.map(_.getLong(0)).count(brute.contains) >= 2)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one pathological key carrying ~90% of the rows
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("r"))
+      val joined = left.join(right, "k")
+      // collect through THIS Dataset so its own AdaptiveSparkPlan finalizes
+      // (count() would plan a separate query execution)
+      assert(joined.collect().length == 54000 + 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") && plan.contains("skewed"),
+        s"expected a skew-split join (skew=true + AQEShuffleRead skewed) in:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("PQ ADC top-k overlaps brute force, is deterministic, never returns the query") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pq = Similarity.pqTopK(emb, queryId = 0L, k = 10).collect()
