@@ -25,7 +25,11 @@ object Curation {
     * sum), and the final quota is a single IEEE double multiply/divide/ceil
     * — identical in any engine. The quota table is tiny (one row per
     * source) and broadcast; the only corpus-sized shuffle is the per-source
-    * rank window, partitioned by source so it parallelizes.
+    * rank window, partitioned by source so it parallelizes. One source
+    * dominating the corpus would serialize its rank window — at that scale
+    * swap the "smallest ids first" fill for the hash-based
+    * [[graft.engine.Ops.deterministicSample]] at rate quota/n_s, which is
+    * map-only and needs no per-source total order.
     */
   def sourceMixSample(
       docs: DataFrame,

@@ -55,4 +55,28 @@ object TextFunctions {
     */
   def qualityFlag(text: Column, minTokens: Int = 20, maxTokens: Int = 400): Column =
     when(size(tokens(text)).between(minTokens, maxTokens), lit(1)).otherwise(lit(0))
+
+  /** PII patterns, deliberately limited to RE2 ∩ java.util.regex syntax
+    * (no backreferences, no lookaround) so the same pattern string runs in
+    * Spark, DuckDB/RE2-based engines, and most log scrubbers unchanged.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Count of non-overlapping PII matches of `re` — map-only, codegen'd. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Redact emails, then phones, then IPv4s (fixed order — replacement
+    * text must not create later-pass matches, and an oracle mirrors the
+    * same order). regexp_replace replaces ALL occurrences in Spark; RE2
+    * engines need the 'g' flag to match.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

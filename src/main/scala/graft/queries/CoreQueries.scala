@@ -324,6 +324,60 @@ object CoreQueries {
         .select(col("s_suppkey"), col("s_name"))
     }),
 
+    // Correlated-EXISTS shape (TPC-H Q4): orders with at least one line
+    // shipped after the order date, counted per priority — the EXISTS
+    // subquery as a conditioned left-semi join
+    "q4_priority_exists" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Conditional-aggregate ratio (TPC-H Q14): promo revenue share — both
+    // legs accumulate in DECIMAL, ONE double division at the end
+    "q14_promo_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg(round(
+          expr("CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+            "ELSE 0 END) AS DOUBLE)") * 100.0 /
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"), 6)
+          .as("promo_share"))
+    }),
+
+    // NOT-IN + count-distinct shape (TPC-H Q16): distinct suppliers per
+    // brand, excluding suppliers in a (negative-balance) exclusion
+    // subquery — the anti-join + distinct aggregate composition
+    "q16_supplier_counts" -> ((s, dir) => {
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_key"))
+      val li = t(s, dir, "lineitem")
+        .join(bad, col("l_suppkey") === col("bad_key"), "left_anti")
+      val p = t(s, dir, "part")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+    }),
+
+    // Table-statistics collection (ANALYZE shape): count / min / max /
+    // distinct — count+min+max resolve from parquet footer statistics
+    // under spark.sql.parquet.aggregatePushdown (metadata-only at scale)
+    "table_stats_orders" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        expr("CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("min_price"),
+        expr("CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("max_price"),
+        countDistinct(col("o_custkey")).as("n_custkeys"))),
+
     // Correlated-min shape (TPC-H Q2): per part, the single cheapest
     // lineitem under a total order — served by the custom grouped top-k
     // operator with k=1 (bounded heap, no per-group sort)
@@ -458,6 +512,28 @@ object CoreQueries {
         "PARTITION BY o_custkey ORDER BY o_orderkey " +
         "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS recent_total " +
         "FROM orders"),
+    "q4_priority_exists" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate) GROUP BY o_orderpriority"),
+    "q14_promo_share" ->
+      ("SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+        "ELSE 0 END) AS DOUBLE) * 100.0 / " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_share " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey"),
+    "q16_supplier_counts" ->
+      ("SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand"),
+    "table_stats_orders" ->
+      ("SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key, " +
+        "CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price, " +
+        "CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys FROM orders"),
     "window_ntile_cume" ->
       ("SELECT o_orderkey, o_custkey, " +
         "CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS quartile, " +

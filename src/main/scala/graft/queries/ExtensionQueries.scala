@@ -167,32 +167,22 @@ object ExtensionQueries {
     }),
     // PII detection + redaction: the fixture corpus is synthetic word salad,
     // so deterministic PII (an email / phone / IP derived from doc_id) is
-    // appended first, then the regex scrubbers run — counts plus the md5 of
-    // the redacted text prove detection AND replacement, all map-only
+    // appended first, then the library scrubbers run — counts plus the md5
+    // of the redacted text prove detection AND replacement, all map-only
     "text_pii_scrub" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
       val enriched = concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com or call +1-555-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"))
-      val emailRe = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
-      val phoneRe = "\\+1-555-[0-9]{4}"
-      val ipRe = "10\\.[0-9]{1,3}\\.0\\.1"
       t(s, dir, "documents")
         .select(col("doc_id"), enriched.as("etext"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("etext"), lit(emailRe), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("etext"), lit(phoneRe), lit(0)))
-            .cast("long").as("n_phones"),
-          size(regexp_extract_all(col("etext"), lit(ipRe), lit(0)))
-            .cast("long").as("n_ips"),
-          graft.functions.TextFunctions.md5Hex(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col("etext"), emailRe, "<EMAIL>"),
-                phoneRe, "<PHONE>"),
-              ipRe, "<IP>")).as("scrub_md5"))
+          piiCount(col("etext"), EmailRe).as("n_emails"),
+          piiCount(col("etext"), PhoneRe).as("n_phones"),
+          piiCount(col("etext"), Ipv4Re).as("n_ips"),
+          md5Hex(piiScrub(col("etext"))).as("scrub_md5"))
     }),
     // corpus-frequency document scoring: integer-exact unigram-likelihood
     // proxy (sum / min / rare-count of corpus term frequencies per doc)
@@ -578,13 +568,13 @@ object ExtensionQueries {
         "'@mail.example.com or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
         "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS etext FROM documents) " +
         "SELECT doc_id, " +
-        "CAST(len(regexp_extract_all(etext, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails, " +
-        "CAST(len(regexp_extract_all(etext, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones, " +
-        "CAST(len(regexp_extract_all(etext, '10\\.[0-9]{1,3}\\.0\\.1')) AS BIGINT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(etext, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(etext, '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(etext, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips, " +
         "md5(regexp_replace(regexp_replace(regexp_replace(etext, " +
-        "'[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'), " +
-        "'\\+1-555-[0-9]{4}', '<PHONE>', 'g'), " +
-        "'10\\.[0-9]{1,3}\\.0\\.1', '<IP>', 'g')) AS scrub_md5 FROM e"),
+        "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), " +
+        "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_md5 FROM e"),
     "text_unigram_score" ->
       ("WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents), " +
         "tf AS (SELECT tk, count(*) AS tf FROM occ GROUP BY tk) " +
