@@ -170,6 +170,17 @@ object StreamingEvents {
       .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
   }
 
+  /** Stream-static enrichment: classify each streamed event into a value
+    * band via a broadcast non-equi join against a static dimension — the
+    * standard streaming enrichment shape (the static side is planned once
+    * per micro-batch, broadcast, never stateful). Mirrors the batch
+    * `events_value_band_join` semantics per event.
+    */
+  def valueBandEnrich(events: DataFrame, bands: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(bands),
+      col("value") >= col("lo") && col("value") < col("hi"), "inner")
+      .select(col("event_id"), col("user_id"), col("band"))
+
   /** Drive a streaming DataFrame to a named in-memory table and process all
     * currently-available input — the local smoke path (a real deployment
     * would use a durable sink + trigger).

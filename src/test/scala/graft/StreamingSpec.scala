@@ -124,6 +124,23 @@ class StreamingSpec extends SparkSpecBase {
       s"session was split at the out-of-order boundary: $rows")
   }
 
+  test("stream-static broadcast enrichment equals the batch band join") {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 100.0),
+      ("high", 100.0, 200.0), ("extreme", 200.0, 1e9))
+      .toDF("band", "lo", "hi")
+    val stream = StreamingEvents.readEvents(spark, streamDir)
+    StreamingEvents.runToMemory(
+      StreamingEvents.valueBandEnrich(stream, bands), "stream_bands",
+      outputMode = "append")
+    val streamed = spark.table("stream_bands")
+    val batch = StreamingEvents.valueBandEnrich(
+      spark.read.parquet(s"$sfDir/events.parquet"), bands)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val stream = StreamingEvents.readEvents(spark, streamDir)
     StreamingEvents.runToMemory(
