@@ -63,6 +63,26 @@ class CatalogFormatSpec extends SparkSpecBase {
       events.filter(org.apache.spark.sql.functions.col("event_type") === "click").count())
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // day-1 batch: (r_regionkey, r_name); day-2 batch adds a column
+    region.select(col("r_regionkey"), col("r_name"))
+      .write.parquet(s"$dir/batch=1")
+    region.select(col("r_regionkey"), col("r_name"),
+        lit("v2").as("ingest_tag"))
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("r_regionkey", "r_name", "ingest_tag", "batch"))
+    assert(merged.count() == 2 * region.count())
+    // old rows surface the new column as NULL, new rows carry it
+    assert(merged.filter(col("batch") === 1 && col("ingest_tag").isNull)
+      .count() == region.count())
+    assert(merged.filter(col("batch") === 2 && col("ingest_tag") === "v2")
+      .count() == region.count())
+  }
+
   test("jdbc roundtrip via embedded Derby preserves rows") {
     // the closest in-container stand-in for the reference's live
     // Postgres/MySQL source (/root/reference/db_connect.py:29-36): a real
