@@ -345,6 +345,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining (the contrastive-training data step): the top-k
+    * most similar vectors to the query whose `label` DIFFERS from the
+    * query's — high-similarity, wrong-class examples. Identical plan shape
+    * to [[bruteForceTopK]] (broadcast one-row query side, map-only scoring)
+    * plus the label predicate; at scale the same restriction composes with
+    * any of the ANN indexes (LSH/IVF/PQ) by filtering their candidate sets.
+    */
+  def hardNegativesTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("label").as("q_label"),
+        sqrt(normSqDecimal(col("embedding")).cast("double")).as("q_norm"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .repartition(col("vec_id"))
+      .crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("vec_id"), col("label"),
+        round(dotDecimal(col("embedding"), col("q_emb")).cast("double") /
+          (sqrt(normSqDecimal(col("embedding")).cast("double")) * col("q_norm")),
+          6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Per-class mean embedding (nearest-centroid classifier prototypes /
+    * class-balance diagnostics): one groupBy on the label, per-dimension
+    * DECIMAL sums divided once in double — the same engine-exact mean
+    * contract as the k-means centroid update, so an oracle can mirror it.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .repartition(col("vec_id"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(col("x").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 16))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 9).as("v"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), p -> p.v)")
+        .as("centroid"),
+        max(col("n")).as("n_vectors"))
+
   /** All near-duplicate pairs by embedding cosine within sign-LSH buckets —
     * the embedding-space analogue of MinHash near-dup detection. Pairs are
     * generated per bucket (the LSH candidate cut), then thresholded on the

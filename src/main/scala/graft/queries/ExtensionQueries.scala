@@ -124,6 +124,12 @@ object ExtensionQueries {
     "cosine_topk_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
         trainMod = 2)),
+    // hard-negative mining: most-similar vectors of a DIFFERENT label
+    "hard_negatives_topk" -> ((s, dir) =>
+      Similarity.hardNegativesTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // per-class mean embeddings (nearest-centroid prototypes)
+    "label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"))),
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
@@ -685,6 +691,22 @@ object ExtensionQueries {
     "cosine_topk_ivf" ->
       ivfKmeansOracle(nCells = 16, nProbe = 4, iters = 3, k = 10, queryId = 0L,
         trainMod = 4),
+    "hard_negatives_topk" ->
+      ("WITH q AS (SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0), " +
+        "prod AS (SELECT e.vec_id, e.label, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS dot, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS na, " +
+        "list_sum([CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(q.qe))]) AS nq " +
+        "FROM embeddings e, q WHERE e.vec_id != 0 AND e.label != q.ql) " +
+        "SELECT vec_id, label, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
+        "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
+    "label_centroids" ->
+      ("WITH u AS (SELECT label, unnest([{'pos': i, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings), " +
+        "g AS (SELECT label, pos, round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, " +
+        "count(*) AS n FROM u GROUP BY label, pos) " +
+        "SELECT label, list(v ORDER BY pos) AS centroid, max(n) AS n_vectors " +
+        "FROM g GROUP BY label"),
     "cosine_topk_lsh_multiprobe" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
