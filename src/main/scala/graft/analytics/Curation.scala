@@ -102,6 +102,44 @@ object Curation {
       .select(col("doc_id"), col(lenCol))
   }
 
+  /** Full curation audit — the per-document decision table a training-data
+    * pipeline materializes before dropping anything: exact-dup (not the
+    * min-id representative of its fingerprint), near-dup (non-representative
+    * member of a MinHash connected component), length outlier (outside the
+    * corpus p25..p75 band) and benchmark contamination (shares a word
+    * 4-gram with the held-out benchmark slice, bloom-prefiltered). Flags
+    * compose the dedup/cluster/filter/decontaminate operators as LEFT joins
+    * on doc_id, so every stage's verdict is auditable per document — the
+    * "why was this dropped" table — and the actual drop is one filter over
+    * this relation. Each input operator keeps its own at-scale shape; the
+    * audit adds only doc_id-keyed joins (co-partitioned after the first).
+    */
+  def curationAudit(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("f"))
+    val keep = fp.groupBy(col("f")).agg(min(col("doc_id")).as("k"))
+    val comp = Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(docs).select(col("id_a"), col("id_b")))
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id"), lit(1).as("nd"))
+    val bands = docs.agg(
+      expr("percentile(n_chars, 0.25)").as("p_lo"),
+      expr("percentile(n_chars, 0.75)").as("p_hi"))
+    val cont = Decontaminate.bloomNgramScan(
+        corpus = docs.filter(col("doc_id") % 50 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 50 === 0), n = 4)
+      .select(col("doc_id"), lit(1).as("ct"))
+    docs.join(fp, Seq("doc_id")).join(keep, Seq("f"))
+      .crossJoin(broadcast(bands))
+      .join(comp, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("k"), 1).otherwise(0).as("dup_exact"),
+        coalesce(col("nd"), lit(0)).as("dup_neardup"),
+        when(col("n_chars") < col("p_lo") || col("n_chars") > col("p_hi"), 1)
+          .otherwise(0).as("len_outlier"),
+        coalesce(col("ct"), lit(0)).as("contaminated"))
+  }
+
   /** Deterministic corpus shuffle for training order — the distributed
     * shape: a content hash keyed by (seed, doc_id) assigns every document a
     * shard and a position within the shard. No global row_number (which

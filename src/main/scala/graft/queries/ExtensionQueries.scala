@@ -205,6 +205,10 @@ object ExtensionQueries {
     // positions (no global window — the distributed shuffle-shard shape)
     "corpus_shuffle" -> ((s, dir) =>
       Curation.shuffleShards(t(s, dir, "documents"), seed = "seed42")),
+    // the per-document curation decision table: exact-dup / near-dup /
+    // length-outlier / contamination flags from the composed operators
+    "curation_audit" -> ((s, dir) =>
+      Curation.curationAudit(t(s, dir, "documents"))),
     // corpus-level vocabulary: the LM-data "what's in this corpus" sweep —
     // explode shuffles on token, partial map-side counts keep it narrow
     "text_vocab_topk" -> ((s, dir) =>
@@ -602,6 +606,28 @@ object ExtensionQueries {
         "quantile_cont(n_chars, 0.75) AS p_hi FROM documents) " +
         "SELECT doc_id, n_chars FROM documents, b " +
         "WHERE n_chars >= p_lo AND n_chars <= p_hi"),
+    "curation_audit" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") + ", " +
+        "comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src), " +
+        "fpr AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents), " +
+        "keep AS (SELECT f, min(doc_id) AS k FROM fpr GROUP BY f), " +
+        "b AS (SELECT quantile_cont(n_chars, 0.25) AS p_lo, " +
+        "quantile_cont(n_chars, 0.75) AS p_hi FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] " +
+        "FOR i IN generate_series(1, len(w) - 3)]) AS s FROM toks) u), " +
+        "bg AS (SELECT DISTINCT s FROM grams WHERE doc_id % 50 = 0), " +
+        "cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (s) " +
+        "WHERE g.doc_id % 50 != 0) " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id != keep.k THEN 1 ELSE 0 END AS dup_exact, " +
+        "CASE WHEN comp.component IS NOT NULL AND comp.component != d.doc_id THEN 1 ELSE 0 END AS dup_neardup, " +
+        "CASE WHEN d.n_chars < b.p_lo OR d.n_chars > b.p_hi THEN 1 ELSE 0 END AS len_outlier, " +
+        "CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated " +
+        "FROM documents d JOIN fpr ON fpr.doc_id = d.doc_id " +
+        "JOIN keep ON fpr.f = keep.f CROSS JOIN b " +
+        "LEFT JOIN comp ON comp.src = d.doc_id " +
+        "LEFT JOIN cont ON cont.doc_id = d.doc_id"),
     "corpus_shuffle" ->
       ("WITH s AS (SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey " +
         "FROM documents), " +
