@@ -39,6 +39,25 @@ class CurationSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("curation audit flags agree with the standalone operators") {
+    val audit = Curation.curationAudit(docs)
+    assert(audit.count() == docs.count())
+    // exact-dup flags: corpus size minus distinct fingerprints
+    val nFp = Dedup.fingerprintGroups(docs).count()
+    assert(audit.agg(sum("dup_exact")).head.getLong(0) == docs.count() - nFp)
+    // near-dup flags: non-representative members of the MinHash components
+    val nd = Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(docs).select(col("id_a"), col("id_b")))
+      .filter(col("component") =!= col("doc_id")).count()
+    assert(audit.agg(sum("dup_neardup")).head.getLong(0) == nd)
+    // length outliers: complement of the p25..p75 band filter
+    val kept = Curation.lengthBandFilter(docs).count()
+    assert(audit.agg(sum("len_outlier")).head.getLong(0) == docs.count() - kept)
+    // contamination only ever flags corpus-slice docs
+    assert(audit.filter(col("contaminated") === 1 && col("doc_id") % 50 === 0)
+      .count() == 0)
+  }
+
   test("source mix sample: quotas respect the sqrt tempering and ranks are contiguous") {
     val out = Curation.sourceMixSample(docs, targetTotal = 100)
     // per-source selection is a prefix by doc_id: max rank == row count
