@@ -30,6 +30,12 @@ object Curation {
     * swap the "smallest ids first" fill for the hash-based
     * [[graft.engine.Ops.deterministicSample]] at rate quota/n_s, which is
     * map-only and needs no per-source total order.
+    *
+    * Quotas are capped by availability: sampling is without replacement, so
+    * a small source whose tempered quota exceeds its size contributes all
+    * its documents and the output lands short of `targetTotal` by the
+    * deficit (sqrt-tempering upweights exactly those sources). Callers that
+    * need the exact total redistribute the deficit in a second pass.
     */
   def sourceMixSample(
       docs: DataFrame,
@@ -116,7 +122,10 @@ object Curation {
     */
   def curationAudit(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("f"))
-    val keep = fp.groupBy(col("f")).agg(min(col("doc_id")).as("k"))
+    // reuse the standalone operator so the audit's exact-dup verdict cannot
+    // drift from Dedup.fingerprintGroups (CurationSpec pins the equality)
+    val keep = Dedup.fingerprintGroups(docs)
+      .select(col("fp").as("f"), col("keep_id").as("k"))
     val comp = Dedup.connectedComponents(
         Dedup.lshCandidatePairs(docs).select(col("id_a"), col("id_b")))
       .filter(col("component") =!= col("doc_id"))

@@ -104,22 +104,26 @@ object Dedup {
     * clustering step a dedup pipeline runs after pair detection, so each
     * component keeps exactly one representative. Min-label propagation as
     * iterated DataFrame ops: every vertex starts as its own label and each
-    * round takes the min label over itself and its neighbors. `rounds`
-    * bounds propagation to that graph distance — near-dup components are
-    * shallow (stars/short chains around a template), so a small fixed bound
-    * is exact in practice and keeps the computation deterministic for the
-    * oracle; at adversarial diameters the same loop structure accepts more
-    * rounds (or the large-star/small-star variant that converges in
-    * O(log n) rounds) without changing any shuffle shape. Each round is one
-    * groupBy on the vertex id over the (tiny) edge relation joined with the
+    * round takes the min label over itself and its neighbors, UNTIL A
+    * FIXPOINT — convergence is checked every `checkEvery` rounds with one
+    * cheap count over the (vertex-sized) label relation, so deep chains
+    * cannot be silently truncated the way a fixed round budget would.
+    * `maxRounds` is a runaway bound only; hitting it raises instead of
+    * returning a wrong answer. Near-dup components are shallow
+    * (stars/short chains around a template), so the fixture converges in
+    * a handful of rounds; at adversarial diameters the same loop runs
+    * longer (or swap in the large-star/small-star variant that converges
+    * in O(log n) rounds) without changing any shuffle shape. Each round is
+    * one groupBy on the vertex id over the edge relation joined with the
     * label relation — at 100 TB both sides shuffle on the same key every
     * round, so AQE reuses the partitioning.
     *
-    * Returns (doc_id, component) with component = min doc_id reachable
-    * within `rounds` hops.
+    * Returns (doc_id, component) with component = min doc_id in the
+    * vertex's connected component (exact, matching a transitive-closure
+    * oracle).
     */
   def connectedComponents(
-      edges: DataFrame, rounds: Int = 10,
+      edges: DataFrame, maxRounds: Int = 100, checkEvery: Int = 3,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     // undirected adjacency, self-loops so isolated endpoints keep a row
     val adj = materialize(
@@ -128,15 +132,31 @@ object Dedup {
         .union(edges.select(col("id_a").as("src"), col("id_a").as("dst")))
         .union(edges.select(col("id_b").as("src"), col("id_b").as("dst")))
         .distinct())
-    var labels = adj.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-    for (i <- 1 to rounds) {
-      val next = adj.join(labels, adj("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("component"))
-        .select(col("src").as("id"), col("component"))
-      // cut lineage every few rounds: an iterated plan otherwise doubles in
-      // depth per round (analysis/codegen cost grows superlinearly)
-      labels = if (i % 3 == 0) materialize(next) else next
+    var labels = materialize(adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
+    var round = 0
+    var converged = false
+    while (!converged) {
+      val prev = labels
+      var next = prev
+      // a few lazy rounds per materialize: cutting lineage every round
+      // would pay an eager job per hop, while never cutting doubles the
+      // analyzed-plan depth per round
+      for (_ <- 1 to checkEvery) {
+        next = adj.join(next, adj("dst") === next("id"))
+          .groupBy(col("src")).agg(min(col("component")).as("component"))
+          .select(col("src").as("id"), col("component"))
+      }
+      labels = materialize(next)
+      round += checkEvery
+      // fixpoint test: any vertex whose label still shrank this block?
+      converged = labels.alias("n").join(prev.alias("p"), "id")
+        .filter(col("n.component") =!= col("p.component"))
+        .isEmpty
+      if (!converged && round >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $round rounds — " +
+            "component diameter exceeds maxRounds; raise maxRounds")
     }
     labels.select(col("id").as("doc_id"), col("component"))
   }
@@ -392,8 +412,15 @@ object Dedup {
     // per-chunk match threshold and chunk count: wide radii pair a 1-flip
     // probe expansion with threshold 1; narrow radii match chunks exactly
     val t = if (maxDist >= 8) 1 else 0
-    val m = if (maxDist >= 8) maxDist / 2 + 1 else maxDist + 1
+    // chunk extraction composes 64-bit word ops, so every chunk must fit a
+    // word: raise the chunk count above the pigeonhole minimum when the
+    // signature is wider than 64·(minimum m) — extra chunks only STRENGTHEN
+    // the prefilter (with ≤ maxDist differing bits over m > maxDist chunks,
+    // at least one chunk still matches within the per-chunk threshold)
+    val mMin = if (maxDist >= 8) maxDist / 2 + 1 else maxDist + 1
+    val m = math.max(mMin, (sigBits + 63) / 64)
     val lens = (0 until m).map(i => sigBits / m + (if (i < sigBits % m) 1 else 0))
+    assert(lens.forall(_ <= 64), s"chunk wider than a word: $lens")
     val bs = lens.scanLeft(0)(_ + _).zip(lens) // (startBit, len), 0-based
 
     val srcWords = wordBits.indices.map(w => col(s"w$w"))

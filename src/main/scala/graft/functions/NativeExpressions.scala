@@ -18,6 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * DECIMAL-exact HOF formulation (bit-identical across engines). The fused
   * float dot product is the 100 TB workhorse: scoring N embeddings is one
   * codegen stage, no shuffle, no boxing.
+  *
+  * `hamming` and `first_chunk_within` operate on SIGNATURE BIT STRINGS and
+  * are retained library surface for callers holding string-form signatures
+  * (e.g. loaded from an external system): the shipped simhash join packs
+  * signatures onto 64-bit words and uses built-in `bit_count(xor)` instead,
+  * so these two have no in-repo production caller — NativeExpressionsSpec
+  * keeps them honest.
   */
 object NativeExpressions {
 

@@ -391,21 +391,28 @@ object ExtensionQueries {
     * hash-matching this proves the engine's quantizer is real
     * data-dependent k-means, not a placeholder.
     */
+  // Shared k-means oracle SQL builders (the Lloyd-iteration contract BOTH
+  // the IVF and PQ oracles must express identically — one definition, so a
+  // precision tweak cannot desynchronize them): squared-L2 distances as
+  // round(...,9) sequential sums, argmin with cell_id tie-break, DECIMAL
+  // per-dimension means divided once in double.
+  private def kmDist(eRel: String, cRel: String, out: String) =
+    s"$out AS (SELECT e.vec_id, c.cell_id, e.embedding, round(list_sum([" +
+      "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) " +
+      s"FOR i IN generate_series(1, len(e.embedding))]), 9) AS d2 FROM $eRel e, $cRel c)"
+  private def kmArgmin(dRel: String, out: String) =
+    s"$out AS (SELECT vec_id, cell_id, embedding FROM (SELECT vec_id, cell_id, embedding, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM $dRel) t WHERE rn = 1)"
+  private def kmUpdate(aRel: String, uOut: String, cOut: String) =
+    s"$uOut AS (SELECT cell_id, unnest([{'pos': i, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+      s"FOR i IN generate_series(1, len(embedding))], recursive := true) FROM $aRel), " +
+      s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
+      s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
+
   private def ivfKmeansOracle(
       nCells: Int, nProbe: Int, iters: Int, k: Int, queryId: Long,
       trainMod: Int = 1): String = {
-    def dist(eRel: String, cRel: String, out: String) =
-      s"$out AS (SELECT e.vec_id, c.cell_id, e.embedding, round(list_sum([" +
-        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) " +
-        s"FOR i IN generate_series(1, len(e.embedding))]), 9) AS d2 FROM $eRel e, $cRel c)"
-    def argmin(dRel: String, out: String) =
-      s"$out AS (SELECT vec_id, cell_id, embedding FROM (SELECT vec_id, cell_id, embedding, " +
-        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM $dRel) t WHERE rn = 1)"
-    def update(aRel: String, uOut: String, cOut: String) =
-      s"$uOut AS (SELECT cell_id, unnest([{'pos': i, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
-        s"FOR i IN generate_series(1, len(embedding))], recursive := true) FROM $aRel), " +
-        s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
-        s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
+    val (dist, argmin, update) = (kmDist _, kmArgmin _, kmUpdate _)
     val iterCtes = (1 to iters).map { i =>
       dist("train", s"c${i - 1}", s"a${i}d") + ", " + argmin(s"a${i}d", s"a$i") + ", " +
         update(s"a$i", s"u$i", s"c$i")
@@ -434,18 +441,7 @@ object ExtensionQueries {
   private def pqOracle(
       m: Int, subDim: Int, ksub: Int, iters: Int, k: Int, shortK: Int,
       queryId: Long, trainMod: Int): String = {
-    def dist(eRel: String, cRel: String, out: String) =
-      s"$out AS (SELECT e.vec_id, c.cell_id, e.embedding, round(list_sum([" +
-        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) " +
-        s"FOR i IN generate_series(1, len(e.embedding))]), 9) AS d2 FROM $eRel e, $cRel c)"
-    def argmin(dRel: String, out: String) =
-      s"$out AS (SELECT vec_id, cell_id, embedding FROM (SELECT vec_id, cell_id, embedding, " +
-        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM $dRel) t WHERE rn = 1)"
-    def update(aRel: String, uOut: String, cOut: String) =
-      s"$uOut AS (SELECT cell_id, unnest([{'pos': i, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
-        s"FOR i IN generate_series(1, len(embedding))], recursive := true) FROM $aRel), " +
-        s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
-        s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
+    val (dist, argmin, update) = (kmDist _, kmArgmin _, kmUpdate _)
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
       val kmeans = (1 to iters).map { i =>

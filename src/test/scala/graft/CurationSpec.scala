@@ -37,6 +37,12 @@ class CurationSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a 40-hop chain, descending so min-label must travel the whole length:
+    // convergence is fixpoint-checked, not bounded by a round budget
+    val chain = spark.createDataFrame(
+      (1 to 40).map(i => Row(100L + i, 100L + i + 1)).asJava, schema)
+    val ccChain = Dedup.connectedComponents(chain).collect()
+    assert(ccChain.length == 41 && ccChain.forall(_.getLong(1) == 101L))
   }
 
   test("curation audit flags agree with the standalone operators") {
@@ -68,8 +74,10 @@ class CurationSpec extends SparkSpecBase {
     val total = out.count()
     val nSources = bySrc.count()
     assert(total >= 100 && total <= 100 + nSources)
-    // determinism
-    assert(Curation.sourceMixSample(docs, 100).exceptAll(out).count() == 0)
+    // determinism (two-sided: equal multisets, not just containment)
+    val rerun = Curation.sourceMixSample(docs, 100)
+    assert(rerun.count() == total)
+    assert(rerun.exceptAll(out).count() == 0 && out.exceptAll(rerun).count() == 0)
   }
 
   test("unigram score: sum_tf >= n_tokens and every doc is scored") {
@@ -92,7 +100,9 @@ class CurationSpec extends SparkSpecBase {
     // per-shard positions are 1..n_shard
     assert(a.groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("m"))
       .filter(col("n") =!= col("m")).count() == 0)
-    assert(Curation.shuffleShards(docs, "seed42").exceptAll(a).count() == 0)
+    val rerun = Curation.shuffleShards(docs, "seed42")
+    assert(rerun.count() == docs.count())
+    assert(rerun.exceptAll(a).count() == 0 && a.exceptAll(rerun).count() == 0)
     // a different seed yields a different order (some doc changes position)
     val b = Curation.shuffleShards(docs, "seed43")
     assert(b.exceptAll(a).count() > 0)
