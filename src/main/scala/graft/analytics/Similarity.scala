@@ -120,27 +120,38 @@ object Similarity {
     * need no re-join. The centroid side is broadcast — the big side never
     * shuffles for assignment.
     */
-  private def assignCells(embeddings: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
+  private def assignCells(
+      embeddings: DataFrame, centroids: DataFrame, n: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
     // Map-only assignment: the ≤ nCells centroids collapse into ONE sorted
-    // array row (a 16-row aggregate — the only shuffle here), and each
-    // vector picks its n nearest cells per row via array_sort + slice over
-    // that broadcast array. The previous formulation ranked a
+    // array row per group (a 16-row aggregate — the only shuffle here),
+    // and each vector picks its n nearest cells per row via array_sort +
+    // slice over that broadcast array. The previous formulation ranked a
     // crossJoin(N × nCells) with a row_number window — a data-sized
     // shuffle per Lloyd iteration that this removes; at scale, assignment
     // is now pure map work. Sorting struct(d2, cell_id) reproduces the
     // window's (d2 asc, cell_id asc) order exactly, so results (and the
-    // DuckDB oracle) are unchanged.
-    val cells = centroids.agg(
-      array_sort(collect_list(struct(col("cell_id"), col("c_emb")))).as("cells"))
+    // DuckDB oracle) are unchanged. `groupCols` trains independent
+    // codebooks side by side (PQ subspaces): grouped rows only ever meet
+    // same-group centroids, via the broadcast join on the group key.
+    val collected = array_sort(collect_list(struct(col("cell_id"), col("c_emb"))))
+    val cells =
+      if (groupCols.isEmpty) centroids.agg(collected.as("cells"))
+      else centroids.groupBy(groupCols.map(col): _*).agg(collected.as("cells"))
+    val joined =
+      if (groupCols.isEmpty) embeddings.crossJoin(broadcast(cells))
+      else embeddings.join(broadcast(cells), groupCols)
     val d2 = "round(aggregate(zip_with(embedding, c.c_emb, " +
       "(e, cc) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
       "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
-    embeddings.crossJoin(broadcast(cells))
-      .select(col("vec_id"), col("embedding"),
+    val g = groupCols.map(col)
+    joined
+      .select(g ++ Seq(col("vec_id"), col("embedding"),
         explode(expr(
           s"slice(array_sort(transform(cells, c -> " +
-            s"struct($d2 AS d2, c.cell_id AS cell_id))), 1, $n)")).as("a"))
-      .select(col("vec_id"), col("a.cell_id").as("cell_id"), col("embedding"))
+            s"struct($d2 AS d2, c.cell_id AS cell_id))), 1, $n)")).as("a")): _*)
+      .select(g ++ Seq(col("vec_id"), col("a.cell_id").as("cell_id"),
+        col("embedding")): _*)
   }
 
   /** Deterministic fixed-seed k-means coarse quantizer: centroids start at
@@ -165,24 +176,26 @@ object Similarity {
     */
   def kMeansCentroids(
       embeddings: DataFrame, nCells: Int = 16, iters: Int = 3,
-      trainMod: Int = 1): DataFrame = {
+      trainMod: Int = 1, groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
     val train =
       if (trainMod <= 1) embeddings
       else embeddings.filter(col("vec_id") % trainMod === 0)
     var centroids = train.filter(col("vec_id") < nCells.toLong * trainMod)
-      .select(col("vec_id").as("cell_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+      .select(g ++ Seq(col("vec_id").as("cell_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb")): _*)
     for (_ <- 1 to iters) {
-      centroids = assignCells(train, centroids, 1)
-        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell_id"), col("pos"))
+      centroids = assignCells(train, centroids, 1, groupCols)
+        .select(g ++ Seq(col("cell_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x"))): _*)
+        .groupBy(g ++ Seq(col("cell_id"), col("pos")): _*)
         .agg(
           sum(col("x").cast("double")
             .cast(org.apache.spark.sql.types.DecimalType(18, 16))).as("s"),
           count(lit(1)).as("n"))
-        .select(col("cell_id"), col("pos"),
-          (col("s").cast("double") / col("n").cast("double")).as("v"))
-        .groupBy(col("cell_id"))
+        .select(g ++ Seq(col("cell_id"), col("pos"),
+          (col("s").cast("double") / col("n").cast("double")).as("v")): _*)
+        .groupBy(g :+ col("cell_id"): _*)
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), p -> p.v)")
           .as("c_emb"))
     }
@@ -271,53 +284,24 @@ object Similarity {
     // one row per (vector, subspace): ALL m sub-quantizers train, encode
     // and probe through a single chain of jobs over this stacked relation
     // (m independent Lloyd chains would serialize m× the stages for the
-    // same math — measured 3× slower on the fixture)
+    // same math — measured 3× slower on the fixture). Training and
+    // assignment are the SAME grouped kMeansCentroids/assignCells the IVF
+    // path uses, keyed by the subspace column — one definition of the
+    // engine-exact Lloyd contract.
     def stack(df: DataFrame): DataFrame = df.select(col("vec_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("embedding"), s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "embedding")))
     val stacked = stack(spread)
-    val train = stacked.filter(col("vec_id") % trainMod === 0)
 
-    // grouped Lloyd: identical per-subspace math to kMeansCentroids, keyed
-    // by (sub, cell_id); the per-sub codebooks ride one broadcast m-row
-    // cells relation per iteration
-    val d2 = "round(aggregate(zip_with(embedding, c.c_emb, " +
-      "(e, cc) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
-      "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
-    def assign(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-      val cells = cents.groupBy(col("sub"))
-        .agg(array_sort(collect_list(struct(col("cell_id"), col("c_emb")))).as("cells"))
-      df.join(broadcast(cells), "sub")
-        .select(col("sub"), col("vec_id"), col("embedding"),
-          explode(expr(s"slice(array_sort(transform(cells, c -> " +
-            s"struct($d2 AS d2, c.cell_id AS cell_id))), 1, $n)")).as("a"))
-        .select(col("sub"), col("vec_id"), col("embedding"),
-          col("a.cell_id").as("cell_id"))
-    }
-    var cents = train.filter(col("vec_id") < ksub.toLong * trainMod)
-      .select(col("sub"), col("vec_id").as("cell_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
-    for (_ <- 1 to iters) {
-      cents = assign(train, cents, 1)
-        .select(col("sub"), col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("cell_id"), col("pos"))
-        .agg(
-          sum(col("x").cast("double")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 16))).as("s"),
-          count(lit(1)).as("n"))
-        .select(col("sub"), col("cell_id"), col("pos"),
-          (col("s").cast("double") / col("n").cast("double")).as("v"))
-        .groupBy(col("sub"), col("cell_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), p -> p.v)")
-          .as("c_emb"))
-    }
     // codebooks consumed by the encode pass and the distance tables — cut
     // the Lloyd lineage once (cluster deployments swap in a reliable
     // materializer exactly as in ivfTopK)
-    val codebooks = cents.localCheckpoint()
+    val codebooks =
+      kMeansCentroids(stacked, ksub, iters, trainMod, groupCols = Seq("sub"))
+        .localCheckpoint()
 
-    val codes = assign(stacked, codebooks, 1)
+    val codes = assignCells(stacked, codebooks, 1, groupCols = Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cell_id"))
     val d2ToQ = "round(aggregate(zip_with(c_emb, qe, " +
       "(cc, e) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
