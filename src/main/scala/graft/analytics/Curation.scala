@@ -149,6 +149,85 @@ object Curation {
         coalesce(col("ct"), lit(0)).as("contaminated"))
   }
 
+  /** Keyword search over the corpus: tf-idf-ranked top-k documents for a
+    * bag of query terms — the data-selection primitive ("find me documents
+    * about X") a training-data pipeline runs against raw corpora. The idf
+    * weight is FIXED-POINT rational instead of the textbook logarithm:
+    * `idf_scaled(t) = (10^6 · N) div df(t)` (pure integer division), so a
+    * document's score `Σ_t tf(t,d) · idf_scaled(t)` is a BIGINT — monotone
+    * in the same direction as log-idf ranking (rarer term ⇒ bigger weight)
+    * and bit-identical in any engine, where a floating log would make the
+    * result hash engine-dependent.
+    *
+    * Shape at scale: the term list is a broadcast map-side filter on the
+    * exploded corpus — only matching occurrences ever shuffle (on doc_id for
+    * tf, then the tiny per-term df is broadcast back). The corpus-sized scan
+    * is one pass, no corpus-sized join.
+    */
+  def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termsDf = terms.toDF("tk")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .join(broadcast(termsDf), Seq("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), Seq("tk")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        (col("tf") * expr("(1000000L * n_docs) div df")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Importance scoring of raw documents against a target distribution —
+    * the DSIR-style data-selection step (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"), kept integer-exact: the
+    * corpus is split into a TARGET slice (the distribution you want more
+    * of) and the RAW remainder; each raw document scores
+    * `num = Σ_occ (tf_target(t) + 1)` vs `den = Σ_occ (tf_raw(t) + 1)`
+    * (add-one smoothing over the two unigram tables), and the selection
+    * ranks by the fixed-point ratio `(10^9 · num) div den` — documents
+    * whose tokens are relatively more frequent in the target slice rank
+    * first, the same monotone signal as the log-likelihood ratio without
+    * any floating-point transcendental (so the oracle hash is stable).
+    *
+    * Shape at scale: both tf tables come from one exploded corpus sweep
+    * (shuffle on token); per-document occurrences are pre-aggregated to
+    * distinct tokens with counts before the tf joins — the same hot-token
+    * skew bound as [[unigramScore]] — and score aggregation shuffles on
+    * doc_id. Top-k is a bounded sort.
+    */
+  def importanceRatioTopK(
+      docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+      k: Int = 100): DataFrame = {
+    val perDoc = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(tokens(col("text"))).as("tk"))
+      .groupBy(col("doc_id"), col("is_target"), col("tk"))
+      .agg(count(lit(1)).as("c"))
+    val tfTarget = perDoc.filter(col("is_target"))
+      .groupBy(col("tk")).agg(sum(col("c")).as("tf_t"))
+    val tfRaw = perDoc.filter(!col("is_target"))
+      .groupBy(col("tk")).agg(sum(col("c")).as("tf_r"))
+    perDoc.filter(!col("is_target"))
+      .join(tfTarget, Seq("tk"), "left")
+      .join(tfRaw, Seq("tk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c") * (coalesce(col("tf_t"), lit(0L)) + 1L)).as("num"),
+        sum(col("c") * (col("tf_r") + 1L)).as("den"))
+      .select(col("doc_id"), col("num"), col("den"),
+        expr("(1000000000L * num) div den").as("ratio_scaled"))
+      .orderBy(col("ratio_scaled").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic corpus shuffle for training order — the distributed
     * shape: a content hash keyed by (seed, doc_id) assigns every document a
     * shard and a position within the shard. No global row_number (which

@@ -224,6 +224,78 @@ object Dedup {
       .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
   }
 
+  /** Per-document duplicated n-gram coverage — the exact-substring dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): how much of each document's content also occurs verbatim
+    * elsewhere in the corpus. A suffix array finds arbitrary-length repeats;
+    * the distributed equivalent fixes the span length at `n` tokens and
+    * counts, per document, how many of its distinct n-grams have corpus
+    * document-frequency ≥ 2 — a high `n_dup_grams / n_grams` ratio marks a
+    * document as mostly-boilerplate even when no single other document is a
+    * near-duplicate of it (the case MinHash/SimHash whole-document
+    * signatures miss).
+    *
+    * Shape at scale: one explode shuffling on the n-gram string for the df
+    * build, then the df table joins back on the SAME key (co-partitioned),
+    * then one groupBy on doc_id. The gram relation carries distinct grams
+    * per doc, so a pathological document repeating one phrase contributes
+    * one row per distinct gram, not per occurrence.
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("g"))
+      .distinct()
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+  }
+
+  /** The composed MinHash production pipeline: LSH candidate generation
+    * followed by EXACT n-gram Jaccard verification of only the candidates —
+    * the standard two-phase shape (cheap recall-oriented candidates, exact
+    * precision-oriented verify) a real dedup deployment runs, where the
+    * all-pairs [[ngramJaccardPairs]] is the oracle-grade reference but the
+    * candidate-restricted verify is what scales: the exact Jaccard join
+    * touches |candidates| pairs, not O(n²).
+    *
+    * The shingle relation shuffles on doc_id to meet each candidate side;
+    * intersections come from a shingle equi-join restricted to candidate
+    * pairs by a semi-join-shaped inner join on (id_a, id_b). A candidate
+    * pair sharing no shingle drops out in both this and any oracle
+    * formulation (inner-join semantics), which cannot happen for true LSH
+    * candidates (equal band minima imply a shared shingle modulo md5
+    * collisions).
+    */
+  def minhashVerifiedPairs(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      n: Int = 3,
+      thresholdDen: Int = 5,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    val cand = lshCandidatePairs(docs, numHashes, rowsPerBand, n, materialize)
+      .select(col("id_a"), col("id_b"))
+    val sh = materialize(shingles(docs, n))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.toDF("id_a", "s"), "id_a")
+      .join(sh.toDF("id_b", "s2"), Seq("id_b"))
+      .filter(col("s") === col("s2"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"))
+      .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
+  }
+
   /** Modulus for the affine MinHash family: 2^40 keeps every intermediate
     * (h1 + 7·h2 < 2^43) inside BIGINT range in any engine.
     */

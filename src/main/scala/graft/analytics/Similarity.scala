@@ -373,6 +373,53 @@ object Similarity {
         .as("centroid"),
         max(col("n")).as("n_vectors"))
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embeddings
+    * with the SAME deterministic k-means quantizer the IVF index uses, form
+    * candidate pairs only WITHIN each cluster, drop every non-representative
+    * member of a within-cluster near-duplicate component (cosine ≥
+    * `minSim`; representative = min vec_id). K-means clustering is the
+    * candidate cut that distinguishes SemDeDup from sign-LSH near-dup
+    * detection ([[cosineNearDupPairs]]): semantically close vectors land in
+    * the same cell even when they straddle hyperplane signs.
+    *
+    * Scale shape: quantizer trains on a deterministic subsample; assignment
+    * is map-only against broadcast centroids; the pair join shuffles on
+    * cell_id (bounded per-cell fan-out — at corpus scale raise `nCells`
+    * ∝ corpus size so cells stay ~constant-sized, the paper's regime);
+    * per-pair scoring is the codegen'd `float_dot` primitive with per-row
+    * norms computed once. Returns the KEPT rows (vec_id, label).
+    */
+  def semDedupKeep(
+      embeddings: DataFrame,
+      nCells: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 4,
+      minSim: Double = 0.30,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val centroids = materialize(kMeansCentroids(spread, nCells, iters, trainMod))
+    // assignment feeds both sides of the pair join — cut the Lloyd lineage
+    // once and compute each row's norm a single time
+    val assigned = materialize(assignCells(spread, centroids, 1)
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)"))))
+    val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val pairs = a.join(b, Seq("cell_id")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+    val drop = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** All near-duplicate pairs by embedding cosine within sign-LSH buckets —
     * the embedding-space analogue of MinHash near-dup detection. Pairs are
     * generated per bucket (the LSH candidate cut), then thresholded on the

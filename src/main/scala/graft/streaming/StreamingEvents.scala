@@ -63,6 +63,23 @@ object StreamingEvents {
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
       .dropDuplicates("fp")
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keeps a fingerprint in state only until the event-time watermark passes
+    * it, so state size tracks the watermark window instead of growing with
+    * the corpus — the shape an unbounded ingest needs (the unbounded
+    * [[streamingDedup]] is exact forever but its state is O(distinct keys)).
+    * Duplicates arriving within the watermark window are dropped exactly;
+    * a duplicate arriving after its original's fingerprint expired would be
+    * re-admitted, which is the documented contract of the operator.
+    */
+  def streamingDedupBounded(
+      docs: DataFrame, textCol: String = "text",
+      delay: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark("tsd", delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * counts updated each micro-batch (the
     * `KeyValueGroupedDataset.mapGroupsWithState` extension point for state
