@@ -154,10 +154,18 @@ object Curation {
     * about X") a training-data pipeline runs against raw corpora. The idf
     * weight is FIXED-POINT rational instead of the textbook logarithm:
     * `idf_scaled(t) = (10^6 · N) div df(t)` (pure integer division), so a
-    * document's score `Σ_t tf(t,d) · idf_scaled(t)` is a BIGINT — monotone
+    * document's score `Σ_t tf(t,d) · idf_scaled(t)` is exact — monotone
     * in the same direction as log-idf ranking (rarer term ⇒ bigger weight)
     * and bit-identical in any engine, where a floating log would make the
     * result hash engine-dependent.
+    *
+    * Range analysis (the MinHashMod-style bound the repo uses elsewhere):
+    * `idf_scaled ≤ 10^6 · N` fits BIGINT up to N = 9.2e12 documents, but the
+    * per-term product `tf · idf_scaled` reaches ~1e19 already at N = 1e10
+    * with tf ~ 10^3 — past BIGINT. The product and the score sum therefore
+    * accumulate in DECIMAL(38,0) (exact, order-independent, bounded by
+    * tf·10^6·N ≤ 1e38 for any physical corpus), and `score` is emitted as
+    * DECIMAL(38,0).
     *
     * Shape at scale: the term list is a broadcast map-side filter on the
     * exploded corpus — only matching occurrences ever shuffle (on doc_id for
@@ -177,9 +185,11 @@ object Curation {
     val dfT = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfT), Seq("tk")).crossJoin(broadcast(nDocs))
       .select(col("doc_id"),
-        (col("tf") * expr("(1000000L * n_docs) div df")).as("w"))
+        (col("tf").cast("decimal(38,0)") *
+          expr("(1000000L * n_docs) div df").cast("decimal(38,0)")).as("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("score"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("w")).cast("decimal(38,0)").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -193,8 +203,21 @@ object Curation {
     * (add-one smoothing over the two unigram tables), and the selection
     * ranks by the fixed-point ratio `(10^9 · num) div den` — documents
     * whose tokens are relatively more frequent in the target slice rank
-    * first, the same monotone signal as the log-likelihood ratio without
-    * any floating-point transcendental (so the oracle hash is stable).
+    * first: a monotone-per-term APPROXIMATION of the log-likelihood-ratio
+    * score (a ratio of sums, not a sum of log-ratios — each term's
+    * contribution moves the ratio in the LLR's direction, but the two
+    * rankings can differ on mixed-profile documents), chosen because it
+    * needs no floating-point transcendental, so the oracle hash is stable.
+    * Documents whose `targetPred` evaluates NULL count as raw (non-target),
+    * not silently dropped.
+    *
+    * Range analysis: per-row `c·(tf+1)` ≤ ~1e18 fits BIGINT, but the
+    * per-document sums do not at corpus scale (ADVICE r5: num ~ 1e22 at
+    * 100 TB), so `num`/`den` accumulate — and are emitted — as
+    * DECIMAL(38,0). `ratio_scaled` IS a BIGINT (`div` yields one): exact
+    * while `num/den < 9.2e9`, i.e. while no token is ≥ 9.2e9× more frequent
+    * in the target slice than smoothing floor — any physical target slice;
+    * ANSI mode raises (never wraps) if a degenerate corpus breaks the bound.
     *
     * Shape at scale: both tf tables come from one exploded corpus sweep
     * (shuffle on token); per-document occurrences are pre-aggregated to
@@ -207,7 +230,7 @@ object Curation {
       k: Int = 100): DataFrame = {
     val perDoc = docs
       .repartition(col("doc_id"))
-      .select(col("doc_id"), targetPred.as("is_target"),
+      .select(col("doc_id"), coalesce(targetPred, lit(false)).as("is_target"),
         explode(tokens(col("text"))).as("tk"))
       .groupBy(col("doc_id"), col("is_target"), col("tk"))
       .agg(count(lit(1)).as("c"))
@@ -220,8 +243,10 @@ object Curation {
       .join(tfRaw, Seq("tk"))
       .groupBy(col("doc_id"))
       .agg(
-        sum(col("c") * (coalesce(col("tf_t"), lit(0L)) + 1L)).as("num"),
-        sum(col("c") * (col("tf_r") + 1L)).as("den"))
+        sum((col("c") * (coalesce(col("tf_t"), lit(0L)) + 1L))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("num"),
+        sum((col("c") * (col("tf_r") + 1L))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("den"))
       .select(col("doc_id"), col("num"), col("den"),
         expr("(1000000000L * num) div den").as("ratio_scaled"))
       .orderBy(col("ratio_scaled").desc, col("doc_id").asc)

@@ -263,13 +263,16 @@ object Dedup {
     * candidate-restricted verify is what scales: the exact Jaccard join
     * touches |candidates| pairs, not O(n²).
     *
+    * Verification applies the SAME `dfCap` stop-shingle filter as
+    * [[ngramJaccardPairs]] — sizes and intersections are computed over the
+    * identical df-capped shingle universe, so on any corpus a verified
+    * pair's (n_common, n_union) equals the all-pairs reference's row for
+    * that pair (a candidate sharing no capped shingle drops out here
+    * exactly as it would fail the threshold there).
+    *
     * The shingle relation shuffles on doc_id to meet each candidate side;
     * intersections come from a shingle equi-join restricted to candidate
-    * pairs by a semi-join-shaped inner join on (id_a, id_b). A candidate
-    * pair sharing no shingle drops out in both this and any oracle
-    * formulation (inner-join semantics), which cannot happen for true LSH
-    * candidates (equal band minima imply a shared shingle modulo md5
-    * collisions).
+    * pairs by a semi-join-shaped inner join on (id_a, id_b).
     */
   def minhashVerifiedPairs(
       docs: DataFrame,
@@ -277,10 +280,16 @@ object Dedup {
       rowsPerBand: Int = 4,
       n: Int = 3,
       thresholdDen: Int = 5,
+      dfCap: Int = 100,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     val cand = lshCandidatePairs(docs, numHashes, rowsPerBand, n, materialize)
       .select(col("id_a"), col("id_b"))
-    val sh = materialize(shingles(docs, n))
+    val shAll = materialize(shingles(docs, n))
+    val rare = shAll.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+      .select(col("s"))
+    val sh = shAll.join(rare, Seq("s"), "left_semi")
+      .select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.toDF("id_a", "s"), "id_a")

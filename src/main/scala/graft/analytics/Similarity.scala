@@ -356,6 +356,11 @@ object Similarity {
     * class-balance diagnostics): one groupBy on the label, per-dimension
     * DECIMAL sums divided once in double — the same engine-exact mean
     * contract as the k-means centroid update, so an oracle can mirror it.
+    * LONG format on purpose — one row per (label, dimension) with the mean
+    * `v` and the class size — both because it is the hash-friendly shape
+    * (array columns defeat row-sorting comparators) and because it is the
+    * relational shape downstream ops join on; collect_list(struct(pos, v))
+    * rebuilds the array form when a caller wants it.
     */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
@@ -366,12 +371,9 @@ object Similarity {
         sum(col("x").cast("double")
           .cast(org.apache.spark.sql.types.DecimalType(18, 16))).as("s"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("pos"), col("n"),
-        round(col("s").cast("double") / col("n").cast("double"), 9).as("v"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), p -> p.v)")
-        .as("centroid"),
-        max(col("n")).as("n_vectors"))
+      .select(col("label"), col("pos"),
+        round(col("s").cast("double") / col("n").cast("double"), 9).as("v"),
+        col("n").as("n_vectors"))
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embeddings

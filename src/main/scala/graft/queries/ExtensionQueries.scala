@@ -77,6 +77,15 @@ object ExtensionQueries {
         Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
           minSim = 0.30, nBits = 8).select(col("id_a"), col("id_b")))
         .withColumnRenamed("doc_id", "vec_id")),
+    // the composed MinHash production pipeline: LSH candidates + exact
+    // df-capped Jaccard verify of ONLY the candidates — the scale-path
+    // companion to the all-pairs ngram_jaccard_pairs reference
+    "minhash_verified_pairs" -> ((s, dir) =>
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"))),
+    // per-document duplicated-5-gram coverage: the exact-substring
+    // boilerplate signal whole-document signatures miss
+    "dup_ngram_coverage" -> ((s, dir) =>
+      Dedup.dupNgramCoverage(t(s, dir, "documents"))),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -124,10 +133,15 @@ object ExtensionQueries {
     "cosine_topk_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
         trainMod = 2)),
+    // SemDeDup applied end-to-end: k-means cells → within-cell cosine pairs
+    // → connected components → keep only component representatives
+    "semantic_dedup_apply" -> ((s, dir) =>
+      Similarity.semDedupKeep(t(s, dir, "embeddings"))),
     // hard-negative mining: most-similar vectors of a DIFFERENT label
     "hard_negatives_topk" -> ((s, dir) =>
       Similarity.hardNegativesTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
-    // per-class mean embeddings (nearest-centroid prototypes)
+    // per-class mean embeddings (nearest-centroid prototypes), long format:
+    // one row per (label, dimension) — the hash-friendly relational shape
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
 
@@ -194,6 +208,15 @@ object ExtensionQueries {
     // proxy (sum / min / rare-count of corpus term frequencies per doc)
     "text_unigram_score" -> ((s, dir) =>
       Curation.unigramScore(t(s, dir, "documents"))),
+    // tf-idf keyword search: fixed-point integer idf, DECIMAL(38,0) scores
+    "keyword_search_topk" -> ((s, dir) =>
+      Curation.keywordSearch(t(s, dir, "documents"),
+        terms = Seq("spark", "quantile", "vector"), k = 20)),
+    // DSIR-style importance ranking of raw docs against the English slice
+    // as the target distribution (fixed-point ratio of smoothed tf sums)
+    "dsir_importance_topk" -> ((s, dir) =>
+      Curation.importanceRatioTopK(t(s, dir, "documents"),
+        targetPred = col("lang") === "en", k = 100)),
     // temperature-based source mixing (quota ∝ sqrt(source size), filled by
     // smallest doc_id — the multi-corpus rebalancing sampler)
     "source_mix_sample" -> ((s, dir) =>
@@ -476,6 +499,35 @@ object ExtensionQueries {
       s"ORDER BY sim DESC, e.vec_id LIMIT $k"
   }
 
+  /** Mirror of [[Similarity.semDedupKeep]]: the same fixed-seed Lloyd chain
+    * as the IVF/PQ oracles (one definition, [[kmDist]]/[[kmArgmin]]/
+    * [[kmUpdate]]), within-cell cosine pairs as sequential double sums,
+    * exact transitive closure, keep = not a non-representative member.
+    */
+  private def semDedupOracle(
+      nCells: Int, iters: Int, trainMod: Int, minSim: Double): String = {
+    val iterCtes = (1 to iters).map { i =>
+      kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+        kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
+    }.mkString(", ")
+    s"WITH RECURSIVE train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+      s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
+      "nn AS (SELECT vec_id, cell_id, embedding, " +
+      "sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) " +
+      "FOR i IN generate_series(1, len(embedding))])) AS nrm FROM af), " +
+      "p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) " +
+      "FOR i IN generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6) AS sim " +
+      "FROM nn a JOIN nn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id), " +
+      s"cpairs AS (SELECT id_a, id_b FROM p0 WHERE sim >= $minSim), " +
+      closureCtes("cpairs") + ", " +
+      "comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src) " +
+      "SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN " +
+      "(SELECT src FROM comp WHERE component != src)"
+  }
+
   /** Shared CTE chain for the MinHash LSH candidate pairs (mirrors
     * [[Dedup.lshCandidatePairs]]): ends in `pairs(id_a, id_b, band)`.
     */
@@ -655,6 +707,55 @@ object ExtensionQueries {
     "minhash_lsh_pairs" ->
       ("WITH " + minhashPairCtes +
         " SELECT id_a, id_b, count(*) AS n_shared_bands FROM pairs GROUP BY 1, 2"),
+    // candidate-restricted verify over the SAME df-capped shingle universe
+    // as ngram_jaccard_pairs: candidates from the LSH bands, exact Jaccard
+    // from the capped shingle relation the band CTE already built
+    "minhash_verified_pairs" ->
+      ("WITH " + minhashPairCtes + ", " +
+        "cand AS (SELECT DISTINCT id_a, id_b FROM pairs), " +
+        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) d WHERE df <= 100), " +
+        "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), " +
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS n_common FROM cand c " +
+        "JOIN shc a ON a.doc_id = c.id_a JOIN shc b ON b.doc_id = c.id_b AND b.s = a.s " +
+        "GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE 5 * n_common >= (sa.n + sb.n - n_common)"),
+    "dup_ngram_coverage" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] " +
+        "FOR i IN generate_series(1, len(w) - 4)]) AS g FROM toks) u), " +
+        "dfv AS (SELECT g, count(*) AS df FROM grams GROUP BY g) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams " +
+        "FROM grams JOIN dfv USING (g) GROUP BY doc_id"),
+    "keyword_search_topk" ->
+      ("WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "tf AS (SELECT doc_id, tk, count(*) AS tf FROM occ " +
+        "WHERE tk IN ('spark', 'quantile', 'vector') GROUP BY doc_id, tk), " +
+        "dft AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents) " +
+        "SELECT doc_id, count(*) AS n_terms, " +
+        "CAST(sum(tf * ((1000000 * n_docs) // df)) AS DECIMAL(38,0)) AS score " +
+        "FROM tf JOIN dft USING (tk), nd GROUP BY doc_id " +
+        "ORDER BY score DESC, doc_id LIMIT 20"),
+    "dsir_importance_topk" ->
+      ("WITH occ AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_target, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "pd AS (SELECT doc_id, is_target, tk, count(*) AS c FROM occ GROUP BY 1, 2, 3), " +
+        "tft AS (SELECT tk, sum(c) AS tf_t FROM pd WHERE is_target GROUP BY tk), " +
+        "tfr AS (SELECT tk, sum(c) AS tf_r FROM pd WHERE NOT is_target GROUP BY tk), " +
+        "s AS (SELECT doc_id, sum(c * (coalesce(tf_t, 0) + 1)) AS numh, " +
+        "sum(c * (tf_r + 1)) AS denh FROM pd JOIN tfr USING (tk) " +
+        "LEFT JOIN tft USING (tk) WHERE NOT is_target GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(numh AS DECIMAL(38,0)) AS num, " +
+        "CAST(denh AS DECIMAL(38,0)) AS den, " +
+        "CAST((1000000000 * numh) // denh AS BIGINT) AS ratio_scaled " +
+        "FROM s ORDER BY ratio_scaled DESC, doc_id LIMIT 100"),
+    "semantic_dedup_apply" ->
+      semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     // exact transitive closure (recursive CTE) vs the engine's bounded
     // min-label propagation: equal because near-dup components on the
     // fixture corpus have diameter << 10 rounds
@@ -723,12 +824,11 @@ object ExtensionQueries {
         "SELECT vec_id, label, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
     "label_centroids" ->
-      ("WITH u AS (SELECT label, unnest([{'pos': i, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
-        "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings), " +
-        "g AS (SELECT label, pos, round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, " +
-        "count(*) AS n FROM u GROUP BY label, pos) " +
-        "SELECT label, list(v ORDER BY pos) AS centroid, max(n) AS n_vectors " +
-        "FROM g GROUP BY label"),
+      ("WITH u AS (SELECT label, unnest([{'pos': i - 1, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings) " +
+        "SELECT label, CAST(pos AS INT) AS pos, " +
+        "round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, " +
+        "count(*) AS n_vectors FROM u GROUP BY label, pos"),
     "cosine_topk_lsh_multiprobe" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +

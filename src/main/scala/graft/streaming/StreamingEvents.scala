@@ -71,13 +71,17 @@ object StreamingEvents {
     * Duplicates arriving within the watermark window are dropped exactly;
     * a duplicate arriving after its original's fingerprint expired would be
     * re-admitted, which is the documented contract of the operator.
+    *
+    * `tsCol` must name an event-time TIMESTAMP column (the watermark
+    * anchor); the docs fixture has none, so callers ingesting documents
+    * attach an arrival/ingest timestamp first (see `StreamingSpec`).
     */
   def streamingDedupBounded(
-      docs: DataFrame, textCol: String = "text",
+      docs: DataFrame, textCol: String = "text", tsCol: String = "tsd",
       delay: String = "2 hours"): DataFrame =
     docs
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
-      .withWatermark("tsd", delay)
+      .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
   /** Custom keyed state via mapGroupsWithState: running per-user event

@@ -47,6 +47,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("stream_dedup").count() == batchDistinct)
   }
 
+  test("bounded-state streaming dedup drops within-watermark duplicates across micro-batches") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    // two batches of the SAME docs, one minute apart in event time (well
+    // inside the 2h watermark delay) — every batch-2 row is a cross-batch
+    // duplicate and must be dropped, exactly like the unbounded operator
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = Files.createTempDirectory("graft_dedup_wm")
+    def stage(name: String, baseSec: Long): Unit =
+      docs.withColumn("arrival", timestamp_seconds(lit(baseSec)))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    stage("a", 1000L)
+    stage("b", 1060L)
+    val schema = spark.read.parquet(s"$dir/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingDedupBounded(stream, tsCol = "arrival"),
+      "stream_dedup_wm", outputMode = "append")
+    val batchDistinct = docs
+      .selectExpr("md5(CAST(lower(trim(text)) AS BINARY))").distinct().count()
+    assert(spark.table("stream_dedup_wm").count() == batchDistinct)
+  }
+
   test("mapGroupsWithState running user counts reach the batch totals") {
     val stream = StreamingEvents.readEvents(spark, streamDir)
     StreamingEvents.runToMemory(
