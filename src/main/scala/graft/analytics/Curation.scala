@@ -119,15 +119,22 @@ object Curation {
     * "why was this dropped" table — and the actual drop is one filter over
     * this relation. Each input operator keeps its own at-scale shape; the
     * audit adds only doc_id-keyed joins (co-partitioned after the first).
+    * The `materialize` lineage-cut hook threads through to the iterative
+    * sub-operators (LSH bands, connected components) exactly as in `Dedup`
+    * — pass `Materialize.parquet(dir)` on a real cluster.
     */
-  def curationAudit(docs: DataFrame): DataFrame = {
+  def curationAudit(
+      docs: DataFrame,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("f"))
     // reuse the standalone operator so the audit's exact-dup verdict cannot
     // drift from Dedup.fingerprintGroups (CurationSpec pins the equality)
     val keep = Dedup.fingerprintGroups(docs)
       .select(col("fp").as("f"), col("keep_id").as("k"))
     val comp = Dedup.connectedComponents(
-        Dedup.lshCandidatePairs(docs).select(col("id_a"), col("id_b")))
+        Dedup.lshCandidatePairs(docs, materialize = materialize)
+          .select(col("id_a"), col("id_b")),
+        materialize = materialize)
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id"), lit(1).as("nd"))
     val bands = docs.agg(

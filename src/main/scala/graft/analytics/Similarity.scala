@@ -303,13 +303,10 @@ object Similarity {
 
     val codes = assignCells(stacked, codebooks, 1, groupCols = Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cell_id"))
-    val d2ToQ = "round(aggregate(zip_with(c_emb, qe, " +
-      "(cc, e) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
-      "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
     val dtab = codebooks
       .join(broadcast(stack(q).select(col("sub"), col("embedding").as("qe"))), "sub")
       .select(col("sub"), col("cell_id"),
-        expr(d2ToQ).cast("decimal(38,9)").as("d2q"))
+        expr(AdcDistExpr).cast("decimal(38,9)").as("d2q"))
 
     val shortlist = codes
       .join(broadcast(dtab), Seq("sub", "cell_id"))
@@ -328,6 +325,107 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** IVF-PQ — the production ANN index composition (Jégou et al. §IV:
+    * IVFADC): the IVF coarse quantizer restricts the candidate set to the
+    * `nProbe` cells nearest the query, and ONLY those candidates are scored
+    * by the PQ asymmetric-distance tables, then the shortlist is re-ranked
+    * by exact cosine. Both halves are the same deterministic engine-exact
+    * components the standalone paths use ([[kMeansCentroids]]/
+    * [[assignCells]] for the coarse quantizer AND the per-subspace
+    * codebooks), so one oracle contract covers all three keys.
+    *
+    * 100 TB shape: the coarse cell id is the partition/bucket key (a probe
+    * reads nProbe/nCells of the index); PQ codes for the whole corpus are
+    * precomputed at index-build time and stored as `m` small-int columns,
+    * so query-time ADC is table lookups over the probed cells only. Here
+    * the encode runs over the candidates (identical codes — encoding is
+    * deterministic per vector), which is the query-cost shape: every
+    * per-candidate operation is a broadcast-table lookup, never a
+    * full-dimension scan; only the shortlist touches exact vectors.
+    *
+    * Training cost trick: the coarse quantizer is trained as group `-1` of
+    * the SAME grouped Lloyd chain as the `m` subspace codebooks (its group
+    * carries the full vector, theirs the slices), so the whole index build
+    * is ONE chain of jobs — two serialized chains measured ~1.7× the
+    * wall-clock for identical math. Corollary: the codebook size equals
+    * `nCells` and the iteration/sample schedule is shared — the standalone
+    * [[ivfTopK]]/[[pqTopK]] keep the independently-tuned variants.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      m: Int = 4,
+      subDim: Int = 16,
+      shortK: Int = 50,
+      trainMod: Int = 1): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+
+    // sub = -1 carries the full vector (the coarse quantizer's group);
+    // subs 0..m-1 carry the PQ slices
+    def stackSub(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "embedding")))
+    def stackAll(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      posexplode(array(col("embedding") +: (0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*))
+        .as(Seq("p", "embedding")))
+      .select(col("vec_id"), (col("p") - 1).as("sub"), col("embedding"))
+    val trained =
+      kMeansCentroids(stackAll(spread), nCells, iters, trainMod,
+        groupCols = Seq("sub")).localCheckpoint()
+    val coarse = trained.filter(col("sub") === -1).drop("sub")
+    val codebooks = trained.filter(col("sub") =!= -1)
+
+    // ---- IVF half: probe restriction against the coarse cells ----
+    val indexed = assignCells(spread, coarse, 1)
+    val probeCells = assignCells(q, coarse, nProbe)
+      .select(col("cell_id")).distinct()
+    val cand = indexed
+      .join(broadcast(probeCells), "cell_id")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"))
+
+    // ---- PQ half: ADC table lookups over the candidates only ----
+    val codes = assignCells(stackSub(cand), codebooks, 1, groupCols = Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cell_id"))
+    val dtab = codebooks
+      .join(broadcast(stackSub(q).select(col("sub"), col("embedding").as("qe"))), "sub")
+      .select(col("sub"), col("cell_id"),
+        expr(AdcDistExpr).cast("decimal(38,9)").as("d2q"))
+    val shortlist = codes
+      .join(broadcast(dtab), Seq("sub", "cell_id"))
+      .groupBy(col("vec_id")).agg(sum(col("d2q")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(shortK)
+
+    val qEmb = broadcast(q.select(col("embedding").as("q_emb")))
+    shortlist.join(spread, Seq("vec_id"))
+      .crossJoin(qEmb)
+      .select(col("vec_id"),
+        round(expr("float_dot(embedding, q_emb)") /
+          (sqrt(expr("float_dot(embedding, embedding)")) *
+            sqrt(expr("float_dot(q_emb, q_emb)"))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Squared-L2 from a codebook centroid `c_emb` to the query sub-vector
+    * `qe` — the ADC distance-table entry, under the same rounded
+    * sequential-double-sum contract as [[assignCells]] (one definition for
+    * the PQ and IVF-PQ paths).
+    */
+  private val AdcDistExpr: String =
+    "round(aggregate(zip_with(c_emb, qe, " +
+      "(cc, e) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
 
   /** Hard-negative mining (the contrastive-training data step): the top-k
     * most similar vectors to the query whose `label` DIFFERS from the
@@ -415,7 +513,8 @@ object Similarity {
         round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
           .as("sim"))
       .filter(col("sim") >= minSim)
-    val drop = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+    val drop = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")), materialize = materialize)
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.join(drop, Seq("vec_id"), "left_anti")

@@ -133,6 +133,12 @@ object ExtensionQueries {
     "cosine_topk_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
         trainMod = 2)),
+    // the production composition: IVF coarse cells restrict candidates,
+    // PQ/ADC tables score only the probed cells, exact rerank on top (the
+    // coarse quantizer + 4 codebooks train in ONE grouped Lloyd chain)
+    "cosine_topk_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
+        trainMod = 4)),
     // SemDeDup applied end-to-end: k-means cells → within-cell cosine pairs
     // → connected components → keep only component representatives
     "semantic_dedup_apply" -> ((s, dir) =>
@@ -432,27 +438,36 @@ object ExtensionQueries {
       s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
       s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
 
-  private def ivfKmeansOracle(
-      nCells: Int, nProbe: Int, iters: Int, k: Int, queryId: Long,
-      trainMod: Int = 1): String = {
-    val (dist, argmin, update) = (kmDist _, kmArgmin _, kmUpdate _)
+  /** Coarse-quantizer CTE chain shared by the IVF and IVF-PQ oracles: the
+    * fixed-seed Lloyd iterations over the `1-in-trainMod` training sample,
+    * the full-corpus assignment `af(vec_id, cell_id, embedding)` and the
+    * query's `probe(cell_id)` set — one definition, so the two keys cannot
+    * desynchronize.
+    */
+  private def coarseCtes(
+      nCells: Int, nProbe: Int, iters: Int, queryId: Long, trainMod: Int): String = {
     val iterCtes = (1 to iters).map { i =>
-      dist("train", s"c${i - 1}", s"a${i}d") + ", " + argmin(s"a${i}d", s"a$i") + ", " +
-        update(s"a$i", s"u$i", s"c$i")
+      kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+        kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
     }.mkString(", ")
-    s"WITH train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+    s"train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
       s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
       s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
-      dist("embeddings", s"c$iters", "afd") + ", " + argmin("afd", "af") + ", " +
+      kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
       "probe AS (SELECT cell_id FROM (SELECT cell_id, row_number() OVER (ORDER BY d2, cell_id) AS rn " +
-      s"FROM afd WHERE vec_id = $queryId) p WHERE rn <= $nProbe), " +
+      s"FROM afd WHERE vec_id = $queryId) p WHERE rn <= $nProbe)"
+  }
+
+  private def ivfKmeansOracle(
+      nCells: Int, nProbe: Int, iters: Int, k: Int, queryId: Long,
+      trainMod: Int = 1): String =
+    "WITH " + coarseCtes(nCells, nProbe, iters, queryId, trainMod) + ", " +
       s"q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) " +
       "SELECT e.vec_id, round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) / " +
       "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))])) * " +
       "sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(q.qe))]))), 6) AS sim " +
       "FROM embeddings e JOIN af a ON e.vec_id = a.vec_id JOIN probe p ON a.cell_id = p.cell_id, q " +
       s"WHERE e.vec_id != $queryId ORDER BY sim DESC, e.vec_id LIMIT $k"
-  }
 
   /** Mirror of [[Similarity.pqTopK]]: per-subspace sliced embeddings run the
     * same fixed-seed Lloyd chain as the IVF oracle, codes are the final
@@ -461,9 +476,14 @@ object ExtensionQueries {
     * DECIMAL(38,9) sum of table lookups — so the hash-match proves codebook
     * training, encoding, ADC scoring and the rerank all agree.
     */
-  private def pqOracle(
-      m: Int, subDim: Int, ksub: Int, iters: Int, k: Int, shortK: Int,
-      queryId: Long, trainMod: Int): String = {
+  /** Per-subspace PQ CTE chain shared by the PQ and IVF-PQ oracles: each
+    * subspace slice runs the fixed-seed Lloyd chain, `codes(vec_id, sub,
+    * cell_id)` is the final argmin encoding and `dtab(sub, cell_id, d2q)`
+    * the query's distance tables — one definition for both keys.
+    */
+  private def pqSubspaceCtes(
+      m: Int, subDim: Int, ksub: Int, iters: Int, queryId: Long,
+      trainMod: Int): String = {
     val (dist, argmin, update) = (kmDist _, kmArgmin _, kmUpdate _)
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
@@ -486,18 +506,46 @@ object ExtensionQueries {
       .map(s => s"SELECT vec_id, $s AS sub, cell_id FROM codes_$s").mkString(" UNION ALL ")
     val dtabU = (0 until m)
       .map(s => s"SELECT $s AS sub, cell_id, d2q FROM dtab_$s").mkString(" UNION ALL ")
-    s"WITH $subCtes, codes AS ($codesU), dtab AS ($dtabU), " +
-      "adc AS (SELECT vec_id, sum(CAST(d2q AS DECIMAL(38,9))) AS adc " +
-      s"FROM codes JOIN dtab USING (sub, cell_id) WHERE vec_id != $queryId GROUP BY vec_id), " +
-      "short AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER " +
-      s"(ORDER BY adc, vec_id) AS rn FROM adc) t WHERE rn <= $shortK), " +
-      s"qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) " +
+    s"$subCtes, codes AS ($codesU), dtab AS ($dtabU)"
+  }
+
+  /** Exact-cosine rerank tail over a shortlist relation `short(vec_id)`. */
+  private def rerankTail(k: Int, queryId: Long): String =
+    s"qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) " +
       "SELECT e.vec_id, round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))]) / " +
       "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(e.embedding))])) * " +
       "sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) FOR i IN generate_series(1, len(q.qe))]))), 6) AS sim " +
       "FROM embeddings e JOIN short USING (vec_id), qv q " +
       s"ORDER BY sim DESC, e.vec_id LIMIT $k"
-  }
+
+  private def pqOracle(
+      m: Int, subDim: Int, ksub: Int, iters: Int, k: Int, shortK: Int,
+      queryId: Long, trainMod: Int): String =
+    "WITH " + pqSubspaceCtes(m, subDim, ksub, iters, queryId, trainMod) + ", " +
+      "adc AS (SELECT vec_id, sum(CAST(d2q AS DECIMAL(38,9))) AS adc " +
+      s"FROM codes JOIN dtab USING (sub, cell_id) WHERE vec_id != $queryId GROUP BY vec_id), " +
+      "short AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER " +
+      s"(ORDER BY adc, vec_id) AS rn FROM adc) t WHERE rn <= $shortK), " +
+      rerankTail(k, queryId)
+
+  /** Mirror of [[Similarity.ivfPqTopK]]: the [[coarseCtes]] chain restricts
+    * candidates to the probed cells, the [[pqSubspaceCtes]] codes/tables
+    * score ONLY those candidates, and the ADC shortlist is re-ranked by
+    * exact cosine — proving the composed index end-to-end.
+    */
+  private def ivfpqOracle(
+      nCells: Int, nProbe: Int, coarseIters: Int, coarseTrainMod: Int,
+      m: Int, subDim: Int, ksub: Int, pqIters: Int, pqTrainMod: Int,
+      k: Int, shortK: Int, queryId: Long): String =
+    "WITH " + coarseCtes(nCells, nProbe, coarseIters, queryId, coarseTrainMod) + ", " +
+      pqSubspaceCtes(m, subDim, ksub, pqIters, queryId, pqTrainMod) + ", " +
+      "cand AS (SELECT a.vec_id FROM af a JOIN probe p ON a.cell_id = p.cell_id " +
+      s"WHERE a.vec_id != $queryId), " +
+      "adc AS (SELECT vec_id, sum(CAST(d2q AS DECIMAL(38,9))) AS adc " +
+      "FROM codes JOIN dtab USING (sub, cell_id) JOIN cand USING (vec_id) GROUP BY vec_id), " +
+      "short AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER " +
+      s"(ORDER BY adc, vec_id) AS rn FROM adc) t WHERE rn <= $shortK), " +
+      rerankTail(k, queryId)
 
   /** Mirror of [[Similarity.semDedupKeep]]: the same fixed-seed Lloyd chain
     * as the IVF/PQ oracles (one definition, [[kmDist]]/[[kmArgmin]]/
@@ -582,6 +630,10 @@ object ExtensionQueries {
     "cosine_topk_pq" ->
       pqOracle(m = 4, subDim = 16, ksub = 16, iters = 2, k = 10, shortK = 50,
         queryId = 0L, trainMod = 2),
+    "cosine_topk_ivfpq" ->
+      ivfpqOracle(nCells = 16, nProbe = 4, coarseIters = 2, coarseTrainMod = 4,
+        m = 4, subDim = 16, ksub = 16, pqIters = 2, pqTrainMod = 4,
+        k = 10, shortK = 50, queryId = 0L),
     "dedup_exact" ->
       ("SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups " +
         "FROM documents GROUP BY text"),
