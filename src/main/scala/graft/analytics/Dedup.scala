@@ -112,8 +112,8 @@ object Dedup {
     * returning a wrong answer. Near-dup components are shallow
     * (stars/short chains around a template), so the fixture converges in
     * a handful of rounds; at adversarial diameters the same loop runs
-    * longer (or swap in the large-star/small-star variant that converges
-    * in O(log n) rounds) without changing any shuffle shape. Each round is
+    * longer (or swap in [[connectedComponentsStar]], which converges in
+    * O(log n) rounds) without changing any shuffle shape. Each round is
     * one groupBy on the vertex id over the edge relation joined with the
     * label relation — at 100 TB both sides shuffle on the same key every
     * round, so AQE reuses the partitioning.
@@ -159,6 +159,74 @@ object Dedup {
             "component diameter exceeds maxRounds; raise maxRounds")
     }
     labels.select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round variant of [[connectedComponents]] for
+    * adversarial component diameters, behind the same output contract
+    * (doc_id, component = min id in the component).
+    *
+    *   - large-star: every vertex links its LARGER neighbors to the minimum
+    *     of its closed neighborhood — long chains fold toward their minimum
+    *     from every interior vertex at once;
+    *   - small-star: every vertex links its smaller-or-equal neighbors (and
+    *     itself) to that minimum — the step that turns folded chains into
+    *     stars.
+    *
+    * A fixpoint of the alternation is exactly a disjoint union of stars
+    * centered at component minima (the paper's invariant), so convergence
+    * is checked as edge-set stability — two edge-sized anti-joins, the same
+    * cost class as one contraction step. Rounds are O(log n) vs the label
+    * propagation's O(diameter); each round is two groupBy/join passes over
+    * the (shrinking) edge relation, every shuffle keyed on a vertex id.
+    * `maxRounds` is a runaway bound only — hitting it raises, never
+    * truncates.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame, maxRounds: Int = 60,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    val verts = materialize(
+      edges.select(col("id_a").as("id"))
+        .union(edges.select(col("id_b").as("id"))).distinct())
+    var e = materialize(
+      edges.select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged) {
+      // large-star: m(u) = min over u's closed neighborhood; (v, m) per v > u
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star on the (min, larger) orientation: each larger endpoint b
+      // links itself and all its smaller neighbors to their minimum
+      val sm = ls.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val withM = ls.join(sm, Seq("b"))
+      val next = materialize(
+        withM.select(col("m").as("a"), col("b"))
+          .union(withM.select(col("m").as("a"), col("a").as("b")))
+          .filter(col("a") =!= col("b")).distinct())
+      round += 1
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      if (!converged && round >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponentsStar: no fixpoint after $round rounds — " +
+            "raise maxRounds")
+      e = next
+    }
+    // at the fixpoint e is a star set (component-min, member); vertices
+    // absent from it (isolated, incl. self-loop-only inputs) are their own
+    // component
+    verts.join(e.select(col("b").as("id"), col("a").as("component")),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base

@@ -59,6 +59,12 @@ object ExtensionQueries {
       Dedup.connectedComponents(
         Dedup.lshCandidatePairs(t(s, dir, "documents"))
           .select(col("id_a"), col("id_b")))),
+    // the same clustering via O(log n) large-star/small-star contraction —
+    // identical output contract, verified against the same closure oracle
+    "neardup_components_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(
+        Dedup.lshCandidatePairs(t(s, dir, "documents"))
+          .select(col("id_a"), col("id_b")))),
     // apply the clustering: the deduplicated corpus = every document that
     // is not a non-representative member of some near-dup component
     "dedup_cluster_apply" -> ((s, dir) => {
@@ -812,6 +818,9 @@ object ExtensionQueries {
     // min-label propagation: equal because near-dup components on the
     // fixture corpus have diameter << 10 rounds
     "neardup_components" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
+        " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
+    "neardup_components_star" ->
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
         " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
     "dedup_cluster_apply" ->

@@ -45,6 +45,33 @@ class CurationSpec extends SparkSpecBase {
     assert(ccChain.length == 41 && ccChain.forall(_.getLong(1) == 101L))
   }
 
+  test("star-contraction CC matches min-label CC and needs O(log n) rounds on a deep chain") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val edges = spark.createDataFrame(Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(3L, 4L),
+      Row(10L, 11L), Row(11L, 12L), Row(10L, 12L),
+      Row(20L, 21L), Row(30L, 30L)).asJava, schema)
+    val viaLabel = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaLabel)
+    // a 120-hop descending chain: min-label propagation is O(diameter) —
+    // a 16-round budget RAISES (the documented no-truncation contract) —
+    // while star contraction converges inside it (O(log n) rounds)
+    val chain = spark.createDataFrame(
+      (1 to 120).map(i => Row(1000L + i, 1000L + i + 1)).asJava, schema)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 16).count()
+    }
+    val star = Dedup.connectedComponentsStar(chain, maxRounds = 16).collect()
+    assert(star.length == 121 && star.forall(_.getLong(1) == 1001L))
+  }
+
   test("curation audit flags agree with the standalone operators") {
     val audit = Curation.curationAudit(docs)
     assert(audit.count() == docs.count())

@@ -45,4 +45,41 @@ class LayoutSpec extends SparkSpecBase {
     assert(avgU < 0.6 * gu, s"avg u6 width $avgU vs global $gu")
     assert(avgV < 0.6 * gv, s"avg v6 width $avgV vs global $gv")
   }
+
+  test("z-ordered parquet makes a 2-D filter scan read fewer row groups than an unsorted layout") {
+    import java.nio.file.Files
+    // the end-to-end pruning payoff the envelope test only implies: write
+    // both layouts as 16 single-row-group files and measure how many rows
+    // the REAL parquet reader pulls for a small 2-D box — row-group
+    // min/max stats prune a file iff its envelope misses the box, so
+    // scanned rows ≈ rows in surviving files
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("vb"))
+    val m = raw.agg(max("user_id"), max("vb")).head
+    val (umax, vmax) = (m.getLong(0), m.getLong(1))
+    val ev = raw.select(col("event_id"),
+      floor(col("user_id") * 64.0 / (umax + 1)).cast("long").as("u6"),
+      floor(col("vb") * 64.0 / (vmax + 1)).cast("long").as("v6"))
+    val dir = Files.createTempDirectory("graft_zorder_prune").toString
+    Layout.zorderBy(ev, col("u6"), col("v6"), bits = 6, numPartitions = 16)
+      .drop("z").write.parquet(s"$dir/zordered")
+    ev.repartition(16, col("event_id")).write.parquet(s"$dir/unsorted")
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("u6") < 16 && col("v6") < 16)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    }
+    val zRows = scannedRows(s"$dir/zordered")
+    val uRows = scannedRows(s"$dir/unsorted")
+    val total = ev.count()
+    // hash layout: every file spans both full ranges, nothing prunes
+    assert(uRows == total, s"unsorted scan pruned unexpectedly: $uRows/$total")
+    // z-layout: the box is a contiguous z-range prefix -> a small file
+    // subset survives the row-group stats
+    assert(zRows <= total / 2,
+      s"z-ordered scan read $zRows of $total rows — row groups not pruned")
+  }
 }

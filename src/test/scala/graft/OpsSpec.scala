@@ -78,6 +78,20 @@ class OpsSpec extends SparkSpecBase {
     assert(byV("n1").isEmpty)    // NULL key → no match → scrubbed
   }
 
+  test("approx_count_distinct lands within 5% of the exact cardinality") {
+    // approx_distinct_parts is the one rows-only CORRECTNESS key (sketch
+    // values are estimator-specific, so no DuckDB hash) — this ratio band
+    // is its correctness statement: the HLL++ estimate must track the
+    // exact distinct count within the default 5% rsd
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+  }
+
   test("deterministicSample is a pure key-mod filter") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val n = Ops.deterministicSample(orders, "o_orderkey", 10).count()
