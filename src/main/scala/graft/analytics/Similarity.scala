@@ -134,6 +134,7 @@ object Similarity {
     // DuckDB oracle) are unchanged. `groupCols` trains independent
     // codebooks side by side (PQ subspaces): grouped rows only ever meet
     // same-group centroids, via the broadcast join on the group key.
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val collected = array_sort(collect_list(struct(col("cell_id"), col("c_emb"))))
     val cells =
       if (groupCols.isEmpty) centroids.agg(collected.as("cells"))
@@ -141,9 +142,10 @@ object Similarity {
     val joined =
       if (groupCols.isEmpty) embeddings.crossJoin(broadcast(cells))
       else embeddings.join(broadcast(cells), groupCols)
-    val d2 = "round(aggregate(zip_with(embedding, c.c_emb, " +
-      "(e, cc) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
-      "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
+    // the native l2_sq reproduces the HOF zip_with/aggregate fold exactly
+    // (sequential IEEE sums, round applied outside) — the vector×centroid
+    // distance is the per-row hot loop of every Lloyd iteration and probe
+    val d2 = "round(l2_sq(embedding, c.c_emb), 9)"
     val g = groupCols.map(col)
     joined
       .select(g ++ Seq(col("vec_id"), col("embedding"),

@@ -78,6 +78,70 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** l2_sq(Array[Float], Array[Double]) → Double: squared L2 distance as
+    * the SAME sequential left-to-right IEEE accumulation as the HOF
+    * formulation `aggregate(zip_with(e, c, (x,y) -> (double(x)-y)²), 0.0,
+    * acc+x)` — bit-identical result, one compiled loop instead of ~4
+    * interpreted lambda calls per element. Rounding stays OUTSIDE (callers
+    * wrap in the built-in `round(_, 9)`), so the oracle contract
+    * (rounded sequential double sums) is untouched. The k-means
+    * assignment hot path (every vector × every centroid, per Lloyd
+    * iteration and per index probe) evaluates this once per cell.
+    */
+  case class FloatDoubleL2Sq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "l2_sq"
+
+    private def isArrayOf(dt: DataType, et: DataType): Boolean = dt match {
+      case ArrayType(e, _) => e == et
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isArrayOf(left.dataType, FloatType) &&
+        isArrayOf(right.dataType, DoubleType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"l2_sq expects (array<float>, array<double>), got " +
+          s"(${left.dataType}, ${right.dataType})")
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - y.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = (double) $a.getFloat($i) - $b.getDouble($i);
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** hamming(String, String) → Int over equal-length signatures (SimHash
     * bit-strings); counts differing bytes, plus the length difference if
     * lengths differ.
@@ -399,6 +463,8 @@ object NativeExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "float_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "l2_sq", exprs => FloatDoubleL2Sq(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
