@@ -260,6 +260,33 @@ object Curation {
       .limit(k)
   }
 
+  /** Overlapping token-window chunking — the RAG / context-window
+    * preparation step: each document becomes `ceil(max(n−chunk,0)/stride)+1`
+    * windows of `chunkTokens` tokens starting every `strideTokens` (the
+    * final window is the tail remainder). Emits the chunk's token count and
+    * content md5 — the downstream join keys for per-chunk embedding or
+    * dedup — rather than the text itself, so the oracle hash is compact and
+    * the corpus-sized text moves only once. Map-only: one repartition on
+    * doc_id, the explode runs inside the scan stage, no other shuffle.
+    */
+  def chunkWindows(
+      docs: DataFrame, chunkTokens: Int = 64, strideTokens: Int = 32): DataFrame = {
+    val n = size(col("w"))
+    val lastIdx = ceil(greatest(n - chunkTokens, lit(0)) / lit(strideTokens.toDouble))
+      .cast("int")
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(transform(sequence(lit(0), lastIdx),
+          i => array_join(slice(col("w"), i * strideTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkTokens), n - col("chunk_idx") * strideTokens)
+          .cast("long").as("n_tokens"),
+        md5Hex(col("chunk")).as("chunk_md5"))
+  }
+
   /** Deterministic corpus shuffle for training order — the distributed
     * shape: a content hash keyed by (seed, doc_id) assigns every document a
     * shard and a position within the shard. No global row_number (which

@@ -419,6 +419,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN JOIN — top-k cosine neighbors for EVERY vector at once, the
+    * production shape behind SemDeDup, retrieval-augmented dataset
+    * construction and hard-negative mining at corpus scale (the single-
+    * query `*TopK` paths answer interactive probes; pipelines need the
+    * join). IVF candidate cut: every vector is indexed in its nearest
+    * k-means cell and queries its `nProbe` nearest cells, so the pair
+    * space is N·nProbe/nCells per cell instead of N² — at 100 TB the cell
+    * id is the shuffle/bucket key and `nCells` grows ∝ corpus so cells
+    * stay constant-sized (the FAISS regime). Per-pair scoring is one
+    * codegen'd `float_dot` (norms precomputed once per side), and the
+    * per-query top-k runs on the custom bounded-heap [[graft.plans
+    * .TopKPerKey]] operator — O(n log k) per partition, no window sort
+    * buffer, clustered on the query id.
+    *
+    * A (query, neighbor) pair is generated at most once: the neighbor's
+    * index cell is unique (argmin), and the query's probe cells are
+    * distinct. Queries whose probed cells hold no other vector emit fewer
+    * than k rows (inner-join semantics, mirrored by the oracle).
+    */
+  def knnJoinIvf(
+      embeddings: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      iters: Int = 2,
+      trainMod: Int = 4): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val centroids =
+      kMeansCentroids(spread, nCells, iters, trainMod).localCheckpoint()
+    val indexed = assignCells(spread, centroids, 1)
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .select(col("cell_id"), col("vec_id").as("nbr_id"),
+        col("embedding").as("n_emb"), col("nrm"))
+    val probes = assignCells(spread, centroids, nProbe)
+      .withColumn("qnrm", sqrt(expr("float_dot(embedding, embedding)")))
+    val pairs = probes.join(indexed, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(expr("float_dot(embedding, n_emb)") / (col("qnrm") * col("nrm")), 6)
+          .as("sim"))
+      .withColumn("neg_sim", -col("sim"))
+    graft.plans.TopKPerKey.topKPerKey(
+        pairs, Seq("vec_id"), Seq("neg_sim", "nbr_id"), k)
+      .drop("neg_sim")
+  }
+
   /** Squared-L2 from a codebook centroid `c_emb` to the query sub-vector
     * `qe` — the ADC distance-table entry, under the same rounded
     * sequential-double-sum contract as [[assignCells]] (one definition for

@@ -145,6 +145,10 @@ object ExtensionQueries {
     "cosine_topk_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
         trainMod = 4)),
+    // batch k-NN JOIN: top-3 neighbors for EVERY vector via the IVF cell
+    // cut, per-query top-k on the custom bounded-heap TopKPerKey operator
+    "knn_join_ivf" -> ((s, dir) =>
+      Similarity.knnJoinIvf(t(s, dir, "embeddings"), k = 3)),
     // SemDeDup applied end-to-end: k-means cells → within-cell cosine pairs
     // → connected components → keep only component representatives
     "semantic_dedup_apply" -> ((s, dir) =>
@@ -220,6 +224,10 @@ object ExtensionQueries {
     // proxy (sum / min / rare-count of corpus term frequencies per doc)
     "text_unigram_score" -> ((s, dir) =>
       Curation.unigramScore(t(s, dir, "documents"))),
+    // RAG-style overlapping token-window chunking (64-token windows,
+    // stride 32): per-chunk token count + content md5
+    "doc_chunk_windows" -> ((s, dir) =>
+      Curation.chunkWindows(t(s, dir, "documents"))),
     // tf-idf keyword search: fixed-point integer idf, DECIMAL(38,0) scores
     "keyword_search_topk" -> ((s, dir) =>
       Curation.keywordSearch(t(s, dir, "documents"),
@@ -462,6 +470,31 @@ object ExtensionQueries {
       kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
       "probe AS (SELECT cell_id FROM (SELECT cell_id, row_number() OVER (ORDER BY d2, cell_id) AS rn " +
       s"FROM afd WHERE vec_id = $queryId) p WHERE rn <= $nProbe)"
+  }
+
+  /** Mirror of [[Similarity.knnJoinIvf]]: the shared Lloyd chain, per-vector
+    * nProbe probe cells, within-cell cosine pairs, per-query top-k.
+    */
+  private def knnJoinOracle(
+      nCells: Int, nProbe: Int, iters: Int, trainMod: Int, k: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+        kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
+    }.mkString(", ")
+    s"WITH train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+      s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
+      "probes AS (SELECT vec_id, cell_id, embedding FROM (SELECT vec_id, cell_id, embedding, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM afd) t WHERE rn <= $nProbe), " +
+      "pairs AS (SELECT p.vec_id, i.vec_id AS nbr_id, " +
+      "round(list_sum([CAST(p.embedding[j] AS DOUBLE) * CAST(i.embedding[j] AS DOUBLE) FOR j IN generate_series(1, len(p.embedding))]) / " +
+      "(sqrt(list_sum([CAST(p.embedding[j] AS DOUBLE) * CAST(p.embedding[j] AS DOUBLE) FOR j IN generate_series(1, len(p.embedding))])) * " +
+      "sqrt(list_sum([CAST(i.embedding[j] AS DOUBLE) * CAST(i.embedding[j] AS DOUBLE) FOR j IN generate_series(1, len(i.embedding))]))), 6) AS sim " +
+      "FROM probes p JOIN af i ON p.cell_id = i.cell_id AND p.vec_id != i.vec_id) " +
+      "SELECT vec_id, nbr_id, sim FROM (SELECT vec_id, nbr_id, sim, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn " +
+      s"FROM pairs) t WHERE rn <= $k"
   }
 
   private def ivfKmeansOracle(
@@ -789,6 +822,14 @@ object ExtensionQueries {
         "SELECT doc_id, count(*) AS n_grams, " +
         "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams " +
         "FROM grams JOIN dfv USING (g) GROUP BY doc_id"),
+    "doc_chunk_windows" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "ch AS (SELECT doc_id, w, unnest(generate_series(0, " +
+        "CAST(ceil(greatest(len(w) - 64, 0) / 32.0) AS INT))) AS chunk_idx FROM toks) " +
+        "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, " +
+        "CAST(least(64, len(w) - chunk_idx * 32) AS BIGINT) AS n_tokens, " +
+        "md5(array_to_string(w[chunk_idx * 32 + 1 : chunk_idx * 32 + 64], ' ')) AS chunk_md5 " +
+        "FROM ch"),
     "keyword_search_topk" ->
       ("WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents), " +
         "tf AS (SELECT doc_id, tk, count(*) AS tf FROM occ " +
@@ -814,6 +855,8 @@ object ExtensionQueries {
         "FROM s ORDER BY ratio_scaled DESC, doc_id LIMIT 100"),
     "semantic_dedup_apply" ->
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
+    "knn_join_ivf" ->
+      knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
     // exact transitive closure (recursive CTE) vs the engine's bounded
     // min-label propagation: equal because near-dup components on the
     // fixture corpus have diameter << 10 rounds

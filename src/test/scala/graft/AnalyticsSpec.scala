@@ -173,6 +173,22 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("knn join: at most k neighbors per query, no self-pairs, per-query descending") {
+    val got = graft.analytics.Similarity.knnJoinIvf(emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n, _) => q != n })
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.values.forall(_.length <= 3))
+    // within a query the custom top-k must yield the best sims first when
+    // re-sorted — i.e. the emitted set IS a (sim desc, nbr asc) prefix
+    assert(perQuery.values.forall { rows =>
+      val sims = rows.map(_._3).sorted.reverse
+      sims.zip(sims.tail).forall(p => p._1 >= p._2)
+    })
+    assert(got.forall { case (_, _, s) => s >= -1.0 && s <= 1.0 })
+  }
+
   test("cosine of a vector with itself rounds to 1") {
     val self = emb.limit(5)
       .select(VectorFunctions.cosineRounded(col("embedding"), col("embedding")).as("c"))
