@@ -201,6 +201,51 @@ object Curation {
       .limit(k)
   }
 
+  /** BM25 ranking for a bag of query terms — the canonical retrieval scorer
+    * (Robertson et al., Okapi BM25) with one deliberate substitution: the
+    * idf factor is the FIXED-POINT rational `(10^6 · N) div df` of
+    * [[keywordSearch]] instead of the textbook logarithm, because `ln` is
+    * the one piece whose last-ulp behavior differs between libm
+    * implementations and would make the result hash engine-dependent. The
+    * tf saturation and length normalization are untouched BM25:
+    * `tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with k1 = 1.2, b = 0.75 —
+    * pure IEEE multiply/divide over exactly-representable inputs evaluated
+    * in a pinned parenthesization, so every engine computes bit-identical
+    * doubles. Per-term scores are rounded to 6 decimals and summed as
+    * DECIMAL (order-independent), making the final hash partition-proof.
+    *
+    * Same shape as [[keywordSearch]]: broadcast term filter on the
+    * exploded corpus, tiny df/avgdl aggregates broadcast back, one
+    * corpus-sized shuffle on doc_id.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termsDf = terms.toDF("tk")
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text"))).as("sum_dl"))
+    val tf = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokenCount(col("text")).as("dl"),
+        explode(tokens(col("text"))).as("tk"))
+      .join(broadcast(termsDf), Seq("tk"))
+      .groupBy(col("doc_id"), col("dl"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), Seq("tk")).crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("round(CAST((1000000L * n_docs) div df AS DOUBLE) * " +
+          "((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * " +
+          "(dl / (CAST(sum_dl AS DOUBLE) / n_docs))))), 6)")
+          .cast("decimal(18,6)").as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("w")).cast("decimal(38,6)").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Importance scoring of raw documents against a target distribution —
     * the DSIR-style data-selection step (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"), kept integer-exact: the

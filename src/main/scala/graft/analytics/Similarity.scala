@@ -476,6 +476,34 @@ object Similarity {
       "(cc, e) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
       "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
 
+  /** Scalar (int8) quantization of the embedding table — the SQ8 index
+    * compression (FAISS `ScalarQuantizer`): per DIMENSION, the corpus
+    * min/max define a linear [0, 255] grid and every value becomes its
+    * grid code, shrinking a float32 column store 4× with no codebook
+    * training (the cheap alternative to PQ when 8 bits/dim is affordable).
+    * Long-format output (vec_id, pos, code) — the join-friendly,
+    * hash-friendly shape; a deployment would pivot codes back to a
+    * byte-array column at write time.
+    *
+    * Shape at scale: the per-dimension range table is ONE tiny aggregate
+    * (dims rows) broadcast back; quantization itself is map-only. Codes
+    * are integers from pinned-parenthesization IEEE arithmetic over
+    * exactly-representable inputs, so the result hashes identically in any
+    * engine. A degenerate constant dimension (mx = mn) codes to 0.
+    */
+  def scalarQuantize8(embeddings: DataFrame): DataFrame = {
+    val pts = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    val ranges = pts.groupBy(col("pos")).agg(
+      min(col("x").cast("double")).as("mn"),
+      max(col("x").cast("double")).as("mx"))
+    pts.join(broadcast(ranges), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        expr("CASE WHEN mx = mn THEN 0 ELSE least(CAST(floor(" +
+          "((CAST(x AS DOUBLE) - mn) * 255.0) / (mx - mn)) AS INT), 255) END")
+          .as("code"))
+  }
+
   /** Hard-negative mining (the contrastive-training data step): the top-k
     * most similar vectors to the query whose `label` DIFFERS from the
     * query's — high-similarity, wrong-class examples. Identical plan shape

@@ -156,6 +156,10 @@ object ExtensionQueries {
     // hard-negative mining: most-similar vectors of a DIFFERENT label
     "hard_negatives_topk" -> ((s, dir) =>
       Similarity.hardNegativesTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // SQ8 scalar quantization: per-dimension [min,max] -> int8 grid codes
+    // (the 4x no-training index compression; long format)
+    "embedding_sq8" -> ((s, dir) =>
+      Similarity.scalarQuantize8(t(s, dir, "embeddings"))),
     // per-class mean embeddings (nearest-centroid prototypes), long format:
     // one row per (label, dimension) — the hash-friendly relational shape
     "label_centroids" -> ((s, dir) =>
@@ -231,6 +235,11 @@ object ExtensionQueries {
     // tf-idf keyword search: fixed-point integer idf, DECIMAL(38,0) scores
     "keyword_search_topk" -> ((s, dir) =>
       Curation.keywordSearch(t(s, dir, "documents"),
+        terms = Seq("spark", "quantile", "vector"), k = 20)),
+    // BM25 ranking (rational-idf variant — no transcendental, hash-exact):
+    // tf saturation + length normalization over the same query terms
+    "bm25_topk" -> ((s, dir) =>
+      Curation.bm25TopK(t(s, dir, "documents"),
         terms = Seq("spark", "quantile", "vector"), k = 20)),
     // DSIR-style importance ranking of raw docs against the English slice
     // as the target distribution (fixed-point ratio of smoothed tf sums)
@@ -840,6 +849,20 @@ object ExtensionQueries {
         "CAST(sum(tf * ((1000000 * n_docs) // df)) AS DECIMAL(38,0)) AS score " +
         "FROM tf JOIN dft USING (tk), nd GROUP BY doc_id " +
         "ORDER BY score DESC, doc_id LIMIT 20"),
+    "bm25_topk" ->
+      ("WITH stats AS (SELECT count(*) AS n_docs, " +
+        "sum(len(string_split(text, ' '))) AS sum_dl FROM documents), " +
+        "occ AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "tf AS (SELECT doc_id, dl, tk, count(*) AS tf FROM occ " +
+        "WHERE tk IN ('spark', 'quantile', 'vector') GROUP BY 1, 2, 3), " +
+        "dft AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk), " +
+        "w AS (SELECT doc_id, CAST(round(CAST((1000000 * n_docs) // df AS DOUBLE) * " +
+        "((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * " +
+        "(dl / (CAST(sum_dl AS DOUBLE) / n_docs))))), 6) AS DECIMAL(18,6)) AS w " +
+        "FROM tf JOIN dft USING (tk), stats) " +
+        "SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS DECIMAL(38,6)) AS score " +
+        "FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
     "dsir_importance_topk" ->
       ("WITH occ AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_target, " +
         "unnest(string_split(text, ' ')) AS tk FROM documents), " +
@@ -927,6 +950,14 @@ object ExtensionQueries {
         "FROM embeddings e, q WHERE e.vec_id != 0 AND e.label != q.ql) " +
         "SELECT vec_id, label, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
+    "embedding_sq8" ->
+      ("WITH pts AS (SELECT vec_id, unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings), " +
+        "r AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM pts GROUP BY pos) " +
+        "SELECT vec_id, CAST(pos AS INT) AS pos, " +
+        "CASE WHEN mx = mn THEN 0 ELSE least(CAST(floor(" +
+        "((x - mn) * 255.0) / (mx - mn)) AS INT), 255) END AS code " +
+        "FROM pts JOIN r USING (pos)"),
     "label_centroids" ->
       ("WITH u AS (SELECT label, unnest([{'pos': i - 1, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
         "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings) " +

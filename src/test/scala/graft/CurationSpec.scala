@@ -72,6 +72,42 @@ class CurationSpec extends SparkSpecBase {
     assert(star.length == 121 && star.forall(_.getLong(1) == 1001L))
   }
 
+  test("random graphs: both CC variants agree with union-find ground truth") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    for (seed <- 1L to 6L) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 30 + rnd.nextInt(40)
+      val edges = (0 until 10 + rnd.nextInt(50))
+        .map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      // driver-side union-find ground truth (path-compressed)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(v => v -> find(v)).toMap
+      // min id per component as the expected label
+      val minOf = truth.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val expected = truth.map { case (v, r) => v -> minOf(r) }
+      val df = spark.createDataFrame(
+        edges.map { case (a, b) => Row(a, b) }.asJava, schema)
+      val viaLabel = Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = Dedup.connectedComponentsStar(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaLabel == expected, s"seed=$seed min-label != union-find")
+      assert(viaStar == expected, s"seed=$seed star-contraction != union-find")
+    }
+  }
+
   test("curation audit flags agree with the standalone operators") {
     val audit = Curation.curationAudit(docs)
     assert(audit.count() == docs.count())
