@@ -170,9 +170,12 @@ object Curation {
     * `idf_scaled ≤ 10^6 · N` fits BIGINT up to N = 9.2e12 documents, but the
     * per-term product `tf · idf_scaled` reaches ~1e19 already at N = 1e10
     * with tf ~ 10^3 — past BIGINT. The product and the score sum therefore
-    * accumulate in DECIMAL(38,0) (exact, order-independent, bounded by
-    * tf·10^6·N ≤ 1e38 for any physical corpus), and `score` is emitted as
-    * DECIMAL(38,0).
+    * accumulate — and the top-k ranks — in DECIMAL(38,0) (exact,
+    * order-independent, bounded by tf·10^6·N ≤ 1e38 for any physical
+    * corpus). The emitted `score` is the DOUBLE (IEEE-nearest) image of
+    * that exact decimal — deterministic in any engine, and the friendly
+    * type for downstream column stores (ranking happened before the
+    * narrowing, so top-k membership and order never depend on it).
     *
     * Shape at scale: the term list is a broadcast map-side filter on the
     * exploded corpus — only matching occurrences ever shuffle (on doc_id for
@@ -196,9 +199,11 @@ object Curation {
           expr("(1000000L * n_docs) div df").cast("decimal(38,0)")).as("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        sum(col("w")).cast("decimal(38,0)").as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
+        sum(col("w")).cast("decimal(38,0)").as("score_dec"))
+      .orderBy(col("score_dec").desc, col("doc_id").asc)
       .limit(k)
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast("double").as("score"))
   }
 
   /** BM25 ranking for a bag of query terms — the canonical retrieval scorer
@@ -212,7 +217,9 @@ object Curation {
     * pure IEEE multiply/divide over exactly-representable inputs evaluated
     * in a pinned parenthesization, so every engine computes bit-identical
     * doubles. Per-term scores are rounded to 6 decimals and summed as
-    * DECIMAL (order-independent), making the final hash partition-proof.
+    * DECIMAL (order-independent), making the final hash partition-proof;
+    * the emitted `score` is that exact sum's DOUBLE image (ranking
+    * happens on the decimal, before the narrowing).
     *
     * Same shape as [[keywordSearch]]: broadcast term filter on the
     * exploded corpus, tiny df/avgdl aggregates broadcast back, one
@@ -241,9 +248,11 @@ object Curation {
           .cast("decimal(18,6)").as("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        sum(col("w")).cast("decimal(38,6)").as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
+        sum(col("w")).cast("decimal(38,6)").as("score_dec"))
+      .orderBy(col("score_dec").desc, col("doc_id").asc)
       .limit(k)
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast("double").as("score"))
   }
 
   /** Importance scoring of raw documents against a target distribution —
@@ -265,8 +274,11 @@ object Curation {
     *
     * Range analysis: per-row `c·(tf+1)` ≤ ~1e18 fits BIGINT, but the
     * per-document sums do not at corpus scale (ADVICE r5: num ~ 1e22 at
-    * 100 TB), so `num`/`den` accumulate — and are emitted — as
-    * DECIMAL(38,0). `ratio_scaled` IS a BIGINT (`div` yields one): exact
+    * 100 TB), so `num`/`den` accumulate — and the ratio divides — in
+    * DECIMAL(38,0); the emitted num/den are their DOUBLE (IEEE-nearest)
+    * images, computed after the exact ranking (the diagnostic columns —
+    * the ranking signal `ratio_scaled` never narrows).
+    * `ratio_scaled` IS a BIGINT (`div` yields one): exact
     * while `num/den < 9.2e9`, i.e. while no token is ≥ 9.2e9× more frequent
     * in the target slice than smoothing floor — any physical target slice;
     * ANSI mode raises (never wraps) if a degenerate corpus breaks the bound.
@@ -303,6 +315,8 @@ object Curation {
         expr("(1000000000L * num) div den").as("ratio_scaled"))
       .orderBy(col("ratio_scaled").desc, col("doc_id").asc)
       .limit(k)
+      .select(col("doc_id"), col("num").cast("double").as("num"),
+        col("den").cast("double").as("den"), col("ratio_scaled"))
   }
 
   /** Overlapping token-window chunking — the RAG / context-window

@@ -845,10 +845,11 @@ object ExtensionQueries {
         "WHERE tk IN ('spark', 'quantile', 'vector') GROUP BY doc_id, tk), " +
         "dft AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk), " +
         "nd AS (SELECT count(*) AS n_docs FROM documents) " +
-        "SELECT doc_id, count(*) AS n_terms, " +
-        "CAST(sum(tf * ((1000000 * n_docs) // df)) AS DECIMAL(38,0)) AS score " +
+        "SELECT doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score FROM " +
+        "(SELECT doc_id, count(*) AS n_terms, " +
+        "CAST(sum(tf * ((1000000 * n_docs) // df)) AS DECIMAL(38,0)) AS score_dec " +
         "FROM tf JOIN dft USING (tk), nd GROUP BY doc_id " +
-        "ORDER BY score DESC, doc_id LIMIT 20"),
+        "ORDER BY score_dec DESC, doc_id LIMIT 20) t"),
     "bm25_topk" ->
       ("WITH stats AS (SELECT count(*) AS n_docs, " +
         "sum(len(string_split(text, ' '))) AS sum_dl FROM documents), " +
@@ -861,8 +862,9 @@ object ExtensionQueries {
         "((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * " +
         "(dl / (CAST(sum_dl AS DOUBLE) / n_docs))))), 6) AS DECIMAL(18,6)) AS w " +
         "FROM tf JOIN dft USING (tk), stats) " +
-        "SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS DECIMAL(38,6)) AS score " +
-        "FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
+        "SELECT doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score FROM " +
+        "(SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS DECIMAL(38,6)) AS score_dec " +
+        "FROM w GROUP BY doc_id ORDER BY score_dec DESC, doc_id LIMIT 20) t"),
     "dsir_importance_topk" ->
       ("WITH occ AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_target, " +
         "unnest(string_split(text, ' ')) AS tk FROM documents), " +
@@ -872,8 +874,8 @@ object ExtensionQueries {
         "s AS (SELECT doc_id, sum(c * (coalesce(tf_t, 0) + 1)) AS numh, " +
         "sum(c * (tf_r + 1)) AS denh FROM pd JOIN tfr USING (tk) " +
         "LEFT JOIN tft USING (tk) WHERE NOT is_target GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(numh AS DECIMAL(38,0)) AS num, " +
-        "CAST(denh AS DECIMAL(38,0)) AS den, " +
+        "SELECT doc_id, CAST(numh AS DOUBLE) AS num, " +
+        "CAST(denh AS DOUBLE) AS den, " +
         "CAST((1000000000 * numh) // denh AS BIGINT) AS ratio_scaled " +
         "FROM s ORDER BY ratio_scaled DESC, doc_id LIMIT 100"),
     "semantic_dedup_apply" ->
@@ -955,8 +957,8 @@ object ExtensionQueries {
         "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings), " +
         "r AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM pts GROUP BY pos) " +
         "SELECT vec_id, CAST(pos AS INT) AS pos, " +
-        "CASE WHEN mx = mn THEN 0 ELSE least(CAST(floor(" +
-        "((x - mn) * 255.0) / (mx - mn)) AS INT), 255) END AS code " +
+        "CAST(CASE WHEN mx = mn THEN 0 ELSE least(CAST(floor(" +
+        "((x - mn) * 255.0) / (mx - mn)) AS INT), 255) END AS INT) AS code " +
         "FROM pts JOIN r USING (pos)"),
     "label_centroids" ->
       ("WITH u AS (SELECT label, unnest([{'pos': i - 1, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
