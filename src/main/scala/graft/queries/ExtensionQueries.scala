@@ -330,6 +330,15 @@ object ExtensionQueries {
         .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // exact distinct via the custom TypedImperativeAggregate bitmap: one
+    // pass, fixed-size OR-mergeable buffers — no distinct-value shuffle
+    "exact_distinct_bitmap" -> ((s, dir) => {
+      graft.functions.NativeAggregates.register(s)
+      t(s, dir, "lineitem").agg(
+        expr("bitmap_distinct(l_partkey, CAST(2097151 AS BIGINT))").as("n_parts"),
+        count(lit(1)).as("n_rows"))
+    }),
+
     // ---- events time-series ----
     "events_tumbling" -> ((s, dir) => EventsAnalytics.tumbling(t(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventsAnalytics.sliding(t(s, dir, "events"))),
@@ -1032,6 +1041,9 @@ object ExtensionQueries {
         "FROM documents, (VALUES ('scan'), ('window'), ('quantile'), " +
         "('zzz_never_present')) pats(pattern) " +
         "WHERE position(pattern IN text) > 0 GROUP BY pattern"),
+    "exact_distinct_bitmap" ->
+      ("SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, " +
+        "count(*) AS n_rows FROM lineitem"),
     "events_tumbling" ->
       ("SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_ts, " +
         "event_type, count(*) AS n, " +

@@ -15,6 +15,38 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(both.collect().forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("l2_sq matches the HOF zip_with/aggregate fold bit-for-bit") {
+    NativeExpressions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .withColumn("c", expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.125)"))
+    val both = emb.select(
+      expr("l2_sq(embedding, c)").as("fast"),
+      expr("aggregate(zip_with(embedding, c, " +
+        "(e, cc) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("hof"))
+    // exact equality on purpose: the native loop must reproduce the fold's
+    // sequential IEEE accumulation, not just approximate it
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("bitmap_distinct aggregate equals count(DISTINCT) and raises out of range") {
+    graft.functions.NativeAggregates.register(spark)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val r = li.agg(
+      expr("bitmap_distinct(l_partkey, CAST(2097151 AS BIGINT))").as("bm"),
+      countDistinct(col("l_partkey")).as("exact")).head
+    assert(r.getLong(0) == r.getLong(1))
+    // partial-aggregate + merge path: per-group equality too
+    val g = li.groupBy(col("l_returnflag")).agg(
+      expr("bitmap_distinct(l_partkey, CAST(2097151 AS BIGINT))").as("bm"),
+      countDistinct(col("l_partkey")).as("exact"))
+    assert(g.filter(col("bm") =!= col("exact")).count() == 0)
+    // honest bound: out-of-range input raises instead of undercounting
+    intercept[org.apache.spark.SparkException] {
+      li.agg(expr("bitmap_distinct(l_partkey, CAST(7 AS BIGINT))")).collect()
+    }
+  }
+
   test("hamming counts differing positions") {
     NativeExpressions.register(spark)
     import spark.implicits._
