@@ -183,6 +183,8 @@ object Curation {
     * is one pass, no corpus-sized join.
     */
   def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && k >= 1,
+      s"keywordSearch: needs a non-empty term list and k >= 1, got (${terms.size}, $k)")
     val spark = docs.sparkSession
     import spark.implicits._
     val termsDf = terms.toDF("tk")
@@ -226,6 +228,8 @@ object Curation {
     * corpus-sized shuffle on doc_id.
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && k >= 1,
+      s"bm25TopK: needs a non-empty term list and k >= 1, got (${terms.size}, $k)")
     val spark = docs.sparkSession
     import spark.implicits._
     val termsDf = terms.toDF("tk")
@@ -330,6 +334,9 @@ object Curation {
     */
   def chunkWindows(
       docs: DataFrame, chunkTokens: Int = 64, strideTokens: Int = 32): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1,
+      s"chunkWindows: chunkTokens/strideTokens must be >= 1, " +
+        s"got ($chunkTokens, $strideTokens)")
     val n = size(col("w"))
     val lastIdx = ceil(greatest(n - chunkTokens, lit(0)) / lit(strideTokens.toDouble))
       .cast("int")

@@ -476,6 +476,29 @@ object Similarity {
       "(cc, e) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
       "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
 
+  /** Incremental IVF index maintenance — the ingest path at corpus scale:
+    * the coarse quantizer trains ONCE (on the existing corpus, on its
+    * deterministic subsample) and every new batch is just ASSIGNED to the
+    * frozen centroids — a broadcast map-only pass over the batch, never a
+    * retrain and never a touch of the existing index. Returns the batch's
+    * (vec_id, cell_id) index entries; a deployment appends them to the
+    * cell-partitioned index table (and re-trains offline only when drift
+    * metrics say so — the standard FAISS/Milvus operating practice).
+    */
+  def ivfIndexAppend(
+      existing: DataFrame,
+      batch: DataFrame,
+      nCells: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 4): DataFrame = {
+    graft.functions.NativeExpressions.register(existing.sparkSession)
+    val centroids = kMeansCentroids(
+      existing.repartition(col("vec_id")), nCells, iters, trainMod)
+      .localCheckpoint()
+    assignCells(batch.repartition(col("vec_id")), centroids, 1)
+      .select(col("vec_id"), col("cell_id"))
+  }
+
   /** Scalar (int8) quantization of the embedding table — the SQ8 index
     * compression (FAISS `ScalarQuantizer`): per DIMENSION, the corpus
     * min/max define a linear [0, 255] grid and every value becomes its

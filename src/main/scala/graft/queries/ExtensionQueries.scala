@@ -156,6 +156,15 @@ object ExtensionQueries {
     // hard-negative mining: most-similar vectors of a DIFFERENT label
     "hard_negatives_topk" -> ((s, dir) =>
       Similarity.hardNegativesTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // incremental IVF maintenance: quantizer trained on the existing
+    // corpus (vec_id % 10 != 0), the new batch (% 10 = 0) map-only
+    // assigned to the frozen centroids — the no-retrain ingest path
+    "ivf_index_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfIndexAppend(
+        existing = emb.filter(col("vec_id") % 10 =!= 0),
+        batch = emb.filter(col("vec_id") % 10 === 0))
+    }),
     // SQ8 scalar quantization: per-dimension [min,max] -> int8 grid codes
     // (the 4x no-training index compression; long format)
     "embedding_sq8" -> ((s, dir) =>
@@ -961,6 +970,20 @@ object ExtensionQueries {
         "FROM embeddings e, q WHERE e.vec_id != 0 AND e.label != q.ql) " +
         "SELECT vec_id, label, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
+    "ivf_index_append" -> {
+      val iters = 2
+      val iterCtes = (1 to iters).map { i =>
+        kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+          kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
+      }.mkString(", ")
+      "WITH ex AS (SELECT * FROM embeddings WHERE vec_id % 10 != 0), " +
+        "train AS (SELECT * FROM ex WHERE vec_id % 4 = 0), " +
+        "c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+        "FROM train WHERE vec_id < 64), " + iterCtes + ", " +
+        "batch AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0), " +
+        kmDist("batch", s"c$iters", "bd") + ", " + kmArgmin("bd", "ba") +
+        " SELECT vec_id, cell_id FROM ba"
+    },
     "embedding_sq8" ->
       ("WITH pts AS (SELECT vec_id, unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)} " +
         "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings), " +
