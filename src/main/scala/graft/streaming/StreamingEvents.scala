@@ -107,6 +107,51 @@ object StreamingEvents {
       .toDF("user_id", "n_events")
   }
 
+  /** [[runningUserCountsTws]]'s per-key processor: one `ValueState[Long]`
+    * updated per micro-batch — the minimal `StatefulProcessor`, kept as a
+    * top-level class so the checkpointed operator survives re-planning.
+    */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  /** Running per-user event counts on the `transformWithState` API (the
+    * Spark 4 arbitrary-state operator that supersedes
+    * `mapGroupsWithState`: typed composable state — value/list/map —
+    * timers, and TTL, all backed by the RocksDB state store). Same
+    * semantics as [[runningUserCounts]], kept side by side so the two
+    * state APIs stay parity-tested against the same batch totals.
+    *
+    * Requires the RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does not
+    * run on the default HDFS-backed store.
+    */
+  def runningUserCountsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+  }
+
   /** Per-user session state for [[closedSessions]]. */
   final case class SessState(start: Long, last: Long, n: Long)
 

@@ -84,6 +84,33 @@ class StreamingSpec extends SparkSpecBase {
         streamed("n_events") === batch("count")).count() == batch.count())
   }
 
+  test("transformWithState running user counts reach the batch totals") {
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query and restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = StreamingEvents.readEvents(spark, streamDir)
+      StreamingEvents.runToMemory(
+        StreamingEvents.runningUserCountsTws(stream), "stream_tws",
+        outputMode = "update")
+      val streamed = spark.table("stream_tws")
+      val batch = spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy("user_id").count()
+      assert(streamed.count() == batch.count())
+      assert(streamed.join(batch,
+        streamed("user_id") === batch("user_id") &&
+          streamed("n_events") === batch("count")).count() == batch.count())
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState emits each closed session once, matching batch sessions") {
     import java.nio.file._
     import org.apache.spark.sql.functions._
