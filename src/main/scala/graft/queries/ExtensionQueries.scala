@@ -359,6 +359,21 @@ object ExtensionQueries {
         expr("percentile(value, 0.5)").as("med"),
         expr("percentile(value, 0.9)").as("p90"),
         count(lit(1)).as("n"))),
+    // OHLC rollup per (hour, event_type): open/close are the values at the
+    // first/last (ts, event_id) in the bucket via struct-ordering min/max
+    // (event_id unique, so value never participates in the order) — one
+    // partial-aggregating groupBy, no window
+    "events_ohlc" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          min(col("value")).as("low"),
+          max(col("value")).as("high"),
+          count(lit(1)).as("n"))),
     // as-of join: for each purchase, the user's latest prior click
     "events_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1096,6 +1111,12 @@ object ExtensionQueries {
       ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
         "quantile_cont(value, 0.9) AS p90, count(*) AS n " +
         "FROM events GROUP BY event_type"),
+    "events_ohlc" ->
+      ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
+        "first(value ORDER BY ts, event_id) AS open, " +
+        "last(value ORDER BY ts, event_id) AS close, " +
+        "min(value) AS low, max(value) AS high, count(*) AS n " +
+        "FROM events GROUP BY 1, 2"),
     "events_asof_join" ->
       ("SELECT p.event_id, p.user_id, c.event_id AS prev_click " +
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
