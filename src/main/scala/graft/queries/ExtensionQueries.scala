@@ -386,6 +386,37 @@ object ExtensionQueries {
           col("asof_event_id").as("prev_click"))
     }),
 
+    // funnel conversion: users whose FIRST click precedes a later
+    // purchase — two tiny per-user aggregates joined on user_id, no window
+    "events_conversion" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      firstClick.join(purchases, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(sum(when(col("ts") >= col("first_click"), 1L).otherwise(0L))
+          .as("n_purchases_after"))
+        .select(col("user_id"),
+          expr("first_click div 1000").as("first_click_us"),
+          col("n_purchases_after"))
+    }),
+    // bigram continuation top-3 per token (the autocomplete / n-gram LM
+    // statistic), per-prefix top-k on the custom bounded-heap operator
+    "bigram_next_topk" -> ((s, dir) => {
+      val bi = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(tokens(col("text")).as("w"))
+        .select(explode(wordShingles(col("w"), 2)).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("tk"),
+          split(col("g"), " ").getItem(1).as("next_tk"))
+        .groupBy(col("tk"), col("next_tk")).agg(count(lit(1)).as("n"))
+        .withColumn("neg_n", -col("n"))
+      graft.plans.TopKPerKey.topKPerKey(
+          bi, Seq("tk"), Seq("neg_n", "next_tk"), 3)
+        .drop("neg_n")
+    }),
     // grouped top-k via the custom whole-operator tier (LogicalPlan +
     // Strategy + SparkPlan with bounded per-key heaps): first 3 events per
     // user under the total order (ts, event_id)
@@ -1111,6 +1142,23 @@ object ExtensionQueries {
       ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
         "quantile_cont(value, 0.9) AS p90, count(*) AS n " +
         "FROM events GROUP BY event_type"),
+    "events_conversion" ->
+      ("WITH fc AS (SELECT user_id, min(ts) AS first_click FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') " +
+        "SELECT fc.user_id, CAST(epoch_us(first_click) AS BIGINT) AS first_click_us, " +
+        "CAST(sum(CASE WHEN p.ts >= fc.first_click THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_purchases_after " +
+        "FROM fc LEFT JOIN p ON p.user_id = fc.user_id " +
+        "GROUP BY fc.user_id, fc.first_click"),
+    "bigram_next_topk" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bi AS (SELECT unnest([{'tk': w[i], 'next_tk': w[i+1]} " +
+        "FOR i IN generate_series(1, len(w) - 1)], recursive := true) FROM toks), " +
+        "c AS (SELECT tk, next_tk, count(*) AS n FROM bi GROUP BY 1, 2) " +
+        "SELECT tk, next_tk, n FROM (SELECT tk, next_tk, n, " +
+        "row_number() OVER (PARTITION BY tk ORDER BY n DESC, next_tk) AS rn FROM c) t " +
+        "WHERE rn <= 3"),
     "events_ohlc" ->
       ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
         "first(value ORDER BY ts, event_id) AS open, " +
