@@ -476,6 +476,74 @@ object Similarity {
       "(cc, e) -> (CAST(e AS DOUBLE) - cc) * (CAST(e AS DOUBLE) - cc)), " +
       "CAST(0 AS DOUBLE), (acc, x) -> acc + x), 9)"
 
+  /** ANN recall evaluation — the index-quality measurement a deployment
+    * runs before trusting an approximate index: for a deterministic sample
+    * of query vectors (`vec_id % queryMod = 0`), compute exact cosine
+    * top-k (the ground truth) AND the IVF-probed top-k, and report per
+    * query how many of the true top-k the index recovered. Output
+    * (vec_id, n_hits) is integer-exact, so the whole evaluation —
+    * including the index build it exercises — hash-checks against the
+    * oracle.
+    *
+    * Shape at scale: recall is always measured on a sampled query set
+    * (ground truth is O(|Q|·N) — the broadcast query side keeps the
+    * corpus scan at one pass); the approximate side reuses the exact
+    * cell-cut shape of [[knnJoinIvf]] restricted to the queries. Both
+    * top-k's run on the bounded-heap TopKPerKey operator.
+    */
+  def annRecallIvf(
+      embeddings: DataFrame,
+      k: Int = 10,
+      queryMod: Int = 100,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      trainMod: Int = 4): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val qs = spread.filter(col("vec_id") % queryMod === 0)
+    val qSide = broadcast(qs.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb"),
+      sqrt(expr("float_dot(embedding, embedding)")).as("qn")))
+    def topPerQuery(pairs: DataFrame): DataFrame =
+      graft.plans.TopKPerKey.topKPerKey(
+          pairs.withColumn("neg_sim", -col("sim")),
+          Seq("qid"), Seq("neg_sim", "nbr"), k)
+        .select(col("qid"), col("nbr"))
+
+    // ground truth: one corpus pass against the broadcast query set
+    val exactTop = topPerQuery(spread
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .crossJoin(qSide)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(expr("float_dot(embedding, q_emb)") / (col("nrm") * col("qn")), 6)
+          .as("sim")))
+
+    // approximate: the IVF cell cut, probes computed for the queries only
+    val centroids =
+      kMeansCentroids(spread, nCells, iters, trainMod).localCheckpoint()
+    val indexed = assignCells(spread, centroids, 1)
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .select(col("cell_id"), col("vec_id").as("nbr"),
+        col("embedding").as("n_emb"), col("nrm"))
+    val probes = assignCells(qs, centroids, nProbe)
+      .select(col("vec_id").as("qid"), col("cell_id"))
+    val approxTop = topPerQuery(probes
+      .join(indexed, Seq("cell_id"))
+      .filter(col("qid") =!= col("nbr"))
+      .join(qSide, Seq("qid"))
+      .select(col("qid"), col("nbr"),
+        round(expr("float_dot(n_emb, q_emb)") / (col("nrm") * col("qn")), 6)
+          .as("sim")))
+
+    val hits = exactTop.join(approxTop, Seq("qid", "nbr"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+    qs.select(col("vec_id"))
+      .join(hits.select(col("qid").as("vec_id"), col("n")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n"), lit(0L)).as("n_hits"))
+  }
+
   /** Incremental IVF index maintenance — the ingest path at corpus scale:
     * the coarse quantizer trains ONCE (on the existing corpus, on its
     * deterministic subsample) and every new batch is just ASSIGNED to the

@@ -156,6 +156,11 @@ object ExtensionQueries {
     // hard-negative mining: most-similar vectors of a DIFFERENT label
     "hard_negatives_topk" -> ((s, dir) =>
       Similarity.hardNegativesTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // ANN recall evaluation: per sampled query, how many of the exact
+    // top-10 the IVF probe recovered — the index-quality measurement,
+    // integer-exact so the whole build+eval hash-checks
+    "ann_recall_ivf" -> ((s, dir) =>
+      Similarity.annRecallIvf(t(s, dir, "embeddings"))),
     // incremental IVF maintenance: quantizer trained on the existing
     // corpus (vec_id % 10 != 0), the new batch (% 10 = 0) map-only
     // assigned to the frozen centroids — the no-retrain ingest path
@@ -568,6 +573,45 @@ object ExtensionQueries {
       "SELECT vec_id, nbr_id, sim FROM (SELECT vec_id, nbr_id, sim, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn " +
       s"FROM pairs) t WHERE rn <= $k"
+  }
+
+  /** Mirror of [[Similarity.annRecallIvf]]: exact top-k vs IVF-probed
+    * top-k over the same Lloyd chain, per-query hit counts.
+    */
+  private def annRecallOracle(
+      k: Int, queryMod: Int, nCells: Int, nProbe: Int, iters: Int,
+      trainMod: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+        kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
+    }.mkString(", ")
+    def cos(a: String, b: String) =
+      s"round(list_sum([CAST($a.embedding[j] AS DOUBLE) * CAST($b.embedding[j] AS DOUBLE) " +
+        s"FOR j IN generate_series(1, len($a.embedding))]) / " +
+        s"(sqrt(list_sum([CAST($a.embedding[j] AS DOUBLE) * CAST($a.embedding[j] AS DOUBLE) " +
+        s"FOR j IN generate_series(1, len($a.embedding))])) * " +
+        s"sqrt(list_sum([CAST($b.embedding[j] AS DOUBLE) * CAST($b.embedding[j] AS DOUBLE) " +
+        s"FOR j IN generate_series(1, len($b.embedding))]))), 6)"
+    s"WITH train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+      s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
+      s"qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $queryMod = 0), " +
+      "ep AS (SELECT q.vec_id AS qid, e.vec_id AS nbr, " + cos("q", "e") + " AS sim " +
+      "FROM qs q JOIN embeddings e ON e.vec_id != q.vec_id), " +
+      "et AS (SELECT qid, nbr FROM (SELECT qid, nbr, row_number() OVER " +
+      s"(PARTITION BY qid ORDER BY sim DESC, nbr) AS rn FROM ep) t WHERE rn <= $k), " +
+      "qp AS (SELECT vec_id AS qid, cell_id FROM (SELECT vec_id, cell_id, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn " +
+      s"FROM afd WHERE vec_id % $queryMod = 0) t WHERE rn <= $nProbe), " +
+      "ap AS (SELECT p.qid, i.vec_id AS nbr, " + cos("q", "i") + " AS sim " +
+      "FROM qp p JOIN af i ON i.cell_id = p.cell_id AND i.vec_id != p.qid " +
+      "JOIN qs q ON q.vec_id = p.qid), " +
+      "at2 AS (SELECT qid, nbr FROM (SELECT qid, nbr, row_number() OVER " +
+      s"(PARTITION BY qid ORDER BY sim DESC, nbr) AS rn FROM ap) t WHERE rn <= $k), " +
+      "h AS (SELECT qid, count(*) AS n FROM et JOIN at2 USING (qid, nbr) GROUP BY qid) " +
+      "SELECT q.vec_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits " +
+      "FROM qs q LEFT JOIN h ON h.qid = q.vec_id"
   }
 
   private def ivfKmeansOracle(
@@ -1016,6 +1060,9 @@ object ExtensionQueries {
         "FROM embeddings e, q WHERE e.vec_id != 0 AND e.label != q.ql) " +
         "SELECT vec_id, label, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
+    "ann_recall_ivf" ->
+      annRecallOracle(k = 10, queryMod = 100, nCells = 16, nProbe = 4,
+        iters = 2, trainMod = 4),
     "ivf_index_append" -> {
       val iters = 2
       val iterCtes = (1 to iters).map { i =>
