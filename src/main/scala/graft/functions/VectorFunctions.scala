@@ -30,18 +30,6 @@ object VectorFunctions {
   /** Exact squared L2 norm. */
   def normSqDecimal(a: Column): Column = dotDecimal(a, a)
 
-  /** Dot product as a sequential left-to-right IEEE-double sum. Spark's
-    * `aggregate` HOF folds left; DuckDB's `list_sum` over a DOUBLE list is
-    * bit-identical to the same fold (verified for the `cosine_topk_native`
-    * oracle) — so this is deterministic AND cross-engine exact, without the
-    * decimal cast per element. Use it where one side is already a DOUBLE
-    * array (e.g. k-means centroids).
-    */
-  def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
 
   /** Cosine similarity as DOUBLE (exact decimal dot/norms, then one double
     * division — deterministic given deterministic inputs).

@@ -124,12 +124,15 @@ object CoreQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
 
-    // U1/U2 — union of phase outputs with dedup
+    // U1/U2 — union of phase outputs with dedup (both phases draw from the
+    // same source rows, so PK-dedup and full distinct coincide — which is
+    // exactly the Subsetter's phase-accumulation situation)
     "union_phases" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      Ops.deterministicSample(o, "o_orderkey", 10)
-        .unionByName(o.filter(expr("o_totalprice > 300000.0")))
-        .distinct()
+      Ops.unionDedup(
+        Ops.deterministicSample(o, "o_orderkey", 10),
+        o.filter(expr("o_totalprice > 300000.0")),
+        Seq("o_orderkey"))
     }),
 
     // S13 — arbitrary SQL passthrough: statements run verbatim against temp
