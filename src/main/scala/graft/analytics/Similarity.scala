@@ -466,6 +466,99 @@ object Similarity {
       .drop("neg_sim")
   }
 
+  /** Residual-encoding IVFADC — the textbook Jégou et al. §IV form of
+    * [[ivfPqTopK]]: PQ codebooks are trained on RESIDUALS `x − centroid(x)`
+    * (what remains after the coarse quantizer explains the vector), which
+    * concentrates the codebooks' capacity on the within-cell variance —
+    * tighter ADC at the same bits. The price is a serialized build (coarse
+    * Lloyd → residuals → PQ Lloyd; the raw-vector variant's single joint
+    * chain is impossible because residuals need the trained coarse first)
+    * and per-PROBED-CELL query distance tables (the query residual differs
+    * per cell) — still a tiny nProbe·m·ksub broadcast.
+    *
+    * Residuals are narrowed to FLOAT (round-to-nearest, deterministic in
+    * any engine — and exactly what a float32 index stores), so the whole
+    * residual pipeline reuses the same float-typed Lloyd/assignment/`l2_sq`
+    * contract as every other quantizer here, and the oracle replays it
+    * bit-for-bit.
+    */
+  def ivfPqResidualTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      coarseIters: Int = 2,
+      coarseTrainMod: Int = 4,
+      m: Int = 4,
+      subDim: Int = 16,
+      ksub: Int = 16,
+      pqIters: Int = 2,
+      pqTrainMod: Int = 4,
+      shortK: Int = 50): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+    val residCol = expr(
+      "zip_with(embedding, c_emb, (e, c) -> CAST(CAST(e AS DOUBLE) - c AS FLOAT))")
+
+    // coarse quantizer + full-corpus residuals
+    val coarse =
+      kMeansCentroids(spread, nCells, coarseIters, coarseTrainMod).localCheckpoint()
+    val af = assignCells(spread, coarse, 1)
+    val resid = af.join(broadcast(coarse), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"), residCol.as("embedding"))
+      .localCheckpoint()
+
+    def stackSub(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "embedding")))
+    val codebooks =
+      kMeansCentroids(stackSub(resid.select(col("vec_id"), col("embedding"))),
+        ksub, pqIters, pqTrainMod, groupCols = Seq("sub")).localCheckpoint()
+
+    // probe restriction; candidates carry their coarse cell for the
+    // per-cell distance-table lookup
+    val probeCells = assignCells(q, coarse, nProbe)
+      .select(col("cell_id")).distinct()
+    val cand = resid.join(broadcast(probeCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= queryId)
+    val codes = assignCells(
+        stackSub(cand.select(col("vec_id"), col("embedding"))),
+        codebooks, 1, groupCols = Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cell_id"))
+      .join(cand.select(col("vec_id"), col("cell_id").as("pcell")), Seq("vec_id"))
+
+    // per-probed-cell query residual -> per-cell ADC tables
+    val qRes = probeCells.join(broadcast(coarse), Seq("cell_id"))
+      .crossJoin(broadcast(q.select(col("embedding"))))
+      .select(col("cell_id").as("pcell"), residCol.as("embedding"))
+    val qStack = qRes.select(col("pcell"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "qe")))
+    val dtab = codebooks.join(broadcast(qStack), Seq("sub"))
+      .select(col("pcell"), col("sub"), col("cell_id"),
+        expr(AdcDistExpr).cast("decimal(38,9)").as("d2q"))
+
+    val shortlist = codes
+      .join(broadcast(dtab), Seq("pcell", "sub", "cell_id"))
+      .groupBy(col("vec_id")).agg(sum(col("d2q")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(shortK)
+
+    val qEmb = broadcast(q.select(col("embedding").as("q_emb")))
+    shortlist.join(spread, Seq("vec_id"))
+      .crossJoin(qEmb)
+      .select(col("vec_id"),
+        round(expr("float_dot(embedding, q_emb)") /
+          (sqrt(expr("float_dot(embedding, embedding)")) *
+            sqrt(expr("float_dot(q_emb, q_emb)"))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Squared-L2 from a codebook centroid `c_emb` to the query sub-vector
     * `qe` — the ADC distance-table entry, under the same rounded
     * sequential-double-sum contract as [[assignCells]] (one definition for

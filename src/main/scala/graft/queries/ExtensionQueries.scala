@@ -149,6 +149,11 @@ object ExtensionQueries {
     // cut, per-query top-k on the custom bounded-heap TopKPerKey operator
     "knn_join_ivf" -> ((s, dir) =>
       Similarity.knnJoinIvf(t(s, dir, "embeddings"), k = 3)),
+    // the textbook residual-encoding IVFADC: codebooks trained on
+    // x − centroid(x), per-probed-cell query distance tables
+    "cosine_topk_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), queryId = 0L,
+        k = 10)),
     // SemDeDup applied end-to-end: k-means cells → within-cell cosine pairs
     // → connected components → keep only component representatives
     "semantic_dedup_apply" -> ((s, dir) =>
@@ -573,6 +578,58 @@ object ExtensionQueries {
       "SELECT vec_id, nbr_id, sim FROM (SELECT vec_id, nbr_id, sim, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn " +
       s"FROM pairs) t WHERE rn <= $k"
+  }
+
+  /** Mirror of [[Similarity.ivfPqResidualTopK]]: the coarse chain, FLOAT
+    * residuals, per-subspace Lloyd over residual slices, per-probed-cell
+    * query tables, candidate-restricted ADC, exact rerank.
+    */
+  private def ivfpqResidualOracle(
+      nCells: Int, nProbe: Int, coarseIters: Int, coarseTrainMod: Int,
+      m: Int, subDim: Int, ksub: Int, pqIters: Int, pqTrainMod: Int,
+      k: Int, shortK: Int, queryId: Long): String = {
+    val subCtes = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      val kmeans = (1 to pqIters).map { i =>
+        kmDist(s"train_$s", s"c${i - 1}_$s", s"a${i}d_$s") + ", " +
+          kmArgmin(s"a${i}d_$s", s"a${i}_$s") + ", " +
+          kmUpdate(s"a${i}_$s", s"u${i}_$s", s"c${i}_$s")
+      }.mkString(", ")
+      s"es_$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM rs), " +
+        s"train_$s AS (SELECT * FROM es_$s WHERE vec_id % $pqTrainMod = 0), " +
+        s"c0_$s AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+        s"FROM train_$s WHERE vec_id < ${ksub.toLong * pqTrainMod}), " + kmeans + ", " +
+        kmDist(s"es_$s", s"c${pqIters}_$s", s"cd_$s") + ", " +
+        kmArgmin(s"cd_$s", s"codes_$s") + ", " +
+        s"qs_$s AS (SELECT pcell, embedding[$lo:$hi] AS embedding FROM qr), " +
+        s"dtab_$s AS (SELECT q.pcell, c.cell_id, round(list_sum([" +
+        "(CAST(q.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(q.embedding[i] AS DOUBLE) - c.c[i]) " +
+        s"FOR i IN generate_series(1, len(q.embedding))]), 9) AS d2q " +
+        s"FROM c${pqIters}_$s c, qs_$s q)"
+    }.mkString(", ")
+    val codesU = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS sub, cell_id FROM codes_$s").mkString(" UNION ALL ")
+    val dtabU = (0 until m)
+      .map(s => s"SELECT pcell, $s AS sub, cell_id, d2q FROM dtab_$s").mkString(" UNION ALL ")
+    "WITH " + coarseCtes(nCells, nProbe, coarseIters, queryId, coarseTrainMod) + ", " +
+      s"rs AS (SELECT a.vec_id, a.cell_id, [CAST(CAST(a.embedding[i] AS DOUBLE) - c.c[i] AS FLOAT) " +
+      s"FOR i IN generate_series(1, len(a.embedding))] AS embedding " +
+      s"FROM af a JOIN c$coarseIters c ON a.cell_id = c.cell_id), " +
+      s"qr AS (SELECT p.cell_id AS pcell, [CAST(CAST(q.embedding[i] AS DOUBLE) - c.c[i] AS FLOAT) " +
+      s"FOR i IN generate_series(1, len(q.embedding))] AS embedding " +
+      s"FROM probe p JOIN c$coarseIters c ON p.cell_id = c.cell_id, " +
+      s"(SELECT embedding FROM embeddings WHERE vec_id = $queryId) q), " +
+      subCtes + ", " +
+      s"codes AS ($codesU), dtab AS ($dtabU), " +
+      s"cand AS (SELECT r.vec_id, r.cell_id AS pcell FROM rs r " +
+      s"JOIN probe p ON r.cell_id = p.cell_id WHERE r.vec_id != $queryId), " +
+      "adc AS (SELECT c2.vec_id, sum(CAST(d2q AS DECIMAL(38,9))) AS adc " +
+      "FROM codes c2 JOIN cand USING (vec_id) " +
+      "JOIN dtab ON dtab.pcell = cand.pcell AND dtab.sub = c2.sub " +
+      "AND dtab.cell_id = c2.cell_id GROUP BY c2.vec_id), " +
+      "short AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER " +
+      s"(ORDER BY adc, vec_id) AS rn FROM adc) t WHERE rn <= $shortK), " +
+      rerankTail(k, queryId)
   }
 
   /** Mirror of [[Similarity.annRecallIvf]]: exact top-k vs IVF-probed
@@ -1063,6 +1120,10 @@ object ExtensionQueries {
     "ann_recall_ivf" ->
       annRecallOracle(k = 10, queryMod = 100, nCells = 16, nProbe = 4,
         iters = 2, trainMod = 4),
+    "cosine_topk_ivfpq_residual" ->
+      ivfpqResidualOracle(nCells = 16, nProbe = 4, coarseIters = 2,
+        coarseTrainMod = 4, m = 4, subDim = 16, ksub = 16, pqIters = 2,
+        pqTrainMod = 4, k = 10, shortK = 50, queryId = 0L),
     "ivf_index_append" -> {
       val iters = 2
       val iterCtes = (1 to iters).map { i =>
