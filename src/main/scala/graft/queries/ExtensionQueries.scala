@@ -427,6 +427,18 @@ object ExtensionQueries {
           bi, Seq("tk"), Seq("neg_n", "next_tk"), 3)
         .drop("neg_n")
     }),
+    // retention cohorts: users bucketed by first-seen week, distinct-user
+    // counts per (cohort, active) week pair — two aggregates and one
+    // co-partitioned join on user_id, the classic warehouse rollup
+    "events_retention_cohorts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+      val firstWeek = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(firstWeek, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     // grouped top-k via the custom whole-operator tier (LogicalPlan +
     // Strategy + SparkPlan with bounded per-key heaps): first 3 events per
     // user under the total order (ts, event_id)
@@ -1250,6 +1262,11 @@ object ExtensionQueries {
       ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
         "quantile_cont(value, 0.9) AS p90, count(*) AS n " +
         "FROM events GROUP BY event_type"),
+    "events_retention_cohorts" ->
+      ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events), " +
+        "fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id) " +
+        "SELECT cohort_week, week, CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users " +
+        "FROM ev JOIN fw ON ev.user_id = fw.user_id GROUP BY cohort_week, week"),
     "events_conversion" ->
       ("WITH fc AS (SELECT user_id, min(ts) AS first_click FROM events " +
         "WHERE event_type = 'click' GROUP BY user_id), " +
