@@ -280,6 +280,22 @@ object ExtensionQueries {
     // length-outlier / contamination flags from the composed operators
     "curation_audit" -> ((s, dir) =>
       Curation.curationAudit(t(s, dir, "documents"))),
+    // skip-gram co-occurrence counts (word2vec data prep): (center,
+    // context) pairs within a ±2 window, top-25 — one explode pass
+    // shuffling on the pair, no self-join
+    "cooccurrence_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(tokens(col("text")).as("w"))
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(w)), i -> " +
+            "filter(transform(sequence(1, 2), d -> " +
+            "IF(i + d <= size(w), struct(w[i-1] AS center, w[i+d-1] AS context), NULL)), " +
+            "x -> x IS NOT NULL)))")).as("p"))
+        .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("center").asc, col("context").asc)
+        .limit(25)),
     // corpus-level vocabulary: the LM-data "what's in this corpus" sweep —
     // explode shuffles on token, partial map-side counts keep it narrow
     "text_vocab_topk" -> ((s, dir) =>
@@ -1204,6 +1220,13 @@ object ExtensionQueries {
         "CAST(sum(n) - count(*) AS BIGINT) AS n_dup_2grams FROM bg GROUP BY doc_id) " +
         "SELECT us.doc_id, n_tokens, top_token_n, coalesce(n_2grams, 0) AS n_2grams, " +
         "coalesce(n_dup_2grams, 0) AS n_dup_2grams FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id"),
+    "cooccurrence_topk" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "p AS (SELECT unnest(flatten([[{'center': w[i], 'context': w[i + d]} " +
+        "FOR d IN [1, 2] IF i + d <= len(w)] " +
+        "FOR i IN generate_series(1, len(w))]), recursive := true) FROM toks) " +
+        "SELECT center, context, count(*) AS n FROM p GROUP BY 1, 2 " +
+        "ORDER BY n DESC, center, context LIMIT 25"),
     "text_vocab_topk" ->
       ("SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) u " +
