@@ -219,13 +219,15 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       iters: Int = 3,
-      trainMod: Int = 1): DataFrame = {
+      trainMod: Int = 1,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     // 16 rows consumed by two assignment passes — cut the 3-iteration
-    // window/agg lineage once
+    // window/agg lineage once (pass Materialize.parquet(dir) on a real
+    // cluster, exactly as in Dedup)
     val centroids =
-      kMeansCentroids(spread, nCells, iters, trainMod).localCheckpoint()
+      materialize(kMeansCentroids(spread, nCells, iters, trainMod))
 
     // index: each vector in exactly its nearest cell
     val indexed = assignCells(spread, centroids, 1)
@@ -278,7 +280,8 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 2,
       shortK: Int = 50,
-      trainMod: Int = 1): DataFrame = {
+      trainMod: Int = 1,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     val q = embeddings.filter(col("vec_id") === queryId)
@@ -297,11 +300,9 @@ object Similarity {
     val stacked = stack(spread)
 
     // codebooks consumed by the encode pass and the distance tables — cut
-    // the Lloyd lineage once (cluster deployments swap in a reliable
-    // materializer exactly as in ivfTopK)
-    val codebooks =
-      kMeansCentroids(stacked, ksub, iters, trainMod, groupCols = Seq("sub"))
-        .localCheckpoint()
+    // the Lloyd lineage once
+    val codebooks = materialize(
+      kMeansCentroids(stacked, ksub, iters, trainMod, groupCols = Seq("sub")))
 
     val codes = assignCells(stacked, codebooks, 1, groupCols = Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cell_id"))
@@ -364,7 +365,8 @@ object Similarity {
       m: Int = 4,
       subDim: Int = 16,
       shortK: Int = 50,
-      trainMod: Int = 1): DataFrame = {
+      trainMod: Int = 1,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     val q = embeddings.filter(col("vec_id") === queryId)
@@ -380,9 +382,9 @@ object Similarity {
         slice(col("embedding"), s * subDim + 1, subDim)): _*))
         .as(Seq("p", "embedding")))
       .select(col("vec_id"), (col("p") - 1).as("sub"), col("embedding"))
-    val trained =
+    val trained = materialize(
       kMeansCentroids(stackAll(spread), nCells, iters, trainMod,
-        groupCols = Seq("sub")).localCheckpoint()
+        groupCols = Seq("sub")))
     val coarse = trained.filter(col("sub") === -1).drop("sub")
     val codebooks = trained.filter(col("sub") =!= -1)
 
@@ -444,11 +446,12 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 2,
       iters: Int = 2,
-      trainMod: Int = 4): DataFrame = {
+      trainMod: Int = 4,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     val centroids =
-      kMeansCentroids(spread, nCells, iters, trainMod).localCheckpoint()
+      materialize(kMeansCentroids(spread, nCells, iters, trainMod))
     val indexed = assignCells(spread, centroids, 1)
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
       .select(col("cell_id"), col("vec_id").as("nbr_id"),
@@ -495,7 +498,8 @@ object Similarity {
       ksub: Int = 16,
       pqIters: Int = 2,
       pqTrainMod: Int = 4,
-      shortK: Int = 50): DataFrame = {
+      shortK: Int = 50,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     val q = embeddings.filter(col("vec_id") === queryId)
@@ -504,19 +508,18 @@ object Similarity {
 
     // coarse quantizer + full-corpus residuals
     val coarse =
-      kMeansCentroids(spread, nCells, coarseIters, coarseTrainMod).localCheckpoint()
+      materialize(kMeansCentroids(spread, nCells, coarseIters, coarseTrainMod))
     val af = assignCells(spread, coarse, 1)
-    val resid = af.join(broadcast(coarse), Seq("cell_id"))
-      .select(col("vec_id"), col("cell_id"), residCol.as("embedding"))
-      .localCheckpoint()
+    val resid = materialize(af.join(broadcast(coarse), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"), residCol.as("embedding")))
 
     def stackSub(df: DataFrame): DataFrame = df.select(col("vec_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("embedding"), s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "embedding")))
-    val codebooks =
+    val codebooks = materialize(
       kMeansCentroids(stackSub(resid.select(col("vec_id"), col("embedding"))),
-        ksub, pqIters, pqTrainMod, groupCols = Seq("sub")).localCheckpoint()
+        ksub, pqIters, pqTrainMod, groupCols = Seq("sub")))
 
     // probe restriction; candidates carry their coarse cell for the
     // per-cell distance-table lookup
@@ -591,7 +594,8 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       iters: Int = 2,
-      trainMod: Int = 4): DataFrame = {
+      trainMod: Int = 4,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     val qs = spread.filter(col("vec_id") % queryMod === 0)
@@ -615,7 +619,7 @@ object Similarity {
 
     // approximate: the IVF cell cut, probes computed for the queries only
     val centroids =
-      kMeansCentroids(spread, nCells, iters, trainMod).localCheckpoint()
+      materialize(kMeansCentroids(spread, nCells, iters, trainMod))
     val indexed = assignCells(spread, centroids, 1)
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
       .select(col("cell_id"), col("vec_id").as("nbr"),
@@ -651,11 +655,11 @@ object Similarity {
       batch: DataFrame,
       nCells: Int = 16,
       iters: Int = 2,
-      trainMod: Int = 4): DataFrame = {
+      trainMod: Int = 4,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(existing.sparkSession)
-    val centroids = kMeansCentroids(
-      existing.repartition(col("vec_id")), nCells, iters, trainMod)
-      .localCheckpoint()
+    val centroids = materialize(kMeansCentroids(
+      existing.repartition(col("vec_id")), nCells, iters, trainMod))
     assignCells(batch.repartition(col("vec_id")), centroids, 1)
       .select(col("vec_id"), col("cell_id"))
   }

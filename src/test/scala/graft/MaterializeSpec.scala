@@ -35,6 +35,14 @@ class MaterializeSpec extends SparkSpecBase {
       rows(Dedup.simhashNearDupPairs(sub, 3)))
   }
 
+  test("IVF-PQ index build: parquet materializer matches localCheckpoint") {
+    val dir = Files.createTempDirectory("graft_mat4").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(rows(graft.analytics.Similarity.ivfPqTopK(emb, 0L, 10, trainMod = 4,
+        materialize = Materialize.parquet(dir))) ==
+      rows(graft.analytics.Similarity.ivfPqTopK(emb, 0L, 10, trainMod = 4)))
+  }
+
   test("fixture subset through the parquet materializer is identical") {
     val dir = Files.createTempDirectory("graft_mat3").toString
     val source = graft.engine.Catalog.load(spark, sfDir, SubsetQueries.starTables)
