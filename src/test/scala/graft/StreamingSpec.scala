@@ -84,6 +84,41 @@ class StreamingSpec extends SparkSpecBase {
         streamed("n_events") === batch("count")).count() == batch.count())
   }
 
+  test("bounded-state dedup re-admits a duplicate after its fingerprint expired") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the operator's documented contract: state holds a fingerprint only
+    // until the watermark passes its event time + delay. batch1 stores the
+    // docs at t=1000s; batch2 (one far-future sentinel) advances the
+    // watermark to 200000s - 2h, far past every batch-1 expiry; the SAME
+    // docs then replay in two consecutive batches — whichever side of the
+    // eviction point the runtime lands on (state cleanup runs once per
+    // batch), EXACTLY ONE replay is re-admitted in full.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val dir = Files.createTempDirectory("graft_dedup_expire")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, sec: Long): Unit =
+      df.withColumn("arrival", timestamp_seconds(lit(sec)))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    stage("a", docs, 1000L)
+    stage("b",
+      Seq((-1L, "zz_sentinel_zz", "en", "srcX", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), 200000L)
+    stage("c", docs, 201000L)
+    stage("d", docs, 202000L)
+    val schema = spark.read.parquet(s"$dir/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/{a,b,c,d}")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingDedupBounded(stream, tsCol = "arrival"),
+      "stream_dedup_expire", outputMode = "append")
+    val distinct = docs
+      .selectExpr("md5(CAST(lower(trim(text)) AS BINARY))").distinct().count()
+    // original admission + exactly one post-expiry re-admission + sentinel
+    assert(spark.table("stream_dedup_expire").count() == 2 * distinct + 1)
+  }
+
   test("transformWithState running user counts reach the batch totals") {
     // transformWithState requires the RocksDB state store; scope the
     // provider override to this query and restore the default after
