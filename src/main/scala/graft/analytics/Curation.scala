@@ -126,10 +126,14 @@ object Curation {
   def curationAudit(
       docs: DataFrame,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
-    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("f"))
-    // reuse the standalone operator so the audit's exact-dup verdict cannot
-    // drift from Dedup.fingerprintGroups (CurationSpec pins the equality)
-    val keep = Dedup.fingerprintGroups(docs)
+    // ONE fingerprint scan feeds both the per-doc fp column and the group
+    // representatives (materialized so the two consumers share it); the
+    // grouping itself still goes through the standalone operator so the
+    // audit's exact-dup verdict cannot drift from Dedup.fingerprintGroups
+    // (CurationSpec pins the equality)
+    val fp = materialize(
+      docs.select(col("doc_id"), fingerprint(col("text")).as("fp")))
+    val keep = Dedup.fingerprintGroupsFromFps(fp)
       .select(col("fp").as("f"), col("keep_id").as("k"))
     val comp = Dedup.connectedComponents(
         Dedup.lshCandidatePairs(docs, materialize = materialize)
@@ -144,7 +148,7 @@ object Curation {
         corpus = docs.filter(col("doc_id") % 50 =!= 0),
         benchmark = docs.filter(col("doc_id") % 50 === 0), n = 4)
       .select(col("doc_id"), lit(1).as("ct"))
-    docs.join(fp, Seq("doc_id")).join(keep, Seq("f"))
+    docs.join(fp.withColumnRenamed("fp", "f"), Seq("doc_id")).join(keep, Seq("f"))
       .crossJoin(broadcast(bands))
       .join(comp, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")

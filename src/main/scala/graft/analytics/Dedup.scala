@@ -23,8 +23,15 @@ object Dedup {
     * case/whitespace variants that raw-text grouping misses.
     */
   def fingerprintGroups(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .groupBy(col("fp"))
+    fingerprintGroupsFromFps(
+      docs.select(col("doc_id"), fingerprint(col("text")).as("fp")))
+
+  /** Same grouping over a PRE-COMPUTED `(doc_id, fp)` relation — the entry
+    * point for callers that already materialized the fingerprint scan and
+    * must not pay a second md5 pass over the corpus (`curationAudit`).
+    */
+  def fingerprintGroupsFromFps(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Apply the fingerprint dedup: keep exactly one representative document
@@ -213,7 +220,10 @@ object Dedup {
           .union(withM.select(col("m").as("a"), col("a").as("b")))
           .filter(col("a") =!= col("b")).distinct())
       round += 1
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // e and next are both distinct edge sets, so set equality reduces to
+      // equal cardinality plus one-direction emptiness — one exceptAll
+      // shuffle instead of two per round
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
       if (!converged && round >= maxRounds)
         throw new IllegalStateException(
           s"connectedComponentsStar: no fixpoint after $round rounds — " +
@@ -635,6 +645,55 @@ object Dedup {
       .select(least(col("pid"), col("iid")).as("id_a"),
         greatest(col("pid"), col("iid")).as("id_b"),
         totalDist.cast("int").as("dist"))
+  }
+
+  /** String-signature formulation of the simhash near-dup join: pigeonhole
+    * on exact substring chunks of the 64-char bit-string signature, with the
+    * native `hamming` (radius test) and `first_chunk_within`
+    * (single-emission test) expressions evaluated INSIDE the join condition.
+    * Same output as [[simhashNearDupPairs]] at the same radius (one row per
+    * pair, id_a < id_b, exact bit distance).
+    *
+    * This is the readable reference path the word-packed fast formulation
+    * was derived from — kept live because it is the production shape for
+    * signatures that are NOT word-packable (variable-width sigs, >128 bits)
+    * and it exercises the fused-chunk native expressions end-to-end. Scale
+    * shape matches the fast path: one shuffle on (chunk index, chunk
+    * substring), never all-pairs.
+    */
+  def simhashNearDupPairsStrSig(
+      docs: DataFrame,
+      maxDist: Int = 3,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"simhashNearDupPairsStrSig: maxDist must be in [0, 64), got $maxDist")
+    graft.functions.NativeExpressions.register(docs.sparkSession)
+    val sigs = materialize(simhashSignatures(docs))
+    val m = maxDist + 1 // pigeonhole: ≤ maxDist flips leave one chunk exact
+    val bits = 64
+    // chunk split mirrors NativeExpressions.firstChunkJava: near-equal
+    // chunks, earlier chunks take the remainder
+    val lens = (0 until m).map(i => bits / m + (if (i < bits % m) 1 else 0))
+    val starts = lens.scanLeft(0)(_ + _)
+    val chunkStructs = (0 until m).map(c =>
+      struct(lit(c).as("c"),
+        substring(col("simhash"), starts(c) + 1, lens(c)).as("chunk")))
+    val index = sigs.withColumn("cc", explode(array(chunkStructs: _*)))
+      .select(col("doc_id").as("iid"), col("cc.c").as("ic"),
+        col("cc.chunk").as("ichunk"), col("simhash").as("isig"))
+    val probe = sigs.withColumn("cc", explode(array(chunkStructs: _*)))
+      .select(col("doc_id").as("pid"), col("cc.c").as("pc"),
+        col("cc.chunk").as("pchunk"), col("simhash").as("psig"))
+    // emitted once per pair: only at the FIRST exactly-matching chunk
+    // (first_chunk_within with t = 0), only within the radius (hamming on
+    // the bit-chars IS the bit distance), only in the pid < iid direction
+    val once = col("pid") < col("iid") &&
+      expr(s"first_chunk_within(psig, isig, $m, 0)") === col("pc") &&
+      expr("hamming(psig, isig)") <= maxDist
+    probe.join(index,
+        col("pc") === col("ic") && col("pchunk") === col("ichunk") && once)
+      .select(col("pid").as("id_a"), col("iid").as("id_b"),
+        expr("hamming(psig, isig)").as("dist"))
   }
 
   /** 64-bit SimHash per document from distinct-token md5 hashes: per bit

@@ -664,6 +664,220 @@ object Similarity {
       .select(col("vec_id"), col("cell_id"))
   }
 
+  /** Deterministic on-disk location for a corpus directory's materialized
+    * ANN indexes (build-once, probe-many). /tmp-rooted for the local
+    * harness; a deployment passes its own warehouse path to the build/probe
+    * pair instead.
+    */
+  def defaultIndexDir(dataDir: String): String =
+    "/tmp/graft_ann_index/" + dataDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def stackSubDf(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "embedding")))
+
+  /** BUILD half of the deployed IVF-PQ index ([[ivfPqTopK]] is the fused
+    * single-query form; a deployment runs THIS once and then answers every
+    * query with [[ivfPqProbeTopK]]): train the coarse quantizer + `m`
+    * subspace codebooks (one grouped Lloyd chain, identical math to the
+    * fused path), then materialize
+    *
+    *   - `codebooks.parquet` — (sub, cell_id, c_emb); sub = -1 is the
+    *     coarse quantizer (a few KiB, broadcast at probe time), and
+    *   - `codes.parquet` — (vec_id, sub, code) PARTITIONED BY the coarse
+    *     `cell_id`, so a probe's nProbe cells are a partition-pruned read
+    *     of nProbe/nCells of the index — the FAISS inverted-list layout in
+    *     Parquet directories,
+    *
+    * plus `meta.parquet` (corpus row count + id sum) so
+    * [[ivfPqIndexBuildIfStale]] can detect a regenerated corpus. The
+    * amortization is the point: k-means training dominates the fused
+    * query's cost, and it happens once here, off the query path.
+    */
+  def ivfPqIndexBuild(
+      embeddings: DataFrame,
+      indexDir: String,
+      nCells: Int = 16,
+      iters: Int = 2,
+      m: Int = 4,
+      subDim: Int = 16,
+      trainMod: Int = 1,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): Unit = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    val spread = embeddings.repartition(col("vec_id"))
+    def stackAll(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      posexplode(array(col("embedding") +: (0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*))
+        .as(Seq("p", "embedding")))
+      .select(col("vec_id"), (col("p") - 1).as("sub"), col("embedding"))
+    val trained = materialize(
+      kMeansCentroids(stackAll(spread), nCells, iters, trainMod,
+        groupCols = Seq("sub")))
+    trained.write.mode("overwrite").parquet(s"$indexDir/codebooks.parquet")
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks.parquet")
+    val coarse = codebooks.filter(col("sub") === -1).drop("sub")
+    val pq = codebooks.filter(col("sub") =!= -1)
+    val cells = assignCells(spread, coarse, 1)
+      .select(col("vec_id"), col("cell_id"))
+    val codes = assignCells(stackSubDf(spread, m, subDim), pq, 1,
+        groupCols = Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cell_id").as("code"))
+    cells.join(codes, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$indexDir/codes.parquet")
+    corpusSignature(embeddings)
+      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+  }
+
+  /** Content signature of the embedding corpus for index-staleness checks:
+    * row count, id sum, and a crc32 content sum over the stringified
+    * vectors (so a REGENERATED corpus with identical ids but different
+    * vectors is still detected). One cheap scan.
+    */
+  private def corpusSignature(embeddings: DataFrame): DataFrame =
+    embeddings.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("vec_id")).cast("long").as("id_sum"),
+      sum(crc32(concat_ws(",", col("embedding").cast("array<string>"))
+        .cast("binary"))).cast("long").as("emb_crc"))
+
+  /** Run [[ivfPqIndexBuild]] only when the materialized index is absent or
+    * was built from a DIFFERENT corpus (count/id-sum/content-crc mismatch —
+    * the staleness guard a regenerated test corpus needs). A verified-fresh
+    * indexDir is memoized for the JVM's lifetime, so repeated probes in one
+    * session skip even the signature scan. Returns whether a build ran.
+    */
+  private val verifiedIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def ivfPqIndexBuildIfStale(
+      embeddings: DataFrame,
+      indexDir: String,
+      nCells: Int = 16,
+      iters: Int = 2,
+      m: Int = 4,
+      subDim: Int = 16,
+      trainMod: Int = 1,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): Boolean = {
+    if (verifiedIndexDirs.contains(indexDir)) return false
+    val spark = embeddings.sparkSession
+    val sig = corpusSignature(embeddings).collect()(0)
+    val fresh =
+      try {
+        val meta = spark.read.parquet(s"$indexDir/meta.parquet").collect()(0)
+        (0 to 2).forall(i => meta.getLong(i) == sig.getLong(i))
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh)
+      ivfPqIndexBuild(embeddings, indexDir, nCells, iters, m, subDim,
+        trainMod, materialize)
+    verifiedIndexDirs.add(indexDir)
+    !fresh
+  }
+
+  /** PROBE half: answer one query from the MATERIALIZED index — no
+    * training, no corpus-wide code computation on the query path. Reads the
+    * tiny codebooks (broadcast), assigns the query to its `nProbe` coarse
+    * cells, scans ONLY those cells' partitions of the codes table
+    * (partition pruning on the `cell_id` directory key), scores candidates
+    * by ADC table lookup, and exact-reranks the `shortK` shortlist against
+    * the embeddings table. Identical output to [[ivfPqTopK]] at the same
+    * parameters (PQ codes are deterministic per vector, so precomputing
+    * them at build time changes nothing) — one oracle contract covers
+    * both. This is the production query metric the fused key can't show:
+    * everything here is probe-proportional, nothing is corpus-proportional
+    * except the shortlist's vec_id-keyed rerank join.
+    */
+  def ivfPqProbeTopK(
+      embeddings: DataFrame,
+      indexDir: String,
+      queryId: Long,
+      k: Int,
+      nProbe: Int = 4,
+      m: Int = 4,
+      subDim: Int = 16,
+      shortK: Int = 50): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+
+    // The index HEAD — coarse centroids + m×nCells codebook rows, a few
+    // KiB — is driver-resident metadata, exactly how a deployed ANN
+    // service (FAISS et al.) holds its quantizers in RAM. Probe-cell
+    // selection and the ADC distance table are then driver arithmetic
+    // that REPLICATES the executor contract bit for bit: l2_sq's
+    // sequential IEEE double fold, Spark round(_, 9) (BigDecimal.valueOf
+    // + HALF_UP), and the double→decimal(38,9) cast — so the result is
+    // hash-identical to the DataFrame formulation ([[ivfPqTopK]]) and its
+    // oracle. Corpus-sized relations (codes, embeddings) never leave the
+    // executors; the only driver data is the head and the one query row.
+    def round9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def l2(q: Array[Float], from: Int, c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < c.length) {
+        val d = q(from + i).toDouble - c(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    val head = spark.read.parquet(s"$indexDir/codebooks.parquet").collect()
+    def cEmb(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Double](r.fieldIndex("c_emb")).toArray
+    val qv: Array[Float] = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+
+    // nProbe nearest coarse cells: (d2 asc, cell_id asc), as assignCells
+    val probeCells = head.filter(_.getInt(0) == -1)
+      .map(r => (round9(l2(qv, 0, cEmb(r))), r.getLong(1)))
+      .sortBy(identity).take(nProbe).map(_._2).toSeq
+
+    // ADC distance table as literal rows: (sub, code, d2q decimal(38,9))
+    val dtabRows = head.filter(_.getInt(0) != -1).map { r =>
+      val sub = r.getInt(0)
+      val d2q = round9(l2(qv, sub * subDim, cEmb(r)))
+      org.apache.spark.sql.Row(sub, r.getLong(1),
+        java.math.BigDecimal.valueOf(d2q).setScale(9, java.math.RoundingMode.HALF_UP))
+    }
+    val dtabSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d2q",
+        org.apache.spark.sql.types.DecimalType(38, 9), nullable = false)))
+    val dtab = spark.createDataFrame(
+      java.util.Arrays.asList(dtabRows: _*), dtabSchema)
+
+    // candidate read: STATIC partition pruning — only the nProbe cell
+    // directories of the codes table are listed/scanned
+    val cand = spark.read.parquet(s"$indexDir/codes.parquet")
+      .filter(col("cell_id").isin(probeCells: _*) &&
+        col("vec_id") =!= queryId)
+    // the shortlist is a bounded shortK-row id list — driver round-trip of
+    // a few hundred bytes (the ANN-service shape: ADC shortlist in RAM,
+    // exact rerank as one pruned scan), not a corpus-sized collect
+    val shortIds = cand
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("d2q")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(shortK)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+
+    // exact rerank of the shortlist; the query vector rides along as an
+    // array<float> literal (no re-read, no formatting — exact floats)
+    embeddings.filter(col("vec_id").isin(shortIds: _*))
+      .withColumn("q_emb", typedLit(qv))
+      .select(col("vec_id"),
+        round(expr("float_dot(embedding, q_emb)") /
+          (sqrt(expr("float_dot(embedding, embedding)")) *
+            sqrt(expr("float_dot(q_emb, q_emb)"))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Scalar (int8) quantization of the embedding table — the SQ8 index
     * compression (FAISS `ScalarQuantizer`): per DIMENSION, the corpus
     * min/max define a linear [0, 255] grid and every value becomes its

@@ -10,8 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization (fixture docs are single-space separated). */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Tokenization on a pluggable separator regex. The default single-space
+    * split matches the fixture corpus (single-space separated) byte for
+    * byte; real multilingual corpora pass a separator class — e.g.
+    * `"[^\\p{L}\\p{N}]+"` (any non-letter/digit run) — through the same
+    * code path. Edge separators produce empty tokens in every engine's
+    * split; [[tokensNonEmpty]] is the variant that drops them.
+    */
+  def tokens(text: Column, sepRe: String = " "): Column = split(text, sepRe)
+
+  /** [[tokens]] with empty tokens dropped — the honest token stream under a
+    * separator-class regex (leading/trailing separators and runs collapse
+    * instead of minting "" tokens). Mirrors DuckDB's
+    * `list_filter(regexp_split_to_array(...), x -> x != '')`.
+    */
+  def tokensNonEmpty(text: Column, sepRe: String): Column =
+    filter(tokens(text, sepRe), t => t =!= "")
 
   /** Word n-gram shingles as an array column; empty for docs shorter than
     * `n` tokens. 1-based `element_at` keeps parity with SQL list indexing.

@@ -113,6 +113,12 @@ object ExtensionQueries {
     "simhash_neardup_pairs_128" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), maxDist = 12,
         sigBits = 128)),
+    // string-signature formulation (exact substring chunks + the native
+    // hamming / first_chunk_within expressions in the join condition) —
+    // must reproduce the word-packed fast path's pairs against the same
+    // brute-force oracle
+    "simhash_neardup_pairs_strsig" -> ((s, dir) =>
+      Dedup.simhashNearDupPairsStrSig(t(s, dir, "documents"), maxDist = 3)),
 
     // ---- similarity search ----
     "cosine_topk_bruteforce" -> ((s, dir) =>
@@ -145,6 +151,18 @@ object ExtensionQueries {
     "cosine_topk_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
         trainMod = 4)),
+    // the deployed build/probe split of the same index: ivfPqIndexBuild
+    // materializes codebooks + cell-partitioned PQ codes once (skipped when
+    // the on-disk index already matches this corpus), and the query itself
+    // is probe-only — broadcast codebooks, partition-pruned candidate read,
+    // ADC lookups, shortlist rerank. Same params ⇒ same answer ⇒ same
+    // oracle as cosine_topk_ivfpq.
+    "cosine_topk_ivfpq_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.defaultIndexDir(dir) + "/ivfpq"
+      Similarity.ivfPqIndexBuildIfStale(emb, idx, trainMod = 4)
+      Similarity.ivfPqProbeTopK(emb, idx, queryId = 0L, k = 10)
+    }),
     // batch k-NN JOIN: top-3 neighbors for EVERY vector via the IVF cell
     // cut, per-query top-k on the custom bounded-heap TopKPerKey operator
     "knn_join_ivf" -> ((s, dir) =>
@@ -192,6 +210,16 @@ object ExtensionQueries {
         // BPE-ish subword segmentation: letter runs / digit runs / symbols
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .cast("long").as("n_bpe_tokens"))),
+    // the pluggable-tokenizer path under a NON-whitespace separator class
+    // (split on non-alphanumeric runs, empties dropped) — what a
+    // multilingual/punctuated corpus would configure; same counts shape as
+    // text_token_count
+    "text_token_count_regex" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(tokensNonEmpty(col("text"), "[^a-z0-9]+")).cast("long")
+          .as("n_tokens_re"),
+        size(array_distinct(tokensNonEmpty(col("text"), "[^a-z0-9]+")))
+          .cast("long").as("n_distinct_re"))),
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
@@ -871,6 +899,10 @@ object ExtensionQueries {
     "cosine_topk_pq" ->
       pqOracle(m = 4, subDim = 16, ksub = 16, iters = 2, k = 10, shortK = 50,
         queryId = 0L, trainMod = 2),
+    "cosine_topk_ivfpq_probe" ->
+      ivfpqOracle(nCells = 16, nProbe = 4, coarseIters = 2, coarseTrainMod = 4,
+        m = 4, subDim = 16, ksub = 16, pqIters = 2, pqTrainMod = 4,
+        k = 10, shortK = 50, queryId = 0L),
     "cosine_topk_ivfpq" ->
       ivfpqOracle(nCells = 16, nProbe = 4, coarseIters = 2, coarseTrainMod = 4,
         m = 4, subDim = 16, ksub = 16, pqIters = 2, pqTrainMod = 4,
@@ -1104,6 +1136,7 @@ object ExtensionQueries {
     "simhash_neardup_pairs" -> simhashBruteForceOracle(3),
     "simhash_neardup_pairs_wide" -> simhashBruteForceOracle(12),
     "simhash_neardup_pairs_128" -> simhashBruteForceOracle(12, bits = 128),
+    "simhash_neardup_pairs_strsig" -> simhashBruteForceOracle(3),
     "cosine_topk_native" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +
@@ -1200,6 +1233,11 @@ object ExtensionQueries {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens " +
+        "FROM documents"),
+    "text_token_count_regex" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens_re, " +
+        "CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x != ''))) AS BIGINT) AS n_distinct_re " +
         "FROM documents"),
     "text_quality" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, " +

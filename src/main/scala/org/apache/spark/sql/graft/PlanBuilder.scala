@@ -14,3 +14,14 @@ object PlanBuilder {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** `private[spark]` members custom physical operators legitimately need at
+  * task runtime, re-exposed from inside the `org.apache.spark` namespace.
+  */
+object SparkInternals {
+  /** The memory-manager page size an external sorter should allocate with
+    * (what `SortExec` passes to `UnsafeExternalRowSorter.create`). Callable
+    * on the executor inside a task.
+    */
+  def pageSizeBytes: Long = org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+}

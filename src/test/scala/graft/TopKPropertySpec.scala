@@ -51,4 +51,81 @@ class TopKPropertySpec extends SparkSpecBase {
         s"seed=$seed n=$n keyCard=$keyCard k=$k: row mismatch")
     }
   }
+
+  test("plan shows map-side partial top-k below the hash exchange") {
+    val df = genDf(200, 8, seed = 42)
+    val got = TopKPerKey.topKPerKey(df, Seq("k1"), Seq("v", "uid"), 3)
+    val plan = got.queryExecution.executedPlan.toString
+    // partial (pre-shuffle) and final instances, shuffle between them
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    val iFinal = plan.indexOf("TopKPerKey\n") match {
+      case -1 => plan.indexOf("TopKPerKey ")
+      case i => i
+    }
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    assert(iFinal >= 0 && iExchange >= 0, plan)
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"expected final above exchange above partial:\n$plan")
+  }
+
+  /** Forces the sort-based fallback: a tiny row budget over high-cardinality
+    * keys makes every task overflow its heap map; output must be identical
+    * and the numFallbackTasks metric must record the switch.
+    */
+  test("sort fallback under a tiny row budget matches the heap path and fires the metric") {
+    val budgetKey = graft.plans.TopKPerKey.RowBudgetKey
+    spark.conf.set(budgetKey, "4")
+    // AQE wraps the tree in AdaptiveSparkPlanExec (a leaf), which would
+    // hide TopKPerKeyExec from the metric lookup below
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (seed <- 1 to 4) {
+        val rnd = new scala.util.Random(seed * 77L)
+        val n = 100 + rnd.nextInt(300)
+        // high cardinality: most keys distinct, so k=1 buffers ~n rows
+        val keyCard = 200
+        val k = 1 + rnd.nextInt(3)
+        val df = genDf(n, keyCard, seed)
+        val got = TopKPerKey.topKPerKey(df, Seq("k1"), Seq("v", "uid"), k)
+        val oracle = df
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("k1").orderBy(col("v"), col("uid"))))
+          .filter(col("rn") <= k).drop("rn")
+        // collect() executes got's OWN plan (count/exceptAll build derived
+        // plans whose exec nodes carry separate metric instances)
+        val gotRows = got.collect().toSeq
+        val oracleRows = oracle.collect().toSeq
+        assert(gotRows.size == oracleRows.size,
+          s"fallback seed=$seed n=$n k=$k: count mismatch")
+        assert(gotRows.groupBy(identity).view.mapValues(_.size).toMap ==
+          oracleRows.groupBy(identity).view.mapValues(_.size).toMap,
+          s"fallback seed=$seed n=$n k=$k: row multiset mismatch")
+        val fallbacks = got.queryExecution.executedPlan.collect {
+          case e: graft.plans.TopKPerKeyExec => e.metrics("numFallbackTasks").value
+        }.sum
+        assert(fallbacks > 0,
+          s"fallback seed=$seed: expected numFallbackTasks > 0 (budget did not trip)")
+      }
+    } finally {
+      spark.conf.unset(budgetKey)
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("fallback handles composite keys with NULLs and k past group sizes") {
+    val budgetKey = graft.plans.TopKPerKey.RowBudgetKey
+    spark.conf.set(budgetKey, "2")
+    try {
+      val df = genDf(300, 150, seed = 9)
+        .withColumn("k2", col("uid") % 7)
+      val got = TopKPerKey.topKPerKey(df, Seq("k1", "k2"), Seq("v", "uid"), 5)
+      val oracle = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k1", "k2").orderBy(col("v"), col("uid"))))
+        .filter(col("rn") <= 5).drop("rn")
+      assert(got.count() == oracle.count())
+      assert(got.exceptAll(oracle).count() == 0)
+    } finally spark.conf.unset(budgetKey)
+  }
 }
