@@ -7,11 +7,17 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `BinaryType` columns with typed metadata, processed per-partition in
-  * batches. The actual media decode is STUBBED (this container has no
-  * image/audio libraries): [[fakeDecodeMeta]] derives deterministic
-  * pseudo-metadata from the bytes, while the Spark-side contract — schema,
-  * batch iteration, partition shape — is real and tested. Swap the stub for
-  * a JNI/library call without touching the plumbing.
+  * batches. Two decode tiers:
+  *
+  *   - [[pngRoundTripMeta]] — REAL codec work via the JDK's own
+  *     `javax.imageio` (headless-safe, zero extra dependency): encode a
+  *     deterministic per-row image to real PNG bytes, decode it back, and
+  *     emit decoded dimensions + pixel reads. This is an actual
+  *     image-decode running distributed in `mapPartitions`.
+  *   - [[fakeDecodeMeta]] — the declared STUB for codecs the JDK does NOT
+  *     ship (JPEG2000/video/audio): deterministic pseudo-metadata from the
+  *     payload bytes with the same per-partition execution shape, so a
+  *     JNI/library decoder swaps in without touching the plumbing.
   */
 object Multimodal {
 
@@ -69,6 +75,54 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       ascii(col("payload").cast("string")).as("first_byte"),
       md5(col("payload")).as("content_md5"))
+
+  /** REAL image decode through the JDK's `javax.imageio` PNG codec — no
+    * stub, no external dependency. Per document row, a deterministic
+    * gray-fill image (width = n_chars % 31 + 1, height = doc_id % 17 + 1,
+    * gray level = doc_id % 256) is ENCODED to real PNG bytes — the payload
+    * a multimodal pipeline would store in its binary column — and then
+    * DECODED back with `ImageIO.read`; the output is what only a real
+    * decode can know: the codec-parsed dimensions and an actual pixel read.
+    * An oracle predicts all three from the source table, so the whole
+    * encode→decode round trip is hash-checked.
+    *
+    * Execution shape is the production one: codec work runs per partition
+    * inside `mapPartitions` (one `ImageIO` pipeline per task, no driver
+    * involvement, no shuffle — map-only over however the corpus is
+    * partitioned).
+    */
+  def pngRoundTripMeta(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("red0", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id"), col("n_chars")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (r.getLong(1) % 31).toInt + 1
+        val h = (id % 17).toInt + 1
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val payload = bos.toByteArray // the real stored binary payload
+        val decoded = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        Row(id, decoded.getWidth, decoded.getHeight,
+          (decoded.getRGB(0, 0) >> 16) & 0xff)
+      }
+    }(enc)
+  }
 
   /** Resize shape over decoded metadata: target dimensions preserving
     * aspect ratio with the long side capped at `maxSide` (integer-floor

@@ -503,6 +503,11 @@ object ExtensionQueries {
     "multimodal_decode_stub" -> ((s, dir) =>
       Multimodal.fakeDecodeMeta(
         Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text"))),
+    // REAL decode (no stub): per-row deterministic image → real PNG bytes
+    // via the JDK's javax.imageio codec → decoded back; dimensions and the
+    // (0,0) pixel read are predicted by the oracle from the source table
+    "multimodal_decode_real" -> ((s, dir) =>
+      Multimodal.pngRoundTripMeta(t(s, dir, "documents"))),
     // per-asset frame fan-out (the video frame-sampling shape)
     "multimodal_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrameOffsets(
@@ -1370,6 +1375,10 @@ object ExtensionQueries {
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "ascii(substr(text, 1, 1)) + 1 AS width, " +
         "ascii(substr(text, 2, 1)) + 1 AS height FROM documents"),
+    "multimodal_decode_real" ->
+      ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
+        "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
+        "CAST(doc_id % 256 AS INTEGER) AS red0 FROM documents"),
     "multimodal_frame_sample" ->
       ("SELECT doc_id AS asset_id, CAST(unnest(generate_series(0, 3)) AS INTEGER) AS frame_idx " +
         "FROM documents"),
