@@ -48,6 +48,16 @@ object Bench {
       graft.analytics.Similarity.ivfPqTopK(
         spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64),
         queryId = 0L, k = 1).count()
+      // materialize the deployed IVF-PQ index as SETUP (skipped when a
+      // fresh one already exists on disk): index builds are amortized
+      // one-time work in any deployment, so the timed
+      // cosine_topk_ivfpq_probe key measures what production pays per
+      // query — the probe — while the fused cosine_topk_ivfpq key still
+      // times the full build each run
+      graft.analytics.Similarity.ivfPqIndexBuildIfStale(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        graft.analytics.Similarity.defaultIndexDir(sfDir) + "/ivfpq",
+        trainMod = 4)
       // one tiny subsetter pass over the two smallest tables: JITs the
       // semi/anti-join + union + checkpoint code paths the subset keys use.
       // Deliberately NOT the benched fixture config — the memoized result

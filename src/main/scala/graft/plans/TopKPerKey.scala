@@ -207,13 +207,18 @@ object TopKPerKey {
       private def advance(): Unit = {
         pending = null
         while (pending == null && sorted.hasNext) {
+          // the sorter's iterator REUSES one row object across next()
+          // calls, and this iterator looks ahead (the skip-scan past
+          // non-emitted rows) — so the emitted row MUST be a copy, or the
+          // lookahead would corrupt the row already handed downstream
+          // (observed: first selected row lost, last duplicated)
           val r = sorted.next()
           val kRow = keyProj(r)
           if (prevKey == null || !kRow.equals(prevKey)) {
             prevKey = kRow.copy()
             emitted = 0
           }
-          if (emitted < k) { emitted += 1; pending = r }
+          if (emitted < k) { emitted += 1; pending = r.copy() }
         }
       }
       advance()

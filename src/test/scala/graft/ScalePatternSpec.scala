@@ -51,6 +51,22 @@ class ScalePatternSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS b_events")
   }
 
+  test("dedupApply under a tiny TopKPerKey budget spills and matches the heap path") {
+    // the dedup_apply shape (k=1 over near-unique fingerprints) is the
+    // canonical heap-map blowup at corpus scale: force the sort fallback
+    // on REAL fixture data and pin equality to the aggregate formulation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val budgetKey = graft.plans.TopKPerKey.RowBudgetKey
+    spark.conf.set(budgetKey, "16")
+    try {
+      val deduped = graft.analytics.Dedup.dedupApply(docs)
+      val oracle = graft.analytics.Dedup.fingerprintGroups(docs)
+        .select(org.apache.spark.sql.functions.col("keep_id").as("doc_id"))
+      assert(deduped.count() == oracle.count())
+      assert(deduped.select("doc_id").exceptAll(oracle).count() == 0)
+    } finally spark.conf.unset(budgetKey)
+  }
+
   test("salted join equals the plain join result") {
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
