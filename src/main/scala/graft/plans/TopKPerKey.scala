@@ -96,6 +96,19 @@ case class TopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // If the planner left the partial pass as the DIRECT child (no
+    // exchange), the input already satisfied ClusteredDistribution(keys)
+    // — bucketed storage, a prior same-key aggregate, or a single
+    // partition — so the partial's per-partition top-k IS the global
+    // per-key answer: pass it through instead of re-heaping it. (With a
+    // shuffle in between, the child here is the exchange/query stage, not
+    // the partial, and the merge below runs as usual.)
+    child match {
+      case p: TopKPerKeyExec
+        if p.partial && p.keyExprs == keyExprs && p.order == order && p.k == k =>
+        return p.execute()
+      case _ =>
+    }
     val schema = child.output
     val keys = keyExprs
     val ord = order

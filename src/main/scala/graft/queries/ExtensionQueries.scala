@@ -197,6 +197,19 @@ object ExtensionQueries {
     // (the 4x no-training index compression; long format)
     "embedding_sq8" -> ((s, dir) =>
       Similarity.scalarQuantize8(t(s, dir, "embeddings"))),
+    // L2 normalization — the standard preprocessing before any
+    // cosine-metric index (unit vectors make dot = cosine). Map-only: one
+    // codegen'd float_dot per row, no shuffle; long-format output
+    "embedding_l2_normalize" -> ((s, dir) => {
+      graft.functions.NativeExpressions.register(s)
+      t(s, dir, "embeddings").repartition(col("vec_id"))
+        .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+        .select(col("vec_id"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          when(col("nrm") === 0, lit(0.0))
+            .otherwise(round(col("x").cast("double") / col("nrm"), 6)).as("v"))
+    }),
     // per-class mean embeddings (nearest-centroid prototypes), long format:
     // one row per (label, dimension) — the hash-friendly relational shape
     "label_centroids" -> ((s, dir) =>
@@ -1204,6 +1217,14 @@ object ExtensionQueries {
         kmDist("batch", s"c$iters", "bd") + ", " + kmArgmin("bd", "ba") +
         " SELECT vec_id, cell_id FROM ba"
     },
+    "embedding_l2_normalize" ->
+      ("WITH pts AS (SELECT vec_id, unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings), " +
+        "n AS (SELECT vec_id, sqrt(CAST(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) " +
+        "FOR i IN generate_series(1, len(embedding))]) AS DOUBLE)) AS nrm FROM embeddings) " +
+        "SELECT pts.vec_id, CAST(pos AS INT) AS pos, " +
+        "round(CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END, 6) AS v " +
+        "FROM pts JOIN n USING (vec_id)"),
     "embedding_sq8" ->
       ("WITH pts AS (SELECT vec_id, unnest([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)} " +
         "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings), " +
