@@ -728,9 +728,21 @@ object Similarity {
     cells.join(codes, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$indexDir/codes.parquet")
-    corpusSignature(embeddings)
+    // the FAISS inverted lists proper: full vectors + precomputed norms,
+    // partitioned by coarse cell — what the exact-scoring batch probe
+    // ([[knnJoinIvfProbe]]) reads instead of re-assigning the corpus
+    cells.join(spread, Seq("vec_id"))
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$indexDir/vectors.parquet")
+    corpusSignature(embeddings).withColumn("fmt", lit(IndexFormatVersion))
       .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
   }
+
+  /** Bumped whenever the on-disk index layout changes, so an old index is
+    * rebuilt rather than half-read.
+    */
+  val IndexFormatVersion: Long = 2L
 
   /** Content signature of the embedding corpus for index-staleness checks:
     * row count, id sum, and a crc32 content sum over the stringified
@@ -767,7 +779,8 @@ object Similarity {
     val fresh =
       try {
         val meta = spark.read.parquet(s"$indexDir/meta.parquet").collect()(0)
-        (0 to 2).forall(i => meta.getLong(i) == sig.getLong(i))
+        (0 to 2).forall(i => meta.getLong(i) == sig.getLong(i)) &&
+          meta.getLong(3) == IndexFormatVersion
       } catch { case scala.util.control.NonFatal(_) => false }
     if (!fresh)
       ivfPqIndexBuild(embeddings, indexDir, nCells, iters, m, subDim,
@@ -876,6 +889,43 @@ object Similarity {
             sqrt(expr("float_dot(q_emb, q_emb)"))), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** PROBE half of the BATCH k-NN join ([[knnJoinIvf]] is the fused
+    * train+join form): top-k cosine neighbors for every vector, answered
+    * from the MATERIALIZED index. The query side is one map-only
+    * assignment against the broadcast coarse centroids (read from the
+    * index head); the neighbor side is the index's inverted lists —
+    * full vectors + precomputed norms already PARTITIONED by cell — so
+    * the only shuffle is the probe side's hash on `cell_id`, and no
+    * k-means training touches the nightly job at all. Per-query top-k on
+    * the bounded-heap [[graft.plans.TopKPerKey]] operator, exactly as the
+    * fused form. Identical output at identical coarse parameters.
+    */
+  def knnJoinIvfProbe(
+      embeddings: DataFrame,
+      indexDir: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    val coarse = spark.read.parquet(s"$indexDir/codebooks.parquet")
+      .filter(col("sub") === -1).drop("sub")
+    val probes = assignCells(
+        embeddings.repartition(col("vec_id")), coarse, nProbe)
+      .withColumn("qnrm", sqrt(expr("float_dot(embedding, embedding)")))
+    val inv = spark.read.parquet(s"$indexDir/vectors.parquet")
+      .select(col("cell_id"), col("vec_id").as("nbr_id"),
+        col("embedding").as("n_emb"), col("nrm"))
+    val pairs = probes.join(inv, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(expr("float_dot(embedding, n_emb)") / (col("qnrm") * col("nrm")), 6)
+          .as("sim"))
+      .withColumn("neg_sim", -col("sim"))
+    graft.plans.TopKPerKey.topKPerKey(
+        pairs, Seq("vec_id"), Seq("neg_sim", "nbr_id"), k)
+      .drop("neg_sim")
   }
 
   /** Scalar (int8) quantization of the embedding table — the SQ8 index

@@ -167,6 +167,15 @@ object ExtensionQueries {
     // cut, per-query top-k on the custom bounded-heap TopKPerKey operator
     "knn_join_ivf" -> ((s, dir) =>
       Similarity.knnJoinIvf(t(s, dir, "embeddings"), k = 3)),
+    // the batch path from the MATERIALIZED index: map-only probe
+    // assignment + pre-partitioned inverted lists, no training on the
+    // query path — same coarse params ⇒ same answer ⇒ same oracle
+    "knn_join_ivf_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.defaultIndexDir(dir) + "/ivfpq"
+      Similarity.ivfPqIndexBuildIfStale(emb, idx, trainMod = 4)
+      Similarity.knnJoinIvfProbe(emb, idx, k = 3)
+    }),
     // the textbook residual-encoding IVFADC: codebooks trained on
     // x − centroid(x), per-probed-cell query distance tables
     "cosine_topk_ivfpq_residual" -> ((s, dir) =>
@@ -1124,6 +1133,8 @@ object ExtensionQueries {
     "semantic_dedup_apply" ->
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "knn_join_ivf" ->
+      knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
+    "knn_join_ivf_probe" ->
       knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
     // exact transitive closure (recursive CTE) vs the engine's bounded
     // min-label propagation: equal because near-dup components on the
