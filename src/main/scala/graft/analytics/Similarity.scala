@@ -760,6 +760,12 @@ object Similarity {
     * the staleness guard a regenerated test corpus needs). A verified-fresh
     * indexDir is memoized for the JVM's lifetime, so repeated probes in one
     * session skip even the signature scan. Returns whether a build ran.
+    *
+    * Guard grade: the signature is one full corpus scan, which is
+    * harness-appropriate (the test corpus regenerates between rounds) but
+    * NOT what a deployment should pay before a probe — production systems
+    * version their indexes explicitly (build ids in the catalog) and would
+    * call [[ivfPqProbeTopK]]/[[knnJoinIvfProbe]] directly.
     */
   private val verifiedIndexDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -824,6 +830,10 @@ object Similarity {
     // hash-identical to the DataFrame formulation ([[ivfPqTopK]]) and its
     // oracle. Corpus-sized relations (codes, embeddings) never leave the
     // executors; the only driver data is the head and the one query row.
+    // Sizing: the head is nCells×(dim+m) doubles — ~50 MB even at the
+    // nCells ≈ 10^5 a 100 TB corpus wants (FAISS keeps the same thing in
+    // RAM); if nCells ever outgrows driver memory, [[ivfPqTopK]]'s
+    // DataFrame formulation of the same math is the fallback.
     def round9(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
     def l2(q: Array[Float], from: Int, c: Array[Double]): Double = {

@@ -44,10 +44,14 @@ object TextFunctions {
   /** Content-defined document fingerprint: hash of the normalized text. */
   def fingerprint(text: Column): Column = md5Hex(lower(trim(text)))
 
-  /** Token count / distinct-token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
-  def distinctTokenCount(text: Column): Column =
-    size(array_distinct(tokens(text))).cast("long")
+  /** Token count / distinct-token count, under the same pluggable
+    * separator as [[tokens]] (pass a separator class for real corpora —
+    * see `text_token_count_regex` for the oracle-mirrored variant).
+    */
+  def tokenCount(text: Column, sepRe: String = " "): Column =
+    size(tokens(text, sepRe)).cast("long")
+  def distinctTokenCount(text: Column, sepRe: String = " "): Column =
+    size(array_distinct(tokens(text, sepRe))).cast("long")
 
   /** Stopword-ratio language-ID heuristic: predict `lang` when at least
     * `1/ratioDen` of tokens are in the language's stopword list. An n-gram
@@ -58,8 +62,9 @@ object TextFunctions {
       text: Column,
       stopwords: Seq[String] = Seq("the", "a", "of", "and"),
       lang: String = "en",
-      ratioDen: Int = 10): Column = {
-    val toks = tokens(text)
+      ratioDen: Int = 10,
+      sepRe: String = " "): Column = {
+    val toks = tokens(text, sepRe)
     val hits = size(filter(toks, t => t.isInCollection(stopwords)))
     when(hits * ratioDen >= size(toks), lit(lang)).otherwise(lit("unk"))
   }
@@ -67,8 +72,11 @@ object TextFunctions {
   /** Integer-only quality features: char/letter counts plus a
     * length-band flag. Exact in any engine (no floating point).
     */
-  def qualityFlag(text: Column, minTokens: Int = 20, maxTokens: Int = 400): Column =
-    when(size(tokens(text)).between(minTokens, maxTokens), lit(1)).otherwise(lit(0))
+  def qualityFlag(
+      text: Column, minTokens: Int = 20, maxTokens: Int = 400,
+      sepRe: String = " "): Column =
+    when(size(tokens(text, sepRe)).between(minTokens, maxTokens), lit(1))
+      .otherwise(lit(0))
 
   /** PII patterns, deliberately limited to RE2 ∩ java.util.regex syntax
     * (no backreferences, no lookaround) so the same pattern string runs in

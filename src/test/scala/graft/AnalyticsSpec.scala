@@ -9,6 +9,35 @@ class AnalyticsSpec extends SparkSpecBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("materialized-index probes reproduce the fused ANN answers exactly") {
+    // build/probe split must be invisible in the results: the probe keys
+    // read codebooks + codes + inverted lists written by ivfPqIndexBuild
+    // and must hash-match the fused train-in-query formulations
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    Similarity.ivfPqIndexBuild(emb, idx, trainMod = 4)
+    val probe = Similarity.ivfPqProbeTopK(emb, idx, queryId = 0L, k = 10)
+    val fused = Similarity.ivfPqTopK(emb, queryId = 0L, k = 10, trainMod = 4)
+    assert(probe.collect().toSeq == fused.collect().toSeq)
+    val knnProbe = Similarity.knnJoinIvfProbe(emb, idx, k = 3)
+    val knnFused = Similarity.knnJoinIvf(emb, k = 3)
+    assert(knnProbe.count() == knnFused.count())
+    assert(knnProbe.exceptAll(knnFused).count() == 0)
+  }
+
+  test("index staleness guard rebuilds on content change, memoizes when fresh") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_stale").toString
+    assert(Similarity.ivfPqIndexBuildIfStale(emb, idx, trainMod = 4),
+      "first call must build")
+    assert(!Similarity.ivfPqIndexBuildIfStale(emb, idx, trainMod = 4),
+      "fresh index must not rebuild")
+    // a DIFFERENT corpus at the same path must rebuild (bypass the JVM
+    // memo by using a fresh dir seeded with the old meta)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_idx_stale2").toString
+    Similarity.ivfPqIndexBuild(emb.limit(100), idx2, trainMod = 4)
+    assert(Similarity.ivfPqIndexBuildIfStale(emb, idx2, trainMod = 4),
+      "content mismatch must rebuild")
+  }
+
   test("winnowing guarantee: docs sharing a run >= window+k-1 chars share a fingerprint") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
