@@ -1060,6 +1060,39 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
+  /** [[semDedupKeep]] answered from the MATERIALIZED index: the
+    * `(vec_id, cell_id, embedding, nrm)` relation SemDeDup's pair join
+    * needs is exactly the index's inverted lists, so the nightly dedup run
+    * skips quantizer training and corpus assignment entirely — the pair
+    * join reads cell-partitioned vectors as-is. Identical output at
+    * identical coarse parameters (nCells=16, iters=2, trainMod=4 — the
+    * index build's); same oracle as the fused key.
+    */
+  def semDedupKeepFromIndex(
+      embeddings: DataFrame,
+      indexDir: String,
+      minSim: Double = 0.30,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val assigned = embeddings.sparkSession
+      .read.parquet(s"$indexDir/vectors.parquet")
+    val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val pairs = a.join(b, Seq("cell_id")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+    val drop = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")), materialize = materialize)
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** All near-duplicate pairs by embedding cosine within sign-LSH buckets —
     * the embedding-space analogue of MinHash near-dup detection. Pairs are
     * generated per bucket (the LSH candidate cut), then thresholded on the

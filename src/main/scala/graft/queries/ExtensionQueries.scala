@@ -185,6 +185,15 @@ object ExtensionQueries {
     // → connected components → keep only component representatives
     "semantic_dedup_apply" -> ((s, dir) =>
       Similarity.semDedupKeep(t(s, dir, "embeddings"))),
+    // SemDeDup from the MATERIALIZED index: the pair join reads the
+    // cell-partitioned inverted lists directly — no training, no corpus
+    // assignment on the nightly run; same coarse params ⇒ same oracle
+    "semantic_dedup_apply_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.defaultIndexDir(dir) + "/ivfpq"
+      Similarity.ivfPqIndexBuildIfStale(emb, idx, trainMod = 4)
+      Similarity.semDedupKeepFromIndex(emb, idx)
+    }),
     // hard-negative mining: most-similar vectors of a DIFFERENT label
     "hard_negatives_topk" -> ((s, dir) =>
       Similarity.hardNegativesTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
@@ -1131,6 +1140,8 @@ object ExtensionQueries {
         "CAST((1000000000 * numh) // denh AS BIGINT) AS ratio_scaled " +
         "FROM s ORDER BY ratio_scaled DESC, doc_id LIMIT 100"),
     "semantic_dedup_apply" ->
+      semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
+    "semantic_dedup_apply_probe" ->
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "knn_join_ivf" ->
       knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
