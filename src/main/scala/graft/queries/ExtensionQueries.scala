@@ -333,6 +333,17 @@ object ExtensionQueries {
       Curation.lengthBandFilter(t(s, dir, "documents"))),
     // deterministic training-order shuffle: hash-sharded with per-shard
     // positions (no global window — the distributed shuffle-shard shape)
+    // deterministic hash-stable train/val/test split (80/10/10): the
+    // assignment depends only on the id's md5, so it is stable across
+    // corpus versions, partitionings and engines — the property a
+    // reproducible-training pipeline needs. Map-only.
+    "corpus_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+          .cast("int").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))),
     "corpus_shuffle" -> ((s, dir) =>
       Curation.shuffleShards(t(s, dir, "documents"), seed = "seed42")),
     // the per-document curation decision table: exact-dup / near-dup /
@@ -1037,6 +1048,11 @@ object ExtensionQueries {
         "JOIN keep ON fpr.f = keep.f CROSS JOIN b " +
         "LEFT JOIN comp ON comp.src = d.doc_id " +
         "LEFT JOIN cont ON cont.doc_id = d.doc_id"),
+    "corpus_split" ->
+      ("SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS INTEGER) AS bucket, " +
+        "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train' " +
+        "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"),
     "corpus_shuffle" ->
       ("WITH s AS (SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey " +
         "FROM documents), " +
