@@ -46,6 +46,39 @@ object ScaleProbe {
     time("neardup_components", d => Dedup.connectedComponents(
       Dedup.lshCandidatePairs(d).select(col("id_a"), col("id_b"))))
     time("fingerprint_groups", d => Dedup.fingerprintGroups(d))
+
+    // TopKPerKey at volume PAST the default 4Mi-row budget: near-unique
+    // long keys (the dedup_apply shape) over 6M synthetic rows — the
+    // DEFAULT configuration must cross into the sort fallback and still
+    // return one row per key. Prints the fallback task count from the
+    // operator's own metric.
+    locally {
+      val nRows = 6L * 1024 * 1024
+      // ONE partition on purpose: the budget is per task, and the bound
+      // exists precisely for the fat-task regime (a skewed or coalesced
+      // input whose distinct-key count exceeds executor memory)
+      val wide = spark.range(nRows).select(
+        col("id").as("k1"), (col("id") % 97).as("v"), col("id").as("uid"))
+        .repartition(1).localCheckpoint()
+      // AQE off for this probe only: the adaptive wrapper is a leaf node
+      // that would hide the exec (and its metric) from the plan traversal
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val t0 = System.nanoTime()
+        val topk = graft.plans.TopKPerKey.topKPerKey(
+          wide, Seq("k1"), Seq("v", "uid"), 1)
+        val plan = topk.queryExecution.executedPlan
+        val rows = plan.execute().count() // executes THIS plan's metrics
+        val secs = (System.nanoTime() - t0) / 1e9
+        val fallbacks = plan.collect {
+          case e: graft.plans.TopKPerKeyExec => e.metrics("numFallbackTasks").value
+        }.sum
+        println(f"PROBE topk_default_budget_spill  6Mx in=$nRows%9d " +
+          f"out=$rows%9d $secs%7.2fs fallback_tasks=$fallbacks")
+        assert(rows == nRows, s"spill probe lost rows: $rows != $nRows")
+        assert(fallbacks > 0, "default budget did not trip at 6M near-unique keys")
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
     spark.stop()
   }
 }
