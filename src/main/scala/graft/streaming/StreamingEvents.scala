@@ -84,6 +84,36 @@ object StreamingEvents {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming grouped top-k — the streaming face of the batch
+    * [[graft.plans.TopKPerKey]] operator: per user, the k smallest
+    * (ts, event_id) rows seen so far, held in BOUNDED per-key state (≤ k
+    * entries — the same O(keys × k) bound the batch operator's heaps
+    * enforce per task). A key re-emits its refreshed top-k only when it
+    * changed, tagged with the key's state version (rows seen so far) —
+    * the changelog shape a downstream sink upserts by
+    * (user_id, max version).
+    */
+  def streamingTopKPerUser(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "event_id").as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Long), (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Seq[(Long, Long)], Long)]) =>
+          val (cur, seen) = state.getOption.getOrElse((Seq.empty[(Long, Long)], 0L))
+          val incoming = rows.map(r => (r._2, r._3)).toSeq
+          val merged = (cur ++ incoming).sorted.take(k)
+          val nSeen = seen + incoming.size
+          state.update((merged, nSeen))
+          if (merged != cur) merged.iterator.map(t => (user, t._1, t._2, nSeen))
+          else Iterator.empty
+      }
+      .toDF("user_id", "ts", "event_id", "version")
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * counts updated each micro-batch (the
     * `KeyValueGroupedDataset.mapGroupsWithState` extension point for state

@@ -71,6 +71,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("stream_dedup_wm").count() == batchDistinct)
   }
 
+  test("streaming top-k per user converges to the batch TopKPerKey answer across micro-batches") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    // two files + maxFilesPerTrigger=1 forces TWO micro-batches, so the
+    // bounded per-key state genuinely merges across batches
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = Files.createTempDirectory("graft_stream_topk")
+    events.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$dir/a")
+    events.filter(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(StreamingEvents.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingTopKPerUser(stream, 3), "stream_topk",
+      outputMode = "update")
+    val emitted = spark.table("stream_topk")
+    // changelog contract: the latest emission per user is its final top-k
+    val latest = emitted
+      .withColumn("mx", max("version").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("version") === col("mx"))
+      .select("user_id", "ts", "event_id")
+    val batch = graft.plans.TopKPerKey.topKPerKey(
+        events, Seq("user_id"), Seq("ts", "event_id"), 3)
+      .select("user_id", "ts", "event_id")
+    assert(latest.count() == batch.count())
+    assert(latest.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(latest).count() == 0)
+  }
+
   test("mapGroupsWithState running user counts reach the batch totals") {
     val stream = StreamingEvents.readEvents(spark, streamDir)
     StreamingEvents.runToMemory(
