@@ -938,6 +938,25 @@ object Similarity {
       .drop("neg_sim")
   }
 
+  /** STREAMING ingest into the materialized IVF index — the continuous
+    * form of [[ivfIndexAppend]]: new vectors arrive on an unbounded
+    * source and are map-only assigned to the index's frozen coarse
+    * centroids (read once from the index head, broadcast). No state, no
+    * shuffle on the stream side — each micro-batch emits its
+    * (vec_id, cell_id) entries, which a sink appends to the
+    * cell-partitioned index (and the PQ-code path composes identically).
+    * Works on a batch DataFrame too (same code path — the assignment is
+    * stateless).
+    */
+  def streamingIvfAssign(vectors: DataFrame, indexDir: String): DataFrame = {
+    graft.functions.NativeExpressions.register(vectors.sparkSession)
+    val coarse = vectors.sparkSession
+      .read.parquet(s"$indexDir/codebooks.parquet")
+      .filter(col("sub") === -1).drop("sub")
+    assignCells(vectors, coarse, 1)
+      .select(col("vec_id"), col("cell_id"))
+  }
+
   /** Scalar (int8) quantization of the embedding table — the SQ8 index
     * compression (FAISS `ScalarQuantizer`): per DIMENSION, the corpus
     * min/max define a linear [0, 255] grid and every value becomes its

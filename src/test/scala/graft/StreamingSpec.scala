@@ -102,6 +102,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(latest).count() == 0)
   }
 
+  test("streaming IVF ingest assigns new vectors to the same cells as the materialized index") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = Files.createTempDirectory("graft_stream_idx").toString
+    graft.analytics.Similarity.ivfPqIndexBuild(emb, idx, trainMod = 4)
+    // stream the same vectors back in as "new arrivals": map-only
+    // assignment against the frozen coarse head must reproduce the
+    // index's own cell assignments exactly
+    val dir = Files.createTempDirectory("graft_stream_vec")
+    emb.coalesce(1).write.parquet(s"$dir/a")
+    val stream = spark.readStream.schema(emb.schema).parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      graft.analytics.Similarity.streamingIvfAssign(stream, idx),
+      "stream_ivf", outputMode = "append")
+    val streamed = spark.table("stream_ivf")
+    val indexed = spark.read.parquet(s"$idx/codes.parquet")
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id")).distinct()
+    assert(streamed.count() == emb.count())
+    assert(streamed.select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+      .exceptAll(indexed).count() == 0)
+  }
+
   test("mapGroupsWithState running user counts reach the batch totals") {
     val stream = StreamingEvents.readEvents(spark, streamDir)
     StreamingEvents.runToMemory(
