@@ -720,8 +720,9 @@ object Similarity {
     val codebooks = spark.read.parquet(s"$indexDir/codebooks.parquet")
     val coarse = codebooks.filter(col("sub") === -1).drop("sub")
     val pq = codebooks.filter(col("sub") =!= -1)
-    val cells = assignCells(spread, coarse, 1)
-      .select(col("vec_id"), col("cell_id"))
+    // consumed by BOTH index writes (codes, vectors) — cut once
+    val cells = materialize(assignCells(spread, coarse, 1)
+      .select(col("vec_id"), col("cell_id")))
     val codes = assignCells(stackSubDf(spread, m, subDim), pq, 1,
         groupCols = Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cell_id").as("code"))
