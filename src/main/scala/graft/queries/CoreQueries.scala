@@ -422,6 +422,39 @@ object CoreQueries {
 
     // Flagship pricing-summary aggregate (headline bench query; exercises
     // scan + filter pushdown + partial aggregation)
+    // q6 shape: the pure filter-pushdown aggregate — every predicate
+    // reaches the parquet scan (date range + discount band + quantity
+    // cap), one partial/final agg pair, no join, no shuffle of data rows.
+    // DECIMAL-accumulated revenue emitted as its DOUBLE image.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND " +
+          "l_shipdate < TIMESTAMP '1997-01-01 00:00:00'") &&
+          expr("l_discount BETWEEN 0.02 AND 0.09") && col("l_quantity") < 24)
+        .agg(
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+    // q19 shape: disjunctive multi-column predicate ACROSS the join — the
+    // OR of brand/size/quantity bands can only partially push down
+    // (per-side implied predicates); the rest evaluates on the joined row.
+    // The dimension side broadcasts.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 30)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(5, 40)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(10, 50)))
+        .agg(
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
@@ -626,6 +659,17 @@ object CoreQueries {
         "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00' " +
         "GROUP BY n_name"),
+    "q6_forecast_revenue" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24"),
+    "q19_disjunctive_revenue" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 30) " +
+        "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 5 AND 40) " +
+        "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 10 AND 50)"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
