@@ -455,6 +455,64 @@ object CoreQueries {
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    // q7 shape: bidirectional nation-pair volume — a 5-way join where
+    // nation joins TWICE (supplier side and customer side); both nation
+    // sides and supplier/customer broadcast, the lineitem⋈orders fact
+    // join shuffles on the key. DECIMAL revenue, DOUBLE image.
+    "q7_nation_volume" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val su = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("s_nk") < 5 && col("c_nk") < 5 &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+    }),
+    // q8 shape: national market share — one nation's revenue share of a
+    // region's market for a part type, per order year. Two DECIMAL sums
+    // (conditional numerator via CASE) emitted as DOUBLEs plus their
+    // ratio; joins over all six tables with every dimension broadcast.
+    "q8_market_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val p = t(s, dir, "part")
+      val su = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" && col("p_type") === "PROMO")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          expr("CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN " +
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) " +
+            "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)").as("nation_volume"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("total_volume"))
+        .withColumn("mkt_share",
+          round(col("nation_volume") / col("total_volume"), 6))
+    }),
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
@@ -659,6 +717,32 @@ object CoreQueries {
         "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00' " +
         "GROUP BY n_name"),
+    "q7_nation_volume" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5 AND n1.n_name != n2.n_name " +
+        "GROUP BY 1, 2, 3"),
+    "q8_market_share" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume, " +
+        "round(CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "JOIN region ON n2.n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND p_type = 'PROMO' " +
+        "GROUP BY 1"),
     "q6_forecast_revenue" ->
       ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
         "count(*) AS n_lines FROM lineitem " +
