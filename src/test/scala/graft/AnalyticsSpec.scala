@@ -24,6 +24,22 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(knnProbe.exceptAll(knnFused).count() == 0)
   }
 
+  test("probe candidate read partition-prunes to the probed cells") {
+    // the codes table is written partitionBy(cell_id); a probe's isin
+    // filter on the partition column must show up as a partition filter
+    // on the scan (directory pruning — the nProbe/nCells read the 100 TB
+    // story depends on), not as a data filter over a full scan
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_prune").toString
+    Similarity.ivfPqIndexBuild(emb, idx, trainMod = 4)
+    val pruned = spark.read.parquet(s"$idx/codes.parquet")
+      .filter(org.apache.spark.sql.functions.col("cell_id").isin(0L, 1L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cell_id"),
+      s"cell_id filter did not reach PartitionFilters:\n$plan")
+  }
+
   test("index staleness guard rebuilds on content change, memoizes when fresh") {
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_stale").toString
     assert(Similarity.ivfPqIndexBuildIfStale(emb, idx, trainMod = 4),
