@@ -1,6 +1,61 @@
 package graft
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Accumulates task-level execution metrics across every job the session
+  * runs, so the bench can attribute GC / spill / cpu-vs-wall gaps to the
+  * specific key that ran between two snapshots. In local mode the
+  * "executor" is the bench JVM itself, so `taskGcMs` is the task-attributed
+  * slice of the same collector the JVM-level MXBean reading sees.
+  */
+private final class BenchMetricsListener extends SparkListener {
+  val runMs, cpuNs, taskGcMs, spillMemB, spillDiskB, shuffleWriteB, tasks =
+    new AtomicLong
+  val peakExecMem = new AtomicLong // max, not sum
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      runMs.addAndGet(m.executorRunTime)
+      cpuNs.addAndGet(m.executorCpuTime)
+      taskGcMs.addAndGet(m.jvmGCTime)
+      spillMemB.addAndGet(m.memoryBytesSpilled)
+      spillDiskB.addAndGet(m.diskBytesSpilled)
+      shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      tasks.incrementAndGet()
+      peakExecMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+    }
+  }
+  def snap(): Map[String, Long] = Map(
+    "runMs" -> runMs.get, "cpuNs" -> cpuNs.get, "taskGcMs" -> taskGcMs.get,
+    "spillMemB" -> spillMemB.get, "spillDiskB" -> spillDiskB.get,
+    "shuffleWriteB" -> shuffleWriteB.get, "tasks" -> tasks.get,
+    "peakExecMem" -> peakExecMem.get)
+}
+
 object Bench {
+
+  /** JVM-level readings that task metrics can't see: total collector time
+    * (wall, all causes), heap occupancy, and the JIT code-cache pools. The
+    * code-cache numbers are the tell for the "late-sweep keys run
+    * interpreted" failure mode: when `ccUsedMB` saturates near `ccMaxMB`,
+    * HotSpot stops compiling and every later key pays 5-10x.
+    */
+  private def jvmSnap(): Map[String, Long] = {
+    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    val cc = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+    Map(
+      "jvmGcMs" -> gcMs,
+      "heapUsedMB" -> heap.getUsed / (1024 * 1024),
+      "ccUsedMB" -> cc.map(_.getUsage.getUsed).sum / (1024 * 1024),
+      "ccMaxMB" -> cc.map(_.getUsage.getMax).sum / (1024 * 1024))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +71,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // Warm up the JVM/codegen/parquet paths once so the first timed query
     // doesn't absorb session startup; measures queries, not JIT. The tiny
     // region/nation tables exercise each physical-operator family the
@@ -75,8 +132,24 @@ object Bench {
           .run().values.foreach(_.count())
       }
     } catch { case _: Throwable => () }
+    // Run-order experiment hook (the 13-15s driver readings for
+    // minhash_verified_pairs only ever appear mid-sweep): "reverse" runs
+    // the map in reverse registration order; a comma list runs those keys
+    // FIRST, then the rest in registration order. Default = registration
+    // order (what every prior BENCH_r0N measured).
+    val baseOrder = SparkEntry.queries.keys.toSeq
+    val order = sys.env.get("SPARK_GRAFT_BENCH_ORDER") match {
+      case Some("reverse") => baseOrder.reverse
+      case Some(csv) if csv.nonEmpty =>
+        val first = csv.split(",").map(_.trim).filter(baseOrder.contains).toSeq
+        first ++ baseOrder.filterNot(first.contains)
+      case _ => baseOrder
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val detail = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Long]]
+    val results = order.map { name =>
+      val fn = SparkEntry.queries(name)
+      val before = listener.snap(); val jvmBefore = jvmSnap()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         // a failing query must be VISIBLE, not a fast-looking elapsed time:
@@ -84,15 +157,57 @@ object Bench {
         case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = listener.snap(); val jvmAfter = jvmSnap()
+      detail += name -> (Map(
+        "ms" -> (sec * 1000).toLong,
+        "taskRunMs" -> (after("runMs") - before("runMs")),
+        "taskCpuMs" -> (after("cpuNs") - before("cpuNs")) / 1000000,
+        "taskGcMs" -> (after("taskGcMs") - before("taskGcMs")),
+        "jvmGcMs" -> (jvmAfter("jvmGcMs") - jvmBefore("jvmGcMs")),
+        "spillMemMB" -> (after("spillMemB") - before("spillMemB")) / (1024 * 1024),
+        "spillDiskMB" -> (after("spillDiskB") - before("spillDiskB")) / (1024 * 1024),
+        "shufWriteMB" -> (after("shuffleWriteB") - before("shuffleWriteB")) / (1024 * 1024),
+        "tasks" -> (after("tasks") - before("tasks"))) ++
+        jvmAfter.view.filterKeys(k => k != "jvmGcMs").toMap)
+      name -> sec
+    }.toMap
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+    val orderedResults = order.map(n => n -> results(n))
+    val qs = orderedResults.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full per-key breakdown goes to a file (the harness's stdout capture
+    // keeps only ~2KB of tail): one line per key, run order preserved.
+    val detailJson = detail.map { case (k, m) =>
+      jstr(k) + ":" + m.map { case (f, v) => jstr(f) + ":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{\"per_key\":{", ",\n", "}}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    // Compact diagnosis that fits inside the harness's tail capture, on the
+    // FINAL line: whole-sweep GC / spill / code-cache state plus the
+    // per-key metric split for the slowest keys — enough to tell "the plan
+    // is slow" from "the JVM was collecting / spilling / interpreting".
+    val jvmEnd = jvmSnap()
+    val slowKeys = orderedResults.sortBy(-_._2).take(5).map(_._1)
+    val diagSlow = slowKeys.map { k =>
+      val m = detail.getOrElse(k, Map.empty[String, Long])
+      jstr(k) + ":" + Seq(
+        "gc" -> m.getOrElse("jvmGcMs", 0L),
+        "spill" -> (m.getOrElse("spillMemMB", 0L) + m.getOrElse("spillDiskMB", 0L)),
+        "cpu" -> m.getOrElse("taskCpuMs", 0L),
+        "run" -> m.getOrElse("taskRunMs", 0L))
+        .map { case (f, v) => jstr(f) + ":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val diag =
+      s"""{"gcSecTotal":${detail.valuesIterator.map(_.getOrElse("jvmGcMs", 0L)).sum / 1000},"spillMBTotal":${detail.valuesIterator.map(m => m.getOrElse("spillMemMB", 0L) + m.getOrElse("spillDiskMB", 0L)).sum},"ccUsedMB":${jvmEnd("ccUsedMB")},"ccMaxMB":${jvmEnd("ccMaxMB")},"heapUsedMB":${jvmEnd("heapUsedMB")},"slow":$diagSlow}"""
     // Stop Spark BEFORE printing so any shutdown logging lands above the
     // JSON lines; the harness parses the LAST line of stdout and captures
     // only its tail (~2000 chars), so the per-key detail goes on an EARLIER
@@ -100,15 +215,15 @@ object Bench {
     spark.stop()
     println(s"""{"detail":"per-query seconds","queries":$qs,"errors":$errJson}""")
     // the final line keeps the contract's "queries" map but caps it at the
-    // slowest keys that fit a 1,600-char budget so the whole line stays
-    // inside the capture window
-    val slowest = results.toSeq.sortBy(-_._2)
+    // slowest keys that fit a char budget (shrunk to make room for "diag")
+    // so the whole line stays inside the capture window
+    val slowest = orderedResults.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
-    val budget = 1600
+    val budget = 1000
     val kept = slowest.scanLeft(0)((acc, e) => acc + e.length + 1)
       .tail.zip(slowest).takeWhile(_._1 <= budget).map(_._2)
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"diag":$diag,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     println(json)
     System.out.flush()
     if (errors.nonEmpty) {

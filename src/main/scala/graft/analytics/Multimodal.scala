@@ -124,6 +124,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL JPEG decode — same `javax.imageio` path as [[pngRoundTripMeta]]
+    * (the JDK ships JPEG, GIF and BMP codecs alongside PNG; the stub tier
+    * is only for codecs it does not ship, e.g. JPEG2000/video/audio). The
+    * same deterministic gray image is encoded to real JFIF bytes and
+    * decoded back. JPEG is LOSSY, so unlike the PNG key the pixel read is
+    * not bit-predictable: the codec-parsed dimensions are exact-oracled,
+    * and the gray round-trip is oracled as a tolerance flag — for a
+    * solid-color image the DC-only quantization error is ≤1-2 levels, so
+    * `gray_err_le3 = 1` is an invariant of any conformant JPEG codec.
+    */
+  def jpegRoundTripMeta(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("gray_err_le3", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id"), col("n_chars")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (r.getLong(1) % 31).toInt + 1
+        val h = (id % 17).toInt + 1
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val payload = bos.toByteArray
+        val decoded = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        val gray = (decoded.getRGB(0, 0) >> 16) & 0xff
+        Row(id, decoded.getWidth, decoded.getHeight,
+          if (math.abs(gray - g) <= 3) 1 else 0)
+      }
+    }(enc)
+  }
+
   /** Resize shape over decoded metadata: target dimensions preserving
     * aspect ratio with the long side capped at `maxSide` (integer-floor
     * arithmetic — deterministic in any engine). The pixel resample itself

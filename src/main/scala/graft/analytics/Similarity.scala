@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -669,8 +669,17 @@ object Similarity {
     * harness; a deployment passes its own warehouse path to the build/probe
     * pair instead.
     */
-  def defaultIndexDir(dataDir: String): String =
-    "/tmp/graft_ann_index/" + dataDir.replaceAll("[^A-Za-z0-9]", "_")
+  def defaultIndexDir(dataDir: String): String = {
+    // slug alone can collide ('sf_1-x' vs 'sf_1/x' both → 'sf_1_x'); the
+    // path-hash suffix makes distinct corpus dirs map to distinct index
+    // dirs, so the JVM-lifetime freshness memo can never answer a probe
+    // from another corpus's index
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    "/tmp/graft_ann_index/" +
+      dataDir.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
+  }
 
   private def stackSubDf(df: DataFrame, m: Int, subDim: Int): DataFrame =
     df.select(col("vec_id"),
@@ -707,6 +716,11 @@ object Similarity {
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): Unit = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
+    // Build into a sibling temp dir, then swap it in with directory
+    // renames: a concurrent reader in another process sees either the old
+    // complete index or the new complete index, never a half-written one.
+    val tmpDir = indexDir + ".build-" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName.hashCode.toHexString
     val spread = embeddings.repartition(col("vec_id"))
     def stackAll(df: DataFrame): DataFrame = df.select(col("vec_id"),
       posexplode(array(col("embedding") +: (0 until m).map(s =>
@@ -716,34 +730,50 @@ object Similarity {
     val trained = materialize(
       kMeansCentroids(stackAll(spread), nCells, iters, trainMod,
         groupCols = Seq("sub")))
-    trained.write.mode("overwrite").parquet(s"$indexDir/codebooks.parquet")
-    val codebooks = spark.read.parquet(s"$indexDir/codebooks.parquet")
+    trained.write.mode("overwrite").parquet(s"$tmpDir/codebooks.parquet")
+    val codebooks = spark.read.parquet(s"$tmpDir/codebooks.parquet")
     val coarse = codebooks.filter(col("sub") === -1).drop("sub")
     val pq = codebooks.filter(col("sub") =!= -1)
     // consumed by BOTH index writes (codes, vectors) — cut once
     val cells = materialize(assignCells(spread, coarse, 1)
       .select(col("vec_id"), col("cell_id")))
-    val codes = assignCells(stackSubDf(spread, m, subDim), pq, 1,
+    val codes = materialize(assignCells(stackSubDf(spread, m, subDim), pq, 1,
         groupCols = Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("cell_id").as("code"))
+      .select(col("vec_id"), col("sub"), col("cell_id").as("code")))
     cells.join(codes, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell_id")
-      .parquet(s"$indexDir/codes.parquet")
-    // the FAISS inverted lists proper: full vectors + precomputed norms,
-    // partitioned by coarse cell — what the exact-scoring batch probe
-    // ([[knnJoinIvfProbe]]) reads instead of re-assigning the corpus
-    cells.join(spread, Seq("vec_id"))
+      .parquet(s"$tmpDir/codes.parquet")
+    // the FAISS inverted lists proper: full vectors + precomputed norms +
+    // the PQ code array (ordered by sub), partitioned by coarse cell.
+    // Carrying the codes here lets the single-query probe answer from ONE
+    // pruned scan (ADC is a projection against the literal m×ksub distance
+    // table — no join, no shuffle); the batch probe ([[knnJoinIvfProbe]])
+    // column-prunes the codes away. The duplicated codes cost m bytes per
+    // vector next to dim×4 vector bytes — noise at any scale.
+    val codesArr = codes.groupBy(col("vec_id")).agg(
+      expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+    cells.join(spread, Seq("vec_id")).join(codesArr, Seq("vec_id"))
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
       .write.mode("overwrite").partitionBy("cell_id")
-      .parquet(s"$indexDir/vectors.parquet")
+      .parquet(s"$tmpDir/vectors.parquet")
     corpusSignature(embeddings).withColumn("fmt", lit(IndexFormatVersion))
-      .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+      .write.mode("overwrite").parquet(s"$tmpDir/meta.parquet")
+    // swap: local-fs directory rename (the harness path); a deployment on
+    // an object store would publish a new index prefix in its catalog
+    // instead — renames there are not atomic
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(hadoopConf)
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), dst)
+    dropCachedIndex(indexDir)
   }
 
   /** Bumped whenever the on-disk index layout changes, so an old index is
     * rebuilt rather than half-read.
     */
-  val IndexFormatVersion: Long = 2L
+  val IndexFormatVersion: Long = 3L
 
   /** Content signature of the embedding corpus for index-staleness checks:
     * row count, id sum, and a crc32 content sum over the stringified
@@ -751,10 +781,12 @@ object Similarity {
     * vectors is still detected). One cheap scan.
     */
   private def corpusSignature(embeddings: DataFrame): DataFrame =
+    // coalesce: on an EMPTY corpus the sums are NULL and the staleness
+    // check would NPE on getLong — an empty corpus signs as (0, 0, 0)
     embeddings.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("vec_id")).cast("long").as("id_sum"),
-      sum(crc32(concat_ws(",", col("embedding").cast("array<string>"))
-        .cast("binary"))).cast("long").as("emb_crc"))
+      coalesce(sum(col("vec_id")), lit(0L)).cast("long").as("id_sum"),
+      coalesce(sum(crc32(concat_ws(",", col("embedding").cast("array<string>"))
+        .cast("binary"))), lit(0L)).cast("long").as("emb_crc"))
 
   /** Run [[ivfPqIndexBuild]] only when the materialized index is absent or
     * was built from a DIFFERENT corpus (count/id-sum/content-crc mismatch —
@@ -770,6 +802,41 @@ object Similarity {
     */
   private val verifiedIndexDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The index HEAD (codebooks: coarse centroids + m×nCells PQ rows, a few
+    * KiB — the thing a deployed ANN service keeps resident in RAM), cached
+    * per indexDir for the JVM's lifetime. Loaded on first probe or during
+    * the build/staleness pass, dropped on rebuild. Saves the probe path
+    * one read-plus-collect job per query — at probe rates that job IS the
+    * latency floor.
+    */
+  private val headCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+
+  private def indexHead(
+      spark: SparkSession, indexDir: String): Array[org.apache.spark.sql.Row] =
+    headCache.computeIfAbsent(indexDir,
+      d => spark.read.parquet(s"$d/codebooks.parquet").collect())
+
+  /** Open index relations (codes / inverted-list vectors), cached per
+    * (session, path): `spark.read.parquet` on a cell-partitioned directory
+    * pays a partition-discovery listing + footer read every call, which at
+    * probe rates is pure per-query overhead for an immutable on-disk
+    * index. The cached DataFrame keeps its file index, so `cell_id`
+    * partition pruning on top of it is unchanged. Dropped on rebuild.
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def indexRelation(spark: SparkSession, path: String): DataFrame =
+    relationCache.computeIfAbsent(
+      (System.identityHashCode(spark), path),
+      k => spark.read.parquet(k._2))
+
+  private def dropCachedIndex(indexDir: String): Unit = {
+    headCache.remove(indexDir)
+    relationCache.keySet.removeIf(_._2.startsWith(indexDir))
+  }
 
   def ivfPqIndexBuildIfStale(
       embeddings: DataFrame,
@@ -792,6 +859,12 @@ object Similarity {
     if (!fresh)
       ivfPqIndexBuild(embeddings, indexDir, nCells, iters, m, subDim,
         trainMod, materialize)
+    // the head read and the index-relation opens (partition discovery on
+    // the cell-partitioned dirs) ride the build/staleness pass, so the
+    // first probe's query path starts with the index fully resident
+    indexHead(spark, indexDir)
+    indexRelation(spark, s"$indexDir/codes.parquet")
+    indexRelation(spark, s"$indexDir/vectors.parquet")
     verifiedIndexDirs.add(indexDir)
     !fresh
   }
@@ -847,7 +920,7 @@ object Similarity {
       }
       s
     }
-    val head = spark.read.parquet(s"$indexDir/codebooks.parquet").collect()
+    val head = indexHead(spark, indexDir)
     def cEmb(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Double](r.fieldIndex("c_emb")).toArray
     val qv: Array[Float] = embeddings.filter(col("vec_id") === queryId)
@@ -858,48 +931,77 @@ object Similarity {
       .map(r => (round9(l2(qv, 0, cEmb(r))), r.getLong(1)))
       .sortBy(identity).take(nProbe).map(_._2).toSeq
 
-    // ADC distance table as literal rows: (sub, code, d2q decimal(38,9))
-    val dtabRows = head.filter(_.getInt(0) != -1).map { r =>
+    // ADC distance table: (sub, code) → d2q decimal(38,9), parameter-sized
+    val dtab = head.filter(_.getInt(0) != -1).map { r =>
       val sub = r.getInt(0)
       val d2q = round9(l2(qv, sub * subDim, cEmb(r)))
-      org.apache.spark.sql.Row(sub, r.getLong(1),
+      (sub, r.getLong(1),
         java.math.BigDecimal.valueOf(d2q).setScale(9, java.math.RoundingMode.HALF_UP))
     }
-    val dtabSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("sub",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("code",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("d2q",
-        org.apache.spark.sql.types.DecimalType(38, 9), nullable = false)))
-    val dtab = spark.createDataFrame(
-      java.util.Arrays.asList(dtabRows: _*), dtabSchema)
 
-    // candidate read: STATIC partition pruning — only the nProbe cell
-    // directories of the codes table are listed/scanned
-    val cand = spark.read.parquet(s"$indexDir/codes.parquet")
+    // ONE executor action per probe, over ONE relation: the inverted
+    // lists (vec_id, codes, embedding) pruned to the nProbe cell
+    // directories. ADC is a PROJECTION — each sub-quantizer's distances
+    // ride as an m×ksub literal-array lookup (the table is parameter-
+    // sized, ≤ a few KiB at ANY corpus scale, because ksub/m don't grow
+    // with the corpus) summed in exact DECIMAL, same arithmetic as the
+    // oracle's join+sum formulation. No join, no shuffle: the plan is
+    // scan → project → TakeOrderedAndProject(shortK), and the shortlist
+    // row carries its exact vector back with it. The collect is
+    // shortK×(8 + dim×4) bytes — low KiB, bounded by parameters.
+    val dtabBySub: IndexedSeq[Seq[java.math.BigDecimal]] =
+      (0 until m).map { s2 =>
+        val bySub = dtab.filter(_._1 == s2)
+        val arr = new Array[java.math.BigDecimal](
+          bySub.map(_._2).max.toInt + 1)
+        bySub.foreach { case (_, code, d) => arr(code.toInt) = d }
+        arr.toSeq
+      }
+    val adc = (0 until m).map { s2 =>
+      element_at(typedLit(dtabBySub(s2)),
+        col("codes").getItem(s2).cast("int") + 1)
+    }.reduce(_ + _)
+    val shortRows = indexRelation(spark, s"$indexDir/vectors.parquet")
       .filter(col("cell_id").isin(probeCells: _*) &&
         col("vec_id") =!= queryId)
-    // the shortlist is a bounded shortK-row id list — driver round-trip of
-    // a few hundred bytes (the ANN-service shape: ADC shortlist in RAM,
-    // exact rerank as one pruned scan), not a corpus-sized collect
-    val shortIds = cand
-      .join(broadcast(dtab), Seq("sub", "code"))
-      .groupBy(col("vec_id")).agg(sum(col("d2q")).as("adc"))
+      .select(col("vec_id"), col("embedding"), adc.as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc)
       .limit(shortK)
-      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      .select(col("vec_id"), col("embedding"))
+      .collect()
 
-    // exact rerank of the shortlist; the query vector rides along as an
-    // array<float> literal (no re-read, no formatting — exact floats)
-    embeddings.filter(col("vec_id").isin(shortIds: _*))
-      .withColumn("q_emb", typedLit(qv))
-      .select(col("vec_id"),
-        round(expr("float_dot(embedding, q_emb)") /
-          (sqrt(expr("float_dot(embedding, embedding)")) *
-            sqrt(expr("float_dot(q_emb, q_emb)"))), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
+    // exact rerank of the in-RAM shortlist — driver arithmetic replicating
+    // the executor contract bit for bit (float_dot's sequential
+    // double-accumulated float products, Math.sqrt, IEEE division, Spark
+    // round(_, 6) = BigDecimal HALF_UP), exactly as the probe-cell
+    // selection above replicates assignCells. The FAISS shape end to end:
+    // ADC in the executors, exact rerank over the shortlist in RAM. The
+    // result is a k-row LocalRelation, so downstream actions launch no
+    // further scan.
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val qNorm = math.sqrt(dot(qv, qv))
+    val top = shortRows
+      .map { r =>
+        val e = r.getSeq[Float](1).toArray
+        (r.getLong(0), round6(dot(e, qv) / (math.sqrt(dot(e, e)) * qNorm)))
+      }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(k)
+      .map { case (id, sim) => org.apache.spark.sql.Row(id, sim) }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(top: _*), outSchema)
   }
 
   /** PROBE half of the BATCH k-NN join ([[knnJoinIvf]] is the fused
@@ -920,12 +1022,17 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
-    val coarse = spark.read.parquet(s"$indexDir/codebooks.parquet")
+    // coarse centroids come from the cached index head (a few KiB) — no
+    // per-job codebooks read; the DataFrame is rebuilt locally so the
+    // broadcast in assignCells plans as usual
+    val headRows = indexHead(spark, indexDir)
+    val coarse = spark.createDataFrame(
+        java.util.Arrays.asList(headRows: _*), headRows(0).schema)
       .filter(col("sub") === -1).drop("sub")
     val probes = assignCells(
         embeddings.repartition(col("vec_id")), coarse, nProbe)
       .withColumn("qnrm", sqrt(expr("float_dot(embedding, embedding)")))
-    val inv = spark.read.parquet(s"$indexDir/vectors.parquet")
+    val inv = indexRelation(spark, s"$indexDir/vectors.parquet")
       .select(col("cell_id"), col("vec_id").as("nbr_id"),
         col("embedding").as("n_emb"), col("nrm"))
     val pairs = probes.join(inv, Seq("cell_id"))

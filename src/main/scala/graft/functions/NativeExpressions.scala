@@ -19,12 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * float dot product is the 100 TB workhorse: scoring N embeddings is one
   * codegen stage, no shuffle, no boxing.
   *
-  * `hamming` and `first_chunk_within` operate on SIGNATURE BIT STRINGS and
-  * are retained library surface for callers holding string-form signatures
-  * (e.g. loaded from an external system): the shipped simhash join packs
-  * signatures onto 64-bit words and uses built-in `bit_count(xor)` instead,
-  * so these two have no in-repo production caller — NativeExpressionsSpec
-  * keeps them honest.
+  * `hamming` and `first_chunk_within` operate on SIGNATURE BIT STRINGS —
+  * the form a caller holds when signatures come from an external system.
+  * Their in-repo production caller is the string-signature simhash join
+  * (`Dedup.simhashNearDupPairsStr`, the `simhash_neardup_pairs_strsig`
+  * key), which uses `first_chunk_within` as the band predicate and
+  * `hamming` as the verify predicate inside the join condition; the
+  * word-packed simhash keys use built-in `bit_count(xor)` instead.
   */
 object NativeExpressions {
 

@@ -113,12 +113,25 @@ case class TopKPerKeyExec(
     val keys = keyExprs
     val ord = order
     val kk = k
-    val rowBudget = conf.getConfString(
-      TopKPerKey.RowBudgetKey, TopKPerKey.DefaultRowBudget.toString).toLong
+    val budgetStr = conf.getConfString(
+      TopKPerKey.RowBudgetKey, TopKPerKey.DefaultRowBudget.toString)
+    val rowBudget =
+      try budgetStr.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"${TopKPerKey.RowBudgetKey} must be a row count (long), " +
+            s"got '$budgetStr'")
+      }
     // the sort fallback orders by (keys, order); key types outside the
     // orderable set (maps) can't take that path — their heap map stays
-    // unbounded, as before. Every key this library plans is orderable.
+    // unbounded, as before. Every key this library plans is orderable;
+    // warn loudly when a caller's isn't, because that disables the memory
+    // bound exactly where high key cardinality would need it.
     val sortable = keys.forall(e => RowOrdering.isOrderable(e.dataType))
+    if (!sortable) logWarning(
+      s"TopKPerKey: non-orderable key type in ${keys.map(_.dataType)} — " +
+        "spill fallback unavailable, per-task heap map is UNBOUNDED " +
+        s"(row budget $rowBudget not enforced)")
     val fallbackMetric = longMetric("numFallbackTasks")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, schema)

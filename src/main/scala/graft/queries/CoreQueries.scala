@@ -340,6 +340,41 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // Double-correlated-subquery shape (TPC-H Q21): per-supplier count of
+    // 'R'-flagged lines in finished orders where ANOTHER supplier also
+    // shipped (EXISTS → left-semi on the fact table) but NO other supplier
+    // failed (NOT EXISTS → left-anti on the SAME fact table) — the one
+    // join composition the rest of the TPC-H surface doesn't exercise:
+    // semi + anti against one relation, both correlated on (orderkey,
+    // suppkey≠). The synthetic lineitem has no commit/receipt dates, so
+    // l_returnflag='R' stands in for "failed delivery"; the join shape is
+    // exactly Q21's. Supplier is broadcast; the two self-joins shuffle on
+    // l_orderkey once each (same key → AQE can reuse the exchange).
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val failed = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val finishedOrders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val others = li.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val othersFailed = failed.select(col("l_orderkey").as("o3_orderkey"),
+        col("l_suppkey").as("o3_suppkey"))
+      failed
+        .join(finishedOrders, col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+        .join(others,
+          col("l_orderkey") === col("o2_orderkey") &&
+            col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(othersFailed,
+          col("l_orderkey") === col("o3_orderkey") &&
+            col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // Conditional-aggregate ratio (TPC-H Q14): promo revenue share — both
     // legs accumulate in DECIMAL, ONE double division at the end
     "q14_promo_share" -> ((s, dir) => {
@@ -754,6 +789,14 @@ object CoreQueries {
         "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 30) " +
         "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 5 AND 40) " +
         "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 10 AND 50)"),
+    "q21_waiting_suppliers" ->
+      ("SELECT s_name, count(*) AS numwait FROM lineitem l1 " +
+        "JOIN supplier ON s_suppkey = l1.l_suppkey " +
+        "WHERE l1.l_returnflag = 'R' " +
+        "AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F') " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+        "GROUP BY s_name"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -550,6 +550,10 @@ object ExtensionQueries {
     // (0,0) pixel read are predicted by the oracle from the source table
     "multimodal_decode_real" -> ((s, dir) =>
       Multimodal.pngRoundTripMeta(t(s, dir, "documents"))),
+    // JPEG sibling of the real-decode key: lossy codec, so dims are
+    // exact-oracled and the pixel read is a tolerance flag
+    "multimodal_decode_jpeg" -> ((s, dir) =>
+      Multimodal.jpegRoundTripMeta(t(s, dir, "documents"))),
     // per-asset frame fan-out (the video frame-sampling shape)
     "multimodal_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrameOffsets(
@@ -1438,6 +1442,10 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
         "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
         "CAST(doc_id % 256 AS INTEGER) AS red0 FROM documents"),
+    "multimodal_decode_jpeg" ->
+      ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
+        "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
+        "CAST(1 AS INTEGER) AS gray_err_le3 FROM documents"),
     "multimodal_frame_sample" ->
       ("SELECT doc_id AS asset_id, CAST(unnest(generate_series(0, 3)) AS INTEGER) AS frame_idx " +
         "FROM documents"),

@@ -61,7 +61,10 @@ object ScaleProbe {
         col("id").as("k1"), (col("id") % 97).as("v"), col("id").as("uid"))
         .repartition(1).localCheckpoint()
       // AQE off for this probe only: the adaptive wrapper is a leaf node
-      // that would hide the exec (and its metric) from the plan traversal
+      // that would hide the exec (and its metric) from the plan traversal.
+      // Save the caller's prior value — unset would restore the session
+      // DEFAULT, clobbering an explicit setting made before the probe.
+      val priorAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val t0 = System.nanoTime()
@@ -77,7 +80,10 @@ object ScaleProbe {
           f"out=$rows%9d $secs%7.2fs fallback_tasks=$fallbacks")
         assert(rows == nRows, s"spill probe lost rows: $rows != $nRows")
         assert(fallbacks > 0, "default budget did not trip at 6M near-unique keys")
-      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+      } finally priorAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
     spark.stop()
   }

@@ -31,13 +31,18 @@ class AnalyticsSpec extends SparkSpecBase {
     // story depends on), not as a data filter over a full scan
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_prune").toString
     Similarity.ivfPqIndexBuild(emb, idx, trainMod = 4)
-    val pruned = spark.read.parquet(s"$idx/codes.parquet")
-      .filter(org.apache.spark.sql.functions.col("cell_id").isin(0L, 1L))
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
-        .contains("cell_id"),
-      s"cell_id filter did not reach PartitionFilters:\n$plan")
+    // both cell-partitioned index tables: codes (long form) and the
+    // inverted lists (vectors+codes — the single-scan probe's candidate
+    // read)
+    for (table <- Seq("codes.parquet", "vectors.parquet")) {
+      val pruned = spark.read.parquet(s"$idx/$table")
+        .filter(org.apache.spark.sql.functions.col("cell_id").isin(0L, 1L))
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("cell_id"),
+        s"$table: cell_id filter did not reach PartitionFilters:\n$plan")
+    }
   }
 
   test("index staleness guard rebuilds on content change, memoizes when fresh") {

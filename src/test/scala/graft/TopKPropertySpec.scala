@@ -77,7 +77,9 @@ class TopKPropertySpec extends SparkSpecBase {
     val budgetKey = graft.plans.TopKPerKey.RowBudgetKey
     spark.conf.set(budgetKey, "4")
     // AQE wraps the tree in AdaptiveSparkPlanExec (a leaf), which would
-    // hide TopKPerKeyExec from the metric lookup below
+    // hide TopKPerKeyExec from the metric lookup below; save the prior
+    // value rather than unsetting to the session default afterwards
+    val priorAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (seed <- 1 to 4) {
@@ -109,7 +111,10 @@ class TopKPropertySpec extends SparkSpecBase {
       }
     } finally {
       spark.conf.unset(budgetKey)
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      priorAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
   }
 
