@@ -85,6 +85,57 @@ object ScaleProbe {
         case None => spark.conf.unset("spark.sql.adaptive.enabled")
       }
     }
+
+    // ANN probe at scaled geometry: 8× corpus with nCells=256 (vs the
+    // benched 1×/16) — the claim under test is that probe cost is
+    // CELL-proportional (candidates = nProbe × rows/cell, so growing
+    // nCells with the corpus holds per-query work ~constant) and that the
+    // candidate read stays partition-pruned to the nProbe directories out
+    // of nCells. Build cost may grow with corpus×cells — it's the
+    // amortized half.
+    locally {
+      import graft.analytics.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nEmb = emb.count()
+      val embMult = 8
+      val big = (0 until embMult).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * 10L * nEmb)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint()
+      def buildAndProbe(tag: String, corpus: DataFrame, nCells: Int): Unit = {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_ann_$tag").toString + "/ivfpq"
+        val tb0 = System.nanoTime()
+        Similarity.ivfPqIndexBuild(corpus, idx, nCells = nCells, trainMod = 4)
+        val buildS = (System.nanoTime() - tb0) / 1e9
+        var probeS = 0.0 // 2nd rep = warm per-query latency
+        (1 to 2).foreach { _ =>
+          val t0 = System.nanoTime()
+          Similarity.ivfPqProbeTopK(corpus, idx, queryId = 0L, k = 10).count()
+          probeS = (System.nanoTime() - t0) / 1e9
+        }
+        // pruning evidence: a 4-cell read of the inverted lists must list
+        // 4/nCells partition directories, measured on the executed scan
+        // (cell ids come from the codebook — centroid ids are seeded from
+        // sampled vec_ids, not sequential)
+        val someCells = spark.read.parquet(s"$idx/codebooks.parquet")
+          .filter(col("sub") === -1).select(col("cell_id"))
+          .orderBy(col("cell_id")).limit(4).collect().map(_.getLong(0)).toSeq
+        val pruned = spark.read.parquet(s"$idx/vectors.parquet")
+          .filter(col("cell_id").isin(someCells: _*))
+        pruned.queryExecution.toRdd.count()
+        val prunedParts = pruned.queryExecution.executedPlan.collectLeaves()
+          .collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics.get("numPartitions").map(_.value.toString)
+                .getOrElse("?")
+          }.getOrElse("?")
+        println(f"PROBE ann_probe_$tag%-20s n=${corpus.count()}%8d " +
+          f"nCells=$nCells%4d build=$buildS%7.2fs probe_warm=$probeS%5.2fs " +
+          s"pruned_dirs=$prunedParts/$nCells")
+      }
+      buildAndProbe("1x_16", emb, 16)
+      buildAndProbe(s"${embMult}x_256", big, 256)
+    }
     spark.stop()
   }
 }
