@@ -91,7 +91,15 @@ object Multimodal {
     * involvement, no shuffle — map-only over however the corpus is
     * partitioned).
     */
-  def pngRoundTripMeta(docs: DataFrame): DataFrame = {
+  def pngRoundTripMeta(docs: DataFrame): DataFrame =
+    losslessRoundTripMeta(docs, "png")
+
+  /** Shared round trip for the LOSSLESS codecs the JDK ships (PNG, GIF,
+    * BMP): the solid-gray image survives encode→decode bit-exactly in all
+    * three (GIF's 256-color palette holds every gray level), so one oracle
+    * — predicted dims + the exact (0,0) pixel — covers each format key.
+    */
+  def losslessRoundTripMeta(docs: DataFrame, fmt: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
@@ -114,7 +122,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(img, fmt, bos)
         val payload = bos.toByteArray // the real stored binary payload
         val decoded = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))

@@ -208,6 +208,49 @@ object Ops {
     cleaned
   }
 
+  /** Range (interval) join: pair every point row with every interval row
+    * whose `[startCol, endCol]` contains the point — the IP-range-lookup /
+    * sensor-window / incident-correlation shape.
+    *
+    * Spark plans a bare `p.ts BETWEEN i.lo AND i.hi` join as
+    * BroadcastNestedLoopJoin (or worse, a cartesian product when neither
+    * side broadcasts) — O(points × intervals) comparisons. This is the
+    * standard bin-bucketed rewrite: bucket the time axis at `binWidth`,
+    * give each POINT its single bucket, EXPLODE each interval across the
+    * buckets it overlaps, and equi-join on the bucket before applying the
+    * exact containment predicate. The join is then a plain hash/sort-merge
+    * shuffle on the bucket id — AQE, skew splitting and partial pushdown
+    * all apply. Each qualifying (point, interval) pair is produced EXACTLY
+    * once because a point owns exactly one bucket — no dedup pass.
+    *
+    * Scale shape: interval replication = ceil(span / binWidth) + 1 rows,
+    * so pick `binWidth` near the TYPICAL interval span (replication ≤2×);
+    * shuffle volume is points + replicated intervals, never their product.
+    * Hot buckets (a time spike) are ordinary equi-join skew — AQE's skew
+    * split or [[saltedJoin]] composes on top. Cites Flink's interval join
+    * and DuckDB's IEJoin as the reference semantics.
+    *
+    * @param pointCol  numeric/long point column on `points`
+    * @param startCol/endCol  inclusive interval bounds on `intervals`
+    */
+  def rangeJoinBinned(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"rangeJoinBinned: binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__graft_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val iv = intervals.withColumn("__graft_bin",
+      explode(sequence(floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    p.join(iv, Seq("__graft_bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__graft_bin")
+  }
+
   /** Skew-resistant equi-join: split each hot key of the big side across
     * `saltN` sub-partitions (seeded, reproducible salt) and replicate the
     * small side once per salt value. Use when one key holds a large share of

@@ -516,6 +516,24 @@ object ExtensionQueries {
     // retention cohorts: users bucketed by first-seen week, distinct-user
     // counts per (cohort, active) week pair — two aggregates and one
     // co-partitioned join on user_id, the classic warehouse rollup
+    // range (interval) join on the bin-bucketed rewrite: high-value events
+    // anchor a 10-minute lookback window; count events / distinct users
+    // inside each window. A bare BETWEEN join would plan as
+    // BroadcastNestedLoopJoin — Ops.rangeJoinBinned turns it into an
+    // equi-join on the time bucket (exactly-once pairs, no dedup)
+    "events_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tenMinNs = 600000000000L
+      val anchors = ev.filter(col("value") > 300)
+        .select(col("event_id").as("window_id"),
+          (col("ts") - lit(tenMinNs)).as("t0"), col("ts").as("t1"))
+      graft.engine.Ops.rangeJoinBinned(
+          ev.select(col("event_id"), col("user_id"), col("ts")), "ts",
+          anchors, "t0", "t1", binWidth = tenMinNs)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     "events_retention_cohorts" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 604800000000000").as("week"))
@@ -554,6 +572,11 @@ object ExtensionQueries {
     // exact-oracled and the pixel read is a tolerance flag
     "multimodal_decode_jpeg" -> ((s, dir) =>
       Multimodal.jpegRoundTripMeta(t(s, dir, "documents"))),
+    // the remaining JDK-shipped lossless codecs, same oracle as PNG
+    "multimodal_decode_gif" -> ((s, dir) =>
+      Multimodal.losslessRoundTripMeta(t(s, dir, "documents"), "gif")),
+    "multimodal_decode_bmp" -> ((s, dir) =>
+      Multimodal.losslessRoundTripMeta(t(s, dir, "documents"), "bmp")),
     // per-asset frame fan-out (the video frame-sampling shape)
     "multimodal_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrameOffsets(
@@ -1391,6 +1414,12 @@ object ExtensionQueries {
       ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
         "quantile_cont(value, 0.9) AS p90, count(*) AS n " +
         "FROM events GROUP BY event_type"),
+    "events_range_join" ->
+      ("SELECT w.event_id AS window_id, count(*) AS n_events, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+        "FROM events e JOIN (SELECT event_id, ts FROM events WHERE value > 300) w " +
+        "ON e.ts >= w.ts - INTERVAL 10 MINUTE AND e.ts <= w.ts " +
+        "GROUP BY 1"),
     "events_retention_cohorts" ->
       ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events), " +
         "fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id) " +
@@ -1446,6 +1475,14 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
         "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
         "CAST(1 AS INTEGER) AS gray_err_le3 FROM documents"),
+    "multimodal_decode_gif" ->
+      ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
+        "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
+        "CAST(doc_id % 256 AS INTEGER) AS red0 FROM documents"),
+    "multimodal_decode_bmp" ->
+      ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
+        "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
+        "CAST(doc_id % 256 AS INTEGER) AS red0 FROM documents"),
     "multimodal_frame_sample" ->
       ("SELECT doc_id AS asset_id, CAST(unnest(generate_series(0, 3)) AS INTEGER) AS frame_idx " +
         "FROM documents"),

@@ -114,6 +114,33 @@ class OpsSpec extends SparkSpecBase {
     assert(got("l3").isEmpty)          // no right at-or-before → null
   }
 
+  test("rangeJoinBinned equals the naive theta-join and plans no nested loop") {
+    import spark.implicits._
+    // random points and intervals spanning 0..10 bins at binWidth=100,
+    // interval spans 0..3 bins (incl. empty and point intervals)
+    val rnd = new scala.util.Random(42)
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "t")
+    val ivs = (1 to 40).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(300))
+    }.toDF("iid", "lo", "hi")
+    val got = Ops.rangeJoinBinned(points, "t", ivs, "lo", "hi", binWidth = 100)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = points.crossJoin(ivs)
+      .filter(org.apache.spark.sql.functions.col("t") >= org.apache.spark.sql.functions.col("lo") &&
+        org.apache.spark.sql.functions.col("t") <= org.apache.spark.sql.functions.col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq,
+      s"range-join mismatch: got ${got.length} pairs, naive ${naive.length}")
+    // exactly-once: no duplicate pairs even for multi-bin intervals
+    assert(got.distinct.length == got.length, "duplicate (point, interval) pair")
+    // the rewrite's point: an equi-join shuffle, not a nested loop
+    val plan = Ops.rangeJoinBinned(points, "t", ivs, "lo", "hi", binWidth = 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("saltedJoin composite keys preserve plain-join semantics") {
     val got = Ops.saltedJoin(left, Seq("a", "b"), target.toDF("a", "b"),
       Seq("a", "b"), saltN = 4)
