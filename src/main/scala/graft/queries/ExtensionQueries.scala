@@ -444,6 +444,30 @@ object ExtensionQueries {
         count(lit(1)).as("n_rows"))
     }),
 
+    // tokenizer ENCODE: id-encode the first 30 tokens of every document
+    // against a deterministic top-1000 vocab (rank by count desc, token
+    // asc; 0 = OOV) — the LM-pipeline step between raw text and token-id
+    // sequences, in long (doc_id, pos, token_id) form. The vocab build is
+    // TakeOrdered (scalable top-k, no global sort); the rank window runs
+    // over the already-limited 1000 rows, and the encode join broadcasts
+    // the vocab — the corpus side stays map-only after its one explode.
+    "text_vocab_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "tk")))
+        .filter(col("pos") < 30)
+      val top = toks.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tk").asc).limit(1000)
+      val vocab = top.withColumn("token_id",
+          row_number().over(Window.orderBy(col("n").desc, col("tk").asc)))
+        .select(col("tk"), col("token_id"))
+      toks.join(broadcast(vocab), Seq("tk"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(0)).as("token_id"))
+    }),
+
     // ---- events time-series ----
     "events_tumbling" -> ((s, dir) => EventsAnalytics.tumbling(t(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventsAnalytics.sliding(t(s, dir, "events"))),
@@ -1414,6 +1438,15 @@ object ExtensionQueries {
       ("SELECT event_type, quantile_cont(value, 0.5) AS med, " +
         "quantile_cont(value, 0.9) AS p90, count(*) AS n " +
         "FROM events GROUP BY event_type"),
+    "text_vocab_encode" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "pos AS (SELECT doc_id, w, unnest(generate_series(1, least(len(w), 30))) AS i FROM toks), " +
+        "tk AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS tok FROM pos), " +
+        "cnt AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1), " +
+        "vocab AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS token_id " +
+        "FROM (SELECT * FROM cnt ORDER BY n DESC, tok LIMIT 1000)) " +
+        "SELECT t.doc_id, t.pos, CAST(coalesce(v.token_id, 0) AS INT) AS token_id " +
+        "FROM tk t LEFT JOIN vocab v ON t.tok = v.tok"),
     "events_range_join" ->
       ("SELECT w.event_id AS window_id, count(*) AS n_events, " +
         "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
