@@ -375,6 +375,139 @@ object CoreQueries {
         .agg(count(lit(1)).as("numwait"))
     }),
 
+    // Multi-join profit rollup (TPC-H Q9): per-nation per-year profit over
+    // lineitem⋈part⋈supplier⋈orders⋈nation with a part-name LIKE filter
+    // and year extraction — the widest star rollup in the family. The
+    // synthetic schema has no partsupp, so supply cost is a retail-price
+    // fraction (exact DECIMAL ×0.1); the join/aggregate shape is Q9's.
+    "q9_product_profit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2))) - " +
+          "CAST(p_retailprice AS DECIMAL(18,2)) * " +
+          "CAST(l_quantity AS DECIMAL(18,2)) * 0.1) AS DOUBLE)")
+          .as("sum_profit"))
+    }),
+
+    // Group-vs-global-share filter (TPC-H Q11): parts whose lineitem value
+    // exceeds 0.1% of the whole corpus value — the HAVING-over-scalar-
+    // subquery shape, division-free (value × 1000 > total, exact DECIMAL).
+    // No partsupp in the synthetic schema; lineitem value is the stand-in.
+    "q11_important_parts" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("value"))
+      val tot = pv.agg(sum(col("value")).as("tv"))
+      pv.crossJoin(broadcast(tot))
+        .filter(expr("value * 1000 > tv"))
+        .select(col("l_partkey"), expr("CAST(value AS DOUBLE)").as("part_value"))
+    }),
+
+    // Join + conditional-count pivot (TPC-H Q12): priority class counts per
+    // line status over a ship-date window (l_linestatus stands in for the
+    // absent l_shipmode; the orders⋈lineitem conditional-sum shape is Q12's).
+    "q12_shipmode_priority" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+
+    // Argmax view (TPC-H Q15): the supplier(s) with maximum windowed
+    // revenue — aggregate, broadcast the scalar max, exact-DECIMAL
+    // equality join back (ties keep all rows, deterministically).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2)))")).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mr"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          expr("CAST(total_revenue AS DOUBLE)").as("total_revenue"))
+    }),
+
+    // Outer-join count histogram (TPC-H Q13): orders per customer INCLUDING
+    // zero-order customers (left join, count of the nullable side), then a
+    // second aggregate over the counts — the join-then-double-aggregate
+    // composition. Priority filter stands in for Q13's comment filter
+    // (same position: right side of the outer join, not a post-filter).
+    "q13_customer_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Correlated scalar-aggregate filter (TPC-H Q17): lines whose quantity
+    // is below 20% of their part's average — the per-group scalar
+    // subquery as a co-grouped aggregate join. The threshold compare is
+    // DIVISION-FREE (qty × cnt × 5 < sum_qty in exact DECIMAL): an
+    // engine-dependent double average at the boundary would flip rows.
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val stats = li.groupBy(col("l_partkey")).agg(
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).as("sq"),
+        count(lit(1)).as("cn"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(stats, Seq("l_partkey"))
+        .filter(expr("CAST(l_quantity AS DECIMAL(18,2)) * cn * 5 < sq"))
+        .agg(
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Scalar-subquery + anti-join rollup (TPC-H Q22): customers above the
+    // positive-balance average (global scalar, broadcast one-row cross
+    // join, division-free compare) with NO orders (left-anti), grouped by
+    // country code (nationkey mod stands in for the phone prefix).
+    "q22_global_sales_opportunity" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("cc", col("c_nationkey") % 10)
+        .filter(col("cc").isin(1, 2, 3, 4))
+      val stats = c.filter(col("c_acctbal") > 0.0).agg(
+        sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).as("sb"),
+        count(lit(1)).as("cb"))
+      c.join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(expr("CAST(c_acctbal AS DECIMAL(18,2)) * cb > sb"))
+        .groupBy(col("cc"))
+        .agg(count(lit(1)).as("numcust"),
+          expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("totacctbal"))
+    }),
+
     // Conditional-aggregate ratio (TPC-H Q14): promo revenue share — both
     // legs accumulate in DECIMAL, ONE double division at the end
     "q14_promo_share" -> ((s, dir) => {
@@ -789,6 +922,58 @@ object CoreQueries {
         "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 30) " +
         "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 5 AND 40) " +
         "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 10 AND 50)"),
+    "q9_product_profit" ->
+      ("SELECT n_name, CAST(date_part('year', o_orderdate) AS INT) AS o_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) - " +
+        "CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * 0.1) AS DOUBLE) AS sum_profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_name LIKE '%red%' GROUP BY 1, 2"),
+    "q11_important_parts" ->
+      ("WITH pv AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value " +
+        "FROM lineitem GROUP BY 1), t AS (SELECT sum(value) AS tv FROM pv) " +
+        "SELECT l_partkey, CAST(value AS DOUBLE) AS part_value " +
+        "FROM pv, t WHERE value * 1000 > tv"),
+    "q12_shipmode_priority" ->
+      ("SELECT l_linestatus, " +
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
+        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1"),
+    "q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue " +
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"),
+    "q13_customer_distribution" ->
+      ("SELECT c_count, count(*) AS custdist FROM " +
+        "(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+        "GROUP BY c_custkey) x GROUP BY c_count"),
+    "q17_small_quantity_revenue" ->
+      ("WITH a AS (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq, " +
+        "count(*) AS cn FROM lineitem GROUP BY 1) " +
+        "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey " +
+        "JOIN a ON l.l_partkey = a.l_partkey " +
+        "WHERE p.p_brand = 'Brand#1' AND CAST(l.l_quantity AS DECIMAL(18,2)) * cn * 5 < sq"),
+    "q22_global_sales_opportunity" ->
+      ("WITH c AS (SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cc FROM customer " +
+        "WHERE c_nationkey % 10 IN (1, 2, 3, 4)), " +
+        "s AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sb, count(*) AS cb " +
+        "FROM c WHERE c_acctbal > 0.0) " +
+        "SELECT cc, count(*) AS numcust, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal " +
+        "FROM c, s WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cb > sb " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey) " +
+        "GROUP BY cc"),
     "q21_waiting_suppliers" ->
       ("SELECT s_name, count(*) AS numwait FROM lineitem l1 " +
         "JOIN supplier ON s_suppkey = l1.l_suppkey " +
