@@ -740,7 +740,13 @@ object Similarity {
     val codes = materialize(assignCells(stackSubDf(spread, m, subDim), pq, 1,
         groupCols = Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cell_id").as("code")))
+    // repartition on cell_id before partitionBy: each cell directory gets
+    // ONE compact file instead of one per write task (~32× fewer files —
+    // a probe's scan cost is per-file open + footer, so compact lists are
+    // the FAISS-file equivalent; the extra build-time shuffle is the
+    // amortized half). On a cluster, cap file size via maxRecordsPerFile.
     cells.join(codes, Seq("vec_id"))
+      .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$tmpDir/codes.parquet")
     // the FAISS inverted lists proper: full vectors + precomputed norms +
@@ -755,6 +761,7 @@ object Similarity {
         .as("codes"))
     cells.join(spread, Seq("vec_id")).join(codesArr, Seq("vec_id"))
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$tmpDir/vectors.parquet")
     corpusSignature(embeddings).withColumn("fmt", lit(IndexFormatVersion))
