@@ -376,4 +376,35 @@ object Curation {
         Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 appendix A1.1): per
+    * document, the occurrence count of its most frequent word bigram and
+    * the number of trigram occurrences belonging to repeated trigrams,
+    * alongside the token/bigram/trigram totals. Emitted as exact integer
+    * numerator/denominator counts rather than ratios, so the hash is
+    * engine-independent; the repetition filter divides downstream
+    * (e.g. drop when top_bigram_n/n_bigrams > 0.2).
+    *
+    * Shuffles only on (doc_id, gram) then doc_id — the per-document
+    * semantic keys — so the sweep distributes by document at corpus scale;
+    * no window or global order anywhere. Documents shorter than n tokens
+    * have no n-grams and report zero counts.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    def gramStats(n: Int, top: String, dup: String, tot: String): DataFrame =
+      toks.select(col("doc_id"), explode(wordShingles(col("w"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          max(col("c")).as(top),
+          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as(dup),
+          sum(col("c")).as(tot))
+    docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(gramStats(2, "top_bigram_n", "dup_bigram_n", "n_bigrams"),
+        Seq("doc_id"), "left")
+      .join(gramStats(3, "top_trigram_n", "dup_trigram_n", "n_trigrams"),
+        Seq("doc_id"), "left")
+      .na.fill(0L)
+  }
 }

@@ -59,4 +59,23 @@ object EventsAnalytics {
   def jsonProps(events: DataFrame): DataFrame =
     events.select(col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** SCD-2 dimension snapshot from a change-event stream (the CDC merge
+    * shape of a warehouse dimension load): collapse each per-user run of
+    * equal `event_type` into one validity row [valid_from, valid_to), the
+    * open run flagged current. One shuffle on user_id feeds both window
+    * passes (change detection via lag, validity close via lead); ties
+    * break on event_id so output is deterministic across engines.
+    */
+  def scd2Snapshot(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
 }

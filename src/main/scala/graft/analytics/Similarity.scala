@@ -248,6 +248,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cluster-balanced selection (the shape of SemDeDup-style pruning and
+    * DCLM's cluster-quota curation): train the deterministic k-means
+    * quantizer on a 1-in-`trainMod` sample, assign every vector map-only
+    * against the broadcast centroids, then keep a fixed per-cell quota —
+    * the `perCell` lowest vec_ids of each cell. The quota stops dense
+    * embedding modes from dominating a curated sample; it runs on the
+    * bounded-heap [[graft.plans.TopKPerKey]] operator, so no global sort
+    * or window ever touches the corpus (O(n log k) per partition,
+    * k-row-per-cell shuffle). Reference has no curation tier; SURVEY §7.5
+    * extension contract.
+    */
+  def clusterBalancedSample(
+      embeddings: DataFrame,
+      nCells: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 4,
+      perCell: Int = 10,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val centroids =
+      materialize(kMeansCentroids(spread, nCells, iters, trainMod))
+    val assigned = assignCells(spread, centroids, 1)
+      .select(col("cell_id"), col("vec_id"))
+    graft.plans.TopKPerKey.topKPerKey(
+      assigned, Seq("cell_id"), Seq("vec_id"), perCell)
+  }
+
   /** Product-quantization ANN (Jégou et al., PQ with asymmetric distance
     * computation): the embedding is split into `m` contiguous subspaces,
     * each with its own k-means codebook of `ksub` centroids (the same

@@ -167,6 +167,10 @@ object ExtensionQueries {
     // cut, per-query top-k on the custom bounded-heap TopKPerKey operator
     "knn_join_ivf" -> ((s, dir) =>
       Similarity.knnJoinIvf(t(s, dir, "embeddings"), k = 3)),
+    // cluster-balanced curation (SemDeDup/DCLM quota shape): k-means cells
+    // + a deterministic per-cell quota on the bounded-heap TopKPerKey
+    "cluster_balanced_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"))),
     // the batch path from the MATERIALIZED index: map-only probe
     // assignment + pre-partitioned inverted lists, no training on the
     // query path — same coarse params ⇒ same answer ⇒ same oracle
@@ -346,6 +350,10 @@ object ExtensionQueries {
             .when(col("bucket") < 90, "val").otherwise("test"))),
     "corpus_shuffle" -> ((s, dir) =>
       Curation.shuffleShards(t(s, dir, "documents"), seed = "seed42")),
+    // Gopher repetition filter signals: per-doc top-bigram occurrences and
+    // duplicated-trigram mass as exact integer numerators/denominators
+    "text_repetition_stats" -> ((s, dir) =>
+      Curation.repetitionStats(t(s, dir, "documents"))),
     // the per-document curation decision table: exact-dup / near-dup /
     // length-outlier / contamination flags from the composed operators
     "curation_audit" -> ((s, dir) =>
@@ -558,6 +566,16 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // SCD-2 validity rows from the event stream (the CDC dimension-merge
+    // shape): per-user event_type runs collapse to [valid_from, valid_to)
+    // with the open run flagged current; µs image of the ns longs for the
+    // cross-engine compare, as in topk_per_user_events
+    "events_scd2_current" -> ((s, dir) =>
+      EventsAnalytics.scd2Snapshot(t(s, dir, "events"))
+        .select(col("user_id"), col("state"),
+          expr("valid_from div 1000").as("valid_from_us"),
+          expr("valid_to div 1000").as("valid_to_us"),
+          col("is_current"))),
     "events_retention_cohorts" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 604800000000000").as("week"))
@@ -1110,6 +1128,30 @@ object ExtensionQueries {
         "sh AS (SELECT doc_id, skey, CAST(('0x' || substr(skey, 1, 4))::BIGINT % 64 AS INT) AS shard FROM s) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos FROM sh"),
+    "text_repetition_stats" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] " +
+        "FOR i IN generate_series(1, len(w) - 1)]) AS g FROM toks), " +
+        "bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2), " +
+        "bs AS (SELECT doc_id, max(c) AS top_bigram_n, " +
+        "sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bigram_n, " +
+        "sum(c) AS n_bigrams FROM bc GROUP BY 1), " +
+        "tri AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "FOR i IN generate_series(1, len(w) - 2)]) AS g FROM toks), " +
+        "tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2), " +
+        "trs AS (SELECT doc_id, max(c) AS top_trigram_n, " +
+        "sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_trigram_n, " +
+        "sum(c) AS n_trigrams FROM tc GROUP BY 1), " +
+        "nt AS (SELECT doc_id, len(w) AS n_tokens FROM toks) " +
+        "SELECT nt.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n, " +
+        "CAST(coalesce(dup_bigram_n, 0) AS BIGINT) AS dup_bigram_n, " +
+        "CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
+        "CAST(coalesce(top_trigram_n, 0) AS BIGINT) AS top_trigram_n, " +
+        "CAST(coalesce(dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n, " +
+        "CAST(coalesce(n_trigrams, 0) AS BIGINT) AS n_trigrams " +
+        "FROM nt LEFT JOIN bs ON nt.doc_id = bs.doc_id " +
+        "LEFT JOIN trs ON nt.doc_id = trs.doc_id"),
     "ngram_jaccard_pairs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
@@ -1288,6 +1330,23 @@ object ExtensionQueries {
     "ann_recall_ivf" ->
       annRecallOracle(k = 10, queryMod = 100, nCells = 16, nProbe = 4,
         iters = 2, trainMod = 4),
+    "cluster_balanced_sample" -> {
+      // mirror of Similarity.clusterBalancedSample: the shared Lloyd chain
+      // (nCells=16, iters=2, trainMod=4), full-corpus argmin assignment,
+      // then the lowest-10-vec_id quota per cell
+      val iters = 2
+      val iterCtes = (1 to iters).map { i =>
+        kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+          kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
+      }.mkString(", ")
+      "WITH train AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0), " +
+        "c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+        "FROM train WHERE vec_id < 64), " + iterCtes + ", " +
+        kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + " " +
+        "SELECT cell_id, vec_id FROM (SELECT cell_id, vec_id, " +
+        "row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) AS rn FROM af) t " +
+        "WHERE rn <= 10"
+    },
     "cosine_topk_ivfpq_residual" ->
       ivfpqResidualOracle(nCells = 16, nProbe = 4, coarseIters = 2,
         coarseTrainMod = 4, m = 4, subDim = 16, ksub = 16, pqIters = 2,
@@ -1453,6 +1512,17 @@ object ExtensionQueries {
         "FROM events e JOIN (SELECT event_id, ts FROM events WHERE value > 300) w " +
         "ON e.ts >= w.ts - INTERVAL 10 MINUTE AND e.ts <= w.ts " +
         "GROUP BY 1"),
+    "events_scd2_current" ->
+      ("WITH o AS (SELECT user_id, event_type, ts, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state " +
+        "FROM events), " +
+        "ch AS (SELECT user_id, event_type, ts, event_id FROM o " +
+        "WHERE prev_state IS NULL OR prev_state != event_type), " +
+        "v AS (SELECT user_id, event_type AS state, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM ch) " +
+        "SELECT user_id, state, CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us, " +
+        "CAST(epoch_us(valid_to) AS BIGINT) AS valid_to_us, " +
+        "CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v"),
     "events_retention_cohorts" ->
       ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events), " +
         "fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id) " +

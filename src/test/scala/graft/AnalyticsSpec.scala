@@ -276,6 +276,47 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(meta2.count() == 10)
   }
 
+  test("scd2 snapshot: one open row per user, contiguous validity, no same-state neighbors") {
+    import org.apache.spark.sql.expressions.Window
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val snap = EventsAnalytics.scd2Snapshot(events)
+    // exactly one current row per user
+    val perUser = snap.groupBy("user_id").agg(sum("is_current").as("n_open"))
+    assert(perUser.filter(col("n_open") =!= 1).count() == 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val seq = snap.select(col("user_id"), col("state"), col("valid_from"),
+      col("valid_to"),
+      lead(col("valid_from"), 1).over(w).as("next_from"),
+      lead(col("state"), 1).over(w).as("next_state"))
+    // each closed row's valid_to is exactly the next row's valid_from
+    assert(seq.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() == 0)
+    // runs were collapsed: neighboring rows never share a state
+    assert(seq.filter(col("next_state").isNotNull &&
+      col("state") === col("next_state")).count() == 0)
+    // every event's type matches the snapshot row covering its timestamp
+    val covered = events.as("e").join(snap.as("s"),
+      col("e.user_id") === col("s.user_id") &&
+        col("e.ts") >= col("s.valid_from") &&
+        (col("s.valid_to").isNull || col("e.ts") < col("s.valid_to")))
+    assert(covered.filter(col("e.event_type") =!= col("s.state")).count() == 0)
+  }
+
+  test("cluster-balanced sample is the per-cell lowest-id quota of the full assignment") {
+    import org.apache.spark.sql.expressions.Window
+    // perCell larger than the corpus = the full cell assignment
+    val full = Similarity.clusterBalancedSample(emb, perCell = Int.MaxValue)
+    assert(full.count() == emb.count())
+    val sample = Similarity.clusterBalancedSample(emb)
+    val expected = full.withColumn("rn",
+        row_number().over(Window.partitionBy(col("cell_id")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= 10).drop("rn")
+    assert(sample.count() == expected.count())
+    assert(sample.exceptAll(expected).count() == 0)
+    val sizes = sample.groupBy("cell_id").count()
+    assert(sizes.filter(col("count") > 10).count() == 0)
+  }
+
   test("events sessions are non-overlapping per user") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val s = EventsAnalytics.sessions(events)

@@ -168,6 +168,33 @@ class CurationSpec extends SparkSpecBase {
     assert(kept / n >= 0.40 && kept / n <= 0.70) // ~50% plus boundary ties
   }
 
+  test("repetition stats: hand-computed gram counts, short docs report zeros") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, "a b a b c"), // bigrams: "a b"x2,"b a","b c"; trigrams unique
+      Row(2L, "x"),         // no grams at all
+      Row(3L, "r r r r")    // "r r"x3; "r r r"x2
+    ).asJava, schema)
+    val got = Curation.repetitionStats(tiny).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    // (n_tokens, top_bigram_n, dup_bigram_n, n_bigrams,
+    //  top_trigram_n, dup_trigram_n, n_trigrams)
+    assert(got(1L) == Seq(5L, 2L, 2L, 4L, 1L, 0L, 3L))
+    assert(got(2L) == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(got(3L) == Seq(4L, 3L, 3L, 3L, 2L, 2L, 2L))
+    // fixture invariants: counts bounded by totals, totals consistent with
+    // token counts
+    val fix = Curation.repetitionStats(docs)
+    assert(fix.filter(col("top_bigram_n") > col("n_bigrams") ||
+      col("dup_trigram_n") > col("n_trigrams")).count() == 0)
+    assert(fix.filter(col("n_tokens") >= 2 &&
+      col("n_bigrams") =!= col("n_tokens") - 1).count() == 0)
+  }
+
   test("shuffle shards: a permutation, deterministic in the seed, shard-bounded") {
     val a = Curation.shuffleShards(docs, "seed42")
     assert(a.count() == docs.count())
