@@ -1082,6 +1082,23 @@ object Similarity {
       .drop("neg_sim")
   }
 
+  /** [[clusterBalancedSample]] answered from the MATERIALIZED index: the
+    * inverted lists already carry every vector's coarse cell, so the
+    * curation quota is a column-pruned scan of (cell_id, vec_id) plus the
+    * bounded-heap per-cell top-k — no training and no assignment on the
+    * query path. The coarse chain behind the index (grouped Lloyd, sub =
+    * -1) is bit-identical to the direct path's, so this must reproduce
+    * [[clusterBalancedSample]] exactly — the shared DuckDB oracle and a
+    * spec equality pin it.
+    */
+  def clusterBalancedSampleFromIndex(
+      spark: SparkSession, indexDir: String, perCell: Int = 10): DataFrame = {
+    val lists = indexRelation(spark, s"$indexDir/vectors.parquet")
+      .select(col("cell_id"), col("vec_id"))
+    graft.plans.TopKPerKey.topKPerKey(
+      lists, Seq("cell_id"), Seq("vec_id"), perCell)
+  }
+
   /** STREAMING ingest into the materialized IVF index — the continuous
     * form of [[ivfIndexAppend]]: new vectors arrive on an unbounded
     * source and are map-only assigned to the index's frozen coarse

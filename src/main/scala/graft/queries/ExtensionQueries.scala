@@ -171,6 +171,15 @@ object ExtensionQueries {
     // + a deterministic per-cell quota on the bounded-heap TopKPerKey
     "cluster_balanced_sample" -> ((s, dir) =>
       Similarity.clusterBalancedSample(t(s, dir, "embeddings"))),
+    // the same quota answered from the materialized index's inverted
+    // lists: column-pruned (cell_id, vec_id) scan, no training on the
+    // query path — same coarse chain ⇒ same answer ⇒ same oracle
+    "cluster_balanced_sample_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.defaultIndexDir(dir) + "/ivfpq"
+      Similarity.ivfPqIndexBuildIfStale(emb, idx, trainMod = 4)
+      Similarity.clusterBalancedSampleFromIndex(s, idx)
+    }),
     // the batch path from the MATERIALIZED index: map-only probe
     // assignment + pre-partitioned inverted lists, no training on the
     // query path — same coarse params ⇒ same answer ⇒ same oracle
@@ -706,6 +715,26 @@ object ExtensionQueries {
       s"FOR i IN generate_series(1, len(embedding))], recursive := true) FROM $aRel), " +
       s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
       s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
+
+  /** Mirror of [[Similarity.clusterBalancedSample]] (and its index-probe
+    * twin): the shared Lloyd chain (nCells=16, iters=2, trainMod=4),
+    * full-corpus argmin assignment, then the lowest-10-vec_id quota per
+    * cell.
+    */
+  private lazy val clusterBalancedOracle: String = {
+    val iters = 2
+    val iterCtes = (1 to iters).map { i =>
+      kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+        kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
+    }.mkString(", ")
+    "WITH train AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0), " +
+      "c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      "FROM train WHERE vec_id < 64), " + iterCtes + ", " +
+      kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + " " +
+      "SELECT cell_id, vec_id FROM (SELECT cell_id, vec_id, " +
+      "row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) AS rn FROM af) t " +
+      "WHERE rn <= 10"
+  }
 
   /** Coarse-quantizer CTE chain shared by the IVF and IVF-PQ oracles: the
     * fixed-seed Lloyd iterations over the `1-in-trainMod` training sample,
@@ -1330,23 +1359,9 @@ object ExtensionQueries {
     "ann_recall_ivf" ->
       annRecallOracle(k = 10, queryMod = 100, nCells = 16, nProbe = 4,
         iters = 2, trainMod = 4),
-    "cluster_balanced_sample" -> {
-      // mirror of Similarity.clusterBalancedSample: the shared Lloyd chain
-      // (nCells=16, iters=2, trainMod=4), full-corpus argmin assignment,
-      // then the lowest-10-vec_id quota per cell
-      val iters = 2
-      val iterCtes = (1 to iters).map { i =>
-        kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
-          kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
-      }.mkString(", ")
-      "WITH train AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0), " +
-        "c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
-        "FROM train WHERE vec_id < 64), " + iterCtes + ", " +
-        kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + " " +
-        "SELECT cell_id, vec_id FROM (SELECT cell_id, vec_id, " +
-        "row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) AS rn FROM af) t " +
-        "WHERE rn <= 10"
-    },
+    "cluster_balanced_sample" -> clusterBalancedOracle,
+    // the index probe path must land on the identical quota
+    "cluster_balanced_sample_probe" -> clusterBalancedOracle,
     "cosine_topk_ivfpq_residual" ->
       ivfpqResidualOracle(nCells = 16, nProbe = 4, coarseIters = 2,
         coarseTrainMod = 4, m = 4, subDim = 16, ksub = 16, pqIters = 2,

@@ -315,6 +315,13 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(sample.exceptAll(expected).count() == 0)
     val sizes = sample.groupBy("cell_id").count()
     assert(sizes.filter(col("count") > 10).count() == 0)
+    // the index-probe path must reproduce the direct answer exactly (the
+    // index's grouped coarse chain is bit-identical to the direct chain)
+    val idx = java.nio.file.Files.createTempDirectory("graft_cbs_spec").toString
+    Similarity.ivfPqIndexBuild(emb, idx, trainMod = 4)
+    val probe = Similarity.clusterBalancedSampleFromIndex(spark, idx)
+    assert(probe.count() == sample.count())
+    assert(probe.exceptAll(sample).count() == 0)
   }
 
   test("events sessions are non-overlapping per user") {
