@@ -190,6 +190,49 @@ object Dedup {
     * `maxRounds` is a runaway bound only — hitting it raises, never
     * truncates.
     */
+  /** Distributed triangle counting over a candidate-pair graph — the
+    * node-iterator algorithm with degree orientation (Suri &
+    * Vassilvitskii's MapReduce formulation): every undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, which
+    * caps each vertex's out-list at O(sqrt E) — so the wedge join's
+    * fan-out stays bounded on ANY graph, including the star skew a hot
+    * boilerplate document creates (where naive node-iterator explodes
+    * quadratically at the hub). Wedges (two out-edges of one vertex,
+    * canonically ordered) close into triangles through one equi-join
+    * against the oriented edge set, so each triangle is found exactly
+    * once at its lowest-order vertex; there is no OR-condition join and
+    * no cartesian anywhere. Output is the per-document triangle
+    * participation count — the local-density signal that separates tight
+    * near-dup cliques from chains glued together by one hub, the QA
+    * metric applied to a dedup clustering before trusting its
+    * representatives. Nodes in no triangle are absent.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("id_a"), col("id_b")).distinct()
+    val deg = e0.select(explode(array(col("id_a"), col("id_b"))).as("vtx"))
+      .groupBy("vtx").agg(count(lit(1)).as("d"))
+    def ord(d: Column, id: Column): Column =
+      struct(d.as("d"), id.as("id"))
+    val oriented = e0
+      .join(deg.select(col("vtx").as("id_a"), col("d").as("da")), "id_a")
+      .join(deg.select(col("vtx").as("id_b"), col("d").as("db")), "id_b")
+      .select(
+        when(ord(col("da"), col("id_a")) < ord(col("db"), col("id_b")),
+          struct(ord(col("da"), col("id_a")).as("u"),
+            ord(col("db"), col("id_b")).as("v")))
+          .otherwise(struct(ord(col("db"), col("id_b")).as("u"),
+            ord(col("da"), col("id_a")).as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // two out-edges of u, ordered so the closing edge is oriented b -> c
+    val wedges = oriented.select(col("u"), col("v").as("b"))
+      .join(oriented.select(col("u"), col("v").as("c")), "u")
+      .filter(col("b") < col("c"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("u.id"), col("b.id"), col("c.id"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   def connectedComponentsStar(
       edges: DataFrame, maxRounds: Int = 60,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {

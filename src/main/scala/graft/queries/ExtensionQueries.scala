@@ -92,6 +92,31 @@ object ExtensionQueries {
     // boilerplate signal whole-document signatures miss
     "dup_ngram_coverage" -> ((s, dir) =>
       Dedup.dupNgramCoverage(t(s, dir, "documents"))),
+    // triangle participation per document over the MinHash candidate
+    // graph — the local-density QA signal on a dedup clustering (tight
+    // cliques vs hub-glued chains); degree-oriented node-iterator, one
+    // equi-join closes wedges
+    "neardup_triangles" -> ((s, dir) =>
+      Dedup.triangleCounts(
+        Dedup.lshCandidatePairs(t(s, dir, "documents"))
+          .select(col("id_a"), col("id_b")))),
+    // the same operator driven hard: the ±2-window token co-occurrence
+    // graph (the cooccurrence_topk relation as an undirected graph) is
+    // dense, so every vertex participates in many triangles
+    "token_graph_triangles" -> ((s, dir) => {
+      val edges = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(tokens(col("text")).as("w"))
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(w)), i -> " +
+            "filter(transform(sequence(1, 2), d -> " +
+            "IF(i + d <= size(w), struct(least(w[i-1], w[i+d-1]) AS id_a, " +
+            "greatest(w[i-1], w[i+d-1]) AS id_b), NULL)), " +
+            "x -> x IS NOT NULL)))")).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      Dedup.triangleCounts(edges)
+    }),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -716,6 +741,20 @@ object ExtensionQueries {
       s"$cOut AS (SELECT cell_id, list(v ORDER BY pos) AS c FROM (SELECT cell_id, pos, " +
       s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY cell_id, pos) g GROUP BY cell_id)"
 
+  /** Triangle enumeration + per-node participation over an `e(id_a,
+    * id_b)` edge CTE (canonical id_a < id_b): the a<b<c three-way join
+    * finds each triangle once — orientation-independent, so it verifies
+    * the engine's degree-oriented algorithm exactly.
+    */
+  private def triangleSql(edgeCte: String): String =
+    edgeCte + ", " +
+      "t AS (SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c FROM e ab " +
+      "JOIN e bc ON bc.id_a = ab.id_b " +
+      "JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b), " +
+      "n AS (SELECT unnest([a, b, c]) AS node_id FROM t) " +
+      "SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles " +
+      "FROM n GROUP BY node_id"
+
   /** Mirror of [[Similarity.clusterBalancedSample]] (and its index-probe
     * twin): the shared Lloyd chain (nCells=16, iters=2, trainMod=4),
     * full-corpus argmin assignment, then the lowest-10-vec_id quota per
@@ -1206,6 +1245,18 @@ object ExtensionQueries {
     "minhash_lsh_pairs" ->
       ("WITH " + minhashPairCtes +
         " SELECT id_a, id_b, count(*) AS n_shared_bands FROM pairs GROUP BY 1, 2"),
+    "neardup_triangles" ->
+      triangleSql("WITH " + minhashPairCtes +
+        ", e AS (SELECT DISTINCT id_a, id_b FROM pairs)"),
+    "token_graph_triangles" ->
+      triangleSql(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+          "p1 AS (SELECT unnest([{'id_a': least(w[i], w[i+1]), 'id_b': greatest(w[i], w[i+1])} " +
+          "FOR i IN generate_series(1, len(w) - 1)], recursive := true) FROM toks), " +
+          "p2 AS (SELECT unnest([{'id_a': least(w[i], w[i+2]), 'id_b': greatest(w[i], w[i+2])} " +
+          "FOR i IN generate_series(1, len(w) - 2)], recursive := true) FROM toks), " +
+          "e AS (SELECT DISTINCT id_a, id_b FROM " +
+          "(SELECT * FROM p1 UNION ALL SELECT * FROM p2) u WHERE id_a != id_b)"),
     // candidate-restricted verify over the SAME df-capped shingle universe
     // as ngram_jaccard_pairs: candidates from the LSH bands, exact Jaccard
     // from the capped shingle relation the band CTE already built

@@ -72,6 +72,25 @@ class CurationSpec extends SparkSpecBase {
     assert(star.length == 121 && star.forall(_.getLong(1) == 1001L))
   }
 
+  test("triangle counts: K4 participation, stars contribute none, orientation covers ties") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    // K4 on 1..4 (every node in 3 of the 4 triangles) plus a 5-leaf star
+    // at 100 (high degree, zero triangles — the hub skew case degree
+    // orientation exists for) plus one triangle with equal degrees
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield Row(a, b)
+    val star = (101L to 105L).map(l => Row(100L, l))
+    val tri = Seq(Row(200L, 201L), Row(201L, 202L), Row(200L, 202L))
+    val edges = spark.createDataFrame((k4 ++ star ++ tri).asJava, schema)
+    val got = Dedup.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      200L -> 1L, 201L -> 1L, 202L -> 1L))
+  }
+
   test("random graphs: both CC variants agree with union-find ground truth") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
