@@ -46,6 +46,11 @@ object ScaleProbe {
     time("neardup_components", d => Dedup.connectedComponents(
       Dedup.lshCandidatePairs(d).select(col("id_a"), col("id_b"))))
     time("fingerprint_groups", d => Dedup.fingerprintGroups(d))
+    // every mult-way duplicate group is a K_mult clique: triangle OUTPUT
+    // grows ~mult³ per group (C(mult,3) triangles each) — the clique-dense
+    // regime; healthy = runtime tracks input+output, not the pair space
+    time("neardup_triangles", d => Dedup.triangleCounts(
+      Dedup.lshCandidatePairs(d).select(col("id_a"), col("id_b"))))
 
     // TopKPerKey at volume PAST the default 4Mi-row budget: near-unique
     // long keys (the dedup_apply shape) over 6M synthetic rows — the
