@@ -1,0 +1,98 @@
+package graft.analytics
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-observability operators for the training-data pipeline: column
+  * profiling, rule-based validation, and corpus drift monitoring — the
+  * checks a production ingest runs before (and after) every curation
+  * stage. All outputs are exact integer counts in long format, so the
+  * DuckDB oracle hash-checks them and results are partitioning-
+  * independent. Reference has no observability tier (its `-v` prints row
+  * counts only, `subset.py:40-97`); SURVEY §7.5 extension contract.
+  */
+object DataQuality {
+
+  /** Per-column table profile in long format: one row per profiled column
+    * with the table's row count, the column's null count and its exact
+    * distinct count. One aggregation pass over the table; the distinct
+    * counts expand per column inside the single shuffle (Spark's
+    * multi-countDistinct expand), which at 100 TB is the honest cost of
+    * EXACT profiling — a monitoring deployment swaps in
+    * approx_count_distinct on the same plan shape for a sketch-cheap
+    * profile.
+    */
+  def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val totals = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    totals.select(explode(array(columns.map(c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.n_rows").as("n_rows"),
+        col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"))
+  }
+
+  /** Rule-based validation over the documents table (the
+    * expectations-suite shape): each rule emits its violation count, so a
+    * pipeline gate is `max(n_violations) == 0`. One map-only pass feeds a
+    * single global aggregate; rules that need corpus-wide context
+    * (uniqueness) ride the same aggregate via count - distinct.
+    */
+  def qualityAssertions(docs: DataFrame): DataFrame = {
+    def violations(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1L).otherwise(0L))
+    // uniqueness counts NON-NULL duplicates (count(col) ignores nulls);
+    // null ids are their own rule, and a null-text row is an empty-text
+    // violation, not an n_chars mismatch (null comparisons don't count)
+    val agg = docs.agg(
+      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("v_dup_id"),
+      violations(col("doc_id").isNull).as("v_null_id"),
+      violations(col("text").isNull || length(col("text")) === 0)
+        .as("v_empty_text"),
+      violations(col("n_chars") =!= length(col("text"))).as("v_chars"),
+      violations(col("lang").isNull || col("lang") === "").as("v_lang"))
+    agg.select(explode(array(
+      struct(lit("doc_id_unique").as("rule"), col("v_dup_id").as("n_violations")),
+      struct(lit("doc_id_not_null").as("rule"), col("v_null_id").as("n_violations")),
+      struct(lit("text_nonempty").as("rule"), col("v_empty_text").as("n_violations")),
+      struct(lit("n_chars_matches_text").as("rule"), col("v_chars").as("n_violations")),
+      struct(lit("lang_present").as("rule"), col("v_lang").as("n_violations"))))
+      .as("p"))
+      .select(col("p.rule").as("rule"), col("p.n_violations").as("n_violations"))
+  }
+
+  /** Token-share drift between two corpus slices (here: even vs odd
+    * doc_id — in production, yesterday's snapshot vs today's batch): per
+    * token, the occurrence counts in each slice plus integer-exact
+    * drift flags at the `num/den` share-ratio threshold
+    * (share_a/share_b >= num/den, evaluated as the cross-multiplication
+    * `den * c_a * t_b >= num * c_b * t_a` — no division, no float). The
+    * distribution-shift monitor that catches a source change or a broken
+    * upstream filter before training does. ONE token-keyed aggregate
+    * carries both slices (conditional sums — no per-slice scan, no join),
+    * and the two corpus totals broadcast as a single row.
+    */
+  def vocabDrift(docs: DataFrame, num: Int = 6, den: Int = 5): DataFrame = {
+    // cross-products reach corpus-token-count squared (~1e26 at 100 TB) —
+    // DECIMAL(38,0) keeps them exact where BIGINT would overflow
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = docs.select((col("doc_id") % 2 === 0).as("even"),
+      explode(tokens(col("text"))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("even"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("even"), 0L).otherwise(1L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("n_a"), col("n_b"),
+        (lit(den) * col("n_a").cast(d) * col("t_b").cast(d) >=
+          lit(num) * col("n_b").cast(d) * col("t_a").cast(d))
+          .cast("int").as("drift_up"),
+        (lit(den) * col("n_b").cast(d) * col("t_a").cast(d) >=
+          lit(num) * col("n_a").cast(d) * col("t_b").cast(d))
+          .cast("int").as("drift_down"))
+  }
+}

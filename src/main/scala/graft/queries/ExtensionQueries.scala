@@ -388,6 +388,18 @@ object ExtensionQueries {
     // duplicated-trigram mass as exact integer numerators/denominators
     "text_repetition_stats" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"))),
+    // ---- data observability ----
+    // per-column profile (rows / nulls / exact distinct), long format
+    "table_profile_docs" -> ((s, dir) =>
+      DataQuality.tableProfile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // expectations-suite validation: per-rule violation counts
+    "quality_assertions_docs" -> ((s, dir) =>
+      DataQuality.qualityAssertions(t(s, dir, "documents"))),
+    // token-share drift between corpus slices (even vs odd doc_id) with
+    // DECIMAL-exact cross-multiplied ratio flags at 6/5
+    "vocab_drift" -> ((s, dir) =>
+      DataQuality.vocabDrift(t(s, dir, "documents"))),
     // the per-document curation decision table: exact-dup / near-dup /
     // length-outlier / contamination flags from the composed operators
     "curation_audit" -> ((s, dir) =>
@@ -1196,6 +1208,34 @@ object ExtensionQueries {
         "sh AS (SELECT doc_id, skey, CAST(('0x' || substr(skey, 1, 4))::BIGINT % 64 AS INT) AS shard FROM s) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos FROM sh"),
+    "table_profile_docs" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct FROM documents")
+        .mkString(" UNION ALL "),
+    "quality_assertions_docs" ->
+      ("WITH a AS (SELECT count(doc_id) - count(DISTINCT doc_id) AS v_dup, " +
+        "sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null, " +
+        "sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS v_empty, " +
+        "sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS v_chars, " +
+        "sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS v_lang " +
+        "FROM documents) " +
+        "SELECT 'doc_id_unique' AS rule, CAST(v_dup AS BIGINT) AS n_violations FROM a " +
+        "UNION ALL SELECT 'doc_id_not_null', CAST(v_null AS BIGINT) FROM a " +
+        "UNION ALL SELECT 'text_nonempty', CAST(v_empty AS BIGINT) FROM a " +
+        "UNION ALL SELECT 'n_chars_matches_text', CAST(v_chars AS BIGINT) FROM a " +
+        "UNION ALL SELECT 'lang_present', CAST(v_lang AS BIGINT) FROM a"),
+    "vocab_drift" ->
+      ("WITH toks AS (SELECT doc_id % 2 = 0 AS even, " +
+        "unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "c AS (SELECT token, sum(CASE WHEN even THEN 1 ELSE 0 END) AS n_a, " +
+        "sum(CASE WHEN even THEN 0 ELSE 1 END) AS n_b FROM toks GROUP BY token), " +
+        "t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM c) " +
+        "SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        "CAST(5 * n_a * t_b >= 6 * n_b * t_a AS INTEGER) AS drift_up, " +
+        "CAST(5 * n_b * t_a >= 6 * n_a * t_b AS INTEGER) AS drift_down " +
+        "FROM c, t"),
     "text_repetition_stats" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] " +

@@ -1,0 +1,68 @@
+package graft
+
+import graft.analytics.DataQuality
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+class DataQualitySpec extends SparkSpecBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  test("quality assertions count injected violations exactly") {
+    // fixture is clean: every rule must report zero
+    val clean = DataQuality.qualityAssertions(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L), s"fixture not clean: $clean")
+    // inject violations (the null-id row also has null text/lang, so it
+    // lands in text_nonempty and lang_present but NOT in the null-guarded
+    // n_chars comparison, and null ids never count as duplicates)
+    val dirty = spark.createDataFrame(Seq(
+      Row(1L, "ok text", "en", "web", 7L),
+      Row(1L, "dup id", "en", "web", 6L),     // duplicate doc_id
+      Row(null, null, null, "web", 9L),       // null id/text/lang
+      Row(3L, "", "en", "web", 0L),           // empty text
+      Row(4L, "five ch", "", "web", 99L)      // empty lang, wrong n_chars
+    ).asJava, docSchema)
+    val got = DataQuality.qualityAssertions(dirty).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "doc_id_unique" -> 1L, "doc_id_not_null" -> 1L,
+      "text_nonempty" -> 2L, "n_chars_matches_text" -> 1L,
+      "lang_present" -> 2L))
+  }
+
+  test("table profile: rows, nulls and distincts on a known table") {
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, "a", "en", "web", 1L),
+      Row(2L, "a", null, "web", 1L),
+      Row(3L, "b", "en", "book", 1L)).asJava, docSchema)
+    val got = DataQuality.tableProfile(tiny, Seq("text", "lang")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("text" -> ((3L, 0L, 2L)), "lang" -> ((3L, 1L, 1L))))
+  }
+
+  test("vocab drift flags a token dumped into one slice only") {
+    val rows = (0L until 20L).map { i =>
+      val extra = if (i % 2 == 0) " zonly" else "" // token only in even ids
+      Row(i, "base tok" + extra, "en", "web", 0L)
+    }
+    val df = spark.createDataFrame(rows.asJava, docSchema)
+    val got = DataQuality.vocabDrift(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))).toMap
+    assert(got("zonly") == ((10L, 0L, 1, 0)))
+    // equal-count tokens read as drifted DOWN: the even slice's total is
+    // diluted by the dumped token, so their even-slice SHARE shrank —
+    // shares, not raw counts, are what drift monitoring compares
+    assert(got("base") == ((10L, 10L, 0, 1)))
+    assert(got("tok") == ((10L, 10L, 0, 1)))
+  }
+}
