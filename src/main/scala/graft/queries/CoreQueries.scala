@@ -580,6 +580,16 @@ object CoreQueries {
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
             .as("total"))),
 
+    // CUBE: every grouping-set combination (status×priority, each alone,
+    // grand total) in one expanded shuffle — the full-lattice sibling of
+    // the ROLLUP key
+    "cube_order_stats" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("total"))),
+
     // A-family approx aggregate — no oracle (estimator-specific), declared
     // for the rows-only check; DuckDB's approx_count_distinct uses a
     // different sketch so values can't hash-match
@@ -873,6 +883,10 @@ object CoreQueries {
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
+    "cube_order_stats" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
     "q5_local_supplier_revenue" ->
       ("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +

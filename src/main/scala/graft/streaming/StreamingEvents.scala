@@ -114,6 +114,24 @@ object StreamingEvents {
       .toDF("user_id", "ts", "event_id", "version")
   }
 
+  /** Streaming face of [[graft.analytics.DataQuality.qualityAssertions]]:
+    * running violation counts for the map-only rules over an unbounded
+    * document stream (complete mode — the live data-quality dashboard a
+    * production ingest watches). The corpus-context uniqueness rule is
+    * inherently historical; its streaming analogue is the stateful dedup
+    * tier ([[streamingDedup]] / [[streamingDedupBounded]]), which drops
+    * duplicates rather than counting them.
+    */
+  def streamingQualityCounts(docs: DataFrame): DataFrame =
+    docs.agg(
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("v_empty_text"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L)).as("v_chars"),
+      sum(when(col("lang").isNull || col("lang") === "", 1L)
+        .otherwise(0L)).as("v_lang"),
+      count(lit(1)).as("n_docs"))
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * counts updated each micro-batch (the
     * `KeyValueGroupedDataset.mapGroupsWithState` extension point for state

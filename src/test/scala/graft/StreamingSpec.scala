@@ -47,6 +47,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("stream_dedup").count() == batchDistinct)
   }
 
+  test("streaming quality counts converge to the batch aggregate over two micro-batches") {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_quality_stream")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"), dir.resolve("b.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingQualityCounts(stream), "stream_quality")
+    val batch = StreamingEvents.streamingQualityCounts(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .union(spark.read.parquet(s"$sfDir/documents.parquet"))).head
+    assert(spark.table("stream_quality").head.toSeq == batch.toSeq)
+    // the doubled fixture is clean, so the running counters read zero
+    // violations over 2x the docs
+    assert(batch.getLong(3) == 2 * spark.read
+      .parquet(s"$sfDir/documents.parquet").count())
+  }
+
   test("bounded-state streaming dedup drops within-watermark duplicates across micro-batches") {
     import java.nio.file._
     import org.apache.spark.sql.functions._
