@@ -377,6 +377,67 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** BPE tokenizer training, the first `nMerges` merge steps (Sennrich et
+    * al. 2016): train on the TOKEN VOCABULARY with occurrence counts — the
+    * corpus contributes exactly one token-counting pass, after which every
+    * iteration works a vocabulary-sized relation (the property that makes
+    * BPE training tractable at 100 TB: the 31-row fixture vocab and a
+    * 10M-type web vocab follow the same plan). Each step counts adjacent
+    * symbol pairs weighted by word count, picks the most frequent pair
+    * (ties broken by pair string — mirrored in the oracle), and rewrites
+    * the vocabulary's space-joined symbol strings via non-overlapping
+    * left-to-right `replace` — identical semantics in Spark's
+    * UTF8String.replace and DuckDB's replace, which the shared oracle
+    * hash-checks. The per-step argmax is a bounded 1-row driver collect
+    * (the merge table IS the trained artifact — parameter-sized, like an
+    * index head). Returns (step, pair, n).
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    // " h e l l o " — space-padded so every symbol occurrence, including
+    // word edges, is delimited by spaces and replace cannot match inside a
+    // multi-char symbol
+    var vocab = docs.select(explode(tokens(col("text"))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("cnt"))
+      .withColumn("repr", concat(lit(" "),
+        concat_ws(" ", expr(
+          "transform(sequence(1, length(tk)), i -> substring(tk, i, 1))")),
+        lit(" ")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (step <- 1 to nMerges) {
+      val top = vocab
+        .select(col("cnt"), explode(expr(
+          // guard: sequence(1, 0) DESCENDS in Spark, so a single-symbol
+          // word must yield an explicit empty pair list
+          "CASE WHEN size(split(trim(repr), ' ')) > 1 THEN " +
+            "transform(sequence(1, size(split(trim(repr), ' ')) - 1), i -> " +
+            "concat(element_at(split(trim(repr), ' '), i), ' ', " +
+            "element_at(split(trim(repr), ' '), i + 1))) " +
+            "ELSE array() END")).as("p"))
+        .groupBy("p").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("p").asc)
+        .head()
+      val pair = top.getString(0)
+      merges += ((step, pair, top.getLong(1)))
+      vocab = vocab.withColumn("repr",
+        replace(col("repr"), lit(s" $pair "),
+          lit(" " + pair.replace(" ", "") + " ")))
+        .localCheckpoint()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.result().map { case (s, p, n) =>
+        org.apache.spark.sql.Row(s, p, n) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 appendix A1.1): per
     * document, the occurrence count of its most frequent word bigram and
     * the number of trigram occurrences belonging to repeated trigrams,

@@ -388,6 +388,11 @@ object ExtensionQueries {
     // duplicated-trigram mass as exact integer numerators/denominators
     "text_repetition_stats" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"))),
+    // BPE tokenizer training (first 4 merges): vocabulary-sized
+    // iterations, corpus contributes one counting pass; the merge table
+    // is the trained artifact
+    "bpe_merges" -> ((s, dir) =>
+      Curation.bpeMerges(t(s, dir, "documents"))),
     // ---- data observability ----
     // per-column profile (rows / nulls / exact distinct), long format
     "table_profile_docs" -> ((s, dir) =>
@@ -1208,6 +1213,33 @@ object ExtensionQueries {
         "sh AS (SELECT doc_id, skey, CAST(('0x' || substr(skey, 1, 4))::BIGINT % 64 AS INT) AS shard FROM s) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos FROM sh"),
+    "bpe_merges" -> {
+      // mirror of Curation.bpeMerges: staged CTEs, one (pair-count →
+      // argmax → replace) stage per merge, same space-padded symbol
+      // representation and the same non-overlapping left-to-right replace
+      val n = 4
+      val v0 = "v0 AS (SELECT tk, cnt, ' ' || " +
+        "array_to_string([tk[i] FOR i IN generate_series(1, length(tk))], ' ') " +
+        "|| ' ' AS repr FROM (SELECT tk, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tk FROM documents) u " +
+        "GROUP BY tk) g)"
+      val stages = (1 to n).map { i =>
+        s"p$i AS (SELECT p AS pair, sum(cnt) AS n FROM (SELECT cnt, " +
+          "unnest([syms[j] || ' ' || syms[j+1] " +
+          "FOR j IN generate_series(1, len(syms) - 1)]) AS p FROM " +
+          s"(SELECT cnt, string_split(trim(repr), ' ') AS syms FROM v${i - 1}) t) s " +
+          "GROUP BY p), " +
+          s"m$i AS (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1), " +
+          s"v$i AS (SELECT tk, cnt, replace(repr, " +
+          s"' ' || (SELECT pair FROM m$i) || ' ', " +
+          s"' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS repr " +
+          s"FROM v${i - 1})"
+      }.mkString(", ")
+      "WITH " + v0 + ", " + stages + " " +
+        (1 to n).map(i =>
+          s"SELECT $i AS step, pair, CAST(n AS BIGINT) AS n FROM m$i")
+          .mkString(" UNION ALL ")
+    },
     "table_profile_docs" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
         s"SELECT '$c' AS col_name, count(*) AS n_rows, " +

@@ -187,6 +187,24 @@ class CurationSpec extends SparkSpecBase {
     assert(kept / n >= 0.40 && kept / n <= 0.70) // ~50% plus boundary ties
   }
 
+  test("bpe merges reproduce the textbook low/lower example with tie-breaks") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // vocab: low x3, lower x2, newest x1 (Sennrich's example, trimmed)
+    val docs = spark.createDataFrame(Seq(
+      Row(1L, "low low low"), Row(2L, "lower lower"), Row(3L, "newest")
+    ).asJava, schema)
+    val got = Curation.bpeMerges(docs, nMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // step 1 ties l o / o w at 5 -> pair-string tie-break picks "l o";
+    // step 3 ties e r / low e at 2 -> "e r"
+    assert(got == Seq((1, "l o", 5L), (2, "lo w", 5L),
+      (3, "e r", 2L), (4, "low er", 2L)))
+  }
+
   test("repetition stats: hand-computed gram counts, short docs report zeros") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
