@@ -392,7 +392,9 @@ object Curation {
     * (the merge table IS the trained artifact — parameter-sized, like an
     * index head). Returns (step, pair, n).
     */
-  def bpeMerges(docs: DataFrame, nMerges: Int = 4): DataFrame = {
+  def bpeMerges(docs: DataFrame, nMerges: Int = 4,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
     val spark = docs.sparkSession
     // " h e l l o " — space-padded so every symbol occurrence, including
     // word edges, is delimited by spaces and replace cannot match inside a
@@ -403,7 +405,7 @@ object Curation {
         concat_ws(" ", expr(
           "transform(sequence(1, length(tk)), i -> substring(tk, i, 1))")),
         lit(" ")))
-      .localCheckpoint()
+    vocab = materialize(vocab)
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (step <- 1 to nMerges) {
       val top = vocab
@@ -420,10 +422,9 @@ object Curation {
         .head()
       val pair = top.getString(0)
       merges += ((step, pair, top.getLong(1)))
-      vocab = vocab.withColumn("repr",
+      vocab = materialize(vocab.withColumn("repr",
         replace(col("repr"), lit(s" $pair "),
-          lit(" " + pair.replace(" ", "") + " ")))
-        .localCheckpoint()
+          lit(" " + pair.replace(" ", "") + " "))))
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
