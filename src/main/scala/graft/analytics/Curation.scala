@@ -439,6 +439,38 @@ object Curation {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** BPE encoding under a trained merge list — the APPLY path of
+    * [[bpeMerges]] (train once, encode anywhere: the tokenizer deployment
+    * shape). Encoding is a pure map over the token VOCABULARY: the merge
+    * list is parameter-sized (like an index head), applied as a chain of
+    * non-overlapping left-to-right `replace` steps on the space-padded
+    * symbol string — no per-step action, no shuffle, ONE plan. The corpus
+    * contributes one token-counting pass; per-document totals come from a
+    * join of per-doc token counts against the encoded vocabulary on the
+    * token key (vocabulary-sized relation — broadcastable for most corpora,
+    * a plain shuffle join at web-vocab scale; the planner decides).
+    * Returns (doc_id, n_tokens, n_bpe_symbols): the document's token count
+    * and its length under the trained tokenizer — the signal that sizes LM
+    * training (tokens-per-doc budgeting, sequence packing).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val vocab0 = docs.select(explode(tokens(col("text"))).as("tk")).distinct()
+      .withColumn("repr", concat(lit(" "),
+        concat_ws(" ", expr(
+          "transform(sequence(1, length(tk)), i -> substring(tk, i, 1))")),
+        lit(" ")))
+    val encoded = merges.foldLeft(vocab0) { (v, pair) =>
+      v.withColumn("repr", replace(col("repr"), lit(s" $pair "),
+        lit(" " + pair.replace(" ", "") + " ")))
+    }.withColumn("n_syms", size(split(trim(col("repr")), " ")).cast("long"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      .join(encoded.select("tk", "n_syms"), "tk")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("n_syms")).as("n_bpe_symbols"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 appendix A1.1): per
     * document, the occurrence count of its most frequent word bigram and
     * the number of trigram occurrences belonging to repeated trigrams,

@@ -393,6 +393,14 @@ object ExtensionQueries {
     // is the trained artifact
     "bpe_merges" -> ((s, dir) =>
       Curation.bpeMerges(t(s, dir, "documents"))),
+    // BPE apply: train the 4-step merge table (parameter-sized driver
+    // collect — the trained artifact), then encode the corpus map-only
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Curation.bpeMerges(docs).orderBy("step")
+        .collect().map(_.getString(1)).toSeq
+      Curation.bpeEncode(docs, pairs)
+    }),
     // ---- data observability ----
     // per-column profile (rows / nulls / exact distinct), long format
     "table_profile_docs" -> ((s, dir) =>
@@ -711,6 +719,33 @@ object ExtensionQueries {
           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
     })
   )
+
+  /** Shared BPE training CTE chain (mirror of Curation.bpeMerges): v0 is
+    * the space-padded symbol vocabulary with counts; one (pair-count →
+    * argmax m$i → replace v$i) stage per merge, same non-overlapping
+    * left-to-right replace as Spark's UTF8String.replace. Used by both the
+    * training oracle (reads m1..mN) and the encode oracle (reads vN).
+    */
+  private def bpeTrainCtes(n: Int): String = {
+    val v0 = "v0 AS (SELECT tk, cnt, ' ' || " +
+      "array_to_string([tk[i] FOR i IN generate_series(1, length(tk))], ' ') " +
+      "|| ' ' AS repr FROM (SELECT tk, count(*) AS cnt FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS tk FROM documents) u " +
+      "GROUP BY tk) g)"
+    val stages = (1 to n).map { i =>
+      s"p$i AS (SELECT p AS pair, sum(cnt) AS n FROM (SELECT cnt, " +
+        "unnest([syms[j] || ' ' || syms[j+1] " +
+        "FOR j IN generate_series(1, len(syms) - 1)]) AS p FROM " +
+        s"(SELECT cnt, string_split(trim(repr), ' ') AS syms FROM v${i - 1}) t) s " +
+        "GROUP BY p), " +
+        s"m$i AS (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1), " +
+        s"v$i AS (SELECT tk, cnt, replace(repr, " +
+        s"' ' || (SELECT pair FROM m$i) || ' ', " +
+        s"' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS repr " +
+        s"FROM v${i - 1})"
+    }.mkString(", ")
+    v0 + ", " + stages
+  }
 
   /** Brute-force ALL-pairs Hamming oracle (no chunk logic): hash-matching
     * against this proves the engine's pigeonhole candidate generation loses
@@ -1213,33 +1248,20 @@ object ExtensionQueries {
         "sh AS (SELECT doc_id, skey, CAST(('0x' || substr(skey, 1, 4))::BIGINT % 64 AS INT) AS shard FROM s) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos FROM sh"),
-    "bpe_merges" -> {
-      // mirror of Curation.bpeMerges: staged CTEs, one (pair-count →
-      // argmax → replace) stage per merge, same space-padded symbol
-      // representation and the same non-overlapping left-to-right replace
-      val n = 4
-      val v0 = "v0 AS (SELECT tk, cnt, ' ' || " +
-        "array_to_string([tk[i] FOR i IN generate_series(1, length(tk))], ' ') " +
-        "|| ' ' AS repr FROM (SELECT tk, count(*) AS cnt FROM " +
-        "(SELECT unnest(string_split(text, ' ')) AS tk FROM documents) u " +
-        "GROUP BY tk) g)"
-      val stages = (1 to n).map { i =>
-        s"p$i AS (SELECT p AS pair, sum(cnt) AS n FROM (SELECT cnt, " +
-          "unnest([syms[j] || ' ' || syms[j+1] " +
-          "FOR j IN generate_series(1, len(syms) - 1)]) AS p FROM " +
-          s"(SELECT cnt, string_split(trim(repr), ' ') AS syms FROM v${i - 1}) t) s " +
-          "GROUP BY p), " +
-          s"m$i AS (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1), " +
-          s"v$i AS (SELECT tk, cnt, replace(repr, " +
-          s"' ' || (SELECT pair FROM m$i) || ' ', " +
-          s"' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ') AS repr " +
-          s"FROM v${i - 1})"
-      }.mkString(", ")
-      "WITH " + v0 + ", " + stages + " " +
-        (1 to n).map(i =>
-          s"SELECT $i AS step, pair, CAST(n AS BIGINT) AS n FROM m$i")
-          .mkString(" UNION ALL ")
-    },
+    "bpe_merges" -> ("WITH " + bpeTrainCtes(4) + " " +
+      (1 to 4).map(i =>
+        s"SELECT $i AS step, pair, CAST(n AS BIGINT) AS n FROM m$i")
+        .mkString(" UNION ALL ")),
+    // training CTEs replayed, then the vocabulary's final repr encodes
+    // every document: per-token symbol count joined to doc token counts
+    "bpe_encode" -> ("WITH " + bpeTrainCtes(4) + ", " +
+      "enc AS (SELECT tk, len(string_split(trim(repr), ' ')) AS n_syms FROM v4), " +
+      "dc AS (SELECT doc_id, tk, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) u " +
+      "GROUP BY 1, 2) " +
+      "SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(c * n_syms) AS BIGINT) AS n_bpe_symbols " +
+      "FROM dc JOIN enc USING (tk) GROUP BY dc.doc_id"),
     "table_profile_docs" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
         s"SELECT '$c' AS col_name, count(*) AS n_rows, " +

@@ -203,6 +203,13 @@ class CurationSpec extends SparkSpecBase {
     // step 3 ties e r / low e at 2 -> "e r"
     assert(got == Seq((1, "l o", 5L), (2, "lo w", 5L),
       (3, "e r", 2L), (4, "low er", 2L)))
+
+    // apply path: "low" and "lower" both collapse to ONE symbol under the
+    // 4 merges; "newest" matches no merge and stays at its 6 characters
+    val enc = Curation.bpeEncode(docs,
+      got.map(_._2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(enc == Seq((1L, 3L, 3L), (2L, 2L, 2L), (3L, 1L, 6L)))
   }
 
   test("repetition stats: hand-computed gram counts, short docs report zeros") {
