@@ -78,4 +78,67 @@ object EventsAnalytics {
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.cast("int").as("is_current"))
   }
+
+  /** Fixed-grid resample with last-observation-carried-forward — the
+    * time-series gap-fill/align shape (metrics dashboards, feature grids):
+    * per user, an hourly grid spanning that user's observed range; hours
+    * with events report the LAST value in the hour (struct-max on
+    * (ts, event_id), no window needed), empty hours carry the previous
+    * filled value forward. The grid is generated per user by
+    * sequence+explode, so its size is bounded by each user's own span —
+    * no global calendar relation, no cross-user skew. Shuffles only on the
+    * semantic keys: (user_id, hour) for the hourly rollup, user_id for the
+    * forward-fill window. `value_filled` is never NULL because every
+    * user's grid starts at an observed hour. Values pass through from
+    * parquet untouched (no arithmetic), so the double column hashes
+    * identically across engines.
+    */
+  /** Per-type z-score outlier flags with NO division, square root, or
+    * floating point anywhere in the decision — the anomaly-detection
+    * monitor that must produce identical verdicts on any engine and any
+    * partitioning. |x − μ| > kσ is cross-multiplied into integers:
+    * (n·x − s)² > k²(n·q − s²) with s = Σx, q = Σx² over integer cents
+    * (value is a 2-decimal amount; CAST to DECIMAL(18,2) matches DuckDB's
+    * rounding bit-for-bit, as decSum relies on). k = 2.
+    *
+    * Range analysis (documented like keywordSearch's fixed point): cents
+    * ≤ 1e7, so with group rows n ≤ 1e12: |n·x − s| ≤ 1e19 (DECIMAL(19,0)),
+    * its square ≤ 1e38 (DECIMAL(38,0)), q ≤ n·1e14 — q and n·q stay inside
+    * DECIMAL(38,0) up to ~1e12-row groups; beyond that, widen the cents
+    * scale down (dollars) before the sums. The oracle runs the same
+    * integers in HUGEINT. Per-type stats are a broadcast (few types), so
+    * the fact side never shuffles; the flag is a map-side projection.
+    */
+  def valueOutliers(events: DataFrame): DataFrame = {
+    val v = events.select(col("event_id"), col("event_type"), col("value"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+    val stats = v.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("vc")).as("s"),
+      sum(expr("CAST(vc AS DECIMAL(19,0)) * vc")).as("q"))
+    v.join(broadcast(stats), "event_type")
+      .withColumn("d", expr(
+        "CAST(CAST(n AS DECIMAL(19,0)) * vc - CAST(s AS DECIMAL(19,0)) AS DECIMAL(19,0))"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("CAST(d * d > 4 * (CAST(n AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)) " +
+          "- CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS INT)")
+          .as("is_outlier"))
+  }
+
+  def gapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), expr("ts div 3600000000000").as("hour_bucket"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .getField("value").as("last_value"),
+        count(lit(1)).as("n_obs"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hour_bucket").as("lo"), max("hour_bucket").as("hi"))
+      .select(col("user_id"), explode(expr("sequence(lo, hi)")).as("hour_bucket"))
+    val w = Window.partitionBy("user_id").orderBy("hour_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour_bucket"), "left")
+      .select(col("user_id"), col("hour_bucket"),
+        last(col("last_value"), ignoreNulls = true).over(w).as("value_filled"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+  }
 }

@@ -635,6 +635,13 @@ object ExtensionQueries {
           expr("valid_from div 1000").as("valid_from_us"),
           expr("valid_to div 1000").as("valid_to_us"),
           col("is_current"))),
+    // hourly LOCF gap-fill: per-user grid spanning the observed range,
+    // last value in hour, empty hours carried forward
+    "events_gap_fill" -> ((s, dir) =>
+      EventsAnalytics.gapFill(t(s, dir, "events"))),
+    // division/sqrt-free z-score outlier flags (integer cross-multiplied)
+    "events_value_outliers" -> ((s, dir) =>
+      EventsAnalytics.valueOutliers(t(s, dir, "events"))),
     "events_retention_cohorts" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 604800000000000").as("week"))
@@ -1683,6 +1690,28 @@ object ExtensionQueries {
         "SELECT user_id, state, CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us, " +
         "CAST(epoch_us(valid_to) AS BIGINT) AS valid_to_us, " +
         "CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v"),
+    "events_gap_fill" ->
+      ("WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_bucket, " +
+        "last(value ORDER BY ts, event_id) AS last_value, count(*) AS n_obs " +
+        "FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT user_id, min(hour_bucket) AS lo, max(hour_bucket) AS hi " +
+        "FROM h GROUP BY 1), " +
+        "g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour_bucket FROM s) " +
+        "SELECT g.user_id, g.hour_bucket, " +
+        "last_value(h.last_value IGNORE NULLS) OVER (PARTITION BY g.user_id " +
+        "ORDER BY g.hour_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS value_filled, " +
+        "CAST(coalesce(h.n_obs, 0) AS BIGINT) AS n_obs " +
+        "FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour_bucket = h.hour_bucket"),
+    "events_value_outliers" ->
+      ("WITH v AS (SELECT event_id, event_type, value, " +
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events), " +
+        "g AS (SELECT event_type, count(*) AS n, sum(CAST(vc AS HUGEINT)) AS s, " +
+        "sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) AS q FROM v GROUP BY 1) " +
+        "SELECT event_id, v.event_type, value, " +
+        "CAST((CAST(n AS HUGEINT) * vc - s) * (CAST(n AS HUGEINT) * vc - s) > " +
+        "4 * (CAST(n AS HUGEINT) * q - s * s) AS INTEGER) AS is_outlier " +
+        "FROM v JOIN g ON v.event_type = g.event_type"),
     "events_retention_cohorts" ->
       ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events), " +
         "fw AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id) " +

@@ -302,6 +302,68 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(covered.filter(col("e.event_type") =!= col("s.state")).count() == 0)
   }
 
+  test("gap fill: hand-computed LOCF, dense per-user grid, observed hours exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val hour = 3600000000000L
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    // user 1: obs in hours 10 and 13 (two obs in 10 — the later wins);
+    // hours 11-12 carry 2.0 forward. user 2: single hour, no gaps.
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 10L * hour + 5L, 1L, 1.0), Row(2L, 10L * hour + 9L, 1L, 2.0),
+      Row(3L, 13L * hour, 1L, 7.0), Row(4L, 20L * hour, 2L, 9.0)
+    ).asJava, schema)
+    val got = EventsAnalytics.gapFill(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == Seq(
+      (1L, 10L, 2.0, 2L), (1L, 11L, 2.0, 0L), (1L, 12L, 2.0, 0L),
+      (1L, 13L, 7.0, 1L), (2L, 20L, 9.0, 1L)))
+    // fixture invariants: grid is dense per user, filled value never NULL
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val fix = EventsAnalytics.gapFill(events)
+    assert(fix.filter(col("value_filled").isNull).count() == 0)
+    val span = fix.groupBy("user_id").agg(count(lit(1)).as("n"),
+      (max("hour_bucket") - min("hour_bucket") + 1).as("expect"))
+    assert(span.filter(col("n") =!= col("expect")).count() == 0)
+  }
+
+  test("value outliers: hand-computed flags, agreement with double z-score on fixture") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // type a: nine 10.0s and one 110.0 — mean 20, var 900, 2σ = 60;
+    // only the 110 (|110-20| = 90 > 60) is an outlier. type b: constant
+    // values → σ = 0, no row deviates, no flags.
+    val tiny = spark.createDataFrame(
+      (Seq.tabulate(9)(i => Row(i.toLong, "a", 10.0)) ++
+        Seq(Row(9L, "a", 110.0), Row(10L, "b", 5.0), Row(11L, "b", 5.0)))
+        .asJava, schema)
+    val got = EventsAnalytics.valueOutliers(tiny).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got(9L) == 1)
+    assert((0 to 8).forall(i => got(i.toLong) == 0) && got(10L) == 0 && got(11L) == 0)
+    // fixture: the exact integer decision agrees with the double z-score
+    // (no fixture value sits on the 2σ boundary)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val flags = EventsAnalytics.valueOutliers(events)
+    val stats = events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_pop("value").as("sigma"))
+    val ref = events.join(stats, "event_type")
+      .select(col("event_id"),
+        (abs(col("value") - col("mu")) > lit(2.0) * col("sigma"))
+          .cast("int").as("ref_flag"))
+    val joined = flags.join(ref, "event_id")
+    assert(joined.filter(col("is_outlier") =!= col("ref_flag")).count() == 0)
+    assert(flags.filter(col("is_outlier") === 1).count() > 0)
+  }
+
   test("cluster-balanced sample is the per-cell lowest-id quota of the full assignment") {
     import org.apache.spark.sql.expressions.Window
     // perCell larger than the corpus = the full cell assignment
