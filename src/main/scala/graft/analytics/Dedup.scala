@@ -233,6 +233,46 @@ object Dedup {
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Damped PageRank in EXACT integer fixed point — graph centrality over
+    * candidate/co-occurrence graphs (hub tokens; glue documents that chain
+    * near-dup clusters together). Ranks are BIGINTs scaled by 1e12, the
+    * damping 0.85 is the rational 17/20, and every division is a
+    * positive-integer floor division — `(pr*17) div (20*deg)` per edge,
+    * teleport `(3*S) div (20*N)` — identical in Spark's `div` and DuckDB's
+    * `//`, so an `iters`-step run hash-matches a staged-CTE replay exactly
+    * on any partitioning. Undirected edges are symmetrized, so every node
+    * has degree ≥ 1 both ways: no dangling-mass correction needed.
+    *
+    * Per iteration: one src-keyed join (node-sized rank relation against
+    * the edge relation) and one dst aggregate — the standard two-shuffle
+    * distributed PageRank; the hook cuts lineage between iterations. The
+    * node count is the one driver scalar (a count, like the index
+    * staleness signature — not data).
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 3,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    val S = 1000000000000L
+    val e0 = edges.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val dir = materialize(
+      e0.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(e0.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = materialize(dir.join(deg, "src"))
+    val n = deg.count()
+    val base = (3L * S) / (20L * n)
+    var ranks = deg.select(col("src").as("node"), lit(S / n).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = materialize(
+        withDeg.join(ranks, withDeg("src") === ranks("node"))
+          .select(col("dst"), expr("(pr * 17) div (20 * deg)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("in_mass"))
+          .select(col("dst").as("node"), (lit(base) + col("in_mass")).as("pr")))
+    }
+    ranks.select(col("node"), col("pr").cast("long").as("rank_scaled"))
+  }
+
   def connectedComponentsStar(
       edges: DataFrame, maxRounds: Int = 60,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {

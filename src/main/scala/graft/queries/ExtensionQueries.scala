@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
+  /** The ±2-window token co-occurrence graph (word2vec-style skip-gram
+    * pairs as undirected edges, self-loops dropped) — shared by the
+    * triangle-counting and PageRank keys. Non-distinct pair stream; the
+    * graph operators dedup internally.
+    */
+  private def tokenGraphEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .select(tokens(col("text")).as("w"))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(w)), i -> " +
+          "filter(transform(sequence(1, 2), d -> " +
+          "IF(i + d <= size(w), struct(least(w[i-1], w[i+d-1]) AS id_a, " +
+          "greatest(w[i-1], w[i+d-1]) AS id_b), NULL)), " +
+          "x -> x IS NOT NULL)))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
@@ -103,20 +121,12 @@ object ExtensionQueries {
     // the same operator driven hard: the ±2-window token co-occurrence
     // graph (the cooccurrence_topk relation as an undirected graph) is
     // dense, so every vertex participates in many triangles
-    "token_graph_triangles" -> ((s, dir) => {
-      val edges = t(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .select(tokens(col("text")).as("w"))
-        .select(explode(expr(
-          "flatten(transform(sequence(1, size(w)), i -> " +
-            "filter(transform(sequence(1, 2), d -> " +
-            "IF(i + d <= size(w), struct(least(w[i-1], w[i+d-1]) AS id_a, " +
-            "greatest(w[i-1], w[i+d-1]) AS id_b), NULL)), " +
-            "x -> x IS NOT NULL)))")).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-        .filter(col("id_a") =!= col("id_b"))
-      Dedup.triangleCounts(edges)
-    }),
+    "token_graph_triangles" -> ((s, dir) =>
+      Dedup.triangleCounts(tokenGraphEdges(s, dir))),
+    // integer-fixed-point damped PageRank over the same token graph:
+    // 3 iterations, rank mass scaled by 1e12, floor divisions only
+    "token_graph_pagerank" -> ((s, dir) =>
+      Dedup.pageRankFixedPoint(tokenGraphEdges(s, dir))),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -270,6 +280,10 @@ object ExtensionQueries {
     // one row per (label, dimension) — the hash-friendly relational shape
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    // Rademacher random projection 64->16 (JL dimension reduction),
+    // hash-derived sign matrix, map-only
+    "embedding_rproj" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"))),
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
@@ -726,6 +740,18 @@ object ExtensionQueries {
           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
     })
   )
+
+  /** SQL mirror of [[tokenGraphEdges]]: distinct undirected ±2-window token
+    * pairs as CTE `e` — shared by the triangle and PageRank oracles.
+    */
+  private val tokenEdgeCte: String =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "p1 AS (SELECT unnest([{'id_a': least(w[i], w[i+1]), 'id_b': greatest(w[i], w[i+1])} " +
+      "FOR i IN generate_series(1, len(w) - 1)], recursive := true) FROM toks), " +
+      "p2 AS (SELECT unnest([{'id_a': least(w[i], w[i+2]), 'id_b': greatest(w[i], w[i+2])} " +
+      "FOR i IN generate_series(1, len(w) - 2)], recursive := true) FROM toks), " +
+      "e AS (SELECT DISTINCT id_a, id_b FROM " +
+      "(SELECT * FROM p1 UNION ALL SELECT * FROM p2) u WHERE id_a != id_b)"
 
   /** Shared BPE training CTE chain (mirror of Curation.bpeMerges): v0 is
     * the space-padded symbol vocabulary with counts; one (pair-count →
@@ -1349,15 +1375,21 @@ object ExtensionQueries {
     "neardup_triangles" ->
       triangleSql("WITH " + minhashPairCtes +
         ", e AS (SELECT DISTINCT id_a, id_b FROM pairs)"),
-    "token_graph_triangles" ->
-      triangleSql(
-        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-          "p1 AS (SELECT unnest([{'id_a': least(w[i], w[i+1]), 'id_b': greatest(w[i], w[i+1])} " +
-          "FOR i IN generate_series(1, len(w) - 1)], recursive := true) FROM toks), " +
-          "p2 AS (SELECT unnest([{'id_a': least(w[i], w[i+2]), 'id_b': greatest(w[i], w[i+2])} " +
-          "FOR i IN generate_series(1, len(w) - 2)], recursive := true) FROM toks), " +
-          "e AS (SELECT DISTINCT id_a, id_b FROM " +
-          "(SELECT * FROM p1 UNION ALL SELECT * FROM p2) u WHERE id_a != id_b)"),
+    "token_graph_triangles" -> triangleSql(tokenEdgeCte),
+    "token_graph_pagerank" ->
+      (tokenEdgeCte + ", " +
+        "dir AS (SELECT id_a AS src, id_b AS dst FROM e " +
+        "UNION ALL SELECT id_b, id_a FROM e), " +
+        "deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM deg), " +
+        "r0 AS (SELECT src AS node, 1000000000000 // (SELECT n FROM nn) AS pr FROM deg), " +
+        (1 to 3).map(i =>
+          s"r$i AS (SELECT dst AS node, " +
+            "(3000000000000 // (20 * (SELECT n FROM nn))) + " +
+            s"sum((pr * 17) // (20 * deg)) AS pr " +
+            s"FROM dir JOIN r${i - 1} ON dir.src = r${i - 1}.node " +
+            "JOIN deg ON dir.src = deg.src GROUP BY dst)").mkString(", ") +
+        " SELECT node, CAST(pr AS BIGINT) AS rank_scaled FROM r3"),
     // candidate-restricted verify over the SAME df-capped shingle universe
     // as ngram_jaccard_pairs: candidates from the LSH bands, exact Jaccard
     // from the capped shingle relation the band CTE already built
@@ -1548,6 +1580,17 @@ object ExtensionQueries {
         "CAST(CASE WHEN mx = mn THEN 0 ELSE least(CAST(floor(" +
         "((x - mn) * 255.0) / (mx - mn)) AS INT), 255) END AS INT) AS code " +
         "FROM pts JOIN r USING (pos)"),
+    "embedding_rproj" ->
+      ("WITH sg AS (SELECT j, i, CASE WHEN ('0x' || substr(md5('rp-' || " +
+        "CAST(j AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 4))::INT % 2 = 1 " +
+        "THEN 1 ELSE -1 END AS s " +
+        "FROM generate_series(0, 15) g1(j) CROSS JOIN generate_series(0, 63) g2(i)), " +
+        "px AS (SELECT vec_id, unnest([{'i': i - 1, " +
+        "'xd': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings) " +
+        "SELECT vec_id, CAST(j AS INT) AS pos, " +
+        "round(CAST(sum(CASE WHEN s = 1 THEN xd ELSE -xd END) AS DOUBLE), 6) AS v " +
+        "FROM px JOIN sg ON px.i = sg.i GROUP BY vec_id, j"),
     "label_centroids" ->
       ("WITH u AS (SELECT label, unnest([{'pos': i - 1, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
         "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings) " +

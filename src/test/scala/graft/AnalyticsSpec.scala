@@ -331,6 +331,34 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(span.filter(col("n") =!= col("expect")).count() == 0)
   }
 
+  test("random projection: basis vectors read the sign matrix, k rows per vector") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // e_i projects to column i of the sign matrix: y_j = sign(j, i)
+    val basis = spark.createDataFrame(
+      Seq(0, 17, 63).map(i => Row(i.toLong,
+        Seq.tabulate(64)(p => if (p == i) 1.0f else 0.0f))).asJava, schema)
+    val got = Similarity.randomProjection(basis).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Int = {
+      val hex = md.digest(s"rp-$j-$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex, 16) % 2 == 1) 1 else -1
+    }
+    for (i <- Seq(0, 17, 63); j <- 0 until 16)
+      assert(got((i.toLong, j)) == sign(j, i).toDouble)
+    // fixture shape: exactly k rows per vector, both signs occur
+    val proj = Similarity.randomProjection(emb)
+    val perVec = proj.groupBy("vec_id").count()
+    assert(perVec.filter(col("count") =!= 16).count() == 0)
+    assert(proj.filter(col("v") > 0).count() > 0 &&
+      proj.filter(col("v") < 0).count() > 0)
+  }
+
   test("value outliers: hand-computed flags, agreement with double z-score on fixture") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -91,6 +91,41 @@ class CurationSpec extends SparkSpecBase {
       200L -> 1L, 201L -> 1L, 202L -> 1L))
   }
 
+  test("fixed-point pagerank matches a driver-side integer replica on random graphs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val S = 1000000000000L
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 10 + rnd.nextInt(20)
+      val raw = (0 until 15 + rnd.nextInt(40))
+        .map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val und = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // driver-side replica: same symmetrization, same floor divisions
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._2) }
+      val n = adj.size
+      val base = 3L * S / (20L * n)
+      var pr = adj.keys.map(_ -> S / n).toMap
+      for (_ <- 1 to 3)
+        // .iterator: mapping a key SET would collapse equal contributions
+        pr = adj.keys.map(v => v -> (base +
+          adj.filter(_._2.contains(v)).keys.iterator
+            .map(u => pr(u) * 17L / (20L * adj(u).size)).sum)).toMap
+      val df = spark.createDataFrame(
+        und.map { case (a, b) => Row(a, b) }.asJava, schema)
+      val got = Dedup.pageRankFixedPoint(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == pr, s"seed=$seed engine != integer replica")
+      // conservation: total mass stays within N floor-losses of S
+      assert(got.values.sum <= S && got.values.sum >= S - 2L * n * 20L)
+    }
+  }
+
   test("random graphs: both CC variants agree with union-find ground truth") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
