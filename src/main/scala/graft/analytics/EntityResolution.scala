@@ -1,0 +1,77 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution / fuzzy record linkage over a keyed string column —
+  * the "same real-world entity, slightly different spelling" pass a
+  * training-data pipeline runs over author/source/URL fields before
+  * aggregating per-entity statistics.
+  *
+  * Candidate generation is deletion-neighborhood blocking (Bocek et al.,
+  * "Fast Similarity Search in Large Dictionaries", Univ. of Zurich TR
+  * ifi-2007.02 — the FastSS / SymSpell family): every record emits its name
+  * plus all |name| single-character-deletion variants, and candidates are
+  * found by a hash EQUI-join on (block, variant). Any two names within edit
+  * distance 1 share a variant (substitution at i: both drop position i;
+  * insertion/deletion: the shorter string IS a variant of the longer;
+  * equality: the name itself), so the variant join yields a guaranteed
+  * superset of the true matches; a shared variant only bounds the distance
+  * by 2, so one exact `levenshtein` per DISTINCT candidate pair confirms.
+  *
+  * Scale shape: the textbook alternative — a within-block nested-loop
+  * compare — is quadratic in block size and melts on a 100 TB corpus the
+  * moment one block is hot. Here each record expands to |name|+1 variant
+  * rows (linear, bounded by name length), the join is a plain shuffled
+  * hash equi-join on (block, variant) that AQE can skew-split, and exact
+  * Levenshtein runs once per surviving candidate pair — the
+  * LSH-candidates-then-verify shape of [[Dedup]], applied to edit
+  * distance instead of Jaccard.
+  */
+object EntityResolution {
+
+  /** All single-deletion variants of `name`, plus `name` itself, distinct.
+    * SQL lambda (codegen'd), no UDF. */
+  private val deletionVariants =
+    "array_distinct(array_union(array(name), " +
+      "transform(sequence(1, length(name)), " +
+      "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))))"
+
+  /** Matched pairs `(id_a < id_b, dist)` with exact Levenshtein distance
+    * <= 1, never comparing records whose `blockCol` differs (hard blocking
+    * key — classic record-linkage blocking, Fellegi–Sunter style).
+    */
+  def editMatches(
+      records: DataFrame, idCol: String, nameCol: String,
+      blockCol: String): DataFrame = {
+    val v = records
+      .select(col(idCol).as("rid"), col(nameCol).as("name"),
+        col(blockCol).as("blk"))
+      .select(col("rid"), col("name"), col("blk"),
+        explode(expr(deletionVariants)).as("v"))
+    v.alias("a").join(v.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+          col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      // a pair can share several variants — dedup BEFORE the exact verify
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Entity ids from the transitive closure of [[editMatches]]: connected
+    * components (min member id as the entity label) over the match graph —
+    * "A~B and B~C" folds A, B, C into one entity even when lev(A,C) = 2.
+    * Only records that matched something appear (singletons are their own
+    * entity trivially).
+    */
+  def entityClusters(
+      records: DataFrame, idCol: String, nameCol: String,
+      blockCol: String): DataFrame =
+    Dedup.connectedComponents(
+        editMatches(records, idCol, nameCol, blockCol)
+          .select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as(idCol), col("component").as("entity_id"))
+}

@@ -155,6 +155,18 @@ object ExtensionQueries {
     "simhash_neardup_pairs_strsig" -> ((s, dir) =>
       Dedup.simhashNearDupPairsStrSig(t(s, dir, "documents"), maxDist = 3)),
 
+    // ---- entity resolution (fuzzy record linkage) ----
+    // deletion-neighborhood candidate blocking (FastSS/SymSpell) + exact
+    // Levenshtein verify; customers in the same nation whose names sit
+    // within edit distance 1
+    "entity_match_customers" -> ((s, dir) =>
+      EntityResolution.editMatches(
+        t(s, dir, "customer"), "c_custkey", "c_name", "c_nationkey")),
+    // transitive closure of the match graph: one entity id per linked group
+    "entity_match_clusters" -> ((s, dir) =>
+      EntityResolution.entityClusters(
+        t(s, dir, "customer"), "c_custkey", "c_name", "c_nationkey")),
+
     // ---- similarity search ----
     "cosine_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
@@ -1156,6 +1168,15 @@ object ExtensionQueries {
     * components oracles: `reach(src, dst)` reaches every vertex in the same
     * component (self-loops included).
     */
+  /** Blocked fuzzy-match pairs for the entity-resolution oracles: the
+    * quadratic within-block compare IS the oracle (the engine's deletion-
+    * neighborhood candidates must reproduce it exactly).
+    */
+  private val custPairCtes: String =
+    "cust_pairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b " +
+      "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
+      "AND a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1)"
+
   private def closureCtes(pairsRel: String): String =
     s"e AS (SELECT DISTINCT id_a, id_b FROM $pairsRel), " +
       "und AS (SELECT id_a AS src, id_b AS dst FROM e " +
@@ -1499,6 +1520,15 @@ object ExtensionQueries {
     "simhash_neardup_pairs_wide" -> simhashBruteForceOracle(12),
     "simhash_neardup_pairs_128" -> simhashBruteForceOracle(12, bits = 128),
     "simhash_neardup_pairs_strsig" -> simhashBruteForceOracle(3),
+    "entity_match_customers" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist " +
+        "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
+        "AND a.c_custkey < b.c_custkey " +
+        "AND levenshtein(a.c_name, b.c_name) <= 1"),
+    "entity_match_clusters" ->
+      ("WITH RECURSIVE " + custPairCtes + ", " + closureCtes("cust_pairs") +
+        " SELECT src AS c_custkey, min(dst) AS entity_id FROM reach GROUP BY src"),
     "cosine_topk_native" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +

@@ -1,0 +1,54 @@
+package graft
+
+import graft.analytics.EntityResolution
+import org.apache.spark.sql.functions._
+
+class EntityResolutionSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+
+  test("deletion-neighborhood candidates reproduce the brute-force blocked compare") {
+    // the FastSS equi-join is a candidate GENERATOR — after the exact
+    // levenshtein verify it must equal the quadratic within-block compare
+    val fast = EntityResolution
+      .editMatches(cust, "c_custkey", "c_name", "c_nationkey")
+      .select("id_a", "id_b", "dist")
+    val a = cust.select(col("c_custkey").as("id_a"), col("c_name").as("na"),
+      col("c_nationkey").as("ka"))
+    val b = cust.select(col("c_custkey").as("id_b"), col("c_name").as("nb"),
+      col("c_nationkey").as("kb"))
+    val brute = a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+    assert(fast.count() == brute.count())
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  test("insert / delete / substitute variants all land in the candidate set") {
+    // hand-built records covering each edit kind plus a same-name-other-
+    // block pair that must NOT match despite distance 0
+    val recs = Seq(
+      (1L, "alpha", 0), (2L, "alpa", 0),   // deletion (h dropped)
+      (3L, "alpha", 1),                    // same name, different block
+      (4L, "alphax", 0),                   // insertion at the end
+      (5L, "alpho", 0),                    // substitution
+      (6L, "zzzzz", 0)                     // unrelated
+    ).toDF("rid", "nm", "blk")
+    val pairs = EntityResolution.editMatches(recs, "rid", "nm", "blk")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (1L, 5L)))
+  }
+
+  test("entity clusters fold distance-2 chains through a shared neighbor") {
+    // lev(aaaa, aaab)=1, lev(aaab, aabb)=1, lev(aaaa, aabb)=2 — one entity
+    val recs = Seq((10L, "aaaa", 0), (11L, "aaab", 0), (12L, "aabb", 0),
+      (13L, "cccc", 0), (14L, "cccd", 0)).toDF("rid", "nm", "blk")
+    val clusters = EntityResolution.entityClusters(recs, "rid", "nm", "blk")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      13L -> 13L, 14L -> 13L))
+  }
+}
