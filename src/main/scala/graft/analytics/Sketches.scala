@@ -1,0 +1,93 @@
+package graft.analytics
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-accelerated exact analytics: a bounded-size summary structure
+  * prunes the expensive exact computation to the keys that can possibly
+  * qualify, and an exact pass over only those keys produces the final
+  * answer — so the sketch changes the COST, never the RESULT (the same
+  * contract as [[Decontaminate]]'s Bloom pre-filter and [[Similarity]]'s
+  * IVF shortlists).
+  */
+object Sketches {
+
+  /** Exact heavy hitters over the corpus token-bigram stream, pre-filtered
+    * by a count-min sketch (Cormode & Muthukrishnan, "An improved data
+    * stream summary: the count-min sketch and its applications", J.
+    * Algorithms 55(1), 2005).
+    *
+    * Output: every bigram whose EXACT occurrence count `n` satisfies
+    * `n * thresholdDen >= total_bigrams` (a relative φ-heavy-hitter
+    * threshold), with the exact count — bit-identical to the naive
+    * full-vocabulary groupBy, which is exactly what the oracle runs.
+    *
+    * Why this shape at 100 TB: the naive query shuffles the FULL distinct
+    * gram universe (billions of keys on a web corpus) just to keep the few
+    * thousand above threshold. Here one map-side-combined pass builds the
+    * d×w counter matrix (d·w rows TOTAL, parameter-sized — independent of
+    * corpus size), the matrix returns to every task as a literal array
+    * (the few-KiB "index head" shape of [[Similarity]]'s probes), and each
+    * occurrence checks `min_i sketch[i][h_i(gram)] * den >= total` as a
+    * codegen'd map-side PREDICATE — CMS never undercounts, so no true
+    * heavy hitter is dropped. Only qualifying occurrences (the heavy tail
+    * plus bounded hash-collision false positives) ever reach the exact
+    * groupBy, whose HAVING on the exact count removes the false positives.
+    * Both corpus passes are full scans, but only the first shuffles — and
+    * it shuffles d·w combined rows per task, not the gram universe.
+    *
+    * @param thresholdDen heavy-hitter fraction denominator: keep grams
+    *                     with count >= total/thresholdDen
+    * @param d            sketch depth (independent hash rows)
+    * @param w            sketch width (buckets per row)
+    */
+  def heavyHittersCms(
+      docs: DataFrame, thresholdDen: Long = 2000L, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(thresholdDen >= 1 && d >= 1 && w >= 1,
+      s"heavyHittersCms: need positive (thresholdDen, d, w), got " +
+        s"($thresholdDen, $d, $w)")
+    val grams = docs
+      .repartition(col("doc_id"))
+      .select(tokens(col("text")).as("wrds"))
+      .select(explode(wordShingles(col("wrds"), 2)).as("gram"))
+
+    def bucket(i: Int): Column =
+      pmod(xxhash64(concat(lit(s"$i:"), col("gram"))), lit(w))
+
+    // pass 1 — the d×w counter matrix. One aggregate whose grouping
+    // cardinality is d·w regardless of corpus size; the collect is
+    // parameter-sized (d·w longs, ~KiB), the deployed-sketch analogue of
+    // the IVF index head.
+    val counters = Array.fill(d * w)(0L)
+    var total = 0L
+    grams
+      .select(explode(expr(
+        s"transform(sequence(0, ${d - 1}), i -> " +
+          s"named_struct('row_id', i, 'bucket', " +
+          s"pmod(xxhash64(concat(cast(i AS string), ':', gram)), $w)))"))
+        .as("rb"))
+      .groupBy(col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .foreach { r =>
+        val row = r.getInt(0); val b = r.getLong(1); val c = r.getLong(2)
+        counters(row * w + b.toInt) = c
+        if (row == 0) total += c // row 0's buckets partition the stream
+      }
+    val sketchLit = lit(counters)
+
+    // pass 2 — map-side CMS predicate, then the exact groupBy over only
+    // the occurrences that can possibly qualify; the HAVING on the exact
+    // count drops collision-inflated false positives.
+    val est = (0 until d)
+      .map(i => element_at(sketchLit, (lit(i * w) + bucket(i) + 1).cast("int")))
+      .reduce(least(_, _))
+    grams
+      .filter(est * lit(thresholdDen) >= lit(total))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(thresholdDen) >= lit(total))
+  }
+}

@@ -630,6 +630,11 @@ object ExtensionQueries {
           bi, Seq("tk"), Seq("neg_n", "next_tk"), 3)
         .drop("neg_n")
     }),
+    // exact φ-heavy-hitters over the bigram stream, pruned by a count-min
+    // sketch: the d×w counter matrix rides back as a literal array and the
+    // exact groupBy only ever sees occurrences the sketch says can qualify
+    "heavy_hitters_cms" -> ((s, dir) =>
+      Sketches.heavyHittersCms(t(s, dir, "documents"))),
     // retention cohorts: users bucketed by first-seen week, distinct-user
     // counts per (cohort, active) week pair — two aggregates and one
     // co-partitioned join on user_id, the classic warehouse rollup
@@ -1807,6 +1812,13 @@ object ExtensionQueries {
         "SELECT tk, next_tk, n FROM (SELECT tk, next_tk, n, " +
         "row_number() OVER (PARTITION BY tk ORDER BY n DESC, next_tk) AS rn FROM c) t " +
         "WHERE rn <= 3"),
+    "heavy_hitters_cms" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "bi AS (SELECT w[i] || ' ' || w[i+1] AS gram FROM toks, " +
+        "unnest(generate_series(1, len(w) - 1)) AS t(i)), " +
+        "tot AS (SELECT count(*) AS total FROM bi) " +
+        "SELECT gram, count(*) AS n FROM bi GROUP BY 1 " +
+        "HAVING count(*) * 2000 >= (SELECT total FROM tot)"),
     "events_ohlc" ->
       ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
         "first(value ORDER BY ts, event_id) AS open, " +

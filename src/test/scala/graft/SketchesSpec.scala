@@ -1,0 +1,60 @@
+package graft
+
+import graft.analytics.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  /** Zipf-ish corpus: token i appears ~N/i times, so bigrams are heavily
+    * skewed — a handful of hot pairs over a long rare tail.
+    */
+  private lazy val skewed = {
+    val words = (1 to 40).flatMap(i => Seq.fill(80 / i)(s"w$i"))
+    (0 until 60).map { d =>
+      val txt = (0 until 50)
+        .map(j => words(((d * 31 + j * 17) * 7919) % words.size))
+        .mkString(" ")
+      (d.toLong, txt)
+    }.toDF("doc_id", "text")
+  }
+
+  private def naive(thresholdDen: Long) = {
+    val grams = skewed
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .select(explode(graft.functions.TextFunctions.wordShingles(col("w"), 2))
+        .as("gram"))
+    val total = grams.count()
+    grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") * thresholdDen >= lit(total))
+  }
+
+  test("CMS-pruned heavy hitters equal the naive full groupBy") {
+    for (den <- Seq(50L, 200L)) {
+      val fast = Sketches.heavyHittersCms(skewed, thresholdDen = den)
+      val slow = naive(den)
+      assert(fast.count() == slow.count(), s"den=$den")
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"den=$den")
+    }
+  }
+
+  test("a tiny colliding sketch still gives the exact answer") {
+    // w=2, d=1: nearly every gram collides, the estimate wildly
+    // overcounts, the candidate set is almost the whole stream — and the
+    // exact HAVING must still strip every false positive
+    val fast = Sketches.heavyHittersCms(skewed, thresholdDen = 50L,
+      d = 1, w = 2)
+    val slow = naive(50L)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("sketch estimates never undercount (no false negatives by design)") {
+    // a generous sketch admits everything above threshold even when the
+    // threshold sits at the single-occurrence floor
+    val fast = Sketches.heavyHittersCms(skewed, thresholdDen = 1000000L)
+    val slow = naive(1000000L)
+    assert(fast.count() == slow.count())
+  }
+}
