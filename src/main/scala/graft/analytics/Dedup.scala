@@ -385,6 +385,89 @@ object Dedup {
       .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007; the
+    * AllPairs/PPJoin candidate condition) — the same output as
+    * [[ngramJaccardPairs]] from a candidate join that touches only prefix
+    * tokens instead of every token.
+    *
+    * Order every shingle by global rarity `(df, s)` ascending. For a doc
+    * with `sz` surviving shingles and threshold `1/den`, the prefix is its
+    * first `sz - ceil(sz/den) + 1` shingles under that order. Completeness:
+    * let `w` be the rarest common shingle of a qualifying pair (A, B).
+    * Every common shingle sorts ≥ w, so at most `|A| - c` of A's shingles
+    * precede w, putting w at position ≤ `|A| - c + 1 ≤ |A| - ceil(|A|/den)
+    * + 1` (Jaccard ≥ 1/den forces `c ≥ ceil(|A|/den)`) — inside A's
+    * prefix, and symmetrically inside B's. So every qualifying pair
+    * collides on ≥ 1 prefix token and the exact verify reproduces the
+    * all-pairs answer bit-for-bit — the oracle is shared verbatim.
+    *
+    * Scale shape vs [[ngramJaccardPairs]]: the candidate self-join carries
+    * only ~sz/den + 1 shingles per doc, and those are each doc's RAREST
+    * shingles — exactly the low-df join keys — so candidate-pair volume
+    * collapses (the hot stop-shingle keys sit at the END of the order and
+    * never enter a prefix unless a doc is tiny). Per-doc prefix selection
+    * is a doc_id-partitioned window (rank by (df, s)), a bounded sort per
+    * doc — no global rank structure is ever built.
+    */
+  def prefixFilterJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      thresholdDen: Int = 5,
+      dfCap: Int = 100,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shAll = materialize(shingles(docs, n))
+    val rare = shAll.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+    // keep df on the shingle rows: the per-doc rarity order needs it
+    val sh = shAll.join(rare, Seq("s"))
+      .select(col("doc_id"), col("s"), col("df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // rank each doc's shingles rarest-first; ceil(sz/den) in exact integer
+    // arithmetic via (sz + den - 1) div den
+    val prefix = sh
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rn") <=
+        col("sz") - expr(s"(sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.toDF("id_a", "s")
+      .join(prefix.toDF("id_b", "s2"),
+        col("s") === col("s2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    exactJaccardOnPairs(cand, sh.select(col("doc_id"), col("s")), sizes,
+      thresholdDen)
+  }
+
+  /** Exact Jaccard verify restricted to candidate pairs: intersections from
+    * a shingle equi-join meeting each candidate side on doc_id, union by
+    * inclusion-exclusion, integer cross-multiplied threshold. Shared by the
+    * MinHash and prefix-filter candidate generators — both produce a
+    * candidate superset of the qualifying pairs, so this pass alone decides
+    * membership and the result matches the all-pairs reference.
+    */
+  private def exactJaccardOnPairs(
+      cand: DataFrame,
+      sh: DataFrame,
+      sizes: DataFrame,
+      thresholdDen: Int): DataFrame = {
+    val inter = cand
+      .join(sh.toDF("id_a", "s"), "id_a")
+      .join(sh.toDF("id_b", "s2"), Seq("id_b"))
+      .filter(col("s") === col("s2"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"))
+      .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
+  }
+
   /** Per-document duplicated n-gram coverage — the exact-substring dedup
     * signal (Lee et al., "Deduplicating Training Data Makes Language Models
     * Better"): how much of each document's content also occurs verbatim
@@ -452,18 +535,7 @@ object Dedup {
     val sh = shAll.join(rare, Seq("s"), "left_semi")
       .select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.toDF("id_a", "s"), "id_a")
-      .join(sh.toDF("id_b", "s2"), Seq("id_b"))
-      .filter(col("s") === col("s2"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.toDF("id_a", "sz_a"), "id_a")
-      .join(sizes.toDF("id_b", "sz_b"), "id_b")
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"))
-      .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
+    exactJaccardOnPairs(cand, sh, sizes, thresholdDen)
   }
 
   /** Modulus for the affine MinHash family: 2^40 keeps every intermediate

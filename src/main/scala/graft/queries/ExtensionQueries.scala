@@ -64,6 +64,12 @@ object ExtensionQueries {
     // hot-shingle join skew instead
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"))),
+    // same answer as ngram_jaccard_pairs (shared oracle) from the
+    // AllPairs/PPJoin prefix-filter candidate join: only each doc's rarest
+    // ~sz/den+1 shingles enter the self-join, so candidate volume collapses
+    // and the hot stop-shingle keys never become join keys
+    "jaccard_prefix_pairs" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"))),
     // full corpus: the positional-window oracle is O(len·docs) in DuckDB,
     // fine at the sf0.01 correctness gate (500 docs)
     "doc_winnow_fingerprints" -> ((s, dir) =>
@@ -1374,6 +1380,20 @@ object ExtensionQueries {
         "FROM nt LEFT JOIN bs ON nt.doc_id = bs.doc_id " +
         "LEFT JOIN trs ON nt.doc_id = trs.doc_id"),
     "ngram_jaccard_pairs" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
+        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) d WHERE df <= 100), " +
+        "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE 5 * n_common >= (sa.n + sb.n - n_common)"),
+    // prefix filtering is complete, so the exact all-pairs SQL is the
+    // oracle for the pruned plan too
+    "jaccard_prefix_pairs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
         "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +

@@ -198,6 +198,37 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(row12.getLong(2) == row12.getLong(3))
   }
 
+  test("prefix-filter jaccard equals the all-pairs reference on the corpus") {
+    val all = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pref = Dedup.prefixFilterJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(all.nonEmpty, "corpus fixture should contain near-dup pairs")
+    assert(pref == all, s"prefix=${pref.size} all=${all.size} " +
+      s"missing=${(all -- pref).take(3)} extra=${(pref -- all).take(3)}")
+  }
+
+  test("prefix-filter jaccard edge shapes: tiny docs and exact duplicates") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // docs with fewer shingles than thresholdDen (prefix = whole set),
+    // an exact-duplicate pair, and a disjoint singleton
+    val rows = spark.createDataFrame(Seq(
+      Row(1L, "a b c"),                    // one shingle
+      Row(2L, "a b c"),                    // its exact duplicate
+      Row(3L, "x y z w"),                  // two shingles, disjoint
+      Row(4L, "a b c d")).asJava, schema)  // overlaps 1,2 on "a b c"
+    val got = Dedup.prefixFilterJaccardPairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = Dedup.ngramJaccardPairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref, s"got $got ref $ref")
+    assert(got.contains((1L, 2L)))
+  }
+
   test("k-means centroids are data-dependent cell means, not the seed vectors") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = graft.analytics.Similarity.kMeansCentroids(emb, nCells = 4, iters = 2)
