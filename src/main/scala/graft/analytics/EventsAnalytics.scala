@@ -79,20 +79,6 @@ object EventsAnalytics {
         col("valid_to").isNull.cast("int").as("is_current"))
   }
 
-  /** Fixed-grid resample with last-observation-carried-forward — the
-    * time-series gap-fill/align shape (metrics dashboards, feature grids):
-    * per user, an hourly grid spanning that user's observed range; hours
-    * with events report the LAST value in the hour (struct-max on
-    * (ts, event_id), no window needed), empty hours carry the previous
-    * filled value forward. The grid is generated per user by
-    * sequence+explode, so its size is bounded by each user's own span —
-    * no global calendar relation, no cross-user skew. Shuffles only on the
-    * semantic keys: (user_id, hour) for the hourly rollup, user_id for the
-    * forward-fill window. `value_filled` is never NULL because every
-    * user's grid starts at an observed hour. Values pass through from
-    * parquet untouched (no arithmetic), so the double column hashes
-    * identically across engines.
-    */
   /** Per-type z-score outlier flags with NO division, square root, or
     * floating point anywhere in the decision — the anomaly-detection
     * monitor that must produce identical verdicts on any engine and any
@@ -125,6 +111,74 @@ object EventsAnalytics {
           .as("is_outlier"))
   }
 
+  /** Pareto skyline of events on (value maximize, ts minimize) — every
+    * event no other event strictly dominates ("at least as high a value,
+    * at least as early, better on one"). Duplicate points all survive, as
+    * in the standard skyline definition (Börzsönyi, Kossmann & Stocker,
+    * "The Skyline Operator", ICDE 2001).
+    *
+    * Distributed shape — the classic two-phase skyline: a LOCAL skyline
+    * per partition (sortWithinPartitions + one O(1)-memory scan; no
+    * global window, which Spark would execute on a single task), then the
+    * same scan over the unioned local skylines on one partition. A point
+    * outside the global skyline is dominated by some point in its own
+    * partition's local skyline, so phase 1 loses nothing; phase 2's input
+    * is partitions × |local skyline| — 2-D skylines of real data are tiny
+    * (expected O(log n) for independent dims), and a pathological
+    * anti-correlated corpus degrades phase 2 to a big single-task sort,
+    * not a wrong answer.
+    *
+    * The scan keeps a row iff its ts equals its value-group's minimum and
+    * beats the running minimum ts of all strictly-higher value groups —
+    * exactly "not dominated" under (value desc, ts asc) order.
+    */
+  def skyline(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    // µs image of the ns longs: DuckDB TIMESTAMPs carry µs, so comparing
+    // (and emitting) the µs truncation keeps both engines on identical data
+    val pts = events
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("value"), expr("ts div 1000").as("ts_us"))
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType),
+      StructField("ts_us", LongType))))
+    def pass(df: DataFrame): DataFrame =
+      df.sortWithinPartitions(col("value").desc, col("ts_us").asc)
+        .mapPartitions { rows =>
+          var prev = 0d; var seen = false
+          var strictMin = Long.MaxValue // min ts over strictly greater values
+          var groupMin = Long.MaxValue  // min ts of the current value group
+          rows.flatMap { r =>
+            val v = r.getDouble(1); val ts = r.getLong(2)
+            if (!seen || v != prev) {
+              strictMin = math.min(strictMin, groupMin)
+              groupMin = ts // sorted ts-ascending: first of group is its min
+              prev = v; seen = true
+            }
+            if (ts == groupMin && ts < strictMin) Some(r) else None
+          }
+        }(enc)
+    // spread the single-row-group fixture scan before phase 1; at real
+    // scale the source arrives multi-partition and this hash spread is the
+    // only shuffle in the operator
+    pass(pass(pts.repartition(col("event_id"))).coalesce(1))
+  }
+
+  /** Fixed-grid resample with last-observation-carried-forward — the
+    * time-series gap-fill/align shape (metrics dashboards, feature grids):
+    * per user, an hourly grid spanning that user's observed range; hours
+    * with events report the LAST value in the hour (struct-max on
+    * (ts, event_id), no window needed), empty hours carry the previous
+    * filled value forward. The grid is generated per user by
+    * sequence+explode, so its size is bounded by each user's own span —
+    * no global calendar relation, no cross-user skew. Shuffles only on the
+    * semantic keys: (user_id, hour) for the hourly rollup, user_id for the
+    * forward-fill window. `value_filled` is never NULL because every
+    * user's grid starts at an observed hour. Values pass through from
+    * parquet untouched (no arithmetic), so the double column hashes
+    * identically across engines.
+    */
   def gapFill(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(col("user_id"), expr("ts div 3600000000000").as("hour_bucket"))

@@ -676,6 +676,10 @@ object ExtensionQueries {
     // last value in hour, empty hours carried forward
     "events_gap_fill" -> ((s, dir) =>
       EventsAnalytics.gapFill(t(s, dir, "events"))),
+    // Pareto skyline on (value max, ts min): two-phase local-skyline +
+    // merge, no global window
+    "events_skyline" -> ((s, dir) =>
+      EventsAnalytics.skyline(t(s, dir, "events"))),
     // division/sqrt-free z-score outlier flags (integer cross-multiplied)
     "events_value_outliers" -> ((s, dir) =>
       EventsAnalytics.valueOutliers(t(s, dir, "events"))),
@@ -1788,6 +1792,17 @@ object ExtensionQueries {
         "SELECT user_id, state, CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us, " +
         "CAST(epoch_us(valid_to) AS BIGINT) AS valid_to_us, " +
         "CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v"),
+    // the window rollup over DISTINCT values is provably the NOT-EXISTS
+    // dominance skyline (cross-checked); ROWS mode is exact because gm has
+    // one row per distinct value
+    "events_skyline" ->
+      ("WITH p AS (SELECT event_id, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events " +
+        "WHERE value IS NOT NULL AND ts IS NOT NULL), " +
+        "gm AS (SELECT value, min(ts_us) AS gmin FROM p GROUP BY value), " +
+        "s AS (SELECT value, gmin, min(gmin) OVER (ORDER BY value DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smin FROM gm) " +
+        "SELECT p.event_id, p.value, p.ts_us FROM p JOIN s USING (value) " +
+        "WHERE p.ts_us = s.gmin AND (s.smin IS NULL OR p.ts_us < s.smin)"),
     "events_gap_fill" ->
       ("WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour_bucket, " +
         "last(value ORDER BY ts, event_id) AS last_value, count(*) AS n_obs " +

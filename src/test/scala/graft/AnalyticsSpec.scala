@@ -362,6 +362,38 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(span.filter(col("n") =!= col("expect")).count() == 0)
   }
 
+  test("skyline equals the naive dominance anti-join; duplicates survive") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val sky = EventsAnalytics.skyline(events).collect()
+      .map(_.getLong(0)).toSet
+    val p = events.filter(col("value").isNotNull && col("ts").isNotNull)
+    // compare on the same µs image the operator (and DuckDB) sees
+    val a = p.select(col("event_id").as("id_a"), col("value").as("v_a"),
+      expr("ts div 1000").as("t_a"))
+    val b = p.select(col("value").as("v_b"), expr("ts div 1000").as("t_b"))
+    val naive = a.join(b,
+        col("v_b") >= col("v_a") && col("t_b") <= col("t_a") &&
+          (col("v_b") > col("v_a") || col("t_b") < col("t_a")), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(sky == naive, s"sky=${sky.size} naive=${naive.size}")
+    assert(sky.nonEmpty)
+    // crafted shapes: duplicate points both survive, an equal-value later
+    // event is dominated, the earliest and the highest-value events stay
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    // ts in ns; values chosen µs-scale so the operator's µs truncation
+    // keeps them distinct
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 10000L, 5.0), Row(2L, 10000L, 5.0), Row(3L, 20000L, 5.0),
+      Row(4L, 30000L, 9.0), Row(5L, 1000L, 1.0)).asJava, schema)
+    val got = EventsAnalytics.skyline(tiny).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L, 5L), s"got $got")
+  }
+
   test("random projection: basis vectors read the sign matrix, k rows per vector") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
