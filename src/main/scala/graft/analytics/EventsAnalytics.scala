@@ -111,6 +111,40 @@ object EventsAnalytics {
           .as("is_outlier"))
   }
 
+  /** Per-type winsorization (outlier capping) at exact RANK-based
+    * percentiles: clip each value to [p05, p95] of its event_type, where
+    * the caps are the values at ranks ceil(p·n/100) under the total order
+    * (value, event_id) — no interpolation, so the caps are actual data
+    * values and every engine computes the identical clip. Values pass
+    * through unclipped arithmetic (least/greatest only), keeping the
+    * double column hash-identical across engines.
+    *
+    * Scale shape: one shuffle on event_type for the rank window; the caps
+    * are a per-type 2-value aggregate joined back as a broadcast. Few
+    * types ⇒ each type's sort is a big per-partition job — the same skew
+    * note as any per-category quantile; a corpus with billions per type
+    * would switch the cap computation to a sampled/sketched quantile and
+    * keep the clip identical.
+    */
+  def winsorize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+    val caps = ranked.groupBy(col("event_type")).agg(
+      max(when(col("rn") === greatest(lit(1L), expr("(n*5+99) div 100")),
+        col("value"))).as("lo"),
+      max(when(col("rn") === expr("(n*95+99) div 100"), col("value")))
+        .as("hi"))
+    ranked.join(broadcast(caps), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("value_w"))
+  }
+
   /** Pareto skyline of events on (value maximize, ts minimize) — every
     * event no other event strictly dominates ("at least as high a value,
     * at least as early, better on one"). Duplicate points all survive, as

@@ -680,6 +680,10 @@ object ExtensionQueries {
     // merge, no global window
     "events_skyline" -> ((s, dir) =>
       EventsAnalytics.skyline(t(s, dir, "events"))),
+    // rank-based winsorization: caps are actual data values at
+    // ceil(p·n/100) ranks, clip is least/greatest passthrough
+    "events_winsorize" -> ((s, dir) =>
+      EventsAnalytics.winsorize(t(s, dir, "events"))),
     // division/sqrt-free z-score outlier flags (integer cross-multiplied)
     "events_value_outliers" -> ((s, dir) =>
       EventsAnalytics.valueOutliers(t(s, dir, "events"))),
@@ -1792,6 +1796,17 @@ object ExtensionQueries {
         "SELECT user_id, state, CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us, " +
         "CAST(epoch_us(valid_to) AS BIGINT) AS valid_to_us, " +
         "CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v"),
+    "events_winsorize" ->
+      ("WITH r AS (SELECT event_id, event_type, value, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "caps AS (SELECT event_type, " +
+        "max(CASE WHEN rn = greatest(1, (n*5+99)//100) THEN value END) AS lo, " +
+        "max(CASE WHEN rn = (n*95+99)//100 THEN value END) AS hi " +
+        "FROM r GROUP BY event_type) " +
+        "SELECT event_id, r.event_type, value, " +
+        "least(greatest(value, lo), hi) AS value_w FROM r JOIN caps USING (event_type)"),
     // the window rollup over DISTINCT values is provably the NOT-EXISTS
     // dominance skyline (cross-checked); ROWS mode is exact because gm has
     // one row per distinct value

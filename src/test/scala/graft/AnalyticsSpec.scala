@@ -394,6 +394,35 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == Set(1L, 2L, 4L, 5L), s"got $got")
   }
 
+  test("winsorize caps at exact rank values; crafted percentiles verified") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val tiny = spark.createDataFrame(
+      (1 to 100).map(i => Row(i.toLong, "a", i.toDouble)).asJava, schema)
+    val got = EventsAnalytics.winsorize(tiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // ranks 1..100: lo = value at rank 5 = 5.0, hi = rank 95 = 95.0
+    assert(got(1L) == 5.0 && got(4L) == 5.0 && got(5L) == 5.0)
+    assert(got(95L) == 95.0 && got(96L) == 95.0 && got(100L) == 95.0)
+    assert(got(50L) == 50.0)
+    // fixture invariants: row count preserved, clip is idempotent and
+    // bounded by the per-type caps
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val w = EventsAnalytics.winsorize(events)
+    assert(w.count() == events.filter(col("value").isNotNull).count())
+    val byType = w.groupBy("event_type").agg(
+      min("value_w").as("lo"), max("value_w").as("hi"),
+      sum(when(col("value") =!= col("value_w"), 1L).otherwise(0L)).as("clipped"),
+      count(lit(1)).as("n"))
+    // something was clipped, but never more than ~10% of a type
+    assert(byType.filter(col("clipped") * 8 > col("n")).count() == 0)
+    assert(byType.agg(sum("clipped")).head.getLong(0) > 0)
+  }
+
   test("random projection: basis vectors read the sign matrix, k rows per vector") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
