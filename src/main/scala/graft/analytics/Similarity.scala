@@ -36,6 +36,85 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein,
+    * SIGIR 1998) — the reranking step that trades relevance against
+    * redundancy when selecting exemplars for a training batch or a
+    * retrieval context: greedily pick the candidate maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, ties to the smallest vec_id.
+    *
+    * Scale shape — the deployed reranker: relevance top-`poolSize` is the
+    * distributed exact scan ([[bruteForceTopK]]'s TakeOrdered, or any ANN
+    * probe in its place), pairwise sims among the pool are one
+    * broadcast-square of poolSize rows, and the greedy k-step loop runs
+    * driver-side over the collected poolSize + poolSize² rounded scores
+    * (~KiB at poolSize=20; poolSize is a rerank window, not a corpus
+    * fraction — it does NOT grow with data). Scores use integer
+    * coefficients `(λnum·rel − (1−λ)num·ms)` so no engine ever represents
+    * 0.3 ≠ 1−0.7; the emitted score divides by λden and rounds half-up at
+    * 6, the same contract as every cosine key.
+    */
+  def mmrDiverseTopK(
+      embeddings: DataFrame,
+      queryId: Long = 0L,
+      k: Int = 5,
+      poolSize: Int = 20,
+      lambdaNum: Int = 7,
+      lambdaDen: Int = 10): DataFrame = {
+    require(k >= 1 && poolSize >= k && lambdaNum >= 0 && lambdaDen >= lambdaNum,
+      s"mmrDiverseTopK: need 1 <= k <= poolSize and 0 <= λnum <= λden, " +
+        s"got (k=$k, pool=$poolSize, λ=$lambdaNum/$lambdaDen)")
+    val spark = embeddings.sparkSession
+    val pool = bruteForceTopK(embeddings, queryId, poolSize)
+    val pe = embeddings
+      .join(broadcast(pool.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val ps = pe.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        pe.select(col("vec_id").as("ib"), col("embedding").as("eb"))))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(dotDecimal(col("ea"), col("eb")).cast("double") /
+          (sqrt(normSqDecimal(col("ea")).cast("double")) *
+            sqrt(normSqDecimal(col("eb")).cast("double"))), 6).as("s"))
+    // bounded collects: poolSize rel rows + poolSize² pair sims, all
+    // pre-rounded by the distributed pass — the driver never recomputes a
+    // cosine, it only compares and combines the collected doubles
+    val rel = pool.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val sim = ps.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val un = lambdaNum.toDouble
+    val um = (lambdaDen - lambdaNum).toDouble
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val remaining = scala.collection.mutable.LinkedHashMap(rel: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestRaw = Double.NegativeInfinity
+      remaining.foreach { case (id, r) =>
+        val ms = if (chosen.isEmpty) 0d
+          else chosen.iterator.map(s => sim((id, s))).max
+        val raw = un * r - um * ms
+        if (raw > bestRaw || (raw == bestRaw && (bestId < 0 || id < bestId))) {
+          bestRaw = raw; bestId = id
+        }
+      }
+      out += ((rank, bestId, round6(bestRaw / lambdaDen)))
+      chosen += bestId
+      remaining.remove(bestId)
+      rank += 1
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      out.map(t => Row(t._1, t._2, t._3)).asJava,
+      StructType(Seq(StructField("rank", LongType),
+        StructField("vec_id", LongType), StructField("score", DoubleType))))
+  }
+
   /** Add the sign-LSH bucket key. At scale, write the table bucketed/
     * partitioned by this column so probes prune to one partition.
     */

@@ -176,6 +176,10 @@ object ExtensionQueries {
     // ---- similarity search ----
     "cosine_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    // MMR diverse rerank of the exact top-20 pool: greedy λ=0.7 balance
+    // of relevance vs redundancy, driver loop over the bounded pool only
+    "cosine_topk_mmr" -> ((s, dir) =>
+      Similarity.mmrDiverseTopK(t(s, dir, "embeddings"))),
     "cosine_topk_lsh_bucket" -> ((s, dir) =>
       Similarity.lshBucketTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5, nBits = 8)),
     "cosine_topk_native" -> ((s, dir) =>
@@ -1170,6 +1174,48 @@ object ExtensionQueries {
     * (mirrors [[Similarity.cosineNearDupPairs]]): ends in
     * `cpairs(id_a, id_b, sim)`.
     */
+  /** The k=5 MMR greedy unrolled as CTE steps: step i picks, from the pool
+    * minus the selected set, the row maximizing `7·rel − 3·max(sim to
+    * selected)` (ties to smallest vec_id) — integer coefficients so no
+    * engine represents 1−0.7; the emitted score is the /10 image rounded
+    * half-up at 6, matching the driver loop in `Similarity.mmrDiverseTopK`.
+    */
+  private val mmrOracle: String = {
+    def dot(x: String, y: String): String =
+      s"CAST(list_sum([CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) " +
+        s"AS DECIMAL(18,16)) FOR i IN generate_series(1, len($x))]) AS DOUBLE)"
+    val head =
+      "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "pool AS (SELECT e.vec_id, round(" + dot("e.embedding", "q.qe") +
+        " / (sqrt(" + dot("e.embedding", "e.embedding") + ") * sqrt(" +
+        dot("q.qe", "q.qe") + ")), 6) AS rel " +
+        "FROM embeddings e, q WHERE e.vec_id != 0 " +
+        "ORDER BY rel DESC, e.vec_id LIMIT 20), " +
+        "pe AS (SELECT e.vec_id, e.embedding FROM embeddings e " +
+        "JOIN pool p ON e.vec_id = p.vec_id), " +
+        "ps AS (SELECT a.vec_id AS ia, b.vec_id AS ib, round(" +
+        dot("a.embedding", "b.embedding") + " / (sqrt(" +
+        dot("a.embedding", "a.embedding") + ") * sqrt(" +
+        dot("b.embedding", "b.embedding") + ")), 6) AS s " +
+        "FROM pe a JOIN pe b ON a.vec_id != b.vec_id), " +
+        "s1 AS (SELECT vec_id, CAST(1 AS BIGINT) AS rank, " +
+        "round((7*rel)/10, 6) AS score FROM pool " +
+        "ORDER BY (7*rel) DESC, vec_id LIMIT 1), " +
+        "sel1 AS (SELECT vec_id FROM s1)"
+    val steps = (2 to 5).map { i =>
+      s"c$i AS (SELECT p.vec_id, p.rel, (SELECT max(s) FROM ps " +
+        s"WHERE ia = p.vec_id AND ib IN (SELECT vec_id FROM sel${i - 1})) AS ms " +
+        s"FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})), " +
+        s"s$i AS (SELECT vec_id, CAST($i AS BIGINT) AS rank, " +
+        s"round((7*rel - 3*ms)/10, 6) AS score FROM c$i " +
+        s"ORDER BY (7*rel - 3*ms) DESC, vec_id LIMIT 1), " +
+        s"sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)"
+    }.mkString(", ", ", ", " ")
+    head + steps +
+      (1 to 5).map(i => s"SELECT rank, vec_id, score FROM s$i")
+        .mkString(" UNION ALL ")
+  }
+
   private val cosinePairCtes: String =
     "b AS (SELECT vec_id, embedding, " +
       "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
@@ -1571,6 +1617,7 @@ object ExtensionQueries {
         "FROM embeddings e, q WHERE e.vec_id != 0) " +
         "SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
+    "cosine_topk_mmr" -> mmrOracle,
     "cosine_topk_bruteforce" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +

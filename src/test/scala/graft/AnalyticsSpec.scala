@@ -229,6 +229,34 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.contains((1L, 2L)))
   }
 
+  test("mmr rerank demotes an exact duplicate below a diverse candidate") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // q = e_x; a and its duplicate b at rel .9; c mirrors a (same rel,
+    // sim(a,c) ≈ .62) — pure relevance ranks (a, b|c, ...), MMR must pick
+    // the diverse c second and the redundant duplicate b last
+    val rows = spark.createDataFrame(Seq(
+      Row(0L, Seq(1f, 0f, 0f)),
+      Row(1L, Seq(0.9f, 0.435f, 0f)),
+      Row(2L, Seq(0.9f, 0.435f, 0f)),
+      Row(3L, Seq(0.9f, -0.435f, 0f))).asJava, schema)
+    val got = graft.analytics.Similarity
+      .mmrDiverseTopK(rows, queryId = 0L, k = 3, poolSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 3L, 3L -> 2L), s"got ${got.toSeq}")
+    // fixture sanity: rank-1 is always the relevance argmax
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val mmr = graft.analytics.Similarity.mmrDiverseTopK(emb).collect()
+    val top1 = graft.analytics.Similarity.bruteForceTopK(emb, 0L, 1)
+      .head.getLong(0)
+    assert(mmr.head.getLong(1) == top1)
+    assert(mmr.map(_.getLong(1)).distinct.length == 5)
+  }
+
   test("k-means centroids are data-dependent cell means, not the seed vectors") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = graft.analytics.Similarity.kMeansCentroids(emb, nCells = 4, iters = 2)
