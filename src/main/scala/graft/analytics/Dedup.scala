@@ -392,31 +392,38 @@ object Dedup {
     * tokens instead of every token.
     *
     * Order every shingle by global rarity `(df, s)` ascending. For a doc
-    * with `sz` surviving shingles and threshold `1/den`, the prefix is its
-    * first `sz - ceil(sz/den) + 1` shingles under that order. Completeness:
-    * let `w` be the rarest common shingle of a qualifying pair (A, B).
-    * Every common shingle sorts ≥ w, so at most `|A| - c` of A's shingles
-    * precede w, putting w at position ≤ `|A| - c + 1 ≤ |A| - ceil(|A|/den)
-    * + 1` (Jaccard ≥ 1/den forces `c ≥ ceil(|A|/den)`) — inside A's
-    * prefix, and symmetrically inside B's. So every qualifying pair
-    * collides on ≥ 1 prefix token and the exact verify reproduces the
-    * all-pairs answer bit-for-bit — the oracle is shared verbatim.
+    * with `sz` surviving shingles and threshold `t = num/den`, the prefix
+    * is its first `sz - ceil(t·sz) + 1` shingles under that order.
+    * Completeness: let `w` be the rarest common shingle of a qualifying
+    * pair (A, B). Every common shingle sorts ≥ w, so at most `|A| - c` of
+    * A's shingles precede w, putting w at position ≤ `|A| - c + 1 ≤
+    * |A| - ceil(t·|A|) + 1` (Jaccard ≥ t forces `c ≥ t·u ≥ t·|A|`, and c
+    * is an integer) — inside A's prefix, and symmetrically inside B's. So
+    * every qualifying pair collides on ≥ 1 prefix token and the exact
+    * verify reproduces the all-pairs answer bit-for-bit.
     *
     * Scale shape vs [[ngramJaccardPairs]]: the candidate self-join carries
-    * only ~sz/den + 1 shingles per doc, and those are each doc's RAREST
-    * shingles — exactly the low-df join keys — so candidate-pair volume
-    * collapses (the hot stop-shingle keys sit at the END of the order and
-    * never enter a prefix unless a doc is tiny). Per-doc prefix selection
-    * is a doc_id-partitioned window (rank by (df, s)), a bounded sort per
-    * doc — no global rank structure is ever built.
+    * only ~(1−t)·sz + 1 shingles per doc, and those are each doc's RAREST
+    * shingles — exactly the low-df join keys — so at the realistic t = 4/5
+    * near-dup threshold candidate-pair volume collapses ~25× (the hot
+    * stop-shingle keys sit at the END of the order and rarely enter a
+    * prefix). Per-doc prefix selection is a doc_id-partitioned window
+    * (rank by (df, s)), a bounded sort per doc — no global rank structure
+    * is ever built. Prefix filtering is a HIGH-threshold algorithm: as
+    * t → 0 the prefix approaches the whole set and the all-pairs
+    * formulation is the honest plan.
     */
   def prefixFilterJaccardPairs(
       docs: DataFrame,
       n: Int = 3,
+      thresholdNum: Int = 4,
       thresholdDen: Int = 5,
       dfCap: Int = 100,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
+      s"prefixFilterJaccardPairs: need 0 < num/den <= 1, " +
+        s"got $thresholdNum/$thresholdDen")
     val shAll = materialize(shingles(docs, n))
     val rare = shAll.groupBy(col("s"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
@@ -424,14 +431,18 @@ object Dedup {
     val sh = shAll.join(rare, Seq("s"))
       .select(col("doc_id"), col("s"), col("df"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // rank each doc's shingles rarest-first; ceil(sz/den) in exact integer
-    // arithmetic via (sz + den - 1) div den
+    // rank each doc's shingles rarest-first; prefix length is
+    // sz - ceil(sz·num/den) + 1 ≈ (1 - t)·sz + 1, so the candidate join
+    // carries ~20% of the shingle volume at the realistic t = 4/5 near-dup
+    // threshold (at LOW thresholds the prefix approaches the whole set and
+    // the all-pairs formulation is the honest plan — prefix filtering is a
+    // high-threshold algorithm). ceil in exact integer arithmetic.
     val prefix = sh
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .join(sizes, Seq("doc_id"))
-      .filter(col("rn") <=
-        col("sz") - expr(s"(sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
+      .filter(col("rn") <= col("sz") -
+        expr(s"(sz * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen") + 1)
       .select(col("doc_id"), col("s"))
     val cand = prefix.toDF("id_a", "s")
       .join(prefix.toDF("id_b", "s2"),
@@ -439,7 +450,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
     exactJaccardOnPairs(cand, sh.select(col("doc_id"), col("s")), sizes,
-      thresholdDen)
+      thresholdNum, thresholdDen)
   }
 
   /** Exact Jaccard verify restricted to candidate pairs: intersections from
@@ -453,6 +464,7 @@ object Dedup {
       cand: DataFrame,
       sh: DataFrame,
       sizes: DataFrame,
+      thresholdNum: Int,
       thresholdDen: Int): DataFrame = {
     val inter = cand
       .join(sh.toDF("id_a", "s"), "id_a")
@@ -465,7 +477,8 @@ object Dedup {
       .join(sizes.toDF("id_b", "sz_b"), "id_b")
       .select(col("id_a"), col("id_b"), col("n_common"),
         (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"))
-      .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
+      .filter(lit(thresholdDen) * col("n_common") >=
+        lit(thresholdNum) * col("n_union"))
   }
 
   /** Per-document duplicated n-gram coverage — the exact-substring dedup
@@ -535,7 +548,7 @@ object Dedup {
     val sh = shAll.join(rare, Seq("s"), "left_semi")
       .select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    exactJaccardOnPairs(cand, sh, sizes, thresholdDen)
+    exactJaccardOnPairs(cand, sh, sizes, 1, thresholdDen)
   }
 
   /** Modulus for the affine MinHash family: 2^40 keeps every intermediate

@@ -64,10 +64,10 @@ object ExtensionQueries {
     // hot-shingle join skew instead
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"))),
-    // same answer as ngram_jaccard_pairs (shared oracle) from the
-    // AllPairs/PPJoin prefix-filter candidate join: only each doc's rarest
-    // ~sz/den+1 shingles enter the self-join, so candidate volume collapses
-    // and the hot stop-shingle keys never become join keys
+    // AllPairs/PPJoin prefix-filter exact Jaccard at the realistic 4/5
+    // near-dup threshold: only each doc's rarest ~(1-t)·sz+1 shingles
+    // enter the candidate self-join, so pair volume collapses ~25× and
+    // the hot stop-shingle keys never become join keys
     "jaccard_prefix_pairs" -> ((s, dir) =>
       Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"))),
     // full corpus: the positional-window oracle is O(len·docs) in DuckDB,
@@ -1445,8 +1445,8 @@ object ExtensionQueries {
         "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
         "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
         "WHERE 5 * n_common >= (sa.n + sb.n - n_common)"),
-    // prefix filtering is complete, so the exact all-pairs SQL is the
-    // oracle for the pruned plan too
+    // prefix filtering is complete, so the exact all-pairs SQL (at the
+    // same 4/5 threshold) is the oracle for the pruned plan too
     "jaccard_prefix_pairs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
@@ -1458,7 +1458,7 @@ object ExtensionQueries {
         "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
         "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
-        "WHERE 5 * n_common >= (sa.n + sb.n - n_common)"),
+        "WHERE 5 * n_common >= 4 * (sa.n + sb.n - n_common)"),
     "doc_winnow_fingerprints" ->
       ("WITH pos AS (SELECT doc_id, text, " +
         "unnest([i FOR i IN generate_series(1, length(text) - 7)]) AS i " +

@@ -199,13 +199,24 @@ class AnalyticsSpec extends SparkSpecBase {
   }
 
   test("prefix-filter jaccard equals the all-pairs reference on the corpus") {
-    val all = Dedup.ngramJaccardPairs(docs).collect()
+    // the 4/5-threshold answer is the 1/5 all-pairs relation filtered by
+    // the exact integer cross-multiplication — same (c, u) per pair
+    val all = Dedup.ngramJaccardPairs(docs)
+      .filter(lit(5) * col("n_common") >= lit(4) * col("n_union")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val pref = Dedup.prefixFilterJaccardPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(all.nonEmpty, "corpus fixture should contain near-dup pairs")
+    assert(all.nonEmpty, "corpus fixture should contain 0.8-jaccard pairs")
     assert(pref == all, s"prefix=${pref.size} all=${all.size} " +
       s"missing=${(all -- pref).take(3)} extra=${(pref -- all).take(3)}")
+    // completeness also holds at a LOW threshold (prefix ≈ whole set);
+    // there the operator degenerates to all-pairs rather than losing pairs
+    val allLow = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefLow = Dedup.prefixFilterJaccardPairs(
+      docs, thresholdNum = 1, thresholdDen = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefLow == allLow)
   }
 
   test("prefix-filter jaccard edge shapes: tiny docs and exact duplicates") {
@@ -214,19 +225,14 @@ class AnalyticsSpec extends SparkSpecBase {
     import scala.jdk.CollectionConverters._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    // docs with fewer shingles than thresholdDen (prefix = whole set),
-    // an exact-duplicate pair, and a disjoint singleton
     val rows = spark.createDataFrame(Seq(
       Row(1L, "a b c"),                    // one shingle
       Row(2L, "a b c"),                    // its exact duplicate
       Row(3L, "x y z w"),                  // two shingles, disjoint
-      Row(4L, "a b c d")).asJava, schema)  // overlaps 1,2 on "a b c"
+      Row(4L, "a b c d")).asJava, schema)  // J(1,4) = 1/2 < 4/5
     val got = Dedup.prefixFilterJaccardPairs(rows)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ref = Dedup.ngramJaccardPairs(rows)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == ref, s"got $got ref $ref")
-    assert(got.contains((1L, 2L)))
+    assert(got == Set((1L, 2L)), s"got $got")
   }
 
   test("mmr rerank demotes an exact duplicate below a diverse candidate") {
