@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,49 @@ object Curation {
         sum(col("c") * col("tf")).as("sum_tf"),
         min(col("tf")).as("min_tf"),
         sum(when(col("tf") <= rareMax, col("c")).otherwise(0L)).as("n_rare"))
+  }
+
+  /** Model-based quality scoring — the fastText/DCLM-style linear
+    * classifier over hashed bag-of-n-gram features that modern pretraining
+    * pipelines run as their primary quality filter (Joulin et al., "Bag of
+    * Tricks for Efficient Text Classification"; the hashing trick from
+    * Weinberger et al. 2009). Each document's distinct unigrams and bigrams
+    * hash into a fixed bucket space and the score is the sum of the bucket
+    * weights — embarrassingly parallel, so the whole operator is MAP-ONLY:
+    * per-row HOFs (array_distinct → transform → aggregate), zero shuffles,
+    * zero joins, the shape that scans 100 TB at full cluster read
+    * bandwidth.
+    *
+    * Weights here are derived deterministically from the feature hash
+    * (`md5 → bucket → centered residue`) — the stand-in for a trained
+    * weight vector, chosen so a DuckDB oracle reproduces the score
+    * bit-for-bit. A production deployment swaps in learned weights as a
+    * broadcast lookup joined on the same bucket id (or a literal array
+    * indexed by it); the feature extraction, hashing and scoring plumbing —
+    * the part Spark owns — is identical. All arithmetic is integer, so the
+    * result is partitioning-independent.
+    */
+  def linearQualityScore(docs: DataFrame, nBuckets: Int = 1001): DataFrame = {
+    require(nBuckets % 2 == 1, "nBuckets must be odd so weights center on 0")
+    val half = (nBuckets - 1) / 2
+    def weight(t: Column): Column =
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") %
+        nBuckets - half
+    def scoreOf(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + weight(x))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_distinct(col("w")).as("uni"),
+        array_distinct(wordShingles(col("w"), 2)).as("big"))
+      .select(
+        col("doc_id"),
+        scoreOf(col("uni")).as("uni_score"),
+        scoreOf(col("big")).as("bi_score"),
+        (size(col("uni")) + size(col("big"))).cast("long").as("n_features"))
+      .withColumn("score", col("uni_score") + col("bi_score"))
+      .withColumn("kept",
+        when(col("score") > 0, 1).otherwise(0))
   }
 
   /** Quantile-band quality filter: keep documents whose length sits between

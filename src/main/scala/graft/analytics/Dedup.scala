@@ -481,6 +481,51 @@ object Dedup {
         lit(thresholdNum) * col("n_union"))
   }
 
+  /** Near-CONTAINMENT pairs — Broder's containment coefficient
+    * `C(A,B) = |A∩B| / min(|A|,|B|)` over the df-capped shingle universe
+    * (Broder, "On the Resemblance and Containment of Documents", SEQUENCES
+    * 1997). Jaccard misses the quote/boilerplate-envelope case: a short
+    * document fully embedded in a much longer one has tiny |A∩B|/|A∪B| but
+    * containment ≈ 1. A curation pipeline runs this to drop near-subset
+    * documents (article + syndicated copy with added chrome, chat excerpt
+    * inside a full log) that whole-document resemblance keeps.
+    *
+    * Same scale shape as [[ngramJaccardPairs]] — shingle equi-join with the
+    * stop-shingle df cap bounding per-key pair fan-out — plus one guard this
+    * metric uniquely needs: a tiny document (few shingles) is "contained" in
+    * everything, so pairs where the smaller side has < `minShingles`
+    * surviving shingles are dropped before the threshold test. Integer
+    * cross-multiplication (`den·|A∩B| ≥ num·min`) keeps the hash exact.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      thresholdNum: Int = 9,
+      thresholdDen: Int = 10,
+      dfCap: Int = 100,
+      minShingles: Int = 8,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    val shAll = materialize(shingles(docs, n))
+    val rare = shAll.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+      .select(col("s"))
+    val sh = shAll.join(rare, Seq("s"), "left_semi")
+      .select(col("doc_id"), col("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("id_a", "s")
+    val b = sh.toDF("id_b", "s")
+    val inter = a.join(b, a("s") === b("s") && a("id_a") < b("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        least(col("sz_a"), col("sz_b")).as("sz_min"))
+      .filter(col("sz_min") >= minShingles &&
+        lit(thresholdDen) * col("n_common") >= lit(thresholdNum) * col("sz_min"))
+  }
+
   /** Per-document duplicated n-gram coverage — the exact-substring dedup
     * signal (Lee et al., "Deduplicating Training Data Makes Language Models
     * Better"): how much of each document's content also occurs verbatim

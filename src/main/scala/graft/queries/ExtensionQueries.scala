@@ -70,6 +70,10 @@ object ExtensionQueries {
     // the hot stop-shingle keys never become join keys
     "jaccard_prefix_pairs" -> ((s, dir) =>
       Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"))),
+    // Broder containment C = |A∩B|/min(|A|,|B|) at 9/10: the
+    // quote/boilerplate-envelope near-subset pairs Jaccard misses
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"))),
     // full corpus: the positional-window oracle is O(len·docs) in DuckDB,
     // fine at the sf0.01 correctness gate (500 docs)
     "doc_winnow_fingerprints" -> ((s, dir) =>
@@ -405,6 +409,11 @@ object ExtensionQueries {
     // quantile-band quality filter: trim both length tails at corpus p25/p75
     "quality_filter_docs" -> ((s, dir) =>
       Curation.lengthBandFilter(t(s, dir, "documents"))),
+    // fastText-shape model-based quality filter: hashed bag-of-n-gram
+    // linear scorer, map-only (zero shuffles) — deterministic hash-derived
+    // weights stand in for the trained vector
+    "quality_lr_score" -> ((s, dir) =>
+      Curation.linearQualityScore(t(s, dir, "documents"))),
     // deterministic training-order shuffle: hash-sharded with per-shard
     // positions (no global window — the distributed shuffle-shard shape)
     // deterministic hash-stable train/val/test split (80/10/10): the
@@ -1334,6 +1343,17 @@ object ExtensionQueries {
         "quantile_cont(n_chars, 0.75) AS p_hi FROM documents) " +
         "SELECT doc_id, n_chars FROM documents, b " +
         "WHERE n_chars >= p_lo AND n_chars <= p_hi"),
+    "quality_lr_score" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "f AS (SELECT doc_id, list_distinct(w) AS uni, " +
+        "list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS big FROM toks), " +
+        "sc AS (SELECT doc_id, " +
+        "coalesce(list_sum([('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500 FOR t IN uni]), 0) AS uni_score, " +
+        "coalesce(list_sum([('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500 FOR t IN big]), 0) AS bi_score, " +
+        "CAST(len(uni) + len(big) AS BIGINT) AS n_features FROM f) " +
+        "SELECT doc_id, uni_score, bi_score, n_features, " +
+        "uni_score + bi_score AS score, " +
+        "CAST(CASE WHEN uni_score + bi_score > 0 THEN 1 ELSE 0 END AS INT) AS kept FROM sc"),
     "curation_audit" ->
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") + ", " +
         "comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src), " +
@@ -1459,6 +1479,18 @@ object ExtensionQueries {
         "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
         "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
         "WHERE 5 * n_common >= 4 * (sa.n + sb.n - n_common)"),
+    "containment_pairs" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
+        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) d WHERE df <= 100), " +
+        "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, n_common, least(sa.n, sb.n) AS sz_min " +
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE least(sa.n, sb.n) >= 8 AND 10 * n_common >= 9 * least(sa.n, sb.n)"),
     "doc_winnow_fingerprints" ->
       ("WITH pos AS (SELECT doc_id, text, " +
         "unnest([i FOR i IN generate_series(1, length(text) - 7)]) AS i " +

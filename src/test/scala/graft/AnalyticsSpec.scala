@@ -219,6 +219,47 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(prefLow == allLow)
   }
 
+  test("containment catches a near-subset pair that jaccard misses") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // B = A plus a long unrelated tail: containment(A in B) = 1 while
+    // Jaccard(A,B) is far below 4/5; C below the minShingles floor
+    val inner = (1 to 12).map(i => s"w$i").mkString(" ")
+    val tail = (1 to 30).map(i => s"t$i").mkString(" ")
+    val rows = spark.createDataFrame(Seq(
+      Row(1L, inner),
+      Row(2L, s"$inner $tail"),
+      Row(3L, "a b c d e")).asJava, schema)
+    val got = Dedup.containmentPairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 has 10 shingles, all inside doc 2 → (1, 2, 10, 10)
+    assert(got.toSet == Set((1L, 2L, 10L, 10L)), s"got ${got.toSeq}")
+    val jac = Dedup.ngramJaccardPairs(rows)
+      .filter(lit(5) * col("n_common") >= lit(4) * col("n_union"))
+      .collect()
+    assert(jac.isEmpty, "the pair must NOT be a 4/5-jaccard near-dup")
+  }
+
+  test("containment on the corpus is a superset of high-jaccard pairs") {
+    // any 9/10-jaccard pair is a 9/10-containment pair (n_common >= .9*union
+    // >= .9*min); the corpus fixture must yield at least the exact dups
+    val cont = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacHigh = Dedup.ngramJaccardPairs(docs)
+      .filter(lit(10) * col("n_common") >= lit(9) * col("n_union"))
+      .join(Dedup.containmentPairs(docs).select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      // tiny docs below the minShingles floor are legitimately absent
+      .filter(col("n_union") >= 8)
+      .collect()
+    assert(cont.nonEmpty, "corpus fixture should contain containment pairs")
+    assert(jacHigh.isEmpty,
+      s"high-jaccard pairs missing from containment: ${jacHigh.take(3).toSeq}")
+  }
+
   test("prefix-filter jaccard edge shapes: tiny docs and exact duplicates") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

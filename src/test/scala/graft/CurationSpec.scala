@@ -289,4 +289,36 @@ class CurationSpec extends SparkSpecBase {
     val b = Curation.shuffleShards(docs, "seed43")
     assert(b.exceptAll(a).count() > 0)
   }
+
+  test("linear quality score: map-only plan, driver-recomputed exact scores") {
+    val out = Curation.linearQualityScore(docs)
+    // the whole operator must be a single scan + projection — no Exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"map-only scorer must not shuffle:\n$plan")
+    val rows = out.filter(col("doc_id").isin(0L, 1L, 2L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val texts = docs.filter(col("doc_id").isin(0L, 1L, 2L))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def weight(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1001 - 500
+    }
+    for ((id, text) <- texts) {
+      val w = text.split(" ", -1)
+      val uni = w.distinct
+      val big = w.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toArray.distinct
+      val r = rows(id)
+      assert(r.getAs[Long]("uni_score") == uni.map(weight).sum, s"uni doc $id")
+      assert(r.getAs[Long]("bi_score") == big.map(weight).sum, s"bi doc $id")
+      assert(r.getAs[Long]("n_features") == uni.length + big.length)
+      assert(r.getAs[Long]("score") ==
+        r.getAs[Long]("uni_score") + r.getAs[Long]("bi_score"))
+      assert(r.getAs[Int]("kept") == (if (r.getAs[Long]("score") > 0) 1 else 0))
+    }
+  }
 }
