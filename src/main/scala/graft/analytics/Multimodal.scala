@@ -132,6 +132,80 @@ object Multimodal {
     }(enc)
   }
 
+  /** Image NEAR-DUPLICATE detection via a perceptual average-hash (aHash)
+    * over REAL decoded pixels — the image-dedup pass a multimodal training
+    * pipeline runs so one meme reposted at 40 crops/recompressions counts
+    * once. Per row, a deterministic gradient image (base gray `(id%8)*4`,
+    * x-slope `id%3`, y-slope `(id/3)%3`, dims as in [[pngRoundTripMeta]] —
+    * all values < 256, no wraparound) is encoded to real PNG bytes and
+    * DECODED back with `ImageIO.read`; the signature samples the decoded
+    * raster on the standard 8×8 nearest-neighbor grid and sets bit j iff
+    * `64·sample_j > Σsamples` — the integer cross-multiplied form of
+    * "above the mean", so no float enters the hash and a SQL oracle can
+    * predict every bit from the generator formula while Spark computes it
+    * from actual `getRGB` reads.
+    *
+    * Dedup then reuses the exact-dedup shape on the 64-bit signature
+    * string: one shuffle on `phash`, min doc_id as the group
+    * representative. Images with the same gradient direction collapse into
+    * one group regardless of base brightness (the mean-comparison cancels
+    * the base — the invariance aHash is built for). Codec work is map-only
+    * `mapPartitions`; nothing but the 64-char signature leaves the task.
+    */
+  def imagePerceptualHashes(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id"), col("n_chars")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (r.getLong(1) % 31).toInt + 1
+        val h = (id % 17).toInt + 1
+        val g0 = ((id % 8) * 4).toInt
+        val sx = (id % 3).toInt
+        val sy = ((id / 3) % 3).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = g0 + sx * x + sy * y // bounded: 28 + 2*30 + 2*16 < 256
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val decoded = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        // 8x8 nearest-neighbor grid over the DECODED raster
+        val samples = Array.tabulate(64) { j =>
+          val px = (j % 8) * decoded.getWidth / 8
+          val py = (j / 8) * decoded.getHeight / 8
+          (decoded.getRGB(px, py) >> 16) & 0xff
+        }
+        val total = samples.sum
+        val bits = new StringBuilder(64)
+        samples.foreach(s => bits.append(if (64 * s > total) '1' else '0'))
+        Row(id, bits.toString)
+      }
+    }(enc)
+  }
+
+  /** [[imagePerceptualHashes]] + the exact-dedup group step: per image its
+    * signature, the group representative (min doc_id sharing the phash) and
+    * a dup flag. */
+  def imagePhashDedup(docs: DataFrame): DataFrame = {
+    val hs = imagePerceptualHashes(docs)
+    val reps = hs.groupBy(col("phash")).agg(min(col("doc_id")).as("rep_id"))
+    hs.join(reps, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("rep_id"),
+        when(col("doc_id") =!= col("rep_id"), 1).otherwise(0).as("is_dup"))
+  }
+
   /** REAL JPEG decode — same `javax.imageio` path as [[pngRoundTripMeta]]
     * (the JDK ships JPEG, GIF and BMP codecs alongside PNG; the stub tier
     * is only for codecs it does not ship, e.g. JPEG2000/video/audio). The

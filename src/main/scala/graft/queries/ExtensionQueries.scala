@@ -743,6 +743,11 @@ object ExtensionQueries {
       Multimodal.losslessRoundTripMeta(t(s, dir, "documents"), "gif")),
     "multimodal_decode_bmp" -> ((s, dir) =>
       Multimodal.losslessRoundTripMeta(t(s, dir, "documents"), "bmp")),
+    // image near-dup: perceptual aHash over REAL decoded gradient PNGs
+    // (8x8 grid, integer above-mean bits), then the exact-dedup group
+    // shape on the signature — one shuffle on phash
+    "image_phash_dedup" -> ((s, dir) =>
+      Multimodal.imagePhashDedup(t(s, dir, "documents"))),
     // per-asset frame fan-out (the video frame-sampling shape)
     "multimodal_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrameOffsets(
@@ -1989,6 +1994,19 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
         "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
         "CAST(doc_id % 256 AS INTEGER) AS red0 FROM documents"),
+    // the oracle predicts every aHash bit from the gradient generator
+    // (integer 64*sample > sum form); Spark computes the same bits from
+    // real ImageIO pixel reads after a PNG round trip
+    "image_phash_dedup" ->
+      ("WITH p AS (SELECT doc_id, n_chars % 31 + 1 AS w, doc_id % 17 + 1 AS h, " +
+        "(doc_id % 8) * 4 AS g0, doc_id % 3 AS sx, (doc_id // 3) % 3 AS sy FROM documents), " +
+        "s AS (SELECT doc_id, [g0 + sx * ((j % 8) * w // 8) + sy * ((j // 8) * h // 8) " +
+        "FOR j IN generate_series(0, 63)] AS v FROM p), " +
+        "hs AS (SELECT doc_id, array_to_string([CASE WHEN 64 * x > list_sum(v) " +
+        "THEN '1' ELSE '0' END FOR x IN v], '') AS phash FROM s) " +
+        "SELECT doc_id, phash, rep_id, " +
+        "CAST(CASE WHEN doc_id != rep_id THEN 1 ELSE 0 END AS INT) AS is_dup FROM " +
+        "(SELECT doc_id, phash, min(doc_id) OVER (PARTITION BY phash) AS rep_id FROM hs) t"),
     "multimodal_frame_sample" ->
       ("SELECT doc_id AS asset_id, CAST(unnest(generate_series(0, 3)) AS INTEGER) AS frame_idx " +
         "FROM documents"),

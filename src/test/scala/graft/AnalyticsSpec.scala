@@ -382,6 +382,42 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(meta2.count() == 10)
   }
 
+  test("image phash: base-brightness invariance, slope sensitivity, dedup grouping") {
+    val hs = Multimodal.imagePerceptualHashes(docs.limit(200))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hs.size == 200 && hs.values.forall(_.length == 64))
+    // two images with identical (w, h, sx, sy) but DIFFERENT base gray must
+    // hash identically — the invariance aHash exists for. ids 5 and 158
+    // agree mod 17, mod 3 and on (id/3)%3 (158 = 5 + 153, 153 = lcm(17,9))
+    // but differ mod 8, so only the base level differs
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val pairSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val pair = spark.createDataFrame(
+      Seq(Row(5L, 100L), Row(158L, 100L)).asJava, pairSchema)
+    val ph = Multimodal.imagePerceptualHashes(pair)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ph(5L) == ph(158L), "base gray must cancel out of the hash")
+    val dims = docs.limit(200).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a flat image (sx = sy = 0) hashes all-zero; a sloped one does not
+    val flat = dims.find { case (id, _) => id % 3 == 0 && (id / 3) % 3 == 0 }
+    for ((id, _) <- flat) assert(hs(id) == "0" * 64)
+    val sloped = dims.find { case (id, nc) =>
+      id % 3 == 2 && nc % 31 >= 16 }
+    for ((id, _) <- sloped) assert(hs(id).contains("1"))
+    // dedup step: representative is the group min, flags consistent
+    val dd = Multimodal.imagePhashDedup(docs.limit(200)).collect()
+    val byHash = dd.groupBy(_.getString(1))
+    for ((_, rows) <- byHash) {
+      val ids = rows.map(_.getLong(0))
+      assert(rows.forall(_.getLong(2) == ids.min))
+      assert(rows.forall(r => r.getInt(3) == (if (r.getLong(0) == ids.min) 0 else 1)))
+    }
+  }
+
   test("scd2 snapshot: one open row per user, contiguous validity, no same-state neighbors") {
     import org.apache.spark.sql.expressions.Window
     val events = spark.read.parquet(s"$sfDir/events.parquet")
