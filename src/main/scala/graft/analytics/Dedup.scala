@@ -557,6 +557,52 @@ object Dedup {
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
   }
 
+  /** Maximal duplicated-SPAN runs per document — the positional
+    * sharpening of [[dupNgramCoverage]]. Coverage says how MUCH of a doc
+    * is duplicated; this says how CONTIGUOUS it is: the longest run of
+    * consecutive token positions whose `n`-grams each occur in ≥ 2
+    * documents. A 50-position run is a verbatim copied paragraph (the
+    * span Lee et al.'s suffix-array dedup would cut); the same mass
+    * scattered as isolated grams is just common phrasing. Pipelines use
+    * the run length as the cut threshold precisely because of that
+    * distinction.
+    *
+    * Shape at scale: positional grams explode once and shuffle on the
+    * gram string for the document-frequency build (same key as
+    * [[dupNgramCoverage]]); flagged positions come back via a left-semi
+    * join on that key; run detection is the gaps-and-islands window
+    * (`pos − row_number`) partitioned by doc_id — per-doc bounded work,
+    * no global sort. Docs with zero duplicated positions report 0.
+    */
+  def dupSpanRuns(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(wordShingles(col("w"), n)).as(Seq("pos", "g")))
+    // document frequency over DISTINCT (doc, gram): a gram repeated inside
+    // one doc is self-repetition, not cross-corpus duplication
+    val df = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val dup = pos.join(df, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val isl = dup.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val runs = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    val mx = runs.groupBy(col("doc_id")).agg(max(col("run")).as("max_dup_run"))
+    val nd = dup.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_pos"))
+    pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(mx, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
   /** The composed MinHash production pipeline: LSH candidate generation
     * followed by EXACT n-gram Jaccard verification of only the candidates —
     * the standard two-phase shape (cheap recall-oriented candidates, exact

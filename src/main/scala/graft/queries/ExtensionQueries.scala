@@ -120,6 +120,11 @@ object ExtensionQueries {
     // boilerplate signal whole-document signatures miss
     "dup_ngram_coverage" -> ((s, dir) =>
       Dedup.dupNgramCoverage(t(s, dir, "documents"))),
+    // positional sharpening of the coverage signal: longest CONTIGUOUS
+    // run of duplicated-5-gram positions (the copied-paragraph span a
+    // suffix-array dedup would cut) via gaps-and-islands per doc
+    "dup_span_runs" -> ((s, dir) =>
+      Dedup.dupSpanRuns(t(s, dir, "documents"))),
     // triangle participation per document over the MinHash candidate
     // graph — the local-density QA signal on a dedup clustering (tight
     // cliques vs hub-glued chains); degree-oriented node-iterator, one
@@ -1551,6 +1556,26 @@ object ExtensionQueries {
         "SELECT doc_id, count(*) AS n_grams, " +
         "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams " +
         "FROM grams JOIN dfv USING (g) GROUP BY doc_id"),
+    "dup_span_runs" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "pw AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p " +
+        "FROM toks WHERE len(w) >= 5), " +
+        "pg AS (SELECT doc_id, p, " +
+        "w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] AS g FROM pw), " +
+        "dfv AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM pg GROUP BY g) d " +
+        "WHERE df >= 2), " +
+        "dup AS (SELECT doc_id, p FROM pg JOIN dfv USING (g)), " +
+        "isl AS (SELECT doc_id, p, p - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY p) AS grp FROM dup), " +
+        "runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp), " +
+        "mx AS (SELECT doc_id, max(run) AS max_dup_run FROM runs GROUP BY doc_id), " +
+        "nd AS (SELECT doc_id, count(*) AS n_dup_pos FROM dup GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM pg GROUP BY doc_id) " +
+        "SELECT tot.doc_id, n_grams, " +
+        "coalesce(n_dup_pos, 0) AS n_dup_pos, " +
+        "coalesce(max_dup_run, 0) AS max_dup_run " +
+        "FROM tot LEFT JOIN nd ON tot.doc_id = nd.doc_id " +
+        "LEFT JOIN mx ON tot.doc_id = mx.doc_id"),
     "doc_chunk_windows" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "ch AS (SELECT doc_id, w, unnest(generate_series(0, " +

@@ -219,6 +219,35 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(prefLow == allLow)
   }
 
+  test("dup span runs: hand-computed islands, scattered blocks do not merge") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val c8 = (1 to 8).map(i => s"c$i").mkString(" ")
+    val d8 = (1 to 8).map(i => s"d$i").mkString(" ")
+    val rows = spark.createDataFrame(Seq(
+      // doc 1: shared block at the head -> one island of 4 dup positions
+      Row(1L, s"$c8 x1 x2 x3 x4 x5"),
+      // doc 2: same block offset by two tokens -> island positions shift,
+      // run length identical
+      Row(2L, s"y1 y2 $c8"),
+      // doc 4: fully unique -> zero dup positions, zero run
+      Row(4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+      // doc 5: TWO shared blocks separated by unique filler -> two islands
+      // of 4 that must NOT merge (8 dup positions, max run still 4)
+      Row(5L, s"$c8 m1 m2 m3 m4 m5 $d8"),
+      Row(6L, s"$d8 q1 q2 q3 q4 q5")).asJava, schema)
+    val got = Dedup.dupSpanRuns(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((9L, 4L, 4L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((6L, 4L, 4L)), s"doc2 ${got(2L)}")
+    assert(got(4L) == ((5L, 0L, 0L)), s"doc4 ${got(4L)}")
+    assert(got(5L) == ((17L, 8L, 4L)), s"doc5 ${got(5L)}")
+    assert(got(6L) == ((9L, 4L, 4L)), s"doc6 ${got(6L)}")
+  }
+
   test("containment catches a near-subset pair that jaccard misses") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
