@@ -88,6 +88,42 @@ object Curation {
         sum(when(col("tf") <= rareMax, col("c")).otherwise(0L)).as("n_rare"))
   }
 
+  /** Exact PHRASE search — the positional-index phrase query (the Lucene
+    * `PhraseQuery` shape, distributed): documents containing the terms at
+    * CONSECUTIVE positions, ranked by occurrence count. Term-frequency
+    * ranking ([[keywordSearch]]/[[bm25TopK]]) treats the query as a bag;
+    * retrieval-augmented pipelines need the exact-phrase variant for
+    * quotes, API names and titles.
+    *
+    * Shape at scale: the positional explode is filtered to the query's
+    * terms BEFORE anything shuffles — the inverted-index read, a tiny
+    * fraction of the corpus. Each subsequent term then joins on
+    * `(doc_id, anchor_pos)` with its position shifted back by its phrase
+    * offset, so every join is an equi-join on the same key pair
+    * (co-partitioned after the first shuffle) and an occurrence survives
+    * iff every term sat at its offset. Top-k via count desc, doc_id asc.
+    */
+  def phraseSearchTopK(
+      docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "phraseSearchTopK: empty phrase")
+    val pos = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tk")))
+      .filter(col("tk").isin(terms.distinct: _*))
+    val anchors = terms.zipWithIndex.tail.foldLeft(
+      pos.filter(col("tk") === terms.head).select(col("doc_id"), col("p"))) {
+      case (acc, (term, i)) =>
+        acc.join(
+          pos.filter(col("tk") === term)
+            .select(col("doc_id"), (col("p") - i).as("p")),
+          Seq("doc_id", "p"))
+    }
+    anchors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Model-based quality scoring — the fastText/DCLM-style linear
     * classifier over hashed bag-of-n-gram features that modern pretraining
     * pipelines run as their primary quality filter (Joulin et al., "Bag of

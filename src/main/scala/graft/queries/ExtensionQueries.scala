@@ -411,6 +411,11 @@ object ExtensionQueries {
     "keyword_search_topk" -> ((s, dir) =>
       Curation.keywordSearch(t(s, dir, "documents"),
         terms = Seq("spark", "quantile", "vector"), k = 20)),
+    // exact phrase query via positional-index joins (consecutive-position
+    // equi-joins over the term-filtered posting slice)
+    "phrase_search_topk" -> ((s, dir) =>
+      Curation.phraseSearchTopK(t(s, dir, "documents"),
+        terms = Seq("data", "spark"), k = 20)),
     // BM25 ranking (rational-idf variant — no transcendental, hash-exact):
     // tf saturation + length normalization over the same query terms
     "bm25_topk" -> ((s, dir) =>
@@ -1609,6 +1614,12 @@ object ExtensionQueries {
         "CAST(sum(tf * ((1000000 * n_docs) // df)) AS DECIMAL(38,0)) AS score_dec " +
         "FROM tf JOIN dft USING (tk), nd GROUP BY doc_id " +
         "ORDER BY score_dec DESC, doc_id LIMIT 20) t"),
+    "phrase_search_topk" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "occ AS (SELECT doc_id, list_sum([CASE WHEN w[i] = 'data' AND w[i+1] = 'spark' " +
+        "THEN 1 ELSE 0 END FOR i IN generate_series(1, len(w) - 1)]) AS n FROM toks) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences FROM occ " +
+        "WHERE n > 0 ORDER BY n DESC, doc_id LIMIT 20"),
     "bm25_topk" ->
       ("WITH stats AS (SELECT count(*) AS n_docs, " +
         "sum(len(string_split(text, ' '))) AS sum_dl FROM documents), " +

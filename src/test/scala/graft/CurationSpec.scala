@@ -290,6 +290,28 @@ class CurationSpec extends SparkSpecBase {
     assert(b.exceptAll(a).count() > 0)
   }
 
+  test("phrase search: consecutive positions only, repeated-term phrases, ties") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rows = spark.createDataFrame(Seq(
+      Row(1L, "a b c x a b c"),   // phrase "a b c" twice
+      Row(2L, "a x b c a b x c"), // terms present, never consecutive
+      Row(3L, "a b c"),           // once
+      Row(4L, "b b b b"),         // repeated-term phrase fixture
+      Row(5L, "c b a")).asJava, schema)
+    val abc = Curation.phraseSearchTopK(rows, Seq("a", "b", "c"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ordered by count desc then doc_id: doc1 (2), doc3 (1); doc2/5 absent
+    assert(abc.toSeq == Seq((1L, 2L), (3L, 1L)), s"got ${abc.toSeq}")
+    // "b b" in "b b b b": anchors at positions 1..3 -> 3 occurrences
+    val bb = Curation.phraseSearchTopK(rows, Seq("b", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bb.toSeq.contains((4L, 3L)), s"got ${bb.toSeq}")
+  }
+
   test("linear quality score: map-only plan, driver-recomputed exact scores") {
     val out = Curation.linearQualityScore(docs)
     // the whole operator must be a single scan + projection — no Exchange
