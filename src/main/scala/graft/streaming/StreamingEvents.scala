@@ -84,6 +84,22 @@ object StreamingEvents {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming IMAGE dedup on the perceptual hash — the multimodal ingest
+    * twin of [[streamingDedup]]: each arriving image decodes and hashes
+    * inside its micro-batch (the map-only
+    * [[graft.analytics.Multimodal.imagePerceptualHashes]] path runs
+    * unchanged on a streaming DataFrame), then first-seen-wins state on
+    * the 64-bit signature drops re-posts/recompressions of already-seen
+    * images as they arrive. State is one row per DISTINCT signature —
+    * perceptual groups are far coarser than exact fingerprints, so this
+    * state is smaller than [[streamingDedup]]'s on the same stream; bound
+    * it further with a watermark exactly as [[streamingDedupBounded]]
+    * does.
+    */
+  def streamingImagePhashDedup(docs: DataFrame): DataFrame =
+    graft.analytics.Multimodal.imagePerceptualHashes(docs)
+      .dropDuplicates("phash")
+
   /** Streaming grouped top-k — the streaming face of the batch
     * [[graft.plans.TopKPerKey]] operator: per user, the k smallest
     * (ts, event_id) rows seen so far, held in BOUNDED per-key state (≤ k

@@ -47,6 +47,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("stream_dedup").count() == batchDistinct)
   }
 
+  test("streaming image phash dedup keeps one image per signature across micro-batches") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    // split the corpus into two micro-batches; cross-batch perceptual
+    // duplicates (same gradient signature from a different doc) must be
+    // dropped by the signature state, not just within-batch ones
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars")
+    val dir = Files.createTempDirectory("graft_phash_stream")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/a")
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingImagePhashDedup(stream), "stream_phash",
+      outputMode = "append")
+    val kept = spark.table("stream_phash")
+    val batchHashes = graft.analytics.Multimodal.imagePerceptualHashes(docs)
+      .select("phash").distinct()
+    // exactly one representative per distinct signature, signatures equal
+    assert(kept.count() == batchHashes.count())
+    assert(kept.select("phash").exceptAll(batchHashes).count() == 0)
+  }
+
   test("streaming quality counts converge to the batch aggregate over two micro-batches") {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_quality_stream")
