@@ -172,6 +172,25 @@ object Bench {
         jvmAfter.view.filterKeys(k => k != "jvmGcMs").toMap)
       name -> sec
     }.toMap
+    // Bench-noise hygiene (VERDICT r10 #5: single-run per-key numbers swung
+    // 5-13x on identical code): keys whose first rep exceeded the threshold
+    // get ONE more timed rep, recorded as `msRep2` with `reps`=2. The
+    // headline `ms`/totals stay rep-1 so the cross-round series keeps its
+    // methodology; rep 2 is a WARM re-run (page cache, JIT, and any
+    // deliberate operator-level caches are hot), so rep1 >> rep2 reads as
+    // noise/JIT and rep1 ~= rep2 as honest compute.
+    val repThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_SEC", "2.0").toDouble
+    order.foreach { name =>
+      if (!errors.contains(name) && results(name) >= repThreshold) {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        val sec2 = (System.nanoTime() - t0) / 1e9
+        detail(name) = detail(name) ++
+          Map("msRep2" -> (sec2 * 1000).toLong, "reps" -> 2L)
+      } else detail(name) = detail(name) + ("reps" -> 1L)
+    }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val orderedResults = order.map(n => n -> results(n))

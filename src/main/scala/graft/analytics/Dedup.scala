@@ -130,7 +130,7 @@ object Dedup {
     * oracle).
     */
   def connectedComponents(
-      edges: DataFrame, maxRounds: Int = 100, checkEvery: Int = 3,
+      edges: DataFrame, maxRounds: Int = 100, checkEvery: Int = 4,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     // undirected adjacency, self-loops so isolated endpoints keep a row
     val adj = materialize(
@@ -141,11 +141,22 @@ object Dedup {
         .distinct())
     var labels = materialize(adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component")))
+    // fixpoint probe scalar: labels are monotone non-increasing per vertex
+    // (the self-loop keeps each vertex's own label in its min), and the
+    // vertex set is constant — so the EXACT label sum strictly decreases
+    // until convergence. Comparing two scalars replaces the former
+    // node-relation self-join + isEmpty probe per block: one cheap scan of
+    // the just-checkpointed labels instead of an extra shuffle stage.
+    // DECIMAL(38,0) keeps the sum exact for any realistic id space
+    // (~1e20 × 1e18 before overflow), where a BIGINT sum could wrap.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged) {
-      val prev = labels
-      var next = prev
+      var next = labels
       // a few lazy rounds per materialize: cutting lineage every round
       // would pay an eager job per hop, while never cutting doubles the
       // analyzed-plan depth per round
@@ -156,10 +167,9 @@ object Dedup {
       }
       labels = materialize(next)
       round += checkEvery
-      // fixpoint test: any vertex whose label still shrank this block?
-      converged = labels.alias("n").join(prev.alias("p"), "id")
-        .filter(col("n.component") =!= col("p.component"))
-        .isEmpty
+      val curSum = labelSum(labels)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       if (!converged && round >= maxRounds)
         throw new IllegalStateException(
           s"connectedComponents: no fixpoint after $round rounds — " +

@@ -5,17 +5,21 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch time-series analytics over the `events` fixture (SURVEY.md §7.5).
-  * The `ts` column arrives as Long nanoseconds (Spark 4 +
-  * `spark.sql.legacy.parquet.nanosAsLong=true`); conversion to TimestampType
-  * truncates to microseconds, matching DuckDB's µs TIMESTAMP semantics.
+  * The `ts` column arrives either as Long nanoseconds or as a native
+  * TIMESTAMP/TIMESTAMP_NTZ (parquet `timestamp[us]`); every entry point
+  * normalizes through [[EventTime]] to canonical epoch-ns longs, so the
+  * arithmetic below is written once. Conversion to TimestampType truncates
+  * to microseconds, matching DuckDB's µs TIMESTAMP semantics.
   *
   * Window starts are reported as epoch seconds (BIGINT) so oracle comparison
   * never depends on timestamp-type hashing.
   */
 object EventsAnalytics {
 
+  private def norm(events: DataFrame): DataFrame = EventTime.toNanos(events)
+
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("tsd", expr("timestamp_micros(ts div 1000)"))
+    EventTime.withTsd(events)
 
   private def decSum(c: String): Column =
     expr(s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)")
@@ -67,7 +71,8 @@ object EventsAnalytics {
     * passes (change detection via lag, validity close via lead); ties
     * break on event_id so output is deterministic across engines.
     */
-  def scd2Snapshot(events: DataFrame): DataFrame = {
+  def scd2Snapshot(events0: DataFrame): DataFrame = {
+    val events = norm(events0)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val changes = events
       .withColumn("prev_state", lag(col("event_type"), 1).over(w))
@@ -171,7 +176,7 @@ object EventsAnalytics {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     // µs image of the ns longs: DuckDB TIMESTAMPs carry µs, so comparing
     // (and emitting) the µs truncation keeps both engines on identical data
-    val pts = events
+    val pts = norm(events)
       .filter(col("value").isNotNull && col("ts").isNotNull)
       .select(col("event_id"), col("value"), expr("ts div 1000").as("ts_us"))
     val enc = RowEncoder.encoderFor(StructType(Seq(
@@ -213,7 +218,8 @@ object EventsAnalytics {
     * parquet untouched (no arithmetic), so the double column hashes
     * identically across engines.
     */
-  def gapFill(events: DataFrame): DataFrame = {
+  def gapFill(events0: DataFrame): DataFrame = {
+    val events = norm(events0)
     val hourly = events
       .groupBy(col("user_id"), expr("ts div 3600000000000").as("hour_bucket"))
       .agg(max(struct(col("ts"), col("event_id"), col("value")))

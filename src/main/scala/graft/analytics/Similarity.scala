@@ -1372,8 +1372,14 @@ object Similarity {
       minSim: Double = 0.30,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
-    val assigned = embeddings.sparkSession
-      .read.parquet(s"$indexDir/vectors.parquet")
+    // the cell-partitioned inverted lists land as one small file per cell
+    // directory; coalesce the scan to ~one task per cell so this key does
+    // not schedule a hundred-odd tiny tasks for a KiB-per-cell read (no
+    // shuffle — coalesce merges scan splits). At corpus scale each cell is
+    // file-bin-packed into real-sized splits and the cap is a no-op.
+    val assigned = indexRelation(
+        embeddings.sparkSession, s"$indexDir/vectors.parquet")
+      .coalesce(embeddings.sparkSession.sparkContext.defaultParallelism)
     val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"),

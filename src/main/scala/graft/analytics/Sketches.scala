@@ -37,24 +37,40 @@ object Sketches {
     * Both corpus passes are full scans, but only the first shuffles — and
     * it shuffles d·w combined rows per task, not the gram universe.
     *
+    * The gram relation is map-only from the scan (tokenize + shingle —
+    * deliberately NO repartition: shuffling the raw corpus before a
+    * map-side aggregate would move the full 100 TB input for nothing).
+    * Both passes need it; `cacheGrams` (default true, right for
+    * local/bench scale) pins it between passes, while a 100 TB run passes
+    * false — a second map-only scan is far cheaper than spilling a
+    * corpus-sized intermediate to executor disks.
+    *
     * @param thresholdDen heavy-hitter fraction denominator: keep grams
     *                     with count >= total/thresholdDen
     * @param d            sketch depth (independent hash rows)
     * @param w            sketch width (buckets per row)
+    * @param cacheGrams   pin the gram relation between the two passes
     */
   def heavyHittersCms(
       docs: DataFrame, thresholdDen: Long = 2000L, d: Int = 4,
-      w: Int = 256): DataFrame = {
+      w: Int = 256, cacheGrams: Boolean = true): DataFrame = {
     require(thresholdDen >= 1 && d >= 1 && w >= 1,
       s"heavyHittersCms: need positive (thresholdDen, d, w), got " +
         s"($thresholdDen, $d, $w)")
-    val grams = docs
-      .repartition(col("doc_id"))
+    val grams0 = docs
       .select(tokens(col("text")).as("wrds"))
       .select(explode(wordShingles(col("wrds"), 2)).as("gram"))
+    // cache is freed by LRU eviction / session end; pass 1's collect below
+    // is the materializing action
+    val grams =
+      if (cacheGrams)
+        grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else grams0
 
+    // row hash = hash of the (row_id, gram) pair — a two-arg xxhash64,
+    // not a string concat (no per-gram allocation in the hot loop)
     def bucket(i: Int): Column =
-      pmod(xxhash64(concat(lit(s"$i:"), col("gram"))), lit(w))
+      pmod(xxhash64(lit(i), col("gram")), lit(w))
 
     // pass 1 — the d×w counter matrix. One aggregate whose grouping
     // cardinality is d·w regardless of corpus size; the collect is
@@ -66,7 +82,7 @@ object Sketches {
       .select(explode(expr(
         s"transform(sequence(0, ${d - 1}), i -> " +
           s"named_struct('row_id', i, 'bucket', " +
-          s"pmod(xxhash64(concat(cast(i AS string), ':', gram)), $w)))"))
+          s"pmod(xxhash64(i, gram), $w)))"))
         .as("rb"))
       .groupBy(col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -952,8 +952,8 @@ object CoreQueries {
         "FROM pv, t WHERE value * 1000 > tv"),
     "q12_shipmode_priority" ->
       ("SELECT l_linestatus, " +
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
-        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1"),

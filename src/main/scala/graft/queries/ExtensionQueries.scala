@@ -31,8 +31,17 @@ object ExtensionQueries {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    s.read.parquet(s"$dir/$n.parquet")
+  // Events' `ts` is normalized to canonical epoch-ns longs at load, so the
+  // bucket/interval arithmetic in the keys below is written once regardless
+  // of whether the fixture ships int64-ns or timestamp[us] (schema drift
+  // fails fast with one clear message, see EventTime).
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$n.parquet")
+    if (n == "events") {
+      EventTime.requireEventTime(n, df, "ts")
+      EventTime.toNanos(df)
+    } else df
+  }
 
   // the exact-Levenshtein match relation feeds BOTH entity keys (pairs +
   // transitive clusters); compute and pin it once per (dir, session) like
@@ -76,9 +85,13 @@ object ExtensionQueries {
     "dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(t(s, dir, "documents"))),
     // full corpus (no input cap): the df-cap inside the operator bounds the
-    // hot-shingle join skew instead
+    // hot-shingle join skew instead. df ≤ 20 keeps the ALL-PAIRS reference
+    // formulation a reference: candidate fan-out per shingle is ≤ df², so
+    // the cap is the key's only cost knob (the scale path is
+    // minhash_verified_pairs / jaccard_prefix_pairs, which prune candidates
+    // structurally instead)
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"))),
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), dfCap = 20)),
     // AllPairs/PPJoin prefix-filter exact Jaccard at the realistic 4/5
     // near-dup threshold: only each doc's rarest ~(1-t)·sz+1 shingles
     // enter the candidate self-join, so pair volume collapses ~25× and
@@ -1377,11 +1390,11 @@ object ExtensionQueries {
         "f AS (SELECT doc_id, list_distinct(w) AS uni, " +
         "list_distinct([w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]) AS big FROM toks), " +
         "sc AS (SELECT doc_id, " +
-        "coalesce(list_sum([('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500 FOR t IN uni]), 0) AS uni_score, " +
-        "coalesce(list_sum([('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500 FOR t IN big]), 0) AS bi_score, " +
+        "CAST(coalesce(list_sum([('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500 FOR t IN uni]), 0) AS BIGINT) AS uni_score, " +
+        "CAST(coalesce(list_sum([('0x' || substr(md5(t), 1, 8))::BIGINT % 1001 - 500 FOR t IN big]), 0) AS BIGINT) AS bi_score, " +
         "CAST(len(uni) + len(big) AS BIGINT) AS n_features FROM f) " +
         "SELECT doc_id, uni_score, bi_score, n_features, " +
-        "uni_score + bi_score AS score, " +
+        "CAST(uni_score + bi_score AS BIGINT) AS score, " +
         "CAST(CASE WHEN uni_score + bi_score > 0 THEN 1 ELSE 0 END AS INT) AS kept FROM sc"),
     "curation_audit" ->
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") + ", " +
@@ -1486,7 +1499,7 @@ object ExtensionQueries {
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
         "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
-        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) d WHERE df <= 100), " +
+        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) d WHERE df <= 20), " +
         "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)), " +
         "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common " +

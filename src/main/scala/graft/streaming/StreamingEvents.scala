@@ -13,23 +13,33 @@ import org.apache.spark.sql.types._
   */
 object StreamingEvents {
 
-  /** The events schema as written by the fixtures (ts = Long nanoseconds,
-    * see build.sbt nanosAsLong note).
+  /** The events schema as currently written by the fixtures (parquet
+    * `timestamp[us]`, which Spark reads as TIMESTAMP_NTZ). [[readEvents]]
+    * prefers the schema of files already present at the path, so a landing
+    * zone shipping int64-ns events streams just as well.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** File-based streaming source over a parquet path (new files are picked
-    * up incrementally — the standard landing-zone pattern).
+    * up incrementally — the standard landing-zone pattern). The physical
+    * `ts` type is taken from files already at the path (falling back to
+    * [[eventsSchema]]); downstream always sees the canonical pair
+    * `ts` = epoch-ns BIGINT, `tsd` = TimestampType event time.
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(path)
-      .withColumn("tsd", expr("timestamp_micros(ts div 1000)"))
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val schema =
+      try spark.read.parquet(path).schema
+      catch { case _: Throwable => eventsSchema }
+    val raw = spark.readStream.schema(schema).parquet(path)
+    graft.analytics.EventTime.toNanos(
+      graft.analytics.EventTime.withTsd(raw))
+  }
 
   /** Tumbling 1-hour counts with a 2-hour watermark: late events beyond the
     * watermark are dropped, state is bounded — the scale requirement for an

@@ -449,7 +449,10 @@ class AnalyticsSpec extends SparkSpecBase {
 
   test("scd2 snapshot: one open row per user, contiguous validity, no same-state neighbors") {
     import org.apache.spark.sql.expressions.Window
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // normalize here too: the covering join below compares raw e.ts against
+    // the snapshot's epoch-ns validity bounds
+    val events = graft.analytics.EventTime.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val snap = EventsAnalytics.scd2Snapshot(events)
     // exactly one current row per user
     val perUser = snap.groupBy("user_id").agg(sum("is_current").as("n_open"))
@@ -506,7 +509,8 @@ class AnalyticsSpec extends SparkSpecBase {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.analytics.EventTime.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val sky = EventsAnalytics.skyline(events).collect()
       .map(_.getLong(0)).toSet
     val p = events.filter(col("value").isNotNull && col("ts").isNotNull)

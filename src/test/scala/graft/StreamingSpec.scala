@@ -120,13 +120,14 @@ class StreamingSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions._
     // two files + maxFilesPerTrigger=1 forces TWO micro-batches, so the
     // bounded per-key state genuinely merges across batches
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.analytics.EventTime.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val dir = Files.createTempDirectory("graft_stream_topk")
     events.filter(col("event_id") % 2 === 0)
       .coalesce(1).write.parquet(s"$dir/a")
     events.filter(col("event_id") % 2 =!= 0)
       .coalesce(1).write.parquet(s"$dir/b")
-    val stream = spark.readStream.schema(StreamingEvents.eventsSchema)
+    val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
     StreamingEvents.runToMemory(
       StreamingEvents.streamingTopKPerUser(stream, 3), "stream_topk",
@@ -249,7 +250,8 @@ class StreamingSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions._
     // stage the fixture in two time-ordered halves so the watermark
     // advances across micro-batches and event-time timeouts fire
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.analytics.EventTime.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val cut = events.selectExpr("percentile(ts, 0.5)").head.getDouble(0).toLong
     val dir = Files.createTempDirectory("graft_sess_stream")
     events.filter(col("ts") <= cut).coalesce(1)
@@ -330,9 +332,8 @@ class StreamingSpec extends SparkSpecBase {
     StreamingEvents.runToMemory(
       StreamingEvents.purchaseClickJoin(stream), "stream_ssjoin",
       outputMode = "append")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("tsd", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val ev = graft.analytics.EventTime.withTsd(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val batch = StreamingEvents.purchaseClickJoin(ev)
     assert(spark.table("stream_ssjoin").count() == batch.count())
     assert(spark.table("stream_ssjoin").exceptAll(batch).count() == 0)
