@@ -35,6 +35,46 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true)))
 
+  /** Spread a narrow pre-decode projection across every core. Codec work is
+    * CPU-bound while the fixture scan is a handful of row-group tasks, so
+    * without this the decode keys run ~5 tasks on a 32-core session. The
+    * shuffled rows are two longs (a few bytes each) — negligible next to the
+    * per-row encode/decode — so a round-robin repartition is the right tool
+    * here. With real STORED payloads the payload bytes should never be
+    * shuffled; there you widen decode parallelism at the scan instead
+    * (lower `spark.sql.files.maxPartitionBytes`).
+    */
+  private def spreadForCodec(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Per-partition codec handle. The static `ImageIO.write`/`ImageIO.read`
+    * entry points re-scan the plugin registry on every call and (by JDK
+    * default) spool each stream through a DISK-backed cache file — at 32
+    * concurrent tasks the per-image temp-file create/delete serializes on
+    * the filesystem (measured here: task run-time 1.4x task cpu-time and
+    * ~2.5 ms/image on 8-700 pixel images). One writer/reader pair per
+    * partition over in-memory streams is the production decode shape: the
+    * registry is consulted once per task and no codec byte touches disk.
+    */
+  private final class Codec(fmt: String) {
+    private val writer = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+    private val reader = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+      bos.toByteArray
+    }
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      reader.setInput(iis)
+      reader.read(0)
+    }
+  }
+
   /** Fabricate a binary-asset table from any string column — the test-data
     * path (UTF-8 bytes stand in for media payloads).
     */
@@ -106,7 +146,8 @@ object Multimodal {
       StructField("height", IntegerType, nullable = false),
       StructField("red0", IntegerType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
-    docs.select(col("doc_id"), col("n_chars")).mapPartitions { rows =>
+    spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
+      val codec = new Codec(fmt)
       rows.map { r =>
         val id = r.getLong(0)
         val w = (r.getLong(1) % 31).toInt + 1
@@ -121,11 +162,8 @@ object Multimodal {
           while (x < w) { img.setRGB(x, y, rgb); x += 1 }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, fmt, bos)
-        val payload = bos.toByteArray // the real stored binary payload
-        val decoded = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
+        val payload = codec.encode(img) // the real stored binary payload
+        val decoded = codec.decode(payload)
         Row(id, decoded.getWidth, decoded.getHeight,
           (decoded.getRGB(0, 0) >> 16) & 0xff)
       }
@@ -157,7 +195,8 @@ object Multimodal {
       StructField("doc_id", LongType, nullable = false),
       StructField("phash", StringType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
-    docs.select(col("doc_id"), col("n_chars")).mapPartitions { rows =>
+    spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
+      val codec = new Codec("png")
       rows.map { r =>
         val id = r.getLong(0)
         val w = (r.getLong(1) % 31).toInt + 1
@@ -177,10 +216,7 @@ object Multimodal {
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val decoded = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val decoded = codec.decode(codec.encode(img))
         // 8x8 nearest-neighbor grid over the DECODED raster
         val samples = Array.tabulate(64) { j =>
           val px = (j % 8) * decoded.getWidth / 8
@@ -223,7 +259,8 @@ object Multimodal {
       StructField("height", IntegerType, nullable = false),
       StructField("gray_err_le3", IntegerType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
-    docs.select(col("doc_id"), col("n_chars")).mapPartitions { rows =>
+    spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
+      val codec = new Codec("jpg")
       rows.map { r =>
         val id = r.getLong(0)
         val w = (r.getLong(1) % 31).toInt + 1
@@ -238,11 +275,7 @@ object Multimodal {
           while (x < w) { img.setRGB(x, y, rgb); x += 1 }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
-        val payload = bos.toByteArray
-        val decoded = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
+        val decoded = codec.decode(codec.encode(img))
         val gray = (decoded.getRGB(0, 0) >> 16) & 0xff
         Row(id, decoded.getWidth, decoded.getHeight,
           if (math.abs(gray - g) <= 3) 1 else 0)
