@@ -115,6 +115,19 @@ object Bench {
         spark.read.parquet(s"$sfDir/embeddings.parquet"),
         graft.analytics.Similarity.defaultIndexDir(sfDir) + "/ivfpq",
         trainMod = 4)
+      // tiny curation pass (48 docs end-to-end): JITs the md5-fingerprint,
+      // minhash-band, bloom n-gram, percentile, and label-propagation
+      // families — measured r11: the FIRST key composing them
+      // (curation_audit in registration order) otherwise absorbed ~10s of
+      // one-time JIT (rep1 12.5s vs warm rep2 2.5s)
+      graft.analytics.Curation.curationAudit(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(48)).count()
+      // tiny standalone-PQ pass: pqTopK trains its codebooks on a
+      // different Lloyd chain than the fused IVF-PQ warmed above
+      // (measured r11: cosine_topk_pq rep1 6.3s vs warm rep2 1.7s)
+      graft.analytics.Similarity.pqTopK(
+        spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64),
+        queryId = 0L, k = 1).count()
       // one tiny subsetter pass over the two smallest tables: JITs the
       // semi/anti-join + union + checkpoint code paths the subset keys use.
       // Deliberately NOT the benched fixture config — the memoized result

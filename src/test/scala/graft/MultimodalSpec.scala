@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Multimodal
+
+/** Unit coverage for the image-codec tier (the oracle keys verify it
+  * end-to-end at sf scale; these pin the per-row codec semantics on a tiny
+  * frame so a codec-handle refactor can't silently change pixels).
+  */
+class MultimodalSpec extends SparkSpecBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val tiny = docs.orderBy("doc_id").limit(40)
+
+  test("lossless round trip returns generator-predicted dims and pixel") {
+    // png/gif/bmp must all survive encode->decode bit-exactly; the decoded
+    // width/height/red0 are fully predicted by the generator formula
+    for (fmt <- Seq("png", "gif", "bmp")) {
+      val out = Multimodal.losslessRoundTripMeta(tiny, fmt)
+      val bad = out.join(
+          tiny.select(col("doc_id").as("asset_id"), col("n_chars")),
+          "asset_id")
+        .filter(col("width") =!= (col("n_chars") % 31 + 1).cast("int") ||
+          col("height") =!= (col("asset_id") % 17 + 1).cast("int") ||
+          col("red0") =!= (col("asset_id") % 256).cast("int"))
+        .count()
+      assert(bad === 0L, s"format $fmt")
+      assert(out.count() === 40L, s"format $fmt")
+    }
+  }
+
+  test("jpeg round trip parses exact dims; solid gray within tolerance") {
+    val out = Multimodal.jpegRoundTripMeta(tiny)
+    assert(out.count() === 40L)
+    assert(out.filter(col("gray_err_le3") =!= 1).count() === 0L)
+  }
+
+  test("perceptual hash is brightness-invariant and gradient-sensitive") {
+    val hs = Multimodal.imagePerceptualHashes(docs.limit(200))
+    // every signature is 64 bits of 0/1
+    assert(hs.filter(length(col("phash")) =!= 64 ||
+      translate(col("phash"), "01", "") =!= "").count() === 0L)
+    // dedup groups are consistent: rep carries the min doc_id of its phash
+    val dd = Multimodal.imagePhashDedup(docs.limit(200))
+    val badRep = dd.groupBy("phash")
+      .agg(min("doc_id").as("lo"), min("rep_id").as("rep"),
+        countDistinct("rep_id").as("nrep"))
+      .filter(col("nrep") =!= 1 || col("lo") =!= col("rep")).count()
+    assert(badRep === 0L)
+    // is_dup marks exactly the non-representatives
+    assert(dd.filter((col("doc_id") === col("rep_id")) === (col("is_dup") === 1))
+      .count() === 0L)
+  }
+}
