@@ -639,7 +639,8 @@ object Dedup {
       n: Int = 3,
       thresholdDen: Int = 5,
       dfCap: Int = 100,
-      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local,
+      thresholdNum: Int = 1): DataFrame = {
     val cand = lshCandidatePairs(docs, numHashes, rowsPerBand, n, materialize)
       .select(col("id_a"), col("id_b"))
     val shAll = materialize(shingles(docs, n))
@@ -649,7 +650,52 @@ object Dedup {
     val sh = shAll.join(rare, Seq("s"), "left_semi")
       .select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    exactJaccardOnPairs(cand, sh, sizes, 1, thresholdDen)
+    exactJaccardOnPairs(cand, sh, sizes, thresholdNum, thresholdDen)
+  }
+
+  /** MinHash-LSH RECALL evaluation — the tuning measurement a pipeline
+    * runs BEFORE committing an LSH configuration to a full-corpus sweep
+    * (the dedup-side analogue of the `ann_recall_ivf` key): of the pairs
+    * at Jaccard ≥ num/den that an EXACT join finds, what fraction did the
+    * banded LSH surface? Expected from LSH theory with b bands of r rows:
+    * `1 − (1 − s^r)^b` at similarity s — e.g. ~0.65 at s = 0.8 under the
+    * default 2×4 banding, so a sub-one recall here is the CONFIG talking,
+    * not a bug, and exactly the insight this eval exists to surface.
+    *
+    * Truth is the prefix-filter exact join (complete at the threshold —
+    * the in-repo scale path for exact truth at high thresholds, no
+    * sampling needed); found is the LSH candidates verified at the SAME
+    * threshold over the SAME df-capped shingle universe, hence found ⊆
+    * truth by construction and recall = n_found / n_truth exactly. One
+    * row: (n_candidates, n_truth, n_found, recall_ppm) — the candidate
+    * count is the verify-COST side of the banding tradeoff (more bands =
+    * higher recall AND more candidates to verify); ppm as integer
+    * division so the result hashes engine-independently.
+    */
+  def lshRecallEval(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      n: Int = 3,
+      thresholdNum: Int = 4,
+      thresholdDen: Int = 5,
+      dfCap: Int = 100,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    val truth = prefixFilterJaccardPairs(
+      docs, n, thresholdNum, thresholdDen, dfCap, materialize)
+    val found = minhashVerifiedPairs(
+      docs, numHashes, rowsPerBand, n, thresholdDen, dfCap, materialize,
+      thresholdNum = thresholdNum)
+    val cand = lshCandidatePairs(docs, numHashes, rowsPerBand, n, materialize)
+      .select(col("id_a"), col("id_b")).distinct()
+    // one-row aggregates: the crossJoins are broadcast scalars, not data
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_candidates"), col("n_truth"), col("n_found"),
+        when(col("n_truth") === 0, lit(1000000L))
+          .otherwise(expr("1000000 * n_found div n_truth"))
+          .cast("long").as("recall_ppm"))
   }
 
   /** Modulus for the affine MinHash family: 2^40 keeps every intermediate
@@ -671,6 +717,10 @@ object Dedup {
     // evaluate interpreted, which dominates for hash-heavy inner loops.)
     // No DISTINCT before hashing: min over duplicate shingles equals min
     // over the distinct set, so the dedup shuffle is pure waste here.
+    // The input repartition trades a shuffle of the COMPACT doc relation
+    // for not shuffling the ~3x-larger exploded shingle+hash relation:
+    // hash(doc_id) distribution established here satisfies the final
+    // groupBy(doc_id) below, so the post-explode rows never move.
     val withH = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))

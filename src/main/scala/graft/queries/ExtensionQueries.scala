@@ -144,6 +144,12 @@ object ExtensionQueries {
     // companion to the all-pairs ngram_jaccard_pairs reference
     "minhash_verified_pairs" -> ((s, dir) =>
       Dedup.minhashVerifiedPairs(t(s, dir, "documents"))),
+    // LSH-config recall evaluation at the realistic 4/5 near-dup
+    // threshold: exact prefix-filter truth vs the banded-LSH pipeline
+    // verified at the same threshold — the dedup analogue of
+    // ann_recall_ivf (run it BEFORE committing a band config to 100 TB)
+    "minhash_recall_eval" -> ((s, dir) =>
+      Dedup.lshRecallEval(t(s, dir, "documents"))),
     // per-document duplicated-5-gram coverage: the exact-substring
     // boilerplate signal whole-document signatures miss
     "dup_ngram_coverage" -> ((s, dir) =>
@@ -1579,6 +1585,32 @@ object ExtensionQueries {
         "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
         "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
         "WHERE 5 * n_common >= (sa.n + sb.n - n_common)"),
+    // truth = exact all-pairs at 4/5 over the df<=100 universe (complete,
+    // so it also oracles the engine's prefix-filter truth side); found =
+    // the LSH band candidates verified at the same threshold/universe
+    "minhash_recall_eval" ->
+      ("WITH " + minhashPairCtes + ", " +
+        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) d WHERE df <= 100), " +
+        "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), " +
+        "tinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common " +
+        "FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "truth AS (SELECT id_a, id_b FROM tinter " +
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE 5 * n_common >= 4 * (sa.n + sb.n - n_common)), " +
+        "cand AS (SELECT DISTINCT id_a, id_b FROM pairs), " +
+        "vinter AS (SELECT c.id_a, c.id_b, count(*) AS n_common FROM cand c " +
+        "JOIN shc a ON a.doc_id = c.id_a JOIN shc b ON b.doc_id = c.id_b AND b.s = a.s " +
+        "GROUP BY 1, 2), " +
+        "found AS (SELECT v.id_a, v.id_b FROM vinter v " +
+        "JOIN sz sa ON sa.doc_id = v.id_a JOIN sz sb ON sb.doc_id = v.id_b " +
+        "WHERE 5 * n_common >= 4 * (sa.n + sb.n - n_common)) " +
+        "SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates, " +
+        "CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth, " +
+        "CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found, " +
+        "CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000 " +
+        "ELSE 1000000 * (SELECT count(*) FROM found) // (SELECT count(*) FROM truth) " +
+        "END AS BIGINT) AS recall_ppm"),
     "dup_ngram_coverage" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
