@@ -749,6 +749,68 @@ object Similarity {
       .select(col("vec_id"), coalesce(col("n"), lit(0L)).as("n_hits"))
   }
 
+  /** ANN recall CURVE — [[annRecallIvf]] swept across probe widths in ONE
+    * pass: the ground truth (the expensive corpus × queries scan), the
+    * coarse quantizer, and the corpus cell assignment are computed once
+    * and pinned; each curve point adds only a map-only probe assignment
+    * over the sampled queries and a probed-cell top-k. Output
+    * (nprobe, vec_id, n_hits) — the recall-vs-cost curve is the artifact
+    * an IVF deployment tunes nProbe from (recall rises with nProbe, and
+    * so does the fraction of the index scanned; the knee is the setting).
+    */
+  def annRecallCurveIvf(
+      embeddings: DataFrame,
+      k: Int = 10,
+      queryMod: Int = 100,
+      nCells: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4),
+      iters: Int = 2,
+      trainMod: Int = 4,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    require(probes.nonEmpty, "annRecallCurveIvf: need at least one probe width")
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val qs = spread.filter(col("vec_id") % queryMod === 0)
+    val qSide = broadcast(qs.select(col("vec_id").as("qid"),
+      col("embedding").as("q_emb"),
+      sqrt(expr("float_dot(embedding, embedding)")).as("qn")))
+    def topPerQuery(pairs: DataFrame): DataFrame =
+      graft.plans.TopKPerKey.topKPerKey(
+          pairs.withColumn("neg_sim", -col("sim")),
+          Seq("qid"), Seq("neg_sim", "nbr"), k)
+        .select(col("qid"), col("nbr"))
+    val exactTop = materialize(topPerQuery(spread
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .crossJoin(qSide)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(expr("float_dot(embedding, q_emb)") / (col("nrm") * col("qn")), 6)
+          .as("sim"))))
+    val centroids =
+      materialize(kMeansCentroids(spread, nCells, iters, trainMod))
+    val indexed = materialize(assignCells(spread, centroids, 1)
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
+      .select(col("cell_id"), col("vec_id").as("nbr"),
+        col("embedding").as("n_emb"), col("nrm")))
+    probes.map { p =>
+      val probeCells = assignCells(qs, centroids, p)
+        .select(col("vec_id").as("qid"), col("cell_id"))
+      val approxTop = topPerQuery(probeCells
+        .join(indexed, Seq("cell_id"))
+        .filter(col("qid") =!= col("nbr"))
+        .join(qSide, Seq("qid"))
+        .select(col("qid"), col("nbr"),
+          round(expr("float_dot(n_emb, q_emb)") / (col("nrm") * col("qn")), 6)
+            .as("sim")))
+      val hits = exactTop.join(approxTop, Seq("qid", "nbr"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      qs.select(col("vec_id"))
+        .join(hits.select(col("qid").as("vec_id"), col("n")), Seq("vec_id"), "left")
+        .select(lit(p.toLong).as("nprobe"), col("vec_id"),
+          coalesce(col("n"), lit(0L)).as("n_hits"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Incremental IVF index maintenance — the ingest path at corpus scale:
     * the coarse quantizer trains ONCE (on the existing corpus, on its
     * deterministic subsample) and every new batch is just ASSIGNED to the

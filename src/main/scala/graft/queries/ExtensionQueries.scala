@@ -314,6 +314,10 @@ object ExtensionQueries {
     // integer-exact so the whole build+eval hash-checks
     "ann_recall_ivf" -> ((s, dir) =>
       Similarity.annRecallIvf(t(s, dir, "embeddings"))),
+    // the recall-vs-cost CURVE: truth/quantizer/assignment computed once,
+    // one extra map-only probe pass per point — tunes nProbe from data
+    "ann_recall_curve_ivf" -> ((s, dir) =>
+      Similarity.annRecallCurveIvf(t(s, dir, "embeddings"))),
     // incremental IVF maintenance: quantizer trained on the existing
     // corpus (vec_id % 10 != 0), the new batch (% 10 = 0) map-only
     // assigned to the frozen centroids — the no-retrain ingest path
@@ -1088,6 +1092,50 @@ object ExtensionQueries {
       "FROM qs q LEFT JOIN h ON h.qid = q.vec_id"
   }
 
+  /** [[annRecallOracle]]'s probe-dependent tail replicated per curve point
+    * over one shared training/truth prefix, UNION ALL'd. */
+  private def annRecallCurveOracle(
+      k: Int, queryMod: Int, nCells: Int, probes: Seq[Int], iters: Int,
+      trainMod: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+        kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
+    }.mkString(", ")
+    def cos(a: String, b: String) =
+      s"round(list_sum([CAST($a.embedding[j] AS DOUBLE) * CAST($b.embedding[j] AS DOUBLE) " +
+        s"FOR j IN generate_series(1, len($a.embedding))]) / " +
+        s"(sqrt(list_sum([CAST($a.embedding[j] AS DOUBLE) * CAST($a.embedding[j] AS DOUBLE) " +
+        s"FOR j IN generate_series(1, len($a.embedding))])) * " +
+        s"sqrt(list_sum([CAST($b.embedding[j] AS DOUBLE) * CAST($b.embedding[j] AS DOUBLE) " +
+        s"FOR j IN generate_series(1, len($b.embedding))]))), 6)"
+    val perProbe = probes.map { p =>
+      s"qp$p AS (SELECT vec_id AS qid, cell_id FROM (SELECT vec_id, cell_id, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn " +
+        s"FROM afd WHERE vec_id % $queryMod = 0) t WHERE rn <= $p), " +
+        s"ap$p AS (SELECT p.qid, i.vec_id AS nbr, " + cos("q", "i") + " AS sim " +
+        s"FROM qp$p p JOIN af i ON i.cell_id = p.cell_id AND i.vec_id != p.qid " +
+        "JOIN qs q ON q.vec_id = p.qid), " +
+        s"atk$p AS (SELECT qid, nbr FROM (SELECT qid, nbr, row_number() OVER " +
+        s"(PARTITION BY qid ORDER BY sim DESC, nbr) AS rn FROM ap$p) t WHERE rn <= $k), " +
+        s"h$p AS (SELECT qid, count(*) AS n FROM et JOIN atk$p USING (qid, nbr) GROUP BY qid)"
+    }.mkString(", ")
+    val points = probes.map { p =>
+      s"SELECT CAST($p AS BIGINT) AS nprobe, q.vec_id, " +
+        s"CAST(coalesce(h$p.n, 0) AS BIGINT) AS n_hits " +
+        s"FROM qs q LEFT JOIN h$p ON h$p.qid = q.vec_id"
+    }.mkString(" UNION ALL ")
+    s"WITH train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+      s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
+      s"qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $queryMod = 0), " +
+      "ep AS (SELECT q.vec_id AS qid, e.vec_id AS nbr, " + cos("q", "e") + " AS sim " +
+      "FROM qs q JOIN embeddings e ON e.vec_id != q.vec_id), " +
+      "et AS (SELECT qid, nbr FROM (SELECT qid, nbr, row_number() OVER " +
+      s"(PARTITION BY qid ORDER BY sim DESC, nbr) AS rn FROM ep) t WHERE rn <= $k), " +
+      perProbe + " " + points
+  }
+
   private def ivfKmeansOracle(
       nCells: Int, nProbe: Int, iters: Int, k: Int, queryId: Long,
       trainMod: Int = 1): String =
@@ -1785,6 +1833,9 @@ object ExtensionQueries {
     "ann_recall_ivf" ->
       annRecallOracle(k = 10, queryMod = 100, nCells = 16, nProbe = 4,
         iters = 2, trainMod = 4),
+    "ann_recall_curve_ivf" ->
+      annRecallCurveOracle(k = 10, queryMod = 100, nCells = 16,
+        probes = Seq(1, 2, 4), iters = 2, trainMod = 4),
     "cluster_balanced_sample" -> clusterBalancedOracle,
     // the index probe path must land on the identical quota
     "cluster_balanced_sample_probe" -> clusterBalancedOracle,
