@@ -580,4 +580,33 @@ object Curation {
         Seq("doc_id"), "left")
       .na.fill(0L)
   }
+
+  /** Corpus snapshot DIFF by content fingerprint — the change report a
+    * pipeline runs between two versions of a corpus (monthly crawl
+    * refresh, upstream re-delivery, post-curation re-cut): which documents
+    * were added, removed, or changed in place. Comparing the normalized
+    * md5 fingerprint instead of the text means the shuffle carries
+    * (id, 32-char signature) per side — never the document bodies — so the
+    * diff of two 100 TB snapshots moves GBs, not TBs; the only shuffle is
+    * the full-outer join on the id. Emits one row per differing document
+    * (`change` ∈ added / removed / changed); unchanged rows — the vast
+    * majority between real snapshots — never leave the join.
+    */
+  def snapshotDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("fp_old"))
+    val n = newDocs.select(col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .filter(col("change") =!= "unchanged")
+  }
 }

@@ -476,6 +476,19 @@ object ExtensionQueries {
             .when(col("bucket") < 90, "val").otherwise("test"))),
     "corpus_shuffle" -> ((s, dir) =>
       Curation.shuffleShards(t(s, dir, "documents"), seed = "seed42")),
+    // snapshot change report between two corpus versions, synthesized
+    // deterministically from the fixture: old drops ids ≡9 (mod 10)
+    // ("added" in new), new drops ≡4 ("removed") and rewrites ≡2
+    // ("changed"); the diff joins 32-char fingerprints, never texts
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.snapshotDiff(
+        oldDocs = docs.filter(col("doc_id") % 10 =!= 9),
+        newDocs = docs.filter(col("doc_id") % 10 =!= 4)
+          .withColumn("text",
+            when(col("doc_id") % 10 === 2, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))))
+    }),
     // Gopher repetition filter signals: per-doc top-bigram occurrences and
     // duplicated-trigram mass as exact integer numerators/denominators
     "text_repetition_stats" -> ((s, dir) =>
@@ -1472,6 +1485,18 @@ object ExtensionQueries {
         "JOIN keep ON fpr.f = keep.f CROSS JOIN b " +
         "LEFT JOIN comp ON comp.src = d.doc_id " +
         "LEFT JOIN cont ON cont.doc_id = d.doc_id"),
+    "corpus_snapshot_diff" ->
+      ("WITH o AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents " +
+        "WHERE doc_id % 10 != 9), " +
+        "n AS (SELECT doc_id, md5(lower(trim(" +
+        "CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END))) AS fp " +
+        "FROM documents WHERE doc_id % 10 != 4) " +
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.fp != n.fp THEN 'changed' ELSE 'unchanged' END AS change " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id " +
+        "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp"),
     "corpus_split" ->
       ("SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS INTEGER) AS bucket, " +
         "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train' " +
