@@ -441,6 +441,20 @@ object Dedup {
     val sh = shAll.join(rare, Seq("s"))
       .select(col("doc_id"), col("s"), col("df"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    prefixFilterJaccardFromShingles(sh, sizes, thresholdNum, thresholdDen)
+  }
+
+  /** [[prefixFilterJaccardPairs]]' core over a PRE-COMPUTED df-capped
+    * shingle relation `sh(doc_id, s, df)` + `sizes(doc_id, sz)` — the
+    * entry point for callers that already paid the shingle scan
+    * ([[lshRecallEval]] shares ONE relation across truth and verify).
+    */
+  private def prefixFilterJaccardFromShingles(
+      sh: DataFrame,
+      sizes: DataFrame,
+      thresholdNum: Int,
+      thresholdDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // rank each doc's shingles rarest-first; prefix length is
     // sz - ceil(sz·num/den) + 1 ≈ (1 - t)·sz + 1, so the candidate join
     // carries ~20% of the shingle volume at the realistic t = 4/5 near-dup
@@ -681,13 +695,20 @@ object Dedup {
       thresholdDen: Int = 5,
       dfCap: Int = 100,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
-    val truth = prefixFilterJaccardPairs(
-      docs, n, thresholdNum, thresholdDen, dfCap, materialize)
-    val found = minhashVerifiedPairs(
-      docs, numHashes, rowsPerBand, n, thresholdDen, dfCap, materialize,
-      thresholdNum = thresholdNum)
+    // ONE shingle scan serves truth, candidate verify, and sizes — at
+    // corpus scale you never tokenize three times for one evaluation
+    val shAll = materialize(shingles(docs, n))
+    val rare = shAll.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+    val sh = materialize(shAll.join(rare, Seq("s"))
+      .select(col("doc_id"), col("s"), col("df")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val truth = prefixFilterJaccardFromShingles(
+      sh, sizes, thresholdNum, thresholdDen)
     val cand = lshCandidatePairs(docs, numHashes, rowsPerBand, n, materialize)
       .select(col("id_a"), col("id_b")).distinct()
+    val found = exactJaccardOnPairs(cand,
+      sh.select(col("doc_id"), col("s")), sizes, thresholdNum, thresholdDen)
     // one-row aggregates: the crossJoins are broadcast scalars, not data
     cand.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
