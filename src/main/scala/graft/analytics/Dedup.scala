@@ -514,12 +514,17 @@ object Dedup {
     * documents (article + syndicated copy with added chrome, chat excerpt
     * inside a full log) that whole-document resemblance keeps.
     *
-    * Same scale shape as [[ngramJaccardPairs]] — shingle equi-join with the
-    * stop-shingle df cap bounding per-key pair fan-out — plus one guard this
-    * metric uniquely needs: a tiny document (few shingles) is "contained" in
-    * everything, so pairs where the smaller side has < `minShingles`
-    * surviving shingles are dropped before the threshold test. Integer
-    * cross-multiplication (`den·|A∩B| ≥ num·min`) keeps the hash exact.
+    * Scale shape: candidates from a ONE-SIDED prefix filter (each doc's
+    * rarest ~(1−t)·sz+1 shingles joined against full shingle sets — see
+    * the completeness argument inline; prefix × prefix, the Jaccard form,
+    * is NOT complete for containment because the larger side admits no
+    * prefix bound), then exact verify of only the candidates — identical
+    * output to the all-pairs join the oracle runs, at ~(1−t) of its
+    * candidate volume. One guard this metric uniquely needs: a tiny
+    * document (few shingles) is "contained" in everything, so pairs where
+    * the smaller side has < `minShingles` surviving shingles are dropped
+    * before the threshold test. Integer cross-multiplication
+    * (`den·|A∩B| ≥ num·min`) keeps the hash exact.
     */
   def containmentPairs(
       docs: DataFrame,
@@ -529,16 +534,41 @@ object Dedup {
       dfCap: Int = 100,
       minShingles: Int = 8,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val shAll = materialize(shingles(docs, n))
     val rare = shAll.groupBy(col("s"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
-      .select(col("s"))
-    val sh = shAll.join(rare, Seq("s"), "left_semi")
-      .select(col("doc_id"), col("s"))
+    val shDf = shAll.join(rare, Seq("s"))
+      .select(col("doc_id"), col("s"), col("df"))
+    val sh = materialize(shDf.select(col("doc_id"), col("s")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("id_a", "s")
-    val b = sh.toDF("id_b", "s")
-    val inter = a.join(b, a("s") === b("s") && a("id_a") < b("id_b"))
+    // ONE-SIDED prefix filter, complete for containment: for a qualifying
+    // pair the smaller set S shares c ≥ ceil(t·|S|) shingles, so its
+    // rarest common shingle sits within S's first |S| − ceil(t·|S|) + 1
+    // shingles under the global (df, s) rarity order — inside S's prefix.
+    // The LARGER side admits no such bound (its prefix vs a minimal
+    // partner is nearly the whole set), so candidates come from each
+    // doc's prefix joined against FULL shingle sets (~(1−t) of the
+    // all-pairs volume at t = 9/10), not prefix × prefix as in the
+    // Jaccard join. Exact verify on the candidates reproduces the
+    // all-pairs answer bit-for-bit (the oracle stays all-pairs).
+    val prefix = shDf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rn") <= col("sz") -
+        expr(s"(sz * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen") + 1)
+      .select(col("doc_id").as("pid"), col("s"))
+    val cand = prefix
+      .join(sh.toDF("oid", "s2"),
+        col("s") === col("s2") && col("pid") =!= col("oid"))
+      .select(least(col("pid"), col("oid")).as("id_a"),
+        greatest(col("pid"), col("oid")).as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.toDF("id_a", "s"), "id_a")
+      .join(sh.toDF("id_b", "s2"), Seq("id_b"))
+      .filter(col("s") === col("s2"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
