@@ -371,6 +371,19 @@ object Dedup {
     // join sides — materialize once instead of recomputing explode+distinct
     // (pass Materialize.parquet(dir) on a real cluster: localCheckpoint
     // blocks don't survive executor loss)
+    allPairsScored(docs, n, dfCap, materialize)
+      .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
+  }
+
+  /** The all-pairs intersection relation both [[ngramJaccardPairs]] and
+    * [[jaccardThresholdCurve]] score: every sharing pair over the
+    * df-capped universe with its exact `(n_common, n_union)`.
+    */
+  private def allPairsScored(
+      docs: DataFrame,
+      n: Int,
+      dfCap: Int,
+      materialize: DataFrame => DataFrame): DataFrame = {
     val shAll = materialize(shingles(docs, n))
     // df filter shuffles on the same key as the self-join below, so the
     // capped relation arrives pre-clustered for it
@@ -392,7 +405,34 @@ object Dedup {
       .join(sizes.toDF("id_b", "sz_b"), "id_b")
       .select(col("id_a"), col("id_b"), col("n_common"),
         (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"))
-      .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
+  }
+
+  /** Jaccard THRESHOLD curve — qualifying-pair counts at several
+    * thresholds from ONE all-pairs intersection pass over the df-capped
+    * reference universe: the measurement that tells you where to SET the
+    * dedup threshold before a full-corpus sweep (too low floods the
+    * cluster step with weak pairs; too high misses rewrites). One
+    * conditional aggregate per threshold over the same scored relation —
+    * the intersection join is paid once however many curve points are
+    * asked for. Output rows (tau_num, tau_den, n_pairs), all BIGINT.
+    */
+  def jaccardThresholdCurve(
+      docs: DataFrame,
+      n: Int = 3,
+      dfCap: Int = 20,
+      thresholds: Seq[(Int, Int)] = Seq((1, 5), (1, 2), (4, 5)),
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    require(thresholds.nonEmpty, "jaccardThresholdCurve: need thresholds")
+    val scored = allPairsScored(docs, n, dfCap, materialize)
+    val aggs = thresholds.zipWithIndex.map { case ((num, den), i) =>
+      sum(when(lit(den) * col("n_common") >= lit(num) * col("n_union"), 1L)
+        .otherwise(0L)).as(s"c$i")
+    }
+    val stackArgs = thresholds.zipWithIndex
+      .map { case ((num, den), i) => s"CAST($num AS BIGINT), CAST($den AS BIGINT), c$i" }
+      .mkString(", ")
+    scored.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${thresholds.size}, $stackArgs) AS (tau_num, tau_den, n_pairs)")
   }
 
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (Bayardo, Ma &

@@ -92,6 +92,11 @@ object ExtensionQueries {
     // structurally instead)
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), dfCap = 20)),
+    // where to SET the dedup threshold: qualifying-pair counts at
+    // tau in {1/5, 1/2, 4/5} from one intersection pass over the same
+    // df<=20 reference universe as ngram_jaccard_pairs
+    "jaccard_threshold_curve" -> ((s, dir) =>
+      Dedup.jaccardThresholdCurve(t(s, dir, "documents"))),
     // AllPairs/PPJoin prefix-filter exact Jaccard at the realistic 4/5
     // near-dup threshold: only each doc's rarest ~(1-t)·sz+1 shingles
     // enter the candidate self-join, so pair volume collapses ~25× and
@@ -1586,6 +1591,24 @@ object ExtensionQueries {
         "SELECT id_a, id_b, n_common, (sa.n + sb.n - n_common) AS n_union " +
         "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
         "WHERE 5 * n_common >= (sa.n + sb.n - n_common)"),
+    "jaccard_threshold_curve" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sh0 AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS s FROM toks) u), " +
+        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY s) d WHERE df <= 20), " +
+        "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "scored AS (SELECT n_common, (sa.n + sb.n - n_common) AS n_union " +
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b), " +
+        "cs AS (SELECT " +
+        "sum(CASE WHEN 5 * n_common >= 1 * n_union THEN 1 ELSE 0 END) AS c0, " +
+        "sum(CASE WHEN 2 * n_common >= 1 * n_union THEN 1 ELSE 0 END) AS c1, " +
+        "sum(CASE WHEN 5 * n_common >= 4 * n_union THEN 1 ELSE 0 END) AS c2 FROM scored) " +
+        "SELECT CAST(1 AS BIGINT) AS tau_num, CAST(5 AS BIGINT) AS tau_den, CAST(c0 AS BIGINT) AS n_pairs FROM cs " +
+        "UNION ALL SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(c1 AS BIGINT) FROM cs " +
+        "UNION ALL SELECT CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(c2 AS BIGINT) FROM cs"),
     // prefix filtering is complete, so the exact all-pairs SQL (at the
     // same 4/5 threshold) is the oracle for the pruned plan too
     "jaccard_prefix_pairs" ->

@@ -33,6 +33,18 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(byProbe(2L) <= byProbe(4L))
   }
 
+  test("jaccardThresholdCurve: counts monotone nonincreasing in tau") {
+    val pts = Dedup.jaccardThresholdCurve(docs)
+      .collect()
+      .map(r => (r.getLong(0).toDouble / r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(pts.map(_._1).toSeq === Seq(0.2, 0.5, 0.8))
+    // raising the threshold can only disqualify pairs
+    assert(pts.sliding(2).forall { case Array(lo, hi) => lo._2 >= hi._2 })
+    // the loosest point must agree with the reference key's pair count
+    assert(pts.head._2 === Dedup.ngramJaccardPairs(docs, dfCap = 20).count())
+  }
+
   test("snapshotDiff: identical snapshots diff empty; disjoint all-flagged") {
     assert(Curation.snapshotDiff(docs, docs).count() === 0L)
     val a = docs.filter(col("doc_id") % 2 === 0)
