@@ -1372,6 +1372,32 @@ object Similarity {
         round(col("s").cast("double") / col("n").cast("double"), 9).as("v"),
         col("n").as("n_vectors"))
 
+  /** Per-label, per-dimension centroid DRIFT between two versions of an
+    * embedding corpus — the embedding-space companion of the token-space
+    * `vocab_drift` and the fingerprint `snapshotDiff`: after a crawl
+    * refresh or encoder change, which labels moved and along which
+    * dimensions? Long format (label, pos, n_old, n_new, v_old, v_new,
+    * drift) keeps the output array-free (the driver-compare house rule)
+    * and is operationally richer than a collapsed L2: the per-dimension
+    * signal locates WHAT changed. Each side is one [[labelCentroids]]
+    * pass (DECIMAL-exact sums, DOUBLE image), joined full-outer so labels
+    * present in only one version surface with the other side null.
+    * Scale shape: two aggregation passes + a label×dim-sized join — no
+    * vector ever crosses the join.
+    */
+  def labelCentroidDrift(oldEmb: DataFrame, newEmb: DataFrame): DataFrame = {
+    def cents(df: DataFrame, v: String, n: String) =
+      labelCentroids(df).select(col("label"), col("pos"),
+        col("v").as(v), col("n_vectors").as(n))
+    cents(oldEmb, "v_old", "n_old")
+      .join(cents(newEmb, "v_new", "n_new"), Seq("label", "pos"), "full_outer")
+      .select(col("label"), col("pos"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("v_old"), col("v_new"),
+        round(col("v_old") - col("v_new"), 9).as("drift"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embeddings
     * with the SAME deterministic k-means quantizer the IVF index uses, form

@@ -353,6 +353,15 @@ object ExtensionQueries {
     // one row per (label, dimension) — the hash-friendly relational shape
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    // per-label/per-dimension centroid drift between two corpus versions
+    // (deterministic splits: old drops vec_id ≡3 mod 4, new drops ≡1) —
+    // the embedding-space companion of vocab_drift / corpus_snapshot_diff
+    "embedding_label_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.labelCentroidDrift(
+        oldEmb = emb.filter(col("vec_id") % 4 =!= 3),
+        newEmb = emb.filter(col("vec_id") % 4 =!= 1))
+    }),
     // Rademacher random projection 64->16 (JL dimension reduction),
     // hash-derived sign matrix, map-only
     "embedding_rproj" -> ((s, dir) =>
@@ -1932,6 +1941,25 @@ object ExtensionQueries {
         "SELECT vec_id, CAST(j AS INT) AS pos, " +
         "round(CAST(sum(CASE WHEN s = 1 THEN xd ELSE -xd END) AS DOUBLE), 6) AS v " +
         "FROM px JOIN sg ON px.i = sg.i GROUP BY vec_id, j"),
+    "embedding_label_drift" ->
+      ("WITH uo AS (SELECT label, unnest([{'pos': i - 1, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) " +
+        "FROM embeddings WHERE vec_id % 4 != 3), " +
+        "un AS (SELECT label, unnest([{'pos': i - 1, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) " +
+        "FROM embeddings WHERE vec_id % 4 != 1), " +
+        "o AS (SELECT label, CAST(pos AS INT) AS pos, " +
+        "round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, count(*) AS n " +
+        "FROM uo GROUP BY label, pos), " +
+        "nn AS (SELECT label, CAST(pos AS INT) AS pos, " +
+        "round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, count(*) AS n " +
+        "FROM un GROUP BY label, pos) " +
+        "SELECT coalesce(o.label, nn.label) AS label, " +
+        "coalesce(o.pos, nn.pos) AS pos, " +
+        "CAST(coalesce(o.n, 0) AS BIGINT) AS n_old, " +
+        "CAST(coalesce(nn.n, 0) AS BIGINT) AS n_new, " +
+        "o.v AS v_old, nn.v AS v_new, round(o.v - nn.v, 9) AS drift " +
+        "FROM o FULL OUTER JOIN nn ON o.label = nn.label AND o.pos = nn.pos"),
     "label_centroids" ->
       ("WITH u AS (SELECT label, unnest([{'pos': i - 1, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
         "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings) " +
