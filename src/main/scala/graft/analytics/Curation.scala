@@ -378,7 +378,18 @@ object Curation {
     */
   def importanceRatioTopK(
       docs: DataFrame, targetPred: org.apache.spark.sql.Column,
-      k: Int = 100): DataFrame = {
+      k: Int = 100): DataFrame =
+    importanceScored(docs, targetPred)
+      .orderBy(col("ratio_scaled").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("num").cast("double").as("num"),
+        col("den").cast("double").as("den"), col("ratio_scaled"))
+
+  /** The shared DSIR scoring relation: every raw (non-target) document
+    * with its smoothed target/raw tf-mass sums and the fixed-point ratio.
+    */
+  private def importanceScored(
+      docs: DataFrame, targetPred: org.apache.spark.sql.Column): DataFrame = {
     val perDoc = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), coalesce(targetPred, lit(false)).as("is_target"),
@@ -400,10 +411,38 @@ object Curation {
           .cast("decimal(38,0)")).cast("decimal(38,0)").as("den"))
       .select(col("doc_id"), col("num"), col("den"),
         expr("(1000000000L * num) div den").as("ratio_scaled"))
-      .orderBy(col("ratio_scaled").desc, col("doc_id").asc)
-      .limit(k)
-      .select(col("doc_id"), col("num").cast("double").as("num"),
-        col("den").cast("double").as("den"), col("ratio_scaled"))
+  }
+
+  /** DSIR importance RESAMPLING — the actual selection step of the DSIR /
+    * DoReMi recipe ([[importanceRatioTopK]] only ranks): keep each raw
+    * document with probability proportional to its importance ratio,
+    * normalized so the highest-ratio document is kept with probability 1.
+    * The coin is deterministic — a uniform draw `u ∈ [0, 10⁹)` from the
+    * document id's md5, accepted iff `u · max_ratio < 10⁹ · ratio` — so
+    * the sample is reproducible across engines, partitionings and reruns
+    * (the property `corpus_split` establishes for splits), and an exact
+    * SQL oracle can replay every accept/reject. Scale shape: scoring is
+    * the existing two-aggregate DSIR pass, `max_ratio` is a one-row
+    * broadcast, acceptance is map-only.
+    */
+  def importanceResample(
+      docs: DataFrame, targetPred: org.apache.spark.sql.Column): DataFrame = {
+    val scored = importanceScored(docs, targetPred)
+    val rmax = scored.agg(max(col("ratio_scaled")).as("rmax"))
+    // cross-multiplied accept test in DECIMAL(38,0): u·rmax can exceed
+    // BIGINT range (ratios reach ~10¹² when a term is target-common but
+    // raw-rare), and both engines compare the exact integers (the oracle
+    // uses HUGEINT)
+    scored
+      .withColumn("u",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) " +
+          "AS BIGINT) % 1000000000"))
+      .crossJoin(broadcast(rmax))
+      .filter(col("u").cast("decimal(19,0)") * col("rmax").cast("decimal(19,0)") <
+        lit(1000000000L).cast("decimal(19,0)") *
+          col("ratio_scaled").cast("decimal(19,0)"))
+      .select(col("doc_id"), col("ratio_scaled").cast("long").as("ratio_scaled"),
+        col("u"))
   }
 
   /** Overlapping token-window chunking — the RAG / context-window

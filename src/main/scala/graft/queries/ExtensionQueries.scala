@@ -463,6 +463,12 @@ object ExtensionQueries {
     "dsir_importance_topk" -> ((s, dir) =>
       Curation.importanceRatioTopK(t(s, dir, "documents"),
         targetPred = col("lang") === "en", k = 100)),
+    // the actual DSIR selection step: keep raw docs with probability
+    // ∝ importance ratio via a deterministic md5 coin — reproducible
+    // across engines/partitionings, every accept/reject SQL-replayable
+    "dsir_importance_resample" -> ((s, dir) =>
+      Curation.importanceResample(t(s, dir, "documents"),
+        targetPred = col("lang") === "en")),
     // temperature-based source mixing (quota ∝ sqrt(source size), filled by
     // smallest doc_id — the multi-corpus rebalancing sampler)
     "source_mix_sample" -> ((s, dir) =>
@@ -1798,6 +1804,22 @@ object ExtensionQueries {
         "CAST(denh AS DOUBLE) AS den, " +
         "CAST((1000000000 * numh) // denh AS BIGINT) AS ratio_scaled " +
         "FROM s ORDER BY ratio_scaled DESC, doc_id LIMIT 100"),
+    "dsir_importance_resample" ->
+      ("WITH occ AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_target, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "pd AS (SELECT doc_id, is_target, tk, count(*) AS c FROM occ GROUP BY 1, 2, 3), " +
+        "tft AS (SELECT tk, sum(c) AS tf_t FROM pd WHERE is_target GROUP BY tk), " +
+        "tfr AS (SELECT tk, sum(c) AS tf_r FROM pd WHERE NOT is_target GROUP BY tk), " +
+        "s AS (SELECT doc_id, sum(c * (coalesce(tf_t, 0) + 1)) AS numh, " +
+        "sum(c * (tf_r + 1)) AS denh FROM pd JOIN tfr USING (tk) " +
+        "LEFT JOIN tft USING (tk) WHERE NOT is_target GROUP BY doc_id), " +
+        "sc AS (SELECT doc_id, (1000000000 * numh) // denh AS ratio_scaled, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000000 AS u " +
+        "FROM s), " +
+        "mx AS (SELECT max(ratio_scaled) AS rmax FROM sc) " +
+        "SELECT doc_id, CAST(ratio_scaled AS BIGINT) AS ratio_scaled, " +
+        "CAST(u AS BIGINT) AS u FROM sc, mx " +
+        "WHERE CAST(u AS HUGEINT) * rmax < CAST(1000000000 AS HUGEINT) * ratio_scaled"),
     "semantic_dedup_apply" ->
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "semantic_dedup_apply_probe" ->
