@@ -648,4 +648,63 @@ object Curation {
           .otherwise(lit("unchanged")).as("change"))
       .filter(col("change") =!= "unchanged")
   }
+
+  /** Stupid-backoff bigram LM fluency score — the CCNet-shape "perplexity
+    * filter" (Wenzek et al. 2020) with the backoff smoothing of Brants et
+    * al. 2007, kept integer-exact so the oracle hash is stable: the LM
+    * counts (unigram, bigram, total tokens) train on the `trainPred` slice
+    * (here: the English sub-corpus, the same target DSIR uses), and every
+    * document is scored by its adjacent token pairs. A pair seen in
+    * training scores `(matchNum * c2(a,b)) div c1(a)` — the conditional
+    * bigram frequency in fixed-point; an unseen pair backs off to
+    * `(backoffNum * c1(b)) div n_train` — alpha * unigram frequency of the
+    * continuation (alpha = 0.4 as published). High `lm_score` ≈ fluent
+    * in-distribution text; low ≈ the junk a perplexity filter drops.
+    *
+    * Scale shape: the pair stream pre-aggregates to per-document pair
+    * MULTIPLICITIES before any count join, so a boilerplate bigram in a
+    * billion documents carries one row per document through the joins —
+    * the same skew bound as [[unigramScore]]. The bigram and unigram
+    * count joins are shuffle equi-joins keyed on the token pair / token
+    * (co-partitioned with the count builds); the only broadcast is the
+    * one-row training-token total. No transcendental enters the score —
+    * integer `div` is identical in every engine.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      trainPred: Column,
+      matchNum: Long = 1000000L,
+      backoffNum: Long = 400000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), trainPred.as("is_train"),
+      tokens(col("text")).as("w"))
+    val pairsRaw = toks
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_train"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("a"),
+            element_at(col("w"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("is_train"), col("p.a"), col("p.b"))
+    val docPairs = pairsRaw.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val uni = toks.filter(col("is_train"))
+      .select(explode(col("w")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+    val bi = pairsRaw.filter(col("is_train"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val total = toks.filter(col("is_train"))
+      .agg(sum(size(col("w")).cast("long")).as("n_train"))
+    docPairs
+      .join(bi, Seq("a", "b"), "left")
+      .join(uni.select(col("tk").as("a"), col("c1").as("c1a")), Seq("a"), "left")
+      .join(uni.select(col("tk").as("b"), col("c1").as("c1b")), Seq("b"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("m"),
+        when(col("c2").isNotNull,
+          expr(s"($matchNum * c2) div c1a"))
+          .otherwise(expr(s"($backoffNum * coalesce(c1b, CAST(0 AS BIGINT))) div n_train"))
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("s")).as("lm_score"))
+  }
 }

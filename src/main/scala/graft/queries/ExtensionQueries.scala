@@ -469,6 +469,11 @@ object ExtensionQueries {
     "dsir_importance_resample" -> ((s, dir) =>
       Curation.importanceResample(t(s, dir, "documents"),
         targetPred = col("lang") === "en")),
+    // stupid-backoff bigram LM fluency score (the CCNet perplexity-filter
+    // shape), trained on the English slice, integer fixed-point
+    "text_bigram_lm_score" -> ((s, dir) =>
+      Curation.bigramLmScore(t(s, dir, "documents"),
+        trainPred = col("lang") === "en")),
     // temperature-based source mixing (quota ∝ sqrt(source size), filled by
     // smallest doc_id — the multi-corpus rebalancing sampler)
     "source_mix_sample" -> ((s, dir) =>
@@ -1820,6 +1825,26 @@ object ExtensionQueries {
         "SELECT doc_id, CAST(ratio_scaled AS BIGINT) AS ratio_scaled, " +
         "CAST(u AS BIGINT) AS u FROM sc, mx " +
         "WHERE CAST(u AS HUGEINT) * rmax < CAST(1000000000 AS HUGEINT) * ratio_scaled"),
+    "text_bigram_lm_score" ->
+      ("WITH toks AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_train, " +
+        "string_split(text, ' ') AS w FROM documents), " +
+        "pr AS (SELECT doc_id, is_train, u.a AS a, u.b AS b FROM " +
+        "(SELECT doc_id, is_train, unnest([struct_pack(a := w[i], b := w[i+1]) " +
+        "FOR i IN generate_series(1, len(w) - 1)]) AS u FROM toks WHERE len(w) >= 2) x), " +
+        "dp AS (SELECT doc_id, a, b, count(*) AS m FROM pr GROUP BY 1, 2, 3), " +
+        "uni AS (SELECT tk, count(*) AS c1 FROM " +
+        "(SELECT unnest(w) AS tk FROM toks WHERE is_train) GROUP BY 1), " +
+        "bi AS (SELECT a, b, count(*) AS c2 FROM pr WHERE is_train GROUP BY 1, 2), " +
+        "tot AS (SELECT count(*) AS n_train FROM " +
+        "(SELECT unnest(w) FROM toks WHERE is_train)), " +
+        "sc AS (SELECT dp.doc_id, dp.m, " +
+        "CASE WHEN bi.c2 IS NOT NULL THEN (1000000 * bi.c2) // ua.c1 " +
+        "ELSE (400000 * coalesce(ub.c1, 0)) // tot.n_train END AS s " +
+        "FROM dp LEFT JOIN bi USING (a, b) " +
+        "LEFT JOIN uni ua ON dp.a = ua.tk " +
+        "LEFT JOIN uni ub ON dp.b = ub.tk CROSS JOIN tot) " +
+        "SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(m * s) AS BIGINT) AS lm_score FROM sc GROUP BY doc_id"),
     "semantic_dedup_apply" ->
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "semantic_dedup_apply_probe" ->
