@@ -235,4 +235,60 @@ object EventsAnalytics {
         last(col("last_value"), ignoreNulls = true).over(w).as("value_filled"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"))
   }
+
+  /** Exponentially-weighted moving average per user — the smoothing pass of
+    * a metric/anomaly pipeline — kept hash-exact by making the weights
+    * DYADIC: alpha = 1/2 over the last `terms` observations, so every
+    * weight is a power of two and the weighted sum is pure BIGINT
+    * arithmetic on millisecond-quantized values (`floor(value*1000)`).
+    * The emitted `ewma` double is one IEEE divide of two exact integers
+    * (weighted sum / total weight), identical in any engine — no running
+    * float accumulation whose order could differ.
+    *
+    * Scale shape: all `terms` lagged terms share ONE window spec, so
+    * Catalyst evaluates them in a single Window operator — one shuffle on
+    * user_id, one per-partition sort, O(terms) per row, O(1) state. The
+    * truncation to a fixed horizon is what makes the operator streamable
+    * (a `terms`-row buffer per key) and the weights' geometric decay makes
+    * the truncation error < 2^-terms of the true infinite EWMA.
+    */
+  def ewma(events0: DataFrame, terms: Int = 16, quantScale: Long = 1000L): DataFrame = {
+    require(terms >= 1 && terms <= 62, s"terms must be in [1, 62], got $terms")
+    val events = norm(events0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = events.select(col("event_id"), col("user_id"), col("ts"),
+      floor(col("value") * quantScale).cast("long").as("q"))
+    def lagQ(j: Int): Column = if (j == 0) col("q") else lag(col("q"), j).over(w)
+    val weighted = (0 until terms)
+      .map(j => coalesce(lagQ(j), lit(0L)) * lit(1L << (terms - 1 - j)))
+      .reduce(_ + _)
+    val wTot = (0 until terms)
+      .map(j => when(lagQ(j).isNotNull, lit(1L << (terms - 1 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    base
+      .select(col("event_id"), col("user_id"),
+        weighted.as("ewma_scaled"), wTot.as("w_tot"))
+      .select(col("event_id"), col("user_id"), col("ewma_scaled"),
+        (col("ewma_scaled").cast("double") /
+          (col("w_tot") * quantScale).cast("double")).as("ewma"))
+  }
+
+  /** First-order Markov transition counts over each user's event stream —
+    * the "user journey" matrix (which event types follow which): one lag
+    * per user ordered by (ts, event_id), then a global count per
+    * (from_type, to_type) with the distinct-user support. One shuffle on
+    * user_id for the ordering window; the transition matrix itself is
+    * |event_types|² rows — driver-safe at any corpus size.
+    */
+  def transitions(events0: DataFrame): DataFrame = {
+    val events = norm(events0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -670,6 +670,12 @@ object ExtensionQueries {
     "events_sliding" -> ((s, dir) => EventsAnalytics.sliding(t(s, dir, "events"))),
     "events_session" -> ((s, dir) => EventsAnalytics.sessions(t(s, dir, "events"))),
     "events_rank_lag" -> ((s, dir) => EventsAnalytics.rankLag(t(s, dir, "events"))),
+    // dyadic-weight EWMA over the last 16 observations per user: pure
+    // BIGINT weighted sum + one IEEE divide — hash-exact smoothing
+    "events_ewma" -> ((s, dir) => EventsAnalytics.ewma(t(s, dir, "events"))),
+    // first-order Markov transition matrix over per-user event streams
+    "events_transitions" -> ((s, dir) =>
+      EventsAnalytics.transitions(t(s, dir, "events"))),
     "events_json" -> ((s, dir) => EventsAnalytics.jsonProps(t(s, dir, "events"))),
     "events_value_quantiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type")).agg(
@@ -2117,6 +2123,28 @@ object ExtensionQueries {
         "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn, " +
         "lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event " +
         "FROM events"),
+    "events_ewma" -> {
+      def lagQ(j: Int) = if (j == 0) "q" else s"lag(q, $j) OVER w"
+      val weighted = (0 until 16)
+        .map(j => s"coalesce(${lagQ(j)}, 0) * ${1L << (15 - j)}").mkString(" + ")
+      val wTot = (0 until 16)
+        .map(j => s"CASE WHEN ${lagQ(j)} IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+        .mkString(" + ")
+      "WITH qv AS (SELECT event_id, user_id, ts, " +
+        "CAST(floor(value * 1000) AS BIGINT) AS q FROM events), " +
+        s"l AS (SELECT event_id, user_id, $weighted AS ewma_scaled, " +
+        s"$wTot AS w_tot FROM qv " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT event_id, user_id, CAST(ewma_scaled AS BIGINT) AS ewma_scaled, " +
+        "CAST(ewma_scaled AS DOUBLE) / CAST(w_tot * 1000 AS DOUBLE) AS ewma FROM l"
+    },
+    "events_transitions" ->
+      ("WITH o AS (SELECT user_id, event_type AS to_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type " +
+        "FROM events) " +
+        "SELECT from_type, to_type, count(*) AS n, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM o WHERE from_type IS NOT NULL GROUP BY from_type, to_type"),
     "events_json" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
     "events_value_quantiles" ->
