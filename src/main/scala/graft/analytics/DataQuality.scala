@@ -95,4 +95,39 @@ object DataQuality {
           lit(num) * col("n_a").cast(d) * col("t_b").cast(d))
           .cast("int").as("drift_down"))
   }
+
+  /** Robust per-source length statistics: exact median and MAD (median
+    * absolute deviation) of `n_chars`, plus the count of robust outliers
+    * (`|x - median| > k * MAD`) — the outlier monitor that, unlike
+    * mean/stddev, one corrupt ingest batch cannot drag. Medians of
+    * integers land on exact binary fractions (.5 steps, then .25 after
+    * the second median), so the doubles hash identically across engines.
+    *
+    * Three passes, all shuffling ONLY on the source key: median build,
+    * deviation median, outlier count — the per-source stats tables are
+    * |sources| rows and broadcast back, so no corpus-sized join side
+    * exists. `percentile` is Spark's exact sort-based aggregate — the
+    * honest cost of exact medians; a monitoring deployment swaps
+    * `approx_percentile` into the same plan shape. One source dominating
+    * the corpus serializes its sort; salt the source key or pre-aggregate
+    * to (source, n_chars) counts at that scale.
+    */
+  def robustLengthStats(docs: DataFrame, k: Int = 5): DataFrame = {
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"),
+        count(lit(1)).as("n"))
+    val dev = docs.join(broadcast(med), Seq("source"))
+      .select(col("source"), col("n"), col("med"),
+        abs(col("n_chars") - col("med")).as("dev"))
+    val stats = dev.groupBy(col("source"))
+      .agg(first(col("n")).as("n"), first(col("med")).as("med"),
+        expr("percentile(dev, 0.5)").as("mad"))
+    val outliers = dev
+      .join(broadcast(stats.select(col("source"), col("mad"))), Seq("source"))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_outliers"))
+    stats.join(outliers, Seq("source"), "left")
+      .select(col("source"), col("n"), col("med"), col("mad"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
 }

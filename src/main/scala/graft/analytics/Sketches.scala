@@ -106,4 +106,48 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") * lit(thresholdDen) >= lit(total))
   }
+
+  /** Quantile estimation from a mergeable fixed-width histogram sketch —
+    * the one-pass, bounded-state alternative to an exact sort when the
+    * value DOMAIN is bounded but the corpus is not (latency, prices,
+    * lengths): bin every value at `binsPerUnit` resolution, and report
+    * each requested quantile as the lower edge of the first bin whose
+    * cumulative count reaches the ceil(q·n) rank. The answer is a
+    * deterministic function of the exact integer bin counts — no
+    * interpolation, no float accumulation — so it hash-checks across
+    * engines, and the sketch merges by bin-count addition (map-side
+    * combine does exactly that), which is what makes it a sketch: the
+    * shuffle carries O(domain · binsPerUnit) rows regardless of corpus
+    * size, and unions of corpora sum their sketches.
+    *
+    * The cumulative window is UNPARTITIONED by design: it runs on the
+    * already-aggregated bin table (sketch-sized by the domain bound), the
+    * same single-task tail every sketch summary has. The rank thresholds
+    * are exact integer arithmetic (`(q·n + 99) div 100`), and the emitted
+    * `est` double is one IEEE divide of the integer bin edge.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      valueCol: String = "value",
+      binsPerUnit: Long = 10L,
+      qPcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val bins = df
+      .select(floor(col(valueCol) * binsPerUnit).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = bins.select(col("bin"), sum(col("c")).over(w).as("cum"))
+    val thresholds = bins.agg(sum(col("c")).as("n"))
+      .select(explode(array(qPcts.map(q =>
+        struct(lit(q).as("q_pct"),
+          expr(s"(CAST($q AS BIGINT) * n + 99) div 100").as("rk"))): _*)).as("t"))
+      .select(col("t.q_pct"), col("t.rk"))
+    cum.crossJoin(broadcast(thresholds))
+      .filter(col("cum") >= col("rk"))
+      .groupBy(col("q_pct"), col("rk"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("q_pct"), col("rk"), col("bin"),
+        (col("bin").cast("double") / lit(binsPerUnit.toDouble)).as("est"))
+  }
 }

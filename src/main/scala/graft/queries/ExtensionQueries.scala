@@ -543,6 +543,14 @@ object ExtensionQueries {
     // DECIMAL-exact cross-multiplied ratio flags at 6/5
     "vocab_drift" -> ((s, dir) =>
       DataQuality.vocabDrift(t(s, dir, "documents"))),
+    // robust per-source length stats: exact median + MAD + outlier count
+    // (|x - med| > 5*MAD) — the mean/stddev monitor's corruption-proof twin
+    "source_robust_stats" -> ((s, dir) =>
+      DataQuality.robustLengthStats(t(s, dir, "documents"))),
+    // mergeable histogram-sketch quantiles over event values: one-pass
+    // bounded-state p50/p90/p99 at 0.1 resolution, integer-exact ranks
+    "value_quantile_sketch" -> ((s, dir) =>
+      Sketches.histogramQuantiles(t(s, dir, "events"))),
     // the per-document curation decision table: exact-dup / near-dup /
     // length-outlier / contamination flags from the composed operators
     "curation_audit" -> ((s, dir) =>
@@ -1581,6 +1589,27 @@ object ExtensionQueries {
         "CAST(5 * n_a * t_b >= 6 * n_b * t_a AS INTEGER) AS drift_up, " +
         "CAST(5 * n_b * t_a >= 6 * n_a * t_b AS INTEGER) AS drift_down " +
         "FROM c, t"),
+    "source_robust_stats" ->
+      ("WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med, " +
+        "count(*) AS n FROM documents GROUP BY source), " +
+        "dev AS (SELECT d.source, abs(d.n_chars - m.med) AS dev " +
+        "FROM documents d JOIN med m USING (source)), " +
+        "st AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY source), " +
+        "o AS (SELECT dev.source, count(*) AS n_outliers FROM dev " +
+        "JOIN st USING (source) WHERE dev.dev > 5 * st.mad GROUP BY dev.source) " +
+        "SELECT med.source, CAST(med.n AS BIGINT) AS n, med.med, st.mad, " +
+        "CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers " +
+        "FROM med JOIN st USING (source) LEFT JOIN o USING (source)"),
+    "value_quantile_sketch" ->
+      ("WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin, " +
+        "count(*) AS c FROM events GROUP BY 1), " +
+        "cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM b), " +
+        "tot AS (SELECT sum(c) AS n FROM b), " +
+        "q AS (SELECT unnest([50, 90, 99]) AS q_pct), " +
+        "r AS (SELECT q_pct, CAST((q_pct * n + 99) // 100 AS BIGINT) AS rk FROM q, tot), " +
+        "sel AS (SELECT r.q_pct, r.rk, min(cum.bin) AS bin FROM r " +
+        "JOIN cum ON cum.cum >= r.rk GROUP BY 1, 2) " +
+        "SELECT q_pct, rk, bin, CAST(bin AS DOUBLE) / 10.0 AS est FROM sel"),
     "text_repetition_stats" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] " +
