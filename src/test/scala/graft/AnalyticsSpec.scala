@@ -685,4 +685,37 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty)
     assert(viaBloom.count() > 0) // non-vacuous at sf0.001 with 3-grams
   }
+
+  test("ewma: hand-computed dyadic weights, partial windows renormalize") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 1000L, 1L, 1.0), Row(2L, 2000L, 1L, 3.0)).asJava, schema)
+    val got = EventsAnalytics.ewma(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // first observation: only its own 2^15 weight → ewma is the value itself
+    assert(got(1L) == ((1000L * 32768L, 1.0)))
+    // second: (3.0*2^15 + 1.0*2^14) / (2^15 + 2^14) = 7/3 exactly
+    assert(got(2L) == ((3000L * 32768L + 1000L * 16384L, 7.0 / 3.0)))
+  }
+
+  test("transitions: hand-computed matrix with distinct-user support") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 1000L, 1L, "A"), Row(2L, 2000L, 1L, "B"), Row(3L, 3000L, 1L, "A"),
+      Row(4L, 1000L, 2L, "A"), Row(5L, 2000L, 2L, "B")).asJava, schema)
+    val got = EventsAnalytics.transitions(tiny).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(("A", "B") -> ((2L, 2L)), ("B", "A") -> ((1L, 1L))))
+  }
 }

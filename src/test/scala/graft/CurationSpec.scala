@@ -343,4 +343,26 @@ class CurationSpec extends SparkSpecBase {
       assert(r.getAs[Int]("kept") == (if (r.getAs[Long]("score") > 0) 1 else 0))
     }
   }
+
+  test("bigram LM score: seen pairs score conditional frequency, unseen back off") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    // train slice = doc 1: bigrams (a b):2, (b a):1; unigrams a:2 b:2; total 4
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, "a b a b", "en"),
+      Row(2L, "a b c", "xx"),
+      Row(3L, "z a", "xx")).asJava, schema)
+    val got = Curation.bigramLmScore(tiny, trainPred = col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: (a b) m=2 s=1000000*2/2, (b a) m=1 s=1000000*1/2
+    assert(got(1L) == ((3L, 2L * 1000000L + 500000L)))
+    // doc 2: (a b) seen → 1000000; (b c) unseen, c unseen in train → 0
+    assert(got(2L) == ((2L, 1000000L)))
+    // doc 3: (z a) unseen → backoff 400000 * c1(a)=2 div total=4 = 200000
+    assert(got(3L) == ((1L, 200000L)))
+  }
 }

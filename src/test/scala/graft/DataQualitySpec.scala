@@ -65,4 +65,19 @@ class DataQualitySpec extends SparkSpecBase {
     assert(got("base") == ((10L, 10L, 0, 1)))
     assert(got("tok") == ((10L, 10L, 0, 1)))
   }
+
+  test("robust stats: a corrupt row moves neither median nor MAD, and is the outlier") {
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    val tiny = spark.createDataFrame((
+      Seq.fill(4)(Row("s1", 10L)) :+ Row("s1", 1000L)
+        :+ Row("s2", 5L) :+ Row("s2", 7L) :+ Row("s2", 9L)).asJava, schema)
+    val got = DataQuality.robustLengthStats(tiny).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // s1: median 10 and MAD 0 ignore the 1000 — which is the one outlier
+    assert(got("s1") == ((5L, 10.0, 0.0, 1L)))
+    // s2: median 7, deviations (2,0,2) → MAD 2, no deviation beyond 5*2
+    assert(got("s2") == ((3L, 7.0, 2.0, 0L)))
+  }
 }

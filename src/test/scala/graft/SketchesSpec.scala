@@ -57,4 +57,20 @@ class SketchesSpec extends SparkSpecBase {
     val slow = naive(1000000L)
     assert(fast.count() == slow.count())
   }
+
+  test("histogram quantiles: exact rank edges, merge-by-union invariance") {
+    val ten = (0 until 10).map(i => i / 10.0 + 0.05).toDF("value")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val got = asMap(Sketches.histogramQuantiles(ten))
+    // n=10: p50 → rank 5 → bin 4; p90 → rank 9 → bin 8; p99 → rank 10 → bin 9
+    assert(got == Map(50 -> ((5L, 4L, 0.4)), 90 -> ((9L, 8L, 0.8)),
+      99 -> ((10L, 9L, 0.9))))
+    // a sketch of a union is the sum of sketches: doubling the corpus
+    // doubles every rank but the quantile edges are unchanged
+    val doubled = asMap(Sketches.histogramQuantiles(ten.union(ten)))
+    assert(doubled == Map(50 -> ((10L, 4L, 0.4)), 90 -> ((18L, 8L, 0.8)),
+      99 -> ((20L, 9L, 0.9))))
+  }
 }
