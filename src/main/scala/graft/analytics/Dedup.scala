@@ -283,6 +283,51 @@ object Dedup {
     ranks.select(col("node"), col("pr").cast("long").as("rank_scaled"))
   }
 
+  /** HITS hubs and authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 46(5), 1999) in exact integer fixed
+    * point over a DIRECTED graph — here the word-order graph (token a
+    * precedes token b), where an authority is a token important words lead
+    * INTO and a hub is one that leads into important tokens; on a link
+    * graph the same operator ranks pages. Scores are BIGINTs scaled by
+    * `scale`, and the usual L2 normalization is replaced by L1 in floor
+    * fixed point (`(scale * raw) div total`) — no sqrt, no float, so an
+    * `iters`-step run hash-matches a staged-CTE replay on any
+    * partitioning. (L1 vs L2 rescales every score by the same factor per
+    * step, so rankings — the thing HITS is for — are unchanged.)
+    *
+    * Per iteration: two node-keyed equi-joins (rank relation against the
+    * edge relation, on dst then src) and two aggregates — the same
+    * two-shuffle-per-sweep shape as [[pageRankFixedPoint]]; the one-row
+    * normalization totals broadcast. Magnitudes are bounded by
+    * `scale * E`, BIGINT-safe past 10^12 edges at the default scale; a
+    * larger graph raises `scale` into DECIMAL territory — lower it first.
+    */
+  def hitsFixedPoint(edges: DataFrame, iters: Int = 2, scale: Long = 1000000L,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    val e = materialize(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val nodes = materialize(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    var hub = nodes.select(col("node"), lit(scale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rawA = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ra"))
+      val totA = rawA.agg(sum(col("ra")).as("t"))
+      auth = materialize(rawA.crossJoin(broadcast(totA))
+        .select(col("node"), expr(s"($scale * ra) div t").as("a")))
+      val rawH = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("rh"))
+      val totH = rawH.agg(sum(col("rh")).as("t"))
+      hub = materialize(rawH.crossJoin(broadcast(totH))
+        .select(col("node"), expr(s"($scale * rh) div t").as("h")))
+    }
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_scaled"),
+        coalesce(col("a"), lit(0L)).as("auth_scaled"))
+  }
+
   def connectedComponentsStar(
       edges: DataFrame, maxRounds: Int = 60,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {

@@ -181,6 +181,16 @@ object ExtensionQueries {
     // 3 iterations, rank mass scaled by 1e12, floor divisions only
     "token_graph_pagerank" -> ((s, dir) =>
       Dedup.pageRankFixedPoint(tokenGraphEdges(s, dir))),
+    // HITS hubs/authorities over the DIRECTED word-order graph (token a
+    // precedes token b): 2 sweeps, L1-normalized integer fixed point
+    "token_graph_hits" -> ((s, dir) =>
+      Dedup.hitsFixedPoint(t(s, dir, "documents")
+        .select(tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("src"),
+            element_at(col("w"), i + 1).as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst")))),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -1721,6 +1731,27 @@ object ExtensionQueries {
             s"FROM dir JOIN r${i - 1} ON dir.src = r${i - 1}.node " +
             "JOIN deg ON dir.src = deg.src GROUP BY dst)").mkString(", ") +
         " SELECT node, CAST(pr AS BIGINT) AS rank_scaled FROM r3"),
+    "token_graph_hits" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "e AS (SELECT DISTINCT u.a AS src, u.b AS dst FROM " +
+        "(SELECT unnest([struct_pack(a := w[i], b := w[i+1]) " +
+        "FOR i IN generate_series(1, len(w) - 1)]) AS u FROM toks " +
+        "WHERE len(w) >= 2) x WHERE u.a != u.b), " +
+        "nodes AS (SELECT DISTINCT node FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u), " +
+        "h0 AS (SELECT node, 1000000 AS h FROM nodes), " +
+        (1 to 2).map(i =>
+          s"ra$i AS (SELECT dst AS node, sum(h) AS ra FROM e " +
+            s"JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY dst), " +
+            s"a$i AS (SELECT node, (1000000 * ra) // " +
+            s"(SELECT sum(ra) FROM ra$i) AS a FROM ra$i), " +
+            s"rh$i AS (SELECT src AS node, sum(a) AS rh FROM e " +
+            s"JOIN a$i ON e.dst = a$i.node GROUP BY src), " +
+            s"h$i AS (SELECT node, (1000000 * rh) // " +
+            s"(SELECT sum(rh) FROM rh$i) AS h FROM rh$i)").mkString(", ") +
+        " SELECT nodes.node, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_scaled, " +
+        "CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_scaled FROM nodes " +
+        "LEFT JOIN h2 USING (node) LEFT JOIN a2 USING (node)"),
     // candidate-restricted verify over the SAME df-capped shingle universe
     // as ngram_jaccard_pairs: candidates from the LSH bands, exact Jaccard
     // from the capped shingle relation the band CTE already built
