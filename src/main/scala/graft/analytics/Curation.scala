@@ -649,6 +649,60 @@ object Curation {
       .filter(col("change") =!= "unchanged")
   }
 
+  /** Weight-proportional sampling without replacement, deterministic — the
+    * priority-sampling scheme of Duffield, Lund & Thorup ("Priority
+    * sampling for estimation of arbitrary subset sums", JACM 54(6), 2007):
+    * each document draws a uniform `u` from its own id's md5 and gets
+    * priority `u / w` (integer fixed point, `(u * prioScale) div w`); the
+    * k SMALLEST priorities win, so inclusion probability is proportional
+    * to weight (here `n_chars` — longer documents are sampled more, the
+    * token-budget-aware corpus cut). The md5 coin makes every draw
+    * reproducible across engines, partitionings and reruns — the same
+    * property as [[importanceResample]]'s accept/reject.
+    *
+    * Map-only priority computation + a global bounded top-k (Spark's
+    * TakeOrdered: per-partition k-heads, k-sized merge on the driver) —
+    * no shuffle of the corpus, state O(k) per partition. Zero-weight rows
+    * clamp to weight 1 rather than dividing by zero.
+    */
+  def prioritySample(docs: DataFrame, k: Int = 100,
+      prioScale: Long = 1000000L): DataFrame = {
+    val u = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) " +
+      "AS BIGINT) % 1000000000 + 1")
+    val w = greatest(col("n_chars"), lit(1L))
+    docs
+      .select(col("doc_id"), col("source"), w.as("w"), u.as("u"))
+      .select(col("doc_id"), col("source"), col("w"), col("u"),
+        expr(s"(u * $prioScale) div w").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Cross-source content-overlap matrix: for every pair of sources, how
+    * many distinct word-`n`-gram fingerprints appear in BOTH — the
+    * "mirror-site detector" that tells a curation pipeline which corpus
+    * pairs are re-crawls / re-deliveries of each other (and would
+    * double-count under naive source-level mixing). Gram granularity
+    * (rather than whole-document) catches partial mirrors and
+    * quote-heavy overlap that exact-dup fingerprints miss. The shuffle
+    * key is the 32-char gram md5, never the text; per gram the distinct
+    * source list is at most |sources|, so the pair explosion is bounded
+    * by |sources|² per gram and the output by |sources|² rows total —
+    * driver-safe at any corpus size.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 4): DataFrame = {
+    val fps = docs
+      .select(col("source"), tokens(col("text")).as("w"))
+      .select(col("source"),
+        explode(wordShingles(col("w"), n)).as("g"))
+      .select(col("source"), md5Hex(col("g")).as("fp"))
+      .distinct()
+    fps.as("a").join(fps.as("b"), Seq("fp"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** Stupid-backoff bigram LM fluency score — the CCNet-shape "perplexity
     * filter" (Wenzek et al. 2020) with the backoff smoothing of Brants et
     * al. 2007, kept integer-exact so the oracle hash is stable: the LM

@@ -488,6 +488,14 @@ object ExtensionQueries {
     // smallest doc_id — the multi-corpus rebalancing sampler)
     "source_mix_sample" -> ((s, dir) =>
       Curation.sourceMixSample(t(s, dir, "documents"), targetTotal = 200)),
+    // weight-proportional sampling without replacement (priority sampling,
+    // weight = n_chars): md5-coin priorities, bounded global top-k
+    "weighted_sample_priority" -> ((s, dir) =>
+      Curation.prioritySample(t(s, dir, "documents"))),
+    // cross-source duplicate-overlap matrix: shared distinct fingerprints
+    // per source pair — the mirror-site / re-crawl detector
+    "source_overlap_matrix" -> ((s, dir) =>
+      Curation.sourceOverlapMatrix(t(s, dir, "documents"))),
     // quantile-band quality filter: trim both length tails at corpus p25/p75
     "quality_filter_docs" -> ((s, dir) =>
       Curation.lengthBandFilter(t(s, dir, "documents"))),
@@ -1891,6 +1899,20 @@ object ExtensionQueries {
         "SELECT doc_id, CAST(ratio_scaled AS BIGINT) AS ratio_scaled, " +
         "CAST(u AS BIGINT) AS u FROM sc, mx " +
         "WHERE CAST(u AS HUGEINT) * rmax < CAST(1000000000 AS HUGEINT) * ratio_scaled"),
+    "weighted_sample_priority" ->
+      ("WITH p AS (SELECT doc_id, source, greatest(n_chars, 1) AS w, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000000 + 1 AS u " +
+        "FROM documents) " +
+        "SELECT doc_id, source, w, u, CAST((u * 1000000) // w AS BIGINT) AS priority " +
+        "FROM p ORDER BY priority, doc_id LIMIT 100"),
+    "source_overlap_matrix" ->
+      ("WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+        "fps AS (SELECT DISTINCT source, " +
+        "unnest([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
+        "FOR i IN generate_series(1, len(w) - 3)]) AS fp FROM toks) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "count(*) AS n_shared_fps FROM fps a JOIN fps b ON a.fp = b.fp " +
+        "AND a.source < b.source GROUP BY 1, 2"),
     "text_bigram_lm_score" ->
       ("WITH toks AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_train, " +
         "string_split(text, ' ') AS w FROM documents), " +
