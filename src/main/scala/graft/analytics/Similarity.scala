@@ -1372,6 +1372,47 @@ object Similarity {
         round(col("s").cast("double") / col("n").cast("double"), 9).as("v"),
         col("n").as("n_vectors"))
 
+  /** Embedding-space outlier detection: the k vectors FARTHEST from their
+    * own label's centroid, per label — the mislabeled-example / encoder-
+    * glitch screen a curation pipeline runs before trusting class labels
+    * (the distance-to-centroid criterion behind cleanlab-style label QA).
+    * Kept hash-exact by quantizing each dimension to `1/quantScale` steps
+    * and comparing n²·distance² — for n vectors in a label with
+    * per-dimension sums S_d, the per-vector score is
+    * Σ_d (n·x_d − S_d)², pure integer arithmetic (DECIMAL(38,0) cross
+    * products, like [[graft.analytics.DataQuality.vocabDrift]]) with no
+    * division anywhere; n is constant within a label, so the per-label
+    * ranking is the true distance ranking.
+    *
+    * Scale shape: one (label, dim)-keyed aggregate builds the centroid
+    * sums (labels×dims rows — broadcast side of the join back), one
+    * (vec_id)-keyed aggregate folds dimensions, and the per-label top-k
+    * runs on the custom bounded-heap [[graft.plans.TopKPerKey]] operator
+    * (O(k) state per label, no full sort, no row_number window over the
+    * whole corpus).
+    */
+  def embeddingOutliers(embeddings: DataFrame, k: Int = 5,
+      quantScale: Long = 10000000L): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val q = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("x").cast("double") * quantScale).cast("long").as("xi"))
+    val cent = q.groupBy(col("label"), col("pos"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+    val dev = (col("n") * col("xi") - col("s")).cast(d19)
+    val d2 = q.join(cent, Seq("label", "pos"))
+      .select(col("vec_id"), col("label"), (dev * dev).as("c"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("c")).as("d2n2dec"))
+      .select(col("vec_id"), col("label"), col("d2n2dec"),
+        (-col("d2n2dec")).as("neg"))
+    graft.plans.TopKPerKey.topKPerKey(d2, Seq("label"), Seq("neg", "vec_id"), k)
+      .select(col("label"), col("vec_id"),
+        col("d2n2dec").cast("double").as("d2n2"))
+  }
+
   /** Per-label, per-dimension centroid DRIFT between two versions of an
     * embedding corpus — the embedding-space companion of the token-space
     * `vocab_drift` and the fingerprint `snapshotDiff`: after a crawl

@@ -363,6 +363,10 @@ object ExtensionQueries {
     // one row per (label, dimension) — the hash-friendly relational shape
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    // per-label embedding outliers: 5 vectors farthest from their own
+    // label centroid (integer-exact n²·distance², TopKPerKey heaps)
+    "embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"))),
     // per-label/per-dimension centroid drift between two corpus versions
     // (deterministic splits: old drops vec_id ≡3 mod 4, new drops ≡1) —
     // the embedding-space companion of vocab_drift / corpus_snapshot_diff
@@ -2101,6 +2105,19 @@ object ExtensionQueries {
         "SELECT label, CAST(pos AS INT) AS pos, " +
         "round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, " +
         "count(*) AS n_vectors FROM u GROUP BY label, pos"),
+    "embedding_outliers" ->
+      ("WITH q AS (SELECT vec_id, label, u.pos AS pos, u.xi AS xi FROM " +
+        "(SELECT vec_id, label, unnest([struct_pack(pos := i, " +
+        "xi := CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT)) " +
+        "FOR i IN generate_series(1, len(embedding))]) AS u FROM embeddings) x), " +
+        "cent AS (SELECT label, pos, sum(xi) AS s, count(*) AS n FROM q GROUP BY 1, 2), " +
+        "d AS (SELECT q.vec_id, q.label, " +
+        "sum(CAST(cent.n * q.xi - cent.s AS HUGEINT) * " +
+        "CAST(cent.n * q.xi - cent.s AS HUGEINT)) AS d2n2h " +
+        "FROM q JOIN cent ON q.label = cent.label AND q.pos = cent.pos GROUP BY 1, 2), " +
+        "r AS (SELECT label, vec_id, d2n2h, row_number() OVER " +
+        "(PARTITION BY label ORDER BY d2n2h DESC, vec_id) AS rk FROM d) " +
+        "SELECT label, vec_id, CAST(d2n2h AS DOUBLE) AS d2n2 FROM r WHERE rk <= 5"),
     "cosine_topk_lsh_multiprobe" ->
       ("WITH b AS (SELECT vec_id, embedding, " +
         "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
