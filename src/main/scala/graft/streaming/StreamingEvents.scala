@@ -140,6 +140,52 @@ object StreamingEvents {
       .toDF("user_id", "ts", "event_id", "version")
   }
 
+  /** Streaming face of [[graft.analytics.EventsAnalytics.ewma]]: the same
+    * dyadic-weight moving average over the last `terms` observations per
+    * user, emitted per arriving event — the smoothing stage of a live
+    * metrics pipeline. State is the bounded ring of the key's last
+    * `terms` quantized values (O(terms) longs per user, the streamability
+    * the batch operator's fixed horizon was designed for); each event's
+    * score is the identical BIGINT weighted sum + one IEEE divide, so
+    * emissions converge to the batch answer exactly. Rows are processed
+    * in (ts, event_id) order within each micro-batch; cross-batch order
+    * is the file-source arrival contract (per-key in-order delivery —
+    * the same assumption every keyed-state smoothing operator makes).
+    */
+  def streamingEwma(events: DataFrame, terms: Int = 16,
+      quantScale: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty[Long])
+          val out = rows.toSeq.sortBy(r => (r._2, r._1)).map { r =>
+            val q = math.floor(r._4 * quantScale).toLong
+            buf = (buf :+ q).takeRight(terms)
+            val m = buf.length
+            var ws = 0L
+            var wt = 0L
+            var j = 0
+            while (j < m) {
+              val wgt = 1L << (terms - 1 - j)
+              ws += buf(m - 1 - j) * wgt
+              wt += wgt
+              j += 1
+            }
+            (r._1, user, ws, ws.toDouble / (wt * quantScale).toDouble)
+          }
+          state.update(buf)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "ewma_scaled", "ewma")
+  }
+
   /** Streaming face of [[graft.analytics.DataQuality.qualityAssertions]]:
     * running violation counts for the map-only rules over an unbounded
     * document stream (complete mode — the live data-quality dashboard a

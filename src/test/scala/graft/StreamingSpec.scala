@@ -147,6 +147,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(latest).count() == 0)
   }
 
+  test("streaming ewma emissions equal the batch dyadic EWMA across micro-batches") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    val events = graft.analytics.EventTime.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    // split by TIME so per-user arrival order holds across the two
+    // micro-batches — the in-order delivery contract of the operator
+    val mid = events.agg(
+      org.apache.spark.sql.functions.expr("percentile(ts, 0.5)")).head.getDouble(0)
+    val dir = Files.createTempDirectory("graft_stream_ewma")
+    events.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$dir/a")
+    events.filter(col("ts") > mid).coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingEwma(stream), "stream_ewma",
+      outputMode = "append")
+    val streamed = spark.table("stream_ewma")
+    val batch = EventsAnalytics.ewma(events)
+      .select("event_id", "user_id", "ewma_scaled", "ewma")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming IVF ingest assigns new vectors to the same cells as the materialized index") {
     import java.nio.file._
     import org.apache.spark.sql.functions._
