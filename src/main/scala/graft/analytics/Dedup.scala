@@ -905,6 +905,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Incremental near-dup screening of an arriving batch against a stored
+    * LSH index — the no-recompute ingest path (the text-side analogue of
+    * [[graft.analytics.Similarity]]'s `ivf_index_append`): the corpus's
+    * band buckets are the materialized index; each new document computes
+    * its OWN signature and bands (O(batch), map-side — a MinHash
+    * signature depends only on the document), and candidates are the
+    * bucket equi-join of delta bands against index bands. Nothing over
+    * the existing corpus is recomputed, re-shingled or re-shuffled — at
+    * 100 TB the delta join reads only the bucket partitions the batch's
+    * band keys hash into. Output: (old_id, new_id, n_shared_bands), the
+    * same candidate contract as [[lshCandidatePairs]] restricted to
+    * cross-generation pairs; the exact-verify stage
+    * ([[minhashVerifiedPairs]]'s tail) applies unchanged downstream.
+    */
+  def minhashIndexAppend(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      n: Int = 3,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    val index = materialize(lshBands(oldDocs, numHashes, rowsPerBand, n))
+    val delta = lshBands(newDocs, numHashes, rowsPerBand, n)
+    delta.toDF("new_id", "band", "bkey")
+      .join(index.toDF("old_id", "band", "bkey"), Seq("band", "bkey"))
+      .groupBy(col("old_id"), col("new_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Winnowing document fingerprints (the MOSS rolling-hash scheme): hash
     * every character `k`-gram with a polynomial hash mod 2^40, then keep the
     * minimum of each sliding window of `window` consecutive hashes. The

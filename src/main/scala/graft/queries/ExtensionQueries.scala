@@ -113,6 +113,15 @@ object ExtensionQueries {
       Dedup.winnowFingerprints(t(s, dir, "documents"))),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(t(s, dir, "documents"))),
+    // incremental LSH ingest: an arriving batch (doc_id ≡9 mod 10) probes
+    // the stored band index of the existing corpus — O(batch), the old
+    // corpus is never re-shingled
+    "minhash_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashIndexAppend(
+        docs.filter(col("doc_id") % 10 =!= 9),
+        docs.filter(col("doc_id") % 10 === 9))
+    }),
     // dedup clustering: connected components over the MinHash candidate
     // pairs (min-label propagation; each cluster keeps min doc_id as its
     // representative label)
@@ -1725,6 +1734,14 @@ object ExtensionQueries {
     "minhash_lsh_pairs" ->
       ("WITH " + minhashPairCtes +
         " SELECT id_a, id_b, count(*) AS n_shared_bands FROM pairs GROUP BY 1, 2"),
+    // banding is per-document, so bands computed over the full corpus CTE
+    // equal bands computed per generation — filter at the join
+    "minhash_index_append" ->
+      ("WITH " + minhashPairCtes +
+        " SELECT o.doc_id AS old_id, n.doc_id AS new_id, " +
+        "count(*) AS n_shared_bands FROM bands o " +
+        "JOIN bands n ON o.band = n.band AND o.bkey = n.bkey " +
+        "WHERE o.doc_id % 10 != 9 AND n.doc_id % 10 = 9 GROUP BY 1, 2"),
     "neardup_triangles" ->
       triangleSql("WITH " + minhashPairCtes +
         ", e AS (SELECT DISTINCT id_a, id_b FROM pairs)"),
