@@ -252,7 +252,13 @@ object EventsAnalytics {
     * (a `terms`-row buffer per key) and the weights' geometric decay makes
     * the truncation error < 2^-terms of the true infinite EWMA.
     */
-  def ewma(events0: DataFrame, terms: Int = 16, quantScale: Long = 1000L): DataFrame = {
+  /** Shared EWMA core: per event, the dyadic weighted sum `ewma_scaled`
+    * and total weight `w_tot` over the last `terms` quantized values —
+    * all lag terms under ONE window spec (single Window operator, one
+    * user_id shuffle).
+    */
+  private def ewmaCore(events0: DataFrame, terms: Int, quantScale: Long)
+      : DataFrame = {
     require(terms >= 1 && terms <= 62, s"terms must be in [1, 62], got $terms")
     val events = norm(events0)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -265,12 +271,39 @@ object EventsAnalytics {
     val wTot = (0 until terms)
       .map(j => when(lagQ(j).isNotNull, lit(1L << (terms - 1 - j))).otherwise(lit(0L)))
       .reduce(_ + _)
-    base
-      .select(col("event_id"), col("user_id"),
-        weighted.as("ewma_scaled"), wTot.as("w_tot"))
+    base.select(col("event_id"), col("user_id"), col("ts"), col("q"),
+      weighted.as("ewma_scaled"), wTot.as("w_tot"))
+  }
+
+  def ewma(events0: DataFrame, terms: Int = 16, quantScale: Long = 1000L): DataFrame =
+    ewmaCore(events0, terms, quantScale)
       .select(col("event_id"), col("user_id"), col("ewma_scaled"),
         (col("ewma_scaled").cast("double") /
           (col("w_tot") * quantScale).cast("double")).as("ewma"))
+
+  /** Multiplicative burst/drop alarm against the running EWMA — the
+    * classic rate-anomaly detector: flag an event whose value exceeds
+    * `factor`× its user's PREVIOUS smoothed level (burst) or falls below
+    * 1/`factor` of it (drop). The comparison cross-multiplies the exact
+    * integers (`q · w_tot_prev` vs `factor · ewma_scaled_prev`), so no
+    * division and no float enters the verdict; heavy-tailed metrics make
+    * additive thresholds useless, which is why the alarm is a ratio.
+    * Same single-shuffle window shape as [[ewma]] (the previous-row
+    * sums are one more lag over the same window spec).
+    */
+  def ewmaAnomaly(events0: DataFrame, factor: Long = 4L, terms: Int = 16,
+      quantScale: Long = 1000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ewmaCore(events0, terms, quantScale)
+      .select(col("event_id"), col("user_id"), col("q"),
+        lag(col("ewma_scaled"), 1).over(w).as("pws"),
+        lag(col("w_tot"), 1).over(w).as("pwt"))
+      .filter(col("pws").isNotNull)
+      .select(col("event_id"), col("user_id"), col("q"), col("pws"), col("pwt"),
+        when(col("q") * col("pwt") > lit(factor) * col("pws"), lit("burst"))
+          .when(lit(factor) * col("q") * col("pwt") < col("pws"), lit("drop"))
+          .otherwise(lit(null)).as("kind"))
+      .filter(col("kind").isNotNull)
   }
 
   /** First-order Markov transition counts over each user's event stream —

@@ -712,6 +712,10 @@ object ExtensionQueries {
     // dyadic-weight EWMA over the last 16 observations per user: pure
     // BIGINT weighted sum + one IEEE divide — hash-exact smoothing
     "events_ewma" -> ((s, dir) => EventsAnalytics.ewma(t(s, dir, "events"))),
+    // multiplicative burst/drop alarm vs the previous running EWMA
+    // (integer cross-multiplied ratio test — no division, no float)
+    "events_anomaly_ewma" -> ((s, dir) =>
+      EventsAnalytics.ewmaAnomaly(t(s, dir, "events"))),
     // first-order Markov transition matrix over per-user event streams
     "events_transitions" -> ((s, dir) =>
       EventsAnalytics.transitions(t(s, dir, "events"))),
@@ -2253,6 +2257,25 @@ object ExtensionQueries {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
         "SELECT event_id, user_id, CAST(ewma_scaled AS BIGINT) AS ewma_scaled, " +
         "CAST(ewma_scaled AS DOUBLE) / CAST(w_tot * 1000 AS DOUBLE) AS ewma FROM l"
+    },
+    "events_anomaly_ewma" -> {
+      def lagQ(j: Int) = if (j == 0) "q" else s"lag(q, $j) OVER w"
+      val weighted = (0 until 16)
+        .map(j => s"coalesce(${lagQ(j)}, 0) * ${1L << (15 - j)}").mkString(" + ")
+      val wTot = (0 until 16)
+        .map(j => s"CASE WHEN ${lagQ(j)} IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+        .mkString(" + ")
+      "WITH qv AS (SELECT event_id, user_id, ts, " +
+        "CAST(floor(value * 1000) AS BIGINT) AS q FROM events), " +
+        s"l AS (SELECT event_id, user_id, ts, q, $weighted AS ws, $wTot AS wt FROM qv " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "p AS (SELECT event_id, user_id, q, lag(ws) OVER w2 AS pws, " +
+        "lag(wt) OVER w2 AS pwt FROM l " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT event_id, user_id, q, pws, pwt, " +
+        "CASE WHEN q * pwt > 4 * pws THEN 'burst' ELSE 'drop' END AS kind " +
+        "FROM p WHERE pws IS NOT NULL " +
+        "AND (q * pwt > 4 * pws OR 4 * q * pwt < pws)"
     },
     "events_transitions" ->
       ("WITH o AS (SELECT user_id, event_type AS to_type, " +

@@ -186,6 +186,37 @@ object StreamingEvents {
       .toDF("event_id", "user_id", "ewma_scaled", "ewma")
   }
 
+  /** Streaming face of [[graft.analytics.EventsAnalytics.transitions]]:
+    * the running first-order Markov transition matrix over per-user event
+    * streams. Keyed state is ONE value — the user's last event type —
+    * so memory is O(users) regardless of stream length; each arriving
+    * event emits its (from_type, to_type) edge and the downstream
+    * complete-mode aggregate keeps the running matrix. The same in-order
+    * per-key delivery contract as [[streamingEwma]].
+    */
+  def streamingTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[String, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[String]) =>
+          var prev = state.getOption.orNull
+          val out = rows.toSeq.sortBy(r => (r._2, r._1)).flatMap { r =>
+            val edge = if (prev == null) Nil else Seq((user, prev, r._4))
+            prev = r._4
+            edge
+          }
+          state.update(prev)
+          out.iterator
+      }
+      .toDF("user_id", "from_type", "to_type")
+  }
+
   /** Streaming face of [[graft.analytics.DataQuality.qualityAssertions]]:
     * running violation counts for the map-only rules over an unbounded
     * document stream (complete mode — the live data-quality dashboard a

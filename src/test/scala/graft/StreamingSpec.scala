@@ -172,6 +172,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming transition edges aggregate to the batch Markov matrix") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    val events = graft.analytics.EventTime.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val mid = events.agg(expr("percentile(ts, 0.5)")).head.getDouble(0)
+    val dir = Files.createTempDirectory("graft_stream_trans")
+    events.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$dir/a")
+    events.filter(col("ts") > mid).coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingTransitions(stream), "stream_trans",
+      outputMode = "append")
+    // the emitted edge stream aggregates to exactly the batch matrix —
+    // including edges whose endpoints straddle the micro-batch boundary
+    // (the carried last-type state)
+    val streamed = spark.table("stream_trans")
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+    val batch = EventsAnalytics.transitions(events)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming IVF ingest assigns new vectors to the same cells as the materialized index") {
     import java.nio.file._
     import org.apache.spark.sql.functions._
