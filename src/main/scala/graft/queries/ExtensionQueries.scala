@@ -578,6 +578,30 @@ object ExtensionQueries {
     // (|x - med| > 5*MAD) — the mean/stddev monitor's corruption-proof twin
     "source_robust_stats" -> ((s, dir) =>
       DataQuality.robustLengthStats(t(s, dir, "documents"))),
+    // corpus-level vocabulary-shape monitor: token total, vocab size,
+    // hapax count (df=1), top-term share — the Zipf-fit health numbers a
+    // broken tokenizer or a template-flooded crawl shifts immediately.
+    // One token-keyed aggregate; the summary is a single row.
+    "corpus_zipf_stats" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("tk")).agg(count(lit(1)).as("n"))
+      tf.agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("n")).as("top_tf"))
+    }),
+    // hour-of-day x day-of-week activity heatmap over events: pure
+    // integer epoch arithmetic (epoch day 0 = Thursday → dow offset 4),
+    // one calendar-sized aggregate
+    "events_time_heatmap" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          expr("((ts div 86400000000000) + 4) % 7").as("dow"),
+          expr("(ts div 3600000000000) % 24").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))),
     // mergeable histogram-sketch quantiles over event values: one-pass
     // bounded-state p50/p90/p99 at 0.1 resolution, integer-exact ranks
     "value_quantile_sketch" -> ((s, dir) =>
@@ -1624,6 +1648,17 @@ object ExtensionQueries {
         "CAST(5 * n_a * t_b >= 6 * n_b * t_a AS INTEGER) AS drift_up, " +
         "CAST(5 * n_b * t_a >= 6 * n_a * t_b AS INTEGER) AS drift_down " +
         "FROM c, t"),
+    "corpus_zipf_stats" ->
+      ("WITH tf AS (SELECT tk, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tk FROM documents) u GROUP BY tk) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_vocab, " +
+        "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "max(n) AS top_tf FROM tf"),
+    "events_time_heatmap" ->
+      ("SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow, " +
+        "(epoch_ns(ts) // 3600000000000) % 24 AS hod, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1, 2"),
     "source_robust_stats" ->
       ("WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med, " +
         "count(*) AS n FROM documents GROUP BY source), " +
