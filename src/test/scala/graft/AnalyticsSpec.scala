@@ -686,6 +686,40 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(viaBloom.count() > 0) // non-vacuous at sf0.001 with 3-grams
   }
 
+  test("incremental LSH append equals the cross-generation slice of the full candidate join") {
+    val old = docs.filter(col("doc_id") % 10 =!= 9)
+    val nw = docs.filter(col("doc_id") % 10 === 9)
+    val inc = Dedup.minhashIndexAppend(old, nw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: the full-corpus candidate join, restricted to pairs
+    // with exactly one endpoint in the arriving generation
+    val full = Dedup.lshCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a % 10 == 9) != (b % 10 == 9) }
+      .map { case (a, b, n) =>
+        if (a % 10 == 9) (b, a, n) else (a, b, n) }.toSet
+    assert(inc == full)
+    assert(inc.nonEmpty) // non-vacuous on the fixture
+  }
+
+  test("ewma anomaly: hand-computed burst and drop, steady values unflagged") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 1000L, 1L, 10.0), Row(2L, 2000L, 1L, 10.0),
+      Row(3L, 3000L, 1L, 10.0), Row(4L, 4000L, 1L, 100.0),
+      Row(5L, 5000L, 1L, 1.0)).asJava, schema)
+    val got = EventsAnalytics.ewmaAnomaly(tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    // 100 > 4x the ~10 running level; 1 < 1/4 of the post-spike level;
+    // the steady prefix never alarms
+    assert(got == Map(4L -> "burst", 5L -> "drop"))
+  }
+
   test("ewma: hand-computed dyadic weights, partial windows renormalize") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

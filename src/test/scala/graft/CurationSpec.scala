@@ -126,6 +126,45 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("fixed-point HITS matches a driver-side integer replica on random directed graphs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    val S = 1000000L
+    for (seed <- 1L to 4L) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 8 + rnd.nextInt(15)
+      val edges = (0 until 15 + rnd.nextInt(30))
+        .map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var h = nodes.map(_ -> S).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to 2) {
+        val rawA = edges.groupBy(_._2)
+          .map { case (v, es) => v -> es.iterator.map(e => h(e._1)).sum }
+        val totA = rawA.values.sum
+        a = rawA.map { case (v, r) => v -> S * r / totA }
+        val rawH = edges.groupBy(_._1)
+          .map { case (u, es) => u -> es.iterator.map(e => a(e._2)).sum }
+        val totH = rawH.values.sum
+        h = rawH.map { case (u, r) => u -> S * r / totH }
+      }
+      val df = spark.createDataFrame(
+        edges.map { case (u, v) => Row(u, v) }.asJava, schema)
+      val got = Dedup.hitsFixedPoint(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = nodes.map(n =>
+        n -> ((h.getOrElse(n, 0L), a.getOrElse(n, 0L)))).toMap
+      assert(got == want, s"seed=$seed engine != integer replica")
+      // L1 normalization: each side's mass is S minus bounded floor losses
+      assert(got.values.map(_._2).sum <= S &&
+        got.values.map(_._2).sum >= S - nodes.size)
+    }
+  }
+
   test("random graphs: both CC variants agree with union-find ground truth") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
