@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   *     deterministic per-row image to real PNG bytes, decode it back, and
   *     emit decoded dimensions + pixel reads. This is an actual
   *     image-decode running distributed in `mapPartitions`.
+  *   - [[wavRoundTripMeta]] — REAL audio container/format parsing via the
+  *     JDK's `javax.sound.sampled`: encode a deterministic PCM16 buffer to
+  *     actual RIFF/WAVE bytes, decode it back, and emit format + amplitude
+  *     statistics from the decoded frames.
   *   - [[fakeDecodeMeta]] — the declared STUB for codecs the JDK does NOT
-  *     ship (JPEG2000/video/audio): deterministic pseudo-metadata from the
+  *     ship (JPEG2000/video/MP3-family audio): deterministic pseudo-metadata from the
   *     payload bytes with the same per-partition execution shape, so a
   *     JNI/library decoder swaps in without touching the plumbing.
   */
@@ -166,6 +170,68 @@ object Multimodal {
         val decoded = codec.decode(payload)
         Row(id, decoded.getWidth, decoded.getHeight,
           (decoded.getRGB(0, 0) >> 16) & 0xff)
+      }
+    }(enc)
+  }
+
+  /** REAL audio round trip via the JDK's own `javax.sound.sampled` stack
+    * (the audio sibling of [[pngRoundTripMeta]], zero extra dependency):
+    * per row a deterministic PCM16-mono sample buffer is ENCODED to a real
+    * RIFF/WAVE payload with `AudioSystem.write` — the actual stored binary
+    * — then DECODED back with `AudioSystem.getAudioInputStream`, which
+    * parses the container and format chunks for real. Emitted features are
+    * the decoded format's sample rate plus integer amplitude statistics
+    * (count / sum / sum-of-squares — the RMS-energy building blocks)
+    * recomputed from the DECODED frames, so the oracle predicts them from
+    * the generator formula while Spark derives them from actual parsed
+    * audio. Map-only `mapPartitions`; only the fixed-width feature row
+    * leaves the task. Compressed codecs (MP3/AAC/Opus) stay in the
+    * declared stub tier — the JDK ships no decoder for them.
+    */
+  def wavRoundTripMeta(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_amp", LongType, nullable = false),
+      StructField("sumsq_amp", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"))).mapPartitions { rows =>
+      import javax.sound.sampled._
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 50).toInt + 20
+        val sr = 8000 + (id % 4).toInt * 4000
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        val payload = bos.toByteArray // the real stored WAV binary
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = in.getFormat
+        val decoded = in.readAllBytes()
+        val m = decoded.length / 2
+        var sum = 0L
+        var sumsq = 0L
+        var j = 0
+        while (j < m) {
+          val lo = decoded(2 * j) & 0xff
+          val s = (decoded(2 * j + 1).toInt << 8) | lo
+          sum += s
+          sumsq += s.toLong * s
+          j += 1
+        }
+        Row(id, f.getSampleRate.toInt, m.toLong, sum, sumsq)
       }
     }(enc)
   }

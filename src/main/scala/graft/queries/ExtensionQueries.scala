@@ -892,6 +892,11 @@ object ExtensionQueries {
     // (0,0) pixel read are predicted by the oracle from the source table
     "multimodal_decode_real" -> ((s, dir) =>
       Multimodal.pngRoundTripMeta(t(s, dir, "documents"))),
+    // REAL audio decode: deterministic PCM16 buffer → real RIFF/WAVE bytes
+    // via AudioSystem.write → parsed back by the JDK audio stack; sample
+    // rate + integer amplitude stats recomputed from the DECODED frames
+    "multimodal_decode_wav" -> ((s, dir) =>
+      Multimodal.wavRoundTripMeta(t(s, dir, "documents"))),
     // JPEG sibling of the real-decode key: lossy codec, so dims are
     // exact-oracled and the pixel read is a tolerance flag
     "multimodal_decode_jpeg" -> ((s, dir) =>
@@ -2453,6 +2458,15 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
         "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
         "CAST(doc_id % 256 AS INTEGER) AS red0 FROM documents"),
+    "multimodal_decode_wav" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 50 + 20 AS n, " +
+        "CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate FROM documents), " +
+        "s AS (SELECT doc_id, sample_rate, n, " +
+        "[(doc_id * 31 + i * 17) % 65536 - 32768 " +
+        "FOR i IN generate_series(0, n - 1)] AS v FROM p) " +
+        "SELECT doc_id AS asset_id, sample_rate, CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(list_sum(v) AS BIGINT) AS sum_amp, " +
+        "CAST(list_sum([x * x FOR x IN v]) AS BIGINT) AS sumsq_amp FROM s"),
     "multimodal_decode_jpeg" ->
       ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
         "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
