@@ -130,10 +130,25 @@ object Sketches {
       df: DataFrame,
       valueCol: String = "value",
       binsPerUnit: Long = 10L,
-      qPcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val bins = df
-      .select(floor(col(valueCol) * binsPerUnit).cast("long").as("bin"))
+      qPcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantilesFromBins(valueBins(df, valueCol, binsPerUnit), binsPerUnit, qPcts)
+
+  /** The sketch itself: exact integer bin counts at `binsPerUnit`
+    * resolution. Mergeable by bin-count addition — which is also what
+    * makes it the streaming face of the quantile estimate: a complete-mode
+    * streaming groupBy over the same expression maintains exactly this
+    * relation, and [[quantilesFromBins]] reads the estimate off either.
+    */
+  def valueBins(df: DataFrame, valueCol: String = "value",
+      binsPerUnit: Long = 10L): DataFrame =
+    df.select(floor(col(valueCol) * binsPerUnit).cast("long").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+
+  /** Quantile extraction from a materialized bin relation (see
+    * [[histogramQuantiles]] for the estimator contract).
+    */
+  def quantilesFromBins(bins: DataFrame, binsPerUnit: Long,
+      qPcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bin"))
       .rowsBetween(Long.MinValue, 0)

@@ -217,6 +217,17 @@ object StreamingEvents {
       .toDF("user_id", "from_type", "to_type")
   }
 
+  /** Streaming face of [[graft.analytics.Sketches.histogramQuantiles]]:
+    * the running value-histogram sketch in complete mode. The sketch IS a
+    * bin-count relation and merges by addition, so the streaming operator
+    * is literally the same groupBy — O(domain · resolution) state
+    * regardless of stream length — and
+    * [[graft.analytics.Sketches.quantilesFromBins]] reads p50/p90/p99 off
+    * the sink at any moment (the live latency-percentile dashboard shape).
+    */
+  def streamingValueBins(events: DataFrame, binsPerUnit: Long = 10L): DataFrame =
+    graft.analytics.Sketches.valueBins(events, "value", binsPerUnit)
+
   /** Streaming face of [[graft.analytics.DataQuality.qualityAssertions]]:
     * running violation counts for the map-only rules over an unbounded
     * document stream (complete mode — the live data-quality dashboard a

@@ -199,6 +199,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming histogram sketch yields the batch quantile estimates") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // two micro-batches: the complete-mode bin relation must merge them
+    val dir = Files.createTempDirectory("graft_stream_bins")
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/a")
+    events.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingValueBins(stream), "stream_bins",
+      outputMode = "complete")
+    val fromStream = graft.analytics.Sketches
+      .quantilesFromBins(spark.table("stream_bins"), binsPerUnit = 10L)
+    val batch = graft.analytics.Sketches.histogramQuantiles(events)
+    assert(fromStream.count() == 3)
+    assert(fromStream.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(fromStream).count() == 0)
+  }
+
   test("streaming IVF ingest assigns new vectors to the same cells as the materialized index") {
     import java.nio.file._
     import org.apache.spark.sql.functions._
