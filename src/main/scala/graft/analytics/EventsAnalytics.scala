@@ -306,6 +306,44 @@ object EventsAnalytics {
       .filter(col("kind").isNotNull)
   }
 
+  /** Windowed event dedup — the telemetry/at-least-once-delivery cleaner:
+    * within each (user, event_type) stream, an event is a duplicate if it
+    * arrives within `gapNs` of the previous KEPT event; kept events are
+    * the firsts of the gap-separated bursts (exactly the batch shape of
+    * streaming `dropDuplicatesWithinWatermark`). Burst starts fall out of
+    * one lag (gap > threshold opens a burst), and the burst id is the
+    * running count of starts — one window shuffle on (user_id,
+    * event_type), no self-join. Emits kept events with their burst's
+    * duplicate count (n_dropped = burst size − 1).
+    *
+    * Chained-burst semantics on purpose: a chain of events each within
+    * `gapNs` of the NEXT keeps only the chain's head even if the tail is
+    * far from it — dedup against the previous RAW event would instead
+    * re-keep inside a long burst. (lag is over raw events; a burst's
+    * internal gaps are all ≤ threshold by construction, so
+    * "gap from previous raw" and "gap from burst head" open bursts at
+    * the same rows.)
+    */
+  def windowDedup(events0: DataFrame, gapNs: Long = 300000000000L): DataFrame = {
+    val events = norm(events0)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        when(col("ts") - lag(col("ts"), 1).over(w) <= gapNs, 0L)
+          .otherwise(1L).as("is_start"))
+      .withColumn("burst", sum(col("is_start")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // each burst contains exactly one start row — its head is the keeper
+    marked
+      .groupBy(col("user_id"), col("event_type"), col("burst"))
+      .agg(max(when(col("is_start") === 1L, col("event_id")))
+          .as("kept_event_id"),
+        (count(lit(1)) - 1L).as("n_dropped"))
+      .select(col("kept_event_id"), col("user_id"), col("event_type"),
+        col("n_dropped"))
+  }
+
   /** First-order Markov transition counts over each user's event stream —
     * the "user journey" matrix (which event types follow which): one lag
     * per user ordered by (ts, event_id), then a global count per

@@ -743,6 +743,10 @@ object ExtensionQueries {
     // first-order Markov transition matrix over per-user event streams
     "events_transitions" -> ((s, dir) =>
       EventsAnalytics.transitions(t(s, dir, "events"))),
+    // telemetry dedup: first event per (user, type) gap-window burst, with
+    // per-burst duplicate counts — batch dropDuplicatesWithinWatermark
+    "events_window_dedup" -> ((s, dir) =>
+      EventsAnalytics.windowDedup(t(s, dir, "events"))),
     "events_json" -> ((s, dir) => EventsAnalytics.jsonProps(t(s, dir, "events"))),
     "events_value_quantiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type")).agg(
@@ -2317,6 +2321,17 @@ object ExtensionQueries {
         "FROM p WHERE pws IS NOT NULL " +
         "AND (q * pwt > 4 * pws OR 4 * q * pwt < pws)"
     },
+    "events_window_dedup" ->
+      ("WITH m AS (SELECT event_id, user_id, event_type, ts, " +
+        "CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w <= 300000000000 " +
+        "THEN 0 ELSE 1 END AS is_start FROM events " +
+        "WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)), " +
+        "b AS (SELECT *, sum(is_start) OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS burst FROM m) " +
+        "SELECT max(CASE WHEN is_start = 1 THEN event_id END) AS kept_event_id, " +
+        "user_id, event_type, CAST(count(*) - 1 AS BIGINT) AS n_dropped " +
+        "FROM b GROUP BY user_id, event_type, burst"),
     "events_transitions" ->
       ("WITH o AS (SELECT user_id, event_type AS to_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type " +
