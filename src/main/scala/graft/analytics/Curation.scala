@@ -239,6 +239,24 @@ object Curation {
         coalesce(col("ct"), lit(0)).as("contaminated"))
   }
 
+  /** Per-source rollup of [[curationAudit]] — the provider-level verdict
+    * table (which corpus supplier ships the duplicates, the boilerplate
+    * mirrors, the contaminated split): same audit relations, one extra
+    * source-keyed aggregate. |sources| output rows; reporting shape.
+    */
+  def sourceCurationReport(
+      docs: DataFrame,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame =
+    curationAudit(docs, materialize)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dup_exact").cast("long")).as("n_exact_dups"),
+        sum(col("dup_neardup").cast("long")).as("n_neardups"),
+        sum(col("len_outlier").cast("long")).as("n_len_outliers"),
+        sum(col("contaminated").cast("long")).as("n_contaminated"))
+
   /** Keyword search over the corpus: tf-idf-ranked top-k documents for a
     * bag of query terms — the data-selection primitive ("find me documents
     * about X") a training-data pipeline runs against raw corpora. The idf

@@ -610,6 +610,10 @@ object ExtensionQueries {
     // length-outlier / contamination flags from the composed operators
     "curation_audit" -> ((s, dir) =>
       Curation.curationAudit(t(s, dir, "documents"))),
+    // provider-level verdict rollup of the audit: per-source dup /
+    // outlier / contamination counts
+    "source_curation_report" -> ((s, dir) =>
+      Curation.sourceCurationReport(t(s, dir, "documents"))),
     // skip-gram co-occurrence counts (word2vec data prep): (center,
     // context) pairs within a ±2 window, top-25 — one explode pass
     // shuffling on the pair, no self-join
@@ -1395,6 +1399,31 @@ object ExtensionQueries {
       "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
       "AND a.doc_id < b.doc_id)"
 
+  /** Shared CTE chain + join tail of the curation-audit oracle (per-doc
+    * exact-dup / near-dup / length-band / contamination verdicts); the
+    * per-doc key and the per-source rollup plug different SELECT heads
+    * between them.
+    */
+  private lazy val curationAuditCtes: String =
+    "WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") + ", " +
+      "comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src), " +
+      "fpr AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents), " +
+      "keep AS (SELECT f, min(doc_id) AS k FROM fpr GROUP BY f), " +
+      "b AS (SELECT quantile_cont(n_chars, 0.25) AS p_lo, " +
+      "quantile_cont(n_chars, 0.75) AS p_hi FROM documents), " +
+      "grams AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+      "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] " +
+      "FOR i IN generate_series(1, len(w) - 3)]) AS s FROM toks) u), " +
+      "bg AS (SELECT DISTINCT s FROM grams WHERE doc_id % 50 = 0), " +
+      "cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (s) " +
+      "WHERE g.doc_id % 50 != 0) "
+
+  private val curationAuditJoins: String =
+    "FROM documents d JOIN fpr ON fpr.doc_id = d.doc_id " +
+      "JOIN keep ON fpr.f = keep.f CROSS JOIN b " +
+      "LEFT JOIN comp ON comp.src = d.doc_id " +
+      "LEFT JOIN cont ON cont.doc_id = d.doc_id"
+
   /** Shared CTE chain for the sign-LSH embedding-cosine near-dup pairs
     * (mirrors [[Similarity.cosineNearDupPairs]]): ends in
     * `cpairs(id_a, id_b, sim)`.
@@ -1571,27 +1600,23 @@ object ExtensionQueries {
         "CAST(uni_score + bi_score AS BIGINT) AS score, " +
         "CAST(CASE WHEN uni_score + bi_score > 0 THEN 1 ELSE 0 END AS INT) AS kept FROM sc"),
     "curation_audit" ->
-      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") + ", " +
-        "comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src), " +
-        "fpr AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents), " +
-        "keep AS (SELECT f, min(doc_id) AS k FROM fpr GROUP BY f), " +
-        "b AS (SELECT quantile_cont(n_chars, 0.25) AS p_lo, " +
-        "quantile_cont(n_chars, 0.75) AS p_hi FROM documents), " +
-        "grams AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
-        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] " +
-        "FOR i IN generate_series(1, len(w) - 3)]) AS s FROM toks) u), " +
-        "bg AS (SELECT DISTINCT s FROM grams WHERE doc_id % 50 = 0), " +
-        "cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (s) " +
-        "WHERE g.doc_id % 50 != 0) " +
+      (curationAuditCtes +
         "SELECT d.doc_id, " +
         "CASE WHEN d.doc_id != keep.k THEN 1 ELSE 0 END AS dup_exact, " +
         "CASE WHEN comp.component IS NOT NULL AND comp.component != d.doc_id THEN 1 ELSE 0 END AS dup_neardup, " +
         "CASE WHEN d.n_chars < b.p_lo OR d.n_chars > b.p_hi THEN 1 ELSE 0 END AS len_outlier, " +
         "CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated " +
-        "FROM documents d JOIN fpr ON fpr.doc_id = d.doc_id " +
-        "JOIN keep ON fpr.f = keep.f CROSS JOIN b " +
-        "LEFT JOIN comp ON comp.src = d.doc_id " +
-        "LEFT JOIN cont ON cont.doc_id = d.doc_id"),
+        curationAuditJoins),
+    // the same audit CTE chain rolled up per source — one verdict table
+    // per corpus provider
+    "source_curation_report" ->
+      (curationAuditCtes +
+        "SELECT d.source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN d.doc_id != keep.k THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups, " +
+        "CAST(sum(CASE WHEN comp.component IS NOT NULL AND comp.component != d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_neardups, " +
+        "CAST(sum(CASE WHEN d.n_chars < b.p_lo OR d.n_chars > b.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_len_outliers, " +
+        "CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated " +
+        curationAuditJoins + " GROUP BY d.source"),
     "corpus_snapshot_diff" ->
       ("WITH o AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents " +
         "WHERE doc_id % 10 != 9), " +
