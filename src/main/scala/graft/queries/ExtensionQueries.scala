@@ -800,6 +800,24 @@ object ExtensionQueries {
           expr("first_click div 1000").as("first_click_us"),
           col("n_purchases_after"))
     }),
+    // time-to-convert distribution: per converting user the latency from
+    // first click to first subsequent purchase, summarized as exact
+    // second-quantized percentiles (seconds keep the interpolation
+    // midpoints exactly representable — ns-scale longs would not be)
+    "events_conversion_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      firstClick.join(purchases, Seq("user_id"))
+        .filter(col("ts") >= col("fc"))
+        .groupBy(col("user_id")).agg(min(col("ts") - col("fc")).as("lat_ns"))
+        .select(expr("lat_ns div 1000000000").as("lat_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(lat_s, 0.5)").as("med_latency_s"),
+          expr("percentile(lat_s, 0.9)").as("p90_latency_s"))
+    }),
     // bigram continuation top-3 per token (the autocomplete / n-gram LM
     // statistic), per-prefix top-k on the custom bounded-heap operator
     "bigram_next_topk" -> ((s, dir) => {
@@ -2454,6 +2472,16 @@ object ExtensionQueries {
         "AS n_purchases_after " +
         "FROM fc LEFT JOIN p ON p.user_id = fc.user_id " +
         "GROUP BY fc.user_id, fc.first_click"),
+    "events_conversion_latency" ->
+      ("WITH fc AS (SELECT user_id, min(ts) AS fc FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id), " +
+        "p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "l AS (SELECT p.user_id, min(epoch_ns(p.ts) - epoch_ns(fc.fc)) AS lat_ns " +
+        "FROM fc JOIN p ON p.user_id = fc.user_id AND p.ts >= fc.fc " +
+        "GROUP BY p.user_id) " +
+        "SELECT count(*) AS n_converted, " +
+        "quantile_cont(lat_ns // 1000000000, 0.5) AS med_latency_s, " +
+        "quantile_cont(lat_ns // 1000000000, 0.9) AS p90_latency_s FROM l"),
     "bigram_next_topk" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "bi AS (SELECT unnest([{'tk': w[i], 'next_tk': w[i+1]} " +
