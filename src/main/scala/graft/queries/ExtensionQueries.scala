@@ -732,6 +732,28 @@ object ExtensionQueries {
           coalesce(col("token_id"), lit(0)).as("token_id"))
     }),
 
+    // ---- privacy QA / de-identification (the reference product's
+    // domain: measure re-identification risk, then mask without breaking
+    // referential integrity) ----
+    "privacy_kanon_customer" -> ((s, dir) =>
+      Privacy.kAnonymityReport(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")))),
+    "privacy_generalization_ladder" -> ((s, dir) =>
+      Privacy.generalizationLadder(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000).cast("long"),
+        floor(col("c_acctbal") / 5000).cast("long"))),
+    "privacy_ldiversity_orders" -> ((s, dir) =>
+      Privacy.lDiversityReport(t(s, dir, "orders"),
+        Seq(col("o_orderpriority"), year(col("o_orderdate")).as("yr")),
+        col("o_orderstatus"))),
+    "privacy_pseudonymize_customer" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        Privacy.pseudonym(col("c_custkey"), "pepper1", "Customer#")
+          .as("pseud_name"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))),
+
     // ---- events time-series ----
     "events_tumbling" -> ((s, dir) => EventsAnalytics.tumbling(t(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventsAnalytics.sliding(t(s, dir, "events"))),
@@ -2364,6 +2386,30 @@ object ExtensionQueries {
         "FROM p WHERE pws IS NOT NULL " +
         "AND (q * pwt > 4 * pws OR 4 * q * pwt < pws)"
     },
+    "privacy_kanon_customer" ->
+      ("SELECT c_nationkey, c_mktsegment, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
+        "count(*) AS k, CAST(count(*) < 5 AS INT) AS below " +
+        "FROM customer GROUP BY 1, 2, 3"),
+    "privacy_generalization_ladder" ->
+      ("WITH b AS (SELECT c_nationkey AS qi0, c_mktsegment AS qi1, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS band_fine, " +
+        "CAST(floor(c_acctbal / 5000) AS BIGINT) AS band_coarse FROM customer), " +
+        "f AS (SELECT qi0, qi1, band_fine, band_coarse, count(*) AS k_fine " +
+        "FROM b GROUP BY 1, 2, 3, 4), " +
+        "c AS (SELECT qi0, qi1, band_coarse, count(*) AS k_coarse " +
+        "FROM b GROUP BY 1, 2, 3) " +
+        "SELECT f.qi0, f.qi1, f.band_fine, f.k_fine, c.k_coarse " +
+        "FROM f JOIN c USING (qi0, qi1, band_coarse)"),
+    "privacy_ldiversity_orders" ->
+      ("SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr, " +
+        "count(*) AS k, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l, " +
+        "CAST(count(DISTINCT o_orderstatus) < 2 AS INT) AS low_diversity " +
+        "FROM orders GROUP BY 1, 2"),
+    "privacy_pseudonymize_customer" ->
+      ("SELECT c_custkey, 'Customer#' || " +
+        "substr(md5('pepper1-' || CAST(c_custkey AS VARCHAR)), 1, 12) AS pseud_name, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer"),
     "events_window_dedup" ->
       ("WITH m AS (SELECT event_id, user_id, event_type, ts, " +
         "CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w <= 300000000000 " +
