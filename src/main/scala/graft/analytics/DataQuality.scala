@@ -130,4 +130,46 @@ object DataQuality {
       .select(col("source"), col("n"), col("med"), col("mad"),
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
   }
+
+  /** Join-key skew report: for a planned equi-join, the top-k keys by
+    * ESTIMATED join output contribution (`n_left × n_right`), with each
+    * key's share of the total estimated output in basis points. This is
+    * the diagnostic a 100 TB pipeline runs BEFORE the join — the keys
+    * this table surfaces are the ones that need salting
+    * (`Ops.saltedJoin`) or an AQE skew split; one hot key producing 40%
+    * of the output rows is invisible in row counts but fatal in a
+    * shuffle join.
+    *
+    * Cost: one partial-aggregating groupBy per side (map-side combine,
+    * output bounded by key cardinality), a key-keyed outer join of the
+    * two count tables (keys present on one side still report, with the
+    * other count 0 and est 0), a one-row total broadcast, and a
+    * TakeOrdered top-k — never a sort or shuffle of the data itself.
+    * All integer arithmetic (share in basis points via integer div), so
+    * the report hash-checks across engines.
+    */
+  def joinSkewReport(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      k: Int = 25): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("join_key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(rightKey).as("join_key"))
+      .agg(count(lit(1)).as("n_right"))
+    val perKey = l.join(r, Seq("join_key"), "full_outer")
+      .select(col("join_key"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("est_rows", col("n_left") * col("n_right"))
+    val total = perKey.agg(sum(col("est_rows")).as("total_est"))
+    perKey.crossJoin(broadcast(total))
+      .withColumn("share_bp",
+        coalesce(expr("(est_rows * 10000L) div total_est"), lit(0L)))
+      .orderBy(col("est_rows").desc, col("join_key"))
+      .limit(k)
+      .select(col("join_key"), col("n_left"), col("n_right"),
+        col("est_rows"), col("share_bp"))
+  }
 }

@@ -362,4 +362,29 @@ object EventsAnalytics {
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Top 3-step behavioral paths: the most common (step1, step2, step3)
+    * event-type sequences across all users, with occurrence and
+    * distinct-user support — the path-analysis generalization of the
+    * first-order [[transitions]] matrix (funnel discovery rather than a
+    * pre-declared funnel). One user_id shuffle feeds both `lead` terms
+    * (shared window spec → a single Window operator); the path space is
+    * |types|³-bounded so the aggregate output is tiny, and the final
+    * top-k is a TakeOrdered (no global sort materialization).
+    * (ts, event_id) is a total order — ties cannot reorder across runs.
+    */
+  def funnelPaths(events0: DataFrame, k: Int = 20): DataFrame = {
+    val events = norm(events0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type").as("step1"),
+        lead(col("event_type"), 1).over(w).as("step2"),
+        lead(col("event_type"), 2).over(w).as("step3"))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
 }

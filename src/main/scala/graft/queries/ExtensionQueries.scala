@@ -754,6 +754,30 @@ object ExtensionQueries {
           .as("pseud_name"),
         floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))),
 
+    // ---- incremental maintenance / pre-join diagnostics ----
+    // CDC MERGE: apply an I/U/D change batch (full-row images, last-wins
+    // by seq) to a keyed snapshot — upserts exercise replacement (status
+    // image 'X'), a later delete batch supersedes same-key upserts
+    "cdc_merge_apply" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val snapshot = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val upserts = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("seq", lit(1L))
+        .withColumn("op",
+          when(col("o_orderkey") % 4 === 0, lit("I")).otherwise(lit("U")))
+      val deletes = orders.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      graft.engine.Cdc.mergeApply(
+        snapshot, upserts.unionByName(deletes), "o_orderkey")
+    }),
+    // join-key skew diagnostics: top keys by estimated join output
+    // contribution (n_left × n_right) for the events⋈orders customer join
+    // — what a pipeline consults before choosing salting/broadcast
+    "join_skew_report" -> ((s, dir) =>
+      DataQuality.joinSkewReport(
+        t(s, dir, "events"), t(s, dir, "orders"), "user_id", "o_custkey")),
+
     // ---- events time-series ----
     "events_tumbling" -> ((s, dir) => EventsAnalytics.tumbling(t(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventsAnalytics.sliding(t(s, dir, "events"))),
@@ -769,6 +793,10 @@ object ExtensionQueries {
     // first-order Markov transition matrix over per-user event streams
     "events_transitions" -> ((s, dir) =>
       EventsAnalytics.transitions(t(s, dir, "events"))),
+    // top 3-step behavioral paths (funnel discovery): most common
+    // (step1,step2,step3) sequences by occurrence + distinct-user support
+    "events_funnel_paths" -> ((s, dir) =>
+      EventsAnalytics.funnelPaths(t(s, dir, "events"))),
     // telemetry dedup: first event per (user, type) gap-window burst, with
     // per-burst duplicate counts — batch dropDuplicatesWithinWatermark
     "events_window_dedup" -> ((s, dir) =>
@@ -2428,6 +2456,38 @@ object ExtensionQueries {
         "SELECT from_type, to_type, count(*) AS n, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
         "FROM o WHERE from_type IS NOT NULL GROUP BY from_type, to_type"),
+    "events_funnel_paths" ->
+      ("WITH o AS (SELECT user_id, event_type AS step1, " +
+        "lead(event_type, 1) OVER w AS step2, " +
+        "lead(event_type, 2) OVER w AS step3 FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT step1, step2, step3, count(*) AS n, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM o WHERE step2 IS NOT NULL AND step3 IS NOT NULL " +
+        "GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3 LIMIT 20"),
+    "cdc_merge_apply" ->
+      // direct statement of the MERGE postcondition (NOT a replay of the
+      // engine's join): %20==0 keys are deleted by the later batch, every
+      // other even key carries the upsert's 'X' status image (including
+      // %4==0 inserts absent from the snapshot), odd keys pass through
+      ("SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'X' ELSE o_orderstatus END " +
+        "AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 20 <> 0"),
+    "join_skew_report" ->
+      ("WITH l AS (SELECT user_id AS join_key, count(*) AS n_left " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT o_custkey AS join_key, count(*) AS n_right " +
+        "FROM orders GROUP BY 1), " +
+        "k AS (SELECT coalesce(l.join_key, r.join_key) AS join_key, " +
+        "coalesce(n_left, 0) AS n_left, coalesce(n_right, 0) AS n_right, " +
+        "coalesce(n_left, 0) * coalesce(n_right, 0) AS est_rows " +
+        "FROM l FULL OUTER JOIN r ON l.join_key = r.join_key), " +
+        "t AS (SELECT sum(est_rows) AS total_est FROM k) " +
+        "SELECT join_key, n_left, n_right, est_rows, " +
+        "CAST(coalesce((est_rows * 10000) // total_est, 0) AS BIGINT) " +
+        "AS share_bp FROM k, t " +
+        "ORDER BY est_rows DESC, join_key LIMIT 25"),
     "events_json" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
     "events_value_quantiles" ->

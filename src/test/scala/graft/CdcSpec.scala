@@ -1,0 +1,58 @@
+package graft
+
+import graft.engine.Cdc
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("mergeApply: insert/update/delete with last-wins compaction per key") {
+    val snapshot = Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)
+    ).toDF("id", "name", "v")
+    val changes = Seq(
+      // key 2: update at seq 1, then delete at seq 2 — delete must win
+      (2L, "b2", 21L, 1L, "U"),
+      (2L, "b2", 21L, 2L, "D"),
+      // key 3: delete at seq 1, then re-insert at seq 2 — insert must win
+      (3L, "c2", 31L, 1L, "D"),
+      (3L, "c2", 31L, 2L, "I"),
+      // key 4: fresh insert (absent from snapshot)
+      (4L, "d", 40L, 1L, "I")
+    ).toDF("id", "name", "v", "seq", "op")
+
+    val out = Cdc.mergeApply(snapshot, changes, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 10L),    // untouched passthrough
+      (3L, "c2", 31L),   // re-insert image replaces the deleted row
+      (4L, "d", 40L)))   // new key appears; key 2 is gone
+  }
+
+  test("mergeApply result columns and order match the snapshot") {
+    val snapshot = Seq((1L, "a")).toDF("id", "name")
+    val changes = Seq((1L, "a2", 1L, "U")).toDF("id", "name", "seq", "op")
+    val out = Cdc.mergeApply(snapshot, changes, "id")
+    assert(out.columns.toSeq == Seq("id", "name"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a2")))
+  }
+
+  test("fixture CDC key: deletes beat upserts, inserts materialize, odd keys persist") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val snapshot = orders.filter(col("o_orderkey") % 4 =!= 0)
+    val upserts = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("seq", lit(1L))
+      .withColumn("op",
+        when(col("o_orderkey") % 4 === 0, lit("I")).otherwise(lit("U")))
+    val deletes = orders.filter(col("o_orderkey") % 20 === 0)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    val merged = Cdc.mergeApply(snapshot, upserts.unionByName(deletes), "o_orderkey")
+    assert(merged.filter(col("o_orderkey") % 20 === 0).count() == 0)
+    assert(merged.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_orderstatus") =!= "X").count() == 0)
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    assert(merged.filter(col("o_orderkey") % 2 === 1).count() == odd.count())
+  }
+}
