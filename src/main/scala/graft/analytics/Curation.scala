@@ -58,6 +58,38 @@ object Curation {
       .select(col(idCol), col(sourceCol), col("rk"))
   }
 
+  /** Token-budget mixture plan — the sampling-rate table a multi-source
+    * pretraining run is configured from (the Pile / DoReMi shape): per
+    * source, its token count, natural share, the sqrt-tempered target
+    * token allocation for a fixed budget, and the implied epoch factor
+    * (basis points; > 10000 means the source repeats). Where
+    * [[sourceMixSample]] DRAWS a tempered sample, this emits the PLAN —
+    * the artifact reviewed and versioned before a 100 TB mixing job runs.
+    *
+    * One partial-aggregating corpus sweep (map-side token counts per
+    * source), then |sources|-row arithmetic against a one-row broadcast
+    * total. Shares and epochs are integer basis points (exact div);
+    * the tempering weight follows the [[sourceMixSample]] contract
+    * (round(sqrt, 9) then IEEE double ratio — bit-stable across engines).
+    */
+  def sourceMixturePlan(docs: DataFrame, budgetTokens: Long = 1000000L)
+      : DataFrame = {
+    val toks = docs.groupBy(col("source"))
+      .agg(sum(size(tokens(col("text")))).as("n_tokens"))
+    val weights = toks.select(col("source"), col("n_tokens"),
+      round(sqrt(col("n_tokens").cast("double")), 9)
+        .cast("decimal(38,9)").as("w"))
+    val tot = weights.agg(sum(col("w")).as("sw"), sum(col("n_tokens")).as("tt"))
+    weights.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("w").cast("double") /
+          col("sw").cast("double")).cast("long"))
+      .select(col("source"), col("n_tokens"),
+        expr("(n_tokens * 10000L) div tt").as("share_nat_bp"),
+        col("target_tokens"),
+        expr("(target_tokens * 10000L) div n_tokens").as("epochs_bp"))
+  }
+
   /** Corpus-frequency document scoring — the unigram-LM-likelihood proxy
     * kept integer-exact: one corpus sweep builds the term-frequency table,
     * then each document is scored by the frequencies of its own token

@@ -283,4 +283,56 @@ object Ops {
       .drop(salted("__graft_salt"))
       .drop(replicated("__graft_salt"))
   }
+
+  /** Bloom-filter runtime prefilter ahead of a semi-join — the pattern
+    * that makes "join 100 TB of facts to a selectively-filtered dimension"
+    * cheap: build an `mBits`-bit Bloom filter over the dim keys (a few KiB,
+    * independent of fact size), push its membership test into the fact
+    * SCAN as a codegen'd filter, and only then run the exact semi-join on
+    * the survivors. False positives are removed by the join, so the result
+    * is EXACTLY the plain semi-join (the oracle states it as one); what
+    * the Bloom buys is shuffle volume — at a 1% selective dim predicate,
+    * ~99% of fact rows die map-side instead of crossing the network.
+    * Spark's own runtime row-group filtering targets the same win; this
+    * operator makes it explicit, tunable, and independent of AQE.
+    *
+    * Build is distributed: each dim key explodes to `numHashes` bit
+    * positions (seeded `xxhash64`), positions dedup, OR into 64-bit words,
+    * and only the word table — ≤ `mBits`/64 rows, bounded by the CONFIG,
+    * not the data — is collected and re-broadcast as one array literal
+    * inside the filter expression (whole-stage codegen'd: element_at +
+    * shift + mask, no UDF). Size `mBits` ~10× the expected dim key count
+    * for a ~1-2% false-positive rate at 3 hashes.
+    */
+  def bloomPrefilterSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      mBits: Int = 1 << 16,
+      numHashes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    // seeds are LONG literals on both the build and probe side — xxhash64
+    // hashes int and long inputs differently, so the types must match
+    val posList = (0 until numHashes)
+      .map(i => pmod(xxhash64(col(dimKey), lit(i.toLong)), lit(mBits.toLong)))
+    val wordRows = dim
+      .select(explode(array(posList: _*)).as("p")).distinct()
+      .select(expr("CAST(p div 64 AS INT)").as("w"),
+        expr("shiftleft(1L, CAST(p % 64 AS INT))").as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
+      .collect() // bounded: ≤ mBits/64 rows regardless of data size
+    val words = new Array[Long](mBits / 64)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val test = (0 until numHashes).map { i =>
+      val p = s"pmod(xxhash64($factKey, ${i}L), ${mBits}L)"
+      expr(s"((element_at(__graft_bf, CAST($p div 64 AS INT) + 1) " +
+        s">> CAST($p % 64 AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+    val prefiltered = fact
+      .withColumn("__graft_bf", typedlit(words.toSeq))
+      .filter(test)
+      .drop("__graft_bf")
+    semiJoin(prefiltered, Seq(factKey), dim, Seq(dimKey))
+  }
 }

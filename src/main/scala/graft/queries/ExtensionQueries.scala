@@ -755,6 +755,42 @@ object ExtensionQueries {
         floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))),
 
     // ---- incremental maintenance / pre-join diagnostics ----
+    // Bloom runtime prefilter + exact semi-join: lineitems of urgent
+    // orders — the selective-dim fact-join pattern; result == plain
+    // semi-join (Bloom false positives die in the join), the filter
+    // kills ~4/5 of the fact scan map-side before any shuffle
+    "bloom_semi_join" -> ((s, dir) =>
+      graft.engine.Ops.bloomPrefilterSemiJoin(
+        t(s, dir, "lineitem"),
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        "l_orderkey", "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    // sqrt-tempered token-budget mixture plan (the Pile/DoReMi table):
+    // natural vs target shares and epoch factors per source
+    "source_mixture_plan" -> ((s, dir) =>
+      Curation.sourceMixturePlan(t(s, dir, "documents"))),
+    // near-dup leakage ACROSS train/val/test splits: simhash radius-3
+    // pairs whose endpoints land in different hash-assigned splits — the
+    // eval-integrity check exact dedup-within-split cannot see
+    "split_leakage_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashNearDupPairs(docs, 3)
+      val splits = docs.select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_leaked_pairs"))
+    }),
     // CDC MERGE: apply an I/U/D change batch (full-row images, last-wins
     // by seq) to a keyed snapshot — upserts exercise replacement (status
     // image 'X'), a later delete batch supersedes same-key upserts
@@ -2474,6 +2510,35 @@ object ExtensionQueries {
         "CASE WHEN o_orderkey % 2 = 0 THEN 'X' ELSE o_orderstatus END " +
         "AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
         "FROM orders WHERE o_orderkey % 20 <> 0"),
+    "bloom_semi_join" ->
+      // the Bloom prefilter is an optimization, not a semantics change:
+      // the oracle is the PLAIN semi-join it must exactly equal
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT')"),
+    "source_mixture_plan" ->
+      ("WITH s AS (SELECT source, sum(len(string_split(text, ' '))) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "w AS (SELECT source, n_tokens, " +
+        "CAST(round(sqrt(n_tokens), 9) AS DECIMAL(38,9)) AS w FROM s), " +
+        "t AS (SELECT sum(w) AS sw, sum(n_tokens) AS tt FROM w), " +
+        "p AS (SELECT source, n_tokens, " +
+        "CAST(floor(1000000.0 * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) " +
+        "AS target_tokens, tt FROM w, t) " +
+        "SELECT source, n_tokens, " +
+        "CAST((n_tokens * 10000) // tt AS BIGINT) AS share_nat_bp, " +
+        "target_tokens, " +
+        "CAST((target_tokens * 10000) // n_tokens AS BIGINT) AS epochs_bp FROM p"),
+    "split_leakage_simhash" ->
+      ("WITH sp AS (SELECT doc_id, " +
+        "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train' " +
+        "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents), " +
+        s"pr AS (SELECT * FROM (${simhashBruteForceOracle(3)}) q) " +
+        "SELECT least(a.split, b.split) AS split_a, " +
+        "greatest(a.split, b.split) AS split_b, count(*) AS n_leaked_pairs " +
+        "FROM pr JOIN sp a ON pr.id_a = a.doc_id JOIN sp b ON pr.id_b = b.doc_id " +
+        "WHERE a.split <> b.split GROUP BY 1, 2"),
     "join_skew_report" ->
       ("WITH l AS (SELECT user_id AS join_key, count(*) AS n_left " +
         "FROM events GROUP BY 1), " +
