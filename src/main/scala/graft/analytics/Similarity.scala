@@ -437,6 +437,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** PQ codebook quality evaluation: per-subspace vector count, total and
+    * mean squared reconstruction error of the trained product-quantizer
+    * codebooks over the full corpus — the number that tells you whether
+    * `ksub`/`subDim` are adequate BEFORE deploying the index (rising MSE
+    * on fresh batches is also the retrain signal for the no-retrain
+    * ingest path, [[ivfIndexAppend]]-style). Same stacked grouped-Lloyd
+    * train + assign as [[pqTopK]] — this is the eval of exactly the
+    * codebooks the index serves, not a re-derivation; the scan is one
+    * pass and the output is `m` rows. Squared errors accumulate in
+    * DECIMAL(38,9) (partitioning-independent), emitted as the double
+    * image per the house compare rule.
+    */
+  def pqReconstructionError(
+      embeddings: DataFrame,
+      m: Int = 4,
+      subDim: Int = 16,
+      ksub: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 1): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val stacked = spread.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "embedding")))
+    val codebooks =
+      kMeansCentroids(stacked, ksub, iters, trainMod, groupCols = Seq("sub"))
+    assignCells(stacked, codebooks, 1, groupCols = Seq("sub"))
+      .join(broadcast(codebooks), Seq("sub", "cell_id"))
+      .select(col("sub"),
+        expr("round(l2_sq(embedding, c_emb), 9)")
+          .cast("decimal(38,9)").as("se"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("se")).as("sse_dec"))
+      .select(col("sub"), col("n_vectors"),
+        col("sse_dec").cast("double").as("sse"),
+        (col("sse_dec").cast("double") / col("n_vectors")).as("mse"))
+  }
+
   /** IVF-PQ — the production ANN index composition (Jégou et al. §IV:
     * IVFADC): the IVF coarse quantizer restricts the candidate set to the
     * `nProbe` cells nearest the query, and ONLY those candidates are scored

@@ -268,6 +268,12 @@ object ExtensionQueries {
     "cosine_topk_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10,
         trainMod = 2)),
+    // PQ codebook quality: per-subspace reconstruction SSE/MSE of the
+    // same codebooks the PQ index serves — the ksub/subDim adequacy
+    // check run before deploying (and the retrain trigger after appends)
+    "pq_reconstruction_error" -> ((s, dir) =>
+      Similarity.pqReconstructionError(t(s, dir, "embeddings"),
+        trainMod = 2)),
     // the production composition: IVF coarse cells restrict candidates,
     // PQ/ADC tables score only the probed cells, exact rerank on top (the
     // coarse quantizer + 4 codebooks train in ONE grouped Lloyd chain)
@@ -1612,6 +1618,21 @@ object ExtensionQueries {
     "cosine_topk_pq" ->
       pqOracle(m = 4, subDim = 16, ksub = 16, iters = 2, k = 10, shortK = 50,
         queryId = 0L, trainMod = 2),
+    "pq_reconstruction_error" -> {
+      // replay of the SAME stacked Lloyd chain, then the assigned-cell d2
+      // per (vector, subspace) aggregated in DECIMAL — mirrors
+      // Similarity.pqReconstructionError
+      val seU = (0 until 4).map(s =>
+        s"SELECT $s AS sub, d.d2 FROM cd_$s d JOIN codes_$s c " +
+          "ON d.vec_id = c.vec_id AND d.cell_id = c.cell_id")
+        .mkString(" UNION ALL ")
+      "WITH " + pqSubspaceCtes(4, 16, 16, 2, 0L, 2) + ", " +
+        s"se AS ($seU) " +
+        "SELECT sub, count(*) AS n_vectors, " +
+        "CAST(sum(CAST(d2 AS DECIMAL(38,9))) AS DOUBLE) AS sse, " +
+        "CAST(sum(CAST(d2 AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mse " +
+        "FROM se GROUP BY sub"
+    },
     "cosine_topk_ivfpq_probe" ->
       ivfpqOracle(nCells = 16, nProbe = 4, coarseIters = 2, coarseTrainMod = 4,
         m = 4, subDim = 16, ksub = 16, pqIters = 2, pqTrainMod = 4,

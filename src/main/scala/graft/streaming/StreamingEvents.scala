@@ -413,6 +413,42 @@ object StreamingEvents {
     * currently-available input — the local smoke path (a real deployment
     * would use a durable sink + trigger).
     */
+  /** Streaming face of [[graft.engine.Cdc.mergeApply]]: maintain the
+    * current row image per key from an unbounded I/U/D change stream and
+    * emit the post-batch image (or tombstone) for every key a micro-batch
+    * touches — the changelog a downstream sink applies to keep a
+    * snapshot fresh without re-reading it. State is ONE row image per
+    * key (bounded by key cardinality, not stream length); late or
+    * replayed changes with a lower `seq` than the state are ignored —
+    * the same last-wins contract the batch operator compacts with, so
+    * the stream's final emissions equal `mergeApply` over the union of
+    * all batches (parity-tested incl. a cross-batch delete-then-update).
+    * Fixed (id, name, v) payload: `flatMapGroupsWithState` needs an
+    * Encoder, and a generic-Row state would trade the typed fast path
+    * for reflection — real deployments generate this per table schema.
+    */
+  def streamingCdcApply(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.selectExpr("id", "name", "v", "seq", "op")
+      .as[(Long, String, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Long, Boolean),
+        (Long, Long, String, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[(Long, String, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, String, Long, Boolean)]) =>
+          var cur = state.getOption.getOrElse((Long.MinValue, null: String, 0L, false))
+          rows.toSeq.sortBy(_._4).foreach { r =>
+            if (r._4 > cur._1) cur = (r._4, r._2, r._3, r._5 != "D")
+          }
+          state.update(cur)
+          Iterator((id, cur._1, cur._2, cur._3, !cur._4))
+      }
+      .toDF("id", "seq", "name", "v", "is_deleted")
+  }
+
   def runToMemory(df: DataFrame, name: String, outputMode: String = "complete"): Unit = {
     val q = df.writeStream
       .format("memory")

@@ -60,4 +60,20 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(d2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((0L, "changed")))
   }
+
+  test("pqReconstructionError: m rows covering the corpus, zero error at ksub = n") {
+    val r = Similarity.pqReconstructionError(emb, trainMod = 2).collect()
+    assert(r.length === 4)
+    val n = emb.count()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_vectors") === n)
+      assert(row.getAs[Double]("sse") >= 0.0)
+      assert(row.getAs[Double]("mse") === row.getAs[Double]("sse") / n)
+    }
+    // degenerate exactness: every vector its own centroid → SSE 0 per sub
+    val tiny = emb.filter(col("vec_id") < 16)
+    val z = Similarity.pqReconstructionError(tiny, m = 2, subDim = 32,
+      ksub = 16, iters = 1, trainMod = 1).collect()
+    assert(z.forall(_.getAs[Double]("sse") == 0.0))
+  }
 }
