@@ -131,6 +131,34 @@ object DataQuality {
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
   }
 
+  /** Referential-integrity profile over a config-declared FK graph (the
+    * reference product's record shape `{fk_table, fk_columns,
+    * target_table, target_columns}` — /root/reference/config_reader.py):
+    * one row per FK edge with the child row count and the orphan count
+    * (non-null FK values with no parent). The subsetter PROVES closure on
+    * its own output; this is the monitoring twin run against the SOURCE —
+    * the drift alarm for upstream deliveries that silently break joins.
+    *
+    * All edges compose into ONE lazy plan (a union of per-edge
+    * left-join aggregates), so a single action profiles the whole graph;
+    * each edge shuffles only on its own key, parent sides are
+    * distinct-projected first (dimension-sized → broadcast at plan time).
+    */
+  def fkIntegrityReport(
+      table: String => DataFrame,
+      fks: Seq[(String, String, String, String)]): DataFrame =
+    fks.map { case (ft, fc, tt, tc) =>
+      val parent = table(tt).select(col(tc).as("__pk")).distinct()
+      table(ft).select(col(fc).as("__fk")).na.drop()
+        .join(parent, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child_rows"),
+          coalesce(sum(when(col("__pk").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"))
+        .select(lit(ft).as("fk_table"), lit(fc).as("fk_column"),
+          lit(tt).as("target_table"), lit(tc).as("target_column"),
+          col("n_child_rows"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+
   /** Join-key skew report: for a planned equi-join, the top-k keys by
     * ESTIMATED join output contribution (`n_left × n_right`), with each
     * key's share of the total estimated output in basis points. This is

@@ -568,6 +568,24 @@ object ExtensionQueries {
         .collect().map(_.getString(1)).toSeq
       Curation.bpeEncode(docs, pairs)
     }),
+    // tokenizer quality eval: per-source fertility (BPE symbols per
+    // whitespace word) and compression (chars per symbol) of the trained
+    // merges — the numbers that tell you whether the tokenizer fits the
+    // corpus mix before an LM run is budgeted (integer basis points)
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Curation.bpeMerges(docs).orderBy("step")
+        .collect().map(_.getString(1)).toSeq
+      Curation.bpeEncode(docs, pairs)
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_bpe_symbols")).as("n_symbols"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("source"), col("n_tokens"), col("n_symbols"),
+          expr("(n_symbols * 10000L) div n_tokens").as("fertility_bp"),
+          expr("(n_chars * 10000L) div n_symbols").as("chars_per_symbol_bp"))
+    }),
     // ---- data observability ----
     // per-column profile (rows / nulls / exact distinct), long format
     "table_profile_docs" -> ((s, dir) =>
@@ -819,6 +837,18 @@ object ExtensionQueries {
     "join_skew_report" -> ((s, dir) =>
       DataQuality.joinSkewReport(
         t(s, dir, "events"), t(s, dir, "orders"), "user_id", "o_custkey")),
+    // referential-integrity profile of the whole config-declared FK graph
+    // on the SOURCE tables (the drift alarm; the subsetter proves closure
+    // on its output) — one lazy plan, one row per FK edge
+    "fk_integrity_report" -> ((s, dir) =>
+      DataQuality.fkIntegrityReport(n => t(s, dir, n), Seq(
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey")))),
 
     // ---- events time-series ----
     "events_tumbling" -> ((s, dir) => EventsAnalytics.tumbling(t(s, dir, "events"))),
@@ -1779,6 +1809,38 @@ object ExtensionQueries {
       "SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
       "CAST(sum(c * n_syms) AS BIGINT) AS n_bpe_symbols " +
       "FROM dc JOIN enc USING (tk) GROUP BY dc.doc_id"),
+    "bpe_fertility" -> ("WITH " + bpeTrainCtes(4) + ", " +
+      "enc AS (SELECT tk, len(string_split(trim(repr), ' ')) AS n_syms FROM v4), " +
+      "dc AS (SELECT doc_id, tk, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) u " +
+      "GROUP BY 1, 2), " +
+      "pd AS (SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(c * n_syms) AS BIGINT) AS n_symbols " +
+      "FROM dc JOIN enc USING (tk) GROUP BY dc.doc_id), " +
+      "ps AS (SELECT d.source, sum(p.n_tokens) AS n_tokens, " +
+      "sum(p.n_symbols) AS n_symbols, sum(d.n_chars) AS n_chars " +
+      "FROM pd p JOIN documents d USING (doc_id) GROUP BY d.source) " +
+      "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+      "CAST(n_symbols AS BIGINT) AS n_symbols, " +
+      "CAST((n_symbols * 10000) // n_tokens AS BIGINT) AS fertility_bp, " +
+      "CAST((n_chars * 10000) // n_symbols AS BIGINT) AS chars_per_symbol_bp " +
+      "FROM ps"),
+    "fk_integrity_report" ->
+      Seq(("nation", "n_regionkey", "region", "r_regionkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+        .map { case (ft, fc, tt, tc) =>
+          s"SELECT '$ft' AS fk_table, '$fc' AS fk_column, " +
+            s"'$tt' AS target_table, '$tc' AS target_column, " +
+            s"count(*) AS n_child_rows, " +
+            s"CAST(coalesce(sum(CASE WHEN p.$tc IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+            s"AS n_orphans FROM $ft c LEFT JOIN (SELECT DISTINCT $tc FROM $tt) p " +
+            s"ON c.$fc = p.$tc WHERE c.$fc IS NOT NULL"
+        }.mkString(" UNION ALL "),
     "table_profile_docs" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
         s"SELECT '$c' AS col_name, count(*) AS n_rows, " +

@@ -80,4 +80,21 @@ class DataQualitySpec extends SparkSpecBase {
     // s2: median 7, deviations (2,0,2) → MAD 2, no deviation beyond 5*2
     assert(got("s2") == ((3L, 7.0, 2.0, 0L)))
   }
+
+  test("fkIntegrityReport: injected orphans are counted, nulls excluded, clean edges zero") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(3L), None).toDF("fk") // 3 is orphan, null skipped
+    val tabs = Map("p" -> parent, "c" -> child)
+    val rep = DataQuality.fkIntegrityReport(tabs, Seq(("c", "fk", "p", "pk")))
+      .collect().head
+    assert(rep.getAs[Long]("n_child_rows") == 3L)
+    assert(rep.getAs[Long]("n_orphans") == 1L)
+    // fixture graph is referentially closed: every edge reports zero orphans
+    val fix = DataQuality.fkIntegrityReport(
+      n => spark.read.parquet(s"$sfDir/$n.parquet"),
+      Seq(("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey")))
+    assert(fix.filter(col("n_orphans") =!= 0L).count() == 0)
+  }
 }
