@@ -363,6 +363,38 @@ object EventsAnalytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Integer-exact bivariate profile: per event type, the raw second
+    * moments of (value, hour-of-day) as exact BIGINTs plus the scaled
+    * covariance / variance numerators (`n·Σxy − Σx·Σy`, computed in
+    * DECIMAL(38,0) and emitted as the double image) — the
+    * correlation-screen a profiling pass runs to find which metrics move
+    * together, with no float accumulation anywhere (the house rule that
+    * makes the answer independent of partitioning). Values quantize to
+    * milli-units first; one partial-aggregating groupBy total.
+    */
+  def covarianceStats(events0: DataFrame): DataFrame = {
+    val events = norm(events0)
+    def dec(c: String): Column = col(c).cast("decimal(38,0)")
+    events
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000, 0) AS BIGINT)").as("x"),
+        expr("(ts div 3600000000000) % 24").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"),
+        (dec("n") * dec("sxy") - dec("sx") * dec("sy"))
+          .cast("double").as("cov_num"),
+        (dec("n") * dec("sxx") - dec("sx") * dec("sx"))
+          .cast("double").as("var_x_num"),
+        (dec("n") * dec("syy") - dec("sy") * dec("sy"))
+          .cast("double").as("var_y_num"))
+  }
+
   /** Top 3-step behavioral paths: the most common (step1, step2, step3)
     * event-type sequences across all users, with occurrence and
     * distinct-user support — the path-analysis generalization of the

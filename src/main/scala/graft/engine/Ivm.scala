@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for distributive aggregates: keep a
+  * materialized per-key aggregate table fresh by aggregating ONLY the
+  * arriving batch and merging states, instead of re-sweeping the corpus.
+  * Works for any aggregate whose state merges by addition (count, sum —
+  * and through them mean; min/max merge the same way with max/min
+  * columns), which is exactly Spark's partial-aggregate contract: this
+  * operator extends map-side combine across TIME the way Spark applies
+  * it across partitions. At 100 TB the difference is a batch-sized scan
+  * + a snapshot-sized merge join vs a corpus-sized recompute per
+  * refresh.
+  *
+  * Contract: `snapshot` and `batchState` share the schema
+  * (keys ++ additive state columns); the result again has that schema —
+  * `mergeAggState` is closed under itself, so daily states roll into
+  * weekly into monthly (the same property the spec pins by proving
+  * merge(merge(a,b),c) == aggregate(a∪b∪c)). One shuffle on the group
+  * key; AQE broadcasts the batch side when it is small.
+  */
+object Ivm {
+
+  def mergeAggState(
+      snapshot: DataFrame,
+      batchState: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(snapshot.columns.toSeq == batchState.columns.toSeq,
+      s"state schemas differ: ${snapshot.columns.toSeq} vs ${batchState.columns.toSeq}")
+    val metrics = snapshot.columns.filterNot(keys.contains)
+    snapshot.unionByName(batchState)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(metrics.head)).as(metrics.head),
+        metrics.tail.map(m => sum(col(m)).as(m)): _*)
+  }
+}

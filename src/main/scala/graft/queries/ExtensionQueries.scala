@@ -869,6 +869,28 @@ object ExtensionQueries {
     // (step1,step2,step3) sequences by occurrence + distinct-user support
     "events_funnel_paths" -> ((s, dir) =>
       EventsAnalytics.funnelPaths(t(s, dir, "events"))),
+    // integer-exact (value, hour-of-day) second moments + covariance/
+    // variance numerators per event type — the correlation screen
+    "events_covariance" -> ((s, dir) =>
+      EventsAnalytics.covarianceStats(t(s, dir, "events"))),
+    // incremental view maintenance: merge a batch's aggregate state into
+    // the materialized snapshot; postcondition (the oracle) is the direct
+    // aggregate over the full table — refresh cost is batch-sized, not
+    // corpus-sized
+    "ivm_agg_merge" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      // cent-quantized BIGINT sum: exact, additive, hashable (the house
+      // no-float-accumulation rule — double sums are order-dependent)
+      def state(df: DataFrame) = df
+        .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("total_cents"))
+      graft.engine.Ivm.mergeAggState(
+        state(orders.filter(col("o_orderkey") % 4 =!= 3)),
+        state(orders.filter(col("o_orderkey") % 4 === 3)),
+        Seq("o_orderpriority", "yr"))
+    }),
     // telemetry dedup: first event per (user, type) gap-window burst, with
     // per-burst duplicate counts — batch dropDuplicatesWithinWatermark
     "events_window_dedup" -> ((s, dir) =>
@@ -2575,6 +2597,27 @@ object ExtensionQueries {
         "SELECT from_type, to_type, count(*) AS n, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
         "FROM o WHERE from_type IS NOT NULL GROUP BY from_type, to_type"),
+    "events_covariance" ->
+      ("WITH m AS (SELECT event_type, " +
+        "CAST(round(value * 1000, 0) AS BIGINT) AS x, " +
+        "(epoch_ns(ts) // 3600000000000) % 24 AS y FROM events), " +
+        "a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy " +
+        "FROM m GROUP BY 1) " +
+        "SELECT event_type, n, CAST(sx AS BIGINT) AS sx, " +
+        "CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy, " +
+        "CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy, " +
+        "CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov_num, " +
+        "CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS var_x_num, " +
+        "CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS var_y_num " +
+        "FROM a"),
+    "ivm_agg_merge" ->
+      // postcondition: the merged state IS the direct aggregate over the
+      // full table — not a replay of the split/merge machinery
+      ("SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) " +
+        "AS total_cents FROM orders GROUP BY 1, 2"),
     "events_funnel_paths" ->
       ("WITH o AS (SELECT user_id, event_type AS step1, " +
         "lead(event_type, 1) OVER w AS step2, " +

@@ -67,6 +67,40 @@ class CdcSpec extends SparkSpecBase {
     assert(batch.count() == 3) // keys 1, 2, 4; key 3 deleted
   }
 
+  test("Ivm.mergeAggState: merge of split states equals direct aggregate; closed under itself") {
+    import graft.engine.Ivm
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 1L, 20L), ("b", 2L, 5L), ("b", 2L, 7L), ("c", 3L, 1L))
+      .toDF("k", "g", "v")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "g").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val full = state(rows)
+    // three-way split merged pairwise in either order == direct aggregate
+    val s1 = state(rows.limit(2))
+    val s2 = state(rows.filter(col("v") === 5L || col("v") === 7L))
+    val s3 = state(rows.filter(col("k") === "c"))
+    val merged = Ivm.mergeAggState(
+      Ivm.mergeAggState(s1, s2, Seq("k", "g")), s3, Seq("k", "g"))
+    assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0)
+  }
+
+  test("covarianceStats: hand-computed moments on a tiny stream") {
+    import graft.analytics.EventsAnalytics
+    // hours 1 and 2; values 1.0 and 3.0 (→ x = 1000, 3000)
+    val ev = Seq(
+      (1L, 1L, "t", 3600000000000L * 1 + 5L, 1.0),
+      (2L, 1L, "t", 3600000000000L * 2 + 9L, 3.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val r = EventsAnalytics.covarianceStats(ev).collect().head
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Long]("sx") == 4000L && r.getAs[Long]("sy") == 3L)
+    assert(r.getAs[Long]("sxy") == 1000L * 1 + 3000L * 2)
+    // cov_num = n*sxy - sx*sy = 2*7000 - 4000*3 = 2000
+    assert(r.getAs[Double]("cov_num") == 2000.0)
+    // var_x_num = 2*(1e6 + 9e6) - 16e6 = 4e6
+    assert(r.getAs[Double]("var_x_num") == 4000000.0)
+  }
+
   test("fixture CDC key: deletes beat upserts, inserts materialize, odd keys persist") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val snapshot = orders.filter(col("o_orderkey") % 4 =!= 0)
