@@ -58,6 +58,26 @@ object Curation {
       .select(col(idCol), col(sourceCol), col("rk"))
   }
 
+  /** C4-style text normalization (Raffel et al. 2020 §2.2 spirit):
+    * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+    * trim — the canonical form exact dedup and n-gram passes should key
+    * on (raw-text dedup misses trivial formatting variants). Emits the
+    * cleaned fingerprint plus before/after lengths and a changed flag —
+    * map-only, zero shuffles; the cleaned TEXT itself stays inside the
+    * task (only the 32-char md5 leaves), so the pass adds no shuffle
+    * volume at 100 TB. Regex classes are deliberately ASCII-safe
+    * (`[^a-z0-9 ]`, `" +"`) so Java regex and RE2 agree.
+    */
+  def cleanNormalize(docs: DataFrame): DataFrame = {
+    val clean = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col("doc_id"),
+      md5(clean.cast("binary")).as("clean_md5"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(clean).cast("long").as("n_chars_clean"),
+      (clean =!= col("text")).cast("int").as("changed"))
+  }
+
   /** Token-budget mixture plan — the sampling-rate table a multi-source
     * pretraining run is configured from (the Pile / DoReMi shape): per
     * source, its token count, natural share, the sqrt-tempered target

@@ -363,6 +363,49 @@ object EventsAnalytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Watermark advisor: the event-time LATENESS histogram — for each
+    * event in arrival order (`event_id` = ingest sequence), how far its
+    * timestamp lags the maximum timestamp already seen, banded to minutes
+    * and capped. This is THE empirical input for choosing a Structured
+    * Streaming watermark (`withWatermark` delay = the band covering the
+    * tail you're willing to wait for); guessing it instead silently drops
+    * late data or holds state forever.
+    *
+    * The global running max is a sequential scan by definition — so it is
+    * computed as a DISTRIBUTED PREFIX SCAN, never one partition: bucket
+    * arrivals by `event_id div bucketSize`, (1) per-bucket max (map-side
+    * combine), (2) exclusive prefix max ACROSS buckets — a window over
+    * the |buckets|-row relation only, (3) within-bucket running max — a
+    * window partitioned BY BUCKET, so every partition works in parallel.
+    * seen-before-max = max(prefix, within-bucket); identical to the
+    * single-partition window (the oracle states it that way), parallel at
+    * any scale.
+    */
+  def latenessProfile(
+      events0: DataFrame,
+      bucketSize: Long = 65536L,
+      bandNs: Long = 60000000000L,
+      maxBand: Long = 64L): DataFrame = {
+    val events = norm(events0)
+    val b = events.select(col("event_id"), col("ts"))
+      .withColumn("bucket", expr(s"event_id div $bucketSize"))
+    val wBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = b.groupBy(col("bucket")).agg(max(col("ts")).as("bmax"))
+      .withColumn("prefix_max", max(col("bmax")).over(wBuckets))
+      .select(col("bucket"), col("prefix_max"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(prefix), Seq("bucket"))
+      .withColumn("seen_max",
+        greatest(col("prefix_max"), max(col("ts")).over(wIn)))
+      .withColumn("lateness",
+        greatest(lit(0L), coalesce(col("seen_max") - col("ts"), lit(0L))))
+      .groupBy(least(lit(maxBand), expr(s"lateness div $bandNs"))
+        .as("lateness_band_min"))
+      .agg(count(lit(1)).as("n"), max(col("lateness")).as("max_lateness_ns"))
+  }
+
   /** Integer-exact bivariate profile: per event type, the raw second
     * moments of (value, hour-of-day) as exact BIGINTs plus the scaled
     * covariance / variance numerators (`n·Σxy − Σx·Σy`, computed in

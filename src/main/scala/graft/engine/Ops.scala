@@ -176,6 +176,12 @@ object Ops {
     *
     * @param tieBreak extra right-side ordering columns so equal-timestamp
     *                 right rows resolve deterministically (last wins).
+    * @param direction "backward" (default, `rightTs <= leftTs`, latest
+    *                  wins — DuckDB/kdb/pandas default) or "forward"
+    *                  (`rightTs >= leftTs`, earliest wins — pandas
+    *                  `merge_asof(direction="forward")`): the same
+    *                  one-shuffle carry-forward plan over the reversed
+    *                  timestamp order.
     */
   def asofJoin(
       left: DataFrame,
@@ -184,8 +190,12 @@ object Ops {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction must be backward or forward, got $direction")
+    val fwd = direction == "forward"
     val r = right.select(
       (keys.map(col) :+ col(rightTs).as("__graft_ts")) ++
         payload.map(c => col(c).as(s"asof_$c")) ++
@@ -195,9 +205,10 @@ object Ops {
       .withColumn("__graft_ts", col(leftTs))
       .withColumn("__graft_src", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    def dir(c: Column): Column = if (fwd) c.desc else c.asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((Seq(col("__graft_ts"), col("__graft_src")) ++
-        tieBreak.map(c => col(s"__graft_tb_$c"))): _*)
+      .orderBy((Seq(dir(col("__graft_ts")), col("__graft_src").asc) ++
+        tieBreak.map(c => dir(col(s"__graft_tb_$c")))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))

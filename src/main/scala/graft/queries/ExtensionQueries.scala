@@ -450,6 +450,10 @@ object ExtensionQueries {
     // so deterministic PII (an email / phone / IP derived from doc_id) is
     // appended first, then the library scrubbers run — counts plus the md5
     // of the redacted text prove detection AND replacement, all map-only
+    // C4-style normalization: the canonical form dedup should key on —
+    // cleaned fingerprint + before/after lengths, map-only
+    "text_clean_normalize" -> ((s, dir) =>
+      Curation.cleanNormalize(t(s, dir, "documents"))),
     "text_pii_scrub" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       val enriched = concat(col("text"),
@@ -927,6 +931,25 @@ object ExtensionQueries {
         .select(col("event_id"), col("user_id"),
           col("asof_event_id").as("prev_click"))
     }),
+
+    // forward as-of: each click's NEXT purchase (pandas merge_asof
+    // direction="forward") — the same one-shuffle carry plan, reversed
+    "events_asof_join_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.engine.Ops.asofJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("event_id"), tieBreak = Seq("event_id"),
+        direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("next_purchase"))
+    }),
+    // watermark advisor: arrival-order lateness histogram via a
+    // distributed prefix-max (bucket maxes → tiny cross-bucket window →
+    // per-bucket parallel running max) — never a one-partition window
+    "events_lateness_profile" -> ((s, dir) =>
+      EventsAnalytics.latenessProfile(t(s, dir, "events"))),
 
     // funnel conversion: users whose FIRST click precedes a later
     // purchase — two tiny per-user aggregates joined on user_id, no window
@@ -1732,6 +1755,14 @@ object ExtensionQueries {
         "CAST(sum(CASE WHEN ord = first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "md5(coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE ord = first_ord), '')) AS clean_md5 " +
         "FROM p JOIN firsts USING (para) GROUP BY doc_id"),
+    "text_clean_normalize" ->
+      ("WITH c AS (SELECT doc_id, text, trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) " +
+        "AS clean FROM documents) " +
+        "SELECT doc_id, md5(clean) AS clean_md5, " +
+        "CAST(length(text) AS BIGINT) AS n_chars_raw, " +
+        "CAST(length(clean) AS BIGINT) AS n_chars_clean, " +
+        "CAST(clean <> text AS INT) AS changed FROM c"),
     "text_pii_scrub" ->
       ("WITH e AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@mail.example.com or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
@@ -2805,6 +2836,20 @@ object ExtensionQueries {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "events_asof_join_forward" ->
+      ("SELECT c.event_id, c.user_id, p.event_id AS next_purchase " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id AND c.ts <= p.ts"),
+    "events_lateness_profile" ->
+      // the single-window statement of the distributed prefix scan
+      ("WITH m AS (SELECT event_id, epoch_ns(ts) AS tsn FROM events), " +
+        "r AS (SELECT event_id, tsn, max(tsn) OVER (ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen FROM m), " +
+        "l AS (SELECT greatest(0, coalesce(seen - tsn, 0)) AS lateness FROM r) " +
+        "SELECT CAST(least(64, lateness // 60000000000) AS BIGINT) " +
+        "AS lateness_band_min, count(*) AS n, " +
+        "CAST(max(lateness) AS BIGINT) AS max_lateness_ns FROM l GROUP BY 1"),
     "topk_per_user_events" ->
       ("SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM " +
         "(SELECT user_id, event_id, ts, row_number() OVER " +

@@ -170,6 +170,28 @@ class OpsSpec extends SparkSpecBase {
     assert(salts >= 4, s"hot key used only $salts of 8 salt buckets")
   }
 
+  test("asofJoin forward: earliest right at-or-after each left, null when none follows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 900L), (1L, 20L, 901L), (1L, 24L, 902L))
+      .toDF("k", "t", "rid")
+    val out = Ops.asofJoin(left, right, Seq("k"), "t", "t",
+      payload = Seq("rid"), tieBreak = Seq("rid"), direction = "forward")
+      .select(col("lid"), col("asof_rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(100L) == 900L) // equal ts qualifies (>=)
+    assert(out(101L) == -1L)  // nothing at/after 25
+    assert(out(102L) == -1L)  // key 2 has no right rows
+    // backward on the same data still picks the latest at-or-before
+    val back = Ops.asofJoin(left, right, Seq("k"), "t", "t",
+      payload = Seq("rid"), tieBreak = Seq("rid"))
+      .select(col("lid"), col("asof_rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(back(101L) == 902L)
+  }
+
   test("percentSample is seeded-reproducible and in a sane band") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val n1 = Ops.percentSample(orders, 10.0, seed = 7).count()

@@ -18,6 +18,36 @@ class SkewFunnelSpec extends SparkSpecBase {
       (3L, 0L, 1L, 0L, 0L)))
   }
 
+  test("latenessProfile: bucketed prefix-max equals the sequential running max") {
+    import org.apache.spark.sql.functions._
+    // arrival order 1..6 (event_id), event times with two late arrivals:
+    // ts:      10, 100, 40(late 60ns), 200, 80(late 120ns), 300
+    val ev = Seq((1L, 10L), (2L, 100L), (3L, 40L), (4L, 200L), (5L, 80L), (6L, 300L))
+      .map { case (id, t) => (id, 1L, "t", t, 0.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    // bandNs=50, maxBand=2, bucketSize=2 → forces the cross-bucket prefix path
+    val got = graft.analytics.EventsAnalytics
+      .latenessProfile(ev, bucketSize = 2L, bandNs = 50L, maxBand = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // lateness: 0,0,60,0,120,0 → bands: 0×4 (max 0), 1×1 (60), 2×1 (120)
+    assert(got(0L) == ((4L, 0L)))
+    assert(got(1L) == ((1L, 60L)))
+    assert(got(2L) == ((1L, 120L)))
+  }
+
+  test("cleanNormalize: canonical form catches formatting variants") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "unchanged text"))
+      .toDF("doc_id", "text")
+    val out = graft.analytics.Curation.cleanNormalize(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3), r.getInt(4)))).toMap
+    // both variants normalize to "hello world" → same fingerprint
+    assert(out(1L)._1 == out(2L)._1)
+    assert(out(1L)._2 == 11L && out(1L)._3 == 1)
+    assert(out(2L)._3 == 0 && out(3L)._3 == 0)
+  }
+
   test("funnelPaths: hand-computed 3-step sequences with distinct-user support") {
     val ev = Seq(
       // user 1: a b c b c  -> abc, bcb, cbc
