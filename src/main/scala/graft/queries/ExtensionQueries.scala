@@ -238,6 +238,22 @@ object ExtensionQueries {
     "entity_match_clusters" -> ((s, dir) =>
       EntityResolution.entityClustersFromMatches(
         entityMatches(s, dir), "c_custkey")),
+    // golden-record survivorship (the MDM step after block→match→
+    // cluster): one canonical row per resolved entity — singleton
+    // customers are their own entity; survivor = lowest id, attributes
+    // merged with exact aggregates (max/first, no float accumulation)
+    "entity_golden_record" -> ((s, dir) => {
+      val clusters = EntityResolution.entityClustersFromMatches(
+        entityMatches(s, dir), "c_custkey")
+      t(s, dir, "customer")
+        .join(clusters, Seq("c_custkey"), "left")
+        .withColumn("entity_id", coalesce(col("entity_id"), col("c_custkey")))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("c_custkey")).as("survivor_id"),
+          max(col("c_acctbal")).as("best_acctbal"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+    }),
 
     // ---- similarity search ----
     "cosine_topk_bruteforce" -> ((s, dir) =>
@@ -2314,6 +2330,15 @@ object ExtensionQueries {
     "entity_match_clusters" ->
       ("WITH RECURSIVE " + custPairCtes + ", " + closureCtes("cust_pairs") +
         " SELECT src AS c_custkey, min(dst) AS entity_id FROM reach GROUP BY src"),
+    "entity_golden_record" ->
+      ("WITH RECURSIVE " + custPairCtes + ", " + closureCtes("cust_pairs") +
+        ", cl AS (SELECT src AS c_custkey, min(dst) AS entity_id " +
+        "FROM reach GROUP BY src) " +
+        "SELECT coalesce(cl.entity_id, c.c_custkey) AS entity_id, " +
+        "count(*) AS n_members, min(c.c_custkey) AS survivor_id, " +
+        "max(c.c_acctbal) AS best_acctbal, " +
+        "CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations " +
+        "FROM customer c LEFT JOIN cl USING (c_custkey) GROUP BY 1"),
     "cosine_topk_native" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +

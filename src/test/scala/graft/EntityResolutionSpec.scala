@@ -51,4 +51,17 @@ class EntityResolutionSpec extends SparkSpecBase {
     assert(clusters == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
       13L -> 13L, 14L -> 13L))
   }
+
+  test("golden record: members partition the table, survivor is the entity id") {
+    val matches = EntityResolution.editMatches(cust, "c_custkey", "c_name", "c_nationkey")
+    val clusters = EntityResolution.entityClustersFromMatches(matches, "c_custkey")
+    val golden = cust.join(clusters, Seq("c_custkey"), "left")
+      .withColumn("entity_id", coalesce(col("entity_id"), col("c_custkey")))
+      .groupBy("entity_id")
+      .agg(count(lit(1)).as("n_members"), min(col("c_custkey")).as("survivor_id"))
+    // every customer lands in exactly one entity
+    assert(golden.agg(sum("n_members")).head.getLong(0) == cust.count())
+    // min-label CC: the component label IS the lowest member id
+    assert(golden.filter(col("survivor_id") =!= col("entity_id")).count() == 0)
+  }
 }
