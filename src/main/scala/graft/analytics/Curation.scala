@@ -162,6 +162,15 @@ object Curation {
       .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tk")))
       .filter(col("tk").isin(terms.distinct: _*))
+    phraseAnchorsTopK(pos, terms, k)
+  }
+
+  /** The phrase-match core shared by the direct and probe paths: chain of
+    * positional equi-joins (term i must sit at anchor position + i), then
+    * per-doc occurrence counts, TakeOrdered top-k.
+    */
+  private def phraseAnchorsTopK(
+      pos: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val anchors = terms.zipWithIndex.tail.foldLeft(
       pos.filter(col("tk") === terms.head).select(col("doc_id"), col("p"))) {
       case (acc, (term, i)) =>
@@ -174,6 +183,84 @@ object Curation {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(k)
+  }
+
+  private val verifiedTextIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val TextIndexFormatVersion = 1L
+
+  /** Content signature of the document corpus for index-staleness checks
+    * (the [[Similarity]] ANN index pattern applied to text): order- and
+    * partitioning-independent sums, one map-side-combined scan.
+    */
+  private def docsSignature(docs: DataFrame): DataFrame =
+    docs.agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("sid"),
+      // xor-fold, not sum: order/partition-independent like a sum but
+      // cannot overflow under ANSI arithmetic
+      coalesce(bit_xor(xxhash64(col("text"))), lit(0L)).as("stext"))
+
+  /** Build (or refresh, when the stored signature no longer matches the
+    * corpus) the deployed positional inverted index: postings
+    * (tk, doc_id, p) written hash-BUCKETED BY TOKEN so a probe for q
+    * terms statically prunes to ≤ q of `buckets` partition directories —
+    * the text twin of the IVF cell-partitioned codes. Tokenization runs
+    * ONCE at build; every subsequent query is scan-free on the corpus.
+    * Returns whether a build ran.
+    */
+  def textIndexBuildIfStale(
+      docs: DataFrame, indexDir: String, buckets: Int = 64): Boolean = {
+    if (verifiedTextIndexDirs.contains(indexDir)) return false
+    val spark = docs.sparkSession
+    val sig = docsSignature(docs).collect()(0)
+    val fresh =
+      try {
+        val meta = spark.read.parquet(s"$indexDir/meta.parquet").collect()(0)
+        (0 to 2).forall(i => meta.getLong(i) == sig.getLong(i)) &&
+          meta.getLong(3) == TextIndexFormatVersion &&
+          meta.getLong(4) == buckets.toLong
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!fresh) {
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tk")))
+        .withColumn("bucket", pmod(xxhash64(col("tk")), lit(buckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$indexDir/postings.parquet")
+      docsSignature(docs)
+        .withColumn("version", lit(TextIndexFormatVersion))
+        .withColumn("buckets", lit(buckets.toLong))
+        .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
+    }
+    verifiedTextIndexDirs.add(indexDir)
+    !fresh
+  }
+
+  /** Probe-only phrase search against [[textIndexBuildIfStale]]'s
+    * materialized postings: the query terms' buckets are computed up
+    * front (one |terms|-row local job against the SAME xxhash64 the
+    * build used — never a reimplementation that could drift), the
+    * postings read statically prunes to those partition directories, and
+    * the match is the same positional-join chain as the direct path — so
+    * the probe shares the direct key's oracle. Corpus cost at query
+    * time: zero.
+    */
+  def phraseSearchProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "phraseSearchProbe: empty phrase")
+    import spark.implicits._
+    // bucket count comes from the index's own meta — the probe must hash
+    // into the layout the build actually wrote
+    val nBuckets =
+      spark.read.parquet(s"$indexDir/meta.parquet").collect()(0).getLong(4)
+    val buckets = terms.distinct.toDF("tk")
+      .select(pmod(xxhash64(col("tk")), lit(nBuckets)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val pos = spark.read.parquet(s"$indexDir/postings.parquet")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tk").isin(terms.distinct: _*))
+      .select(col("doc_id"), col("p"), col("tk"))
+    phraseAnchorsTopK(pos, terms, k)
   }
 
   /** Model-based quality scoring — the fastText/DCLM-style linear

@@ -502,6 +502,14 @@ object ExtensionQueries {
     "phrase_search_topk" -> ((s, dir) =>
       Curation.phraseSearchTopK(t(s, dir, "documents"),
         terms = Seq("data", "spark"), k = 20)),
+    // the deployed-search-index twin: postings built once (hash-bucketed
+    // by token), the query reads only the terms' bucket dirs — zero
+    // corpus cost at query time; same oracle as the direct key
+    "phrase_search_probe" -> ((s, dir) => {
+      val idx = Similarity.defaultIndexDir(dir) + "/textidx"
+      Curation.textIndexBuildIfStale(t(s, dir, "documents"), idx)
+      Curation.phraseSearchProbe(s, idx, terms = Seq("data", "spark"), k = 20)
+    }),
     // BM25 ranking (rational-idf variant — no transcendental, hash-exact):
     // tf saturation + length normalization over the same query terms
     "bm25_topk" -> ((s, dir) =>
@@ -2200,6 +2208,14 @@ object ExtensionQueries {
         "FROM tf JOIN dft USING (tk), nd GROUP BY doc_id " +
         "ORDER BY score_dec DESC, doc_id LIMIT 20) t"),
     "phrase_search_topk" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "occ AS (SELECT doc_id, list_sum([CASE WHEN w[i] = 'data' AND w[i+1] = 'spark' " +
+        "THEN 1 ELSE 0 END FOR i IN generate_series(1, len(w) - 1)]) AS n FROM toks) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences FROM occ " +
+        "WHERE n > 0 ORDER BY n DESC, doc_id LIMIT 20"),
+    "phrase_search_probe" ->
+      // probe answers from the materialized postings; same contract, same
+      // oracle as the direct scan
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "occ AS (SELECT doc_id, list_sum([CASE WHEN w[i] = 'data' AND w[i+1] = 'spark' " +
         "THEN 1 ELSE 0 END FOR i IN generate_series(1, len(w) - 1)]) AS n FROM toks) " +

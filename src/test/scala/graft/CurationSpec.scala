@@ -404,4 +404,21 @@ class CurationSpec extends SparkSpecBase {
     // doc 3: (z a) unseen → backoff 400000 * c1(a)=2 div total=4 = 200000
     assert(got(3L) == ((1L, 200000L)))
   }
+
+  test("text index probe equals the direct phrase search; staleness guard rebuilds") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_textidx").toString
+    val built = Curation.textIndexBuildIfStale(docs, idx)
+    assert(built) // first call on an empty dir must build
+    val probe = Curation.phraseSearchProbe(spark, idx, Seq("data", "spark"))
+    val direct = Curation.phraseSearchTopK(docs, Seq("data", "spark"))
+    assert(probe.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(probe).count() == 0)
+    // a different corpus against the same dir must trigger a rebuild
+    // (fresh session-scoped cache dir simulated by a changed signature)
+    val changed = docs.limit(10)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_textidx2").toString
+    assert(Curation.textIndexBuildIfStale(changed, idx2))
+    assert(!Curation.textIndexBuildIfStale(changed, idx2)) // verified-fresh skip
+  }
 }
