@@ -187,7 +187,7 @@ object Curation {
 
   private val verifiedTextIndexDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val TextIndexFormatVersion = 1L
+  private val TextIndexFormatVersion = 2L // v2: + doclens.parquet, meta sum_dl
 
   /** Content signature of the document corpus for index-staleness checks
     * (the [[Similarity]] ANN index pattern applied to text): order- and
@@ -226,9 +226,15 @@ object Curation {
         .withColumn("bucket", pmod(xxhash64(col("tk")), lit(buckets.toLong)))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$indexDir/postings.parquet")
+      // per-doc lengths: the 2-long-per-row side relation BM25's length
+      // normalization joins against (candidate docs only, column-pruned)
+      docs.select(col("doc_id"), tokenCount(col("text")).as("dl"))
+        .write.mode("overwrite").parquet(s"$indexDir/doclens.parquet")
       docsSignature(docs)
         .withColumn("version", lit(TextIndexFormatVersion))
         .withColumn("buckets", lit(buckets.toLong))
+        .crossJoin(broadcast(
+          docs.agg(coalesce(sum(tokenCount(col("text"))), lit(0L)).as("sum_dl"))))
         .write.mode("overwrite").parquet(s"$indexDir/meta.parquet")
     }
     verifiedTextIndexDirs.add(indexDir)
@@ -261,6 +267,50 @@ object Curation {
       .filter(col("tk").isin(terms.distinct: _*))
       .select(col("doc_id"), col("p"), col("tk"))
     phraseAnchorsTopK(pos, terms, k)
+  }
+
+  /** Probe-only BM25 against the deployed text index: tf comes from the
+    * pruned postings buckets, df from counting the posting groups,
+    * n_docs/sum_dl from the index meta head, and document length from
+    * the materialized doclens side relation — joined for CANDIDATE docs
+    * only. Identical scoring expression (and rounding) to [[bm25TopK]],
+    * so the probe shares the direct key's oracle; the corpus itself is
+    * never read at query time.
+    */
+  def bm25Probe(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && k >= 1,
+      s"bm25Probe: needs a non-empty term list and k >= 1, got (${terms.size}, $k)")
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexDir/meta.parquet").collect()(0)
+    val nBuckets = meta.getAs[Long]("buckets")
+    val nDocs = meta.getAs[Long]("n")
+    val sumDl = meta.getAs[Long]("sum_dl")
+    val bucketIds = terms.distinct.toDF("tk")
+      .select(pmod(xxhash64(col("tk")), lit(nBuckets)).as("b"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val tf = spark.read.parquet(s"$indexDir/postings.parquet")
+      .filter(col("bucket").isin(bucketIds: _*))
+      .filter(col("tk").isin(terms.distinct: _*))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$indexDir/doclens.parquet")
+    tf.join(broadcast(dfT), Seq("tk"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("n_docs", lit(nDocs)).withColumn("sum_dl", lit(sumDl))
+      .select(col("doc_id"),
+        expr("round(CAST((1000000L * n_docs) div df AS DOUBLE) * " +
+          "((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * " +
+          "(dl / (CAST(sum_dl AS DOUBLE) / n_docs))))), 6)")
+          .cast("decimal(18,6)").as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("w")).cast("decimal(38,6)").as("score_dec"))
+      .orderBy(col("score_dec").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast("double").as("score"))
   }
 
   /** Model-based quality scoring — the fastText/DCLM-style linear

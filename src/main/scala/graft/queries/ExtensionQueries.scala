@@ -515,6 +515,14 @@ object ExtensionQueries {
     "bm25_topk" -> ((s, dir) =>
       Curation.bm25TopK(t(s, dir, "documents"),
         terms = Seq("spark", "quantile", "vector"), k = 20)),
+    // BM25 answered from the deployed text index (postings + doclens +
+    // meta stats) — zero corpus reads at query time; same oracle
+    "bm25_probe" -> ((s, dir) => {
+      val idx = Similarity.defaultIndexDir(dir) + "/textidx"
+      Curation.textIndexBuildIfStale(t(s, dir, "documents"), idx)
+      Curation.bm25Probe(s, idx,
+        terms = Seq("spark", "quantile", "vector"), k = 20)
+    }),
     // DSIR-style importance ranking of raw docs against the English slice
     // as the target distribution (fixed-point ratio of smoothed tf sums)
     "dsir_importance_topk" -> ((s, dir) =>
@@ -2222,6 +2230,22 @@ object ExtensionQueries {
         "SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences FROM occ " +
         "WHERE n > 0 ORDER BY n DESC, doc_id LIMIT 20"),
     "bm25_topk" ->
+      ("WITH stats AS (SELECT count(*) AS n_docs, " +
+        "sum(len(string_split(text, ' '))) AS sum_dl FROM documents), " +
+        "occ AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "tf AS (SELECT doc_id, dl, tk, count(*) AS tf FROM occ " +
+        "WHERE tk IN ('spark', 'quantile', 'vector') GROUP BY 1, 2, 3), " +
+        "dft AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk), " +
+        "w AS (SELECT doc_id, CAST(round(CAST((1000000 * n_docs) // df AS DOUBLE) * " +
+        "((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * " +
+        "(dl / (CAST(sum_dl AS DOUBLE) / n_docs))))), 6) AS DECIMAL(18,6)) AS w " +
+        "FROM tf JOIN dft USING (tk), stats) " +
+        "SELECT doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score FROM " +
+        "(SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS DECIMAL(38,6)) AS score_dec " +
+        "FROM w GROUP BY doc_id ORDER BY score_dec DESC, doc_id LIMIT 20) t"),
+    "bm25_probe" ->
+      // probe shares the direct key's scoring contract and oracle
       ("WITH stats AS (SELECT count(*) AS n_docs, " +
         "sum(len(string_split(text, ' '))) AS sum_dl FROM documents), " +
         "occ AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +

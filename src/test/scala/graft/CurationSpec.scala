@@ -420,5 +420,10 @@ class CurationSpec extends SparkSpecBase {
     val idx2 = java.nio.file.Files.createTempDirectory("graft_textidx2").toString
     assert(Curation.textIndexBuildIfStale(changed, idx2))
     assert(!Curation.textIndexBuildIfStale(changed, idx2)) // verified-fresh skip
+    // BM25 from the same index equals the direct corpus-scan scoring
+    val bmProbe = Curation.bm25Probe(spark, idx, Seq("spark", "quantile", "vector"))
+    val bmDirect = Curation.bm25TopK(docs, Seq("spark", "quantile", "vector"))
+    assert(bmProbe.exceptAll(bmDirect).count() == 0 &&
+      bmDirect.exceptAll(bmProbe).count() == 0)
   }
 }
