@@ -376,6 +376,47 @@ object Curation {
       .select(col("doc_id"), col(lenCol))
   }
 
+  /** Staged curation funnel — the survivor-count table of a sequential
+    * pipeline run: decontaminate, THEN quality-filter the survivors, THEN
+    * exact-dedup the survivors of that. Unlike [[curationAudit]] (whose
+    * flags are each computed on the FULL corpus), every stage here is
+    * recomputed on the previous stage's output — the length band comes from
+    * the decontaminated distribution, and the dedup representative is the
+    * min doc_id among quality survivors — exactly what running the
+    * operators in sequence produces, so the funnel numbers are the ones a
+    * pipeline report would show. Each stage materializes once (the
+    * production shape: a 100 TB run checkpoints between stages anyway);
+    * per-stage cost is the operators' own — a broadcast percentile pair, a
+    * text-keyed dedup shuffle.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      contamPatterns: Seq[String],
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    def stat(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("n_chars_total"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_chars_total"))
+    val s0 = docs.select(col("doc_id"), col("n_chars"), col("text"))
+    val contaminated = contamPatterns
+      .map(p => instr(col("text"), lit(p)) > 0).reduce(_ || _)
+    val s1 = materialize(s0.filter(!contaminated))
+    val bands = s1.agg(
+      expr("percentile(n_chars, 0.25)").as("p_lo"),
+      expr("percentile(n_chars, 0.75)").as("p_hi"))
+    val s2 = materialize(
+      s1.crossJoin(broadcast(bands))
+        .filter(col("n_chars") >= col("p_lo") && col("n_chars") <= col("p_hi"))
+        .select(col("doc_id"), col("n_chars"), col("text")))
+    val reps = s2.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val s3 = s2.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    stat("1_input", s0)
+      .union(stat("2_decontaminated", s1))
+      .union(stat("3_quality_band", s2))
+      .union(stat("4_exact_dedup", s3))
+  }
+
   /** Full curation audit — the per-document decision table a training-data
     * pipeline materializes before dropping anything: exact-dup (not the
     * min-id representative of its fingerprint), near-dup (non-representative

@@ -377,6 +377,41 @@ object Dedup {
         coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** k-core membership after a FIXED number of distributed peel rounds —
+    * the graph-density filter (Seidman, "Network structure and minimum
+    * degree", Social Networks 5, 1983) that separates tightly-knit regions
+    * (boilerplate cliques, mutual near-dup clusters, spam link farms) from
+    * peripheral chains glued on by a single hot node. One peel round drops
+    * every vertex of degree < k and the edges it carried; the k-core is the
+    * fixpoint. Rounds are FIXED (not run to convergence) so the operator is
+    * deterministic work regardless of data — both the engine and a SQL
+    * replay execute exactly `rounds` peels and agree bit-for-bit; at the
+    * fixture sizes 3 rounds converge, and at 100 TB a capped peel is the
+    * standard approximation (each round is one degree aggregate + two
+    * semi-joins over the shrinking edge relation, all keyed on a vertex —
+    * the same two-shuffle-per-round class as [[pageRankFixedPoint]]).
+    *
+    * Output: every vertex still alive after `rounds` peels with its degree
+    * in the surviving subgraph (vertices whose edges all died are absent).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    val e0 = edges.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    var dir = materialize(
+      e0.select(col("id_a").as("node"), col("id_b").as("nb"))
+        .union(e0.select(col("id_b").as("node"), col("id_a").as("nb"))))
+    for (_ <- 1 to rounds) {
+      val keep = dir.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("node"))
+      dir = materialize(
+        dir.join(keep, Seq("node"), "left_semi")
+          .join(keep.select(col("node").as("nb")), Seq("nb"), "left_semi"))
+    }
+    dir.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base
     * relation for Jaccard and MinHash.
     *
@@ -740,6 +775,61 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
         coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
+  /** APPLY side of [[dupSpanRuns]] — cut the copied spans, keep the rest
+    * (the rewrite step of Lee et al.'s exact-substring dedup: a training
+    * pipeline doesn't drop a whole document because one paragraph is
+    * boilerplate; it removes the paragraph). A span is cut when ≥ `minRun`
+    * consecutive positions each start an `n`-gram with corpus document
+    * frequency ≥ 2; the cut covers every token those grams touch
+    * (`run + n − 1` tokens from the run start). Output is the audit row a
+    * rewrite job would log — token counts before/after, spans cut, and the
+    * md5 of the surviving token stream (the rewritten text itself, hashed
+    * so the full rewrite is oracle-checked without emitting text).
+    *
+    * Scale shape: identical to [[dupSpanRuns]] up to the runs relation
+    * (gram-keyed df build + semi-join back, per-doc gaps-and-islands
+    * window); the cut intervals then collect per document — bounded by the
+    * doc's own length, never corpus-sized — and the rewrite is one
+    * map-side lambda pass over the token array.
+    */
+  def dedupSpanApply(docs: DataFrame, n: Int = 5, minRun: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val pos = toks.select(col("doc_id"),
+      posexplode(wordShingles(col("w"), n)).as(Seq("pos", "g")))
+    val dfv = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val dup = pos.join(dfv, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val isl = dup.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val cut = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+      .select(col("doc_id"),
+        struct(col("s").cast("long").as("s"),
+          (col("s") + col("run") + lit(n - 2)).cast("long").as("e")).as("iv"))
+    val spans = cut.groupBy(col("doc_id"))
+      .agg(collect_list(col("iv")).as("spans"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("spans"),
+          expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)"))
+          .as("spans"))
+      // 0-based token index i is cut iff some interval [s, e] covers it
+      .withColumn("kept", expr(
+        "filter(w, (t, i) -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_tokens_after"),
+        size(col("spans")).cast("long").as("n_spans_cut"),
+        md5Hex(array_join(col("kept"), " ")).as("kept_md5"))
   }
 
   /** The composed MinHash production pipeline: LSH candidate generation

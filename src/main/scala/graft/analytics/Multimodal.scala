@@ -308,6 +308,69 @@ object Multimodal {
         when(col("doc_id") =!= col("rep_id"), 1).otherwise(0).as("is_dup"))
   }
 
+  /** REAL image resize over REAL decoded pixels — the thumbnail/patch
+    * normalization step of a multimodal ingest (every vision encoder wants
+    * a fixed max side). Per row the [[imagePerceptualHashes]] gradient
+    * image round-trips through the actual PNG codec, then an explicit
+    * nearest-neighbor kernel (src = `i·w / ow` integer division — the
+    * textbook NN map, written out so its arithmetic is auditable rather
+    * than delegated to an implementation-defined `Graphics2D` filter)
+    * produces the aspect-preserving `maxSide`-bounded raster. The output is
+    * what only the real pipeline can know: the resized dimensions plus the
+    * exact integer sum of the resized gray raster, which the oracle
+    * predicts from the generator formula while Spark computes it from
+    * actual decoded `getRGB` reads. Map-only `mapPartitions`, one codec
+    * per task, only four scalars leave the task.
+    */
+  def resizeRealMeta(docs: DataFrame, maxSide: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("gray_sum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
+      val codec = new Codec("png")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (r.getLong(1) % 31).toInt + 1
+        val h = (id % 17).toInt + 1
+        val g0 = ((id % 8) * 4).toInt
+        val sx = (id % 3).toInt
+        val sy = ((id / 3) % 3).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = g0 + sx * x + sy * y // bounded < 256, see phash
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val decoded = codec.decode(codec.encode(img))
+        val m = math.max(w, h)
+        val ow = if (m <= maxSide) w else math.max(1, w * maxSide / m)
+        val oh = if (m <= maxSide) h else math.max(1, h * maxSide / m)
+        var sum = 0L
+        var j = 0
+        while (j < oh) {
+          val py = j * decoded.getHeight / oh
+          var i = 0
+          while (i < ow) {
+            val px = i * decoded.getWidth / ow
+            sum += (decoded.getRGB(px, py) >> 16) & 0xff
+            i += 1
+          }
+          j += 1
+        }
+        Row(id, ow, oh, sum)
+      }
+    }(enc)
+  }
+
   /** REAL JPEG decode — same `javax.imageio` path as [[pngRoundTripMeta]]
     * (the JDK ships JPEG, GIF and BMP codecs alongside PNG; the stub tier
     * is only for codecs it does not ship, e.g. JPEG2000/video/audio). The

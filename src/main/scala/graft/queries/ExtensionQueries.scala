@@ -200,6 +200,12 @@ object ExtensionQueries {
           i => struct(element_at(col("w"), i).as("src"),
             element_at(col("w"), i + 1).as("dst")))).as("p"))
         .select(col("p.src").as("src"), col("p.dst").as("dst")))),
+    // k-core density filter over the same token graph: 3 fixed peel rounds
+    // at k=3 (degree aggregate + two vertex-keyed semi-joins per round over
+    // the shrinking edge relation) — the subgraph that survives is the
+    // tightly-knit boilerplate/clique region, shorn of chain periphery
+    "token_graph_kcore" -> ((s, dir) =>
+      Dedup.kCorePeel(tokenGraphEdges(s, dir), k = 3, rounds = 3)),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -670,6 +676,11 @@ object ExtensionQueries {
     // length-outlier / contamination flags from the composed operators
     "curation_audit" -> ((s, dir) =>
       Curation.curationAudit(t(s, dir, "documents"))),
+    // sequential pipeline funnel: decontaminate → quality-band the
+    // SURVIVORS (band recomputed on the decontaminated distribution) →
+    // exact-dedup the survivors of that; per-stage doc/char counts
+    "curation_funnel" -> ((s, dir) =>
+      Curation.curationFunnel(t(s, dir, "documents"), Seq("scan", "quantile"))),
     // provider-level verdict rollup of the audit: per-source dup /
     // outlier / contamination counts
     "source_curation_report" -> ((s, dir) =>
@@ -873,6 +884,23 @@ object ExtensionQueries {
     "join_skew_report" -> ((s, dir) =>
       DataQuality.joinSkewReport(
         t(s, dir, "events"), t(s, dir, "orders"), "user_id", "o_custkey")),
+    // the mitigation joinSkewReport recommends, as an operator: fact side
+    // salted by a deterministic full-row hash, dim side replicated saltN
+    // ways, so one hot join key spreads over saltN reducer partitions; the
+    // result is EXACTLY the plain join — the oracle states it as one
+    "join_skew_salted" -> ((s, dir) =>
+      graft.engine.Ops.saltedJoin(
+        t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+        Seq("l_suppkey"),
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        Seq("s_suppkey"),
+        saltN = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+            .as("revenue"))),
     // referential-integrity profile of the whole config-declared FK graph
     // on the SOURCE tables (the drift alarm; the subsetter proves closure
     // on its output) — one lazy plan, one row per FK edge
@@ -1145,6 +1173,11 @@ object ExtensionQueries {
     "multimodal_resize_stub" -> ((s, dir) =>
       Multimodal.resizeDims(Multimodal.fakeDecodeMeta(
         Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text")))),
+    // REAL resize: gradient PNG round-trips the actual codec, then an
+    // explicit nearest-neighbor kernel over the DECODED raster produces
+    // the max-side-8 thumbnail; dims + exact resized-gray sum are oracled
+    "multimodal_resize_real" -> ((s, dir) =>
+      Multimodal.resizeRealMeta(t(s, dir, "documents"))),
     // byte-level feature extraction (16-bucket histogram, long form)
     "multimodal_byte_histogram" -> ((s, dir) =>
       Multimodal.byteHistogram(
@@ -1839,6 +1872,26 @@ object ExtensionQueries {
         "SELECT doc_id, uni_score, bi_score, n_features, " +
         "CAST(uni_score + bi_score AS BIGINT) AS score, " +
         "CAST(CASE WHEN uni_score + bi_score > 0 THEN 1 ELSE 0 END AS INT) AS kept FROM sc"),
+    // stages replayed sequentially: the quality band is computed over the
+    // DECONTAMINATED slice and the dedup representative over the quality
+    // survivors — parity with the staged (not full-corpus-flag) semantics
+    "curation_funnel" ->
+      ("WITH s1 AS (SELECT doc_id, n_chars, text FROM documents " +
+        "WHERE NOT (position('scan' IN text) > 0 OR position('quantile' IN text) > 0)), " +
+        "b AS (SELECT quantile_cont(n_chars, 0.25) AS p_lo, " +
+        "quantile_cont(n_chars, 0.75) AS p_hi FROM s1), " +
+        "s2 AS (SELECT doc_id, n_chars, text FROM s1, b " +
+        "WHERE n_chars >= p_lo AND n_chars <= p_hi), " +
+        "s3 AS (SELECT doc_id, n_chars FROM s2 " +
+        "WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY text)) " +
+        "SELECT '1_input' AS stage, count(*) AS n_docs, " +
+        "CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars_total FROM documents " +
+        "UNION ALL SELECT '2_decontaminated', count(*), " +
+        "CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s1 " +
+        "UNION ALL SELECT '3_quality_band', count(*), " +
+        "CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2 " +
+        "UNION ALL SELECT '4_exact_dedup', count(*), " +
+        "CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3"),
     "curation_audit" ->
       (curationAuditCtes +
         "SELECT d.doc_id, " +
@@ -2091,6 +2144,19 @@ object ExtensionQueries {
       triangleSql("WITH " + minhashPairCtes +
         ", e AS (SELECT DISTINCT id_a, id_b FROM pairs)"),
     "token_graph_triangles" -> triangleSql(tokenEdgeCte),
+    // 3 unrolled peel rounds at k=3: per round, degrees over the surviving
+    // symmetrized edge relation, then both endpoints must survive
+    "token_graph_kcore" ->
+      (tokenEdgeCte + ", " +
+        "d0 AS (SELECT id_a AS node, id_b AS nb FROM e " +
+        "UNION ALL SELECT id_b, id_a FROM e), " +
+        (1 to 3).map(i =>
+          s"k$i AS (SELECT node FROM d${i - 1} GROUP BY node " +
+            "HAVING count(*) >= 3), " +
+            s"d$i AS (SELECT d.node, d.nb FROM d${i - 1} d " +
+            s"JOIN k$i a ON d.node = a.node " +
+            s"JOIN k$i b ON d.nb = b.node)").mkString(", ") +
+        " SELECT node, count(*) AS deg FROM d3 GROUP BY node"),
     "token_graph_pagerank" ->
       (tokenEdgeCte + ", " +
         "dir AS (SELECT id_a AS src, id_b AS dst FROM e " +
@@ -2775,6 +2841,14 @@ object ExtensionQueries {
         "CAST(coalesce((est_rows * 10000) // total_est, 0) AS BIGINT) " +
         "AS share_bp FROM k, t " +
         "ORDER BY est_rows DESC, join_key LIMIT 25"),
+    // the salt is internal plumbing; the observable contract is plain-join
+    // equality, so the oracle IS the plain join
+    "join_skew_salted" ->
+      ("SELECT s_nationkey, count(*) AS n, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey"),
     "events_json" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
     "events_value_quantiles" ->
@@ -2978,6 +3052,24 @@ object ExtensionQueries {
         "ELSE CAST(floor(height * 224 / greatest(width, height)) AS INT) END AS out_h " +
         "FROM (SELECT doc_id AS asset_id, ascii(substr(text, 1, 1)) + 1 AS width, " +
         "ascii(substr(text, 2, 1)) + 1 AS height FROM documents) t"),
+    // the oracle predicts the resized dims and the exact gray sum of the
+    // nearest-neighbor raster from the gradient generator: sample (i,j)
+    // reads src (i*w//ow, j*h//oh), so the double sum factorizes into the
+    // two axis sums below; Spark computes it from real decoded pixels
+    "multimodal_resize_real" ->
+      ("WITH p AS (SELECT doc_id, n_chars % 31 + 1 AS w, doc_id % 17 + 1 AS h, " +
+        "(doc_id % 8) * 4 AS g0, doc_id % 3 AS sx, (doc_id // 3) % 3 AS sy FROM documents), " +
+        "d AS (SELECT *, " +
+        "CASE WHEN greatest(w, h) <= 8 THEN w " +
+        "ELSE greatest(1, w * 8 // greatest(w, h)) END AS ow, " +
+        "CASE WHEN greatest(w, h) <= 8 THEN h " +
+        "ELSE greatest(1, h * 8 // greatest(w, h)) END AS oh FROM p) " +
+        "SELECT doc_id AS asset_id, CAST(ow AS INTEGER) AS out_w, " +
+        "CAST(oh AS INTEGER) AS out_h, " +
+        "CAST(ow * oh * g0 + " +
+        "sx * oh * list_sum([(i * w) // ow FOR i IN generate_series(0, ow - 1)]) + " +
+        "sy * ow * list_sum([(j * h) // oh FOR j IN generate_series(0, oh - 1)]) " +
+        "AS BIGINT) AS gray_sum FROM d"),
     "multimodal_byte_histogram" ->
       ("SELECT doc_id AS asset_id, ascii(c) % 16 AS bucket, count(*) AS n FROM " +
         "(SELECT doc_id, unnest([substr(text, i, 1) FOR i IN generate_series(1, length(text))]) AS c " +

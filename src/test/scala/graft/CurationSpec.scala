@@ -91,6 +91,52 @@ class CurationSpec extends SparkSpecBase {
       200L -> 1L, 201L -> 1L, 202L -> 1L))
   }
 
+  test("kCorePeel: clique survives, chain periphery peels, rounds are fixed work") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    // K4 on 1..4 with a 4-5-6 tail: the tail peels off, the clique is the
+    // 3-core with every surviving degree exactly 3
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield Row(a, b)
+    val edges = spark.createDataFrame(
+      (k4 ++ Seq(Row(4L, 5L), Row(5L, 6L))).asJava, schema)
+    val got = Dedup.kCorePeel(edges, k = 3, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // fixed-round semantics on a 5-chain at k=2: after ONE round the two
+    // interior survivors report their pruned degrees (not converged); a
+    // deeper run peels the chain to nothing
+    val chain = spark.createDataFrame(
+      (1L to 4L).map(i => Row(i, i + 1)).asJava, schema)
+    val one = Dedup.kCorePeel(chain, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(Dedup.kCorePeel(chain, k = 2, rounds = 3).isEmpty)
+  }
+
+  test("curationFunnel: staged survivor counts match hand computation") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, 10L, "aaa"), Row(2L, 20L, "bbb"), Row(3L, 30L, "bbb"),
+      Row(4L, 40L, "has scan inside"), Row(5L, 1000L, "ccc")).asJava, schema)
+    val got = Curation.curationFunnel(d, Seq("scan", "quantile")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // decontaminated: {1,2,3,5}; band over [10,20,30,1000] is
+    // [17.5, 272.5] keeping {2,3}; dedup keeps min doc of text 'bbb'
+    assert(got == Map(
+      "1_input" -> ((5L, 1100L)),
+      "2_decontaminated" -> ((4L, 1060L)),
+      "3_quality_band" -> ((2L, 50L)),
+      "4_exact_dedup" -> ((1L, 20L))))
+  }
+
   test("fixed-point pagerank matches a driver-side integer replica on random graphs") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

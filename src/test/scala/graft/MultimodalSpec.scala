@@ -29,6 +29,31 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("real resize: dims cap at maxSide and gray sum matches a direct recompute") {
+    val out = Multimodal.resizeRealMeta(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    val src = tiny.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == src.keySet)
+    for ((id, nChars) <- src) {
+      val w = (nChars % 31).toInt + 1; val h = (id % 17).toInt + 1
+      val g0 = ((id % 8) * 4).toInt
+      val sx = (id % 3).toInt; val sy = ((id / 3) % 3).toInt
+      val m = math.max(w, h)
+      val ow = if (m <= 8) w else math.max(1, w * 8 / m)
+      val oh = if (m <= 8) h else math.max(1, h * 8 / m)
+      // independent recompute of the NN raster sum from the generator
+      var sum = 0L
+      for (j <- 0 until oh; i <- 0 until ow)
+        sum += g0 + sx * (i * w / ow) + sy * (j * h / oh)
+      assert(out(id) == ((ow, oh, sum)), s"doc $id ($w x $h)")
+      assert(ow <= 8 && oh <= 8 || m <= 8)
+    }
+    // at least one fixture image is small enough to pass through unscaled
+    assert(src.exists { case (id, n) =>
+      math.max((n % 31).toInt + 1, (id % 17).toInt + 1) <= 8 })
+  }
+
   test("jpeg round trip parses exact dims; solid gray within tolerance") {
     val out = Multimodal.jpegRoundTripMeta(tiny)
     assert(out.count() === 40L)
