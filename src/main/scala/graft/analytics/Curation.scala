@@ -972,6 +972,29 @@ object Curation {
     * one-row training-token total. No transcendental enters the score —
     * integer `div` is identical in every engine.
     */
+  /** CCNet-style quality partition (Wenzek et al. 2020): every scored
+    * document lands in the head / middle / tail third of the corpus by
+    * LM fluency — head trains as-is, middle gets a second look, tail is
+    * dropped or heavily downsampled. The per-doc score is the floor mean
+    * of [[bigramLmScore]]'s integer pair scores (one `div`, still
+    * integer-exact); the two tertile thresholds are a broadcast one-row
+    * aggregate, so the partition costs the LM scoring plus one map-side
+    * comparison pass. Docs with no bigrams (< 2 tokens) are unscored and
+    * absent, as in the reference pipeline.
+    */
+  def perplexityBuckets(docs: DataFrame, trainPred: Column): DataFrame = {
+    val sc = bigramLmScore(docs, trainPred)
+      .select(col("doc_id"), expr("lm_score div n_bigrams").as("score_mean"))
+    val th = sc.agg(
+      expr("percentile(score_mean, 1.0/3)").as("t1"),
+      expr("percentile(score_mean, 2.0/3)").as("t2"))
+    sc.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("score_mean"),
+        when(col("score_mean") >= col("t2"), "head")
+          .when(col("score_mean") >= col("t1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   def bigramLmScore(
       docs: DataFrame,
       trainPred: Column,

@@ -173,6 +173,11 @@ object ExtensionQueries {
     // suffix-array dedup would cut) via gaps-and-islands per doc
     "dup_span_runs" -> ((s, dir) =>
       Dedup.dupSpanRuns(t(s, dir, "documents"))),
+    // the APPLY of the span signal: cut every >=3-position duplicated run
+    // (plus the tokens its grams cover), keep the rest; the md5 of the
+    // surviving token stream oracle-checks the full rewrite
+    "dedup_span_apply" -> ((s, dir) =>
+      Dedup.dedupSpanApply(t(s, dir, "documents"))),
     // triangle participation per document over the MinHash candidate
     // graph — the local-density QA signal on a dedup clustering (tight
     // cliques vs hub-glued chains); degree-oriented node-iterator, one
@@ -544,6 +549,11 @@ object ExtensionQueries {
     // shape), trained on the English slice, integer fixed-point
     "text_bigram_lm_score" -> ((s, dir) =>
       Curation.bigramLmScore(t(s, dir, "documents"),
+        trainPred = col("lang") === "en")),
+    // CCNet head/middle/tail partition by LM-score tertiles: the
+    // keep/review/drop decision a perplexity-filtered corpus build makes
+    "quality_perplexity_buckets" -> ((s, dir) =>
+      Curation.perplexityBuckets(t(s, dir, "documents"),
         trainPred = col("lang") === "en")),
     // temperature-based source mixing (quota ∝ sqrt(source size), filled by
     // smallest doc_id — the multi-corpus rebalancing sampler)
@@ -1214,6 +1224,31 @@ object ExtensionQueries {
   /** SQL mirror of [[tokenGraphEdges]]: distinct undirected ±2-window token
     * pairs as CTE `e` — shared by the triangle and PageRank oracles.
     */
+  /** Shared stupid-backoff bigram LM CTE chain (mirror of
+    * Curation.bigramLmScore): `lm` is the per-doc (n_bigrams, lm_score)
+    * relation. Used by the scoring oracle and the CCNet bucket oracle.
+    */
+  private val lmScoreCtes: String =
+    "WITH toks AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_train, " +
+      "string_split(text, ' ') AS w FROM documents), " +
+      "pr AS (SELECT doc_id, is_train, u.a AS a, u.b AS b FROM " +
+      "(SELECT doc_id, is_train, unnest([struct_pack(a := w[i], b := w[i+1]) " +
+      "FOR i IN generate_series(1, len(w) - 1)]) AS u FROM toks WHERE len(w) >= 2) x), " +
+      "dp AS (SELECT doc_id, a, b, count(*) AS m FROM pr GROUP BY 1, 2, 3), " +
+      "uni AS (SELECT tk, count(*) AS c1 FROM " +
+      "(SELECT unnest(w) AS tk FROM toks WHERE is_train) GROUP BY 1), " +
+      "bi AS (SELECT a, b, count(*) AS c2 FROM pr WHERE is_train GROUP BY 1, 2), " +
+      "tot AS (SELECT count(*) AS n_train FROM " +
+      "(SELECT unnest(w) FROM toks WHERE is_train)), " +
+      "sc AS (SELECT dp.doc_id, dp.m, " +
+      "CASE WHEN bi.c2 IS NOT NULL THEN (1000000 * bi.c2) // ua.c1 " +
+      "ELSE (400000 * coalesce(ub.c1, 0)) // tot.n_train END AS s " +
+      "FROM dp LEFT JOIN bi USING (a, b) " +
+      "LEFT JOIN uni ua ON dp.a = ua.tk " +
+      "LEFT JOIN uni ub ON dp.b = ub.tk CROSS JOIN tot), " +
+      "lm AS (SELECT doc_id, sum(m) AS n_bigrams, " +
+      "sum(m * s) AS lm_score FROM sc GROUP BY doc_id)"
+
   private val tokenEdgeCte: String =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
       "p1 AS (SELECT unnest([{'id_a': least(w[i], w[i+1]), 'id_b': greatest(w[i], w[i+1])} " +
@@ -2262,6 +2297,34 @@ object ExtensionQueries {
         "coalesce(max_dup_run, 0) AS max_dup_run " +
         "FROM tot LEFT JOIN nd ON tot.doc_id = nd.doc_id " +
         "LEFT JOIN mx ON tot.doc_id = mx.doc_id"),
+    // same positional pipeline as dup_span_runs up to the runs, then the
+    // REWRITE: 1-based token i is cut iff a >=3-run's cover [s, s+run+3]
+    // contains it; the kept-token md5 checks the whole rewritten stream
+    // (array_to_string of an empty list is NULL in DuckDB, hence coalesce)
+    "dedup_span_apply" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "pw AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p " +
+        "FROM toks WHERE len(w) >= 5), " +
+        "pg AS (SELECT doc_id, p, " +
+        "w[p] || ' ' || w[p+1] || ' ' || w[p+2] || ' ' || w[p+3] || ' ' || w[p+4] AS g FROM pw), " +
+        "dfv AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM pg GROUP BY g) d " +
+        "WHERE df >= 2), " +
+        "dup AS (SELECT doc_id, p FROM pg JOIN dfv USING (g)), " +
+        "isl AS (SELECT doc_id, p, p - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY p) AS grp FROM dup), " +
+        "runs AS (SELECT doc_id, min(p) AS s, count(*) AS run FROM isl GROUP BY doc_id, grp), " +
+        "cut AS (SELECT doc_id, s, s + run + 3 AS e FROM runs WHERE run >= 3), " +
+        "cl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans FROM cut GROUP BY doc_id), " +
+        "k AS (SELECT t.doc_id, t.w, coalesce(c.spans, []) AS spans " +
+        "FROM toks t LEFT JOIN cl c ON t.doc_id = c.doc_id), " +
+        "res AS (SELECT doc_id, len(w) AS n_tokens, " +
+        "[w[i] FOR i IN generate_series(1, len(w)) " +
+        "IF len(list_filter(spans, sp -> i >= sp.s AND i <= sp.e)) = 0] AS kept, " +
+        "len(spans) AS n_cut FROM k) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(len(kept) AS BIGINT) AS n_tokens_after, " +
+        "CAST(n_cut AS BIGINT) AS n_spans_cut, " +
+        "md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5 FROM res"),
     "doc_chunk_windows" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "ch AS (SELECT doc_id, w, unnest(generate_series(0, " +
@@ -2370,25 +2433,20 @@ object ExtensionQueries {
         "count(*) AS n_shared_fps FROM fps a JOIN fps b ON a.fp = b.fp " +
         "AND a.source < b.source GROUP BY 1, 2"),
     "text_bigram_lm_score" ->
-      ("WITH toks AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_train, " +
-        "string_split(text, ' ') AS w FROM documents), " +
-        "pr AS (SELECT doc_id, is_train, u.a AS a, u.b AS b FROM " +
-        "(SELECT doc_id, is_train, unnest([struct_pack(a := w[i], b := w[i+1]) " +
-        "FOR i IN generate_series(1, len(w) - 1)]) AS u FROM toks WHERE len(w) >= 2) x), " +
-        "dp AS (SELECT doc_id, a, b, count(*) AS m FROM pr GROUP BY 1, 2, 3), " +
-        "uni AS (SELECT tk, count(*) AS c1 FROM " +
-        "(SELECT unnest(w) AS tk FROM toks WHERE is_train) GROUP BY 1), " +
-        "bi AS (SELECT a, b, count(*) AS c2 FROM pr WHERE is_train GROUP BY 1, 2), " +
-        "tot AS (SELECT count(*) AS n_train FROM " +
-        "(SELECT unnest(w) FROM toks WHERE is_train)), " +
-        "sc AS (SELECT dp.doc_id, dp.m, " +
-        "CASE WHEN bi.c2 IS NOT NULL THEN (1000000 * bi.c2) // ua.c1 " +
-        "ELSE (400000 * coalesce(ub.c1, 0)) // tot.n_train END AS s " +
-        "FROM dp LEFT JOIN bi USING (a, b) " +
-        "LEFT JOIN uni ua ON dp.a = ua.tk " +
-        "LEFT JOIN uni ub ON dp.b = ub.tk CROSS JOIN tot) " +
-        "SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, " +
-        "CAST(sum(m * s) AS BIGINT) AS lm_score FROM sc GROUP BY doc_id"),
+      (lmScoreCtes +
+        " SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, " +
+        "CAST(lm_score AS BIGINT) AS lm_score FROM lm"),
+    // tertile thresholds are quantile_cont over the floor-mean scores —
+    // the same interpolation as Spark's percentile
+    "quality_perplexity_buckets" ->
+      (lmScoreCtes +
+        ", scm AS (SELECT doc_id, lm_score // n_bigrams AS score_mean FROM lm), " +
+        "th AS (SELECT quantile_cont(score_mean, 1.0/3) AS t1, " +
+        "quantile_cont(score_mean, 2.0/3) AS t2 FROM scm) " +
+        "SELECT doc_id, CAST(score_mean AS BIGINT) AS score_mean, " +
+        "CASE WHEN score_mean >= t2 THEN 'head' " +
+        "WHEN score_mean >= t1 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM scm, th"),
     "semantic_dedup_apply" ->
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "semantic_dedup_apply_probe" ->

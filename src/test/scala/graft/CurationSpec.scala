@@ -116,6 +116,47 @@ class CurationSpec extends SparkSpecBase {
     assert(Dedup.kCorePeel(chain, k = 2, rounds = 3).isEmpty)
   }
 
+  test("dedupSpanApply: copied span is cut with its gram cover, unique text survives") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // docs 1 and 2 share a verbatim 8-token paragraph (4 consecutive dup
+    // 5-gram positions -> one cut run); doc 3 is all-unique
+    val copied = "p q r s t u v w"
+    val d = spark.createDataFrame(Seq(
+      Row(1L, s"a1 b1 $copied c1 d1 e1 f1 g1"),
+      Row(2L, s"a2 $copied b2 c2 d2 e2 f2 g2 h2"),
+      Row(3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")).asJava, schema)
+    val got = Dedup.dedupSpanApply(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: copied run starts at 0-based token 2, 4 gram positions cover
+    // tokens 2..9 -> keep a1 b1 + c1..g1
+    assert(got(1L) == ((15L, 7L, 1L, md5("a1 b1 c1 d1 e1 f1 g1"))))
+    assert(got(2L) == ((16L, 8L, 1L, md5("a2 b2 c2 d2 e2 f2 g2 h2"))))
+    assert(got(3L) == ((10L, 10L, 0L, md5("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))))
+  }
+
+  test("perplexityBuckets: thresholds are order-consistent and thirds-balanced") {
+    import graft.analytics.Curation
+    val b = Curation.perplexityBuckets(docs, trainPred = col("lang") === "en")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val byBucket = b.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // bucket boundaries never interleave
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // tertiles: no bucket is off by more than the tie mass
+    val n = b.length
+    for ((_, xs) <- byBucket)
+      assert(xs.length > n / 6 && xs.length < n * 2 / 3)
+  }
+
   test("curationFunnel: staged survivor counts match hand computation") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
