@@ -995,6 +995,39 @@ object Curation {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Ensemble quality verdict — what production curation actually ships:
+    * several weak signals VOTE instead of one filter deciding alone
+    * (Gopher/FineWeb both gate on rule stacks). Votes here: corpus length
+    * band (p25..p75), LM fluency (not in the [[perplexityBuckets]] tail —
+    * unscorable sub-2-token docs score 0), and low bigram repetition
+    * (duplicated-bigram mass ≤ 20%, integer cross-multiplied; gram-free
+    * docs pass). 3 votes = keep, 2 = review, fewer = drop. Each signal is
+    * an existing operator's relation joined back on doc_id, so the
+    * ensemble costs its parts plus doc-keyed equi-joins — no new shuffle
+    * class.
+    */
+  def qualityEnsemble(docs: DataFrame, trainPred: Column): DataFrame = {
+    val band = lengthBandFilter(docs)
+      .select(col("doc_id"), lit(1L).as("v_len"))
+    val buck = perplexityBuckets(docs, trainPred)
+      .select(col("doc_id"),
+        when(col("bucket") =!= "tail", 1L).otherwise(0L).as("v_lm"))
+    val rep = repetitionStats(docs)
+      .select(col("doc_id"),
+        when(col("dup_bigram_n") * 5 <= col("n_bigrams"), 1L)
+          .otherwise(0L).as("v_rep"))
+    docs.select(col("doc_id"))
+      .join(band, Seq("doc_id"), "left")
+      .join(buck, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("v_len"), lit(0L)) + coalesce(col("v_lm"), lit(0L)) +
+          coalesce(col("v_rep"), lit(0L))).as("votes"))
+      .withColumn("verdict",
+        when(col("votes") === 3, "keep")
+          .when(col("votes") === 2, "review").otherwise("drop"))
+  }
+
   def bigramLmScore(
       docs: DataFrame,
       trainPred: Column,

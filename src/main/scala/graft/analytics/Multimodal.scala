@@ -308,6 +308,57 @@ object Multimodal {
         when(col("doc_id") =!= col("rep_id"), 1).otherwise(0).as("is_dup"))
   }
 
+  /** Container-format header parse with PURE codegen'd expressions over
+    * the binary payload — the metadata-extraction pass a multimodal ingest
+    * runs on billions of stored blobs WITHOUT decoding them (decode costs
+    * ms/blob; a header probe costs ns and stays inside whole-stage
+    * codegen). The payloads are real PNG bytes from the JDK encoder; the
+    * parser is nothing but `substring`/`hex`/`conv` on the binary column,
+    * reading the spec-mandated layout (8-byte signature, IHDR first chunk:
+    * big-endian width at offset 16, height at 20, bit depth 24, color type
+    * 25). The oracle predicts every field from the generator (RGB gray
+    * fill → bit depth 8, color type 2), so the encode→expression-parse
+    * round trip is hash-checked: a real codec wrote the container and a
+    * relational expression read it back.
+    */
+  def pngHeaderMeta(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val assets = spreadForCodec(docs.select(col("doc_id"), col("n_chars")))
+      .mapPartitions { rows =>
+        val codec = new Codec("png")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (r.getLong(1) % 31).toInt + 1
+          val h = (id % 17).toInt + 1
+          val g = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          Row(id, codec.encode(img))
+        }
+      }(enc)
+    assets.select(col("asset_id"),
+      when(hex(expr("substring(payload, 1, 8)")) === "89504E470D0A1A0A", 1)
+        .otherwise(0).as("sig_ok"),
+      expr("CAST(conv(hex(substring(payload, 17, 4)), 16, 10) AS BIGINT)")
+        .as("width_hdr"),
+      expr("CAST(conv(hex(substring(payload, 21, 4)), 16, 10) AS BIGINT)")
+        .as("height_hdr"),
+      expr("CAST(conv(hex(substring(payload, 25, 1)), 16, 10) AS INT)")
+        .as("bit_depth"),
+      expr("CAST(conv(hex(substring(payload, 26, 1)), 16, 10) AS INT)")
+        .as("color_type"))
+  }
+
   /** REAL image resize over REAL decoded pixels — the thumbnail/patch
     * normalization step of a multimodal ingest (every vision encoder wants
     * a fixed max side). Per row the [[imagePerceptualHashes]] gradient

@@ -43,4 +43,31 @@ object Layout {
       else withZ.repartitionByRange(col("z"))
     ranged.sortWithinPartitions(col("z"))
   }
+
+  /** Range-partitioner balance audit — the explicit form of what Spark's
+    * `repartitionByRange`/TeraSort does internally: k−1 exact quantile
+    * boundaries split the value domain into k ranges of near-equal row
+    * count, the precondition for a balanced global sort or range-bucketed
+    * layout at 100 TB (a skewed boundary set means one straggler partition
+    * sorts half the data). The boundary aggregate broadcasts one row; the
+    * range id is an unrolled codegen'd comparison sum (no HOF lambda in
+    * the per-row path); output is the per-range row count a layout job
+    * would assert on before committing the write.
+    */
+  def rangePartitionBalance(df: DataFrame, valueCol: String, k: Int = 8)
+      : DataFrame = {
+    require(k >= 2 && (k & (k - 1)) == 0,
+      "k must be a power of two so the quantile fractions are exact binary" +
+        " doubles in every engine")
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, array(${qs.mkString(", ")}))").as("bs"))
+    val rangeId = (1 until k)
+      .map(i => when(col("v") >= element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(col(valueCol).as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(rangeId.cast("long").as("range_id"))
+      .groupBy(col("range_id")).agg(count(lit(1)).as("n_rows"))
+  }
 }

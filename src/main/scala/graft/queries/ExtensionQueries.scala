@@ -555,6 +555,16 @@ object ExtensionQueries {
     "quality_perplexity_buckets" -> ((s, dir) =>
       Curation.perplexityBuckets(t(s, dir, "documents"),
         trainPred = col("lang") === "en")),
+    // rule-stack quality voting (length band + LM fluency + repetition):
+    // keep / review / drop per document
+    "quality_ensemble_verdict" -> ((s, dir) =>
+      Curation.qualityEnsemble(t(s, dir, "documents"),
+        trainPred = col("lang") === "en")),
+    // explicit TeraSort/range-partitioner audit: 7 exact quantile
+    // boundaries over the event values, per-range row counts
+    "range_partition_balance" -> ((s, dir) =>
+      graft.engine.Layout.rangePartitionBalance(
+        t(s, dir, "events"), "value", k = 8)),
     // temperature-based source mixing (quota ∝ sqrt(source size), filled by
     // smallest doc_id — the multi-corpus rebalancing sampler)
     "source_mix_sample" -> ((s, dir) =>
@@ -1188,6 +1198,10 @@ object ExtensionQueries {
     // the max-side-8 thumbnail; dims + exact resized-gray sum are oracled
     "multimodal_resize_real" -> ((s, dir) =>
       Multimodal.resizeRealMeta(t(s, dir, "documents"))),
+    // decode-free metadata probe: real PNG payloads parsed by pure
+    // substring/hex/conv expressions (signature + IHDR fields)
+    "multimodal_png_header" -> ((s, dir) =>
+      Multimodal.pngHeaderMeta(t(s, dir, "documents"))),
     // byte-level feature extraction (16-bucket histogram, long form)
     "multimodal_byte_histogram" -> ((s, dir) =>
       Multimodal.byteHistogram(
@@ -2447,6 +2461,42 @@ object ExtensionQueries {
         "CASE WHEN score_mean >= t2 THEN 'head' " +
         "WHEN score_mean >= t1 THEN 'middle' ELSE 'tail' END AS bucket " +
         "FROM scm, th"),
+    // votes: corpus length band, LM not-tail (unscored docs vote 0), and
+    // duplicated-bigram mass <= 20% (gram-free docs vote 1, like Spark's
+    // na.fill(0) repetition row)
+    "quality_ensemble_verdict" ->
+      (lmScoreCtes +
+        ", scm AS (SELECT doc_id, lm_score // n_bigrams AS score_mean FROM lm), " +
+        "th AS (SELECT quantile_cont(score_mean, 1.0/3) AS t1 FROM scm), " +
+        "band AS (SELECT quantile_cont(n_chars, 0.25) AS p_lo, " +
+        "quantile_cont(n_chars, 0.75) AS p_hi FROM documents), " +
+        "bc AS (SELECT doc_id, g, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest([w[i] || ' ' || w[i+1] " +
+        "FOR i IN generate_series(1, len(w) - 1)]) AS g FROM toks) u GROUP BY 1, 2), " +
+        "rep AS (SELECT doc_id, CASE WHEN " +
+        "sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 5 <= sum(c) " +
+        "THEN 1 ELSE 0 END AS v_rep FROM bc GROUP BY doc_id), " +
+        "v AS (SELECT d.doc_id, " +
+        "CASE WHEN d.n_chars >= band.p_lo AND d.n_chars <= band.p_hi " +
+        "THEN 1 ELSE 0 END + " +
+        "CASE WHEN scm.score_mean IS NOT NULL AND scm.score_mean >= th.t1 " +
+        "THEN 1 ELSE 0 END + coalesce(rep.v_rep, 1) AS votes " +
+        "FROM documents d CROSS JOIN band CROSS JOIN th " +
+        "LEFT JOIN scm ON d.doc_id = scm.doc_id " +
+        "LEFT JOIN rep ON d.doc_id = rep.doc_id) " +
+        "SELECT doc_id, CAST(votes AS BIGINT) AS votes, " +
+        "CASE WHEN votes = 3 THEN 'keep' WHEN votes = 2 THEN 'review' " +
+        "ELSE 'drop' END AS verdict FROM v"),
+    // boundaries are the 7 exact eighth-quantiles (exact binary-fraction
+    // probabilities, so the interpolated doubles agree across engines);
+    // the range id is the count of boundaries at or below the value
+    "range_partition_balance" ->
+      ("WITH b AS (SELECT quantile_cont(value, " +
+        "[0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM events) " +
+        "SELECT range_id, count(*) AS n_rows FROM " +
+        "(SELECT CAST(list_sum([CASE WHEN value >= x THEN 1 ELSE 0 END " +
+        "FOR x IN bs]) AS BIGINT) AS range_id FROM events, b) t " +
+        "GROUP BY range_id"),
     "semantic_dedup_apply" ->
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "semantic_dedup_apply_probe" ->
@@ -3128,6 +3178,14 @@ object ExtensionQueries {
         "sx * oh * list_sum([(i * w) // ow FOR i IN generate_series(0, ow - 1)]) + " +
         "sy * ow * list_sum([(j * h) // oh FOR j IN generate_series(0, oh - 1)]) " +
         "AS BIGINT) AS gray_sum FROM d"),
+    // every field is spec-mandated for an RGB gray fill: PNG signature,
+    // IHDR width/height from the generator, bit depth 8, color type 2
+    "multimodal_png_header" ->
+      ("SELECT doc_id AS asset_id, CAST(1 AS INT) AS sig_ok, " +
+        "CAST(n_chars % 31 + 1 AS BIGINT) AS width_hdr, " +
+        "CAST(doc_id % 17 + 1 AS BIGINT) AS height_hdr, " +
+        "CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type " +
+        "FROM documents"),
     "multimodal_byte_histogram" ->
       ("SELECT doc_id AS asset_id, ascii(c) % 16 AS bucket, count(*) AS n FROM " +
         "(SELECT doc_id, unnest([substr(text, i, 1) FOR i IN generate_series(1, length(text))]) AS c " +

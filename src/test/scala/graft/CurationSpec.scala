@@ -157,6 +157,44 @@ class CurationSpec extends SparkSpecBase {
       assert(xs.length > n / 6 && xs.length < n * 2 / 3)
   }
 
+  test("qualityEnsemble: votes recompose from the component operators") {
+    import graft.analytics.Curation
+    // fixture corpus plus one 1-token doc: no bigrams -> no LM row (votes
+    // 0 there) and a vacuous repetition pass — the missing-row join paths
+    val extra = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(999999L, 1L, "solo", "en")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType))))
+    val d = docs.select("doc_id", "n_chars", "text", "lang").union(extra)
+    val pred = col("lang") === "en"
+    val got = Curation.qualityEnsemble(d, pred).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val band = Curation.lengthBandFilter(d).collect().map(_.getLong(0)).toSet
+    val notTail = Curation.perplexityBuckets(d, pred).collect()
+      .filter(_.getString(2) != "tail").map(_.getLong(0)).toSet
+    val repOk = Curation.repetitionStats(d).collect()
+      .filter(r => r.getAs[Long]("dup_bigram_n") * 5 <= r.getAs[Long]("n_bigrams"))
+      .map(_.getLong(0)).toSet
+    val ids = d.select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.toSet)
+    for (id <- ids) {
+      val votes = (if (band(id)) 1 else 0) + (if (notTail(id)) 1 else 0) +
+        (if (repOk(id)) 1 else 0)
+      val verdict =
+        if (votes == 3) "keep" else if (votes == 2) "review" else "drop"
+      assert(got(id) == ((votes.toLong, verdict)), s"doc $id")
+    }
+    // the synthetic doc exercised the no-LM-row path
+    assert(!notTail(999999L) && repOk(999999L))
+  }
+
   test("curationFunnel: staged survivor counts match hand computation") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -15,6 +15,20 @@ class LayoutSpec extends SparkSpecBase {
     assert(got == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
   }
 
+  test("range partition balance: uniform domain splits into equal ranges") {
+    import spark.implicits._
+    val df = (1 to 80).map(_.toDouble).toDF("v")
+    val got = Layout.rangePartitionBalance(df, "v", k = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 80 uniform rows over 8 ranges: every range holds exactly 10
+    assert(got.keySet == (0L to 7L).toSet)
+    assert(got.values.forall(_ == 10L), got.toString)
+    // non-power-of-two k rejects (quantile fractions would be inexact)
+    intercept[IllegalArgumentException] {
+      Layout.rangePartitionBalance(df, "v", k = 6)
+    }
+  }
+
   test("z-ordered layout gives tight per-partition envelopes in BOTH dims") {
     // bucketize both dims to the same 6-bit width first — the z-curve
     // contract: interleaving is only meaningful over comparable bit widths

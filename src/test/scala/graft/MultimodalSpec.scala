@@ -54,6 +54,19 @@ class MultimodalSpec extends SparkSpecBase {
       math.max((n % 31).toInt + 1, (id % 17).toInt + 1) <= 8 })
   }
 
+  test("png header expression parse reads signature and IHDR without decoding") {
+    val out = Multimodal.pngHeaderMeta(tiny)
+    val bad = out.join(
+        tiny.select(col("doc_id").as("asset_id"), col("n_chars")), "asset_id")
+      .filter(col("sig_ok") =!= 1 ||
+        col("width_hdr") =!= (col("n_chars") % 31 + 1) ||
+        col("height_hdr") =!= (col("asset_id") % 17 + 1) ||
+        col("bit_depth") =!= 8 || col("color_type") =!= 2)
+      .count()
+    assert(bad === 0L)
+    assert(out.count() === 40L)
+  }
+
   test("jpeg round trip parses exact dims; solid gray within tolerance") {
     val out = Multimodal.jpegRoundTripMeta(tiny)
     assert(out.count() === 40L)
