@@ -131,6 +131,35 @@ object DataQuality {
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
   }
 
+  /** Token-WEIGHTED median document length per source — the size statistic
+    * that matters for a token-budgeted corpus: the unweighted median says
+    * what a typical DOCUMENT looks like, the token-weighted median says
+    * what a typical TOKEN's document looks like (one 100k-token scraped
+    * book outweighs a thousand tweets). Classic distributed weighted
+    * median: per-group running weight sum over the value-ordered rows
+    * (ties share a value, so the picked value is order-stable), then the
+    * smallest value whose cumulative weight reaches half the total. One
+    * group-keyed window + one aggregate — no global sort; the window
+    * partitions by source, so a hot source bounds its own task.
+    */
+  def weightedMedianLength(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("source"), col("n_chars").as("v"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("wt"))
+    val cum = base.withColumn("cw",
+      sum(col("wt")).over(Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = base.groupBy(col("source"))
+      .agg(sum(col("wt")).as("total_weight"), count(lit(1)).as("n_docs"))
+    cum.join(broadcast(tot), Seq("source"))
+      .filter(col("cw") * 2 >= col("total_weight"))
+      .groupBy(col("source"))
+      .agg(min(col("v")).as("weighted_median_chars"),
+        first(col("total_weight")).as("total_weight"),
+        first(col("n_docs")).as("n_docs"))
+  }
+
   /** Referential-integrity profile over a config-declared FK graph (the
     * reference product's record shape `{fk_table, fk_columns,
     * target_table, target_columns}` — /root/reference/config_reader.py):

@@ -1412,6 +1412,47 @@ object Similarity {
         round(col("s").cast("double") / col("n").cast("double"), 9).as("v"),
         col("n").as("n_vectors"))
 
+  /** Label-centroid cosine similarity matrix — the class-confusability map
+    * of an embedding space (two labels whose centroids sit at cos > 0.9
+    * are candidates for merging, relabeling, or stratified eval). Kept
+    * deterministic the same way [[embeddingOutliers]] is: dimensions
+    * quantize to integers, per-(label, dim) sums aggregate exactly, and
+    * the three dot products per pair (S_a·S_b, S_a·S_a, S_b·S_b) are
+    * DECIMAL(38,0)-exact — cos(centroid_a, centroid_b) equals
+    * cos(S_a, S_b) because the 1/n scalars cancel. The one float emission
+    * is the final `dot / (sqrt·sqrt)` image, a fixed sequence of
+    * correctly-rounded IEEE ops over exact integers — identical in every
+    * engine. Shape: one (label, dim) aggregate (labels×dims rows, tiny),
+    * one dim-keyed pair join over that relation, |labels|² output.
+    */
+  def labelCentroidSimilarity(
+      embeddings: DataFrame, quantScale: Long = 10000000L): DataFrame = {
+    val sums = embeddings
+      .repartition(col("vec_id"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT)").as("xi"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+    val selfDot = sums.groupBy(col("label"))
+      .agg(sum(expr("CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"))
+        .as("dd"), max(col("n")).as("n"))
+    val a = sums.select(col("label").as("label_a"), col("pos"), col("s").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("pos"), col("s").as("sb"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(expr("CAST(sa AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0))"))
+        .as("dab"))
+      .join(broadcast(selfDot.select(col("label").as("label_a"),
+        col("dd").as("daa"), col("n").as("n_a"))), Seq("label_a"))
+      .join(broadcast(selfDot.select(col("label").as("label_b"),
+        col("dd").as("dbb"), col("n").as("n_b"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        expr("CAST(dab AS DOUBLE) / " +
+          "(sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE)))").as("cos"))
+  }
+
   /** Embedding-space outlier detection: the k vectors FARTHEST from their
     * own label's centroid, per label — the mislabeled-example / encoder-
     * glitch screen a curation pipeline runs before trusting class labels

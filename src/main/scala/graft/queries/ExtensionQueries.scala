@@ -405,6 +405,10 @@ object ExtensionQueries {
     // one row per (label, dimension) — the hash-friendly relational shape
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    // class-confusability map: integer-exact centroid cosine per label
+    // pair (the 1/n scalars cancel, so cos(S_a, S_b) IS the centroid cos)
+    "label_centroid_similarity" -> ((s, dir) =>
+      Similarity.labelCentroidSimilarity(t(s, dir, "embeddings"))),
     // per-label embedding outliers: 5 vectors farthest from their own
     // label centroid (integer-exact n²·distance², TopKPerKey heaps)
     "embedding_outliers" -> ((s, dir) =>
@@ -664,6 +668,10 @@ object ExtensionQueries {
     // (|x - med| > 5*MAD) — the mean/stddev monitor's corruption-proof twin
     "source_robust_stats" -> ((s, dir) =>
       DataQuality.robustLengthStats(t(s, dir, "documents"))),
+    // token-weighted median doc length per source (what a typical TOKEN's
+    // document looks like): group-windowed cumulative weights, no global sort
+    "source_weighted_median" -> ((s, dir) =>
+      DataQuality.weightedMedianLength(t(s, dir, "documents"))),
     // corpus-level vocabulary-shape monitor: token total, vocab size,
     // hapax count (df=1), top-term share — the Zipf-fit health numbers a
     // broken tokenizer or a template-flooded crawl shifts immediately.
@@ -2078,6 +2086,21 @@ object ExtensionQueries {
         "SELECT med.source, CAST(med.n AS BIGINT) AS n, med.med, st.mad, " +
         "CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers " +
         "FROM med JOIN st USING (source) LEFT JOIN o USING (source)"),
+    // smallest value whose running token weight reaches half the source
+    // total; ties share a value so the window's intra-tie order can't
+    // change the answer
+    "source_weighted_median" ->
+      ("WITH base AS (SELECT source, n_chars AS v, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS wt FROM documents), " +
+        "cum AS (SELECT source, v, sum(wt) OVER (PARTITION BY source " +
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM base), " +
+        "tot AS (SELECT source, sum(wt) AS total_weight, count(*) AS n_docs " +
+        "FROM base GROUP BY 1) " +
+        "SELECT c.source, CAST(min(c.v) AS BIGINT) AS weighted_median_chars, " +
+        "CAST(any_value(t.total_weight) AS BIGINT) AS total_weight, " +
+        "CAST(any_value(t.n_docs) AS BIGINT) AS n_docs " +
+        "FROM cum c JOIN tot t ON c.source = t.source " +
+        "WHERE c.cw * 2 >= t.total_weight GROUP BY c.source"),
     "value_quantile_sketch" ->
       ("WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin, " +
         "count(*) AS c FROM events GROUP BY 1), " +
@@ -2674,6 +2697,25 @@ object ExtensionQueries {
         "SELECT label, CAST(pos AS INT) AS pos, " +
         "round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, " +
         "count(*) AS n_vectors FROM u GROUP BY label, pos"),
+    // exact integer dot products (HUGEINT mirrors Spark's DECIMAL(38,0));
+    // the cos image is the same fixed sequence of IEEE ops both engines run
+    "label_centroid_similarity" ->
+      ("WITH q AS (SELECT label, u.pos AS pos, u.xi AS xi FROM " +
+        "(SELECT label, unnest([struct_pack(pos := i, " +
+        "xi := CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT)) " +
+        "FOR i IN generate_series(1, len(embedding))]) AS u FROM embeddings) x), " +
+        "sums AS (SELECT label, pos, sum(xi) AS s, count(*) AS n FROM q GROUP BY 1, 2), " +
+        "self AS (SELECT label, sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS dd, " +
+        "max(n) AS n FROM sums GROUP BY 1), " +
+        "pair AS (SELECT a.label AS label_a, b.label AS label_b, " +
+        "sum(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS dab " +
+        "FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label GROUP BY 1, 2) " +
+        "SELECT label_a, label_b, CAST(sa.n AS BIGINT) AS n_a, " +
+        "CAST(sb.n AS BIGINT) AS n_b, " +
+        "CAST(dab AS DOUBLE) / (sqrt(CAST(sa.dd AS DOUBLE)) * " +
+        "sqrt(CAST(sb.dd AS DOUBLE))) AS cos " +
+        "FROM pair JOIN self sa ON pair.label_a = sa.label " +
+        "JOIN self sb ON pair.label_b = sb.label"),
     "embedding_outliers" ->
       ("WITH q AS (SELECT vec_id, label, u.pos AS pos, u.xi AS xi FROM " +
         "(SELECT vec_id, label, unnest([struct_pack(pos := i, " +

@@ -9,6 +9,27 @@ class AnalyticsSpec extends SparkSpecBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("labelCentroidSimilarity: identical label sets at cos 1, orthogonal at 0") {
+    import spark.implicits._
+    // labels 0 and 1 share the same two vectors (centroids equal -> cos 1);
+    // label 2 is orthogonal to both
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 1.0f), 0), (2L, Seq(3.0f, 0.0f, 1.0f), 0),
+      (3L, Seq(1.0f, 0.0f, 1.0f), 1), (4L, Seq(3.0f, 0.0f, 1.0f), 1),
+      (5L, Seq(0.0f, 2.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidSimilarity(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got((0, 1)) == ((2L, 2L, 1.0)))
+    assert(got((0, 2)) == ((2L, 1L, 0.0)))
+    assert(got((1, 2)) == ((2L, 1L, 0.0)))
+    // fixture sanity: every pair lands in [-1, 1]
+    val fix = Similarity.labelCentroidSimilarity(emb).collect()
+    assert(fix.nonEmpty &&
+      fix.forall(r => math.abs(r.getDouble(4)) <= 1.0000001))
+  }
+
   test("materialized-index probes reproduce the fused ANN answers exactly") {
     // build/probe split must be invisible in the results: the probe keys
     // read codebooks + codes + inverted lists written by ivfPqIndexBuild

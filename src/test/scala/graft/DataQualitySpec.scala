@@ -15,6 +15,23 @@ class DataQualitySpec extends SparkSpecBase {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  test("weighted median follows the token mass, not the document count") {
+    // source A: two tiny docs plus one 10-token doc at length 100 — the
+    // token-weighted median lands on 100 even though the doc-median is 2
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "w", "en", "A", 1L),
+      Row(2L, "w w", "en", "A", 2L),
+      Row(3L, "w w w w w w w w w w", "en", "A", 100L),
+      // source B: symmetric weights, exact half reached at the lower of
+      // the two middle values
+      Row(4L, "w w", "en", "B", 10L),
+      Row(5L, "w w", "en", "B", 20L)).asJava, docSchema)
+    val got = DataQuality.weightedMedianLength(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") == ((100L, 13L, 3L)))
+    assert(got("B") == ((10L, 4L, 2L)))
+  }
+
   test("quality assertions count injected violations exactly") {
     // fixture is clean: every rule must report zero
     val clean = DataQuality.qualityAssertions(docs).collect()
