@@ -868,6 +868,76 @@ object Curation {
       .na.fill(0L)
   }
 
+  /** Exact integer floor square root: IEEE `sqrt` is correctly rounded, so
+    * after `floor` the result is off by at most one — two exact integer
+    * comparisons repair it. Written as SQL text so both DECIMAL and BIGINT
+    * operands flow through, and so the oracle can state the identical
+    * expression.
+    */
+  private def isqrtSql(x: String, s: String): String =
+    s"CASE WHEN ($s + 1) * ($s + 1) <= $x THEN $s + 1 " +
+      s"WHEN $s * $s > $x THEN $s - 1 ELSE $s END"
+
+  /** Deterministic unigram^(3/4) negative sampling (Mikolov et al. 2013,
+    * word2vec's smoothed-unigram noise distribution; the same draw shape
+    * feeds contrastive-learning negatives). Every (doc, slot) pair draws a
+    * token with probability ∝ count^(3/4) — heavy smoothing toward the
+    * tail, the published exponent — with NO randomness: the draw coin is
+    * an md5 of (doc_id, slot), so the sample is reproducible across
+    * engines, partitionings and reruns (the property the priority/DSIR
+    * samplers here already hold). count^(3/4) = isqrt(isqrt(count³)) is
+    * computed in EXACT integer arithmetic (DECIMAL cube, float-sqrt with
+    * integer ±1 repair), so the masses hash-match any replay.
+    *
+    * The inverse-CDF table is laid out distributed: tokens bucket by an
+    * md5 hash, per-bucket mass sums cumulate across the |buckets|-row
+    * relation (broadcast), and within-bucket running sums window PER
+    * BUCKET — the same distributed-prefix-scan shape as the lateness
+    * profile, no vocabulary-sized single partition anywhere. The draw
+    * itself is [[graft.engine.Ops.rangeJoinBinned]] (coin value into its
+    * covering [lo, hi) interval), so lookup cost is candidates-per-bin,
+    * not |vocab|. One driver scalar (the total mass, a count-class value)
+    * sizes the bins.
+    */
+  def negativeSamples(docs: DataFrame, kNeg: Int = 3, nBuckets: Int = 64)
+      : DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+    val mass = counts
+      .withColumn("c3", expr("CAST(c AS DECIMAL(38,0)) * c * c"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(c3 AS DOUBLE))) AS DECIMAL(38,0))"))
+      .withColumn("r", expr(isqrtSql("c3", "s0")))
+      .withColumn("t0", expr("CAST(floor(sqrt(CAST(r AS DOUBLE))) AS BIGINT)"))
+      .withColumn("m", expr(isqrtSql("r", "t0")).cast("long"))
+      .withColumn("bkt",
+        expr(s"CAST(conv(substring(md5(tk), 1, 8), 16, 10) AS BIGINT) % $nBuckets"))
+      .select(col("tk"), col("m"), col("bkt"))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = mass.groupBy(col("bkt")).agg(sum(col("m")).as("bsum"))
+      .withColumn("poff", coalesce(sum(col("bsum")).over(wB), lit(0L)))
+      .select(col("bkt"), col("poff"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("tk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = mass.join(broadcast(prefix), Seq("bkt"))
+      .withColumn("hi", col("poff") + sum(col("m")).over(wIn))
+      .withColumn("lo", col("hi") - col("m"))
+      .select(col("tk"), col("lo"), col("hi"))
+    // one count-class driver scalar sizes the bins and bounds the coin
+    val mTotal = mass.agg(sum(col("m"))).head.getLong(0)
+    val draws = docs.select(col("doc_id"))
+      .withColumn("j", explode(sequence(lit(0), lit(kNeg - 1))))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+          s"CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % CAST($mTotal AS BIGINT)"))
+    graft.engine.Ops.rangeJoinBinned(
+      draws, "u", iv.withColumn("hi_incl", col("hi") - 1), "lo", "hi_incl",
+      binWidth = math.max(mTotal / 1024L, 1L))
+      .select(col("doc_id"), col("j").cast("int").as("j"),
+        col("tk").as("neg_token"))
+  }
+
   /** Corpus snapshot DIFF by content fingerprint — the change report a
     * pipeline runs between two versions of a corpus (monthly crawl
     * refresh, upstream re-delivery, post-curation re-cut): which documents

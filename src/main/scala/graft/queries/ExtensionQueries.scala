@@ -716,6 +716,11 @@ object ExtensionQueries {
     // skip-gram co-occurrence counts (word2vec data prep): (center,
     // context) pairs within a ±2 window, top-25 — one explode pass
     // shuffling on the pair, no self-join
+    // word2vec-style negative sampling: per (doc, slot) one token drawn
+    // ∝ count^(3/4) via a deterministic md5 coin and a distributed
+    // inverse-CDF interval join — the noise-contrastive data prep step
+    "negative_samples_unigram" -> ((s, dir) =>
+      Curation.negativeSamples(t(s, dir, "documents"))),
     "cooccurrence_topk" -> ((s, dir) =>
       t(s, dir, "documents")
         .repartition(col("doc_id"))
@@ -2338,6 +2343,30 @@ object ExtensionQueries {
     // REWRITE: 1-based token i is cut iff a >=3-run's cover [s, s+run+3]
     // contains it; the kept-token md5 checks the whole rewritten stream
     // (array_to_string of an empty list is NULL in DuckDB, hence coalesce)
+    // mass = isqrt(isqrt(count³)) exactly (float sqrt + integer ±1 repair,
+    // stated verbatim from the engine); the cumulative layout orders by
+    // (md5 bucket, token) — the same total order the distributed prefix
+    // scan produces; the coin is md5(doc_id:slot) mod total mass
+    "negative_samples_unigram" ->
+      ("WITH c AS (SELECT tk, count(*) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tk FROM documents) u GROUP BY 1), " +
+        "m0 AS (SELECT tk, CAST(c AS HUGEINT) * c * c AS c3 FROM c), " +
+        "r0 AS (SELECT tk, c3, CAST(floor(sqrt(CAST(c3 AS DOUBLE))) AS HUGEINT) AS s0 FROM m0), " +
+        "r1 AS (SELECT tk, CASE WHEN (s0 + 1) * (s0 + 1) <= c3 THEN s0 + 1 " +
+        "WHEN s0 * s0 > c3 THEN s0 - 1 ELSE s0 END AS r FROM r0), " +
+        "t0 AS (SELECT tk, r, CAST(floor(sqrt(CAST(r AS DOUBLE))) AS BIGINT) AS t0 FROM r1), " +
+        "m AS (SELECT tk, CAST(CASE WHEN (t0 + 1) * (t0 + 1) <= r THEN t0 + 1 " +
+        "WHEN t0 * t0 > r THEN t0 - 1 ELSE t0 END AS BIGINT) AS mm, " +
+        "('0x' || substr(md5(tk), 1, 8))::BIGINT % 64 AS bkt FROM t0), " +
+        "iv AS (SELECT tk, " +
+        "sum(mm) OVER (ORDER BY bkt, tk ROWS UNBOUNDED PRECEDING) - mm AS lo, " +
+        "sum(mm) OVER (ORDER BY bkt, tk ROWS UNBOUNDED PRECEDING) AS hi FROM m), " +
+        "tot AS (SELECT sum(mm) AS mt FROM m), " +
+        "d AS (SELECT doc_id, unnest(generate_series(0, 2)) AS j FROM documents), " +
+        "u AS (SELECT doc_id, j, " +
+        "('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT % mt AS u FROM d, tot) " +
+        "SELECT u.doc_id, CAST(u.j AS INT) AS j, iv.tk AS neg_token " +
+        "FROM u JOIN iv ON u.u >= iv.lo AND u.u < iv.hi"),
     "dedup_span_apply" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "pw AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p " +

@@ -91,6 +91,33 @@ class CurationSpec extends SparkSpecBase {
       200L -> 1L, 201L -> 1L, 202L -> 1L))
   }
 
+  test("negativeSamples: one draw per slot, mass-weighted, bit-reproducible") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // 200 docs: every doc repeats 'hot' 5 times, every 20th doc adds one
+    // 'rare' -> count(hot) = 1000, count(rare) = 10; mass ratio
+    // floor(1000^.75)/floor(10^.75) = 177/5 — hot must dominate the draws
+    val rows = (0L until 200L).map { i =>
+      val extra = if (i % 20 == 0) " rare" else ""
+      Row(i, "hot hot hot hot hot" + extra)
+    }
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val out = Curation.negativeSamples(d, kNeg = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+    // exactly one negative per (doc, slot)
+    assert(out.length == 600 && out.map(_._1).distinct.length == 600)
+    val freq = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(freq.keySet.subsetOf(Set("hot", "rare")))
+    assert(freq("hot") > freq.getOrElse("rare", 0) * 5, freq.toString)
+    // deterministic: a second run is bit-identical
+    assert(Curation.negativeSamples(d, kNeg = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toSeq.sorted ==
+      out.toSeq.sorted)
+  }
+
   test("kCorePeel: clique survives, chain periphery peels, rounds are fixed work") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
