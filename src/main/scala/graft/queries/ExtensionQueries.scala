@@ -58,6 +58,20 @@ object ExtensionQueries {
       m
     })
 
+  // the CC clustering over the match graph likewise feeds two keys
+  // (clusters + golden record); pin it once per (dir, session) so the
+  // iterative component rounds run once, not per key
+  private val entityClusterCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def entityClusters(s: SparkSession, dir: String): DataFrame =
+    entityClusterCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
+      val c = EntityResolution.entityClustersFromMatches(
+        entityMatches(s, dir), "c_custkey").persist()
+      c.count()
+      c
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exactGroups(t(s, dir, "documents"))),
@@ -246,16 +260,13 @@ object ExtensionQueries {
     "entity_match_customers" -> ((s, dir) => entityMatches(s, dir)),
     // transitive closure of the match graph: one entity id per linked group
     // (reads the pinned match relation — only the CC rounds are new work)
-    "entity_match_clusters" -> ((s, dir) =>
-      EntityResolution.entityClustersFromMatches(
-        entityMatches(s, dir), "c_custkey")),
+    "entity_match_clusters" -> ((s, dir) => entityClusters(s, dir)),
     // golden-record survivorship (the MDM step after block→match→
     // cluster): one canonical row per resolved entity — singleton
     // customers are their own entity; survivor = lowest id, attributes
     // merged with exact aggregates (max/first, no float accumulation)
     "entity_golden_record" -> ((s, dir) => {
-      val clusters = EntityResolution.entityClustersFromMatches(
-        entityMatches(s, dir), "c_custkey")
+      val clusters = entityClusters(s, dir)
       t(s, dir, "customer")
         .join(clusters, Seq("c_custkey"), "left")
         .withColumn("entity_id", coalesce(col("entity_id"), col("c_custkey")))
