@@ -96,6 +96,30 @@ object DataQuality {
           .cast("int").as("drift_down"))
   }
 
+  /** Numeric-distribution drift between two corpus versions (the PSI /
+    * KS-monitor shape, kept integer-exact): event values bin at 0.1 width
+    * (the same bins as the quantile sketch), the even/odd event-id halves
+    * stand in for old/new versions, and each bin reports both counts plus
+    * its share of each version in exact basis points and the absolute
+    * share delta — the table a drift monitor thresholds (classic PSI then
+    * multiplies by a log-ratio; the bp deltas carry the same signal
+    * without a float transcendental in the hash). One bin-keyed aggregate
+    * + a one-row broadcast total; same shape as [[vocabDrift]].
+    */
+  def valueDriftBins(events: DataFrame): DataFrame = {
+    val b = events.select((col("event_id") % 2 === 0).as("even"),
+      expr("CAST(floor(value * 10) AS BIGINT)").as("bin"))
+    val counts = b.groupBy(col("bin"))
+      .agg(sum(when(col("even"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("even"), 0L).otherwise(1L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("(n_a * 10000) div t_a").as("share_a_bp"),
+        expr("(n_b * 10000) div t_b").as("share_b_bp"))
+      .withColumn("delta_bp", abs(col("share_a_bp") - col("share_b_bp")))
+  }
+
   /** Robust per-source length statistics: exact median and MAD (median
     * absolute deviation) of `n_chars`, plus the count of robust outliers
     * (`|x - median| > k * MAD`) — the outlier monitor that, unlike

@@ -683,6 +683,19 @@ object ExtensionQueries {
     // document looks like): group-windowed cumulative weights, no global sort
     "source_weighted_median" -> ((s, dir) =>
       DataQuality.weightedMedianLength(t(s, dir, "documents"))),
+    // PSI-shaped numeric drift: per 0.1-wide value bin, old/new counts and
+    // exact basis-point shares + delta (even/odd event ids as versions)
+    "value_drift_bins" -> ((s, dir) =>
+      DataQuality.valueDriftBins(t(s, dir, "events"))),
+    // GDPR delete cascade: rows per table that must go when customers
+    // c_custkey % 10 = 7 are erased (child-ward FK closure counts)
+    "delete_cascade_counts" -> ((s, dir) =>
+      graft.engine.Compliance.deleteCascadeCounts(
+        n => t(s, dir, n), "customer", col("c_custkey") % 10 === 7,
+        Map("orders" -> Seq("o_orderkey"),
+          "lineitem" -> Seq("l_orderkey", "l_linenumber")),
+        Seq(("orders", "o_custkey", "customer", "c_custkey"),
+          ("lineitem", "l_orderkey", "orders", "o_orderkey")))),
     // corpus-level vocabulary-shape monitor: token total, vocab size,
     // hapax count (df=1), top-term share — the Zipf-fit health numbers a
     // broken tokenizer or a template-flooded crawl shifts immediately.
@@ -2117,6 +2130,29 @@ object ExtensionQueries {
         "CAST(any_value(t.n_docs) AS BIGINT) AS n_docs " +
         "FROM cum c JOIN tot t ON c.source = t.source " +
         "WHERE c.cw * 2 >= t.total_weight GROUP BY c.source"),
+    "value_drift_bins" ->
+      ("WITH b AS (SELECT event_id % 2 = 0 AS even, " +
+        "CAST(floor(value * 10) AS BIGINT) AS bin FROM events), " +
+        "c AS (SELECT bin, sum(CASE WHEN even THEN 1 ELSE 0 END) AS n_a, " +
+        "sum(CASE WHEN even THEN 0 ELSE 1 END) AS n_b FROM b GROUP BY 1), " +
+        "t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM c) " +
+        "SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        "CAST((n_a * 10000) // t_a AS BIGINT) AS share_a_bp, " +
+        "CAST((n_b * 10000) // t_b AS BIGINT) AS share_b_bp, " +
+        "CAST(abs((n_a * 10000) // t_a - (n_b * 10000) // t_b) AS BIGINT) " +
+        "AS delta_bp FROM c, t"),
+    // child-ward closure stated directly: orders of deleted customers,
+    // line items of deleted orders
+    "delete_cascade_counts" ->
+      ("WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 7), " +
+        "do_ AS (SELECT o_orderkey FROM orders " +
+        "WHERE o_custkey IN (SELECT c_custkey FROM dc)), " +
+        "dl AS (SELECT count(*) AS n FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM do_)) " +
+        "SELECT 'customer' AS table_name, " +
+        "(SELECT count(*) FROM dc) AS n_rows_deleted " +
+        "UNION ALL SELECT 'orders', (SELECT count(*) FROM do_) " +
+        "UNION ALL SELECT 'lineitem', (SELECT n FROM dl)"),
     "value_quantile_sketch" ->
       ("WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin, " +
         "count(*) AS c FROM events GROUP BY 1), " +

@@ -15,6 +15,22 @@ class DataQualitySpec extends SparkSpecBase {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  test("value drift bins: shares and deltas match a hand-built split") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    // even ids: 3 rows at 1.0 + 1 at 2.0; odd ids: 4 rows all at 2.0
+    val e = spark.createDataFrame(Seq(
+      Row(0L, 1.0), Row(2L, 1.0), Row(4L, 1.0), Row(6L, 2.0),
+      Row(1L, 2.0), Row(3L, 2.0), Row(5L, 2.0), Row(7L, 2.0)).asJava, schema)
+    val got = graft.analytics.DataQuality.valueDriftBins(e).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      10L -> ((3L, 0L, 7500L, 0L, 7500L)),
+      20L -> ((1L, 4L, 2500L, 10000L, 7500L))))
+  }
+
   test("weighted median follows the token mass, not the document count") {
     // source A: two tiny docs plus one 10-token doc at length 100 — the
     // token-weighted median lands on 100 even though the doc-median is 2
