@@ -165,4 +165,50 @@ object Sketches {
       .select(col("q_pct"), col("rk"), col("bin"),
         (col("bin").cast("double") / lit(binsPerUnit.toDouble)).as("est"))
   }
+
+  /** CMS sketch-error evaluation — the overcount audit that tells you
+    * whether a (d, w) configuration is adequate for a corpus BEFORE
+    * trusting [[heavyHittersCms]]'s prefilter: for the exact top-k
+    * bigrams, the sketch estimate `min_i counter[i][h_i(gram)]` next to
+    * the exact count and the overcount (≥ 0 always — CMS never
+    * undercounts; expected ≤ 2·total/w per the paper's bound). This eval
+    * variant hashes with md5 (engine-portable) instead of the production
+    * path's xxhash64, so a SQL replay reproduces every counter
+    * bit-for-bit and the key is oracle-checked end to end.
+    *
+    * Shape: one gram scan builds the d×w counter matrix (map-side
+    * combine, parameter-sized shuffle), one exact groupBy ranks the true
+    * top-k (TakeOrdered, k-bounded), and the estimate lookup joins the
+    * d·k (row, col) probes against the counter relation — both sides
+    * tiny. Nothing corpus-sized shuffles except the exact count build the
+    * eval needs as ground truth anyway.
+    */
+  def cmsErrorEval(
+      docs: DataFrame, d: Int = 4, w: Int = 1024, topK: Int = 20)
+      : DataFrame = {
+    val grams = docs
+      .select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(wordShingles(col("w"), 2)).as("gram"))
+    // (row, col) pairs of one gram across the d hash rows, as a SQL
+    // fragment shared by the counter build and the probe side
+    val rcExpr =
+      s"transform(sequence(0, ${d - 1}), i -> struct(i AS row, " +
+        "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', gram)), " +
+        s"1, 8), 16, 10) AS BIGINT) % $w AS col))"
+    val counters = grams
+      .select(explode(expr(rcExpr)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("c"))
+    val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("gram")).limit(topK)
+    val probes = top
+      .select(col("gram"), col("n_exact"), explode(expr(rcExpr)).as("rc"))
+      .select(col("gram"), col("n_exact"),
+        col("rc.row").as("row"), col("rc.col").as("col"))
+    probes.join(counters, Seq("row", "col"))
+      .groupBy(col("gram"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+  }
 }

@@ -464,6 +464,15 @@ object ExtensionQueries {
     "text_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         langIdHeuristic(col("text")).as("lang_pred"))),
+    // classifier eval against the labeled lang column: the confusion
+    // matrix (|langs|×2 rows) a lang-id deployment reports — one
+    // two-column groupBy over the map-side prediction
+    "langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang").as("lang_actual"),
+          langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy(col("lang_actual"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
     // Gopher/C4-style repetition signals, as exact integer counts (the
     // ratios a filter would threshold are count/count — emitting counts
     // keeps the oracle hash integer-stable): top-token multiplicity and
@@ -941,6 +950,42 @@ object ExtensionQueries {
     "join_skew_report" -> ((s, dir) =>
       DataQuality.joinSkewReport(
         t(s, dir, "events"), t(s, dir, "orders"), "user_id", "o_custkey")),
+    // classic RFM segmentation: per customer recency/frequency/monetary
+    // with quartile scores (1-4; recency inverted — recent is better) and
+    // the concatenated segment label. Monetary quantizes to exact cents
+    // and all three thresholds are integer percentiles at binary-exact
+    // fractions, so every score hashes across engines. One orders
+    // aggregate + two one-row broadcasts.
+    "customer_rfm_segments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val m = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("f"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+            .as("m_cents"))
+      val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+      val base = m.crossJoin(broadcast(maxd))
+        .withColumn("r_days",
+          datediff(col("maxd"), col("last_order")).cast("long"))
+        .drop("last_order", "maxd")
+      val th = base.agg(
+        expr("percentile(r_days, array(0.25, 0.5, 0.75))").as("tr"),
+        expr("percentile(f, array(0.25, 0.5, 0.75))").as("tf"),
+        expr("percentile(m_cents, array(0.25, 0.5, 0.75))").as("tm"))
+      def score(v: String, thCol: String, invert: Boolean) = {
+        def cmp(i: Int) =
+          (if (invert) col(v) <= element_at(col(thCol), i)
+           else col(v) >= element_at(col(thCol), i)).cast("int")
+        (lit(1) + cmp(1) + cmp(2) + cmp(3)).cast("int")
+      }
+      base.crossJoin(broadcast(th))
+        .select(col("custkey"), col("r_days"), col("f"), col("m_cents"),
+          score("r_days", "tr", invert = true).as("score_r"),
+          score("f", "tf", invert = false).as("score_f"),
+          score("m_cents", "tm", invert = false).as("score_m"))
+        .withColumn("segment", concat(col("score_r").cast("string"),
+          col("score_f").cast("string"), col("score_m").cast("string")))
+    }),
     // the mitigation joinSkewReport recommends, as an operator: fact side
     // salted by a deterministic full-row hash, dim side replicated saltN
     // ways, so one hot join key spreads over saltN reducer partitions; the
@@ -1122,6 +1167,11 @@ object ExtensionQueries {
     // exact groupBy only ever sees occurrences the sketch says can qualify
     "heavy_hitters_cms" -> ((s, dir) =>
       Sketches.heavyHittersCms(t(s, dir, "documents"))),
+    // sketch-adequacy audit: per exact top-20 bigram, the CMS estimate
+    // (md5-hashed eval variant, SQL-replayable) vs the exact count and
+    // the overcount — CMS never undercounts, so overcount >= 0 always
+    "cms_error_eval" -> ((s, dir) =>
+      Sketches.cmsErrorEval(t(s, dir, "documents"))),
     // retention cohorts: users bucketed by first-seen week, distinct-user
     // counts per (cohort, active) week pair — two aggregates and one
     // co-partitioned join on user_id, the classic warehouse rollup
@@ -2840,6 +2890,11 @@ object ExtensionQueries {
       ("SELECT doc_id, CASE WHEN 10 * len(list_filter(string_split(text, ' '), " +
         "x -> x IN ('the', 'a', 'of', 'and'))) >= len(string_split(text, ' ')) " +
         "THEN 'en' ELSE 'unk' END AS lang_pred FROM documents"),
+    "langid_confusion" ->
+      ("SELECT lang AS lang_actual, CASE WHEN 10 * len(list_filter(" +
+        "string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and'))) " +
+        ">= len(string_split(text, ' ')) THEN 'en' ELSE 'unk' END AS lang_pred, " +
+        "count(*) AS n FROM documents GROUP BY 1, 2"),
     "text_repetition" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "uni AS (SELECT doc_id, t, count(*) AS n FROM (SELECT doc_id, unnest(w) AS t FROM toks) u GROUP BY doc_id, t), " +
@@ -3067,6 +3122,34 @@ object ExtensionQueries {
         "CAST(coalesce((est_rows * 10000) // total_est, 0) AS BIGINT) " +
         "AS share_bp FROM k, t " +
         "ORDER BY est_rows DESC, join_key LIMIT 25"),
+    // quartile thresholds are interpolated over INTEGER metrics at
+    // binary-exact fractions (the established percentile/quantile_cont
+    // parity class); date_diff mirrors Spark's datediff(end, start)
+    "customer_rfm_segments" ->
+      ("WITH m AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_order, " +
+        "count(*) AS f, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS m_cents " +
+        "FROM orders GROUP BY 1), " +
+        "mx AS (SELECT max(o_orderdate) AS maxd FROM orders), " +
+        "b AS (SELECT custkey, CAST(date_diff('day', CAST(last_order AS DATE), " +
+        "CAST(maxd AS DATE)) AS BIGINT) AS r_days, f, m_cents FROM m, mx), " +
+        "th AS (SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS tr, " +
+        "quantile_cont(f, [0.25, 0.5, 0.75]) AS tf, " +
+        "quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS tm FROM b), " +
+        "sc AS (SELECT custkey, r_days, CAST(f AS BIGINT) AS f, m_cents, " +
+        "CAST(1 + CASE WHEN r_days <= tr[1] THEN 1 ELSE 0 END + " +
+        "CASE WHEN r_days <= tr[2] THEN 1 ELSE 0 END + " +
+        "CASE WHEN r_days <= tr[3] THEN 1 ELSE 0 END AS INT) AS score_r, " +
+        "CAST(1 + CASE WHEN f >= tf[1] THEN 1 ELSE 0 END + " +
+        "CASE WHEN f >= tf[2] THEN 1 ELSE 0 END + " +
+        "CASE WHEN f >= tf[3] THEN 1 ELSE 0 END AS INT) AS score_f, " +
+        "CAST(1 + CASE WHEN m_cents >= tm[1] THEN 1 ELSE 0 END + " +
+        "CASE WHEN m_cents >= tm[2] THEN 1 ELSE 0 END + " +
+        "CASE WHEN m_cents >= tm[3] THEN 1 ELSE 0 END AS INT) AS score_m " +
+        "FROM b, th) " +
+        "SELECT custkey, r_days, f, m_cents, score_r, score_f, score_m, " +
+        "(score_r::VARCHAR || score_f::VARCHAR || score_m::VARCHAR) AS segment " +
+        "FROM sc"),
     // the salt is internal plumbing; the observable contract is plain-join
     // equality, so the oracle IS the plain join
     "join_skew_salted" ->
@@ -3190,6 +3273,26 @@ object ExtensionQueries {
         "tot AS (SELECT count(*) AS total FROM bi) " +
         "SELECT gram, count(*) AS n FROM bi GROUP BY 1 " +
         "HAVING count(*) * 2000 >= (SELECT total FROM tot)"),
+    // full SQL replay of the md5-variant sketch: the same d×w counter
+    // build, the same probe mins
+    "cms_error_eval" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "bi AS (SELECT w[i] || ' ' || w[i+1] AS gram FROM toks, " +
+        "unnest(generate_series(1, len(w) - 1)) AS t(i)), " +
+        "rc AS (SELECT gram, i AS row, " +
+        "('0x' || substr(md5(i || ':' || gram), 1, 8))::BIGINT % 1024 AS col " +
+        "FROM bi, unnest(generate_series(0, 3)) AS r(i)), " +
+        "counters AS (SELECT row, col, count(*) AS c FROM rc GROUP BY 1, 2), " +
+        "top AS (SELECT gram, count(*) AS n_exact FROM bi GROUP BY 1 " +
+        "ORDER BY n_exact DESC, gram LIMIT 20), " +
+        "probes AS (SELECT gram, n_exact, i AS row, " +
+        "('0x' || substr(md5(i || ':' || gram), 1, 8))::BIGINT % 1024 AS col " +
+        "FROM top, unnest(generate_series(0, 3)) AS r(i)) " +
+        "SELECT p.gram, CAST(p.n_exact AS BIGINT) AS n_exact, " +
+        "CAST(min(c.c) AS BIGINT) AS n_est, " +
+        "CAST(min(c.c) - p.n_exact AS BIGINT) AS overcount " +
+        "FROM probes p JOIN counters c ON p.row = c.row AND p.col = c.col " +
+        "GROUP BY p.gram, p.n_exact"),
     "events_ohlc" ->
       ("SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type, " +
         "first(value ORDER BY ts, event_id) AS open, " +

@@ -58,6 +58,24 @@ class SketchesSpec extends SparkSpecBase {
     assert(fast.count() == slow.count())
   }
 
+  test("cmsErrorEval: estimates never undercount; a wide sketch is exact") {
+    // wide sketch: effectively collision-free on this vocabulary, so the
+    // md5-variant estimate equals the exact count for every top gram
+    val wide = Sketches.cmsErrorEval(skewed, d = 4, w = 1 << 20, topK = 10)
+      .collect()
+    assert(wide.length == 10)
+    assert(wide.forall(_.getAs[Long]("overcount") == 0L), wide.mkString(","))
+    // narrow sketch: collisions force overcounts, but NEVER undercounts,
+    // and the exact counts are the same ground truth
+    val narrow = Sketches.cmsErrorEval(skewed, d = 2, w = 16, topK = 10)
+      .collect()
+    assert(narrow.forall(_.getAs[Long]("overcount") >= 0L))
+    assert(narrow.exists(_.getAs[Long]("overcount") > 0L))
+    val wexact = wide.map(r => r.getString(0) -> r.getAs[Long]("n_exact")).toMap
+    val nexact = narrow.map(r => r.getString(0) -> r.getAs[Long]("n_exact")).toMap
+    assert(wexact == nexact)
+  }
+
   test("histogram quantiles: exact rank edges, merge-by-union invariance") {
     val ten = (0 until 10).map(i => i / 10.0 + 0.05).toDF("value")
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
