@@ -59,6 +59,41 @@ object EventsAnalytics {
       lag(col("event_id"), 1).over(w).as("prev_event"))
   }
 
+  /** Capped sessionization — the production telemetry variant of
+    * [[sessions]]: a session ends at a `gapNs` inactivity gap OR when it
+    * reaches `capNs` total duration (real sessionizers cap runaway
+    * sessions from bots and dangling clients). Gap sessions are the
+    * gaps-and-islands window (boundary flag via lag, running sum per
+    * user); the cap then slices each island at FIXED offsets from its
+    * start (`(ts − island_start) div capNs`) — closed-form, so the whole
+    * operator is two user-keyed window passes + one aggregate, identical
+    * in SQL, with no sequential per-user fold. Ties order by (ts,
+    * event_id) for cross-engine determinism.
+    */
+  def sessionsCapped(
+      events0: DataFrame,
+      gapNs: Long = 1800000000000L,   // 30 min
+      capNs: Long = 7200000000000L    // 2 h
+  ): DataFrame = {
+    val events = norm(events0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isl = events
+      .withColumn("new_island",
+        (coalesce(col("ts") - lag(col("ts"), 1).over(w), lit(gapNs + 1)) >
+          lit(gapNs)).cast("long"))
+      .withColumn("island", sum(col("new_island")).over(wCum))
+    val withStart = isl.withColumn("island_start",
+      min(col("ts")).over(Window.partitionBy(col("user_id"), col("island"))))
+    withStart
+      .withColumn("slice",
+        expr(s"(ts - island_start) div ${capNs}"))
+      .groupBy(col("user_id"), col("island"), col("slice"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(min(ts) AS BIGINT) div 1000").as("session_start_us"),
+        decSum("value").as("total"))
+  }
+
   /** JSON property extraction from the `props` string column. */
   def jsonProps(events: DataFrame): DataFrame =
     events.select(col("event_id"),

@@ -1020,6 +1020,11 @@ object ExtensionQueries {
     "events_tumbling" -> ((s, dir) => EventsAnalytics.tumbling(t(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventsAnalytics.sliding(t(s, dir, "events"))),
     "events_session" -> ((s, dir) => EventsAnalytics.sessions(t(s, dir, "events"))),
+    // production sessionizer: 30-min inactivity gap AND a 2-h duration cap
+    // (fixed-offset slicing within each gap island — closed form, two
+    // user-keyed windows, no sequential fold)
+    "events_session_capped" -> ((s, dir) =>
+      EventsAnalytics.sessionsCapped(t(s, dir, "events"))),
     "events_rank_lag" -> ((s, dir) => EventsAnalytics.rankLag(t(s, dir, "events"))),
     // dyadic-weight EWMA over the last 16 observations per user: pure
     // BIGINT weighted sum + one IEEE divide — hash-exact smoothing
@@ -2959,6 +2964,22 @@ object ExtensionQueries {
         "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, " +
         "count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM s GROUP BY user_id, sid"),
+    // epoch-ns island windows + fixed-offset cap slicing, tie-broken on
+    // (ts, event_id) like the engine
+    "events_session_capped" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts, value FROM events), " +
+        "l AS (SELECT user_id, event_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000 " +
+        "THEN 1 ELSE 0 END AS ni FROM e), " +
+        "i AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS island FROM l), " +
+        "st AS (SELECT *, min(ts) OVER (PARTITION BY user_id, island) AS island_start FROM i) " +
+        "SELECT user_id, CAST(island AS BIGINT) AS island, " +
+        "CAST((ts - island_start) // 7200000000000 AS BIGINT) AS slice, " +
+        "count(*) AS n_events, CAST(min(ts) // 1000 AS BIGINT) AS session_start_us, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM st GROUP BY 1, 2, 3"),
     "events_rank_lag" ->
       ("SELECT event_id, user_id, CAST(row_number() OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn, " +

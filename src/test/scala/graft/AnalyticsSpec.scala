@@ -526,6 +526,29 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(span.filter(col("n") =!= col("expect")).count() == 0)
   }
 
+  test("capped sessions: 2h slices split a long island, gaps still split first") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", LongType), StructField("value", DoubleType)))
+    val min = 60000000000L // 1 min in ns
+    // user 1: one 5h island (20-min cadence, never a 30-min gap) -> the
+    // cap slices it at fixed 2h offsets into 6+6+4 events; user 2: a
+    // 40-min gap -> two islands, neither near the cap
+    val u1 = (0 to 15).map(i =>
+      Row(100L + i, 1L, i * 20 * min, 1.0))
+    val u2 = Seq(Row(200L, 2L, 0L, 1.0), Row(201L, 2L, 40 * min, 1.0))
+    val d = spark.createDataFrame((u1 ++ u2).asJava, schema)
+    val got = EventsAnalytics.sessionsCapped(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == Map(
+      (1L, 1L, 0L) -> 6L, (1L, 1L, 1L) -> 6L, (1L, 1L, 2L) -> 4L,
+      (2L, 1L, 0L) -> 1L, (2L, 2L, 0L) -> 1L))
+  }
+
   test("skyline equals the naive dominance anti-join; duplicates survive") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
