@@ -950,6 +950,46 @@ object ExtensionQueries {
     "join_skew_report" -> ((s, dir) =>
       DataQuality.joinSkewReport(
         t(s, dir, "events"), t(s, dir, "orders"), "user_id", "o_custkey")),
+    // market-basket pair mining: parts bought together in one order, top
+    // 25 by support with integer-basis-point lift (the co-purchase signal
+    // behind "frequently bought together"). Baskets self-join on the
+    // order key (fan-out bounded by basket size squared), counts shuffle
+    // on the pair, the part-frequency side broadcasts.
+    "basket_pairs_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.toDF("ok", "part_a").join(li.toDF("ok", "part_b"), "ok")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+      val freq = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
+      val nOrders = li.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(broadcast(freq.toDF("part_a", "n_a")), "part_a")
+        .join(broadcast(freq.toDF("part_b", "n_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          expr("(n_ab * n_orders * 10000) div (n_a * n_b)").as("lift_bp"))
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+        .limit(25)
+    }),
+    // fulfillment-latency profile per supplier: ship date minus order
+    // date in integer days, exact median/p75/max — lineitem and orders
+    // co-partition on the order key, stats group on the supplier
+    "supplier_lead_time" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("d"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(d, 0.5)").as("med_days"),
+          expr("percentile(d, 0.75)").as("p75_days"),
+          max(col("d")).as("max_days"))
+    }),
     // classic RFM segmentation: per customer recency/frequency/monetary
     // with quartile scores (1-4; recency inverted — recent is better) and
     // the concatenated segment label. Monetary quantizes to exact cents
@@ -3143,6 +3183,25 @@ object ExtensionQueries {
         "CAST(coalesce((est_rows * 10000) // total_est, 0) AS BIGINT) " +
         "AS share_bp FROM k, t " +
         "ORDER BY est_rows DESC, join_key LIMIT 25"),
+    "basket_pairs_topk" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab " +
+        "FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2), " +
+        "f AS (SELECT pk, count(*) AS n_one FROM li GROUP BY 1), " +
+        "t AS (SELECT count(DISTINCT ok) AS n_orders FROM li) " +
+        "SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab, " +
+        "CAST((n_ab * n_orders * 10000) // (fa.n_one * fb.n_one) AS BIGINT) AS lift_bp " +
+        "FROM p JOIN f fa ON p.part_a = fa.pk JOIN f fb ON p.part_b = fb.pk, t " +
+        "ORDER BY n_ab DESC, part_a, part_b LIMIT 25"),
+    "supplier_lead_time" ->
+      ("SELECT l_suppkey, count(*) AS n, " +
+        "quantile_cont(d, 0.5) AS med_days, " +
+        "quantile_cont(d, 0.75) AS p75_days, " +
+        "CAST(max(d) AS BIGINT) AS max_days FROM " +
+        "(SELECT l_suppkey, CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) AS BIGINT) AS d " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t " +
+        "GROUP BY l_suppkey"),
     // quartile thresholds are interpolated over INTEGER metrics at
     // binary-exact fractions (the established percentile/quantile_cont
     // parity class); date_diff mirrors Spark's datediff(end, start)

@@ -10,6 +10,50 @@ import scala.jdk.CollectionConverters._
   */
 class SegmentationSpec extends SparkSpecBase {
 
+  test("basket pairs: support and lift match hand counts on three baskets") {
+    val liSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    // baskets: {1,2,3}, {1,2}, {2,3} -> pair (1,2) support 2, (2,3) 2,
+    // (1,3) 1; part orders: 1->2, 2->3, 3->2; N=3
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L)).map { case (o, p) => Row(o, p) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    spark.createDataFrame(rows.asJava, liSchema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = ExtensionQueries.queries("basket_pairs_topk")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // lift_bp = n_ab * N * 10000 / (n_a * n_b)
+    assert(got((1L, 2L)) == ((2L, 2L * 3 * 10000 / (2 * 3))))
+    assert(got((2L, 3L)) == ((2L, 2L * 3 * 10000 / (3 * 2))))
+    assert(got((1L, 3L)) == ((1L, 1L * 3 * 10000 / (2 * 2))))
+  }
+
+  test("supplier lead time: integer day diffs and exact percentiles") {
+    val liSchema = StructType(Seq(
+      StructField("l_suppkey", LongType), StructField("l_orderkey", LongType),
+      StructField("l_shipdate", TimestampType)))
+    val oSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderdate", TimestampType)))
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"1996-01-$day%02d 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lead").toString
+    // supplier 1 ships order 1 after 2 and 4 days, order 2 after 10 days
+    spark.createDataFrame(Seq(
+      Row(1L, 1L, ts(3)), Row(1L, 1L, ts(5)), Row(1L, 2L, ts(12))).asJava,
+      liSchema).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    spark.createDataFrame(Seq(Row(1L, ts(1)), Row(2L, ts(2))).asJava,
+      oSchema).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = ExtensionQueries.queries("supplier_lead_time")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 4.0)   // median of [2, 4, 10]
+    assert(r.getDouble(3) == 7.0)   // p75: 4 + 0.5 * (10 - 4)
+    assert(r.getLong(4) == 10L)
+  }
+
   test("RFM quartile scores and segments match a hand-built crossing pattern") {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
