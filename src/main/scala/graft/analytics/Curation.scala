@@ -868,6 +868,60 @@ object Curation {
       .na.fill(0L)
   }
 
+  /** RAKE keyphrase extraction (Rose et al., "Automatic keyword extraction
+    * from individual documents", 2010), integer fixed point: candidate
+    * phrases are maximal stopword-free token runs (gaps-and-islands per
+    * document); each word scores `deg/freq` — degree = the summed length
+    * of every phrase occurrence containing it, frequency = its occurrence
+    * count — kept exact as `(deg · 10000) div freq`; a phrase scores the
+    * sum of its words' scores. Identical phrase text ⇒ identical score,
+    * so the corpus-level ranking groups by phrase. Top `k` by (score,
+    * phrase) — the keyphrase table a labeling/tagging pipeline emits.
+    *
+    * Shape: one posexplode pass + per-doc islands window (doc-bounded),
+    * word stats shuffle on the word, the phrase-word join shuffles on the
+    * word again (co-partitioned), and the final ranking is a k-bounded
+    * TakeOrdered. No float anywhere.
+    */
+  def rakeKeyphrases(
+      docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and"),
+      k: Int = 20): DataFrame = {
+    val stopSet = stopwords.map(s => s"'$s'").mkString(", ")
+    val toks = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tk")))
+      .filter(!col("tk").isin(stopwords: _*) && col("tk") =!= "")
+    val isl = toks.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phrases = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tk")))).as("pw"))
+      .select(col("doc_id"),
+        expr("array_join(transform(pw, x -> x.tk), ' ')").as("phrase"),
+        expr("transform(pw, x -> x.tk)").as("words"),
+        size(col("pw")).cast("long").as("len"))
+    val occ = phrases.select(col("phrase"), col("len"),
+      explode(col("words")).as("w"))
+    val wordStats = occ.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("s_w", expr("(deg * 10000) div freq"))
+    val phraseScores = occ
+      .join(wordStats.select(col("w"), col("s_w")), Seq("w"))
+      .groupBy(col("phrase")).agg(sum(col("s_w")).as("score_sum"),
+        count(lit(1)).as("n_words_total"))
+    // score_sum accumulated over every occurrence of the phrase; per-
+    // occurrence score = score_sum / occurrences — recover the ranking
+    // from counts (all integers): per-occurrence word count = len
+    phrases.groupBy(col("phrase"), col("len"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .join(phraseScores, Seq("phrase"))
+      .select(col("phrase"), col("n_occurrences"),
+        expr("score_sum div n_occurrences").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Exact integer floor square root: IEEE `sqrt` is correctly rounded, so
     * after `floor` the result is off by at most one — two exact integer
     * comparisons repair it. Written as SQL text so both DECIMAL and BIGINT

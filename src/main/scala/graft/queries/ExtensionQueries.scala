@@ -749,6 +749,10 @@ object ExtensionQueries {
     // skip-gram co-occurrence counts (word2vec data prep): (center,
     // context) pairs within a ±2 window, top-25 — one explode pass
     // shuffling on the pair, no self-join
+    // RAKE keyphrase extraction: stopword-free token runs scored by
+    // summed word deg/freq in integer fixed point, corpus top-20
+    "keyphrases_rake_topk" -> ((s, dir) =>
+      Curation.rakeKeyphrases(t(s, dir, "documents"))),
     // word2vec-style negative sampling: per (doc, slot) one token drawn
     // ∝ count^(3/4) via a deterministic md5 coin and a distributed
     // inverse-CDF interval join — the noise-contrastive data prep step
@@ -2485,6 +2489,27 @@ object ExtensionQueries {
     // REWRITE: 1-based token i is cut iff a >=3-run's cover [s, s+run+3]
     // contains it; the kept-token md5 checks the whole rewritten stream
     // (array_to_string of an empty list is NULL in DuckDB, hence coalesce)
+    // same islands/degree/frequency pipeline in SQL; positions are
+    // 1-based here vs 0-based in Spark — islands only use differences
+    "keyphrases_rake_topk" ->
+      ("WITH toks AS (SELECT doc_id, p, tk FROM " +
+        "(SELECT doc_id, unnest([{'p': i, 'tk': w[i]} " +
+        "FOR i IN generate_series(1, len(w))], recursive := true) FROM " +
+        "(SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1 " +
+        "WHERE tk NOT IN ('the', 'a', 'of', 'and') AND tk != ''), " +
+        "isl AS (SELECT doc_id, p, tk, p - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY p) AS grp FROM toks), " +
+        "ph AS (SELECT doc_id, grp, " +
+        "array_to_string(list(tk ORDER BY p), ' ') AS phrase, " +
+        "list(tk ORDER BY p) AS words, count(*) AS len FROM isl GROUP BY 1, 2), " +
+        "occ AS (SELECT phrase, len, unnest(words) AS w FROM ph), " +
+        "ws AS (SELECT w, (sum(len) * 10000) // count(*) AS s_w FROM occ GROUP BY 1), " +
+        "psc AS (SELECT phrase, sum(s_w) AS score_sum FROM occ JOIN ws USING (w) GROUP BY 1), " +
+        "pocc AS (SELECT phrase, count(*) AS n_occurrences FROM ph GROUP BY 1) " +
+        "SELECT p.phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences, " +
+        "CAST(score_sum // n_occurrences AS BIGINT) AS score_fp " +
+        "FROM pocc p JOIN psc USING (phrase) " +
+        "ORDER BY score_fp DESC, phrase LIMIT 20"),
     // mass = isqrt(isqrt(count³)) exactly (float sqrt + integer ±1 repair,
     // stated verbatim from the engine); the cumulative layout orders by
     // (md5 bucket, token) — the same total order the distributed prefix

@@ -91,6 +91,29 @@ class CurationSpec extends SparkSpecBase {
       200L -> 1L, 201L -> 1L, 202L -> 1L))
   }
 
+  test("rakeKeyphrases: stopword runs split, deg/freq scores match hand RAKE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "deep learning of deep models"),
+      Row(2L, "deep learning"),
+      Row(3L, "alpha")).asJava, schema)
+    val got = Curation.rakeKeyphrases(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    // deep: freq 3, deg 6 -> 20000; learning: freq 2, deg 4 -> 20000;
+    // models: 20000; alpha: freq 1, deg 1 -> 10000
+    assert(got.toMap == Map(
+      "deep learning" -> ((2L, 40000L)),
+      "deep models" -> ((1L, 40000L)),
+      "alpha" -> ((1L, 10000L))))
+    // ranking: score desc then phrase asc
+    assert(got.map(_._1).toSeq ==
+      Seq("deep learning", "deep models", "alpha"))
+  }
+
   test("negativeSamples: one draw per slot, mass-weighted, bit-reproducible") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
