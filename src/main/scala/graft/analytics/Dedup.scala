@@ -149,8 +149,12 @@ object Dedup {
     // the just-checkpointed labels instead of an extra shuffle stage.
     // DECIMAL(38,0) keeps the sum exact for any realistic id space
     // (~1e20 × 1e18 before overflow), where a BIGINT sum could wrap.
+    // coalesce to zero so an EMPTY edge set (a batch that merged nothing
+    // new, via connectedComponentsIncremental) converges immediately
+    // instead of NPE-ing on a null sum
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
+      df.agg(expr(
+        "coalesce(sum(CAST(component AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0)))"))
         .head.getDecimal(0)
     var prevSum = labelSum(labels)
     var round = 0
@@ -375,6 +379,50 @@ object Dedup {
         Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** INCREMENTAL connected components — fold a batch of new edges into an
+    * existing labeling without recomputing over the historical graph (the
+    * dedup-clustering maintenance step behind [[minhashIndexAppend]]-style
+    * ingest: the nightly batch brings new candidate pairs; the previous
+    * corpus's components are already labeled). Standard contraction
+    * argument: map every new-edge endpoint to its old component label
+    * (itself if unseen), run CC on that CONTRACTED edge set — sized by the
+    * batch, not the corpus — then relabel the old assignment through the
+    * supernode result. Labels stay canonical (min member id): an old
+    * label IS the min of its old component, so the contracted minimum is
+    * the true merged minimum; a fresh node id can never collide with an
+    * old label because labels are old member ids, which are all mapped.
+    * Output is bit-identical to a full recompute over old ∪ new edges
+    * (the oracle and the property spec both state it that way).
+    *
+    * Cost: two batch-edge-sized equi-joins against the label relation
+    * (co-partitioned on the id), CC over the contracted batch graph, and
+    * one label-relation join for the relabel — the historical EDGE set is
+    * never touched.
+    */
+  def connectedComponentsIncremental(
+      oldLabels: DataFrame,
+      newEdges: DataFrame,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    val la = oldLabels.select(col("doc_id").as("id_a"), col("component").as("ca"))
+    val lb = oldLabels.select(col("doc_id").as("id_b"), col("component").as("cb"))
+    val contracted = newEdges
+      .join(la, Seq("id_a"), "left")
+      .join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val superCC = materialize(connectedComponents(contracted))
+    val relabel = superCC
+      .select(col("doc_id").as("component"), col("component").as("newc"))
+    val oldExpanded = oldLabels.join(relabel, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newc"), col("component")).as("component"))
+    val oldCompIds = oldLabels.select(col("component").as("doc_id")).distinct()
+    val freshNodes = superCC.join(oldCompIds, Seq("doc_id"), "left_anti")
+    oldExpanded.union(freshNodes.select(col("doc_id"), col("component")))
   }
 
   /** k-core membership after a FIXED number of distributed peel rounds —

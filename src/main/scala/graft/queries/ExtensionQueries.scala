@@ -143,6 +143,20 @@ object ExtensionQueries {
       Dedup.connectedComponents(
         Dedup.lshCandidatePairs(t(s, dir, "documents"))
           .select(col("id_a"), col("id_b")))),
+    // INCREMENTAL maintenance of the same clustering: the %10==9 docs play
+    // the arriving batch — their candidate pairs fold into the existing
+    // corpus labels via supernode contraction; output is bit-identical to
+    // the full recompute (the oracle IS the full-closure oracle)
+    "neardup_components_incremental" -> ((s, dir) => {
+      val pairs = Dedup.lshCandidatePairs(t(s, dir, "documents"))
+        .select(col("id_a"), col("id_b"))
+      val oldPairs = pairs.filter(
+        col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)
+      val newPairs = pairs.filter(
+        col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
+      Dedup.connectedComponentsIncremental(
+        Dedup.connectedComponents(oldPairs), newPairs)
+    }),
     // the same clustering via O(log n) large-star/small-star contraction —
     // identical output contract, verified against the same closure oracle
     "neardup_components_star" -> ((s, dir) =>
@@ -2731,6 +2745,10 @@ object ExtensionQueries {
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
         " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
     "neardup_components_star" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
+        " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
+    // incremental == full recompute, so the oracle is the full closure
+    "neardup_components_incremental" ->
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
         " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
     "dedup_cluster_apply" ->

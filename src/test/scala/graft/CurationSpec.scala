@@ -266,6 +266,32 @@ class CurationSpec extends SparkSpecBase {
       "4_exact_dedup" -> ((1L, 20L))))
   }
 
+  test("incremental CC equals full recompute on random edge splits") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 12 + rnd.nextInt(20)
+      val all = (0 until 20 + rnd.nextInt(30))
+        .map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // arbitrary split: ~60% old, rest the arriving batch (splits that
+      // strand batch-only nodes and merge several old components included)
+      val (oldE, newE) = all.partition(_ => rnd.nextBoolean() || rnd.nextBoolean())
+      def df(es: Seq[(Long, Long)]) =
+        spark.createDataFrame(es.map { case (a, b) => Row(a, b) }.asJava, schema)
+      val full = Dedup.connectedComponents(df(all)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inc = Dedup.connectedComponentsIncremental(
+        Dedup.connectedComponents(df(oldE)), df(newE)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"seed=$seed oldE=${oldE.size} newE=${newE.size}")
+    }
+  }
+
   test("fixed-point pagerank matches a driver-side integer replica on random graphs") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
