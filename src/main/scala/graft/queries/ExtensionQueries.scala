@@ -1159,6 +1159,33 @@ object ExtensionQueries {
 
     // forward as-of: each click's NEXT purchase (pandas merge_asof
     // direction="forward") — the same one-shuffle carry plan, reversed
+    // strict ordered funnel view -> click -> purchase with a 1h max gap
+    // per step: two forward as-of joins (first qualifying next event per
+    // step), single-row completion summary — the product-funnel report
+    "events_funnel_strict" -> ((s, dir) => {
+      val gap = 3600000000000L
+      val ev = t(s, dir, "events")
+      def slice(tp: String) = ev.filter(col("event_type") === tp)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = slice("view")
+      val vc = graft.engine.Ops.asofJoin(
+        views, slice("click"), keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", payload = Seq("event_id", "ts"),
+        tieBreak = Seq("event_id"), direction = "forward")
+      val vcOk = vc.filter(col("asof_ts").isNotNull &&
+          col("asof_ts") - col("ts") <= gap)
+        .select(col("user_id"), col("asof_ts").as("cts"))
+      val vcp = graft.engine.Ops.asofJoin(
+        vcOk, slice("purchase"), keys = Seq("user_id"),
+        leftTs = "cts", rightTs = "ts", payload = Seq("event_id", "ts"),
+        tieBreak = Seq("event_id"), direction = "forward")
+      val pOk = vcp.filter(col("asof_ts").isNotNull &&
+        col("asof_ts") - col("cts") <= gap)
+      views.agg(count(lit(1)).as("n_views"))
+        .crossJoin(broadcast(vcOk.agg(count(lit(1)).as("n_clicked"))))
+        .crossJoin(broadcast(pOk.agg(count(lit(1)).as("n_purchased"),
+          countDistinct(col("user_id")).as("n_users_converted"))))
+    }),
     "events_asof_join_forward" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       graft.engine.Ops.asofJoin(
@@ -3427,6 +3454,24 @@ object ExtensionQueries {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    // the same two chained forward ASOF joins, stated natively
+    "events_funnel_strict" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn FROM events), " +
+        "v AS (SELECT user_id, event_id, tsn FROM e WHERE event_type = 'view'), " +
+        "c AS (SELECT user_id, event_id, tsn FROM e WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, event_id, tsn FROM e WHERE event_type = 'purchase'), " +
+        "vc AS (SELECT v.user_id, v.tsn AS vts, c.event_id AS click_id, c.tsn AS cts " +
+        "FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND c.tsn >= v.tsn), " +
+        "vck AS (SELECT * FROM vc WHERE click_id IS NOT NULL " +
+        "AND cts - vts <= 3600000000000), " +
+        "vcp AS (SELECT k.user_id, k.cts, p.event_id AS pid, p.tsn AS pts " +
+        "FROM vck k ASOF LEFT JOIN p ON k.user_id = p.user_id AND p.tsn >= k.cts), " +
+        "pk AS (SELECT * FROM vcp WHERE pid IS NOT NULL " +
+        "AND pts - cts <= 3600000000000) " +
+        "SELECT (SELECT count(*) FROM v) AS n_views, " +
+        "(SELECT count(*) FROM vck) AS n_clicked, " +
+        "(SELECT count(*) FROM pk) AS n_purchased, " +
+        "(SELECT count(DISTINCT user_id) FROM pk) AS n_users_converted"),
     "events_asof_join_forward" ->
       ("SELECT c.event_id, c.user_id, p.event_id AS next_purchase " +
         "FROM (SELECT * FROM events WHERE event_type = 'click') c " +

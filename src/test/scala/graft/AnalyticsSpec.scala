@@ -526,6 +526,33 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(span.filter(col("n") =!= col("expect")).count() == 0)
   }
 
+  test("strict funnel: per-step 1h gap gates each stage") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", LongType)))
+    val min = 60000000000L
+    val rows = Seq(
+      // user 1 completes: click 30m after view, purchase 50m after click
+      Row(1L, 1L, "view", 0L), Row(2L, 1L, "click", 30 * min),
+      Row(3L, 1L, "purchase", 80 * min),
+      // user 2: the first click comes 2h after the view — step 1 fails
+      Row(4L, 2L, "view", 0L), Row(5L, 2L, "click", 120 * min),
+      // user 3: clicks in time, purchase 90m after the click — step 2 fails
+      Row(6L, 3L, "view", 0L), Row(7L, 3L, "click", 10 * min),
+      Row(8L, 3L, "purchase", 100 * min))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.ExtensionQueries
+      .queries("events_funnel_strict")(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 1L, 1L)))
+  }
+
   test("capped sessions: 2h slices split a long island, gaps still split first") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
