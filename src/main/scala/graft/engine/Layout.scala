@@ -44,6 +44,41 @@ object Layout {
     ranged.sortWithinPartitions(col("z"))
   }
 
+  /** Hilbert-curve index of a 2-D point (the xy2d walk of the classic
+    * iterative algorithm): unlike the Z-curve, the Hilbert curve never
+    * long-jumps, so consecutive curve positions are always grid
+    * neighbors — tighter per-file envelopes for the same sort, the reason
+    * warehouse OPTIMIZE implementations offer it next to Z-order. Pure
+    * shift/mask/case expressions. The rotation makes each unrolled level
+    * reference the previous (x, y) ~5 times, so the inlined tree grows
+    * ~5^bits — keep `bits` ≤ 6 (a 4096-cell curve, which is file-level
+    * clustering resolution; finer grids belong to [[zValue]], whose
+    * unrolling is linear). Codegen CSE collapses the duplicates at
+    * runtime; the bound protects ANALYSIS time.
+    */
+  def hilbertValue(xCol: Column, yCol: Column, bits: Int = 6): Column = {
+    require(bits >= 1 && bits <= 6,
+      s"hilbertValue: bits must be in 1..6 (tree grows ~5^bits), got $bits")
+    var x = xCol
+    var y = yCol
+    var d: Column = lit(0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // ry == 1: no rotation; ry == 0: flip when rx == 1, then swap
+      val nx = when(y.bitwiseAND(lit(s)) > 0, x)
+        .otherwise(when(x.bitwiseAND(lit(s)) > 0, lit(s - 1) - y).otherwise(y))
+      val ny = when(y.bitwiseAND(lit(s)) > 0, y)
+        .otherwise(when(x.bitwiseAND(lit(s)) > 0, lit(s - 1) - x).otherwise(x))
+      x = nx
+      y = ny
+      s >>= 1
+    }
+    d
+  }
+
   /** Range-partitioner balance audit — the explicit form of what Spark's
     * `repartitionByRange`/TeraSort does internally: k−1 exact quantile
     * boundaries split the value domain into k ranges of near-equal row

@@ -1394,6 +1394,16 @@ object ExtensionQueries {
           col("user_id").bitwiseAND(lit(65535L)),
           floor(col("value")).cast("long").bitwiseAND(lit(65535L)))
           .as("z"))),
+    // the no-long-jump alternative: Hilbert curve index over the same two
+    // dims (6 bits each — file-level clustering resolution) — consecutive
+    // curve cells are always neighbors, so file envelopes are tighter
+    // than Z-order's for the same sort
+    "hilbert_events" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        graft.engine.Layout.hilbertValue(
+          col("user_id").bitwiseAND(lit(63L)),
+          floor(col("value")).cast("long").bitwiseAND(lit(63L)))
+          .as("h"))),
 
     // range (theta) join: events classified into value bands via a
     // broadcast non-equi join
@@ -3579,6 +3589,23 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, ascii(c) % 16 AS bucket, count(*) AS n FROM " +
         "(SELECT doc_id, unnest([substr(text, i, 1) FOR i IN generate_series(1, length(text))]) AS c " +
         "FROM documents) t GROUP BY 1, 2"),
+    // xy2d unrolled as 8 CTE stages; each stage's (x, y, d) reads the
+    // previous stage's columns — the same parallel assignment the engine's
+    // unrolled expression makes
+    "hilbert_events" ->
+      ("WITH h0 AS (SELECT event_id, user_id & 63 AS x, " +
+        "CAST(floor(value) AS BIGINT) & 63 AS y, CAST(0 AS BIGINT) AS d FROM events), " +
+        Seq(32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex.map {
+          case (s, i) =>
+            s"h${i + 1} AS (SELECT event_id, " +
+              s"CASE WHEN (y & $s) > 0 THEN x ELSE " +
+              s"CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END END AS x, " +
+              s"CASE WHEN (y & $s) > 0 THEN y ELSE " +
+              s"CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END END AS y, " +
+              s"d + ${s * s} * xor(3 * CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END, " +
+              s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d FROM h$i)"
+        }.mkString(", ") +
+        " SELECT event_id, CAST(d AS BIGINT) AS h FROM h6"),
     "zorder_events" ->
       ("SELECT event_id, CAST(list_sum([" +
         "(((user_id & 65535) >> i) & 1) * power(2, 2 * i)::BIGINT + " +

@@ -15,6 +15,36 @@ class LayoutSpec extends SparkSpecBase {
     assert(got == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
   }
 
+  test("hilbert value matches a driver-side xy2d replica; curve never jumps") {
+    import spark.implicits._
+    def ref(x0: Long, y0: Long, bits: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          val (fx, fy) = if (rx == 1) (s - 1 - x, s - 1 - y) else (x, y)
+          x = fy; y = fx
+        }
+        s >>= 1
+      }
+      d
+    }
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), bits = 4).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((x, y) <- pts) assert(got((x, y)) == ref(x, y, 4), s"($x,$y)")
+    // bijection onto 0..255 and unit-step adjacency (the property Z-order
+    // lacks): consecutive curve indices are always grid neighbors
+    val byD = got.toSeq.map { case ((x, y), d) => d -> ((x, y)) }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 256L))
+    for (Seq((_, (x1, y1)), (_, (x2, y2))) <- byD.sliding(2))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+  }
+
   test("range partition balance: uniform domain splits into equal ranges") {
     import spark.implicits._
     val df = (1 to 80).map(_.toDouble).toDF("v")
