@@ -70,29 +70,36 @@ object EventsAnalytics {
     * in SQL, with no sequential per-user fold. Ties order by (ts,
     * event_id) for cross-engine determinism.
     */
-  def sessionsCapped(
+  /** Per-event (island, slice) assignment of [[sessionsCapped]] — exposed
+    * so the streaming face's emissions can be parity-checked row by row.
+    */
+  def sessionAssignments(
       events0: DataFrame,
-      gapNs: Long = 1800000000000L,   // 30 min
-      capNs: Long = 7200000000000L    // 2 h
-  ): DataFrame = {
+      gapNs: Long = 1800000000000L,
+      capNs: Long = 7200000000000L): DataFrame = {
     val events = norm(events0)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val isl = events
+    events
       .withColumn("new_island",
         (coalesce(col("ts") - lag(col("ts"), 1).over(w), lit(gapNs + 1)) >
           lit(gapNs)).cast("long"))
       .withColumn("island", sum(col("new_island")).over(wCum))
-    val withStart = isl.withColumn("island_start",
-      min(col("ts")).over(Window.partitionBy(col("user_id"), col("island"))))
-    withStart
-      .withColumn("slice",
-        expr(s"(ts - island_start) div ${capNs}"))
+      .withColumn("island_start",
+        min(col("ts")).over(Window.partitionBy(col("user_id"), col("island"))))
+      .withColumn("slice", expr(s"(ts - island_start) div ${capNs}"))
+  }
+
+  def sessionsCapped(
+      events0: DataFrame,
+      gapNs: Long = 1800000000000L,   // 30 min
+      capNs: Long = 7200000000000L    // 2 h
+  ): DataFrame =
+    sessionAssignments(events0, gapNs, capNs)
       .groupBy(col("user_id"), col("island"), col("slice"))
       .agg(count(lit(1)).as("n_events"),
         expr("CAST(min(ts) AS BIGINT) div 1000").as("session_start_us"),
         decSum("value").as("total"))
-  }
 
   /** JSON property extraction from the `props` string column. */
   def jsonProps(events: DataFrame): DataFrame =

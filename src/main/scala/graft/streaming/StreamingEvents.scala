@@ -186,6 +186,48 @@ object StreamingEvents {
       .toDF("event_id", "user_id", "ewma_scaled", "ewma")
   }
 
+  /** Streaming face of
+    * [[graft.analytics.EventsAnalytics.sessionsCapped]]: per arriving
+    * event its (island, slice) session assignment — gap islands open on a
+    * `gapNs` silence, the `capNs` duration cap slices at fixed offsets
+    * from the island start. Keyed state is THREE longs per user (island
+    * counter, island start, last ts) regardless of stream length; the
+    * assignments equal the batch window computation row for row (the
+    * parity spec states it as a set equality), and the session aggregate
+    * is a downstream groupBy on the emitted keys. Same in-order per-key
+    * delivery contract as [[streamingEwma]].
+    */
+  def streamingSessionAssign(
+      events: DataFrame,
+      gapNs: Long = 1800000000000L,
+      capNs: Long = 7200000000000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+          var (island, start, last) =
+            state.getOption.getOrElse((0L, Long.MinValue, Long.MinValue))
+          val out = rows.toSeq.sortBy(r => (r._2, r._1)).map { r =>
+            val ts = r._2
+            if (last == Long.MinValue || ts - last > gapNs) {
+              island += 1
+              start = ts
+            }
+            last = ts
+            (r._1, user, island, (ts - start) / capNs)
+          }
+          state.update((island, start, last))
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "island", "slice")
+  }
+
   /** Streaming face of [[graft.analytics.EventsAnalytics.transitions]]:
     * the running first-order Markov transition matrix over per-user event
     * streams. Keyed state is ONE value — the user's last event type —

@@ -172,6 +172,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming capped-session assignments equal the batch windows across micro-batches") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    val events = graft.analytics.EventTime.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val mid = events.agg(expr("percentile(ts, 0.5)")).head.getDouble(0)
+    val dir = Files.createTempDirectory("graft_stream_sess")
+    events.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$dir/a")
+    events.filter(col("ts") > mid).coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingSessionAssign(stream), "stream_sess",
+      outputMode = "append")
+    val streamed = spark.table("stream_sess")
+    val batch = EventsAnalytics.sessionAssignments(events)
+      .select("event_id", "user_id", "island", "slice")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming transition edges aggregate to the batch Markov matrix") {
     import java.nio.file._
     import org.apache.spark.sql.functions._
