@@ -166,6 +166,78 @@ object Sketches {
         (col("bin").cast("double") / lit(binsPerUnit.toDouble)).as("est"))
   }
 
+  /** KMV (k-minimum-values) overlap estimation between per-source token
+    * sets, next to the exact answer — the distinct-sketch SET-OPERATION
+    * story (Beyer et al., "On synopses for distinct-value estimation under
+    * multiset operations", SIGMOD'07): each source keeps only its k
+    * hash-smallest tokens (a KiB sketch per 100 TB source), the union
+    * sketch is the k smallest of the merged sketches, and Jaccard is
+    * estimated as the fraction of union-sketch members present in BOTH
+    * sides' sketches. Hashing is the engine-portable md5 32-bit prefix,
+    * ties break on the token text, and the estimate is integer basis
+    * points — every row replays exactly in SQL.
+    *
+    * Shape: one (source, token)-distinct aggregate, a per-source window
+    * bounded by |sources| partitions, sketch relations are |sources|·k
+    * rows (broadcast everywhere), and only the EXACT ground-truth side —
+    * which an eval key needs anyway — touches the full token relation.
+    */
+  def kmvOverlapEval(docs: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tk"))
+      .distinct()
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(tk), 1, 8), 16, 10) AS BIGINT)"))
+    val sk = toks.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("tk"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"), col("tk"))
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.toDF("source_a")
+      .crossJoin(broadcast(srcs.toDF("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val cand = pairs.join(broadcast(sk.toDF("source_a", "h", "tk")), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("h"), col("tk"))
+      .union(pairs.join(broadcast(sk.toDF("source_b", "h", "tk")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("h"), col("tk")))
+      .distinct()
+    val ranked = cand.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source_a"), col("source_b"))
+          .orderBy(col("h"), col("tk"))))
+      .filter(col("rn") <= k)
+    val inA = sk.select(col("source").as("source_a"), col("h"), col("tk"),
+      lit(1L).as("in_a"))
+    val inB = sk.select(col("source").as("source_b"), col("h"), col("tk"),
+      lit(1L).as("in_b"))
+    val est = ranked
+      .join(broadcast(inA), Seq("source_a", "h", "tk"), "left")
+      .join(broadcast(inB), Seq("source_b", "h", "tk"), "left")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("source_a"), col("source_b"),
+        expr("(n_both * 10000) div k_used").as("est_jaccard_bp"))
+    val sets = docs.select(col("source"), explode(tokens(col("text"))).as("tk"))
+      .distinct()
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = sets.toDF("source_a", "tk")
+      .join(sets.toDF("source_b", "tk"), Seq("tk"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val exact = common
+      .join(broadcast(sizes.toDF("source_a", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.toDF("source_b", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        expr("(n_common * 10000) div (n_a + n_b - n_common)")
+          .as("exact_jaccard_bp"))
+    est.join(exact, Seq("source_a", "source_b"))
+      .withColumn("err_bp",
+        abs(col("est_jaccard_bp") - col("exact_jaccard_bp")))
+  }
+
   /** CMS sketch-error evaluation — the overcount audit that tells you
     * whether a (d, w) configuration is adequate for a corpus BEFORE
     * trusting [[heavyHittersCms]]'s prefilter: for the exact top-k

@@ -1262,6 +1262,10 @@ object ExtensionQueries {
     // the overcount — CMS never undercounts, so overcount >= 0 always
     "cms_error_eval" -> ((s, dir) =>
       Sketches.cmsErrorEval(t(s, dir, "documents"))),
+    // KMV distinct sketches with SET operations: per source pair the
+    // k-min-values Jaccard estimate next to the exact answer (integer bp)
+    "kmv_overlap_eval" -> ((s, dir) =>
+      Sketches.kmvOverlapEval(t(s, dir, "documents"))),
     // retention cohorts: users bucketed by first-seen week, distinct-user
     // counts per (cohort, active) week pair — two aggregates and one
     // co-partitioned join on user_id, the classic warehouse rollup
@@ -3433,6 +3437,39 @@ object ExtensionQueries {
         "tot AS (SELECT count(*) AS total FROM bi) " +
         "SELECT gram, count(*) AS n FROM bi GROUP BY 1 " +
         "HAVING count(*) * 2000 >= (SELECT total FROM tot)"),
+    // the same md5-32bit KMV layout: per-source k-min sketch, union-k
+    // candidates, membership via sketch joins, exact side from the full
+    // distinct token sets
+    "kmv_overlap_eval" ->
+      ("WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tk " +
+        "FROM documents), " +
+        "hh AS (SELECT source, tk, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM st), " +
+        "sk AS (SELECT source, h, tk FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY source ORDER BY h, tk) AS rn FROM hh) z WHERE rn <= 64), " +
+        "srcs AS (SELECT DISTINCT source FROM sk), " +
+        "pr AS (SELECT a.source AS sa, b.source AS sb FROM srcs a, srcs b " +
+        "WHERE a.source < b.source), " +
+        "cand AS (SELECT DISTINCT pr.sa, pr.sb, s.h, s.tk FROM pr JOIN sk s " +
+        "ON s.source = pr.sa OR s.source = pr.sb), " +
+        "rk AS (SELECT sa, sb, h, tk FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY sa, sb ORDER BY h, tk) AS rn FROM cand) z WHERE rn <= 64), " +
+        "e0 AS (SELECT rk.sa, rk.sb, " +
+        "(a.tk IS NOT NULL AND b.tk IS NOT NULL) AS inboth FROM rk " +
+        "LEFT JOIN sk a ON a.source = rk.sa AND a.h = rk.h AND a.tk = rk.tk " +
+        "LEFT JOIN sk b ON b.source = rk.sb AND b.h = rk.h AND b.tk = rk.tk), " +
+        "est AS (SELECT sa, sb, (sum(CASE WHEN inboth THEN 1 ELSE 0 END) * 10000) " +
+        "// count(*) AS est_jaccard_bp FROM e0 GROUP BY 1, 2), " +
+        "sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1), " +
+        "cm AS (SELECT a.source AS sa, b.source AS sb, count(*) AS c FROM st a " +
+        "JOIN st b ON a.tk = b.tk AND a.source < b.source GROUP BY 1, 2), " +
+        "ex AS (SELECT cm.sa, cm.sb, (c * 10000) // (na.n + nb.n - c) " +
+        "AS exact_jaccard_bp FROM cm JOIN sz na ON na.source = cm.sa " +
+        "JOIN sz nb ON nb.source = cm.sb) " +
+        "SELECT est.sa AS source_a, est.sb AS source_b, " +
+        "CAST(est_jaccard_bp AS BIGINT) AS est_jaccard_bp, " +
+        "CAST(exact_jaccard_bp AS BIGINT) AS exact_jaccard_bp, " +
+        "CAST(abs(est_jaccard_bp - exact_jaccard_bp) AS BIGINT) AS err_bp " +
+        "FROM est JOIN ex ON est.sa = ex.sa AND est.sb = ex.sb"),
     // full SQL replay of the md5-variant sketch: the same d×w counter
     // build, the same probe mins
     "cms_error_eval" ->

@@ -58,6 +58,34 @@ class SketchesSpec extends SparkSpecBase {
     assert(fast.count() == slow.count())
   }
 
+  test("kmvOverlapEval: unsaturated sketches are exact, estimates stay in range") {
+    // vocabularies smaller than k: the k-min sketch IS the set, so the
+    // estimate must equal the exact Jaccard for every pair
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "beta gamma epsilon", "s2"),
+      (3L, "zeta eta beta", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = Sketches.kmvOverlapEval(tiny, k = 64).collect()
+    // only overlapping pairs are emitted (inner join with the exact side)
+    assert(got.length == 3)
+    for (r <- got) {
+      assert(r.getAs[Long]("err_bp") == 0L, r.toString)
+      assert(r.getAs[Long]("est_jaccard_bp") ==
+        r.getAs[Long]("exact_jaccard_bp"))
+    }
+    // s1 vs s2 share {beta, gamma} of 5 union tokens -> 4000 bp
+    val s12 = got.find(r => r.getString(0) == "s1" && r.getString(1) == "s2").get
+    assert(s12.getAs[Long]("exact_jaccard_bp") == 4000L)
+    // saturated sketches on the fixture: estimates bounded, all pairs out
+    val fix = Sketches.kmvOverlapEval(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(300), k = 16)
+      .collect()
+    assert(fix.nonEmpty)
+    assert(fix.forall(r => r.getAs[Long]("est_jaccard_bp") >= 0 &&
+      r.getAs[Long]("est_jaccard_bp") <= 10000))
+  }
+
   test("cmsErrorEval: estimates never undercount; a wide sketch is exact") {
     // wide sketch: effectively collision-free on this vocabulary, so the
     // md5-variant estimate equals the exact count for every top gram
