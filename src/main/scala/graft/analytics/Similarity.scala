@@ -1412,6 +1412,36 @@ object Similarity {
         round(col("s").cast("double") / col("n").cast("double"), 9).as("v"),
         col("n").as("n_vectors"))
 
+  /** ColBERT-style MaxSim late-interaction scoring (Khattab & Zaharia,
+    * SIGIR'20): the query is a BAG of vectors, each candidate group (here
+    * a label; in retrieval, a document's token vectors) scores
+    * `Σ_q max_v dot(q, v)` — every query vector finds its best match in
+    * the group independently, which is what makes multi-vector retrieval
+    * beat single-vector pooling. Dots are integer-quantized (the
+    * [[embeddingOutliers]] trick) so scores hash across engines. The
+    * query bag broadcasts (bounded slice — a real deployment passes the
+    * query's token vectors); the per-(group, q) max and the per-group sum
+    * are ordinary aggregates over the corpus×|Q| dot stream.
+    */
+  def maxSimLabelScores(
+      embeddings: DataFrame, queryLabel: Int = 0,
+      quantScale: Long = 1000L): DataFrame = {
+    val q = embeddings
+      .filter(col("label") === queryLabel && col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    embeddings.filter(col("label") =!= queryLabel)
+      .crossJoin(broadcast(q))
+      .select(col("label"), col("q_id"), expr(
+        s"aggregate(zip_with(embedding, q_emb, (a, b) -> " +
+          s"CAST(floor(CAST(a AS DOUBLE) * $quantScale) AS BIGINT) * " +
+          s"CAST(floor(CAST(b AS DOUBLE) * $quantScale) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"))
+      .groupBy(col("label"), col("q_id")).agg(max(col("dot")).as("mx"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_query_vecs"),
+        sum(col("mx")).as("maxsim_score"))
+  }
+
   /** Label-centroid cosine similarity matrix — the class-confusability map
     * of an embedding space (two labels whose centroids sit at cos > 0.9
     * are candidates for merging, relabeling, or stratified eval). Kept

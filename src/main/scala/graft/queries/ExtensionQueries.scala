@@ -434,6 +434,10 @@ object ExtensionQueries {
     // pair (the 1/n scalars cancel, so cos(S_a, S_b) IS the centroid cos)
     "label_centroid_similarity" -> ((s, dir) =>
       Similarity.labelCentroidSimilarity(t(s, dir, "embeddings"))),
+    // ColBERT-style MaxSim late interaction: the label-0 vector bag as the
+    // multi-vector query, every other label scored Σ_q max_v dot(q, v)
+    "maxsim_label_scores" -> ((s, dir) =>
+      Similarity.maxSimLabelScores(t(s, dir, "embeddings"))),
     // per-label embedding outliers: 5 vectors farthest from their own
     // label centroid (integer-exact n²·distance², TopKPerKey heaps)
     "embedding_outliers" -> ((s, dir) =>
@@ -2952,6 +2956,17 @@ object ExtensionQueries {
         "SELECT label, CAST(pos AS INT) AS pos, " +
         "round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, " +
         "count(*) AS n_vectors FROM u GROUP BY label, pos"),
+    "maxsim_label_scores" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings " +
+        "WHERE label = 0 AND vec_id % 10 = 0), " +
+        "d AS (SELECT vec_id, label, embedding FROM embeddings WHERE label != 0), " +
+        "dots AS (SELECT d.label, q.q_id, " +
+        "list_sum([CAST(floor(CAST(d.embedding[i] AS DOUBLE) * 1000) AS BIGINT) * " +
+        "CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT) " +
+        "FOR i IN generate_series(1, len(d.embedding))]) AS dot FROM d, q), " +
+        "mx AS (SELECT label, q_id, max(dot) AS mx FROM dots GROUP BY 1, 2) " +
+        "SELECT label, count(*) AS n_query_vecs, " +
+        "CAST(sum(mx) AS BIGINT) AS maxsim_score FROM mx GROUP BY label"),
     // exact integer dot products (HUGEINT mirrors Spark's DECIMAL(38,0));
     // the cos image is the same fixed sequence of IEEE ops both engines run
     "label_centroid_similarity" ->

@@ -9,6 +9,19 @@ class AnalyticsSpec extends SparkSpecBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("maxSim: each query vector maxes independently, scores sum per label") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (10L, Seq(0.0f, 1.0f), 0),
+      (21L, Seq(2.0f, 0.0f), 1), (22L, Seq(0.0f, 3.0f), 1),
+      (31L, Seq(1.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.maxSimLabelScores(e).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // label 1: q1 maxes on (2,0) = 2e6, q2 on (0,3) = 3e6
+    assert(got == Map(1 -> ((2L, 5000000L)), 2 -> ((2L, 2000000L))))
+  }
+
   test("labelCentroidSimilarity: identical label sets at cos 1, orthogonal at 0") {
     import spark.implicits._
     // labels 0 and 1 share the same two vectors (centroids equal -> cos 1);
