@@ -1412,6 +1412,42 @@ object Similarity {
         round(col("s").cast("double") / col("n").cast("double"), 9).as("v"),
         col("n").as("n_vectors"))
 
+  /** Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher, SIGIR'09) — the fusion every RAG stack runs: the lexical
+    * ranking (BM25) and the dense ranking (cosine) each contribute
+    * `1/(kBase + rank)`, so a document strong in EITHER modality
+    * surfaces, with kBase=60 damping rank-1 dominance as published. Kept
+    * integer fixed point (`1000000 div (kBase + rank)`); both input ranks
+    * are deterministic (score then id). The two pools are TakeOrdered
+    * top-`poolK` — KiB-sized whatever the corpus — so the fusion itself
+    * is a full-outer join of two tiny relations; at 100 TB the cost is
+    * the two retrieval scans, already index-served by the bm25_probe /
+    * ANN-probe variants this composes with.
+    */
+  def hybridRrfTopK(
+      docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      queryId: Long = 0L, poolK: Int = 50, kBase: Int = 60, k: Int = 10)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val txt = Curation.bm25TopK(docs, terms, poolK)
+      .withColumn("r_text", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("r_text"))
+    val vec = bruteForceTopK(embeddings, queryId, poolK)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("id"), col("r_vec"))
+    txt.join(vec, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("r_text"), lit(0)).cast("int").as("bm25_rank"),
+        coalesce(col("r_vec"), lit(0)).cast("int").as("cosine_rank"),
+        (coalesce(expr(s"1000000 div ($kBase + r_text)"), lit(0)) +
+          coalesce(expr(s"1000000 div ($kBase + r_vec)"), lit(0)))
+          .cast("long").as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("id"))
+      .limit(k)
+  }
+
   /** ColBERT-style MaxSim late-interaction scoring (Khattab & Zaharia,
     * SIGIR'20): the query is a BAG of vectors, each candidate group (here
     * a label; in retrieval, a document's token vectors) scores

@@ -438,6 +438,12 @@ object ExtensionQueries {
     // multi-vector query, every other label scored Σ_q max_v dot(q, v)
     "maxsim_label_scores" -> ((s, dir) =>
       Similarity.maxSimLabelScores(t(s, dir, "embeddings"))),
+    // hybrid retrieval: BM25 and cosine rankings fused by integer RRF
+    // (doc_id and vec_id share the key space in the fixtures)
+    "hybrid_search_rrf" -> ((s, dir) =>
+      Similarity.hybridRrfTopK(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        terms = Seq("spark", "quantile", "vector"))),
     // per-label embedding outliers: 5 vectors farthest from their own
     // label centroid (integer-exact n²·distance², TopKPerKey heaps)
     "embedding_outliers" -> ((s, dir) =>
@@ -2956,6 +2962,43 @@ object ExtensionQueries {
         "SELECT label, CAST(pos AS INT) AS pos, " +
         "round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS v, " +
         "count(*) AS n_vectors FROM u GROUP BY label, pos"),
+    // both pool rankings restated (BM25 chain at LIMIT 50, cosine chain at
+    // LIMIT 50), then the integer RRF fusion over the full outer join
+    "hybrid_search_rrf" ->
+      ("WITH stats AS (SELECT count(*) AS n_docs, " +
+        "sum(len(string_split(text, ' '))) AS sum_dl FROM documents), " +
+        "occ AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "tf AS (SELECT doc_id, dl, tk, count(*) AS tf FROM occ " +
+        "WHERE tk IN ('spark', 'quantile', 'vector') GROUP BY 1, 2, 3), " +
+        "dft AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk), " +
+        "w AS (SELECT doc_id, CAST(round(CAST((1000000 * n_docs) // df AS DOUBLE) * " +
+        "((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * " +
+        "(dl / (CAST(sum_dl AS DOUBLE) / n_docs))))), 6) AS DECIMAL(18,6)) AS w " +
+        "FROM tf JOIN dft USING (tk), stats), " +
+        "txt AS (SELECT doc_id, CAST(score_dec AS DOUBLE) AS score FROM " +
+        "(SELECT doc_id, CAST(sum(w) AS DECIMAL(38,6)) AS score_dec " +
+        "FROM w GROUP BY doc_id ORDER BY score_dec DESC, doc_id LIMIT 50) t), " +
+        "tr AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(ORDER BY score DESC, doc_id) AS INT) AS r_text FROM txt), " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "prod AS (SELECT e.vec_id, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS dot, " +
+        "list_sum([CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(e.embedding))]) AS na, " +
+        "list_sum([CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(q.qe))]) AS nq " +
+        "FROM embeddings e, q WHERE e.vec_id != 0), " +
+        "vecr AS (SELECT vec_id, round(CAST(dot AS DOUBLE) / " +
+        "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
+        "FROM prod ORDER BY sim DESC, vec_id LIMIT 50), " +
+        "vr AS (SELECT vec_id, CAST(row_number() OVER " +
+        "(ORDER BY sim DESC, vec_id) AS INT) AS r_vec FROM vecr), " +
+        "f AS (SELECT coalesce(tr.doc_id, vr.vec_id) AS id, r_text, r_vec " +
+        "FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id) " +
+        "SELECT id, CAST(coalesce(r_text, 0) AS INT) AS bm25_rank, " +
+        "CAST(coalesce(r_vec, 0) AS INT) AS cosine_rank, " +
+        "CAST(coalesce(1000000 // (60 + r_text), 0) + " +
+        "coalesce(1000000 // (60 + r_vec), 0) AS BIGINT) AS rrf_fp " +
+        "FROM f ORDER BY rrf_fp DESC, id LIMIT 10"),
     "maxsim_label_scores" ->
       ("WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings " +
         "WHERE label = 0 AND vec_id % 10 = 0), " +

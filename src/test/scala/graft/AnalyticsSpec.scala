@@ -9,6 +9,24 @@ class AnalyticsSpec extends SparkSpecBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("hybrid RRF recomposes exactly from the two pool rankings") {
+    val terms = Seq("spark", "quantile", "vector")
+    val txt = Curation.bm25TopK(docs, terms, 50).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val vec = Similarity.bruteForceTopK(emb, 0L, 50).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val expected = (txt.keySet ++ vec.keySet).toSeq.map { id =>
+      val rt = txt.getOrElse(id, 0)
+      val rv = vec.getOrElse(id, 0)
+      val rrf = (if (rt > 0) 1000000 / (60 + rt) else 0) +
+        (if (rv > 0) 1000000 / (60 + rv) else 0)
+      (id, rt, rv, rrf.toLong)
+    }.sortBy(t => (-t._4, t._1)).take(10)
+    val got = Similarity.hybridRrfTopK(docs, emb, terms).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("maxSim: each query vector maxes independently, scores sum per label") {
     import spark.implicits._
     val e = Seq(
