@@ -101,6 +101,56 @@ object EventsAnalytics {
         expr("CAST(min(ts) AS BIGINT) div 1000").as("session_start_us"),
         decSum("value").as("total"))
 
+  /** SCD-2 AS-OF-time query: the dimension state at one past instant —
+    * the time-travel read every warehouse runs against a type-2 dimension
+    * ("what was each user's state at T?"). The snapshot relation is
+    * [[scd2Snapshot]]; the as-of filter keeps the validity row covering
+    * `T` (here min(ts) + `offsetNs`, a deterministic corpus-relative
+    * instant). One broadcast scalar + a map-side filter on the snapshot.
+    */
+  def scd2AsOf(events0: DataFrame,
+      offsetNs: Long = 86400000000000L): DataFrame = {
+    val events = norm(events0)
+    val t0 = events.agg((min(col("ts")) + lit(offsetNs)).as("t_as_of"))
+    scd2Snapshot(events).crossJoin(broadcast(t0))
+      .filter(col("valid_from") <= col("t_as_of") &&
+        (col("valid_to").isNull || col("valid_to") > col("t_as_of")))
+      .select(col("user_id"), col("state"),
+        expr("valid_from div 1000").as("valid_from_us"))
+  }
+
+  /** Per-type linear TREND of value over time — the drift/trend detector
+    * a metrics pipeline fits per series: the least-squares slope of
+    * (cents, epoch-second) pairs from EXACT integer moments (n, Σx, Σy,
+    * Σxy, Σx² in DECIMAL(38,0) — the [[covarianceStats]] discipline),
+    * emitted as pure fixed point `(|nΣxy − ΣxΣy| · 10¹²) div (nΣx² −
+    * (Σx)²)` with an explicit sign — NO float anywhere, because at these
+    * magnitudes (~1e26) even a single DECIMAL→DOUBLE cast is
+    * engine-rounding-sensitive (measured: a 1-ulp DuckDB/Spark divergence)
+    * and negative integral division floors vs truncates differently
+    * across engines. Timestamps center on the corpus start (one broadcast
+    * scalar) so the scaled numerator stays inside DECIMAL(38,0).
+    */
+  def trendSlopes(events0: DataFrame): DataFrame = {
+    val events = norm(events0)
+    val d = "DECIMAL(38,0)"
+    val x0 = events.agg(min(expr("ts div 1000000000")).as("x0"))
+    events.crossJoin(broadcast(x0))
+      .select(col("event_type"),
+        expr(s"CAST(ts div 1000000000 - x0 AS $d)").as("x"),
+        expr(s"CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS $d)")
+          .as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        expr("CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS INT)")
+          .as("slope_sign"),
+        expr("CAST((abs(n * sxy - sx * sy) * 1000000000000) div " +
+          "(n * sxx - sx * sx) AS BIGINT)").as("slope_abs_pico"))
+  }
+
   /** JSON property extraction from the `props` string column. */
   def jsonProps(events: DataFrame): DataFrame =
     events.select(col("event_id"),

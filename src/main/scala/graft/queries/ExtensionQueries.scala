@@ -1018,6 +1018,50 @@ object ExtensionQueries {
           expr("percentile(d, 0.75)").as("p75_days"),
           max(col("d")).as("max_days"))
     }),
+    // Pareto/ABC inventory classification: parts ranked by exact cent
+    // revenue, cumulative share classes A (<=80%), B (<=95%), C. The
+    // running sum is the distributed prefix scan (revenue-range buckets
+    // via exact binary-fraction percentiles, |buckets|-row cross-bucket
+    // offsets, per-bucket windows) — no dimension-sized single partition;
+    // the oracle states the equivalent single-window cumsum
+    "orders_pareto_abc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("revenue_cents"))
+      val qs = (1 until k).map(i => i.toDouble / k).mkString(", ")
+      val bounds = rev.agg(
+        expr(s"percentile(revenue_cents, array($qs))").as("bs"))
+      val b = rev.crossJoin(broadcast(bounds))
+        .withColumn("bucket", (1 until k)
+          .map(i => when(element_at(col("bs"), i) > col("revenue_cents"), 1)
+            .otherwise(0))
+          .reduce(_ + _))
+        .drop("bs")
+      // bucket 0 holds the TOP revenues (count of boundaries above), so
+      // ascending bucket order IS descending revenue order
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = b.groupBy(col("bucket"))
+        .agg(sum(col("revenue_cents")).as("bsum"))
+        .withColumn("poff", coalesce(sum(col("bsum")).over(wB), lit(0L)))
+        .select(col("bucket"), col("poff"))
+      val wIn = Window.partitionBy(col("bucket"))
+        .orderBy(col("revenue_cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum(col("revenue_cents")).as("total"))
+      b.join(broadcast(prefix), Seq("bucket"))
+        .withColumn("cum_cents",
+          col("poff") + sum(col("revenue_cents")).over(wIn))
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("revenue_cents"), col("cum_cents"),
+          when(col("cum_cents") * 100 <= col("total") * 80, "A")
+            .when(col("cum_cents") * 100 <= col("total") * 95, "B")
+            .otherwise("C").as("abc_class"))
+    }),
     // classic RFM segmentation: per customer recency/frequency/monetary
     // with quartile scores (1-4; recency inverted — recent is better) and
     // the concatenated segment label. Monetary quantizes to exact cents
@@ -1307,6 +1351,14 @@ object ExtensionQueries {
           expr("valid_from div 1000").as("valid_from_us"),
           expr("valid_to div 1000").as("valid_to_us"),
           col("is_current"))),
+    // time travel against the type-2 dimension: each user's state one day
+    // into the corpus (validity row covering min(ts) + 24h)
+    "events_scd2_asof" -> ((s, dir) =>
+      EventsAnalytics.scd2AsOf(t(s, dir, "events"))),
+    // per-series least-squares trend from exact integer moments — the
+    // one emitted double is a fixed IEEE op sequence over exact ints
+    "events_trend_slope" -> ((s, dir) =>
+      EventsAnalytics.trendSlopes(t(s, dir, "events"))),
     // hourly LOCF gap-fill: per-user grid spanning the observed range,
     // last value in hour, empty hours carried forward
     "events_gap_fill" -> ((s, dir) =>
@@ -3325,6 +3377,19 @@ object ExtensionQueries {
         "CAST(coalesce((est_rows * 10000) // total_est, 0) AS BIGINT) " +
         "AS share_bp FROM k, t " +
         "ORDER BY est_rows DESC, join_key LIMIT 25"),
+    // equivalent single-window statement of the distributed prefix scan
+    "orders_pareto_abc" ->
+      ("WITH rev AS (SELECT l_partkey, " +
+        "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS revenue_cents " +
+        "FROM lineitem GROUP BY 1), " +
+        "c AS (SELECT l_partkey, revenue_cents, sum(revenue_cents) OVER " +
+        "(ORDER BY revenue_cents DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum_cents FROM rev), " +
+        "t AS (SELECT sum(revenue_cents) AS total FROM rev) " +
+        "SELECT l_partkey, CAST(revenue_cents AS BIGINT) AS revenue_cents, " +
+        "CAST(cum_cents AS BIGINT) AS cum_cents, " +
+        "CASE WHEN cum_cents * 100 <= total * 80 THEN 'A' " +
+        "WHEN cum_cents * 100 <= total * 95 THEN 'B' ELSE 'C' END AS abc_class " +
+        "FROM c, t"),
     "basket_pairs_topk" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab " +
@@ -3412,6 +3477,33 @@ object ExtensionQueries {
         "SELECT user_id, state, CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us, " +
         "CAST(epoch_us(valid_to) AS BIGINT) AS valid_to_us, " +
         "CAST(valid_to IS NULL AS INTEGER) AS is_current FROM v"),
+    // the same SCD2 chain filtered at T = min(ts) + 24h
+    "events_scd2_asof" ->
+      ("WITH o AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state " +
+        "FROM events), " +
+        "ch AS (SELECT user_id, event_type, tsn, event_id FROM o " +
+        "WHERE prev_state IS NULL OR prev_state != event_type), " +
+        "v AS (SELECT user_id, event_type AS state, tsn AS valid_from, " +
+        "lead(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS valid_to FROM ch), " +
+        "t0 AS (SELECT min(epoch_ns(ts)) + 86400000000000 AS t_as_of FROM events) " +
+        "SELECT user_id, state, CAST(valid_from // 1000 AS BIGINT) AS valid_from_us " +
+        "FROM v, t0 WHERE valid_from <= t_as_of " +
+        "AND (valid_to IS NULL OR valid_to > t_as_of)"),
+    // pure fixed point: |num|·1e12 // den plus an explicit sign (negative
+    // integral division floors vs truncates differently across engines;
+    // a DECIMAL->DOUBLE cast at ~1e26 is 1-ulp engine-sensitive)
+    "events_trend_slope" ->
+      ("WITH x0 AS (SELECT min(epoch_ns(ts) // 1000000000) AS x0 FROM events), " +
+        "m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx FROM " +
+        "(SELECT event_type, CAST(epoch_ns(ts) // 1000000000 - x0 AS HUGEINT) AS x, " +
+        "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS y " +
+        "FROM events, x0) t GROUP BY event_type) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS INT) AS slope_sign, " +
+        "CAST((abs(n * sxy - sx * sy) * 1000000000000) // (n * sxx - sx * sx) " +
+        "AS BIGINT) AS slope_abs_pico FROM m"),
     "events_winsorize" ->
       ("WITH r AS (SELECT event_id, event_type, value, " +
         "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +

@@ -557,6 +557,44 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(span.filter(col("n") =!= col("expect")).count() == 0)
   }
 
+  test("trend slope: exact linear series recover their slope in fixed point") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    val sec = 1000000000L
+    // 'up': value rises 1.00/s (100 cents/s); 'down': falls 0.50/s
+    val rows = (0 to 3).flatMap(i => Seq(
+      Row(i.toLong, 1L, "up", i * sec, 1.0 * i),
+      Row(10L + i, 1L, "down", i * sec, 5.0 - 0.5 * i)))
+    val got = EventsAnalytics.trendSlopes(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(got("up") == ((1, 100L * 1000000000000L)))
+    assert(got("down") == ((-1, 50L * 1000000000000L)))
+  }
+
+  test("scd2 as-of returns the validity row covering the instant") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    val day = 86400000000000L
+    // user 1: A at t0, B at t0+2d; as-of = t0+1d -> still A
+    val rows = Seq(Row(1L, 1L, "A", 0L, 1.0), Row(2L, 1L, "B", 2 * day, 1.0),
+      Row(3L, 2L, "C", 0L, 1.0))
+    val got = EventsAnalytics.scd2AsOf(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "A", 2L -> "C"))
+  }
+
   test("strict funnel: per-step 1h gap gates each stage") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -10,6 +10,26 @@ import scala.jdk.CollectionConverters._
   */
 class SegmentationSpec extends SparkSpecBase {
 
+  test("pareto ABC: cumulative cent shares classify at the 80/95 fences") {
+    val liSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_extendedprice", DoubleType)))
+    // part revenues 80/10/6/4 cents: cum shares 80 -> A, 90 -> B,
+    // 96 -> C, 100 -> C
+    val rows = Seq(Row(1L, 1L, 0.80), Row(1L, 2L, 0.10),
+      Row(1L, 3L, 0.06), Row(1L, 4L, 0.04))
+    val dir = java.nio.file.Files.createTempDirectory("graft_abc").toString
+    spark.createDataFrame(rows.asJava, liSchema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = ExtensionQueries.queries("orders_pareto_abc")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((80L, 80L, "A")), 2L -> ((10L, 90L, "B")),
+      3L -> ((6L, 96L, "C")), 4L -> ((4L, 100L, "C"))))
+  }
+
   test("basket pairs: support and lift match hand counts on three baskets") {
     val liSchema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
