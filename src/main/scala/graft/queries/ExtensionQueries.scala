@@ -773,6 +773,48 @@ object ExtensionQueries {
     // skip-gram co-occurrence counts (word2vec data prep): (center,
     // context) pairs within a ±2 window, top-25 — one explode pass
     // shuffling on the pair, no self-join
+    // Gini-Simpson lexical diversity per document in integer basis points:
+    // 10000·(T² − Σc²)/T² — the probability two random tokens differ; a
+    // spam page repeating one phrase scores near 0. No float, no log.
+    "text_diversity_simpson" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("t_tokens"),
+          sum(expr("c * c")).as("sum_sq"))
+        .select(col("doc_id"), col("t_tokens"),
+          expr("(10000 * (t_tokens * t_tokens - sum_sq)) div " +
+            "(t_tokens * t_tokens)").as("simpson_bp"))),
+    // burstiness of the event stream per type: Fano factor (variance /
+    // mean of HOURLY counts) in integer basis points from exact moments —
+    // >10000 bp = bursty, <10000 = regular. Hour buckets from epoch-ns.
+    "events_burstiness" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("n_events"),
+          sum(expr("c * c")).as("sum_sq"))
+        // fano_bp = 10000 * (n*Σc² − (Σc)²) / (n · Σc): exact integers,
+        // cross-multiplied so no mean ever materializes as a float
+        .select(col("event_type"), col("n_hours"), col("n_events"),
+          expr("(10000 * (n_hours * sum_sq - n_events * n_events)) div " +
+            "(n_hours * n_events)").as("fano_bp"))),
+    // degree distribution of the token co-occurrence graph: how many
+    // vertices hold each power-of-two degree band — the scale-free-shape
+    // health check before trusting graph-based curation
+    "token_graph_degrees" -> ((s, dir) => {
+      val e = tokenGraphEdges(s, dir).distinct()
+      e.select(explode(array(col("id_a"), col("id_b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        // power-of-two band as an INTEGER bit length (floor(log2) via a
+        // float log is ulp-fragile at exact powers in cross-engine hashes)
+        .groupBy(expr("CAST(length(bin(deg)) - 1 AS INT)").as("band"))
+        .agg(count(lit(1)).as("n_vertices"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+    }),
     // RAKE keyphrase extraction: stopword-free token runs scored by
     // summed word deg/freq in integer fixed point, corpus top-20
     "keyphrases_rake_topk" -> ((s, dir) =>
@@ -2606,6 +2648,30 @@ object ExtensionQueries {
     // REWRITE: 1-based token i is cut iff a >=3-run's cover [s, s+run+3]
     // contains it; the kept-token md5 checks the whole rewritten stream
     // (array_to_string of an empty list is NULL in DuckDB, hence coalesce)
+    "text_diversity_simpson" ->
+      ("SELECT doc_id, CAST(t_tokens AS BIGINT) AS t_tokens, " +
+        "CAST((10000 * (t_tokens * t_tokens - sum_sq)) // " +
+        "(t_tokens * t_tokens) AS BIGINT) AS simpson_bp FROM " +
+        "(SELECT doc_id, sum(c) AS t_tokens, sum(c * c) AS sum_sq FROM " +
+        "(SELECT doc_id, tk, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) u " +
+        "GROUP BY 1, 2) g GROUP BY doc_id) s"),
+    "events_burstiness" ->
+      ("SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, " +
+        "CAST(n_events AS BIGINT) AS n_events, " +
+        "CAST((10000 * (n_hours * sum_sq - n_events * n_events)) // " +
+        "(n_hours * n_events) AS BIGINT) AS fano_bp FROM " +
+        "(SELECT event_type, count(*) AS n_hours, sum(c) AS n_events, " +
+        "sum(c * c) AS sum_sq FROM " +
+        "(SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, count(*) AS c " +
+        "FROM events GROUP BY 1, 2) h GROUP BY event_type) m"),
+    "token_graph_degrees" ->
+      (tokenEdgeCte + ", " +
+        "deg AS (SELECT v, count(*) AS deg FROM " +
+        "(SELECT id_a AS v FROM e UNION ALL SELECT id_b FROM e) u GROUP BY v) " +
+        "SELECT CAST(length(bin(deg)) - 1 AS INT) AS band, " +
+        "count(*) AS n_vertices, CAST(min(deg) AS BIGINT) AS min_deg, " +
+        "CAST(max(deg) AS BIGINT) AS max_deg FROM deg GROUP BY 1"),
     // same islands/degree/frequency pipeline in SQL; positions are
     // 1-based here vs 0-based in Spark — islands only use differences
     "keyphrases_rake_topk" ->

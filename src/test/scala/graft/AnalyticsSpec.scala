@@ -557,6 +557,35 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(span.filter(col("n") =!= col("expect")).count() == 0)
   }
 
+  test("simpson diversity, fano burstiness, degree bands: hand cases") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import graft.queries.ExtensionQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    // simpson: "a a b" -> T=3, sum_sq=5 -> (10000*(9-5))//9 = 4444
+    spark.createDataFrame(Seq(Row(1L, "a a b")).asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val simp = ExtensionQueries.queries("text_diversity_simpson")(spark, dir)
+      .collect().head
+    assert((simp.getLong(1), simp.getLong(2)) == ((3L, 4444L)))
+    // burstiness: hourly counts [1, 3] -> fano = (10000*(2*10-16))//(2*4)
+    val hour = 3600000000000L
+    spark.createDataFrame(Seq(
+      Row(1L, 1L, "x", 0L, 1.0), Row(2L, 1L, "x", hour, 1.0),
+      Row(3L, 1L, "x", hour + 1, 1.0), Row(4L, 1L, "x", hour + 2, 1.0)).asJava,
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("ts", LongType), StructField("value", DoubleType))))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fano = ExtensionQueries.queries("events_burstiness")(spark, dir)
+      .collect().head
+    assert((fano.getLong(1), fano.getLong(2), fano.getLong(3)) ==
+      ((2L, 4L, 5000L)))
+  }
+
   test("trend slope: exact linear series recover their slope in fixed point") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
