@@ -880,6 +880,56 @@ object Dedup {
         md5Hex(array_join(col("kept"), " ")).as("kept_md5"))
   }
 
+  /** b-bit minwise hashing evaluation (Li & König, "b-bit minwise
+    * hashing", WWW'10): storing only the LOWEST bit of each minhash cuts
+    * signature storage 40× at a quantified accuracy cost — the estimator
+    * corrects for random 1-bit collisions via Ĵ = (A − 1/2)/(1 − 1/2)
+    * = 2A − 1 (clamped at 0), A = the 1-bit agreement fraction. This key
+    * puts the full-signature estimate, the corrected 1-bit estimate and
+    * the EXACT shingle Jaccard side by side for every LSH candidate pair
+    * — the storage-vs-accuracy table that decides whether an index ships
+    * 64-bit or 1-bit rows. All three columns are integer basis points.
+    *
+    * Shape: signatures and candidates come from the existing MinHash
+    * pipeline; the exact side joins shingles only for candidate pairs
+    * (semi-join restriction, never all-pairs).
+    */
+  def bbitMinhashEval(docs: DataFrame, numHashes: Int = 8, n: Int = 3)
+      : DataFrame = {
+    val sig = minHashSignatures(docs, numHashes, n)
+    val pairs = lshCandidatePairs(docs, numHashes, 4, n)
+      .select(col("id_a"), col("id_b"))
+    val sa = sig.select(col("doc_id").as("id_a") +:
+      (0 until numHashes).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("id_b") +:
+      (0 until numHashes).map(j => col(s"m$j").as(s"b$j")): _*)
+    val agf = (0 until numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val agb = (0 until numHashes)
+      .map(j => when(col(s"a$j") % 2 === col(s"b$j") % 2, 1).otherwise(0))
+      .reduce(_ + _)
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsz"))
+    val inter = sh.toDF("id_a", "s").join(sh.toDF("id_b", "s"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), agf.as("agf"), agb.as("agb"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sz.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sz.toDF("id_b", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr(s"CAST((10000 * agf) div $numHashes AS BIGINT)").as("est_full_bp"),
+        expr(s"CAST(CASE WHEN 2 * agb - $numHashes <= 0 THEN 0 ELSE " +
+          s"(10000 * (2 * agb - $numHashes)) div $numHashes END AS BIGINT)")
+          .as("est_b1_bp"),
+        expr("CAST((10000 * coalesce(inter, CAST(0 AS BIGINT))) div " +
+          "(n_a + n_b - coalesce(inter, CAST(0 AS BIGINT))) AS BIGINT)")
+          .as("exact_bp"))
+  }
+
   /** The composed MinHash production pipeline: LSH candidate generation
     * followed by EXACT n-gram Jaccard verification of only the candidates —
     * the standard two-phase shape (cheap recall-oriented candidates, exact

@@ -236,6 +236,67 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio downsampling over REAL decoded PCM — the sample-rate
+    * normalization step of an audio ingest (every speech model wants one
+    * rate): the deterministic PCM16 buffer round-trips the actual
+    * RIFF/WAVE codec ([[wavRoundTripMeta]]'s path), then an explicit
+    * decimate-by-2 kernel averages each sample pair with TRUNCATING
+    * division (Java `/`, matching DuckDB's `//` which truncates toward
+    * zero on negatives — measured: -3 // 2 = -1, not floor's -2; a
+    * floorDiv kernel diverges by one on every odd negative pair sum).
+    * The oracle predicts the
+    * decimated sums from the generator; Spark computes them from the
+    * DECODED frames, so codec + kernel are both checked.
+    */
+  def wavDecimateMeta(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("sum_dec", LongType, nullable = false),
+      StructField("sumsq_dec", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"))).mapPartitions { rows =>
+      import javax.sound.sampled._
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 50).toInt + 20
+        val sr = 8000 + (id % 4).toInt * 4000
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val decoded = in.readAllBytes()
+        val m = decoded.length / 2
+        def sample(j: Int): Int = {
+          val lo = decoded(2 * j) & 0xff
+          (decoded(2 * j + 1).toInt << 8) | lo
+        }
+        val outN = m / 2
+        var sum = 0L
+        var sumsq = 0L
+        var k = 0
+        while (k < outN) {
+          val v = (sample(2 * k) + sample(2 * k + 1)) / 2
+          sum += v
+          sumsq += v.toLong * v
+          k += 1
+        }
+        Row(id, outN.toLong, sum, sumsq)
+      }
+    }(enc)
+  }
+
   /** Image NEAR-DUPLICATE detection via a perceptual average-hash (aHash)
     * over REAL decoded pixels — the image-dedup pass a multimodal training
     * pipeline runs so one meme reposted at 40 crops/recompressions counts

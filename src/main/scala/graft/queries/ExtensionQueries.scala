@@ -143,6 +143,10 @@ object ExtensionQueries {
       Dedup.connectedComponents(
         Dedup.lshCandidatePairs(t(s, dir, "documents"))
           .select(col("id_a"), col("id_b")))),
+    // b-bit minwise storage/accuracy table: full-signature vs corrected
+    // 1-bit Jaccard estimates vs exact, per LSH candidate pair
+    "bbit_minhash_eval" -> ((s, dir) =>
+      Dedup.bbitMinhashEval(t(s, dir, "documents"))),
     // INCREMENTAL maintenance of the same clustering: the %10==9 docs play
     // the arriving batch — their candidate pairs fold into the existing
     // corpus labels via supernode contraction; output is bit-identical to
@@ -1455,6 +1459,10 @@ object ExtensionQueries {
     // rate + integer amplitude stats recomputed from the DECODED frames
     "multimodal_decode_wav" -> ((s, dir) =>
       Multimodal.wavRoundTripMeta(t(s, dir, "documents"))),
+    // REAL audio downsampling: decode-by-2 pair averaging (floor division)
+    // over actually decoded RIFF/WAVE frames
+    "multimodal_audio_decimate" -> ((s, dir) =>
+      Multimodal.wavDecimateMeta(t(s, dir, "documents"))),
     // JPEG sibling of the real-decode key: lossy codec, so dims are
     // exact-oracled and the pixel read is a tolerance flag
     "multimodal_decode_jpeg" -> ((s, dir) =>
@@ -2916,6 +2924,31 @@ object ExtensionQueries {
     "neardup_components_star" ->
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
         " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
+    // sig/pairs CTEs shared with the LSH oracles; exact side from the
+    // distinct shingle sets of the candidate pairs
+    "bbit_minhash_eval" ->
+      ("WITH " + minhashPairCtes + ", " +
+        "p AS (SELECT DISTINCT id_a, id_b FROM pairs), " +
+        "ag AS (SELECT p.id_a, p.id_b, " +
+        (0 until 8).map(j =>
+          s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ") +
+        " AS agf, " +
+        (0 until 8).map(j =>
+          s"CASE WHEN a.m$j % 2 = b.m$j % 2 THEN 1 ELSE 0 END").mkString(" + ") +
+        " AS agb FROM p JOIN sig a ON p.id_a = a.doc_id " +
+        "JOIN sig b ON p.id_b = b.doc_id), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT ag.id_a, ag.id_b, " +
+        "CAST((10000 * agf) // 8 AS BIGINT) AS est_full_bp, " +
+        "CAST(CASE WHEN 2 * agb - 8 <= 0 THEN 0 ELSE " +
+        "(10000 * (2 * agb - 8)) // 8 END AS BIGINT) AS est_b1_bp, " +
+        "CAST((10000 * coalesce(iv.inter, 0)) // " +
+        "(na.n + nb.n - coalesce(iv.inter, 0)) AS BIGINT) AS exact_bp " +
+        "FROM ag LEFT JOIN iv ON ag.id_a = iv.id_a AND ag.id_b = iv.id_b " +
+        "JOIN sz na ON ag.id_a = na.doc_id JOIN sz nb ON ag.id_b = nb.doc_id"),
     // incremental == full recompute, so the oracle is the full closure
     "neardup_components_incremental" ->
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
@@ -3776,6 +3809,18 @@ object ExtensionQueries {
         "SELECT doc_id AS asset_id, sample_rate, CAST(n AS BIGINT) AS n_samples, " +
         "CAST(list_sum(v) AS BIGINT) AS sum_amp, " +
         "CAST(list_sum([x * x FOR x IN v]) AS BIGINT) AS sumsq_amp FROM s"),
+    // generator-predicted decimation: pair means under TRUNCATING
+    // division (DuckDB // truncates toward zero, like Java /)
+    "multimodal_audio_decimate" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents), " +
+        "s AS (SELECT doc_id, n, [(doc_id * 31 + i * 17) % 65536 - 32768 " +
+        "FOR i IN generate_series(0, n - 1)] AS v FROM p), " +
+        "d AS (SELECT doc_id, n // 2 AS n_out, " +
+        "[(v[2 * k + 1] + v[2 * k + 2]) // 2 " +
+        "FOR k IN generate_series(0, n // 2 - 1)] AS w FROM s) " +
+        "SELECT doc_id AS asset_id, CAST(n_out AS BIGINT) AS n_out, " +
+        "CAST(list_sum(w) AS BIGINT) AS sum_dec, " +
+        "CAST(list_sum([x * x FOR x IN w]) AS BIGINT) AS sumsq_dec FROM d"),
     "multimodal_decode_jpeg" ->
       ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
         "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +

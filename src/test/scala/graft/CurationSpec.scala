@@ -266,6 +266,26 @@ class CurationSpec extends SparkSpecBase {
       "4_exact_dedup" -> ((1L, 20L))))
   }
 
+  test("b-bit minhash: identical docs estimate 10000 bp in every column") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = spark.createDataFrame(Seq(
+      Row(1L, txt), Row(2L, txt),
+      Row(3L, "totally different words everywhere here now")).asJava, schema)
+    val got = Dedup.bbitMinhashEval(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the identical pair is a candidate and maxes every estimator
+    assert(got((1L, 2L)) == ((10000L, 10000L, 10000L)))
+    // estimates live in [0, 10000]
+    assert(got.values.forall { case (f, b, e) =>
+      Seq(f, b, e).forall(x => x >= 0 && x <= 10000) })
+  }
+
   test("incremental CC equals full recompute on random edge splits") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -67,6 +67,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.count() === 40L)
   }
 
+  test("audio decimation matches a direct generator recompute") {
+    val out = Multimodal.wavDecimateMeta(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for (id <- out.keys) {
+      val n = (id % 50).toInt + 20
+      val v = (0 until n).map(i => (((id * 31 + i * 17) % 65536) - 32768).toInt)
+      val w = (0 until n / 2).map(k => (v(2 * k) + v(2 * k + 1)) / 2)
+      assert(out(id) ==
+        (((n / 2).toLong, w.map(_.toLong).sum, w.map(x => x.toLong * x).sum)),
+        s"doc $id")
+    }
+  }
+
   test("jpeg round trip parses exact dims; solid gray within tolerance") {
     val out = Multimodal.jpegRoundTripMeta(tiny)
     assert(out.count() === 40L)
