@@ -58,6 +58,19 @@ object ExtensionQueries {
       m
     })
 
+  // the MinHash LSH candidate-pair relation feeds six keys (lsh_pairs,
+  // CC ×3, triangles, b-bit eval); pin it once per (dir, session) so the
+  // shingle→signature→band pipeline runs once, not per key
+  private val lshPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
+      val p = Dedup.lshCandidatePairs(t(s, dir, "documents")).persist()
+      p.count()
+      p
+    })
+
   // the CC clustering over the match graph likewise feeds two keys
   // (clusters + golden record); pin it once per (dir, session) so the
   // iterative component rounds run once, not per key
@@ -125,8 +138,7 @@ object ExtensionQueries {
     // fine at the sf0.01 correctness gate (500 docs)
     "doc_winnow_fingerprints" -> ((s, dir) =>
       Dedup.winnowFingerprints(t(s, dir, "documents"))),
-    "minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.lshCandidatePairs(t(s, dir, "documents"))),
+    "minhash_lsh_pairs" -> ((s, dir) => lshPairs(s, dir)),
     // incremental LSH ingest: an arriving batch (doc_id ≡9 mod 10) probes
     // the stored band index of the existing corpus — O(batch), the old
     // corpus is never re-shingled
@@ -141,8 +153,7 @@ object ExtensionQueries {
     // representative label)
     "neardup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
-        Dedup.lshCandidatePairs(t(s, dir, "documents"))
-          .select(col("id_a"), col("id_b")))),
+        lshPairs(s, dir).select(col("id_a"), col("id_b")))),
     // b-bit minwise storage/accuracy table: full-signature vs corrected
     // 1-bit Jaccard estimates vs exact, per LSH candidate pair
     "bbit_minhash_eval" -> ((s, dir) =>
@@ -152,8 +163,7 @@ object ExtensionQueries {
     // corpus labels via supernode contraction; output is bit-identical to
     // the full recompute (the oracle IS the full-closure oracle)
     "neardup_components_incremental" -> ((s, dir) => {
-      val pairs = Dedup.lshCandidatePairs(t(s, dir, "documents"))
-        .select(col("id_a"), col("id_b"))
+      val pairs = lshPairs(s, dir).select(col("id_a"), col("id_b"))
       val oldPairs = pairs.filter(
         col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)
       val newPairs = pairs.filter(
@@ -165,8 +175,7 @@ object ExtensionQueries {
     // identical output contract, verified against the same closure oracle
     "neardup_components_star" -> ((s, dir) =>
       Dedup.connectedComponentsStar(
-        Dedup.lshCandidatePairs(t(s, dir, "documents"))
-          .select(col("id_a"), col("id_b")))),
+        lshPairs(s, dir).select(col("id_a"), col("id_b")))),
     // apply the clustering: the deduplicated corpus = every document that
     // is not a non-representative member of some near-dup component
     "dedup_cluster_apply" -> ((s, dir) => {
@@ -216,8 +225,7 @@ object ExtensionQueries {
     // equi-join closes wedges
     "neardup_triangles" -> ((s, dir) =>
       Dedup.triangleCounts(
-        Dedup.lshCandidatePairs(t(s, dir, "documents"))
-          .select(col("id_a"), col("id_b")))),
+        lshPairs(s, dir).select(col("id_a"), col("id_b")))),
     // the same operator driven hard: the ±2-window token co-occurrence
     // graph (the cooccurrence_topk relation as an undirected graph) is
     // dense, so every vertex participates in many triangles
