@@ -35,6 +35,19 @@ object ExtensionQueries {
   // bucket/interval arithmetic in the keys below is written once regardless
   // of whether the fixture ships int64-ns or timestamp[us] (schema drift
   // fails fast with one clear message, see EventTime).
+  // the distinct token co-occurrence edge relation feeds four graph keys
+  // (triangles, pagerank, k-core, degree bands); pin it once per
+  // (dir, session) — consumers re-distinct, a no-op on the pinned set
+  private val tokenEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def tokenEdges(s: SparkSession, dir: String): DataFrame =
+    tokenEdgeCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
+      val e = tokenGraphEdges(s, dir).distinct().persist()
+      e.count()
+      e
+    })
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$n.parquet")
     if (n == "events") {
@@ -230,11 +243,11 @@ object ExtensionQueries {
     // graph (the cooccurrence_topk relation as an undirected graph) is
     // dense, so every vertex participates in many triangles
     "token_graph_triangles" -> ((s, dir) =>
-      Dedup.triangleCounts(tokenGraphEdges(s, dir))),
+      Dedup.triangleCounts(tokenEdges(s, dir))),
     // integer-fixed-point damped PageRank over the same token graph:
     // 3 iterations, rank mass scaled by 1e12, floor divisions only
     "token_graph_pagerank" -> ((s, dir) =>
-      Dedup.pageRankFixedPoint(tokenGraphEdges(s, dir))),
+      Dedup.pageRankFixedPoint(tokenEdges(s, dir))),
     // HITS hubs/authorities over the DIRECTED word-order graph (token a
     // precedes token b): 2 sweeps, L1-normalized integer fixed point
     "token_graph_hits" -> ((s, dir) =>
@@ -250,7 +263,7 @@ object ExtensionQueries {
     // the shrinking edge relation) — the subgraph that survives is the
     // tightly-knit boilerplate/clique region, shorn of chain periphery
     "token_graph_kcore" -> ((s, dir) =>
-      Dedup.kCorePeel(tokenGraphEdges(s, dir), k = 3, rounds = 3)),
+      Dedup.kCorePeel(tokenEdges(s, dir), k = 3, rounds = 3)),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -818,7 +831,7 @@ object ExtensionQueries {
     // vertices hold each power-of-two degree band — the scale-free-shape
     // health check before trusting graph-based curation
     "token_graph_degrees" -> ((s, dir) => {
-      val e = tokenGraphEdges(s, dir).distinct()
+      val e = tokenEdges(s, dir)
       e.select(explode(array(col("id_a"), col("id_b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         // power-of-two band as an INTEGER bit length (floor(log2) via a
