@@ -671,6 +671,28 @@ object ExtensionQueries {
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))),
+    // EXACT-proportional stratified split: within every (lang, source)
+    // stratum, docs rank by an md5 key and the first 80%/next 10% go to
+    // train/val — small strata keep their proportions exactly, which the
+    // plain hash split only holds in expectation. Per-stratum window,
+    // bounded by the stratum, plus a broadcast of stratum sizes.
+    "corpus_split_exact_strata" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(concat(lit("strat-"), col("doc_id").cast("string"))
+            .cast("binary")).as("skey"))
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("skey"), col("doc_id"))
+      val sz = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_stratum"))
+      d.withColumn("rk", row_number().over(w))
+        .join(broadcast(sz), Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(col("rk") * 10 <= col("n_stratum") * 8, "train")
+            .when(col("rk") * 10 <= col("n_stratum") * 9, "val")
+            .otherwise("test").as("split"))
+    }),
     "corpus_shuffle" -> ((s, dir) =>
       Curation.shuffleShards(t(s, dir, "documents"), seed = "seed42")),
     // snapshot change report between two corpus versions, synthesized
@@ -2300,6 +2322,17 @@ object ExtensionQueries {
         "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train' " +
         "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents"),
+    // fences at rk·10 <= n·8 / n·9 — exact integer proportions per stratum
+    "corpus_split_exact_strata" ->
+      ("WITH d AS (SELECT doc_id, lang, source, " +
+        "md5('strat-' || CAST(doc_id AS VARCHAR)) AS skey FROM documents), " +
+        "r AS (SELECT doc_id, lang, source, row_number() OVER " +
+        "(PARTITION BY lang, source ORDER BY skey, doc_id) AS rk FROM d), " +
+        "sz AS (SELECT lang, source, count(*) AS n_stratum FROM d GROUP BY 1, 2) " +
+        "SELECT r.doc_id, r.lang, r.source, " +
+        "CASE WHEN rk * 10 <= n_stratum * 8 THEN 'train' " +
+        "WHEN rk * 10 <= n_stratum * 9 THEN 'val' ELSE 'test' END AS split " +
+        "FROM r JOIN sz ON r.lang = sz.lang AND r.source = sz.source"),
     "corpus_shuffle" ->
       ("WITH s AS (SELECT doc_id, md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey " +
         "FROM documents), " +

@@ -266,6 +266,26 @@ class CurationSpec extends SparkSpecBase {
       "4_exact_dedup" -> ((1L, 20L))))
   }
 
+  test("exact-strata split holds proportions inside every stratum") {
+    import graft.queries.ExtensionQueries
+    val got = ExtensionQueries
+      .queries("corpus_split_exact_strata")(spark, sfDir)
+      .groupBy("lang", "source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val strata = got.keys.map(k => (k._1, k._2)).toSet
+    for ((l, s) <- strata) {
+      val n = Seq("train", "val", "test")
+        .map(sp => got.getOrElse((l, s, sp), 0L)).sum
+      val train = got.getOrElse((l, s, "train"), 0L)
+      val vl = got.getOrElse((l, s, "val"), 0L)
+      // exact fences: train = floor(0.8n), train+val = floor(0.9n)
+      assert(train == n * 8 / 10, s"stratum ($l,$s) train $train of $n")
+      assert(train + vl == n * 9 / 10, s"stratum ($l,$s) val $vl of $n")
+    }
+    assert(strata.size > 1)
+  }
+
   test("b-bit minhash: identical docs estimate 10000 bp in every column") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
