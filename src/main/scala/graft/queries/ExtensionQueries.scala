@@ -833,6 +833,26 @@ object ExtensionQueries {
         .select(col("doc_id"), col("t_tokens"),
           expr("(10000 * (t_tokens * t_tokens - sum_sq)) div " +
             "(t_tokens * t_tokens)").as("simpson_bp"))),
+    // day-of-week seasonality per event type: the chi-square statistic
+    // against a uniform week, integer cross-multiplied — score =
+    // (10000 · Σ(7·O_d − T)²) div (7 · T · 7) stays exact (uniform E =
+    // T/7 never materializes as a float); large = strongly weekly
+    "events_dow_seasonality" -> ((s, dir) => {
+      val o = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(ts div 86400000000000) % 7").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val tot = o.groupBy(col("event_type")).agg(sum(col("o")).as("total"))
+      o.join(broadcast(tot), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("total")).as("total"),
+          count(lit(1)).as("nb"),
+          sum(expr("(7 * o - total) * (7 * o - total)")).as("xp"))
+        // day bins with zero events still contribute (0·7 − T)² = T²
+        .select(col("event_type"), col("total"),
+          expr("(10000 * (xp + (7 - nb) * total * total)) div (49 * total)")
+            .as("chi2_fp"))
+    }),
     // burstiness of the event stream per type: Fano factor (variance /
     // mean of HOURLY counts) in integer basis points from exact moments —
     // >10000 bp = bursty, <10000 = regular. Hour buckets from epoch-ns.
@@ -2718,6 +2738,16 @@ object ExtensionQueries {
         "(SELECT doc_id, tk, count(*) AS c FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) u " +
         "GROUP BY 1, 2) g GROUP BY doc_id) s"),
+    "events_dow_seasonality" ->
+      ("WITH o AS (SELECT event_type, (epoch_ns(ts) // 86400000000000) % 7 AS dow, " +
+        "count(*) AS o FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, sum(o) AS total FROM o GROUP BY 1), " +
+        "m AS (SELECT o.event_type, any_value(total) AS total, count(*) AS nb, " +
+        "sum((7 * o - total) * (7 * o - total)) AS xp " +
+        "FROM o JOIN t ON o.event_type = t.event_type GROUP BY 1) " +
+        "SELECT event_type, CAST(total AS BIGINT) AS total, " +
+        "CAST((10000 * (xp + (7 - nb) * total * total)) // (49 * total) " +
+        "AS BIGINT) AS chi2_fp FROM m"),
     "events_burstiness" ->
       ("SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, " +
         "CAST(n_events AS BIGINT) AS n_events, " +

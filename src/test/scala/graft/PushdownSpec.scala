@@ -48,6 +48,29 @@ class PushdownSpec extends SparkSpecBase {
       plan.contains("BroadcastExchange"), plan.take(1200))
   }
 
+  test("pre-partitioned join sides introduce no third exchange") {
+    import org.apache.spark.sql.functions.col
+    // both sides already hash-partitioned on the join key at the session
+    // shuffle parallelism: the sort-merge join must reuse that
+    // distribution instead of re-shuffling — the co-location contract a
+    // bucketed-table layout relies on at 100 TB
+    // force the shuffle join (the fixture dim is broadcast-sized; at the
+    // scale this contract matters the sides are not)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .repartition(col("o_orderkey"))
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .repartition(col("l_orderkey"))
+      val plan = planOf(o.join(l, col("o_orderkey") === col("l_orderkey")))
+      val exchanges = plan.linesIterator
+        .count(_.matches("""\(\d+\) Exchange.*"""))
+      assert(exchanges == 2, s"expected the two repartitions only:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the hot scan-filter-project pipeline") {
     // formatted mode hides codegen under AdaptiveSparkPlan pre-execution;
     // codegen mode compiles the stages directly
