@@ -833,6 +833,22 @@ object ExtensionQueries {
         .select(col("doc_id"), col("t_tokens"),
           expr("(10000 * (t_tokens * t_tokens - sum_sq)) div " +
             "(t_tokens * t_tokens)").as("simpson_bp"))),
+    // week-over-week growth per event type in SIGNED basis points
+    // (Spark div and DuckDB // both truncate toward zero — measured —
+    // so the signed division is cross-engine safe); weeks are epoch-ns
+    // seven-day buckets, the lag window is per-type and week-bounded
+    "events_wow_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("ts div 604800000000000").as("week"))
+        .agg(count(lit(1)).as("c"))
+      wk.withColumn("prev", lag(col("c"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("week"))))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("week"), col("c"), col("prev"),
+          expr("(10000 * (c - prev)) div prev").as("growth_bp"))
+    }),
     // day-of-week seasonality per event type: the chi-square statistic
     // against a uniform week, integer cross-multiplied — score =
     // (10000 · Σ(7·O_d − T)²) div (7 · T · 7) stays exact (uniform E =
@@ -2738,6 +2754,15 @@ object ExtensionQueries {
         "(SELECT doc_id, tk, count(*) AS c FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) u " +
         "GROUP BY 1, 2) g GROUP BY doc_id) s"),
+    "events_wow_growth" ->
+      ("WITH wk AS (SELECT event_type, epoch_ns(ts) // 604800000000000 AS week, " +
+        "count(*) AS c FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT event_type, week, c, lag(c) OVER " +
+        "(PARTITION BY event_type ORDER BY week) AS prev FROM wk) " +
+        "SELECT event_type, CAST(week AS BIGINT) AS week, " +
+        "CAST(c AS BIGINT) AS c, CAST(prev AS BIGINT) AS prev, " +
+        "CAST((10000 * (c - prev)) // prev AS BIGINT) AS growth_bp " +
+        "FROM l WHERE prev IS NOT NULL"),
     "events_dow_seasonality" ->
       ("WITH o AS (SELECT event_type, (epoch_ns(ts) // 86400000000000) % 7 AS dow, " +
         "count(*) AS o FROM events GROUP BY 1, 2), " +
