@@ -833,6 +833,30 @@ object ExtensionQueries {
         .select(col("doc_id"), col("t_tokens"),
           expr("(10000 * (t_tokens * t_tokens - sum_sq)) div " +
             "(t_tokens * t_tokens)").as("simpson_bp"))),
+    // per-user activity distribution in power-of-two bands (the
+    // whale/lurker shape of the user base; bit-length banding like
+    // token_graph_degrees)
+    "events_user_activity_bands" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .groupBy(expr("CAST(length(bin(n)) - 1 AS INT)").as("band"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n")).as("n_events"))),
+    // Gini concentration of token mass across sources — the
+    // data-mixture inequality number (0 bp = perfectly even, 10000 =
+    // one source owns everything): mean absolute difference over the
+    // |sources|-row mass relation, integer cross-multiplied
+    "source_token_gini" -> ((s, dir) => {
+      val m = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("x"))
+      val pairs = m.toDF("sa", "xa").crossJoin(broadcast(m.toDF("sb", "xb")))
+        .agg(sum(abs(col("xa") - col("xb"))).as("sad"))
+      m.agg(count(lit(1)).as("k"), sum(col("x")).as("tot"))
+        .crossJoin(broadcast(pairs))
+        .select(col("k"), col("tot"),
+          expr("(10000 * sad) div (2 * k * tot)").as("gini_bp"))
+    }),
     // week-over-week growth per event type in SIGNED basis points
     // (Spark div and DuckDB // both truncate toward zero — measured —
     // so the signed division is cross-engine safe); weeks are epoch-ns
@@ -2754,6 +2778,17 @@ object ExtensionQueries {
         "(SELECT doc_id, tk, count(*) AS c FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) u " +
         "GROUP BY 1, 2) g GROUP BY doc_id) s"),
+    "events_user_activity_bands" ->
+      ("SELECT CAST(length(bin(n)) - 1 AS INT) AS band, " +
+        "count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events FROM " +
+        "(SELECT user_id, count(*) AS n FROM events GROUP BY 1) u GROUP BY 1"),
+    "source_token_gini" ->
+      ("WITH m AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x " +
+        "FROM documents GROUP BY 1), " +
+        "p AS (SELECT sum(abs(a.x - b.x)) AS sad FROM m a, m b), " +
+        "t AS (SELECT count(*) AS k, sum(x) AS tot FROM m) " +
+        "SELECT CAST(k AS BIGINT) AS k, CAST(tot AS BIGINT) AS tot, " +
+        "CAST((10000 * sad) // (2 * k * tot) AS BIGINT) AS gini_bp FROM t, p"),
     "events_wow_growth" ->
       ("WITH wk AS (SELECT event_type, epoch_ns(ts) // 604800000000000 AS week, " +
         "count(*) AS c FROM events GROUP BY 1, 2), " +

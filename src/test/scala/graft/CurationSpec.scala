@@ -266,6 +266,31 @@ class CurationSpec extends SparkSpecBase {
       "4_exact_dedup" -> ((1L, 20L))))
   }
 
+  test("source token gini: even masses score 0, one-owner corpora near max") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import graft.queries.ExtensionQueries
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gini").toString
+    // two sources, identical token mass -> gini 0
+    spark.createDataFrame(Seq(
+      Row(1L, "a b c", "s1"), Row(2L, "d e f", "s2")).asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val even = ExtensionQueries.queries("source_token_gini")(spark, dir)
+      .collect().head
+    assert(even.getLong(2) == 0L)
+    // 9-vs-1 split of 10 tokens over two sources: gini = |9-1|/(2*2*10)
+    spark.createDataFrame(Seq(
+      Row(1L, "a a a a a a a a a", "s1"), Row(2L, "b", "s2")).asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val skew = ExtensionQueries.queries("source_token_gini")(spark, dir)
+      .collect().head
+    assert(skew.getLong(2) == 10000L * 16 / 40, skew.toString)
+  }
+
   test("exact-strata split holds proportions inside every stratum") {
     import graft.queries.ExtensionQueries
     val got = ExtensionQueries
