@@ -463,6 +463,27 @@ object ExtensionQueries {
     // multi-vector query, every other label scored Σ_q max_v dot(q, v)
     "maxsim_label_scores" -> ((s, dir) =>
       Similarity.maxSimLabelScores(t(s, dir, "embeddings"))),
+    // k-NN label-prediction eval: 3-NN majority vote (ties to the
+    // smallest label) over the IVF k-NN join, accuracy per true label —
+    // the embedding-quality probe a labeling pipeline runs
+    "knn_label_accuracy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val votes = Similarity.knnJoinIvf(emb, k = 3)
+        .join(lbl.toDF("nbr_id", "nbr_label"), Seq("nbr_id"))
+        .groupBy(col("vec_id"), col("nbr_label")).agg(count(lit(1)).as("v"))
+      val pred = votes.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("v").desc, col("nbr_label"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nbr_label").as("pred"))
+      pred.join(lbl, Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+    }),
     // hybrid retrieval: BM25 and cosine rankings fused by integer RRF
     // (doc_id and vec_id share the key space in the fixtures)
     "hybrid_search_rrf" -> ((s, dir) =>
@@ -3057,6 +3078,22 @@ object ExtensionQueries {
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "knn_join_ivf" ->
       knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
+    // the same k-NN chain as a subquery, then majority vote + accuracy
+    "knn_label_accuracy" ->
+      ("WITH nn AS (SELECT * FROM (" +
+        knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3) +
+        ") q), " +
+        "lbl AS (SELECT vec_id, label FROM embeddings), " +
+        "v AS (SELECT nn.vec_id, l.label AS nbr_label, count(*) AS v " +
+        "FROM nn JOIN lbl l ON nn.nbr_id = l.vec_id GROUP BY 1, 2), " +
+        "pred AS (SELECT vec_id, nbr_label AS pred FROM " +
+        "(SELECT vec_id, nbr_label, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY v DESC, nbr_label) AS rn FROM v) t " +
+        "WHERE rn = 1) " +
+        "SELECT l.label, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_correct FROM pred p JOIN lbl l ON p.vec_id = l.vec_id " +
+        "GROUP BY l.label"),
     "knn_join_ivf_probe" ->
       knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
     // exact transitive closure (recursive CTE) vs the engine's bounded
