@@ -463,6 +463,26 @@ object ExtensionQueries {
     // multi-vector query, every other label scored Σ_q max_v dot(q, v)
     "maxsim_label_scores" -> ((s, dir) =>
       Similarity.maxSimLabelScores(t(s, dir, "embeddings"))),
+    // embedding-norm health bands: quantized |v|² in power-of-two bands —
+    // an unnormalized ingest batch shows up as a new band instantly
+    "embedding_norm_bands" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> " +
+            "acc + CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * " +
+            "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("n2"))
+        .groupBy(expr("CAST(length(bin(greatest(n2, CAST(1 AS BIGINT)))) - 1 AS INT)")
+          .as("band"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"))),
+    // size histogram of the near-dup families: how many components of
+    // each member count the MinHash clustering produced (2-doc pairs vs
+    // 40-crop meme families) — reuses the pinned candidate pairs
+    "neardup_component_sizes" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        lshPairs(s, dir).select(col("id_a"), col("id_b")))
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))),
     // k-NN label-prediction eval: 3-NN majority vote (ties to the
     // smallest label) over the IVF k-NN join, accuracy per true label —
     // the embedding-quality probe a labeling pipeline runs
@@ -3078,6 +3098,18 @@ object ExtensionQueries {
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "knn_join_ivf" ->
       knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
+    "embedding_norm_bands" ->
+      ("SELECT CAST(length(bin(greatest(n2, 1))) - 1 AS INT) AS band, " +
+        "count(*) AS n_vectors, CAST(min(n2) AS BIGINT) AS min_n2, " +
+        "CAST(max(n2) AS BIGINT) AS max_n2 FROM " +
+        "(SELECT vec_id, list_sum([CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) * " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding]) AS n2 " +
+        "FROM embeddings) t GROUP BY 1"),
+    "neardup_component_sizes" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
+        ", comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src) " +
+        "SELECT sz, count(*) AS n_components FROM " +
+        "(SELECT component, count(*) AS sz FROM comp GROUP BY 1) c GROUP BY sz"),
     // the same k-NN chain as a subquery, then majority vote + accuracy
     "knn_label_accuracy" ->
       ("WITH nn AS (SELECT * FROM (" +
