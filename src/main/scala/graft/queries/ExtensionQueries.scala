@@ -1208,6 +1208,33 @@ object ExtensionQueries {
           expr("percentile(d, 0.75)").as("p75_days"),
           max(col("d")).as("max_days"))
     }),
+    // repeat-purchase rate by first-order-year cohort (integer bp) — the
+    // orders-side loyalty rollup next to the events retention cohorts
+    "orders_repeat_rate_cohort" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(year(col("o_orderdate"))).as("cohort_year"),
+          count(lit(1)).as("n_orders"))
+        .groupBy(col("cohort_year"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+        .select(col("cohort_year"), col("n_customers"), col("n_repeat"),
+          expr("(10000 * n_repeat) div n_customers").as("repeat_bp"))),
+    // supplier revenue concentration: Herfindahl index in basis points,
+    // (10000 · Σx²) div T² over exact cent revenues — the antitrust-style
+    // concentration number next to the Gini and the ABC classes
+    "supplier_revenue_hhi" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("x"))
+      rev.agg(count(lit(1)).as("n_suppliers"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("t"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sq"))
+        .select(col("n_suppliers"),
+          expr("CAST((10000 * sq) div (t * t) AS BIGINT)").as("hhi_bp"))
+    }),
     // Pareto/ABC inventory classification: parts ranked by exact cent
     // revenue, cumulative share classes A (<=80%), B (<=95%), C. The
     // running sum is the distributed prefix scan (revenue-range buckets
@@ -3689,6 +3716,19 @@ object ExtensionQueries {
         "CAST(coalesce((est_rows * 10000) // total_est, 0) AS BIGINT) " +
         "AS share_bp FROM k, t " +
         "ORDER BY est_rows DESC, join_key LIMIT 25"),
+    "orders_repeat_rate_cohort" ->
+      ("SELECT cohort_year, count(*) AS n_customers, " +
+        "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat, " +
+        "CAST((10000 * sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)) " +
+        "// count(*) AS BIGINT) AS repeat_bp FROM " +
+        "(SELECT o_custkey, CAST(min(year(o_orderdate)) AS INT) AS cohort_year, " +
+        "count(*) AS n_orders FROM orders GROUP BY 1) c GROUP BY cohort_year"),
+    "supplier_revenue_hhi" ->
+      ("SELECT count(*) AS n_suppliers, " +
+        "CAST((10000 * sum(CAST(x AS HUGEINT) * x)) // " +
+        "(sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT))) AS BIGINT) AS hhi_bp FROM " +
+        "(SELECT l_suppkey, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x " +
+        "FROM lineitem GROUP BY 1) r"),
     // equivalent single-window statement of the distributed prefix scan
     "orders_pareto_abc" ->
       ("WITH rev AS (SELECT l_partkey, " +
