@@ -109,6 +109,21 @@ object ExtensionQueries {
       t(s, dir, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"))),
     "dedup_apply" -> ((s, dir) => Dedup.dedupApply(t(s, dir, "documents"))),
+    // survivorship dedup: within each normalized-fingerprint group keep
+    // the BEST copy (longest text, ties to smallest id) instead of the
+    // min-id — what production curation actually keeps when near-identical
+    // scrapes differ in completeness
+    "dedup_survivor_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          fingerprint(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("is_kept", (col("rn") === 1).cast("int"))
+        .select(col("doc_id"), col("fp"), col("is_kept"))
+    }),
     // incremental ingest dedup: docs with doc_id % 10 = 0 play the "new
     // batch", the rest the existing corpus — batch-internal dedup plus a
     // fingerprint anti-join against the corpus
@@ -2319,6 +2334,11 @@ object ExtensionQueries {
       ("SELECT d.* FROM documents d JOIN (SELECT min(doc_id) AS keep_id " +
         "FROM documents GROUP BY md5(lower(trim(text)))) k " +
         "ON d.doc_id = k.keep_id"),
+    "dedup_survivor_best" ->
+      ("SELECT doc_id, fp, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_kept " +
+        "FROM (SELECT doc_id, md5(lower(trim(text))) AS fp, " +
+        "row_number() OVER (PARTITION BY md5(lower(trim(text))) " +
+        "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) t"),
     "contamination_bloom_ngram" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "grams AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
