@@ -929,6 +929,19 @@ object ExtensionQueries {
         .select(col("event_type"), col("week"), col("c"), col("prev"),
           expr("(10000 * (c - prev)) div prev").as("growth_bp"))
     }),
+    // SRE error-budget monitor: the 10 worst hours by error share
+    // (integer bp), ties to the earliest hour — one hour-bucketed
+    // aggregate, a k-bounded TakeOrdered
+    "events_error_rate_hours" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+        .select(col("hour_bucket"), col("n_total"), col("n_errors"),
+          expr("(10000 * n_errors) div n_total").as("error_bp"))
+        .orderBy(col("error_bp").desc, col("hour_bucket"))
+        .limit(10)),
     // day-of-week seasonality per event type: the chi-square statistic
     // against a uniform week, integer cross-multiplied — score =
     // (10000 · Σ(7·O_d − T)²) div (7 · T · 7) stays exact (uniform E =
@@ -2886,6 +2899,14 @@ object ExtensionQueries {
         "CAST(c AS BIGINT) AS c, CAST(prev AS BIGINT) AS prev, " +
         "CAST((10000 * (c - prev)) // prev AS BIGINT) AS growth_bp " +
         "FROM l WHERE prev IS NOT NULL"),
+    "events_error_rate_hours" ->
+      ("SELECT hour_bucket, n_total, n_errors, " +
+        "CAST((10000 * n_errors) // n_total AS BIGINT) AS error_bp FROM " +
+        "(SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, " +
+        "count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_errors FROM events GROUP BY 1) h " +
+        "ORDER BY error_bp DESC, hour_bucket LIMIT 10"),
     "events_dow_seasonality" ->
       ("WITH o AS (SELECT event_type, (epoch_ns(ts) // 86400000000000) % 7 AS dow, " +
         "count(*) AS o FROM events GROUP BY 1, 2), " +
