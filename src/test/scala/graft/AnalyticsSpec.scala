@@ -557,6 +557,30 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(span.filter(col("n") =!= col("expect")).count() == 0)
   }
 
+  test("error-rate hours: shares in bp, worst hour first, ties to earliest") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import graft.queries.ExtensionQueries
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    val hour = 3600000000000L
+    // hour 0: 1 error of 4 (2500 bp); hour 1: 1 of 2 (5000 bp)
+    val rows = Seq(
+      Row(1L, 1L, "error", 0L, 1.0), Row(2L, 1L, "click", 1L, 1.0),
+      Row(3L, 1L, "click", 2L, 1.0), Row(4L, 1L, "click", 3L, 1.0),
+      Row(5L, 1L, "error", hour, 1.0), Row(6L, 1L, "view", hour + 1, 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_err").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ExtensionQueries.queries("events_error_rate_hours")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 5000L), (0L, 4L, 1L, 2500L)))
+  }
+
   test("simpson diversity, fano burstiness, degree bands: hand cases") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -266,6 +266,26 @@ class CurationSpec extends SparkSpecBase {
       "4_exact_dedup" -> ((1L, 20L))))
   }
 
+  test("survivor dedup keeps the longest copy, not the smallest id") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import graft.queries.ExtensionQueries
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv").toString
+    // docs 1 and 2 share a fingerprint (case/trim-normalized); doc 2 is
+    // the longer copy and must survive despite the larger id
+    spark.createDataFrame(Seq(
+      Row(1L, "Shared Text", 11L), Row(2L, "shared text", 20L),
+      Row(3L, "unique", 6L)).asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ExtensionQueries.queries("dedup_survivor_best")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
   test("source token gini: even masses score 0, one-owner corpora near max") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
