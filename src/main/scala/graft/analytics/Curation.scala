@@ -21,9 +21,12 @@ object Curation {
     * sources), and the quota is filled deterministically by smallest doc id.
     *
     * Arithmetic is oracle-exact by construction: the per-source weight is
-    * `round(sqrt(n_s), 9)` accumulated as DECIMAL (order-independent exact
-    * sum), and the final quota is a single IEEE double multiply/divide/ceil
-    * — identical in any engine. The quota table is tiny (one row per
+    * `w = isqrt(n_s · 10^12)` — fixed-point square root as float sqrt +
+    * integer ±1 repair ([[isqrtSql]]) — and the quota is the integer
+    * ceil-div `(target·w + Σw − 1) div Σw`: no float ratio, no ceil on an
+    * irrational boundary, bit-stable in any engine and any libm (a 1-ulp
+    * platform sqrt difference flipped the old round(sqrt,9)/double-ceil
+    * form). The quota table is tiny (one row per
     * source) and broadcast; the only corpus-sized shuffle is the per-source
     * rank window, partitioned by source so it parallelizes. One source
     * dominating the corpus would serialize its rank window — at that scale
@@ -42,14 +45,17 @@ object Curation {
       targetTotal: Long,
       sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
-    val w = round(sqrt(col("n").cast("double")), 9).cast("decimal(38,9)")
     val weights = docs.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("n")).select(col(sourceCol), w.as("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", expr("CAST(n AS DECIMAL(38,0)) * 1000000000000"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(x AS DOUBLE))) AS DECIMAL(38,0))"))
+      .withColumn("w", expr(isqrtSql("x", "s0")))
+      .select(col(sourceCol), col("w"))
     val total = weights.agg(sum(col("w")).as("sw"))
     val quotas = weights.crossJoin(broadcast(total))
       .select(col(sourceCol),
-        ceil(lit(targetTotal.toDouble) * col("w").cast("double") /
-          col("sw").cast("double")).as("quota"))
+        expr(s"(CAST($targetTotal AS DECIMAL(38,0)) * w + sw - 1) div sw")
+          .as("quota"))
     docs
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
@@ -88,22 +94,28 @@ object Curation {
     *
     * One partial-aggregating corpus sweep (map-side token counts per
     * source), then |sources|-row arithmetic against a one-row broadcast
-    * total. Shares and epochs are integer basis points (exact div);
-    * the tempering weight follows the [[sourceMixSample]] contract
-    * (round(sqrt, 9) then IEEE double ratio — bit-stable across engines).
+    * total. ALL arithmetic is integer-exact: the sqrt temper weight is
+    * `w = isqrt(n_tokens · 10^12)` — a fixed-point square root computed as
+    * float sqrt + integer ±1 repair (the [[isqrtSql]] pattern, proven
+    * cross-engine in [[negativeSamples]]) — and the target is
+    * `budget · w div Σw` in DECIMAL(38,0). No float ratio, no floor on an
+    * irrational boundary, so the result is bit-stable in any engine and
+    * any libm (the round(sqrt,9)/double-floor formulation this replaces
+    * flipped targets by 1 on a 1-ulp platform sqrt difference).
     */
   def sourceMixturePlan(docs: DataFrame, budgetTokens: Long = 1000000L)
       : DataFrame = {
     val toks = docs.groupBy(col("source"))
       .agg(sum(size(tokens(col("text")))).as("n_tokens"))
-    val weights = toks.select(col("source"), col("n_tokens"),
-      round(sqrt(col("n_tokens").cast("double")), 9)
-        .cast("decimal(38,9)").as("w"))
+    val weights = toks
+      .withColumn("x", expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000000000"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(x AS DOUBLE))) AS DECIMAL(38,0))"))
+      .withColumn("w", expr(isqrtSql("x", "s0")))
+      .select(col("source"), col("n_tokens"), col("w"))
     val tot = weights.agg(sum(col("w")).as("sw"), sum(col("n_tokens")).as("tt"))
     weights.crossJoin(broadcast(tot))
       .withColumn("target_tokens",
-        floor(lit(budgetTokens.toDouble) * col("w").cast("double") /
-          col("sw").cast("double")).cast("long"))
+        expr(s"(CAST($budgetTokens AS DECIMAL(38,0)) * w) div sw").cast("long"))
       .select(col("source"), col("n_tokens"),
         expr("(n_tokens * 10000L) div tt").as("share_nat_bp"),
         col("target_tokens"),
@@ -887,7 +899,6 @@ object Curation {
       docs: DataFrame,
       stopwords: Seq[String] = Seq("the", "a", "of", "and"),
       k: Int = 20): DataFrame = {
-    val stopSet = stopwords.map(s => s"'$s'").mkString(", ")
     val toks = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tk")))
@@ -978,8 +989,14 @@ object Curation {
       .withColumn("hi", col("poff") + sum(col("m")).over(wIn))
       .withColumn("lo", col("hi") - col("m"))
       .select(col("tk"), col("lo"), col("hi"))
-    // one count-class driver scalar sizes the bins and bounds the coin
-    val mTotal = mass.agg(sum(col("m"))).head.getLong(0)
+    // one count-class driver scalar sizes the bins and bounds the coin;
+    // sum over zero rows is NULL — an empty corpus draws no negatives
+    // (and must not reach the modulus below with 0)
+    val mTotal = mass.agg(coalesce(sum(col("m")), lit(0L))).head.getLong(0)
+    if (mTotal == 0L)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0).as("j"),
+          lit("").as("neg_token")).limit(0)
     val draws = docs.select(col("doc_id"))
       .withColumn("j", explode(sequence(lit(0), lit(kNeg - 1))))
       .withColumn("u", expr(

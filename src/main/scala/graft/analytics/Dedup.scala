@@ -445,7 +445,13 @@ object Dedup {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
       : DataFrame = {
-    val e0 = edges.select(col("id_a"), col("id_b"))
+    // canonicalize orientation BEFORE distinct: an input carrying both
+    // (a,b) and (b,a) would otherwise survive dedup twice and double
+    // every degree, inflating k-core membership (no precondition on
+    // callers — least/greatest is the identity on already-canonical edges)
+    val e0 = edges.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b")).distinct()
     var dir = materialize(
       e0.select(col("id_a").as("node"), col("id_b").as("nb"))

@@ -48,35 +48,22 @@ object Layout {
     * iterative algorithm): unlike the Z-curve, the Hilbert curve never
     * long-jumps, so consecutive curve positions are always grid
     * neighbors — tighter per-file envelopes for the same sort, the reason
-    * warehouse OPTIMIZE implementations offer it next to Z-order. Pure
-    * shift/mask/case expressions. The rotation makes each unrolled level
-    * reference the previous (x, y) ~5 times, so the inlined tree grows
-    * ~5^bits — keep `bits` ≤ 6 (a 4096-cell curve, which is file-level
-    * clustering resolution; finer grids belong to [[zValue]], whose
-    * unrolling is linear). Codegen CSE collapses the duplicates at
-    * runtime; the bound protects ANALYSIS time.
+    * warehouse OPTIMIZE implementations offer it next to Z-order.
+    * One native codegen'd expression
+    * ([[graft.functions.NativeExpressions.HilbertPos]]) evaluating the
+    * constant-size bit-level loop — analysis cost is a single expression
+    * node regardless of `bits` (the former unrolled Column tree grew
+    * ~5^bits nodes and cost ~5 s of driver analysis at bits = 6), so the
+    * usable resolution matches [[zValue]]'s 16 and beyond.
     */
-  def hilbertValue(xCol: Column, yCol: Column, bits: Int = 6): Column = {
-    require(bits >= 1 && bits <= 6,
-      s"hilbertValue: bits must be in 1..6 (tree grows ~5^bits), got $bits")
-    var x = xCol
-    var y = yCol
-    var d: Column = lit(0L)
-    var s = 1L << (bits - 1)
-    while (s > 0) {
-      val rx = when(x.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      val ry = when(y.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
-      // ry == 1: no rotation; ry == 0: flip when rx == 1, then swap
-      val nx = when(y.bitwiseAND(lit(s)) > 0, x)
-        .otherwise(when(x.bitwiseAND(lit(s)) > 0, lit(s - 1) - y).otherwise(y))
-      val ny = when(y.bitwiseAND(lit(s)) > 0, y)
-        .otherwise(when(x.bitwiseAND(lit(s)) > 0, lit(s - 1) - x).otherwise(x))
-      x = nx
-      y = ny
-      s >>= 1
-    }
-    d
+  def hilbertValue(xCol: Column, yCol: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31,
+      s"hilbertValue: bits must be in 1..31, got $bits")
+    org.apache.spark.sql.graft.PlanBuilder.columnOf(
+      graft.functions.NativeExpressions.HilbertPos(
+        org.apache.spark.sql.graft.PlanBuilder.expressionOf(xCol.cast("long")),
+        org.apache.spark.sql.graft.PlanBuilder.expressionOf(yCol.cast("long")),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits)))
   }
 
   /** Range-partitioner balance audit — the explicit form of what Spark's

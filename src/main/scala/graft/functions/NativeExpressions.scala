@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -375,6 +375,75 @@ object NativeExpressions {
         wExpr = newChildren(2), baseExpr = newChildren(3))
   }
 
+  /** Hilbert-curve index of one 2-D grid point — the classic iterative
+    * xy2d walk, one compiled constant-size loop over the bit levels.
+    * Exactly mirrors the per-level parallel assignment of the former
+    * unrolled Column formulation (and the DuckDB oracle's CTE chain):
+    * at level `s`, `ry==1` keeps (x, y); `ry==0 && rx==1` flips AND swaps
+    * (`x' = s−1−y, y' = s−1−x`); `ry==0 && rx==0` swaps. The `s−1−·` flip
+    * can go negative when higher (already-consumed) bits are set — two's
+    * complement keeps the not-yet-consumed low bits exact, the property
+    * the spec's driver replica and the oracle both rely on.
+    */
+  def hilbertJava(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += (s * s) * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        val nx = if (rx == 1L) s - 1 - y else y
+        val ny = if (rx == 1L) s - 1 - x else x
+        x = nx
+        y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** hilbert_pos(x, y, bits) → Long: Hilbert curve position of grid cell
+    * (x, y) on a 2^bits × 2^bits grid. Replaces the unrolled Column tree
+    * (which grew ~5^bits nodes and cost seconds of driver ANALYSIS time at
+    * bits = 6) with a constant-size codegen'd loop — analysis cost is one
+    * expression node regardless of bits, so the cap lifts from 6 to 31.
+    */
+  case class HilbertPos(x: Expression, y: Expression, bitsExpr: Expression)
+      extends TernaryExpression {
+    override def first: Expression = x
+    override def second: Expression = y
+    override def third: Expression = bitsExpr
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hilbert_pos"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (x.dataType == LongType && y.dataType == LongType &&
+        bitsExpr.dataType == IntegerType && bitsExpr.foldable &&
+        bitsExpr.eval() != null &&
+        bitsExpr.eval().asInstanceOf[Int] >= 1 &&
+        bitsExpr.eval().asInstanceOf[Int] <= 31)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "hilbert_pos expects (bigint, bigint, int literal in [1, 31]), got " +
+          s"(${x.dataType}, ${y.dataType}, ${bitsExpr.dataType})")
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      hilbertJava(a.asInstanceOf[Long], b.asInstanceOf[Long],
+        c.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, c) =>
+        s"${ev.value} = graft.functions.NativeExpressions.hilbertJava($a, $b, $c);")
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression)
+        : Expression =
+      copy(x = newFirst, y = newSecond, bitsExpr = newThird)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -476,6 +545,9 @@ object NativeExpressions {
       "winnow_minima",
       exprs => WinnowMinima(exprs(0), exprs(1), exprs(2), exprs(3)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "hilbert_pos",
+      exprs => HilbertPos(exprs(0), exprs(1), exprs(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64",
       exprs => Simhash64(exprs(0),

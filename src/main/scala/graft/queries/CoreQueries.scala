@@ -590,13 +590,22 @@ object CoreQueries {
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
             .as("total"))),
 
-    // A-family approx aggregate — no oracle (estimator-specific), declared
-    // for the rows-only check; DuckDB's approx_count_distinct uses a
-    // different sketch so values can't hash-match
+    // A-family approx aggregate with a CHECKABLE contract: the HLL++
+    // estimate itself is estimator-specific (DuckDB's sketch differs, so
+    // the raw value can't hash-match), but its ERROR BAND can — the key
+    // emits the exact count(DISTINCT) alongside an integer basis-point
+    // flag `|approx − exact|·10000 div exact ≤ 1000` (HLL++ default rsd
+    // 5%, banded at 10% for slack), and the oracle states exact + flag=1.
+    // A broken estimator flips the flag and the hash goes red.
     "approx_distinct_parts" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count(lit(1)).as("n_rows"))),
+        approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+        .select(col("exact_parts"), col("n_rows"),
+          expr("CAST(CASE WHEN (abs(approx - exact_parts) * 10000L) " +
+            "div exact_parts <= 1000 THEN 1 ELSE 0 END AS INT)")
+            .as("err_band_ok"))),
 
     // Flagship pricing-summary aggregate (headline bench query; exercises
     // scan + filter pushdown + partial aggregation)
@@ -709,6 +718,11 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact count + error-band flag; the approx estimate itself never
+    // enters the hashed output (estimator-specific), only its contract
+    "approx_distinct_parts" ->
+      ("SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
+        "count(*) AS n_rows, CAST(1 AS INT) AS err_band_ok FROM lineitem"),
     "passthrough_region" -> "SELECT * FROM region",
     "depbreak_null_projection" ->
       "SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation",

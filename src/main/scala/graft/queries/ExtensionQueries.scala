@@ -35,18 +35,38 @@ object ExtensionQueries {
   // bucket/interval arithmetic in the keys below is written once regardless
   // of whether the fixture ships int64-ns or timestamp[us] (schema drift
   // fails fast with one clear message, see EventTime).
+  // Pinned-relation cache plumbing: keys are (sessionUUID, dir) — the
+  // session UUID is unique for the process lifetime (identityHashCode
+  // could collide after GC and hand a new session DataFrames bound to a
+  // stopped one) — and every access first evicts entries whose session
+  // has stopped, unpersisting so the cached RDD blocks are not pinned for
+  // process lifetime.
+  private def sessionKey(s: SparkSession, dir: String): String =
+    s"${org.apache.spark.sql.graft.PlanBuilder.sessionUUID(s)}#$dir"
+
+  private def pinned(
+      cache: scala.collection.concurrent.TrieMap[String, (SparkSession, DataFrame)],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    cache.filterInPlace { case (_, (sess, df)) =>
+      val alive = !sess.sparkContext.isStopped
+      if (!alive) scala.util.Try(df.unpersist(blocking = false))
+      alive
+    }
+    cache.getOrElseUpdate(sessionKey(s, dir), {
+      val df = build.persist()
+      df.count()
+      (s, df)
+    })._2
+  }
+
   // the distinct token co-occurrence edge relation feeds four graph keys
   // (triangles, pagerank, k-core, degree bands); pin it once per
   // (dir, session) — consumers re-distinct, a no-op on the pinned set
   private val tokenEdgeCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def tokenEdges(s: SparkSession, dir: String): DataFrame =
-    tokenEdgeCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
-      val e = tokenGraphEdges(s, dir).distinct().persist()
-      e.count()
-      e
-    })
+    pinned(tokenEdgeCache, s, dir)(tokenGraphEdges(s, dir).distinct())
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$n.parquet")
@@ -61,42 +81,52 @@ object ExtensionQueries {
   // the subset surface does for its outputs — the clusters key then costs
   // only the connected-components rounds
   private val entityMatchCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def entityMatches(s: SparkSession, dir: String): DataFrame =
-    entityMatchCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
-      val m = EntityResolution.editMatches(
-        t(s, dir, "customer"), "c_custkey", "c_name", "c_nationkey").persist()
-      m.count()
-      m
-    })
+    pinned(entityMatchCache, s, dir)(EntityResolution.editMatches(
+      t(s, dir, "customer"), "c_custkey", "c_name", "c_nationkey"))
 
   // the MinHash LSH candidate-pair relation feeds six keys (lsh_pairs,
   // CC ×3, triangles, b-bit eval); pin it once per (dir, session) so the
   // shingle→signature→band pipeline runs once, not per key
   private val lshPairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
-      val p = Dedup.lshCandidatePairs(t(s, dir, "documents")).persist()
-      p.count()
-      p
-    })
+    pinned(lshPairsCache, s, dir)(
+      Dedup.lshCandidatePairs(t(s, dir, "documents")))
 
   // the CC clustering over the match graph likewise feeds two keys
   // (clusters + golden record); pin it once per (dir, session) so the
   // iterative component rounds run once, not per key
   private val entityClusterCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def entityClusters(s: SparkSession, dir: String): DataFrame =
-    entityClusterCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}", {
-      val c = EntityResolution.entityClustersFromMatches(
-        entityMatches(s, dir), "c_custkey").persist()
-      c.count()
-      c
-    })
+    pinned(entityClusterCache, s, dir)(EntityResolution.entityClustersFromMatches(
+      entityMatches(s, dir), "c_custkey"))
+
+  /** Pre-build every shared pinned relation for (session, dir), returning
+    * (pin name, build seconds). A bench calls this as an accounted SETUP
+    * phase so the one-time pin builds stop being attributed to whichever
+    * consumer key happens to run first (r11: `containment_pairs` read
+    * 13.1 s cold vs 3.2 s warm purely from absorbed pin builds). In a real
+    * deployment these are amortized build-once artifacts, like the
+    * on-disk ANN index.
+    */
+  def prebuildPinned(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("tokenEdges")(tokenEdges(s, dir)),
+      timed("lshPairs")(lshPairs(s, dir)),
+      timed("entityMatches")(entityMatches(s, dir)),
+      timed("entityClusters")(entityClusters(s, dir)))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
@@ -2403,10 +2433,18 @@ object ExtensionQueries {
         "min(tf) AS min_tf, CAST(sum(CASE WHEN tf <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare " +
         "FROM occ JOIN tf USING (tk) GROUP BY doc_id"),
     "source_mix_sample" ->
-      ("WITH wts AS (SELECT source, CAST(round(sqrt(count(*)), 9) AS DECIMAL(38,9)) AS w " +
-        "FROM documents GROUP BY source), " +
+      // integer-exact temper weight (isqrt(n·10^12), float sqrt + ±1
+      // repair) and integer ceil-div quota — same bit-stable pattern as
+      // source_mixture_plan; no float ceil boundary
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+        "x AS (SELECT source, CAST(n AS HUGEINT) * 1000000000000 AS x FROM c), " +
+        "r0 AS (SELECT source, x, " +
+        "CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS s0 FROM x), " +
+        "wts AS (SELECT source, " +
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 " +
+        "WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS w FROM r0), " +
         "tot AS (SELECT sum(w) AS sw FROM wts), " +
-        "q AS (SELECT source, ceil(200.0 * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) AS quota " +
+        "q AS (SELECT source, (200 * w + sw - 1) // sw AS quota " +
         "FROM wts, tot), " +
         "r AS (SELECT doc_id, source, row_number() OVER " +
         "(PARTITION BY source ORDER BY doc_id) AS rk FROM documents) " +
@@ -3721,14 +3759,21 @@ object ExtensionQueries {
         "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
         "WHERE o_orderpriority = '1-URGENT')"),
     "source_mixture_plan" ->
+      // integer-exact temper weight: w = isqrt(n_tokens·10^12) via float
+      // sqrt + integer ±1 repair (the negative_samples_unigram pattern),
+      // then target = budget·w // Σw in HUGEINT — bit-stable in any engine
       ("WITH s AS (SELECT source, sum(len(string_split(text, ' '))) AS n_tokens " +
         "FROM documents GROUP BY 1), " +
+        "x AS (SELECT source, n_tokens, " +
+        "CAST(n_tokens AS HUGEINT) * 1000000000000 AS x FROM s), " +
+        "r0 AS (SELECT source, n_tokens, x, " +
+        "CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS s0 FROM x), " +
         "w AS (SELECT source, n_tokens, " +
-        "CAST(round(sqrt(n_tokens), 9) AS DECIMAL(38,9)) AS w FROM s), " +
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 " +
+        "WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS w FROM r0), " +
         "t AS (SELECT sum(w) AS sw, sum(n_tokens) AS tt FROM w), " +
         "p AS (SELECT source, n_tokens, " +
-        "CAST(floor(1000000.0 * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) " +
-        "AS target_tokens, tt FROM w, t) " +
+        "CAST((1000000 * w) // sw AS BIGINT) AS target_tokens, tt FROM w, t) " +
         "SELECT source, n_tokens, " +
         "CAST((n_tokens * 10000) // tt AS BIGINT) AS share_nat_bp, " +
         "target_tokens, " +
@@ -4181,21 +4226,24 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, ascii(c) % 16 AS bucket, count(*) AS n FROM " +
         "(SELECT doc_id, unnest([substr(text, i, 1) FOR i IN generate_series(1, length(text))]) AS c " +
         "FROM documents) t GROUP BY 1, 2"),
-    // xy2d unrolled as 8 CTE stages; each stage's (x, y, d) reads the
-    // previous stage's columns — the same parallel assignment the engine's
-    // unrolled expression makes
+    // xy2d unrolled as one CTE stage per bit level; each stage computes
+    // nx/ny/nd in an inner subquery and projects them back to x/y/d in the
+    // outer SELECT, so the bare x/y names inside the CASEs can only
+    // resolve to the PREVIOUS stage's columns (never to lateral aliases
+    // defined in the same list) — unambiguous in any SQL dialect
     "hilbert_events" ->
       ("WITH h0 AS (SELECT event_id, user_id & 63 AS x, " +
         "CAST(floor(value) AS BIGINT) & 63 AS y, CAST(0 AS BIGINT) AS d FROM events), " +
         Seq(32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex.map {
           case (s, i) =>
-            s"h${i + 1} AS (SELECT event_id, " +
+            s"h${i + 1} AS (SELECT event_id, nx AS x, ny AS y, nd AS d FROM " +
+              s"(SELECT event_id, " +
               s"CASE WHEN (y & $s) > 0 THEN x ELSE " +
-              s"CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END END AS x, " +
+              s"CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END END AS nx, " +
               s"CASE WHEN (y & $s) > 0 THEN y ELSE " +
-              s"CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END END AS y, " +
+              s"CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END END AS ny, " +
               s"d + ${s * s} * xor(3 * CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END, " +
-              s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d FROM h$i)"
+              s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS nd FROM h$i) q${i + 1})"
         }.mkString(", ") +
         " SELECT event_id, CAST(d AS BIGINT) AS h FROM h6"),
     "zorder_events" ->

@@ -13,6 +13,25 @@ object PlanBuilder {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Column ⇄ Expression bridge (`ExpressionUtils` is `private[sql]`):
+    * lets library code wrap a hand-built Catalyst `Expression` as a
+    * `Column` (and unwrap the reverse) without a registered SQL function.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** The session's process-unique UUID (`private[sql]` on the classic
+    * session) — the stable cache key a library should use instead of
+    * `System.identityHashCode`, which can collide after GC.
+    */
+  def sessionUUID(s: SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }
 
 /** `private[spark]` members custom physical operators legitimately need at
