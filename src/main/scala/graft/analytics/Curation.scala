@@ -755,6 +755,52 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Curriculum training order (Bengio et al., "Curriculum Learning", ICML
+    * 2009, as applied to LLM data ordering): every document gets a GLOBAL
+    * 1-based `train_order` — easy→hard band-major (here: length octiles,
+    * short documents first), deterministically shuffled WITHIN each band by
+    * an md5 draw so no source/topic run survives (the within-band
+    * decorrelation [[shuffleShards]] provides corpus-wide).
+    *
+    * The global total order is (band, md5-prefix, doc_id), materialized
+    * WITHOUT a single-partition global window: documents bucket by the
+    * first two hex chars of the same md5 the order sorts on — a PREFIX of
+    * the sort key, so per-bucket orders concatenate into the global
+    * order — then a (bands×256)-row count relation cumulates into
+    * broadcast offsets and each (band, bucket) group ranks independently
+    * (the distributed two-phase rank; same shape as the
+    * [[negativeSamples]] inverse-CDF layout). Band boundaries are exact
+    * OCTILES — power-of-two fractions interpolate to exact binary doubles,
+    * the cross-engine-safe percentile class (see the fragility inventory
+    * in STATUS).
+    */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val qs = (1 until 8).map(i => i / 8.0)
+    val bounds = docs.agg(
+      expr(s"percentile(n_chars, array(${qs.mkString(", ")}))").as("bs"))
+    val band = (1 until 8)
+      .map(i => when(col("n_chars") >= element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    val banded = docs.select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("h", md5Hex(col("doc_id").cast("string")).substr(1, 8))
+      .withColumn("bucket", col("h").substr(1, 2))
+      .select(col("doc_id"), band.cast("int").as("band"),
+        col("h"), col("bucket"))
+    val wOff = Window.orderBy(col("band"), col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("band"), col("bucket"), col("off"))
+    val wIn = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    banded.join(broadcast(offsets), Seq("band", "bucket"))
+      .withColumn("train_order",
+        (col("off") + row_number().over(wIn)).cast("long"))
+      .select(col("doc_id"), col("band"), col("train_order"))
+  }
+
   /** BPE tokenizer training, the first `nMerges` merge steps (Sennrich et
     * al. 2016): train on the TOKEN VOCABULARY with occurrence counts — the
     * corpus contributes exactly one token-counting pass, after which every

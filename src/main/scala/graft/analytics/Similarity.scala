@@ -1693,4 +1693,81 @@ object Similarity {
           (col("nrm_a") * col("nrm_b")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based Parallel
+    * Corpus Mining with Multilingual Sentence Embeddings", ACL 2019 — the
+    * LASER/CCMatrix pipeline): candidate cross-lingual pairs between the
+    * `langA` and `langB` sides of the corpus, scored by the RATIO margin —
+    * cosine(x, y) divided by the mean of each side's top-`k` candidate
+    * neighbor cosines — and kept only when (x, y) is each other's best
+    * margin match (the mutual-best filter that kills hub sentences, the
+    * published failure mode of raw cosine thresholds).
+    *
+    * Scale shape: candidates come from a sign-LSH bucket EQUI-join between
+    * the two language sides (the [[cosineNearDupPairs]] cut — no
+    * cartesian; at 100 TB swap in the IVF candidate relation of
+    * [[knnJoinIvf]] unchanged). The margin arithmetic is integer fixed
+    * point over `sim_fp = round(cosine, 6)·10^6` — `margin_bp =
+    * (2·sim_fp·cnt_a·cnt_b·10^4) div (sum_a·cnt_b + sum_b·cnt_a)` — so the
+    * ranking and the mutual-best tie-breaks are bit-stable cross-engine.
+    * Top-k neighbor sets are drawn from the same candidate cut and INCLUDE
+    * the pair itself when ranked (the published formulation). Two window
+    * passes over the candidate relation (shuffles on id_a, id_b) plus two
+    * |sides|-row aggregate joins; candidates-per-bucket is the only
+    * quadratic term, bounded by the LSH cut like every near-dup key.
+    */
+  def bitextMarginPairs(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      langA: String = "en",
+      langB: String = "es",
+      k: Int = 4,
+      nBits: Int = 6,
+      minMarginBp: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lang = docs.select(col("doc_id").as("vec_id"), col("lang"))
+    val e = embeddings.join(lang, Seq("vec_id"))
+      .filter(col("lang").isin(langA, langB))
+    val bucketed = withSignBucket(e, nBits)
+      .withColumn("nrm", sqrt(normSqDecimal(col("embedding")).cast("double")))
+    val a = bucketed.filter(col("lang") === langA)
+      .select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val b = bucketed.filter(col("lang") === langB)
+      .select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    val cand = a.join(b, Seq("bucket"))
+      .select(col("id_a"), col("id_b"),
+        round(round(dotDecimal(col("ea"), col("eb")).cast("double") /
+          (col("na") * col("nb")), 6) * lit(1000000.0), 0)
+          .cast("long").as("sim_fp"))
+      .filter(col("sim_fp") > 0)
+    val wA = Window.partitionBy(col("id_a"))
+      .orderBy(col("sim_fp").desc, col("id_b"))
+    val wB = Window.partitionBy(col("id_b"))
+      .orderBy(col("sim_fp").desc, col("id_a"))
+    val sumsA = cand.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= k).groupBy(col("id_a"))
+      .agg(sum(col("sim_fp")).as("sum_a"), count(lit(1)).as("cnt_a"))
+    val sumsB = cand.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= k).groupBy(col("id_b"))
+      .agg(sum(col("sim_fp")).as("sum_b"), count(lit(1)).as("cnt_b"))
+    val scored = cand.join(sumsA, Seq("id_a")).join(sumsB, Seq("id_b"))
+      .withColumn("margin_bp", expr(
+        "(2 * sim_fp * cnt_a * cnt_b * 10000) div (sum_a * cnt_b + sum_b * cnt_a)"))
+    val fwd = scored.withColumn("rf", row_number().over(
+        Window.partitionBy(col("id_a"))
+          .orderBy(col("margin_bp").desc, col("id_b"))))
+      .filter(col("rf") === 1)
+    val bwd = scored.withColumn("rb", row_number().over(
+        Window.partitionBy(col("id_b"))
+          .orderBy(col("margin_bp").desc, col("id_a"))))
+      .filter(col("rb") === 1)
+      .select(col("id_a").as("b_a"), col("id_b").as("b_b"))
+    fwd.join(bwd,
+        col("id_a") === col("b_a") && col("id_b") === col("b_b"))
+      .filter(col("margin_bp") >= minMarginBp)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("sim_fp"), col("margin_bp"))
+  }
 }

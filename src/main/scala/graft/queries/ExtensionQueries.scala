@@ -376,6 +376,13 @@ object ExtensionQueries {
     // threshold, candidate-cut by sign-LSH buckets
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), minSim = 0.30, nBits = 8)),
+    // margin-based bitext mining (Artetxe & Schwenk ratio margin + the
+    // mutual-best filter) between the en and es sides of the corpus —
+    // the LASER/CCMatrix parallel-pair mining shape, LSH-candidate-cut,
+    // integer fixed-point margins
+    "bitext_margin_pairs" -> ((s, dir) =>
+      Similarity.bitextMarginPairs(
+        t(s, dir, "documents"), t(s, dir, "embeddings"))),
     // IVF ANN: fixed-seed k-means coarse quantizer (3 Lloyd iterations,
     // trained on the deterministic 1-in-4 sample — the corpus-scale
     // practice), probe the 4 cells nearest the query
@@ -781,6 +788,11 @@ object ExtensionQueries {
     }),
     "corpus_shuffle" -> ((s, dir) =>
       Curation.shuffleShards(t(s, dir, "documents"), seed = "seed42")),
+    // curriculum data ordering: global easy→hard train_order (length
+    // octile bands, md5-shuffled within band) via the distributed
+    // two-phase rank — no single-partition global window
+    "curriculum_train_order" -> ((s, dir) =>
+      Curation.curriculumOrder(t(s, dir, "documents"))),
     // snapshot change report between two corpus versions, synthesized
     // deterministically from the fixture: old drops ids ≡9 (mod 10)
     // ("added" in new), new drops ≡4 ("removed") and rewrites ≡2
@@ -2538,6 +2550,20 @@ object ExtensionQueries {
         "sh AS (SELECT doc_id, skey, CAST(('0x' || substr(skey, 1, 4))::BIGINT % 64 AS INT) AS shard FROM s) " +
         "SELECT doc_id, shard, CAST(row_number() OVER " +
         "(PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos FROM sh"),
+    // the engine's two-phase rank concatenates per-(band, md5-prefix-
+    // bucket) orders; the bucket is a PREFIX of the sort key, so the
+    // oracle states the equivalent single global order directly
+    "curriculum_train_order" ->
+      ("WITH b AS (SELECT quantile_cont(n_chars, " +
+        "[0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM documents), " +
+        "d AS (SELECT doc_id, n_chars, " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents), " +
+        "bd AS (SELECT doc_id, h, CAST(" +
+        (1 to 7).map(i => s"(CASE WHEN n_chars >= bs[$i] THEN 1 ELSE 0 END)")
+          .mkString(" + ") +
+        " AS INT) AS band FROM d, b) " +
+        "SELECT doc_id, band, row_number() OVER " +
+        "(ORDER BY band, h, doc_id) AS train_order FROM bd"),
     "bpe_merges" -> ("WITH " + bpeTrainCtes(4) + " " +
       (1 to 4).map(i =>
         s"SELECT $i AS step, pair, CAST(n AS BIGINT) AS n FROM m$i")
@@ -3528,6 +3554,43 @@ object ExtensionQueries {
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
     "dedup_embedding_cosine" ->
       ("WITH " + cosinePairCtes + " SELECT id_a, id_b, sim FROM cpairs"),
+    // replays the engine exactly: sign-LSH bucket equi-join between the
+    // two language sides, decimal-exact cosine in fixed point, top-4
+    // candidate-neighbor sums per side, integer ratio margin, mutual-best
+    "bitext_margin_pairs" ->
+      ("WITH l AS (SELECT e.vec_id, d.lang, e.embedding FROM embeddings e " +
+        "JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang IN ('en', 'es')), " +
+        "bk AS (SELECT vec_id, lang, embedding, " +
+        "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:6]], '') AS bucket FROM l), " +
+        "c0 AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, " +
+        "a.embedding AS ea, c.embedding AS eb " +
+        "FROM bk a JOIN bk c ON a.bucket = c.bucket " +
+        "AND a.lang = 'en' AND c.lang = 'es'), " +
+        "cs AS (SELECT id_a, id_b, CAST(round(round(" +
+        "CAST(list_sum([CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(ea))]) AS DOUBLE) / " +
+        "(sqrt(CAST(list_sum([CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(ea))]) AS DOUBLE)) * " +
+        "sqrt(CAST(list_sum([CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(18,16)) FOR i IN generate_series(1, len(eb))]) AS DOUBLE))" +
+        "), 6) * 1000000, 0) AS BIGINT) AS sim_fp FROM c0), " +
+        "cand AS (SELECT * FROM cs WHERE sim_fp > 0), " +
+        "ra AS (SELECT id_a, id_b, sim_fp, row_number() OVER " +
+        "(PARTITION BY id_a ORDER BY sim_fp DESC, id_b) AS rk FROM cand), " +
+        "sa AS (SELECT id_a, sum(sim_fp) AS sum_a, count(*) AS cnt_a " +
+        "FROM ra WHERE rk <= 4 GROUP BY 1), " +
+        "rb AS (SELECT id_a, id_b, sim_fp, row_number() OVER " +
+        "(PARTITION BY id_b ORDER BY sim_fp DESC, id_a) AS rk FROM cand), " +
+        "sb AS (SELECT id_b, sum(sim_fp) AS sum_b, count(*) AS cnt_b " +
+        "FROM rb WHERE rk <= 4 GROUP BY 1), " +
+        "sc AS (SELECT c.id_a, c.id_b, c.sim_fp, " +
+        "(2 * c.sim_fp * cnt_a * cnt_b * 10000) // (sum_a * cnt_b + sum_b * cnt_a) AS margin_bp " +
+        "FROM cand c JOIN sa USING (id_a) JOIN sb USING (id_b)), " +
+        "f AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY id_a ORDER BY margin_bp DESC, id_b) AS rf FROM sc), " +
+        "g AS (SELECT id_a, id_b, row_number() OVER " +
+        "(PARTITION BY id_b ORDER BY margin_bp DESC, id_a) AS rg FROM sc) " +
+        "SELECT f.id_a AS doc_a, f.id_b AS doc_b, f.sim_fp, " +
+        "CAST(f.margin_bp AS BIGINT) AS margin_bp " +
+        "FROM f JOIN g ON f.id_a = g.id_a AND f.id_b = g.id_b " +
+        "WHERE f.rf = 1 AND g.rg = 1 AND f.margin_bp >= 10000"),
     "text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, " +

@@ -945,4 +945,65 @@ class AnalyticsSpec extends SparkSpecBase {
       .toMap
     assert(got == Map(("A", "B") -> ((2L, 2L)), ("B", "A") -> ((1L, 1L))))
   }
+
+  test("bitext margin pairs match a full driver-side replica") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecOf = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val nBits = 6
+    val k = 4
+    def bucket(v: Array[Float]): String =
+      v.take(nBits).map(x => if (x > 0f) '1' else '0').mkString
+    // mirror dotDecimal exactly: per-element double product cast to
+    // DECIMAL(18,16) (HALF_UP), exact decimal accumulation
+    def dotDec(a: Array[Float], b: Array[Float]): JBD =
+      a.zip(b).map { case (x, y) =>
+        // cast-to-DECIMAL also goes through the shortest decimal repr
+        JBD.valueOf(x.toDouble * y.toDouble).setScale(16, RoundingMode.HALF_UP)
+      }.foldLeft(JBD.ZERO)(_.add(_))
+    def simFp(a: Array[Float], b: Array[Float]): Long = {
+      val cos = dotDec(a, b).doubleValue() /
+        (math.sqrt(dotDec(a, a).doubleValue()) *
+          math.sqrt(dotDec(b, b).doubleValue()))
+      // Spark's Round on DoubleType goes through BigDecimal.decimal
+      // (shortest decimal repr), not the exact binary expansion
+      val r6 = JBD.valueOf(cos).setScale(6, RoundingMode.HALF_UP).doubleValue()
+      JBD.valueOf(r6 * 1000000.0).setScale(0, RoundingMode.HALF_UP).longValue()
+    }
+    val sideA = vecOf.keys.filter(id => langOf.get(id).contains("en")).toSeq.sorted
+    val sideB = vecOf.keys.filter(id => langOf.get(id).contains("es")).toSeq.sorted
+    val cand = (for {
+      ia <- sideA; ib <- sideB
+      if bucket(vecOf(ia)) == bucket(vecOf(ib))
+      s = simFp(vecOf(ia), vecOf(ib)) if s > 0
+    } yield (ia, ib, s)).toSeq
+    def topKSums(byKey: Map[Long, Seq[(Long, Long)]]): Map[Long, (Long, Long)] =
+      byKey.map { case (id, nbrs) =>
+        val top = nbrs.sortBy { case (o, s) => (-s, o) }.take(k)
+        id -> ((top.map(_._2).sum, top.size.toLong))
+      }
+    val sumsA = topKSums(cand.groupBy(_._1)
+      .map { case (a, xs) => a -> xs.map(t => (t._2, t._3)) })
+    val sumsB = topKSums(cand.groupBy(_._2)
+      .map { case (b, xs) => b -> xs.map(t => (t._1, t._3)) })
+    val scored = cand.map { case (a, b, s) =>
+      val (sa, ca) = sumsA(a)
+      val (sb, cb) = sumsB(b)
+      (a, b, s, (2L * s * ca * cb * 10000L) / (sa * cb + sb * ca))
+    }
+    val fwd = scored.groupBy(_._1).map { case (_, xs) =>
+      xs.minBy { case (_, b, _, m) => (-m, b) } }.toSet
+    val bwd = scored.groupBy(_._2).map { case (_, xs) =>
+      xs.minBy { case (a, _, _, m) => (-m, a) } }.toSet
+    val expected = fwd.intersect(bwd).filter(_._4 >= 10000L)
+      .map { case (a, b, s, m) => (a, b, s, m) }
+    val got = Similarity.bitextMarginPairs(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // mutual-best ⇒ each side appears at most once
+    assert(got.toSeq.map(_._1).distinct.size == got.size)
+    assert(got.toSeq.map(_._2).distinct.size == got.size)
+  }
 }

@@ -712,4 +712,26 @@ class CurationSpec extends SparkSpecBase {
     assert(bmProbe.exceptAll(bmDirect).count() == 0 &&
       bmDirect.exceptAll(bmProbe).count() == 0)
   }
+
+  test("curriculumOrder: permutation of 1..N, band-major, md5 order within band") {
+    val rows = Curation.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = docs.count()
+    assert(rows.length == n)
+    // train_order is exactly 1..N
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    // bands are non-decreasing along the order, and within a band the
+    // order is exactly (md5 prefix, doc_id) — the declared total order
+    val byOrder = rows.sortBy(_._3)
+    assert(byOrder.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    def h(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(8)
+    }
+    byOrder.groupBy(_._2).values.foreach { band =>
+      val ordered = band.sortBy(_._3).map(_._1).toSeq
+      assert(ordered == ordered.sortBy(id => (h(id), id)))
+    }
+  }
 }
