@@ -554,4 +554,45 @@ object EventsAnalytics {
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(k)
   }
+
+  /** Mean-shift change-point statistic per event series — the
+    * non-recursive CUSUM form (Page 1954's cumulative-sum idea, stated as
+    * the max deviation of the value prefix sum from its uniform-rate
+    * line, the same statistic the Kolmogorov–Smirnov location test
+    * maximizes): `stat_t = |P_t·N − t·P_N|` over the (ts, event_id) order,
+    * maximized over t. A regime change in the value level makes the
+    * prefix path bow away from the straight line and the argmax lands at
+    * the change point; a stable series stays near 0. Emitted per type:
+    * the max statistic (integer — cents cross-multiplied by counts, no
+    * division) and the event at the argmax (earliest on ties).
+    *
+    * All integer: values are exact DECIMAL(18,2) cents, the stat is a
+    * cross-multiplication (no mean, no float). One window pass per type
+    * (prefix sums + the per-type totals), then a grouped top-1 — the
+    * row_number rewrite turns it into the bounded TopKPerKey operator.
+    * The per-type total order is the inherent serial dimension of
+    * change-point detection; at 100 TB shard the series (type, day) the
+    * way the lateness profile does and maximize per shard.
+    */
+  def cusumShift(events: DataFrame): DataFrame = {
+    val e = EventTime.toNanos(events)
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val pre = e.select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("p", sum(col("v")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ptot", sum(col("v")).over(wAll))
+      .withColumn("stat", abs(col("p") * col("n") - col("t") * col("ptot")))
+    pre.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("stat").desc, col("t"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n"),
+        col("stat").as("stat_max"),
+        col("event_id").as("shift_event_id"), col("t").as("shift_t"))
+  }
 }

@@ -1461,6 +1461,26 @@ object ExtensionQueries {
         state(orders.filter(col("o_orderkey") % 4 === 3)),
         Seq("o_orderpriority", "yr"))
     }),
+    // incremental JOIN-view maintenance: the delta of orders⋈lineitem
+    // given independent insert batches on each side — ΔA⋈B ∪ A'⋈ΔB,
+    // |Δ|-proportional (never re-joins base×base)
+    "ivm_join_delta" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      graft.engine.Ivm.joinDelta(
+          o.filter(col("o_orderkey") % 10 =!= 7),
+          o.filter(col("o_orderkey") % 10 === 7),
+          l.filter(col("l_linenumber") < 5),
+          l.filter(col("l_linenumber") >= 5),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("l_quantity"), col("o_totalprice"))
+    }),
+    // CUSUM/KS mean-shift change point per event series: max deviation of
+    // the value prefix sum from its uniform-rate line, integer
+    // cross-multiplied — the drift monitor a feed pipeline runs per type
+    "events_cusum_shift" -> ((s, dir) =>
+      EventsAnalytics.cusumShift(t(s, dir, "events"))),
     // telemetry dedup: first event per (user, type) gap-window burst, with
     // per-burst duplicate counts — batch dropDuplicatesWithinWatermark
     "events_window_dedup" -> ((s, dir) =>
@@ -3797,6 +3817,31 @@ object ExtensionQueries {
         "count(*) AS n, " +
         "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) " +
         "AS total_cents FROM orders GROUP BY 1, 2"),
+    "ivm_join_delta" ->
+      // postcondition: the delta rows are exactly the full-join rows NOT
+      // present in base⋈base — stated directly, not a replay of the legs
+      ("SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, " +
+        "l.l_quantity, o.o_totalprice " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "WHERE (o.o_orderkey % 10 = 7 AND l.l_linenumber < 5) " +
+        "OR l.l_linenumber >= 5"),
+    "events_cusum_shift" ->
+      ("WITH s AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn, " +
+        "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS v " +
+        "FROM events), " +
+        "r AS (SELECT event_type, event_id, v, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY tsn, event_id) AS t, " +
+        "sum(v) OVER (PARTITION BY event_type ORDER BY tsn, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS p, " +
+        "count(*) OVER (PARTITION BY event_type) AS n, " +
+        "sum(v) OVER (PARTITION BY event_type) AS ptot FROM s), " +
+        "st AS (SELECT event_type, event_id, t, n, " +
+        "abs(p * n - t * ptot) AS stat FROM r), " +
+        "b AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY stat DESC, t) AS rk FROM st) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "CAST(stat AS BIGINT) AS stat_max, event_id AS shift_event_id, " +
+        "CAST(t AS BIGINT) AS shift_t FROM b WHERE rk = 1"),
     "events_funnel_paths" ->
       ("WITH o AS (SELECT user_id, event_type AS step1, " +
         "lead(event_type, 1) OVER w AS step2, " +

@@ -118,4 +118,46 @@ class CdcSpec extends SparkSpecBase {
     val odd = orders.filter(col("o_orderkey") % 2 === 1)
     assert(merged.filter(col("o_orderkey") % 2 === 1).count() == odd.count())
   }
+
+  test("Ivm.joinDelta: base view + delta equals the full join exactly") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val oBase = o.filter(col("o_orderkey") % 10 =!= 7)
+    val oDelta = o.filter(col("o_orderkey") % 10 === 7)
+    val lBase = l.filter(col("l_linenumber") < 5)
+    val lDelta = l.filter(col("l_linenumber") >= 5)
+    val cond = col("o_orderkey") === col("l_orderkey")
+    val baseView = oBase.join(lBase, cond)
+    val delta = graft.engine.Ivm.joinDelta(oBase, oDelta, lBase, lDelta, cond)
+    val full = o.join(l, cond)
+    val maintained = baseView.unionByName(delta)
+    assert(maintained.count() == full.count())
+    assert(maintained.exceptAll(full).count() == 0)
+    assert(full.exceptAll(maintained).count() == 0)
+    // delta never re-derives a base-view row
+    assert(delta.intersect(baseView).count() == 0)
+  }
+
+  test("cusumShift: argmax lands at a constructed level shift") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // 10 at level 1.0, then 10 at level 5.0: the prefix path bows furthest
+    // from the uniform line exactly at the boundary (t = 10)
+    val rows = (1 to 20).map { i =>
+      Row(i.toLong, i * 1000L, 1L, "A", if (i <= 10) 1.0 else 5.0)
+    }
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = graft.analytics.EventsAnalytics.cusumShift(tiny).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "A" && r.getLong(1) == 20L)
+    assert(r.getLong(4) == 10L && r.getLong(3) == 10L) // shift_t, shift_event_id
+    // stat at t=10: |P10*N - 10*Ptot| = |1000*20 - 10*6000| = 40000
+    assert(r.getLong(2) == 40000L)
+  }
 }
