@@ -1694,6 +1694,54 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Dominant principal direction of the corpus embedding Gram matrix by
+    * fixed-rounds power iteration — the common-direction estimate that
+    * post-processing removes in "All-but-the-top" (Mu & Viswanath, ICLR
+    * 2018) and that PCA-whitening / mean-direction diagnostics need.
+    *
+    * Integer-exact end-to-end so a SQL oracle replays it bit-for-bit:
+    * coordinates quantize once to ppm fixed point via `floor(decimal·10^6)`
+    * (floor on an EXACT decimal — no round-half boundary, identical in any
+    * engine), the d×d Gram accumulates exact BIGINT products, and each
+    * iteration is an integer matrix–vector product renormalized by
+    * `(u·10^6) div max|u|` (truncation toward zero in both engines). The
+    * all-ones start makes the converged sign deterministic.
+    *
+    * Scale shape: the Gram sweep is the ONLY data-sized work — one
+    * self-join co-partitioned on `vec_id` (d² rows per vector, map-side
+    * combined to d² partials per partition before the single shuffle on
+    * (i, j)). The d²-entry Gram is a parameter-sized artifact (like a PQ
+    * codebook); the `rounds` iterations run on it driver-side in exact
+    * BigInt. Returns (dim, v_ppm) — the unit-∞-normalized component in
+    * ppm.
+    */
+  def topComponentPower(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    val coords = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(floor(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,16)) * 1000000) AS BIGINT)")
+          .as("xf"))
+    val gram = coords.alias("a").join(coords.alias("b"), Seq("vec_id"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.xf") * col("b.xf")).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+    // d² entries — parameter-sized (d=64 → 4096 longs), the documented
+    // bounded-collect class (codebooks, shortlists)
+    val g = gram.collect().map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2))).toMap
+    val dims = g.keys.map(_._1).toSeq.distinct.sorted
+    val scale = BigInt(1000000)
+    var v: Map[Int, BigInt] = dims.map(_ -> scale).toMap
+    for (_ <- 1 to rounds) {
+      val u = dims.map(i =>
+        i -> dims.map(j => g.getOrElse((i, j), BigInt(0)) * v(j)).sum).toMap
+      val mx = u.values.map(_.abs).max
+      v = u.map { case (i, x) => i -> (x * scale / mx) } // BigInt / truncates toward zero, like SQL div
+    }
+    import spark.implicits._
+    dims.map(i => (i, v(i).toLong)).toDF("dim", "v_ppm")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based Parallel
     * Corpus Mining with Multilingual Sentence Embeddings", ACL 2019 — the
     * LASER/CCMatrix pipeline): candidate cross-lingual pairs between the

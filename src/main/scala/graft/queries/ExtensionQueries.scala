@@ -490,6 +490,11 @@ object ExtensionQueries {
     // (the 4x no-training index compression; long format)
     "embedding_sq8" -> ((s, dir) =>
       Similarity.scalarQuantize8(t(s, dir, "embeddings"))),
+    // dominant principal direction (all-but-the-top / whitening input):
+    // integer-exact power iteration on the BIGINT-quantized Gram — the
+    // corpus sweep is the only data-sized work
+    "embedding_top_component" -> ((s, dir) =>
+      Similarity.topComponentPower(t(s, dir, "embeddings"))),
     // L2 normalization — the standard preprocessing before any
     // cosine-metric index (unit vectors make dot = cosine). Map-only: one
     // codegen'd float_dot per row, no shuffle; long-format output
@@ -3442,6 +3447,24 @@ object ExtensionQueries {
         "CAST(CASE WHEN mx = mn THEN 0 ELSE least(CAST(floor(" +
         "((x - mn) * 255.0) / (mx - mn)) AS INT), 255) END AS INT) AS code " +
         "FROM pts JOIN r USING (pos)"),
+    // 8 unrolled power-iteration rounds over the integer Gram; floor on an
+    // exact decimal (no round-half boundary) and // truncation match the
+    // engine's BigInt arithmetic bit-for-bit. Every CTE is MATERIALIZED:
+    // v_r references u_r twice and u_r references v_{r-1}, so inlining
+    // would re-evaluate the chain exponentially in rounds
+    "embedding_top_component" ->
+      ("WITH c AS MATERIALIZED (SELECT vec_id, unnest([{'i': i - 1, " +
+        "'xf': CAST(floor(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,16)) * 1000000) AS HUGEINT)} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) FROM embeddings), " +
+        "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.xf * b.xf) AS g " +
+        "FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2), " +
+        "v0 AS MATERIALIZED (SELECT DISTINCT i AS j, CAST(1000000 AS HUGEINT) AS v FROM g), " +
+        (1 to 8).map(r =>
+          s"u$r AS MATERIALIZED (SELECT g.i, sum(g.g * v.v) AS u FROM g " +
+            s"JOIN v${r - 1} v ON g.j = v.j GROUP BY 1), " +
+            s"v$r AS MATERIALIZED (SELECT i AS j, (u * 1000000) // " +
+            s"(SELECT max(abs(u)) FROM u$r) AS v FROM u$r)").mkString(", ") +
+        " SELECT CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS v_ppm FROM v8"),
     "embedding_rproj" ->
       ("WITH sg AS (SELECT j, i, CASE WHEN ('0x' || substr(md5('rp-' || " +
         "CAST(j AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 4))::INT % 2 = 1 " +

@@ -946,6 +946,19 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == Map(("A", "B") -> ((2L, 2L)), ("B", "A") -> ((1L, 1L))))
   }
 
+  test("topComponentPower finds the dominant direction of a constructed corpus") {
+    import spark.implicits._
+    // every vector points mostly along dim 1: the ∞-normalized top
+    // component peaks there at exactly 10^6 and stays small elsewhere
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Seq(0.01f * (i % 3), 0.5f + 0.001f * i, 0.02f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.topComponentPower(vecs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(1) == 1000000L)
+    assert(math.abs(got(0)) < 100000 && math.abs(got(2)) < 100000)
+  }
+
   test("bitext margin pairs match a full driver-side replica") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val langOf = docs.select("doc_id", "lang").collect()
