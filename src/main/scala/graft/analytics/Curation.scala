@@ -755,6 +755,49 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Greedy NEXT-FIT sequence packing WITHOUT document spanning: each
+    * source's documents, in doc_id order, drop into the current
+    * `capacity`-token context window while they fit; a document that
+    * would overflow opens a new bin (and an oversized document gets a bin
+    * of its own). The complement of the cumsum packing the
+    * `doc_pack_by_source` key ships (GPT-style concat-and-chunk, where
+    * documents SPAN bins): this is the "no cross-document attention"
+    * variant modern pretraining recipes prefer, where every example is
+    * whole documents plus padding (`capacity − used` of the closed bin).
+    *
+    * Next-fit is an inherently sequential fold (bin state depends on
+    * every earlier document), which makes this the one operator class
+    * where `mapPartitions` is the right tool rather than a window: the
+    * per-source runs hash-partition (`repartition(source)` +
+    * `sortWithinPartitions`), and each partition folds its runs in
+    * (source, doc_id) order carrying 3 longs of state — O(1) memory, one
+    * shuffle, parallel across sources exactly like every per-source
+    * window in this file. Emits (doc_id, source, bin, off_tokens).
+    */
+  def docPackNextFit(docs: DataFrame, capacity: Long = 2048L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var bin = 0L
+        var used = 0L
+        it.map { case (id, src, n) =>
+          if (src != cur) { cur = src; bin = 0L; used = 0L }
+          if (used > 0 && used + n > capacity) { bin += 1; used = 0L }
+          val off = used
+          used += n
+          (id, src, bin, off)
+        }
+      }
+      .toDF("doc_id", "source", "bin", "off_tokens")
+  }
+
   /** Curriculum training order (Bengio et al., "Curriculum Learning", ICML
     * 2009, as applied to LLM data ordering): every document gets a GLOBAL
     * 1-based `train_order` — easy→hard band-major (here: length octiles,

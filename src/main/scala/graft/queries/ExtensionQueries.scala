@@ -1093,6 +1093,11 @@ object ExtensionQueries {
             .rowsBetween(Long.MinValue, 0)))
         .select(col("doc_id"), col("source"),
           floor(col("cum") / 2048.0).cast("long").as("pack_id"))),
+    // the no-spanning complement: greedy next-fit packing where documents
+    // never cross bins (whole-docs-plus-padding examples) — a sequential
+    // per-source fold via mapPartitions, the one honest use of it
+    "doc_pack_nextfit" -> ((s, dir) =>
+      Curation.docPackNextFit(t(s, dir, "documents"))),
     // decontamination scan: which benchmark strings occur in the corpus,
     // via a broadcast pattern list + substring containment join
     "contamination_scan" -> ((s, dir) => {
@@ -3696,6 +3701,22 @@ object ExtensionQueries {
         "FROM (SELECT doc_id, source, " +
         "sum(len(string_split(text, ' '))) OVER (PARTITION BY source " +
         "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) t"),
+    // the sequential next-fit fold replayed as a recursive CTE stepping
+    // one document per source per iteration — same state machine
+    "doc_pack_nextfit" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, source, n, rn, CAST(0 AS BIGINT) AS bin, " +
+        "CAST(0 AS BIGINT) AS boff, n AS used FROM t WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT t.doc_id, t.source, t.n, t.rn, " +
+        "CASE WHEN p.used > 0 AND p.used + t.n > 2048 THEN p.bin + 1 ELSE p.bin END, " +
+        "CASE WHEN p.used > 0 AND p.used + t.n > 2048 THEN 0 ELSE p.used END, " +
+        "CASE WHEN p.used > 0 AND p.used + t.n > 2048 THEN t.n ELSE p.used + t.n END " +
+        "FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1) " +
+        "SELECT doc_id, source, bin, boff AS off_tokens FROM p"),
     "contamination_scan" ->
       ("SELECT pattern, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
         "FROM documents, (VALUES ('scan'), ('window'), ('quantile'), " +

@@ -713,6 +713,20 @@ class CurationSpec extends SparkSpecBase {
       bmDirect.exceptAll(bmProbe).count() == 0)
   }
 
+  test("docPackNextFit: hand case — overflow opens a bin, oversized doc isolated, source resets") {
+    import spark.implicits._
+    def text(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val tiny = Seq(
+      (1L, "a", text(4)), (2L, "a", text(4)), (3L, "a", text(4)),
+      (4L, "a", text(12)), (5L, "a", text(3)),
+      (6L, "b", text(7))).toDF("doc_id", "source", "text")
+    val got = Curation.docPackNextFit(tiny, capacity = 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 4L)), 3L -> ((1L, 0L)),
+      4L -> ((2L, 0L)), 5L -> ((3L, 0L)), 6L -> ((0L, 0L))))
+  }
+
   test("curriculumOrder: permutation of 1..N, band-major, md5 order within band") {
     val rows = Curation.curriculumOrder(docs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
