@@ -66,6 +66,70 @@ object Layout {
         org.apache.spark.sql.catalyst.expressions.Literal(bits)))
   }
 
+  /** Data-skipping evaluation for clustering layouts — MEASURES what the
+    * curve keys only assert: cluster the rows three ways (natural input
+    * order, Z-order, Hilbert), cut each layout into fixed-width key-range
+    * "files", compute every file's (x, y) min/max zone map, and count how
+    * many files a 2-D box predicate must read. The Hilbert count ≤ Z
+    * count ≤ natural count is the entire point of curve clustering, and
+    * this key turns it into a hash-checked number.
+    *
+    * Buckets are VALUE ranges of each layout key (`key div width`), not
+    * equal-count ntiles — map-only and deterministic with no global
+    * window; a real OPTIMIZE job's range partitioner approximates exactly
+    * this split. One aggregate per layout over the bucket key; the zone
+    * maps are |files|-row relations; everything integer.
+    *
+    * Returns one row per layout: files with rows, files the box reads,
+    * rows those files hold, and the true matching row count (identical
+    * across layouts — the invariant an oracle checks for free).
+    */
+  def clusterPruneEval(
+      df: DataFrame,
+      dimA: Column,
+      dimB: Column,
+      orderCol: Column,
+      bits: Int = 6,
+      nFiles: Int = 128,
+      boxLo: Long = 5L,
+      boxHi: Long = 20L): DataFrame = {
+    val side = 1L << bits
+    val base = df.select(dimA.cast("long").as("x"), dimB.cast("long").as("y"),
+      orderCol.cast("long").as("ord"))
+    val maxOrd = base.agg(max(col("ord")).as("mo"))
+    val layouts = Seq(
+      // natural: bucket by arrival-order ranges (needs the max, one
+      // broadcast row); curves: bucket by key-value ranges (static width)
+      ("natural", (d: DataFrame) => d.crossJoin(broadcast(maxOrd))
+        .withColumn("f", expr(s"ord div ((mo div $nFiles) + 1)"))),
+      ("zorder", (d: DataFrame) => d.withColumn("f",
+        expr(s"zkey div ${side * side / nFiles}"))),
+      ("hilbert", (d: DataFrame) => d.withColumn("f",
+        expr(s"hkey div ${side * side / nFiles}"))))
+    val keyed = base
+      .withColumn("zkey", zValue(col("x"), col("y"), bits))
+      .withColumn("hkey", hilbertValue(col("x"), col("y"), bits))
+    layouts.map { case (name, bucketize) =>
+      bucketize(keyed)
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+          sum(when(col("x").between(boxLo, boxHi) &&
+            col("y").between(boxLo, boxHi), 1L).otherwise(0L)).as("n_match"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("xmax") >= boxLo && col("xmin") <= boxHi &&
+            col("ymax") >= boxLo && col("ymin") <= boxHi, 1L).otherwise(0L))
+            .as("n_files_read"),
+          sum(when(col("xmax") >= boxLo && col("xmin") <= boxHi &&
+            col("ymax") >= boxLo && col("ymin") <= boxHi, col("n_rows"))
+            .otherwise(0L)).as("n_rows_read"),
+          sum(col("n_match")).as("n_rows_match"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_files_read"),
+          col("n_rows_read"), col("n_rows_match"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Range-partitioner balance audit — the explicit form of what Spark's
     * `repartitionByRange`/TeraSort does internally: k−1 exact quantile
     * boundaries split the value domain into k ranges of near-equal row

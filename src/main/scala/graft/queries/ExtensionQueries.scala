@@ -1791,6 +1791,15 @@ object ExtensionQueries {
           col("user_id").bitwiseAND(lit(63L)),
           floor(col("value")).cast("long").bitwiseAND(lit(63L)))
           .as("h"))),
+    // data-skipping MEASUREMENT over the same two dims: files-read counts
+    // for a 2-D box under natural vs Z-order vs Hilbert clustering — the
+    // number the curve keys exist to improve, hash-checked
+    "layout_prune_eval" -> ((s, dir) =>
+      graft.engine.Layout.clusterPruneEval(
+        t(s, dir, "events"),
+        col("user_id").bitwiseAND(lit(63L)),
+        floor(col("value")).cast("long").bitwiseAND(lit(63L)),
+        col("event_id"))),
 
     // range (theta) join: events classified into value bands via a
     // broadcast non-equi join
@@ -4403,6 +4412,44 @@ object ExtensionQueries {
         "(((user_id & 65535) >> i) & 1) * power(2, 2 * i)::BIGINT + " +
         "(((CAST(floor(value) AS BIGINT) & 65535) >> i) & 1) * power(2, 2 * i + 1)::BIGINT " +
         "FOR i IN generate_series(0, 15)]) AS BIGINT) AS z FROM events"),
+    "layout_prune_eval" -> {
+      def agg(name: String, rel: String): String =
+        s"SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_files, " +
+          "CAST(sum(CASE WHEN xmax >= 5 AND xmin <= 20 AND ymax >= 5 AND ymin <= 20 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_files_read, " +
+          "CAST(sum(CASE WHEN xmax >= 5 AND xmin <= 20 AND ymax >= 5 AND ymin <= 20 " +
+          "THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_read, " +
+          "CAST(sum(n_match) AS BIGINT) AS n_rows_match FROM " +
+          "(SELECT f, count(*) AS n_rows, min(x) AS xmin, max(x) AS xmax, " +
+          "min(y) AS ymin, max(y) AS ymax, " +
+          "sum(CASE WHEN x BETWEEN 5 AND 20 AND y BETWEEN 5 AND 20 THEN 1 ELSE 0 END) AS n_match " +
+          s"FROM $rel GROUP BY f) t"
+      val hChain = Seq(32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex.map {
+        case (sv, i) =>
+          s"h${i + 1} AS (SELECT event_id, ox, oy, nx AS x, ny AS y, nd AS d FROM " +
+            s"(SELECT event_id, ox, oy, " +
+            s"CASE WHEN (y & $sv) > 0 THEN x ELSE " +
+            s"CASE WHEN (x & $sv) > 0 THEN $sv - 1 - y ELSE y END END AS nx, " +
+            s"CASE WHEN (y & $sv) > 0 THEN y ELSE " +
+            s"CASE WHEN (x & $sv) > 0 THEN $sv - 1 - x ELSE x END END AS ny, " +
+            s"d + ${sv * sv} * xor(3 * CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END, " +
+            s"CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END) AS nd FROM h$i) q${i + 1})"
+      }.mkString(", ")
+      "WITH pts AS (SELECT event_id, user_id & 63 AS x, " +
+        "CAST(floor(value) AS BIGINT) & 63 AS y FROM events), " +
+        "z AS (SELECT event_id, x, y, CAST(list_sum([" +
+        "((x >> i) & 1) * power(2, 2 * i)::BIGINT + " +
+        "((y >> i) & 1) * power(2, 2 * i + 1)::BIGINT " +
+        "FOR i IN generate_series(0, 5)]) AS BIGINT) AS zkey FROM pts), " +
+        "h0 AS (SELECT event_id, x AS ox, y AS oy, x, y, CAST(0 AS BIGINT) AS d FROM pts), " +
+        hChain + ", " +
+        "mo AS (SELECT max(event_id) AS mo FROM events), " +
+        "nat AS (SELECT event_id // ((mo // 128) + 1) AS f, x, y FROM pts, mo), " +
+        "zf AS (SELECT zkey // 32 AS f, x, y FROM z), " +
+        "hf AS (SELECT d // 32 AS f, ox AS x, oy AS y FROM h6) " +
+        agg("natural", "nat") + " UNION ALL " +
+        agg("zorder", "zf") + " UNION ALL " + agg("hilbert", "hf")
+    },
     "events_value_band_join" ->
       ("SELECT band, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total FROM events " +

@@ -126,4 +126,24 @@ class LayoutSpec extends SparkSpecBase {
     assert(zRows <= total / 2,
       s"z-ordered scan read $zRows of $total rows — row groups not pruned")
   }
+
+  test("clusterPruneEval: hilbert <= zorder << natural; matches invariant across layouts") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val got = Layout.clusterPruneEval(ev,
+        col("user_id").bitwiseAND(lit(63L)),
+        floor(col("value")).cast("long").bitwiseAND(lit(63L)),
+        col("event_id")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // the true matching rows are layout-independent
+    val matches = got.values.map(_._4).toSet
+    assert(matches.size == 1)
+    // natural order prunes ~nothing; both curves prune most files; the
+    // Hilbert envelope is never worse than Z here
+    val (nFilesNat, readNat, _, _) = got("natural")
+    assert(readNat >= nFilesNat - 1)
+    assert(got("zorder")._2 < readNat / 2)
+    assert(got("hilbert")._2 <= got("zorder")._2)
+  }
 }
