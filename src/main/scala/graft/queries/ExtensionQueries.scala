@@ -1272,6 +1272,28 @@ object ExtensionQueries {
         .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
         .limit(25)
     }),
+    // open-backlog time series via the interval-endpoint sweep: each line
+    // contributes +1 at its order date and −1 at its ship date; the daily
+    // prefix sum IS the as-of open count. The corpus-sized work is the
+    // co-partitioned join + the per-day delta aggregate (map-side
+    // combined); the prefix scan runs on the |days|-row relation — the
+    // inventory/backlog-as-of operator every ops dashboard needs
+    "orders_open_backlog_daily" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val iv = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val deltas = iv
+        .select(col("o_orderdate").cast("date").as("day"), lit(1L).as("dd"))
+        .unionByName(iv.select(col("l_shipdate").cast("date").as("day"),
+          lit(-1L).as("dd")))
+        .groupBy(col("day")).agg(sum(col("dd")).as("delta"))
+      deltas
+        .withColumn("open_lines", sum(col("delta")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+            .rowsBetween(Long.MinValue, 0)))
+        .select(col("day").cast("string").as("day"), col("delta"),
+          col("open_lines"))
+    }),
     // fulfillment-latency profile per supplier: ship date minus order
     // date in integer days, exact median/p75/max — lineitem and orders
     // co-partition on the order key, stats group on the supplier
@@ -3999,6 +4021,16 @@ object ExtensionQueries {
         "CAST((n_ab * n_orders * 10000) // (fa.n_one * fb.n_one) AS BIGINT) AS lift_bp " +
         "FROM p JOIN f fa ON p.part_a = fa.pk JOIN f fb ON p.part_b = fb.pk, t " +
         "ORDER BY n_ab DESC, part_a, part_b LIMIT 25"),
+    "orders_open_backlog_daily" ->
+      ("WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS od, " +
+        "CAST(l.l_shipdate AS DATE) AS sd " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+        "d AS (SELECT od AS day, CAST(1 AS BIGINT) AS dd FROM iv " +
+        "UNION ALL SELECT sd, CAST(-1 AS BIGINT) FROM iv), " +
+        "g AS (SELECT day, sum(dd) AS delta FROM d GROUP BY 1) " +
+        "SELECT CAST(day AS VARCHAR) AS day, CAST(delta AS BIGINT) AS delta, " +
+        "CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+        "AS open_lines FROM g"),
     "supplier_lead_time" ->
       ("SELECT l_suppkey, count(*) AS n, " +
         "quantile_cont(d, 0.5) AS med_days, " +
