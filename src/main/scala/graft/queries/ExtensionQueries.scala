@@ -1272,6 +1272,32 @@ object ExtensionQueries {
         .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
         .limit(25)
     }),
+    // data-driven FK discovery: inclusion-dependency scan over candidate
+    // edges (the 7 fixture FKs, which must report full containment, plus
+    // two deliberate negatives) — the audit that validates a subset
+    // config's fk_augmentation before a run
+    "fk_discovery_scan" -> ((s, dir) => {
+      def d(n: String) = t(s, dir, n)
+      graft.engine.FkDiscovery.inclusionReport(Seq(
+        ("orders", d("orders"), "o_custkey",
+          "customer", d("customer"), "c_custkey"),
+        ("lineitem", d("lineitem"), "l_orderkey",
+          "orders", d("orders"), "o_orderkey"),
+        ("lineitem", d("lineitem"), "l_partkey",
+          "part", d("part"), "p_partkey"),
+        ("lineitem", d("lineitem"), "l_suppkey",
+          "supplier", d("supplier"), "s_suppkey"),
+        ("customer", d("customer"), "c_nationkey",
+          "nation", d("nation"), "n_nationkey"),
+        ("supplier", d("supplier"), "s_nationkey",
+          "nation", d("nation"), "n_nationkey"),
+        ("nation", d("nation"), "n_regionkey",
+          "region", d("region"), "r_regionkey"),
+        ("orders", d("orders"), "o_orderkey",
+          "part", d("part"), "p_partkey"),
+        ("events", d("events"), "event_id",
+          "orders", d("orders"), "o_orderkey")))
+    }),
     // open-backlog time series via the interval-endpoint sweep: each line
     // contributes +1 at its order date and −1 at its ship date; the daily
     // prefix sum IS the as-of open count. The corpus-sized work is the
@@ -4021,6 +4047,28 @@ object ExtensionQueries {
         "CAST((n_ab * n_orders * 10000) // (fa.n_one * fb.n_one) AS BIGINT) AS lift_bp " +
         "FROM p JOIN f fa ON p.part_a = fa.pk JOIN f fb ON p.part_b = fb.pk, t " +
         "ORDER BY n_ab DESC, part_a, part_b LIMIT 25"),
+    "fk_discovery_scan" -> {
+      val pairs = Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders", "o_orderkey", "part", "p_partkey"),
+        ("events", "event_id", "orders", "o_orderkey"))
+      pairs.map { case (ct, cc, pt, pc) =>
+        s"SELECT '$ct.$cc' AS child, '$pt.$pc' AS parent, " +
+          s"(SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL) AS n_child_distinct, " +
+          s"(SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL " +
+          s"AND $cc IN (SELECT $pc FROM $pt WHERE $pc IS NOT NULL)) AS n_matched"
+      }.map(q => s"SELECT child, parent, CAST(n_child_distinct AS BIGINT) AS n_child_distinct, " +
+        "CAST(n_matched AS BIGINT) AS n_matched, " +
+        "CAST((n_matched * 10000) // n_child_distinct AS BIGINT) AS containment_bp, " +
+        "CAST(CASE WHEN n_matched = n_child_distinct THEN 1 ELSE 0 END AS INT) AS is_fk_candidate " +
+        s"FROM ($q) q").mkString(" UNION ALL ")
+    },
     "orders_open_backlog_daily" ->
       ("WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS od, " +
         "CAST(l.l_shipdate AS DATE) AS sd " +
