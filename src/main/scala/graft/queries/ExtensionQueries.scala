@@ -1272,6 +1272,25 @@ object ExtensionQueries {
         .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
         .limit(25)
     }),
+    // A/B experiment readout: users hash-split into arms by md5 (the
+    // deterministic assignment every experiment platform uses), per-type
+    // counts/value sums per arm and the signed relative lift of arm A
+    // over arm B in basis points — integer cross-multiplied, no float
+    // means
+    "events_abtest_readout" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) " +
+            "AS BIGINT) % 2"))
+        .withColumn("v", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 0, col("v")).otherwise(0L)).as("sum_cents_a"),
+          sum(when(col("arm") === 1, col("v")).otherwise(0L)).as("sum_cents_b"))
+        .withColumn("lift_bp", expr(
+          "((sum_cents_a * n_b - sum_cents_b * n_a) * 10000) div (sum_cents_b * n_a)"))),
     // data-driven FK discovery: inclusion-dependency scan over candidate
     // edges (the 7 fixture FKs, which must report full containment, plus
     // two deliberate negatives) — the audit that validates a subset
@@ -4047,6 +4066,20 @@ object ExtensionQueries {
         "CAST((n_ab * n_orders * 10000) // (fa.n_one * fb.n_one) AS BIGINT) AS lift_bp " +
         "FROM p JOIN f fa ON p.part_a = fa.pk JOIN f fb ON p.part_b = fb.pk, t " +
         "ORDER BY n_ab DESC, part_a, part_b LIMIT 25"),
+    "events_abtest_readout" ->
+      ("WITH e AS (SELECT event_type, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm, " +
+        "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS v " +
+        "FROM events) " +
+        "SELECT event_type, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_cents_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_cents_b, " +
+        "CAST(((sum(CASE WHEN arm = 0 THEN v ELSE 0 END) * sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) - " +
+        "sum(CASE WHEN arm = 1 THEN v ELSE 0 END) * sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)) * 10000) // " +
+        "(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) * sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS lift_bp " +
+        "FROM e GROUP BY event_type"),
     "fk_discovery_scan" -> {
       val pairs = Seq(
         ("orders", "o_custkey", "customer", "c_custkey"),
