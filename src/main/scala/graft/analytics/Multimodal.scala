@@ -297,6 +297,69 @@ object Multimodal {
     }(enc)
   }
 
+  /** Energy-window segmentation over REAL decoded PCM — the energy gate
+    * every voice-activity detector starts from (and the windowing every
+    * speech featurizer shares): decode the actual RIFF/WAVE binary, cut
+    * the stream into fixed `win`-sample windows (last window ragged), and
+    * emit per-window integer energy (sum of squares) plus the gate flag
+    * `sumsq ≥ thresholdPerSample·len`. All integers from decoded frames,
+    * so the oracle predicts every window from the generator formula while
+    * Spark derives it from genuinely parsed audio. One output row per
+    * window — long format, map-only, the fixed-rate row explosion a
+    * downstream ASR batcher consumes directly.
+    */
+  def wavEnergyWindows(
+      docs: DataFrame,
+      win: Int = 16,
+      thresholdPerSample: Long = 300000000L): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("win_id", IntegerType, nullable = false),
+      StructField("n_in_win", IntegerType, nullable = false),
+      StructField("sumsq", LongType, nullable = false),
+      StructField("active", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"))).mapPartitions { rows =>
+      import javax.sound.sampled._
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val n = (id % 50).toInt + 20
+        val sr = 8000 + (id % 4).toInt * 4000
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val decoded = in.readAllBytes()
+        val m = decoded.length / 2
+        def sample(j: Int): Int = {
+          val lo = decoded(2 * j) & 0xff
+          (decoded(2 * j + 1).toInt << 8) | lo
+        }
+        (0 until (m + win - 1) / win).iterator.map { w =>
+          val start = w * win
+          val end = math.min(start + win, m)
+          var sumsq = 0L
+          var j = start
+          while (j < end) { val v = sample(j); sumsq += v.toLong * v; j += 1 }
+          val len = end - start
+          val active = if (sumsq >= thresholdPerSample * len) 1 else 0
+          Row(id, w, len, sumsq, active)
+        }
+      }
+    }(enc)
+  }
+
   /** Image NEAR-DUPLICATE detection via a perceptual average-hash (aHash)
     * over REAL decoded pixels — the image-dedup pass a multimodal training
     * pipeline runs so one meme reposted at 40 crops/recompressions counts

@@ -1795,6 +1795,10 @@ object ExtensionQueries {
     // REAL audio decode: deterministic PCM16 buffer → real RIFF/WAVE bytes
     // via AudioSystem.write → parsed back by the JDK audio stack; sample
     // rate + integer amplitude stats recomputed from the DECODED frames
+    // VAD energy gate: per-window integer energy over REAL decoded PCM
+    // (long format, one row per window; last window ragged)
+    "multimodal_wav_energy_windows" -> ((s, dir) =>
+      Multimodal.wavEnergyWindows(t(s, dir, "documents"))),
     "multimodal_decode_wav" -> ((s, dir) =>
       Multimodal.wavRoundTripMeta(t(s, dir, "documents"))),
     // REAL audio downsampling: decode-by-2 pair averaging (floor division)
@@ -4413,6 +4417,18 @@ object ExtensionQueries {
       ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
         "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +
         "CAST(doc_id % 256 AS INTEGER) AS red0 FROM documents"),
+    "multimodal_wav_energy_windows" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents), " +
+        "s AS (SELECT doc_id, n, [(doc_id * 31 + i * 17) % 65536 - 32768 " +
+        "FOR i IN generate_series(0, n - 1)] AS v FROM p), " +
+        "w AS (SELECT doc_id, n, v, unnest(generate_series(0, (n + 15) // 16 - 1)) AS win_id FROM s), " +
+        "e AS (SELECT doc_id, win_id, " +
+        "v[win_id * 16 + 1 : least((win_id + 1) * 16, n)] AS seg FROM w) " +
+        "SELECT doc_id AS asset_id, CAST(win_id AS INT) AS win_id, " +
+        "CAST(len(seg) AS INT) AS n_in_win, " +
+        "CAST(list_sum([CAST(x AS BIGINT) * x FOR x IN seg]) AS BIGINT) AS sumsq, " +
+        "CAST(CASE WHEN list_sum([CAST(x AS BIGINT) * x FOR x IN seg]) >= " +
+        "300000000 * len(seg) THEN 1 ELSE 0 END AS INT) AS active FROM e"),
     "multimodal_decode_wav" ->
       ("WITH p AS (SELECT doc_id, doc_id % 50 + 20 AS n, " +
         "CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate FROM documents), " +
