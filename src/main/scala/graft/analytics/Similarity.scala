@@ -1770,7 +1770,7 @@ object Similarity {
       langA: String = "en",
       langB: String = "es",
       k: Int = 4,
-      nBits: Int = 6,
+      nBits: Int = 8,
       minMarginBp: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lang = docs.select(col("doc_id").as("vec_id"), col("lang"))

@@ -965,7 +965,7 @@ class AnalyticsSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val vecOf = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val nBits = 6
+    val nBits = 8
     val k = 4
     def bucket(v: Array[Float]): String =
       v.take(nBits).map(x => if (x > 0f) '1' else '0').mkString
