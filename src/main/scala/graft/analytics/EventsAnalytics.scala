@@ -555,6 +555,44 @@ object EventsAnalytics {
       .limit(k)
   }
 
+  /** Next-event prediction evaluation — the end-to-end train/eval loop of
+    * the first-order Markov baseline every sequence model is benchmarked
+    * against: split each user's stream at the 80% rank point (train =
+    * earlier events, the standard temporal split), fit the argmax
+    * transition table on train pairs (ties to the lexicographically
+    * smallest successor — deterministic), then score accuracy on the
+    * held-out pairs per antecedent type. Integer basis points; the
+    * transition model is a |types|²-bounded broadcast.
+    *
+    * Two shuffles on the user (rank window + per-user counts,
+    * co-partitioned), one on the type pair for the model, and a broadcast
+    * join for scoring — at 100 TB the only data-sized orders are the
+    * per-user windows, the same shape as every funnel/session key here.
+    */
+  def markovNextEval(events: DataFrame): DataFrame = {
+    val e = EventTime.toNanos(events)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = e.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("prev_type").isNotNull)
+    val trans = pairs.filter(col("rk") * 10 <= col("n") * 8)
+      .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("c"))
+    val model = trans.withColumn("r", row_number().over(
+        Window.partitionBy(col("prev_type"))
+          .orderBy(col("c").desc, col("event_type"))))
+      .filter(col("r") === 1)
+      .select(col("prev_type"), col("event_type").as("pred_type"))
+    pairs.filter(col("rk") * 10 > col("n") * 8)
+      .join(broadcast(model), Seq("prev_type"), "left")
+      .groupBy(col("prev_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred_type") === col("event_type"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_bp", expr("(n_correct * 10000) div n_test"))
+  }
+
   /** Mean-shift change-point statistic per event series — the
     * non-recursive CUSUM form (Page 1954's cumulative-sum idea, stated as
     * the max deviation of the value prefix sum from its uniform-rate

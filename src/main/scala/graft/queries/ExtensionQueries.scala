@@ -1558,6 +1558,11 @@ object ExtensionQueries {
     // cross-multiplied — the drift monitor a feed pipeline runs per type
     "events_cusum_shift" -> ((s, dir) =>
       EventsAnalytics.cusumShift(t(s, dir, "events"))),
+    // next-event prediction eval: temporal 80/20 split per user, argmax
+    // Markov transition model fit on train, held-out accuracy per
+    // antecedent in basis points — the sequence-model baseline loop
+    "events_markov_eval" -> ((s, dir) =>
+      EventsAnalytics.markovNextEval(t(s, dir, "events"))),
     // telemetry dedup: first event per (user, type) gap-window burst, with
     // per-burst duplicate counts — batch dropDuplicatesWithinWatermark
     "events_window_dedup" -> ((s, dir) =>
@@ -3949,6 +3954,25 @@ object ExtensionQueries {
         "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
         "WHERE (o.o_orderkey % 10 = 7 AND l.l_linenumber < 5) " +
         "OR l.l_linenumber >= 5"),
+    "events_markov_eval" ->
+      ("WITH s AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn " +
+        "FROM events), " +
+        "r AS (SELECT user_id, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS rk, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev_type, " +
+        "count(*) OVER (PARTITION BY user_id) AS n FROM s), " +
+        "p AS (SELECT * FROM r WHERE prev_type IS NOT NULL), " +
+        "tr AS (SELECT prev_type, event_type, count(*) AS c FROM p " +
+        "WHERE rk * 10 <= n * 8 GROUP BY 1, 2), " +
+        "md AS (SELECT prev_type, event_type AS pred_type FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY prev_type " +
+        "ORDER BY c DESC, event_type) AS rr FROM tr) q WHERE rr = 1), " +
+        "te AS (SELECT p.prev_type, p.event_type, md.pred_type FROM p " +
+        "LEFT JOIN md USING (prev_type) WHERE p.rk * 10 > p.n * 8) " +
+        "SELECT prev_type, count(*) AS n_test, " +
+        "CAST(sum(CASE WHEN pred_type = event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        "CAST((sum(CASE WHEN pred_type = event_type THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS acc_bp " +
+        "FROM te GROUP BY 1"),
     "events_cusum_shift" ->
       ("WITH s AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn, " +
         "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS v " +

@@ -946,6 +946,25 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == Map(("A", "B") -> ((2L, 2L)), ("B", "A") -> ((1L, 1L))))
   }
 
+  test("markovNextEval: hand case — alternating stream, perfect held-out accuracy") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    // A B A B … ×10: train = first 8 ranks (A→B ×4, B→A ×3), test = the
+    // last two pairs — both predicted correctly by the argmax model
+    val rows = (1 to 10).map(i =>
+      Row(i.toLong, i * 1000L, 1L, if (i % 2 == 1) "A" else "B"))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.markovNextEval(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "A" -> ((1L, 1L, 10000L)), "B" -> ((1L, 1L, 10000L))))
+  }
+
   test("topComponentPower finds the dominant direction of a constructed corpus") {
     import spark.implicits._
     // every vector points mostly along dim 1: the ∞-normalized top
