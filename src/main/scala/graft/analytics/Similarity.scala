@@ -1722,13 +1722,18 @@ object Similarity {
       .select(col("vec_id"), col("i"),
         expr("CAST(floor(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,16)) * 1000000) AS BIGINT)")
           .as("xf"))
+    // the Gram is symmetric: aggregate only the upper triangle (halves
+    // the N·d² row volume through the partial agg) and mirror the
+    // parameter-sized result on the driver
     val gram = coords.alias("a").join(coords.alias("b"), Seq("vec_id"))
+      .filter(col("a.i") <= col("b.i"))
       .select(col("a.i").as("i"), col("b.i").as("j"),
         (col("a.xf") * col("b.xf")).as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
     // d² entries — parameter-sized (d=64 → 4096 longs), the documented
     // bounded-collect class (codebooks, shortlists)
-    val g = gram.collect().map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2))).toMap
+    val gTri = gram.collect().map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2)))
+    val g = (gTri ++ gTri.collect { case ((i, j), v) if i != j => (j, i) -> v }).toMap
     val dims = g.keys.map(_._1).toSeq.distinct.sorted
     val scale = BigInt(1000000)
     var v: Map[Int, BigInt] = dims.map(_ -> scale).toMap
