@@ -727,6 +727,42 @@ class CurationSpec extends SparkSpecBase {
       4L -> ((2L, 0L)), 5L -> ((3L, 0L)), 6L -> ((0L, 0L))))
   }
 
+  test("docPackNextFit: random-size property — capacity respected, bins contiguous, offsets consistent") {
+    import spark.implicits._
+    val cap = 50L
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 200).map { i =>
+        val n = 1 + rnd.nextInt(80) // some docs exceed the capacity
+        (i.toLong, s"s${rnd.nextInt(4)}", Seq.fill(n)("w").mkString(" "))
+      }
+      val sizes = rows.map { case (id, _, t) => id -> t.split(" ", -1).length.toLong }.toMap
+      val got = Curation.docPackNextFit(rows.toDF("doc_id", "source", "text"), cap)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(got.length == rows.length)
+      got.groupBy(_._2).values.foreach { grp =>
+        val byDoc = grp.sortBy(_._1)
+        // bins form a contiguous non-decreasing sequence from 0 in doc order
+        assert(byDoc.head._3 == 0L)
+        byDoc.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 == a._3 || b._3 == a._3 + 1)
+          case _ =>
+        }
+        byDoc.groupBy(_._3).values.foreach { bin =>
+          val docs = bin.sortBy(_._1)
+          // offsets are exactly the running token total inside the bin
+          docs.foldLeft(0L) { (acc, d) =>
+            assert(d._4 == acc); acc + sizes(d._1)
+          }
+          // a multi-doc bin never exceeds capacity (only an oversized
+          // singleton may)
+          val totalTokens = docs.map(d => sizes(d._1)).sum
+          if (docs.length > 1) assert(totalTokens <= cap)
+        }
+      }
+    }
+  }
+
   test("curriculumOrder: permutation of 1..N, band-major, md5 order within band") {
     val rows = Curation.curriculumOrder(docs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
