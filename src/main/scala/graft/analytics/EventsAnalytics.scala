@@ -624,13 +624,19 @@ object EventsAnalytics {
       .withColumn("p", sum(col("v")).over(wCum))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("ptot", sum(col("v")).over(wAll))
-      .withColumn("stat", abs(col("p") * col("n") - col("t") * col("ptot")))
+      // cents-sum × count products overflow BIGINT at full corpus scale;
+      // DECIMAL(38,0) matches the oracle's HUGEINT arithmetic exactly
+      .withColumn("stat", abs(
+        col("p").cast("decimal(38,0)") * col("n") -
+          col("t").cast("decimal(38,0)") * col("ptot")))
     pre.withColumn("rk", row_number().over(
         Window.partitionBy(col("event_type"))
           .orderBy(col("stat").desc, col("t"))))
       .filter(col("rk") === 1)
       .select(col("event_type"), col("n").as("n"),
-        col("stat").as("stat_max"),
+        // emit the BIGINT image (the DECIMAL stays internal: the driver
+        // compare is decimal-hostile — verify-skill lesson)
+        col("stat").cast("long").as("stat_max"),
         col("event_id").as("shift_event_id"), col("t").as("shift_t"))
   }
 }

@@ -1728,11 +1728,14 @@ object Similarity {
     val gram = coords.alias("a").join(coords.alias("b"), Seq("vec_id"))
       .filter(col("a.i") <= col("b.i"))
       .select(col("a.i").as("i"), col("b.i").as("j"),
-        (col("a.xf") * col("b.xf")).as("p"))
+        // ppm² products sum past BIGINT at full corpus row counts;
+        // DECIMAL(38,0) accumulation matches the oracle's HUGEINT
+        (col("a.xf") * col("b.xf")).cast("decimal(38,0)").as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
-    // d² entries — parameter-sized (d=64 → 4096 longs), the documented
+    // d² entries — parameter-sized (d=64 → 4096 entries), the documented
     // bounded-collect class (codebooks, shortlists)
-    val gTri = gram.collect().map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2)))
+    val gTri = gram.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).toBigInteger))
     val g = (gTri ++ gTri.collect { case ((i, j), v) if i != j => (j, i) -> v }).toMap
     val dims = g.keys.map(_._1).toSeq.distinct.sorted
     val scale = BigInt(1000000)
