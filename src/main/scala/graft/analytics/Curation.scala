@@ -122,6 +122,42 @@ object Curation {
         expr("(target_tokens * 10000L) div n_tokens").as("epochs_bp"))
   }
 
+  /** Per-source document capping — the "domain frequency cap" of web-corpus
+    * pipelines (C4 / RefinedWeb keep at most N pages per registered domain
+    * so no single host dominates the mixture). Docs within a source are
+    * ranked by (n_chars DESC, doc_id) — keep the longest first, a
+    * deterministic priority — and a doc survives iff its rank is at most
+    * `maxDocs` AND its running token total is within `budgetTokens`
+    * (the first doc of a source always survives, so every source stays
+    * represented even when its best doc alone exceeds the budget).
+    *
+    * Scale shape: the rank cut runs on the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — O(maxDocs) memory per source,
+    * no full sort, no source-sized window — and only the surviving
+    * ≤ `maxDocs` rows per source reach the running-sum window, so the
+    * window partition is parameter-sized no matter how many billions of
+    * docs a hot domain has. Token counts are computed map-side before the
+    * heap (the heap carries counts, not text).
+    *
+    * Output: one row per SURVIVING doc — (source, doc_id, rk, tok_cum) —
+    * so the oracle hash checks every keep/drop decision, not a summary.
+    */
+  def sourceDomainCap(docs: DataFrame, maxDocs: Int = 15,
+      budgetTokens: Long = 700L): DataFrame = {
+    val ranked = graft.plans.TopKPerKey.topKPerKey(
+      docs.select(col("source"), col("doc_id"),
+        (-col("n_chars")).as("neg_len"),
+        tokenCount(col("text")).as("n_tok")),
+      Seq("source"), Seq("neg_len", "doc_id"), maxDocs)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("neg_len"), col("doc_id"))
+    ranked
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("tok_cum", sum(col("n_tok")).over(w))
+      .filter(col("tok_cum") <= budgetTokens || col("rk") === 1L)
+      .select(col("source"), col("doc_id"), col("rk"), col("tok_cum"))
+  }
+
   /** Corpus-frequency document scoring — the unigram-LM-likelihood proxy
     * kept integer-exact: one corpus sweep builds the term-frequency table,
     * then each document is scored by the frequencies of its own token
@@ -549,6 +585,70 @@ object Curation {
       .limit(k)
       .select(col("doc_id"), col("n_terms"),
         col("score_dec").cast("double").as("score"))
+  }
+
+  /** Retrieval-quality evaluation — precision@k, recall@k and MRR per
+    * query, the commissioning check a retrieval stack runs before serving
+    * (TREC-style, kept integer-exact: basis points and ppm instead of
+    * float ratios). Each term is one single-term query; the ranked list is
+    * term-frequency retrieval with deterministic total order
+    * (tf DESC, doclen ASC, doc_id), and graded truth is derived from the
+    * corpus itself — a doc is relevant to a term iff the term occurs at
+    * least `relMinTf` times. Per query: truth size, retrieved size,
+    * relevant-retrieved overlap, `prec_bp`/`recall_bp` (floor basis
+    * points; recall of an empty truth set is vacuously 10000), and
+    * `mrr_ppm = 10^6 div first-relevant-rank` (0 when no relevant doc is
+    * retrieved).
+    *
+    * Shape at scale: broadcast term filter on the exploded corpus (only
+    * matching occurrences shuffle), the per-term ranked cut on the
+    * bounded-heap [[graft.plans.TopKPerKey]] (O(k) memory per term, no
+    * term-sized sort), and query-sized aggregates thereafter — so the eval
+    * costs one corpus pass regardless of corpus size, like
+    * [[graft.analytics.Dedup]]'s `lshRecallEval` does for dedup.
+    */
+  def retrievalEvalPR(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      relMinTf: Long = 2L): DataFrame = {
+    require(terms.nonEmpty && k >= 1,
+      s"retrievalEvalPR: needs a non-empty term list and k >= 1, got (${terms.size}, $k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termsDf = terms.toDF("tk")
+    val tf = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokenCount(col("text")).as("dl"),
+        explode(tokens(col("text"))).as("tk"))
+      .join(broadcast(termsDf), Seq("tk"))
+      .groupBy(col("tk"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val truth = tf.groupBy(col("tk"))
+      .agg(sum(when(col("tf") >= relMinTf, 1L).otherwise(0L)).as("n_rel"))
+    val ranked = graft.plans.TopKPerKey.topKPerKey(
+      tf.select(col("tk"), col("doc_id"), (-col("tf")).as("neg_tf"), col("dl")),
+      Seq("tk"), Seq("neg_tf", "dl", "doc_id"), k)
+    val wq = Window.partitionBy(col("tk"))
+      .orderBy(col("neg_tf"), col("dl"), col("doc_id"))
+    val byTerm = ranked
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .withColumn("rel", -col("neg_tf") >= relMinTf)
+      .groupBy(col("tk"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(col("rel").cast("long")).as("n_rel_ret"),
+        min(when(col("rel"), col("rank"))).as("frr"))
+    termsDf.join(truth, Seq("tk"), "left").join(byTerm, Seq("tk"), "left")
+      .select(col("tk").as("term"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
+        coalesce(col("frr"), lit(0L)).as("frr"))
+      .withColumn("prec_bp", expr(
+        "CASE WHEN n_ret = 0 THEN 0L ELSE (n_rel_ret * 10000L) div n_ret END"))
+      .withColumn("recall_bp", expr(
+        "CASE WHEN n_rel = 0 THEN 10000L ELSE (n_rel_ret * 10000L) div n_rel END"))
+      .withColumn("mrr_ppm", expr(
+        "CASE WHEN frr = 0 THEN 0L ELSE 1000000L div frr END"))
+      .select(col("term"), col("n_rel"), col("n_ret"), col("n_rel_ret"),
+        col("prec_bp"), col("recall_bp"), col("mrr_ppm"))
   }
 
   /** BM25 ranking for a bag of query terms — the canonical retrieval scorer

@@ -466,6 +466,66 @@ object Dedup {
     dir.groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Synchronous label propagation (Raghavan, Albert, Kumara, "Near linear
+    * time algorithm to detect community structures in large-scale
+    * networks", Phys. Rev. E 76, 2007) made DETERMINISTIC: every node
+    * starts labeled with itself, and each round simultaneously adopts the
+    * plurality label among its neighbors AND itself, ties broken by the
+    * smallest label. The two classic nondeterminism sources — random visit
+    * order and random tie-break — are replaced by the synchronous sweep and
+    * the min-label rule, and the self-vote kills the classic synchronous
+    * failure mode (a 2-clique swapping labels forever), so a `rounds`-step
+    * run is a pure function of the edge set and hash-matches a staged-CTE
+    * replay on any partitioning. Unlike min-label connected components a
+    * label only spreads while it keeps winning local pluralities, so on
+    * sparse mixed graphs dense regions keep their own labels instead of
+    * flooding the component; on small dense clusters (near-dup groups) it
+    * converges to the per-cluster min label — there it coincides with CC
+    * by design, reached through votes rather than closure.
+    *
+    * Per round: one nb-keyed join (node-sized label relation against the
+    * symmetrized edge relation), one (node, label) count aggregate, and a
+    * node-keyed argmax (max-count reduce + filter-join + min-label reduce,
+    * all on the node key — one exchange, no window), so the round is the
+    * same two-shuffle class as [[pageRankFixedPoint]] with no
+    * single-partition stage anywhere; the hook cuts lineage between rounds.
+    *
+    * Output: (node, label) after `rounds` sweeps — nodes sharing a label
+    * form one community.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    val e0 = edges.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val sym = e0.select(col("id_a").as("node"), col("id_b").as("nb"))
+      .union(e0.select(col("id_b").as("node"), col("id_a").as("nb")))
+    val nodes = sym.select(col("node")).distinct()
+    // self-loop per node = the self-vote (one ballot for the node's own
+    // current label alongside its neighbors')
+    val dir = materialize(
+      sym.union(nodes.select(col("node"), col("node").as("nb"))))
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val cnt = dir
+        .join(lab.select(col("node").as("nb"), col("label")), Seq("nb"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC) without a window: the count
+      // aggregate, the max-count reduce, the filter-join, and the min-label
+      // reduce are all keyed on the node, so Catalyst plans one exchange
+      // for the whole round tail (no single-partition stage anywhere)
+      val cmax = cnt.groupBy(col("node")).agg(max(col("c")).as("cmax"))
+      lab = materialize(
+        cnt.join(cmax, Seq("node"))
+          .filter(col("c") === col("cmax"))
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
+    }
+    lab
+  }
+
   /** Distinct word-`n`-gram shingles per document: (doc_id, s). The base
     * relation for Jaccard and MinHash.
     *

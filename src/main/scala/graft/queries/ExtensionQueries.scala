@@ -59,8 +59,9 @@ object ExtensionQueries {
     })._2
   }
 
-  // the distinct token co-occurrence edge relation feeds four graph keys
-  // (triangles, pagerank, k-core, degree bands); pin it once per
+  // the distinct token co-occurrence edge relation feeds five graph keys
+  // (triangles, pagerank, k-core, label propagation, degree bands); pin
+  // it once per
   // (dir, session) — consumers re-distinct, a no-op on the pinned set
   private val tokenEdgeCache =
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
@@ -309,6 +310,15 @@ object ExtensionQueries {
     // tightly-knit boilerplate/clique region, shorn of chain periphery
     "token_graph_kcore" -> ((s, dir) =>
       Dedup.kCorePeel(tokenEdges(s, dir), k = 3, rounds = 3)),
+    // deterministic synchronous label propagation (plurality vote with
+    // self-ballot, min-label tie-break) over the pinned near-dup candidate
+    // graph: the cluster-labeling sweep entity/dedup pipelines use; on the
+    // fixture's small dense clusters 3 sweeps converge to the per-cluster
+    // min label — the CC answer, reached through votes, and the oracle
+    // replays the votes (staged plurality CTEs), not the closure
+    "neardup_labelprop" -> ((s, dir) =>
+      Dedup.labelPropagation(
+        lshPairs(s, dir).select(col("id_a"), col("id_b")), rounds = 3)),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -697,6 +707,20 @@ object ExtensionQueries {
     "bm25_topk" -> ((s, dir) =>
       Curation.bm25TopK(t(s, dir, "documents"),
         terms = Seq("spark", "quantile", "vector"), k = 20)),
+    // retrieval commissioning eval: per-query precision@k / recall@k / MRR
+    // in integer fixed point, truth derived from the corpus (tf >= 2),
+    // ranked cut on the bounded-heap TopKPerKey operator; 'quantile' is
+    // absent from the fixture vocabulary on purpose — the empty-truth /
+    // empty-retrieval edge is part of the contract
+    "retrieval_eval_pr" -> ((s, dir) =>
+      Curation.retrievalEvalPR(t(s, dir, "documents"),
+        terms = Seq("spark", "vector", "quantile"), k = 10)),
+    // RefinedWeb/C4-style per-source document cap: longest-first priority,
+    // rank cut on the bounded-heap TopKPerKey + parameter-sized running
+    // token budget — one row per SURVIVING doc so every keep/drop decision
+    // is hash-checked
+    "source_domain_cap" -> ((s, dir) =>
+      Curation.sourceDomainCap(t(s, dir, "documents"))),
     // BM25 answered from the deployed text index (postings + doclens +
     // meta stats) — zero corpus reads at query time; same oracle
     "bm25_probe" -> ((s, dir) => {
@@ -1290,7 +1314,11 @@ object ExtensionQueries {
           sum(when(col("arm") === 0, col("v")).otherwise(0L)).as("sum_cents_a"),
           sum(when(col("arm") === 1, col("v")).otherwise(0L)).as("sum_cents_b"))
         .withColumn("lift_bp", expr(
-          "((sum_cents_a * n_b - sum_cents_b * n_a) * 10000) div (sum_cents_b * n_a)"))),
+          // DECIMAL(38,0) products: cents-sum × count × 10^4 overflows
+          // BIGINT at full corpus scale (oracle side is HUGEINT)
+          "((CAST(sum_cents_a AS DECIMAL(38,0)) * n_b - " +
+            "CAST(sum_cents_b AS DECIMAL(38,0)) * n_a) * 10000) div " +
+            "(CAST(sum_cents_b AS DECIMAL(38,0)) * n_a)"))),
     // data-driven FK discovery: inclusion-dependency scan over candidate
     // edges (the 7 fixture FKs, which must report full containment, plus
     // two deliberate negatives) — the audit that validates a subset
@@ -2941,6 +2969,27 @@ object ExtensionQueries {
             s"JOIN k$i a ON d.node = a.node " +
             s"JOIN k$i b ON d.nb = b.node)").mkString(", ") +
         " SELECT node, count(*) AS deg FROM d3 GROUP BY node"),
+    // staged replay of the plurality votes themselves (count → max → argmin
+    // per round), NOT the transitive closure the CC keys check against
+    "neardup_labelprop" ->
+      ("WITH " + minhashPairCtes + ", " +
+        "p0 AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b " +
+        "FROM pairs WHERE id_a != id_b), " +
+        "lpnodes AS (SELECT DISTINCT node FROM " +
+        "(SELECT a AS node FROM p0 UNION ALL SELECT b FROM p0) u), " +
+        "dlp AS MATERIALIZED (SELECT a AS node, b AS nb FROM p0 " +
+        "UNION ALL SELECT b, a FROM p0 " +
+        "UNION ALL SELECT node, node FROM lpnodes), " +
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM lpnodes), " +
+        (1 to 3).map(i =>
+          s"c$i AS MATERIALIZED (SELECT d.node, l.label, count(*) AS c " +
+            s"FROM dlp d JOIN l${i - 1} l ON d.nb = l.node " +
+            "GROUP BY d.node, l.label), " +
+            s"m$i AS MATERIALIZED (SELECT node, max(c) AS cmax FROM c$i GROUP BY node), " +
+            s"l$i AS MATERIALIZED (SELECT c.node, min(c.label) AS label FROM c$i c " +
+            s"JOIN m$i m ON c.node = m.node AND c.c = m.cmax GROUP BY c.node)")
+          .mkString(", ") +
+        " SELECT node, label FROM l3"),
     "token_graph_pagerank" ->
       (tokenEdgeCte + ", " +
         "dir AS (SELECT id_a AS src, id_b AS dst FROM e " +
@@ -3229,6 +3278,39 @@ object ExtensionQueries {
         "SELECT doc_id, n_terms, CAST(score_dec AS DOUBLE) AS score FROM " +
         "(SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS DECIMAL(38,6)) AS score_dec " +
         "FROM w GROUP BY doc_id ORDER BY score_dec DESC, doc_id LIMIT 20) t"),
+    "retrieval_eval_pr" ->
+      ("WITH q AS (SELECT unnest(['spark', 'vector', 'quantile']) AS tk), " +
+        "occ AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "tfq AS MATERIALIZED (SELECT tk, doc_id, max(dl) AS dl, count(*) AS tf " +
+        "FROM occ JOIN q USING (tk) GROUP BY tk, doc_id), " +
+        "tr AS (SELECT tk, sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS n_rel " +
+        "FROM tfq GROUP BY tk), " +
+        "r AS (SELECT tk, tf, row_number() OVER " +
+        "(PARTITION BY tk ORDER BY tf DESC, dl, doc_id) AS rank FROM tfq), " +
+        "ret AS (SELECT tk, count(*) AS n_ret, " +
+        "sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS n_rel_ret, " +
+        "min(CASE WHEN tf >= 2 THEN rank END) AS frr " +
+        "FROM r WHERE rank <= 10 GROUP BY tk) " +
+        "SELECT q.tk AS term, CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel, " +
+        "CAST(coalesce(n_ret, 0) AS BIGINT) AS n_ret, " +
+        "CAST(coalesce(n_rel_ret, 0) AS BIGINT) AS n_rel_ret, " +
+        "CAST(CASE WHEN coalesce(n_ret, 0) = 0 THEN 0 " +
+        "ELSE (n_rel_ret * 10000) // n_ret END AS BIGINT) AS prec_bp, " +
+        "CAST(CASE WHEN coalesce(n_rel, 0) = 0 THEN 10000 " +
+        "ELSE (coalesce(n_rel_ret, 0) * 10000) // n_rel END AS BIGINT) AS recall_bp, " +
+        "CAST(CASE WHEN coalesce(frr, 0) = 0 THEN 0 " +
+        "ELSE 1000000 // frr END AS BIGINT) AS mrr_ppm " +
+        "FROM q LEFT JOIN tr USING (tk) LEFT JOIN ret USING (tk)"),
+    "source_domain_cap" ->
+      ("WITH r AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk " +
+        "FROM documents), " +
+        "c AS (SELECT source, doc_id, rk, sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY rk) AS tok_cum FROM r WHERE rk <= 15) " +
+        "SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, " +
+        "CAST(tok_cum AS BIGINT) AS tok_cum FROM c " +
+        "WHERE tok_cum <= 700 OR rk = 1"),
     "bm25_probe" ->
       // probe shares the direct key's scoring contract and oracle
       ("WITH stats AS (SELECT count(*) AS n_docs, " +

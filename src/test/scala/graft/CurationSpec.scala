@@ -784,4 +784,92 @@ class CurationSpec extends SparkSpecBase {
       assert(ordered == ordered.sortBy(id => (h(id), id)))
     }
   }
+
+  test("labelPropagation: barbell keeps two communities where CC floods one") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    // two triangles joined by one bridge edge 3-10
+    val edges = Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(1L, 3L),
+      Row(10L, 11L), Row(11L, 12L), Row(10L, 12L),
+      Row(3L, 10L))
+    val df = spark.createDataFrame(edges.asJava, schema)
+    val got = Dedup.labelPropagation(df, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plurality voting holds the bridge: each triangle keeps its own label
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // CC on the same graph floods everything to 1 — the two operators are
+    // genuinely different contracts
+    val cc = Dedup.connectedComponents(df).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(cc.toSeq == Seq(1L))
+    // orientation/duplication invariance: reversed + duplicated edges give
+    // the identical labeling (canonicalize-then-distinct inside)
+    val noisy = spark.createDataFrame(
+      (edges ++ edges.map(r => Row(r.getLong(1), r.getLong(0)))).asJava, schema)
+    val got2 = Dedup.labelPropagation(noisy, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+    // synchronous 2-clique does NOT oscillate (self-vote breaks the swap)
+    val pair = spark.createDataFrame(Seq(Row(7L, 5L)).asJava, schema)
+    val gp = Dedup.labelPropagation(pair, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gp == Map(5L -> 5L, 7L -> 5L))
+  }
+
+  test("sourceDomainCap: rank cap and token budget both bind, first doc survives") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    def doc(id: Long, nTok: Int, src: String): Row = {
+      val t = (1 to nTok).map(i => s"w$i").mkString(" ")
+      Row(id, t, src, t.length.toLong)
+    }
+    // src A: one giant doc (40 tokens) over budget alone, then small ones;
+    // src B: five 10-token docs — budget 25 keeps the first two
+    val df = spark.createDataFrame(Seq(
+      doc(1L, 40, "A"), doc(2L, 5, "A"), doc(3L, 4, "A"),
+      doc(10L, 10, "B"), doc(11L, 10, "B"), doc(12L, 10, "B"),
+      doc(13L, 10, "B"), doc(14L, 10, "B")).asJava, schema)
+    val got = Curation.sourceDomainCap(df, maxDocs = 3, budgetTokens = 25L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    // A: doc 1 (40 tokens) busts the budget but rk=1 always survives; the
+    // rest of A is cut by the budget. B: docs tie on length -> doc_id order;
+    // rk cap 3 would allow three but the budget stops at two (30 > 25)
+    assert(got.toSeq == Seq(
+      ("A", 1L, 1L, 40L),
+      ("B", 10L, 1L, 10L), ("B", 11L, 2L, 20L)))
+  }
+
+  test("retrievalEvalPR: hand-computed precision/recall/MRR incl. empty-truth term") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, "cat cat cat"),        // tf=3, dl=3  -> rank 1, relevant
+      Row(2L, "cat cat dog bird"),   // tf=2, dl=4  -> rank 2, relevant
+      Row(3L, "cat dog"),            // tf=1        -> rank 3, not relevant
+      Row(4L, "cat fish dog bird"),  // tf=1        -> rank 4 (dl 4 > doc3)
+      Row(5L, "dog dog fish")        // no 'cat'
+    ).asJava, schema)
+    val got = Curation.retrievalEvalPR(df, terms = Seq("cat", "absent"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq(
+      // absent term: empty truth (vacuous recall 10000), nothing retrieved
+      ("absent", 0L, 0L, 0L, 0L, 10000L, 0L),
+      // cat: truth {1,2}; top-3 = 1,2,3 -> prec 2/3, recall 2/2, MRR 1/1
+      ("cat", 2L, 3L, 2L, 6666L, 10000L, 1000000L)))
+  }
 }
