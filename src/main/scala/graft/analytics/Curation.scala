@@ -158,6 +158,79 @@ object Curation {
       .select(col("source"), col("doc_id"), col("rk"), col("tok_cum"))
   }
 
+  /** Tie-aware AUC of a document score against binary labels, in EXACT
+    * integer parts-per-million — the ranking-quality commissioning check
+    * run before a quality classifier is trusted to filter a corpus. Uses
+    * the rank-sum identity: AUC = Σ over score groups of
+    * `n_pos(g) · (negatives_below(g) + n_neg(g)/2)`, normalized by
+    * `n_pos · n_neg`; the whole computation is doubled to keep the tie
+    * half-credit integral, and the final ratio is a DECIMAL(38,0)
+    * cross-multiplication (pair counts reach N² — far past BIGINT at
+    * corpus scale) floored into ppm, so the result hash-matches any
+    * engine.
+    *
+    * Shape at scale: one map-side-combining groupBy collapses the corpus
+    * to its DISTINCT SCORE VALUES; the ordered prefix window then runs
+    * over that domain-sized relation (a score domain is bounded — lengths,
+    * quantized ratios — regardless of corpus rows), and a one-row
+    * aggregate finishes. The corpus itself is touched exactly once.
+    */
+  def aucEval(docs: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = docs.select(score.as("s"), label.cast("int").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).cast("long").as("np"),
+        sum(lit(1) - col("y")).cast("long").as("nn"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("nb", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .select(col("np"), col("nn"),
+        (col("np").cast("decimal(38,0)") * (col("nb") * 2 + col("nn")))
+          .as("c2"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("c2")).as("auc2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0L ELSE " +
+          "CAST((CAST(auc2 AS DECIMAL(38,0)) * 500000) div " +
+          "(CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END")
+          .as("auc_ppm"))
+  }
+
+  /** Preference-pair mining for contrastive/DPO-style training: within
+    * each source, pair the k highest-scoring documents with the k
+    * lowest-scoring ones rank-for-rank (best with worst, 2nd best with 2nd
+    * worst …), emitting `(source, chosen, rejected, gap)`. The score is a
+    * caller-supplied deterministic column; ties break on doc_id, pairs
+    * where the two sides coincide or the gap is not strictly positive are
+    * dropped (tiny sources can fold the two rankings together).
+    *
+    * Shape at scale: BOTH rank cuts run on the bounded-heap
+    * [[graft.plans.TopKPerKey]] (O(k) memory per source, no source-sized
+    * sort or window over the corpus); ranking and the rank-join then touch
+    * only the 2k surviving rows per source. One corpus scan total.
+    */
+  def preferencePairs(docs: DataFrame, score: Column, k: Int = 5)
+      : DataFrame = {
+    val scored = docs.select(col("source"), col("doc_id"), score.as("sc"))
+    def cut(flip: Boolean): DataFrame = {
+      val base = if (flip) scored.withColumn("o", -col("sc"))
+        else scored.withColumn("o", col("sc"))
+      val w = Window.partitionBy(col("source")).orderBy(col("o"), col("doc_id"))
+      graft.plans.TopKPerKey.topKPerKey(base, Seq("source"), Seq("o", "doc_id"), k)
+        .withColumn("rk", row_number().over(w))
+        .select(col("source"), col("doc_id"), col("sc"), col("rk"))
+    }
+    val best = cut(flip = true)
+      .select(col("source"), col("doc_id").as("chosen"),
+        col("sc").as("sc_c"), col("rk"))
+    val worst = cut(flip = false)
+      .select(col("source"), col("doc_id").as("rejected"),
+        col("sc").as("sc_r"), col("rk"))
+    best.join(worst, Seq("source", "rk"))
+      .filter(col("chosen") =!= col("rejected") && col("sc_c") > col("sc_r"))
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("chosen"), col("rejected"), (col("sc_c") - col("sc_r")).as("gap"))
+  }
+
   /** Corpus-frequency document scoring — the unigram-LM-likelihood proxy
     * kept integer-exact: one corpus sweep builds the term-frequency table,
     * then each document is scored by the frequencies of its own token

@@ -639,4 +639,58 @@ object EventsAnalytics {
         col("stat").cast("long").as("stat_max"),
         col("event_id").as("shift_event_id"), col("t").as("shift_t"))
   }
+
+  /** Multi-touch conversion attribution — the first-touch / last-touch /
+    * linear credit models every marketing-analytics stack reports side by
+    * side. A conversion (`convType` event) is attributed to the `channels`
+    * touches of the SAME user inside the `lookbackNs` window before it;
+    * credit is integer basis points per (conversion, touch): first/last
+    * give the whole 10000 to the window-extreme touch, linear splits
+    * `10000 div n` per touch with the remainder (`10000 mod n`) assigned
+    * to the first touch — so each attributed conversion's credit sums to
+    * exactly 10000 under every model and the corpus totals stay
+    * hash-exact. Conversions with no touch in the window are unattributed
+    * (they appear in no model — the "direct" bucket a report derives as
+    * conversions minus attributed).
+    *
+    * Shape at scale: conversions and touches co-shuffle once on user_id
+    * (the same key both relations naturally live on), the lookback is a
+    * post-join range filter whose blow-up is bounded by per-user activity
+    * inside one window — the events_asof class of temporal join; a user
+    * hot enough to break that bound gets the [[graft.engine.Ops]]
+    * time-binned range join instead. The credit windows partition by
+    * (user, conversion) — never wider — and the final rollup is a
+    * model × channel aggregate, parameter-sized output.
+    */
+  def attribution(events0: DataFrame, convType: String = "purchase",
+      channels: Seq[String] = Seq("click", "view", "signup"),
+      lookbackNs: Long = 86400L * 1000000000L): DataFrame = {
+    val e = EventTime.toNanos(events0)
+    val conv = e.filter(col("event_type") === convType)
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+    val touch = e.filter(col("event_type").isin(channels: _*))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("channel"))
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("tts") < col("cts") && col("tts") >= col("cts") - lookbackNs)
+    val wAsc = Window.partitionBy(col("user_id"), col("cid"))
+      .orderBy(col("tts"), col("tid"))
+    val wAll = Window.partitionBy(col("user_id"), col("cid"))
+    val scored = j
+      .withColumn("rk", row_number().over(wAsc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("first_bp", when(col("rk") === 1L, 10000L).otherwise(0L))
+      .withColumn("last_bp", when(col("rk") === col("n"), 10000L).otherwise(0L))
+      .withColumn("linear_bp", expr("10000L div n") +
+        when(col("rk") === 1L, expr("10000L % n")).otherwise(0L))
+    scored
+      .select(col("channel"), explode(array(
+        struct(lit("first").as("model"), col("first_bp").as("bp")),
+        struct(lit("last").as("model"), col("last_bp").as("bp")),
+        struct(lit("linear").as("model"), col("linear_bp").as("bp")))).as("mc"))
+      .select(col("mc.model").as("model"), col("channel"), col("mc.bp").as("bp"))
+      .filter(col("bp") > 0L)
+      .groupBy(col("model"), col("channel"))
+      .agg(sum(col("bp")).as("credit_bp"), count(lit(1)).as("n_credited"))
+  }
 }

@@ -793,6 +793,30 @@ object ExtensionQueries {
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val").otherwise("test"))),
+    // GROUP-aware split (GroupKFold shape): every doc of a source lands in
+    // the same split, because near-duplicates concentrate within a source
+    // and a doc-level split leaks them across train/test. Hash on the
+    // GROUP key only — map-only, stable across corpus versions like
+    // corpus_split.
+    "corpus_split_by_group" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(concat('grp-', source)), 1, 6), 16, 10) AS BIGINT) % 10")
+          .as("gb"))
+        .withColumn("split",
+          when(col("gb") < 8, "train")
+            .when(col("gb") < 9, "val").otherwise("test"))
+        .select(col("doc_id"), col("source"), col("split"))),
+    // ranking-quality eval of a document score against binary labels:
+    // tie-aware AUC in exact integer ppm (the commissioning check before
+    // a quality filter is trusted to rank a corpus)
+    "quality_auc_eval" -> ((s, dir) =>
+      Curation.aucEval(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en")),
+    // DPO/contrastive preference-pair mining: per source, the k best docs
+    // paired rank-for-rank with the k worst (both cuts on the bounded-heap
+    // TopKPerKey), strict positive score gap required
+    "preference_pairs_topk" -> ((s, dir) =>
+      Curation.preferencePairs(t(s, dir, "documents"), col("n_chars"), k = 5)),
     // EXACT-proportional stratified split: within every (lang, source)
     // stratum, docs rank by an md5 key and the first 80%/next 10% go to
     // train/val — small strata keep their proportions exactly, which the
@@ -1676,6 +1700,12 @@ object ExtensionQueries {
 
     // funnel conversion: users whose FIRST click precedes a later
     // purchase — two tiny per-user aggregates joined on user_id, no window
+    // multi-touch attribution: first/last/linear credit models over the
+    // 24 h pre-conversion window, integer basis points (each attributed
+    // conversion sums to exactly 10000 per model; remainder to the first
+    // touch), rolled up per model x channel
+    "events_attribution" -> ((s, dir) =>
+      EventsAnalytics.attribution(t(s, dir, "events"))),
     "events_conversion" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val firstClick = ev.filter(col("event_type") === "click")
@@ -2676,6 +2706,34 @@ object ExtensionQueries {
         "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80 THEN 'train' " +
         "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents"),
+    "corpus_split_by_group" ->
+      ("SELECT doc_id, source, " +
+        "CASE WHEN ('0x' || substr(md5('grp-' || source), 1, 6))::BIGINT % 10 < 8 THEN 'train' " +
+        "WHEN ('0x' || substr(md5('grp-' || source), 1, 6))::BIGINT % 10 < 9 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"),
+    "preference_pairs_topk" ->
+      ("WITH b AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk FROM documents), " +
+        "w AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars ASC, doc_id) AS rk FROM documents) " +
+        "SELECT b.source, CAST(b.rk AS BIGINT) AS rk, " +
+        "b.doc_id AS chosen, w.doc_id AS rejected, " +
+        "CAST(b.n_chars - w.n_chars AS BIGINT) AS gap " +
+        "FROM b JOIN w ON b.source = w.source AND b.rk = w.rk " +
+        "WHERE b.rk <= 5 AND w.rk <= 5 AND b.doc_id != w.doc_id " +
+        "AND b.n_chars > w.n_chars"),
+    "quality_auc_eval" ->
+      ("WITH g AS (SELECT n_chars AS s, " +
+        "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np, " +
+        "sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn " +
+        "FROM documents GROUP BY 1), " +
+        "p AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb FROM g), " +
+        "t AS (SELECT sum(np) AS n_pos, sum(nn) AS n_neg, " +
+        "sum(np * (2 * nb + nn)) AS auc2 FROM p) " +
+        "SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg, " +
+        "CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0 " +
+        "ELSE (auc2 * 500000) // (n_pos * n_neg) END AS BIGINT) AS auc_ppm FROM t"),
     // fences at rk·10 <= n·8 / n·9 — exact integer proportions per stratum
     "corpus_split_exact_strata" ->
       ("WITH d AS (SELECT doc_id, lang, source, " +
@@ -4384,6 +4442,28 @@ object ExtensionQueries {
         "AS n_purchases_after " +
         "FROM fc LEFT JOIN p ON p.user_id = fc.user_id " +
         "GROUP BY fc.user_id, fc.first_click"),
+    "events_attribution" ->
+      ("WITH c AS (SELECT user_id, epoch_ns(ts) AS cts, event_id AS cid " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "tch AS (SELECT user_id, epoch_ns(ts) AS tts, event_id AS tid, " +
+        "event_type AS channel FROM events " +
+        "WHERE event_type IN ('click', 'view', 'signup')), " +
+        "j AS (SELECT c.user_id, cid, channel, tts, tid FROM c " +
+        "JOIN tch ON c.user_id = tch.user_id " +
+        "AND tts < cts AND tts >= cts - 86400000000000), " +
+        "r AS (SELECT channel, row_number() OVER " +
+        "(PARTITION BY user_id, cid ORDER BY tts, tid) AS rk, " +
+        "count(*) OVER (PARTITION BY user_id, cid) AS n FROM j), " +
+        "s AS (SELECT channel, " +
+        "CASE WHEN rk = 1 THEN 10000 ELSE 0 END AS fb, " +
+        "CASE WHEN rk = n THEN 10000 ELSE 0 END AS lb, " +
+        "10000 // n + CASE WHEN rk = 1 THEN 10000 % n ELSE 0 END AS nb FROM r), " +
+        "u AS (SELECT 'first' AS model, channel, fb AS bp FROM s " +
+        "UNION ALL SELECT 'last', channel, lb FROM s " +
+        "UNION ALL SELECT 'linear', channel, nb FROM s) " +
+        "SELECT model, channel, CAST(sum(bp) AS BIGINT) AS credit_bp, " +
+        "CAST(count(*) AS BIGINT) AS n_credited FROM u WHERE bp > 0 " +
+        "GROUP BY model, channel"),
     "events_conversion_latency" ->
       ("WITH fc AS (SELECT user_id, min(ts) AS fc FROM events " +
         "WHERE event_type = 'click' GROUP BY user_id), " +

@@ -41,7 +41,9 @@ object SfSweep {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val keys =
-      if (args.length > 1) args.drop(1).toSeq
+      if (args.length > 1 && args(1) == "ALL")
+        graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
       else defaultKeys.filter(graft.SparkEntry.queries.contains)
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -785,6 +785,44 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("aucEval: hand-computed tie-aware AUC in exact ppm") {
+    import spark.implicits._
+    // (score, label): one tied pos/neg pair at score 2 -> AUC = 3.5/4
+    val df = Seq((1L, false), (2L, false), (2L, true), (3L, true))
+      .toDF("sc", "lab")
+    val got = Curation.aucEval(df, col("sc"), col("lab")).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2)) ==
+      ((2L, 2L, 875000L)))
+    // degenerate one-class input reports 0 rather than dividing by zero
+    val onec = Curation.aucEval(
+      Seq((1L, true), (2L, true)).toDF("sc", "lab"), col("sc"), col("lab"))
+      .collect()(0)
+    assert(onec.getLong(2) == 0L)
+    // perfect separation is exactly 10^6
+    val perfect = Curation.aucEval(
+      Seq((1L, false), (2L, false), (3L, true), (4L, true)).toDF("sc", "lab"),
+      col("sc"), col("lab")).collect()(0)
+    assert(perfect.getLong(2) == 1000000L)
+  }
+
+  test("preferencePairs: rank-for-rank best/worst pairs, degenerate pairs dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "X", 100L), (2L, "X", 90L), (3L, "X", 50L), (4L, "X", 10L),
+      (5L, "Y", 30L), (6L, "Y", 20L),
+      (7L, "Z", 7L) // single-doc source: chosen == rejected -> dropped
+    ).toDF("doc_id", "source", "n_chars")
+    val got = Curation.preferencePairs(df, col("n_chars"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(t => (t._1, t._2))
+    assert(got == Seq(
+      ("X", 1L, 1L, 4L, 90L),  // best 1 (100) vs worst 4 (10)
+      ("X", 2L, 2L, 3L, 40L),  // 2nd best vs 2nd worst
+      // Y rk1: (5, 6, 10); Y rk2 pairs 6 with 5 -> negative gap, dropped
+      ("Y", 1L, 5L, 6L, 10L)))
+  }
+
   test("labelPropagation: barbell keeps two communities where CC floods one") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

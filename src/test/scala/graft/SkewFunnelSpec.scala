@@ -66,4 +66,33 @@ class SkewFunnelSpec extends SparkSpecBase {
       ("b", "c", "b", 1L, 1L),
       ("c", "b", "c", 1L, 1L)))
   }
+
+  test("attribution: first/last/linear credits sum to 10000 per conversion") {
+    // user 1: click@10, view@20, click@30, purchase@40 (3 touches),
+    //         purchase@100 with lookback 50 -> no touch in window
+    // user 2: view@5, purchase@8 (1 touch)
+    val ev = Seq(
+      (1L, 1L, "click", 10L), (2L, 1L, "view", 20L), (3L, 1L, "click", 30L),
+      (4L, 1L, "purchase", 40L), (5L, 1L, "purchase", 100L),
+      (6L, 2L, "view", 5L), (7L, 2L, "purchase", 8L),
+      (8L, 2L, "error", 7L) // non-channel type never credited
+    ).map { case (id, u, t, ts) => (id, u, t, ts, 0.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = EventsAnalytics.attribution(ev,
+      channels = Seq("click", "view"), lookbackNs = 50L)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // conversion u1@40: touches click(10), view(20), click(30); n=3
+    //   first -> click 10000; last -> click 10000
+    //   linear -> 3333 each + remainder 1 to the first: click 3334+3333, view 3333
+    // conversion u2@8: view(5); all models -> view 10000
+    assert(got == Map(
+      ("first", "click") -> ((10000L, 1L)), ("first", "view") -> ((10000L, 1L)),
+      ("last", "click") -> ((10000L, 1L)), ("last", "view") -> ((10000L, 1L)),
+      ("linear", "click") -> ((6667L, 2L)), ("linear", "view") -> ((13333L, 2L))))
+    // invariant: per model, total credit = 10000 x attributed conversions (2)
+    Seq("first", "last", "linear").foreach { m =>
+      assert(got.collect { case ((mm, _), (bp, _)) if mm == m => bp }.sum == 20000L)
+    }
+  }
 }
