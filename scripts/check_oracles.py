@@ -8,9 +8,18 @@ oracle_sql.json), run the oracle SQL in DuckDB against views over the sf
 tables and compare with the Spark result: columns sorted by name, rows
 sorted, values stringified and hashed. Development-only — the shipped Scala
 library never touches DuckDB.
+
+The compare is DRIVER-FAITHFUL (pandas-asymmetric): the Spark side is read
+via pandas.read_parquet, the oracle side via duckdb `.df()`. This is what
+the driver does, and it is load-bearing: duckdb `.df()` renders HUGEINT
+(e.g. an uncast sum()) as float64, so an oracle column the symmetric
+fetchall compare calls "1435" the driver sees as "1435.0" — the r11/r12
+driver-only hash-red on source_mixture_plan.
 """
 import json, math, os, sys
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -19,18 +28,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
-    if isinstance(v, list):
+    if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["\t".join(norm_cell(r[i]) for i in order) for r in rows]
+def canon_df(df):
+    cols = sorted(df.columns)
+    out = ["\t".join(norm_cell(r[c]) for c in cols)
+           for _, r in df[cols].iterrows()]
     out.sort()
     return out
 
@@ -62,31 +76,29 @@ def main(out_dir, sf_dir):
         # 84 oracles would otherwise accumulate 84 open connections
         con = fresh_con(sf_dir)
         try:
-            spark_glob = os.path.join(out_dir, name, "*.parquet")
             try:
-                sdf = con.execute(f"SELECT * FROM '{spark_glob}'")
-                scols = [c[0] for c in sdf.description]
-                srows = sdf.fetchall()
+                # driver-faithful: pandas reads the Spark parquet
+                sdf = pd.read_parquet(os.path.join(out_dir, name))
             except Exception as e:
                 print(f"FAIL {name}: cannot read spark output: {e}")
                 n_fail += 1
                 continue
             if name not in oracles:
-                print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows)")
+                print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows)")
                 continue
             try:
-                odf = con.execute(oracles[name])
-                ocols = [c[0] for c in odf.description]
-                orows = odf.fetchall()
+                # driver-faithful: the oracle result goes through .df()
+                odf = con.execute(oracles[name]).df()
             except Exception as e:
                 print(f"FAIL {name}: oracle SQL error: {e}")
                 n_fail += 1
                 continue
-            if sorted(scols) != sorted(ocols):
-                print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+            if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+                print(f"FAIL {name}: columns {scols} != {ocols}")
                 n_fail += 1
                 continue
-            sc, oc = canon(srows, scols), canon(orows, ocols)
+            sc, oc = canon_df(sdf), canon_df(odf)
             if len(sc) != len(oc):
                 print(f"FAIL {name}: rows {len(sc)} != {len(oc)}")
                 n_fail += 1

@@ -68,6 +68,12 @@ object Bench {
       // instead of scanning — the subset report and row-count surfaces are
       // metadata-only at any scale
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // CPU-bound analytic kernels (simhash/jaccard/minhash joins) are
+      // tiny in BYTES but heavy per row; the default 1MB AQE coalesce
+      // floor serializes them onto a handful of cores (measured 3x on
+      // simhash_neardup_pairs_wide at sf0.1/local[32]). 64k keeps AQE's
+      // empty-partition cleanup while letting parallelism win.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -152,9 +158,17 @@ object Bench {
     // index. Reported as `setup` in the detail file and `setupSec` on the
     // final line.
     val setupT0 = System.nanoTime()
+    var setupError: Option[String] = None
     val pinSecs: Seq[(String, Double)] =
       try graft.queries.ExtensionQueries.prebuildPinned(spark, sfDir)
-      catch { case _: Throwable => Seq.empty }
+      catch {
+        case e: Throwable =>
+          // don't abort the bench, but DO surface the failure: a silent
+          // empty pin set pushes the build cost into the first consumer
+          // key and skews its reading with no diagnostic
+          setupError = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          Seq.empty
+      }
     val setupSec = (System.nanoTime() - setupT0) / 1e9
     // Run-order experiment hook (the 13-15s driver readings for
     // minhash_verified_pairs only ever appear mid-sweep): "reverse" runs
@@ -228,8 +242,9 @@ object Bench {
     // keeps only ~2KB of tail): one line per key, run order preserved.
     val setupJson = pinSecs
       .map { case (n, v) => jstr(n) + ":" + (v * 1000).toLong }
-      .mkString("{\"totalMs\":" + (setupSec * 1000).toLong + ",\"pins\":{",
-        ",", "}}")
+      .mkString("{\"totalMs\":" + (setupSec * 1000).toLong +
+        setupError.map(e => ",\"setup_error\":" + jstr(e)).getOrElse("") +
+        ",\"pins\":{", ",", "}}")
     val detailJson = detail.map { case (k, m) =>
       jstr(k) + ":" + m.map { case (f, v) => jstr(f) + ":" + v }
         .mkString("{", ",", "}")

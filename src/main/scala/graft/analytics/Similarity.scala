@@ -1740,13 +1740,18 @@ object Similarity {
     val dims = g.keys.map(_._1).toSeq.distinct.sorted
     val scale = BigInt(1000000)
     var v: Map[Int, BigInt] = dims.map(_ -> scale).toMap
-    for (_ <- 1 to rounds) {
+    import spark.implicits._
+    // no embeddings → empty Gram → empty (dim, v_ppm); an all-zero Gram
+    // would otherwise divide by mx = 0 below
+    if (dims.isEmpty) return Seq.empty[(Int, Long)].toDF("dim", "v_ppm")
+    var done = false
+    for (_ <- 1 to rounds if !done) {
       val u = dims.map(i =>
         i -> dims.map(j => g.getOrElse((i, j), BigInt(0)) * v(j)).sum).toMap
       val mx = u.values.map(_.abs).max
-      v = u.map { case (i, x) => i -> (x * scale / mx) } // BigInt / truncates toward zero, like SQL div
+      if (mx == 0) done = true // degenerate (all-zero) Gram: v is fixed
+      else v = u.map { case (i, x) => i -> (x * scale / mx) } // BigInt / truncates toward zero, like SQL div
     }
-    import spark.implicits._
     dims.map(i => (i, v(i).toLong)).toDF("dim", "v_ppm")
   }
 

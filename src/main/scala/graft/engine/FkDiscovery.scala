@@ -38,8 +38,14 @@ object FkDiscovery {
           lit(s"$cn.$cc").as("child"),
           lit(s"$pn.$pc").as("parent"),
           col("n_child_distinct"), col("n_matched"),
-          expr("(n_matched * 10000L) div n_child_distinct").as("containment_bp"),
-          expr("CAST(CASE WHEN n_matched = n_child_distinct THEN 1 ELSE 0 END AS INT)")
+          // an all-NULL child column has 0 distinct values: report 0
+          // containment and do NOT flag it (0 = 0 would vacuously claim
+          // full containment, and the div would emit NULL)
+          expr("CASE WHEN n_child_distinct = 0 THEN 0L " +
+            "ELSE (n_matched * 10000L) div n_child_distinct END")
+            .as("containment_bp"),
+          expr("CAST(CASE WHEN n_child_distinct = 0 THEN 0 " +
+            "WHEN n_matched = n_child_distinct THEN 1 ELSE 0 END AS INT)")
             .as("is_fk_candidate"))
     }.reduce(_ unionByName _)
   }

@@ -94,6 +94,12 @@ object Layout {
       boxLo: Long = 5L,
       boxHi: Long = 20L): DataFrame = {
     val side = 1L << bits
+    require(nFiles >= 1 && side * side >= nFiles,
+      s"clusterPruneEval: nFiles ($nFiles) must be in 1..4^bits " +
+        s"(${side * side}) or the curve-key bucket width is 0")
+    // ceil-div keeps width >= 1 when 4^bits is not a multiple of nFiles
+    // (integer floor-div would give width 0 → NULL buckets downstream)
+    val width = (side * side + nFiles - 1) / nFiles
     val base = df.select(dimA.cast("long").as("x"), dimB.cast("long").as("y"),
       orderCol.cast("long").as("ord"))
     val maxOrd = base.agg(max(col("ord")).as("mo"))
@@ -103,9 +109,9 @@ object Layout {
       ("natural", (d: DataFrame) => d.crossJoin(broadcast(maxOrd))
         .withColumn("f", expr(s"ord div ((mo div $nFiles) + 1)"))),
       ("zorder", (d: DataFrame) => d.withColumn("f",
-        expr(s"zkey div ${side * side / nFiles}"))),
+        expr(s"zkey div $width"))),
       ("hilbert", (d: DataFrame) => d.withColumn("f",
-        expr(s"hkey div ${side * side / nFiles}"))))
+        expr(s"hkey div $width"))))
     val keyed = base
       .withColumn("zkey", zValue(col("x"), col("y"), bits))
       .withColumn("hkey", hilbertValue(col("x"), col("y"), bits))

@@ -52,11 +52,22 @@ object ExtensionQueries {
       if (!alive) scala.util.Try(df.unpersist(blocking = false))
       alive
     }
-    cache.getOrElseUpdate(sessionKey(s, dir), {
-      val df = build.persist()
-      df.count()
-      (s, df)
-    })._2
+    val key = sessionKey(s, dir)
+    cache.get(key) match {
+      case Some((_, df)) => df
+      case None =>
+        // build OUTSIDE the map, then publish with putIfAbsent: a by-name
+        // getOrElseUpdate could run two concurrent builds and silently
+        // drop the loser's persist()'d blocks for the session lifetime
+        val df = build.persist()
+        df.count()
+        cache.putIfAbsent(key, (s, df)) match {
+          case Some((_, winner)) => // lost the race: release our copy
+            scala.util.Try(df.unpersist(blocking = false))
+            winner
+          case None => df
+        }
+    }
   }
 
   // the distinct token co-occurrence edge relation feeds five graph keys
@@ -4158,7 +4169,12 @@ object ExtensionQueries {
       // integer-exact temper weight: w = isqrt(n_tokens·10^12) via float
       // sqrt + integer ±1 repair (the negative_samples_unigram pattern),
       // then target = budget·w // Σw in HUGEINT — bit-stable in any engine
-      ("WITH s AS (SELECT source, sum(len(string_split(text, ' '))) AS n_tokens " +
+      // n_tokens MUST be CAST AS BIGINT: an uncast DuckDB sum() is
+      // HUGEINT, which the driver's duckdb .df() fetch renders as
+      // float64 ("1435.0") against Spark's int64 ("1435") — the r11/r12
+      // driver-only hash-red on this key (SKILL.md §2, pandas-asymmetric)
+      ("WITH s AS (SELECT source, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
         "FROM documents GROUP BY 1), " +
         "x AS (SELECT source, n_tokens, " +
         "CAST(n_tokens AS HUGEINT) * 1000000000000 AS x FROM s), " +

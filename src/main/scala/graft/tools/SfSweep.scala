@@ -51,6 +51,12 @@ object SfSweep {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // CPU-bound analytic kernels (simhash/jaccard/minhash joins) are
+      // tiny in BYTES but heavy per row; the default 1MB AQE coalesce
+      // floor serializes them onto a handful of cores (measured 3x on
+      // simhash_neardup_pairs_wide at sf0.1/local[32]). 64k keeps AQE's
+      // empty-partition cleanup while letting parallelism win.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -12,14 +12,24 @@ object Solo {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // CPU-bound analytic kernels (simhash/jaccard/minhash joins) are
+      // tiny in BYTES but heavy per row; the default 1MB AQE coalesce
+      // floor serializes them onto a handful of cores (measured 3x on
+      // simhash_neardup_pairs_wide at sf0.1/local[32]). 64k keeps AQE's
+      // empty-partition cleanup while letting parallelism win.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiment hook: SPARK_GRAFT_CONF="key=value;key=value"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$dir/region.parquet").groupBy("r_name").count().count()
     args.foreach { name =>
