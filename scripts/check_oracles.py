@@ -42,9 +42,16 @@ def norm_cell(v):
 
 
 def canon_df(df):
-    cols = sorted(df.columns)
-    out = ["\t".join(norm_cell(r[c]) for c in cols)
-           for _, r in df[cols].iterrows()]
+    # case-insensitive column order so a Spark frame with ['A','b'] aligns
+    # with an oracle frame with ['a','B'] (the name check below is
+    # case-insensitive, so row rendering must use the same order)
+    cols = sorted(df.columns, key=str.lower)
+    # render COLUMN-WISE: iterrows() upcasts each row to a common dtype, so
+    # a frame mixing int64 and float64 renders int cells as '1435.0' —
+    # masking exactly the int-vs-float asymmetry this checker exists to
+    # catch. Iterating each Series preserves its own dtype.
+    out = ["\t".join(norm_cell(v) for v in row)
+           for row in zip(*(df[c] for c in cols))]
     out.sort()
     return out
 
@@ -93,7 +100,8 @@ def main(out_dir, sf_dir):
                 print(f"FAIL {name}: oracle SQL error: {e}")
                 n_fail += 1
                 continue
-            scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+            scols = sorted(sdf.columns, key=str.lower)
+            ocols = sorted(odf.columns, key=str.lower)
             if [c.lower() for c in scols] != [c.lower() for c in ocols]:
                 print(f"FAIL {name}: columns {scols} != {ocols}")
                 n_fail += 1

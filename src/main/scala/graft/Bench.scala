@@ -37,6 +37,15 @@ private final class BenchMetricsListener extends SparkListener {
 
 object Bench {
 
+  /** Warm canary wall-ms measured on a quiet driver-class host (r14,
+    * local[32]: median warm rep 441 ms for bit_xor(xxhash64) over 2B
+    * longs / 32 partitions): the denominator for the cross-round
+    * machine-speed ratio. Only re-baseline if the canary JOB changes —
+    * the whole point is that this constant and the job are code-stable
+    * across rounds.
+    */
+  val CanaryBaselineMs = 440L
+
   /** JVM-level readings that task metrics can't see: total collector time
     * (wall, all causes), heap occupancy, and the JIT code-cache pools. The
     * code-cache numbers are the tell for the "late-sweep keys run
@@ -151,6 +160,26 @@ object Bench {
           .run().values.foreach(_.count())
       }
     } catch { case _: Throwable => () }
+    // Machine-speed CANARY (VERDICT r13 #1): a fixed, code-stable,
+    // CPU-bound job whose runtime depends only on the host, never on this
+    // round's code — BENCH_r13's 540s-vs-313s "regression" was 3.3x bench-
+    // host contention, invisible in the artifact. Two reps, the warm one is
+    // the reading (rep 1 absorbs the canary's own JIT). The final line
+    // carries canaryMs plus the warm total normalized by
+    // canaryBaselineMs/canaryMs, so a slow host shows up as a ratio
+    // instead of masquerading as a code regression.
+    val canaryMs: Long = {
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+      // bit_xor (not sum): summing 2B hashes overflows long under ANSI
+      def rep(): Long = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 2000L * 1000 * 1000, 1L, 32)
+          .select(bit_xor(xxhash64(col("id")))).head()
+        (System.nanoTime() - t0) / 1000000
+      }
+      try { rep(); Seq(rep(), rep(), rep()).sorted.apply(1) }
+      catch { case _: Throwable => -1L }
+    }
     // Accounted SETUP phase: build the shared pinned relations (token
     // edges, LSH candidate pairs, entity matches/clusters) once, timed
     // separately, so no timed key absorbs a one-time pin build — in a
@@ -285,8 +314,21 @@ object Bench {
     val budget = 1000
     val kept = slowest.scanLeft(0)((acc, e) => acc + e.length + 1)
       .tail.zip(slowest).takeWhile(_._1 <= budget).map(_._2)
+    // Warm total (sum of rep-2 wall; rep-1 where a key wasn't repped) and
+    // its canary-normalized form: `value` stays the rep-1 total for series
+    // continuity, but r13 showed the cold total is dominated by first-run
+    // plan/JIT/pin noise and host contention — valueWarm is the number to
+    // compare round-over-round, valueWarmNorm the one comparable across
+    // hosts of different speed (canaryRatio > ~1.5 means "slow host, don't
+    // read raw totals as code deltas").
+    val totalWarm = order.map { n =>
+      detail(n).get("msRep2").map(_ / 1000.0).getOrElse(results(n))
+    }.sum
+    val canaryRatio =
+      if (canaryMs > 0) canaryMs.toDouble / CanaryBaselineMs else 1.0
+    val totalWarmNorm = totalWarm / canaryRatio
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"setupSec":$setupSec%.1f,"diag":$diag,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"valueWarm":$totalWarm%.3f,"valueWarmNorm":$totalWarmNorm%.3f,"canaryMs":$canaryMs,"canaryBaselineMs":$CanaryBaselineMs,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"setupSec":$setupSec%.1f,"diag":$diag,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     println(json)
     System.out.flush()
     if (errors.nonEmpty) {

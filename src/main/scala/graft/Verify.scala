@@ -23,6 +23,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Key-parity gate (VERDICT r13 #6): every declared query must carry an
+    // oracle and every oracle a query, so a future key addition cannot
+    // silently ship unverified (a missing oracle downgrades the driver's
+    // check to rows-only with no visible signal). Keys that are
+    // INTENTIONALLY rows-only must be listed in SPARK_GRAFT_ROWS_ONLY.
+    locally {
+      val rowsOnlyOk = sys.env.getOrElse("SPARK_GRAFT_ROWS_ONLY", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyOk
+      val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+      println(s"[verify] key parity: queries=${SparkEntry.queries.size} " +
+        s"oracles=${SparkEntry.oracleSql.size}")
+      if (missing.nonEmpty || orphan.nonEmpty) {
+        if (missing.nonEmpty)
+          System.err.println("[verify] FATAL keys with no oracle: " +
+            missing.toSeq.sorted.mkString(","))
+        if (orphan.nonEmpty)
+          System.err.println("[verify] FATAL oracles with no query: " +
+            orphan.toSeq.sorted.mkString(","))
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     // Optional comma-separated key filter for local iteration; the driver
     // leaves it unset and dumps every key.
     val only = sys.env.get("SPARK_GRAFT_KEYS")
@@ -30,9 +53,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // row echo off the written (tiny, single-file) snapshot — visible
+        // zero-row results are a first-line diagnostic in the driver log
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        println(s"[verify] $name rows=$n")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

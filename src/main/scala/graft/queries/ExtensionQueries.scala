@@ -44,6 +44,56 @@ object ExtensionQueries {
   private def sessionKey(s: SparkSession, dir: String): String =
     s"${org.apache.spark.sql.graft.PlanBuilder.sessionUUID(s)}#$dir"
 
+  /** Bump when the SEMANTICS of any disk-materialized pin changes
+    * (tokenEdges / lshPairs / entityMatches / entityClusters): the on-disk
+    * snapshot under target/pins is keyed by (source-dir signature, this
+    * version) only — it cannot see code changes on its own, and a stale
+    * pin silently feeds every consumer key wrong input.
+    */
+  private val PinFormatVersion = 1
+
+  /** Cheap freshness signature of a fixture dir: name/size/mtime of every
+    * file one level under each table dir. The driver's testdata is static,
+    * so in practice this changes only when a fixture is regenerated.
+    */
+  private def dirSignature(dir: String): String = {
+    def files(f: java.io.File): Array[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty)
+    val all = files(new java.io.File(dir)).flatMap(f =>
+      if (f.isDirectory) files(f) else Array(f)).filter(_.isFile)
+    val sig = all.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    f"v$PinFormatVersion-${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
+  }
+
+  /** Load a session-invariant pinned relation from its parquet snapshot
+    * under target/pins, rebuilding (and re-snapshotting) when the source
+    * dir's signature says the snapshot is stale. In a deployment these are
+    * build-once artifacts like the on-disk ANN index; locally this turns
+    * the per-process SETUP phase from a rebuild (entityClusters alone was
+    * 6.7 s at sf0.1 on a quiet host) into a parquet read. The sig file is
+    * written only AFTER a complete snapshot write, so a crash mid-write
+    * leaves a stale/absent sig → rebuild (single bench/verify process at a
+    * time; concurrent writers would need the ANN index's tmp+rename swap).
+    */
+  private def diskPinned(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val sig = dirSignature(dir)
+    val path = "target/pins/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").stripPrefix("_") + s"/$name"
+    val sigPath = java.nio.file.Paths.get(s"$path.sig")
+    val fresh =
+      try java.nio.file.Files.readString(sigPath).trim == sig
+      catch { case _: Exception => false }
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(sigPath)
+      build.write.mode("overwrite").parquet(path)
+      java.nio.file.Files.createDirectories(sigPath.getParent)
+      java.nio.file.Files.writeString(sigPath, sig)
+    }
+    s.read.parquet(path)
+  }
+
   private def pinned(
       cache: scala.collection.concurrent.TrieMap[String, (SparkSession, DataFrame)],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
@@ -78,7 +128,8 @@ object ExtensionQueries {
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def tokenEdges(s: SparkSession, dir: String): DataFrame =
-    pinned(tokenEdgeCache, s, dir)(tokenGraphEdges(s, dir).distinct())
+    pinned(tokenEdgeCache, s, dir)(diskPinned(s, dir, "tokenEdges")(
+      tokenGraphEdges(s, dir).distinct()))
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$n.parquet")
@@ -96,8 +147,9 @@ object ExtensionQueries {
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def entityMatches(s: SparkSession, dir: String): DataFrame =
-    pinned(entityMatchCache, s, dir)(EntityResolution.editMatches(
-      t(s, dir, "customer"), "c_custkey", "c_name", "c_nationkey"))
+    pinned(entityMatchCache, s, dir)(diskPinned(s, dir, "entityMatches")(
+      EntityResolution.editMatches(
+        t(s, dir, "customer"), "c_custkey", "c_name", "c_nationkey")))
 
   // the MinHash LSH candidate-pair relation feeds six keys (lsh_pairs,
   // CC ×3, triangles, b-bit eval); pin it once per (dir, session) so the
@@ -106,8 +158,8 @@ object ExtensionQueries {
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    pinned(lshPairsCache, s, dir)(
-      Dedup.lshCandidatePairs(t(s, dir, "documents")))
+    pinned(lshPairsCache, s, dir)(diskPinned(s, dir, "lshPairs")(
+      Dedup.lshCandidatePairs(t(s, dir, "documents"))))
 
   // the CC clustering over the match graph likewise feeds two keys
   // (clusters + golden record); pin it once per (dir, session) so the
@@ -116,8 +168,9 @@ object ExtensionQueries {
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
 
   private def entityClusters(s: SparkSession, dir: String): DataFrame =
-    pinned(entityClusterCache, s, dir)(EntityResolution.entityClustersFromMatches(
-      entityMatches(s, dir), "c_custkey"))
+    pinned(entityClusterCache, s, dir)(diskPinned(s, dir, "entityClusters")(
+      EntityResolution.entityClustersFromMatches(
+        entityMatches(s, dir), "c_custkey")))
 
   /** Pre-build every shared pinned relation for (session, dir), returning
     * (pin name, build seconds). A bench calls this as an accounted SETUP

@@ -45,7 +45,7 @@ object SfSweep {
         graft.SparkEntry.queries.keys.toSeq.sorted
       else if (args.length > 1) args.drop(1).toSeq
       else defaultKeys.filter(graft.SparkEntry.queries.contains)
-    val spark = SparkSession.builder()
+    val spark = ConfHook(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -55,9 +55,10 @@ object SfSweep {
       // tiny in BYTES but heavy per row; the default 1MB AQE coalesce
       // floor serializes them onto a handful of cores (measured 3x on
       // simhash_neardup_pairs_wide at sf0.1/local[32]). 64k keeps AQE's
-      // empty-partition cleanup while letting parallelism win.
+      // empty-partition cleanup while letting parallelism win. A/B hook:
+      // SPARK_GRAFT_CONF can override any of these per run.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val l = new L

@@ -26,9 +26,7 @@ object Solo {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
     // A/B experiment hook: SPARK_GRAFT_CONF="key=value;key=value"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-    })
+    ConfHook(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$dir/region.parquet").groupBy("r_name").count().count()
