@@ -62,15 +62,53 @@ object SubsetQueries {
     sourceCache.getOrElseUpdate(s"$dir#${System.identityHashCode(s)}",
       Catalog.load(s, dir, starTables))
 
+  /** The composite-key source catalog: the star tables plus a partsupp-like
+    * parent keyed by (part, supplier), derived DETERMINISTICALLY from
+    * lineitem (so the DuckDB oracle can derive the identical relation in
+    * SQL). This is the multi-column-PK fixture the reference's composite-FK
+    * path exercises against real schemas — the driver fixture has no
+    * physical composite-key table, so the closure derives one.
+    */
+  def compositeSourceFor(
+      s: SparkSession, dir: String): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{col, count, min}
+    val base = sourceFor(s, dir)
+    val ps = base("lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("ps_linecount"),
+        min(col("l_orderkey")).as("ps_first_order"))
+    Map("partsupp" -> ps, "lineitem" -> base("lineitem"),
+      "orders" -> base("orders"), "part" -> base("part"),
+      "supplier" -> base("supplier"))
+  }
+
+  /** Composite-FK scenario: target the derived partsupp, pull lineitem
+    * upstream through the TWO-COLUMN key, then orders/part/supplier
+    * downstream — the end-to-end middle-out closure over a composite key
+    * edge (unit specs cover the helpers; this runs the whole orchestration
+    * against the t2 oracle).
+    */
+  val compositeConfig: SubsetConfig = SubsetConfig(
+    initialTargets = Seq(InitialTarget("partsupp",
+      where = Some("(ps_partkey * 31 + ps_suppkey) % 7 = 0"))),
+    fkAugmentation = Seq(
+      Fk("lineitem", Seq("l_partkey", "l_suppkey"),
+        "partsupp", Seq("ps_partkey", "ps_suppkey")),
+      Fk("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+      Fk("partsupp", Seq("ps_partkey"), "part", Seq("p_partkey")),
+      Fk("partsupp", Seq("ps_suppkey"), "supplier", Seq("s_suppkey"))))
+
   private def subsetOutput(
-      s: SparkSession, dir: String, key: String, cfg: SubsetConfig): Map[String, DataFrame] =
+      s: SparkSession, dir: String, key: String, cfg: SubsetConfig,
+      src: (SparkSession, String) => Map[String, DataFrame] = sourceFor)
+      : Map[String, DataFrame] =
     cache.getOrElseUpdate(s"$dir#$key#${System.identityHashCode(s)}", {
       // every output table is consumed several times by this surface (its
       // own key + the report + downstream closures of sibling keys), so pin
       // each one once regardless of the Subsetter's size-aware policy, and
       // materialize all pinned caches as CONCURRENT jobs: the run costs the
       // wall-clock of the slowest table, not the serial sum.
-      val out = new Subsetter(cfg, sourceFor(s, dir)).run()
+      val out = new Subsetter(cfg, src(s, dir)).run()
         .map { case (t, df) => t -> df.persist() }
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.DurationInt
@@ -94,7 +132,12 @@ object SubsetQueries {
       // G8 — the end-of-run result tabulation as a relation
       "subset_report" -> ((s: SparkSession, dir: String) =>
         graft.engine.Report.tabulateDf(
-          s, sourceFor(s, dir), subsetOutput(s, dir, "fixture", fixtureConfig))))
+          s, sourceFor(s, dir), subsetOutput(s, dir, "fixture", fixtureConfig)))) ++
+      Seq("partsupp", "lineitem", "orders", "part", "supplier").map { table =>
+        s"subset3_out_$table" ->
+          ((s: SparkSession, dir: String) => subsetOutput(
+            s, dir, "composite", compositeConfig, compositeSourceFor)(table))
+      }.toMap
 
   // Hand-derived closure SQL: orders = direct sample; lineitem = semi-join +
   // upstream filter; customer/part/supplier = downstream needs of those;
@@ -123,7 +166,30 @@ object SubsetQueries {
       s"CAST((SELECT count(*) FROM $destRel) AS DOUBLE) / " +
       s"(SELECT count(*) FROM $table) AS ratio"
 
+  // Composite-key closure, derived partsupp included. MATERIALIZED: DuckDB
+  // inlines multiply-referenced CTEs (pssel feeds three closures, li two).
+  private val cte3: String =
+    "WITH ps AS MATERIALIZED (SELECT l_partkey AS ps_partkey, " +
+      "l_suppkey AS ps_suppkey, count(*) AS ps_linecount, " +
+      "min(l_orderkey) AS ps_first_order FROM lineitem GROUP BY 1, 2), " +
+      "pssel AS MATERIALIZED (SELECT * FROM ps " +
+      "WHERE (ps_partkey * 31 + ps_suppkey) % 7 = 0), " +
+      "li AS MATERIALIZED (SELECT * FROM lineitem l WHERE EXISTS " +
+      "(SELECT 1 FROM pssel p WHERE p.ps_partkey = l.l_partkey " +
+      "AND p.ps_suppkey = l.l_suppkey)), " +
+      "ord AS (SELECT * FROM orders WHERE o_orderkey IN " +
+      "(SELECT l_orderkey FROM li)), " +
+      "prt AS (SELECT * FROM part WHERE p_partkey IN " +
+      "(SELECT ps_partkey FROM pssel)), " +
+      "supp AS (SELECT * FROM supplier WHERE s_suppkey IN " +
+      "(SELECT ps_suppkey FROM pssel)) "
+
   val oracles: Map[String, String] = Map(
+    "subset3_out_partsupp" -> (cte3 + "SELECT * FROM pssel"),
+    "subset3_out_lineitem" -> (cte3 + "SELECT * FROM li"),
+    "subset3_out_orders" -> (cte3 + "SELECT * FROM ord"),
+    "subset3_out_part" -> (cte3 + "SELECT * FROM prt"),
+    "subset3_out_supplier" -> (cte3 + "SELECT * FROM supp"),
     "subset_report" -> (cte +
       Seq(
         reportRow("customer", "cust"), reportRow("lineitem", "li"),

@@ -24,18 +24,20 @@ object SfSweep {
     "dedup_exact", "text_quality_score")
 
   private final class L extends SparkListener {
-    val runMs, spillB, shufB, tasks = new AtomicLong
+    val runMs, cpuNs, gcMs, spillB, shufB, tasks = new AtomicLong
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
         runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
         spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         shufB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         tasks.incrementAndGet()
       }
     }
-    def snap: (Long, Long, Long, Long) =
-      (runMs.get, spillB.get, shufB.get, tasks.get)
+    def snap: (Long, Long, Long, Long, Long, Long) =
+      (runMs.get, spillB.get, shufB.get, tasks.get, cpuNs.get, gcMs.get)
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,12 +84,14 @@ object SfSweep {
         val sec = (System.nanoTime() - s0) / 1e9
         val a = l.snap
         (sec, rows, a._1 - b._1, (a._2 - b._2) / (1 << 20),
-          (a._3 - b._3) / (1 << 20), a._4 - b._4)
+          (a._3 - b._3) / (1 << 20), a._4 - b._4,
+          (a._5 - b._5) / 1000000, a._6 - b._6)
       }
-      val (s1, rows, run1, spill1, shuf1, tk1) = reps(0)
-      val (s2, _, _, _, _, _) = reps(1)
+      val (s1, rows, run1, spill1, shuf1, tk1, cpu1, gc1) = reps(0)
+      val (s2, _, _, _, _, _, cpu2, _) = reps(1)
       println(f"SWEEP $k%-28s rep1=${s1}%7.2fs rep2=${s2}%7.2fs " +
-        f"rows=$rows%9d taskRun=${run1}%7dms spill=${spill1}%5dMB " +
+        f"rows=$rows%9d taskRun=${run1}%7dms taskCpu=${cpu1}%7dms " +
+        f"cpu2=${cpu2}%7dms gc=${gc1}%5dms spill=${spill1}%5dMB " +
         f"shufW=${shuf1}%6dMB tasks=$tk1%5d")
     }
     spark.stop()

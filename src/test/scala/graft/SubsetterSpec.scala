@@ -135,4 +135,30 @@ class SubsetterSpec extends SparkSpecBase {
     assert(d1("lineitem").exceptAll(d2("lineitem")).count() == 0)
     assert(d2("lineitem").exceptAll(d1("lineitem")).count() == 0)
   }
+
+  test("composite-key config: two-column closure holds end-to-end") {
+    val src = SubsetQueries.compositeSourceFor(spark, sfDir)
+    val dest = new Subsetter(SubsetQueries.compositeConfig, src).run()
+    // target is a real (non-trivial, non-total) sample of the derived table
+    val nSel = dest("partsupp").count()
+    assert(nSel > 0 && nSel < src("partsupp").count())
+    // composite closure: every lineitem (l_partkey, l_suppkey) pair must
+    // resolve in the selected partsupp — the TWO-COLUMN semi-join is what
+    // this scenario exists to exercise through the full middle-out run
+    assert(Ops.antiJoin(dest("lineitem"), Seq("l_partkey", "l_suppkey"),
+      dest("partsupp"), Seq("ps_partkey", "ps_suppkey")).count() == 0)
+    // and the converse: lineitem was pulled for EVERY selected pair
+    assert(Ops.antiJoin(dest("partsupp"), Seq("ps_partkey", "ps_suppkey"),
+      dest("lineitem"), Seq("l_partkey", "l_suppkey")).count() == 0)
+    // single-column downstream closures off both sides of the composite key
+    for ((fkT, fkC, tgtT, tgtC) <- Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("partsupp", "ps_partkey", "part", "p_partkey"),
+        ("partsupp", "ps_suppkey", "supplier", "s_suppkey")))
+      assert(Ops.antiJoin(dest(fkT), Seq(fkC), dest(tgtT), Seq(tgtC))
+        .count() == 0, s"$fkT.$fkC -> $tgtT.$tgtC orphans")
+    // subset property on the composite PK itself
+    assert(Ops.antiJoin(dest("partsupp"), Seq("ps_partkey", "ps_suppkey"),
+      src("partsupp"), Seq("ps_partkey", "ps_suppkey")).count() == 0)
+  }
 }
