@@ -180,17 +180,46 @@ object ExtensionQueries {
     * deployment these are amortized build-once artifacts, like the
     * on-disk ANN index.
     */
-  def prebuildPinned(s: SparkSession, dir: String): Seq[(String, Double)] = {
+  /** Which query keys consume each pinned relation — kept next to the pin
+    * definitions so a rename shows up here; `PinConsumersSpec` asserts
+    * every listed key exists in [[queries]]. Drives selective prebuild:
+    * a tool sweeping a key subset must not pay (or OOM in) the build of a
+    * pin none of its keys read — observed at sf10, where the
+    * suffix-replicated fixture names make the entity match graph
+    * pathologically dense and `entityClusters` ran out of execution
+    * memory inside a sweep of 37 keys that never touch it.
+    */
+  val pinConsumers: Map[String, Set[String]] = Map(
+    "tokenEdges" -> Set("token_graph_triangles", "token_graph_pagerank",
+      "token_graph_kcore", "token_graph_degrees"),
+    "lshPairs" -> Set("minhash_lsh_pairs", "neardup_components",
+      "neardup_components_incremental", "neardup_components_star",
+      "neardup_triangles", "neardup_labelprop", "neardup_component_sizes"),
+    "entityMatches" -> Set("entity_match_customers",
+      // the entityClusters pin is BUILT from the entityMatches pin
+      "entity_match_clusters", "entity_golden_record"),
+    "entityClusters" -> Set("entity_match_clusters", "entity_golden_record"))
+
+  /** Build the session-pinned relations up front so their cost lands in an
+    * accounted setup phase instead of the first consumer key's timing.
+    * `forKeys = Some(requested)` skips pins none of the requested keys
+    * consume; `None` (Bench/Verify, which run everything) builds all.
+    */
+  def prebuildPinned(s: SparkSession, dir: String,
+      forKeys: Option[Set[String]] = None): Seq[(String, Double)] = {
     def timed(name: String)(f: => Any): (String, Double) = {
       val t0 = System.nanoTime()
       f
       (name, (System.nanoTime() - t0) / 1e9)
     }
+    def wanted(pin: String): Boolean =
+      forKeys.forall(ks => (pinConsumers(pin) & ks).nonEmpty)
     Seq(
-      timed("tokenEdges")(tokenEdges(s, dir)),
-      timed("lshPairs")(lshPairs(s, dir)),
-      timed("entityMatches")(entityMatches(s, dir)),
-      timed("entityClusters")(entityClusters(s, dir)))
+      ("tokenEdges", () => tokenEdges(s, dir)),
+      ("lshPairs", () => lshPairs(s, dir)),
+      ("entityMatches", () => entityMatches(s, dir)),
+      ("entityClusters", () => entityClusters(s, dir)))
+      .collect { case (n, f) if wanted(n) => timed(n)(f()) }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

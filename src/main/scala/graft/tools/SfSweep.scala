@@ -67,7 +67,8 @@ object SfSweep {
     spark.sparkContext.addSparkListener(l)
 
     val t0 = System.nanoTime()
-    graft.queries.ExtensionQueries.prebuildPinned(spark, dir)
+    graft.queries.ExtensionQueries.prebuildPinned(spark, dir,
+        forKeys = Some(keys.toSet))
       .foreach { case (n, s) => println(f"SETUP pin $n%-16s ${s}%6.1fs") }
     graft.analytics.Similarity.ivfPqIndexBuildIfStale(
       spark.read.parquet(s"$dir/embeddings.parquet"),
