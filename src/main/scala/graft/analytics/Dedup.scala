@@ -247,6 +247,53 @@ object Dedup {
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Link prediction over a co-occurrence graph: top-k NON-adjacent node
+    * pairs by common-neighbor count, with the neighborhood-Jaccard score
+    * in exact basis points (Liben-Nowell & Kleinberg's two classic
+    * unsupervised predictors) — on the token graph this surfaces word
+    * pairs that share contexts but never co-occur, the distributional
+    * "synonym candidate" signal; on a near-dup candidate graph it
+    * predicts which un-compared pairs an extra LSH band would surface.
+    *
+    * Scale shape: common-neighbor counting needs UNORIENTED wedges
+    * (Σ_u C(deg u, 2)), which a hub vertex makes quadratic, so vertices
+    * with degree > `degCap` are dropped first — the same hub-token
+    * argument as the shingle dfCap: a stop-token's neighborhood carries
+    * no pairwise signal. All joins are vertex-keyed on the capped
+    * subgraph; the k-row result comes from TakeOrdered with a full
+    * deterministic tie-break.
+    */
+  def linkPredictionTopK(
+      edges: DataFrame, degCap: Int = 64, k: Int = 20): DataFrame = {
+    val e0 = edges.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val sym = e0.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(e0.select(col("id_b").as("u"), col("id_a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= degCap)
+    // capped subgraph: BOTH endpoints under the cap; degrees re-derived
+    // within it so the Jaccard denominator matches the graph being scored
+    val adj = sym.join(deg.select(col("u")), Seq("u"), "left_semi")
+      .join(deg.select(col("u").as("v")), Seq("v"), "left_semi")
+      .select(col("u"), col("v"))
+    val cdeg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val wedges = adj.select(col("u"), col("v").as("b"))
+      .join(adj.select(col("u"), col("v").as("c")), Seq("u"))
+      .filter(col("b") < col("c"))
+      .groupBy(col("b"), col("c")).agg(count(lit(1)).as("cn"))
+    val nonAdj = wedges.join(
+      adj.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"),
+      "left_anti")
+    nonAdj
+      .join(cdeg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .join(cdeg.select(col("u").as("c"), col("d").as("dc")), Seq("c"))
+      .select(col("b").as("id_a"), col("c").as("id_b"), col("cn"),
+        expr("(cn * 10000L) div (db + dc - cn)").as("jaccard_bp"))
+      .orderBy(col("cn").desc, col("jaccard_bp").desc, col("id_a"),
+        col("id_b"))
+      .limit(k)
+  }
+
   /** Damped PageRank in EXACT integer fixed point — graph centrality over
     * candidate/co-occurrence graphs (hub tokens; glue documents that chain
     * near-dup clusters together). Ranks are BIGINTs scaled by 1e12, the
@@ -542,6 +589,27 @@ object Dedup {
       .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("s"))
       .distinct()
 
+  /** The df-capped shingle relation `(doc_id, s, df)` in ONE materialized
+    * pass: document frequency via a window count over `s` (one shuffle;
+    * the groupBy-then-join-back form costs a second shuffle AND — when the
+    * base relation is checkpointed to keep the explode from running twice —
+    * a second unevictable checkpoint, which measurably squeezed the
+    * execution pool at 100× sf: localCheckpoint blocks cannot be evicted,
+    * so every extra one is permanent storage pressure for the session).
+    * Callers checkpoint exactly this one relation and derive sizes/prefix/
+    * join sides from it.
+    */
+  private def dfCappedShingles(
+      docs: DataFrame,
+      n: Int,
+      dfCap: Int,
+      materialize: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    materialize(shingles(docs, n)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= dfCap))
+  }
+
   /** N-gram Jaccard near-duplicate pairs, exact over the df-capped shingle
     * sets: |A∩B| via shingle self-join, |A∪B| = |A|+|B|−|A∩B|, thresholded
     * with integer cross-multiplication (`thresholdDen * inter >= union` ⇔
@@ -668,12 +736,9 @@ object Dedup {
     require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
       s"prefixFilterJaccardPairs: need 0 < num/den <= 1, " +
         s"got $thresholdNum/$thresholdDen")
-    val shAll = materialize(shingles(docs, n))
-    val rare = shAll.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
-    // keep df on the shingle rows: the per-doc rarity order needs it
-    val sh = shAll.join(rare, Seq("s"))
-      .select(col("doc_id"), col("s"), col("df"))
+    // ONE materialized relation serves the adaptive verify's three actions
+    // (sizes count, candidate-doc count, main job) — see dfCappedShingles
+    val sh = dfCappedShingles(docs, n, dfCap, materialize)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     prefixFilterJaccardFromShingles(sh, sizes, thresholdNum, thresholdDen)
   }
@@ -690,25 +755,77 @@ object Dedup {
       thresholdDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // rank each doc's shingles rarest-first; prefix length is
-    // sz - ceil(sz·num/den) + 1 ≈ (1 - t)·sz + 1, so the candidate join
-    // carries ~20% of the shingle volume at the realistic t = 4/5 near-dup
-    // threshold (at LOW thresholds the prefix approaches the whole set and
-    // the all-pairs formulation is the honest plan — prefix filtering is a
-    // high-threshold algorithm). ceil in exact integer arithmetic.
-    val prefix = sh
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rn") <= col("sz") -
-        expr(s"(sz * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen") + 1)
-      .select(col("doc_id"), col("s"))
-    val cand = prefix.toDF("id_a", "s")
-      .join(prefix.toDF("id_b", "s2"),
+    // sz - ceil(sz·num/den) + 1 ≈ (1 - t)·sz + 1 (ceil in exact integer
+    // arithmetic). The prefix prunes the DOC universe, not a pair list:
+    // a qualifying pair shares a shingle inside BOTH prefixes (the
+    // completeness argument above), so that shingle has prefix-df ≥ 2 —
+    // any doc none of whose prefix shingles recurs in another prefix
+    // cannot be in a qualifying pair and leaves the verify entirely.
+    //
+    // Why doc pruning instead of a materialized candidate-PAIR relation:
+    // measured at 100× sf (target/sf10, 500k docs, avg 52 shingles/doc),
+    // the pair form generated 14.07M distinct candidates and its
+    // verify — each candidate exploded by one side's shingles — carried
+    // 907M rows into a composite join (65 GB of sort spill), while the
+    // df-capped co-occurrence verify below is only Σ_s C(df,2) = 152M
+    // map-side-combinable rows, zero spill. Candidate pairs only pay off
+    // when the verify consumes them without exploding (the LSH path in
+    // [[exactJaccardOnPairs]], where |cand| is sketch-bounded); for the
+    // exact-threshold join the honest scale plan is doc-pruned
+    // co-occurrence: on a real sparse corpus the prefix filter removes
+    // most docs before the quadratic term, and on a dup-dense corpus it
+    // degrades gracefully to the all-pairs volume instead of 6× past it.
+    //
+    // Adaptive gate: restriction costs two doc_id-keyed shuffles and
+    // forfeits the s-clustering the df filter left behind, and the
+    // co-occurrence MASS lives in shared shingles — which pruning never
+    // removes (it only drops the shareless docs, the cheap part). So it
+    // pays only when it removes MOST docs. Measured at 100× sf on the
+    // dup-dense fixture: restricted-at-~half 92 s vs unrestricted 33 s.
+    // The gate itself must be cheap in the dense case: stage 1 counts
+    // docs holding any df ≥ 2 shingle (no window needed) — only when
+    // that set is < nAll/10 does the prefix machinery run, over the
+    // already-restricted relation, to prune further.
+    val nAll = sizes.count()
+    val touchDocs = sh.filter(col("df") >= 2)
+      .select(col("doc_id")).distinct()
+    val nTouch = touchDocs.count()
+    val shP = sh.select(col("doc_id"), col("s"))
+    val shC = if (nTouch * 10 <= nAll) {
+      // sparse regime: prefix refinement over the touchable docs only.
+      // A qualifying pair shares a shingle in BOTH prefixes (see the
+      // completeness argument above), so that shingle has prefix-df ≥ 2;
+      // docs with no such prefix shingle leave the verify.
+      val shT = sh.join(touchDocs, Seq("doc_id"), "left_semi")
+      val prefix = shT
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        .join(sizes, Seq("doc_id"))
+        .filter(col("rn") <= col("sz") -
+          expr(s"(sz * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen") + 1)
+        .select(col("doc_id"), col("s"))
+      val sharedPrefix = prefix.groupBy(col("s"))
+        .agg(count(lit(1)).as("pdf")).filter(col("pdf") >= 2)
+        .select(col("s"))
+      val candDocs = prefix.join(sharedPrefix, Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      shP.join(candDocs, Seq("doc_id"), "left_semi")
+    } else shP
+    val inter = shC.toDF("id_a", "s")
+      .join(shC.toDF("id_b", "s2"),
         col("s") === col("s2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    exactJaccardOnPairs(cand, sh.select(col("doc_id"), col("s")), sizes,
-      thresholdNum, thresholdDen)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // every J ≥ t pair survives the doc pruning (both endpoints are
+    // candidate docs), so thresholding the pruned co-occurrence counts
+    // reproduces the all-pairs answer bit-for-bit
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"))
+      .filter(lit(thresholdDen) * col("n_common") >=
+        lit(thresholdNum) * col("n_union"))
   }
 
   /** Exact Jaccard verify restricted to candidate pairs: intersections from
@@ -769,12 +886,11 @@ object Dedup {
       minShingles: Int = 8,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shAll = materialize(shingles(docs, n))
-    val rare = shAll.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
-    val shDf = shAll.join(rare, Seq("s"))
-      .select(col("doc_id"), col("s"), col("df"))
-    val sh = materialize(shDf.select(col("doc_id"), col("s")))
+    // one materialization serves the prefix build, both candidate-doc
+    // scans, the sizes aggregate and the verify self-join (the adaptive
+    // counts below are extra actions over this relation)
+    val shDf = dfCappedShingles(docs, n, dfCap, materialize)
+    val sh = shDf.select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // ONE-SIDED prefix filter, complete for containment: for a qualifying
     // pair the smaller set S shares c ≥ ceil(t·|S|) shingles, so its
@@ -786,23 +902,50 @@ object Dedup {
     // all-pairs volume at t = 9/10), not prefix × prefix as in the
     // Jaccard join. Exact verify on the candidates reproduces the
     // all-pairs answer bit-for-bit (the oracle stays all-pairs).
-    val prefix = shDf
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rn") <= col("sz") -
-        expr(s"(sz * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen") + 1)
-      .select(col("doc_id").as("pid"), col("s"))
-    val cand = prefix
-      .join(sh.toDF("oid", "s2"),
-        col("s") === col("s2") && col("pid") =!= col("oid"))
-      .select(least(col("pid"), col("oid")).as("id_a"),
-        greatest(col("pid"), col("oid")).as("id_b"))
-      .distinct()
-    val inter = cand
-      .join(sh.toDF("id_a", "s"), "id_a")
-      .join(sh.toDF("id_b", "s2"), Seq("id_b"))
-      .filter(col("s") === col("s2"))
+    // Doc-universe pruning instead of a materialized candidate-pair
+    // relation (same measured rationale as the Jaccard form: at 100× sf
+    // the pair explode carried ~1e9 rows / 44 GB spill while the pruned
+    // co-occurrence verify is the Σ C(df,2) volume, zero spill). For a
+    // qualifying pair the SMALLER side's rarest common shingle w sits in
+    // its prefix AND in the larger side's full set, so: the smaller doc
+    // has a prefix shingle with full-df ≥ 2, and the larger doc has a
+    // full shingle that is in SOMEONE's prefix. Docs failing both tests
+    // leave the verify; the union is a superset of all qualifying
+    // endpoints, so thresholding the pruned co-occurrence counts equals
+    // the all-pairs answer bit-for-bit.
+    // Same adaptive gate as the Jaccard form (see
+    // prefixFilterJaccardFromShingles): stage 1 restricts to docs holding
+    // any df ≥ 2 shingle — a superset of every qualifying endpoint, no
+    // window needed — and the prefix refinement runs only in the sparse
+    // regime where the restriction pays for the clustering loss.
+    val nAll = sizes.count()
+    val touchDocs = shDf.filter(col("df") >= 2)
+      .select(col("doc_id")).distinct()
+    val nTouch = touchDocs.count()
+    val shC = if (nTouch * 10 <= nAll) {
+      val shT = shDf.join(touchDocs, Seq("doc_id"), "left_semi")
+      val prefix = shT
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        .join(sizes, Seq("doc_id"))
+        .filter(col("rn") <= col("sz") -
+          expr(s"(sz * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen") + 1)
+        .select(col("doc_id"), col("s"))
+      // smaller side of a qualifying pair: prefix shingle shared with
+      // SOMEONE's full set; larger side: full shingle inside someone's
+      // prefix — the union is a superset of all qualifying endpoints
+      val sharedFull = shT.filter(col("df") >= 2).select(col("s")).distinct()
+      val prefixDocs = prefix.join(sharedFull, Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val inPrefix = prefix.select(col("s")).distinct()
+      val fullDocs = shT.join(inPrefix, Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val candDocs = prefixDocs.union(fullDocs).distinct()
+      sh.join(candDocs, Seq("doc_id"), "left_semi")
+    } else sh
+    val inter = shC.toDF("id_a", "s")
+      .join(shC.toDF("id_b", "s2"),
+        col("s") === col("s2") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
@@ -1026,12 +1169,8 @@ object Dedup {
       thresholdNum: Int = 1): DataFrame = {
     val cand = lshCandidatePairs(docs, numHashes, rowsPerBand, n, materialize)
       .select(col("id_a"), col("id_b"))
-    val shAll = materialize(shingles(docs, n))
-    val rare = shAll.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
-      .select(col("s"))
-    val sh = shAll.join(rare, Seq("s"), "left_semi")
-      .select(col("doc_id"), col("s"))
+    val shD = dfCappedShingles(docs, n, dfCap, materialize)
+    val sh = shD.select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     exactJaccardOnPairs(cand, sh, sizes, thresholdNum, thresholdDen)
   }
@@ -1066,11 +1205,7 @@ object Dedup {
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     // ONE shingle scan serves truth, candidate verify, and sizes — at
     // corpus scale you never tokenize three times for one evaluation
-    val shAll = materialize(shingles(docs, n))
-    val rare = shAll.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
-    val sh = materialize(shAll.join(rare, Seq("s"))
-      .select(col("doc_id"), col("s"), col("df")))
+    val sh = dfCappedShingles(docs, n, dfCap, materialize)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val truth = prefixFilterJaccardFromShingles(
       sh, sizes, thresholdNum, thresholdDen)
