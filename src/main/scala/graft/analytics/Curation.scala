@@ -1468,4 +1468,60 @@ object Curation {
       .agg(sum(col("m")).as("n_bigrams"),
         sum(col("m") * col("s")).as("lm_score"))
   }
+
+  /** ROUGE-1/ROUGE-2 overlap scores (Lin, "ROUGE: A Package for Automatic
+    * Evaluation of Summaries", 2004) for a CANDIDATE PAIR relation, in
+    * exact basis points — the summarization/paraphrase eval run over
+    * near-dup candidates to grade HOW textually close each pair is
+    * (MinHash says "related", ROUGE says "almost verbatim" vs "shares
+    * vocabulary"): clipped n-gram overlap o = Σ_g min(count_a g,
+    * count_b g), recall = o/|a|, precision = o/|b|, and — because both
+    * share the numerator — F1 collapses to the exact rational
+    * 2o/(|a|+|b|), so every score is one integer floor division.
+    *
+    * Scale shape: gram COUNT relations (not occurrence lists) join the
+    * pair relation per side on (doc_id) then meet on the gram — all
+    * equi-joins keyed by pair ids and gram strings; work is
+    * Σ_pairs (|a|+|b|) distinct grams, linear in the candidate volume
+    * the LSH stage already bounded.
+    */
+  def rougeOverlapPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    def gramCounts(n: Int): DataFrame = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    def overlap(n: Int, tag: String): DataFrame = {
+      val gc = gramCounts(n)
+      val tot = gc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tot"))
+      val p = pairs.select(col("id_a"), col("id_b"))
+      val o = p
+        .join(gc.toDF("id_a", "g", "ca"), Seq("id_a"))
+        .join(gc.toDF("id_b", "g", "cb"), Seq("id_b", "g"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as(s"o$tag"))
+      p.join(o, Seq("id_a", "id_b"), "left")
+        .join(tot.toDF("id_a", s"na$tag"), Seq("id_a"), "left")
+        .join(tot.toDF("id_b", s"nb$tag"), Seq("id_b"), "left")
+        .na.fill(0L, Seq(s"o$tag", s"na$tag", s"nb$tag"))
+    }
+    val r1 = overlap(1, "1")
+    val r2 = overlap(2, "2")
+    r1.join(r2, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("o1"),
+        when(col("na1") === 0L, 0L)
+          .otherwise(expr("(o1 * 10000L) div na1")).as("r1_bp"),
+        when(col("nb1") === 0L, 0L)
+          .otherwise(expr("(o1 * 10000L) div nb1")).as("p1_bp"),
+        when(col("na1") + col("nb1") === 0L, 0L)
+          .otherwise(expr("(o1 * 20000L) div (na1 + nb1)")).as("f1_bp"),
+        col("o2"),
+        when(col("na2") === 0L, 0L)
+          .otherwise(expr("(o2 * 10000L) div na2")).as("r2_bp"),
+        when(col("nb2") === 0L, 0L)
+          .otherwise(expr("(o2 * 10000L) div nb2")).as("p2_bp"),
+        when(col("na2") + col("nb2") === 0L, 0L)
+          .otherwise(expr("(o2 * 20000L) div (na2 + nb2)")).as("f2_bp"))
+  }
 }

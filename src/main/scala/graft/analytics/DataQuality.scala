@@ -253,4 +253,104 @@ object DataQuality {
       .select(col("join_key"), col("n_left"), col("n_right"),
         col("est_rows"), col("share_bp"))
   }
+
+  /** Kendall tau-b rank correlation between two per-document quality
+    * signals, per source, in exact integer fixed point — the
+    * signal-agreement screen run before trusting a cheap proxy signal
+    * (doc length) as a stand-in for an expensive one (token count, LM
+    * score): a high tau says the proxy ranks documents the same way, a
+    * near-zero tau says the signals disagree and filtering on the proxy
+    * is not filtering on the target.
+    *
+    * Exact tau over raw values is an all-pairs statistic (O(n²) per
+    * source); the distributed form QUANTIZES both signals onto a bounded
+    * grid (16×16 value bands) and computes tau-b from the contingency
+    * table: concordant/discordant pair counts are cell-pair sums over the
+    * ≤256-row grid — one corpus-sized groupBy, then a bounded self-join
+    * per source. Tau-b's denominator needs a square root, so the SIGNED
+    * SQUARE is emitted (`tau2 = sign(C−D)·10^6·(C−D)² div
+    * ((n0−n1)(n0−n2))`, ties handled per the tau-b definition) keeping
+    * every step integer-exact across engines. Banding makes within-band
+    * pairs ties — this is tau-b OF THE BANDED signals, the documented
+    * contract (the same banding both engines replay).
+    */
+  def kendallGridCorr(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("source"),
+      least(expr("n_chars div 128"), lit(15L)).as("bx"),
+      least(expr("CAST(size(split(text, ' ')) AS BIGINT) div 32"), lit(15L))
+        .as("by"))
+    // ONE corpus-sized pass; every marginal below reads the ≤256-row grid
+    val grid = sig.groupBy(col("source"), col("bx"), col("by"))
+      .agg(count(lit(1)).as("m"))
+    val a = grid.toDF("source", "bx_a", "by_a", "m_a")
+    val b = grid.toDF("source", "bx_b", "by_b", "m_b")
+    // every unordered cell pair once: strictly increasing x between sides
+    val cells = a.join(b,
+      a("source") === b("source") && col("bx_a") < col("bx_b"))
+      .select(a("source").as("source"),
+        (col("m_a") * col("m_b")).as("w"),
+        when(col("by_a") < col("by_b"), lit(1))
+          .when(col("by_a") > col("by_b"), lit(-1)).otherwise(lit(0))
+          .as("dir"))
+    val cd = cells.groupBy(col("source")).agg(
+      sum(when(col("dir") === 1, col("w")).otherwise(0L)).as("n_c"),
+      sum(when(col("dir") === -1, col("w")).otherwise(0L)).as("n_d"))
+    // tie terms from the grid marginals: n1 = Σ_x C(t_x, 2), n2 = Σ_y C(t_y, 2)
+    val n0 = grid.groupBy(col("source")).agg(sum(col("m")).as("n"))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+    val n1 = grid.groupBy(col("source"), col("bx"))
+      .agg(sum(col("m")).as("t"))
+      .groupBy(col("source")).agg(sum(expr("t * (t - 1) div 2")).as("n1"))
+    val n2 = grid.groupBy(col("source"), col("by"))
+      .agg(sum(col("m")).as("t"))
+      .groupBy(col("source")).agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+    n0.join(n1, Seq("source")).join(n2, Seq("source"))
+      .join(cd, Seq("source"), "left")
+      .na.fill(0L, Seq("n_c", "n_d"))
+      .withColumn("num", (col("n_c") - col("n_d")).cast("decimal(38,0)"))
+      .withColumn("den",
+        ((col("n0") - col("n1")).cast("decimal(38,0)") *
+          (col("n0") - col("n2")).cast("decimal(38,0)")))
+      .withColumn("mag", expr(
+        // divisor guarded inline: ANSI mode evaluates this column even on
+        // rows the den=0 `when` below discards
+        "(CAST(1000000 AS DECIMAL(38,0)) * num * num) div " +
+          "(CASE WHEN den = 0 THEN 1 ELSE den END)"))
+      .select(col("source"), col("n"), col("n_c"), col("n_d"),
+        when(col("den") === 0, lit(0L))
+          .when(col("num") < 0, -col("mag")).otherwise(col("mag"))
+          .cast("long").as("tau2_signed_ppm"))
+  }
+
+  /** Calibration (reliability) table of a probability-like quality score
+    * against a binary label, in exact basis points — the diagram every
+    * learned quality filter is judged by before its threshold is trusted
+    * at corpus scale: within each confidence bin, does the empirical
+    * positive rate track the stated confidence? The fixture's
+    * probability-like score is the stopword share of the token stream (a
+    * crude but monotone English-ness signal) and the label is
+    * `lang = 'en'`; the contract is the binning arithmetic, which both
+    * engines replay exactly: bin = min(score_bp div 1000, 9), per bin
+    * n / mean stated confidence (floor bp) / empirical positive rate
+    * (floor bp), plus the |gap| the ECE sums. One corpus-sized pass, a
+    * 10-row output.
+    */
+  def calibrationBins(
+      docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    val scored = docs.select(
+      col("lang"),
+      tokens(col("text")).as("w"))
+      .select(col("lang"), size(col("w")).cast("long").as("n_tok"),
+        size(filter(col("w"), t => t.isin(stopwords: _*))).cast("long")
+          .as("n_stop"))
+      .withColumn("score_bp", expr("(n_stop * 10000L) div n_tok"))
+      .withColumn("bin", least(expr("score_bp div 1000"), lit(9L)))
+      .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+    scored.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      expr("sum(score_bp) div count(1)").as("mean_conf_bp"),
+      expr("(sum(pos) * 10000L) div count(1)").as("pos_rate_bp"))
+      .withColumn("gap_bp", abs(col("mean_conf_bp") - col("pos_rate_bp")))
+  }
 }

@@ -92,4 +92,60 @@ object EntityResolution {
   def entityClustersFromMatches(matches: DataFrame, idCol: String): DataFrame =
     Dedup.connectedComponents(matches.select(col("id_a"), col("id_b")))
       .select(col("doc_id").as(idCol), col("component").as("entity_id"))
+
+  /** Blocking-strategy evaluation — the two standard record-linkage
+    * blocking metrics (Christen, "Data Matching", ch. 4) for each
+    * candidate strategy BEFORE one is committed to a corpus-scale run:
+    * reduction ratio (how much of the all-pairs comparison space the
+    * blocking removes) and pairs completeness (what fraction of TRUE
+    * matches land in the same block — the recall the pipeline can never
+    * get back). Truth is the blocking-FREE edit-distance-≤1 match set,
+    * computed by the deletion-variant join alone (complete for distance
+    * 1 with no block key, so it stays linear in records × name length —
+    * no quadratic truth pass).
+    *
+    * Per strategy, candidate volume is Σ_blocks C(size, 2) from one
+    * groupBy (never materializing the pairs), and completeness joins the
+    * truth pairs against the two records' block keys. Output: one row
+    * per strategy, every metric in exact basis points.
+    */
+  def blockingEval(
+      records: DataFrame, idCol: String, nameCol: String,
+      strategies: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(strategies.nonEmpty, "blockingEval: need strategies")
+    val base = records.select(col(idCol).as("rid"), col(nameCol).as("name"))
+    // truth: dist <= 1 pairs with NO blocking (deletion variants are a
+    // complete candidate generator at threshold 1)
+    val v = base.select(col("rid"), col("name"),
+      explode(expr(deletionVariants)).as("vv"))
+    val truth = v.alias("a").join(v.alias("b"),
+        col("a.vv") === col("b.vv") && col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(expr("levenshtein(name_a, name_b, 1) >= 0"))
+      .select(col("id_a"), col("id_b"))
+    val perStrategy = strategies.map { case (sname, keyCol) =>
+      val keyed = records.select(col(idCol).as("rid"), keyCol.as("bk"))
+      val stats = keyed.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"),
+          sum(col("sz")).as("n_rec"))
+      val coBlocked = truth
+        .join(keyed.toDF("id_a", "bk_a"), Seq("id_a"))
+        .join(keyed.toDF("id_b", "bk_b"), Seq("id_b"))
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(when(col("bk_a") === col("bk_b"), 1L).otherwise(0L)),
+            lit(0L)).as("n_found"))
+      stats.crossJoin(broadcast(coBlocked))
+        .select(lit(sname).as("strategy"), col("n_blocks"),
+          col("cand_pairs"), col("n_truth"), col("n_found"),
+          expr("10000L - (cand_pairs * 10000L) div (n_rec * (n_rec - 1) div 2)")
+            .as("reduction_bp"),
+          when(col("n_truth") === 0L, lit(10000L))
+            .otherwise(expr("(n_found * 10000L) div n_truth"))
+            .as("completeness_bp"))
+    }
+    perStrategy.reduce(_.unionAll(_))
+  }
 }

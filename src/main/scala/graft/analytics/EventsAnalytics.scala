@@ -693,4 +693,73 @@ object EventsAnalytics {
       .groupBy(col("model"), col("channel"))
       .agg(sum(col("bp")).as("credit_bp"), count(lit(1)).as("n_credited"))
   }
+
+  /** Lag-k autocorrelation of the hourly event-count series per event
+    * type, in exact integer fixed point — the seasonality/persistence
+    * screen run before fitting any forecasting model to an event stream
+    * (a strong lag-24 ACF says "daily cycle", a near-zero lag-1 says the
+    * EWMA smoother is doing nothing). The series is the DENSE hourly
+    * count vector over each type's [min_hour, max_hour] span — missing
+    * hours are real zeros, not skipped samples, so quiet periods
+    * depress the ACF the way they should. Dense hours come from one
+    * `sequence()` explode per type: the series length is bounded by the
+    * time SPAN, not the corpus size, so the per-type window sort stays
+    * bounded at any data scale (the counts aggregate is the only
+    * corpus-sized pass).
+    *
+    * Exactness: Pearson r over the (x_t, x_{t+k}) pairs is a ratio of
+    * integer moments; the signed SQUARE is emitted instead of r itself —
+    * `r2_signed_ppm = sign(num) · 10^6·num² div (da·db)` with
+    * `num = n·Σxy − Σx·Σy`, `da = n·Σx² − (Σx)²`, `db` likewise — so no
+    * square root is ever taken and the DECIMAL(38,0) arithmetic matches
+    * DuckDB's HUGEINT bit-for-bit. A zero-variance side (constant
+    * series) emits 0.
+    */
+  def autocorrHourly(events0: DataFrame, lags: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "autocorrHourly: lags >= 1")
+    val hourNs = 3600L * 1000000000L
+    val e = EventTime.toNanos(events0)
+      .select(col("event_type"), expr(s"ts div $hourNs").as("hr"))
+    val cnt = e.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val rng = cnt.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+      .join(cnt, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val led = dense.select(
+      (col("event_type") +: lags.map(k =>
+        lead(col("c"), k).over(w).as(s"c$k"))) :+ col("c").as("c0"): _*)
+    val perLag = lags.map { k =>
+      led.filter(col(s"c$k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("c0")).as("sx"), sum(col(s"c$k")).as("sy"),
+          sum(col("c0") * col("c0")).as("sxx"),
+          sum(col(s"c$k") * col(s"c$k")).as("syy"),
+          sum(col("c0") * col(s"c$k")).as("sxy"))
+        .select(col("event_type"), lit(k).as("lag_k"), col("n_pairs"),
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("decimal(38,0)").as("num"),
+          (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+            .cast("decimal(38,0)").as("da"),
+          (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+            .cast("decimal(38,0)").as("db"))
+    }.reduce(_.unionAll(_))
+    // magnitude via integral divide in DECIMAL, sign reapplied with a
+    // `when` (SQL sign() returns DOUBLE on decimals — keep floats out)
+    perLag
+      .withColumn("mag", expr(
+        // divisor guarded inline: ANSI mode evaluates this column even on
+        // rows the zero-variance `when` below discards
+        "(CAST(1000000 AS DECIMAL(38,0)) * num * num) div " +
+          "(CASE WHEN da = 0 OR db = 0 THEN 1 ELSE da * db END)"))
+      .select(col("event_type"), col("lag_k"), col("n_pairs"),
+        when(col("da") === 0 || col("db") === 0, lit(0L))
+          .when(col("num") < 0, -col("mag")).otherwise(col("mag"))
+          .cast("long").as("r2_signed_ppm"))
+  }
 }

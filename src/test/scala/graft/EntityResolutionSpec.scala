@@ -64,4 +64,26 @@ class EntityResolutionSpec extends SparkSpecBase {
     // min-label CC: the component label IS the lowest member id
     assert(golden.filter(col("survivor_id") =!= col("entity_id")).count() == 0)
   }
+
+  test("blockingEval: hand-built reduction ratio and pairs completeness") {
+    // 4 records, one true match (abc ~ abd, dist 1).
+    // strategy "good": the pair co-blocks (block 1) -> completeness 10000;
+    //   blocks {1:2, 2:2} -> cand = 1 + 1 = 2 of C(4,2)=6 -> reduction
+    //   10000 - 20000//6 = 10000 - 3333 = 6667
+    // strategy "bad": the pair splits -> completeness 0; blocks {1:2,2:2}
+    //   via (grp2) -> same reduction
+    val recs = Seq(
+      (1L, "abc", 1L, 1L), (2L, "abd", 1L, 2L),
+      (3L, "xyz", 2L, 1L), (4L, "pqr", 2L, 2L))
+      .toDF("rid", "nm", "grp_good", "grp_bad")
+    val got = EntityResolution.blockingEval(recs, "rid", "nm", Seq(
+      ("good", col("grp_good").cast("string")),
+      ("bad", col("grp_bad").cast("string"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      "good" -> ((2L, 2L, 1L, 1L, 6667L, 10000L)),
+      "bad" -> ((2L, 2L, 1L, 0L, 6667L, 0L))))
+  }
 }

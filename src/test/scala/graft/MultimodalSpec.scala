@@ -103,4 +103,47 @@ class MultimodalSpec extends SparkSpecBase {
     assert(dd.filter((col("doc_id") === col("rep_id")) === (col("is_dup") === 1))
       .count() === 0L)
   }
+
+  test("sobelEnergyMeta: ramp response is exactly 8*sx/8*sy on the interior") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    // id=4: sx=1, sy=1, h=5; n_chars=12 -> w=13 -> interior 11x3=33
+    // id=9: sx=0, sy=0 (flat image) -> all-zero response
+    val d = spark.createDataFrame(Seq(Row(4L, 12L), Row(9L, 12L)).asJava,
+      schema)
+    val got = Multimodal.sobelEnergyMeta(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(4L) == ((33L, 33L * 8, 33L * 8, 33L * 64 * 2, 33L)))
+    // id=9 is flat (sx=sy=0): h=10 -> interior 11x8=88, zero response
+    assert(got(9L) == ((88L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("wavHaarBands: bands match a driver-side replica of the generator") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val ids = Seq(0L, 1L, 7L, 13L)
+    val d = spark.createDataFrame(ids.map(Row(_)).asJava, schema)
+    val got = Multimodal.wavHaarBands(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    ids.foreach { id =>
+      val n = (id % 50).toInt + 20
+      val v = (0 until n).map(i => (((id * 31 + i * 17) % 65536) - 32768).toInt)
+      val m1 = n / 2
+      val a1 = (0 until m1).map(k => (v(2 * k) + v(2 * k + 1)) / 2)
+      val d1 = (0 until m1).map(k => (v(2 * k) - v(2 * k + 1)) / 2)
+      val m2 = m1 / 2
+      val a2 = (0 until m2).map(k => (a1(2 * k) + a1(2 * k + 1)) / 2)
+      val d2 = (0 until m2).map(k => (a1(2 * k) - a1(2 * k + 1)) / 2)
+      def e(xs: Seq[Int]): Long = xs.map(x => x.toLong * x).sum
+      assert(got(id) == ((m1.toLong, e(d1), m2.toLong, e(d2), e(a2))),
+        s"id=$id")
+    }
+  }
 }

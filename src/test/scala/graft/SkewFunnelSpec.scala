@@ -95,4 +95,30 @@ class SkewFunnelSpec extends SparkSpecBase {
       assert(got.collect { case ((mm, _), (bp, _)) if mm == m => bp }.sum == 20000L)
     }
   }
+
+  test("autocorrHourly: alternating series is -1/+1/-1 at lags 1/2/3; gaps are zeros") {
+    val hourNs = 3600L * 1000000000L
+    // type "alt": hourly counts 1,2,1,2,1,2 (hours 0..5)
+    val alt = (0 to 5).flatMap { h =>
+      val c = if (h % 2 == 0) 1 else 2
+      (0 until c).map(i => (h * 10L + i, 1L, "alt", h * hourNs + i, 0.0))
+    }
+    // type "gap": events only in hours 0 and 2 -> dense series 1,0,1
+    val gap = Seq((100L, 1L, "gap", 0L, 0.0), (101L, 1L, "gap", 2 * hourNs, 0.0))
+    val ev = (alt ++ gap)
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = EventsAnalytics.autocorrHourly(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // alt: lag1 pairs (1,2)(2,1)(1,2)(2,1)(1,2) -> r = -1 exactly;
+    //      lag2 pairs all equal-valued -> +1; lag3 alternates -> -1
+    assert(got(("alt", 1)) == ((5L, -1000000L)))
+    assert(got(("alt", 2)) == ((4L, 1000000L)))
+    assert(got(("alt", 3)) == ((3L, -1000000L)))
+    // gap: without the zero fill lag1 would see (1,1); with it the pairs
+    // are (1,0),(0,1) -> r = -1; lag2 is the single pair (1,1) -> zero
+    // variance -> 0
+    assert(got(("gap", 1)) == ((2L, -1000000L)))
+    assert(got(("gap", 2)) == ((1L, 0L)))
+  }
 }
