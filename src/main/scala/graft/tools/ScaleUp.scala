@@ -68,7 +68,18 @@ object ScaleUp {
       rd(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
       println(s"copied $n")
     }
-    rep("customer", Seq("c_custkey" -> custB))
+    // names follow the shifted key (the fixture generator's own
+    // Customer#%09d shape) — leaving replica names identical to the
+    // originals makes every customer an exact-name duplicate of its
+    // mult-1 replicas, which blows the entity-match graph up to mult^2
+    // density (observed: the entityClusters pin build ran out of
+    // execution memory at sf10); re-deriving the name keeps match
+    // density scale-invariant, like real data growth
+    rep("customer", Seq("c_custkey" -> custB), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("c_name",
+        concat(lit("Customer#"),
+          lpad(col("c_custkey").cast("string"), 9, "0"))))
     rep("supplier", Seq("s_suppkey" -> suppB))
     rep("part", Seq("p_partkey" -> partB))
     rep("orders", Seq("o_orderkey" -> ordB, "o_custkey" -> custB))
