@@ -694,6 +694,53 @@ object EventsAnalytics {
       .agg(sum(col("bp")).as("credit_bp"), count(lit(1)).as("n_credited"))
   }
 
+  /** Token-bucket rate limiting replayed over the event log — the
+    * admission-control simulation run BEFORE a quota change ships: per
+    * user, a bucket of `capacity` tokens refilling one per `refillNs`
+    * decides every event (admit consumes a token; an empty bucket
+    * rejects), and the output is the per-event admit/reject decision the
+    * proposed quota WOULD have made on real traffic. All integer
+    * arithmetic: whole-token refills advance the bucket clock by exactly
+    * the credited intervals (the standard fractional-credit-preserving
+    * form), so the fold replays bit-identically anywhere.
+    *
+    * Bucket state depends on every earlier event, so like
+    * [[graft.analytics.Curation.docPackNextFit]] this is the honest
+    * `mapPartitions` class: hash-partition by user, sort within
+    * partitions by (user, ts, event_id), fold 3 longs of state per user.
+    * One shuffle, O(1) memory, parallel across users.
+    */
+  def rateLimitAdmission(
+      events0: DataFrame,
+      capacity: Long = 3L,
+      refillNs: Long = 3600L * 1000000000L): DataFrame = {
+    require(capacity >= 1, "rateLimitAdmission: capacity >= 1")
+    val e = EventTime.toNanos(events0)
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("user_id").cast("long"), col("ts").cast("long"),
+      col("event_id").cast("long"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var tok = 0L
+        var last = 0L
+        it.map { case (user, ts, id) =>
+          if (user != cur) { cur = user; tok = capacity; last = ts }
+          else {
+            val refill = (ts - last) / refillNs
+            if (tok + refill >= capacity) { tok = capacity; last = ts }
+            else { tok += refill; last += refill * refillNs }
+          }
+          val admitted = if (tok >= 1) { tok -= 1; 1 } else 0
+          (user, id, admitted)
+        }
+      }
+      .toDF("user_id", "event_id", "admitted")
+  }
+
   /** Lag-k autocorrelation of the hourly event-count series per event
     * type, in exact integer fixed point — the seasonality/persistence
     * screen run before fitting any forecasting model to an event stream

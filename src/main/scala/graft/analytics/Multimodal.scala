@@ -732,6 +732,79 @@ object Multimodal {
     }(enc)
   }
 
+  /** Multi-frame (animated) GIF round trip — the VIDEO-shaped codec path
+    * on the one multi-image container the JDK ships: per row, `k`
+    * deterministic solid-gray frames are written into ONE real animated
+    * GIF payload with `prepareWriteSequence`/`writeToSequence` (actual
+    * GIF89a bytes with per-frame image descriptors), then the container
+    * is decoded back frame by frame (`getNumImages(true)` forces a real
+    * stream scan) and per-frame pixel reads aggregate. This is the
+    * frame-extraction plumbing a video ingest needs — container scan,
+    * frame count, per-frame decode, frame-level features — exercised on
+    * a codec that is genuinely present, while the MP4/MKV tier stays
+    * declared stubs. Solid gray survives GIF's palette exactly (see
+    * [[losslessRoundTripMeta]]), so every emitted integer is
+    * generator-predictable.
+    */
+  def gifFramesMeta(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("gray0_sum", LongType, nullable = false),
+      StructField("gray_last", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val k = (id % 4).toInt + 2
+        val w = (r.getLong(1) % 15).toInt + 1
+        val h = (id % 9).toInt + 1
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < k) {
+          val g = ((id + 37L * f) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.flush()
+        val payload = bos.toByteArray // the real stored animated GIF
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        var sum = 0L
+        var last = 0
+        var i = 0
+        while (i < n) {
+          val d = reader.read(i)
+          val g = (d.getRGB(0, 0) >> 16) & 0xff
+          sum += g
+          last = g
+          i += 1
+        }
+        Row(id, n, reader.getWidth(0), reader.getHeight(0), sum, last)
+      }
+    }(enc)
+  }
+
   /** REAL JPEG decode — same `javax.imageio` path as [[pngRoundTripMeta]]
     * (the JDK ships JPEG, GIF and BMP codecs alongside PNG; the stub tier
     * is only for codecs it does not ship, e.g. JPEG2000/video/audio). The

@@ -56,4 +56,38 @@ object Cdc {
         else when(col("_op").isNotNull, col(s"_ch_$c")).otherwise(col(c)).as(c)
       }: _*)
   }
+
+  /** SCD Type-2 history build from a CDC change stream — the
+    * slowly-changing-dimension table a warehouse maintains so "what did
+    * this row look like at sequence s?" is one range predicate
+    * (Kimball's type-2 dimension; the BUILD side of the repo's
+    * `events_scd2_*` query keys). Every I/U change opens a version
+    * valid from its own sequence number; the NEXT change on the key —
+    * any op, including the delete that closes without opening — ends
+    * it. `valid_to_seq` is NULL on the open version and `is_current`
+    * marks it, unless the key's last change is a D (deleted keys have
+    * no current version).
+    *
+    * One key-partitioned window (lead over the per-key change order)
+    * and a filter — no join, no state: the change stream shuffles once
+    * on the key, which is exactly the MERGE key the apply side
+    * shuffles on, so history build and snapshot apply co-partition in
+    * one pipeline at any scale.
+    */
+  def scd2Build(
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val dataCols =
+      changes.columns.toSeq.filterNot(c => c == seqCol || c == opCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    changes
+      .withColumn("_vt", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .select(dataCols.map(col) ++ Seq(
+        col(seqCol).cast("long").as("valid_from_seq"),
+        col("_vt").cast("long").as("valid_to_seq"),
+        col("_vt").isNull.cast("int").as("is_current")): _*)
+  }
 }

@@ -590,6 +590,21 @@ object CoreQueries {
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
             .as("total"))),
 
+    // Explicit GROUPING SETS — the arbitrary-lattice form ROLLUP/CUBE are
+    // shorthands of: each dimension alone plus the grand total, with
+    // grouping() flags so an all-NULL dimension value can't masquerade as
+    // a rolled-up row (the standard SCD/report disambiguation)
+    "grouping_sets_order_stats" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+            .as("total"))),
+
     // A-family approx aggregate with a CHECKABLE contract: the HLL++
     // estimate itself is estimator-specific (DuckDB's sketch differs, so
     // the raw value can't hash-match), but its ERROR BAND can — the key
@@ -901,6 +916,14 @@ object CoreQueries {
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+    "grouping_sets_order_stats" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(GROUPING(o_orderstatus) AS INT) AS g_status, " +
+        "CAST(GROUPING(o_orderpriority) AS INT) AS g_prio, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY GROUPING SETS " +
+        "((o_orderstatus), (o_orderpriority), ())"),
     "q5_local_supplier_revenue" ->
       ("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +

@@ -1417,6 +1417,27 @@ object ExtensionQueries {
       graft.engine.Cdc.mergeApply(
         snapshot, upserts.unionByName(deletes), "o_orderkey")
     }),
+    // SCD Type-2 history BUILD from the same change-stream shape the
+    // merge key applies: every I/U opens a version, the next change on
+    // the key (incl. the closing delete) ends it; one key-partitioned
+    // lead window, no join
+    "cdc_scd2_history" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val v1 = orders.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      val v2 = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+      val v3 = orders.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
+      graft.engine.Cdc.scd2Build(
+        v1.unionByName(v2).unionByName(v3), "o_orderkey")
+    }),
+    // token-bucket rate limiting replayed over the real event log (the
+    // quota simulation): per-user sequential fold via mapPartitions (the
+    // docPackNextFit class), capacity 3, one token per hour
+    "events_rate_limited" -> ((s, dir) =>
+      EventsAnalytics.rateLimitAdmission(t(s, dir, "events"))),
     // join-key skew diagnostics: top keys by estimated join output
     // contribution (n_left × n_right) for the events⋈orders customer join
     // — what a pipeline consults before choosing salting/broadcast
@@ -2037,6 +2058,12 @@ object ExtensionQueries {
     // cheapest time-frequency split (truncating div, matches //)
     "audio_haar_bands" -> ((s, dir) =>
       Multimodal.wavHaarBands(t(s, dir, "documents"))),
+    // multi-frame (animated) GIF: k solid-gray frames written into ONE
+    // real GIF89a payload via writeToSequence, decoded back frame by
+    // frame — the video-shaped frame-extraction plumbing on the one
+    // multi-image container the JDK ships
+    "multimodal_gif_frames" -> ((s, dir) =>
+      Multimodal.gifFramesMeta(t(s, dir, "documents"))),
     // decode-free metadata probe: real PNG payloads parsed by pure
     // substring/hex/conv expressions (signature + IHDR fields)
     "multimodal_png_header" -> ((s, dir) =>
@@ -4443,6 +4470,51 @@ object ExtensionQueries {
         "CASE WHEN o_orderkey % 2 = 0 THEN 'X' ELSE o_orderstatus END " +
         "AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
         "FROM orders WHERE o_orderkey % 20 <> 0"),
+    "cdc_scd2_history" ->
+      // direct statement of the SCD2 postcondition: version 1 (original
+      // image) is closed at seq 2 for even keys and current otherwise;
+      // version 2 ('X' image, even keys only) is closed at seq 3 by the
+      // %20 delete and current otherwise — deleted keys have no current
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(1 AS BIGINT) AS valid_from_seq, " +
+        "CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 END AS BIGINT) " +
+        "AS valid_to_seq, " +
+        "CAST(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS INT) " +
+        "AS is_current FROM orders " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, 'X', CAST(2 AS BIGINT), " +
+        "CAST(CASE WHEN o_orderkey % 20 = 0 THEN 3 END AS BIGINT), " +
+        "CAST(CASE WHEN o_orderkey % 20 = 0 THEN 0 ELSE 1 END AS INT) " +
+        "FROM orders WHERE o_orderkey % 2 = 0"),
+    "events_rate_limited" ->
+      // recursive replay of the token-bucket fold, one event per user per
+      // iteration (the doc_pack_nextfit oracle pattern): capacity 3, one
+      // token per hour, whole-token refills advance the bucket clock
+      ("WITH RECURSIVE t AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ns(ts), event_id) AS rn FROM events), " +
+        "p AS (SELECT user_id, event_id, tns, rn, " +
+        "CAST(2 AS BIGINT) AS tok, tns AS lastn, 1 AS admitted " +
+        "FROM t WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT user_id, event_id, tns, rn, " +
+        "CASE WHEN tok2 >= 1 THEN tok2 - 1 ELSE tok2 END, last2, " +
+        "CASE WHEN tok2 >= 1 THEN 1 ELSE 0 END FROM " +
+        "(SELECT t.user_id, t.event_id, t.tns, t.rn, " +
+        "least(p.tok + (t.tns - p.lastn) // 3600000000000, 3) AS tok2, " +
+        "CASE WHEN p.tok + (t.tns - p.lastn) // 3600000000000 >= 3 " +
+        "THEN t.tns ELSE p.lastn + " +
+        "((t.tns - p.lastn) // 3600000000000) * 3600000000000 END AS last2 " +
+        "FROM p JOIN t ON t.user_id = p.user_id AND t.rn = p.rn + 1) s) " +
+        "SELECT user_id, event_id, CAST(admitted AS INT) AS admitted FROM p"),
+    "multimodal_gif_frames" ->
+      ("WITH p AS (SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS k, " +
+        "CAST(n_chars % 15 + 1 AS INT) AS w, CAST(doc_id % 9 + 1 AS INT) AS h " +
+        "FROM documents) " +
+        "SELECT doc_id AS asset_id, k AS n_frames, w AS width, h AS height, " +
+        "CAST(list_sum([(doc_id + 37 * f) % 256 " +
+        "FOR f IN generate_series(0, k - 1)]) AS BIGINT) AS gray0_sum, " +
+        "CAST((doc_id + 37 * (k - 1)) % 256 AS INT) AS gray_last FROM p"),
     "bloom_semi_join" ->
       // the Bloom prefilter is an optimization, not a semantics change:
       // the oracle is the PLAIN semi-join it must exactly equal

@@ -160,4 +160,40 @@ class CdcSpec extends SparkSpecBase {
     // stat at t=10: |P10*N - 10*Ptot| = |1000*20 - 10*6000| = 40000
     assert(r.getLong(2) == 40000L)
   }
+
+  test("scd2Build: versions chain, deletes close without opening, current flags") {
+    val changes = Seq(
+      // key 1: I@1 -> U@3 -> D@5: two closed versions, no current
+      (1L, "a", 1L, "I"), (1L, "a2", 3L, "U"), (1L, null, 5L, "D"),
+      // key 2: I@2 only: one open current version
+      (2L, "b", 2L, "I"),
+      // key 3: I@1 -> U@2: closed then current
+      (3L, "c", 1L, "I"), (3L, "c2", 2L, "U")
+    ).toDF("id", "name", "seq", "op")
+    val got = graft.engine.Cdc.scd2Build(changes, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+    assert(got == Set(
+      (1L, "a", 1L, 3L, 0), (1L, "a2", 3L, 5L, 0),
+      (2L, "b", 2L, -1L, 1),
+      (3L, "c", 1L, 2L, 0), (3L, "c2", 2L, -1L, 1)))
+  }
+
+  test("rateLimitAdmission: refills, rejections and clock advance match hand replay") {
+    val hour = 3600L * 1000000000L
+    // user 1, capacity 3 / 1 per hour:
+    //  t=0,1,2,3 (4 quick events): admit,admit,admit,reject (bucket empty)
+    //  t=1.5h: refill floor(1.5h/h)=1 -> admit; clock advances to 1h
+    //  t=1.9h: refill floor(0.9h/h)=0 -> reject (fractional credit kept)
+    //  t=2.0h: refill floor(1.0h/h)=1 -> admit
+    val ev = Seq(
+      (1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L),
+      (5L, hour * 3 / 2), (6L, hour * 19 / 10), (7L, hour * 2)
+    ).map { case (id, ts) => (id, 1L, "t", ts, 0.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = graft.analytics.EventsAnalytics.rateLimitAdmission(ev)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0,
+      5L -> 1, 6L -> 0, 7L -> 1))
+  }
 }

@@ -122,6 +122,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(9L) == ((88L, 0L, 0L, 0L, 0L)))
   }
 
+  test("gifFramesMeta: animated GIF round-trips frame count and per-frame gray") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    // id=5: k=3 frames, grays 5, 42, 79; id=252: grays wrap mod 256
+    val d = spark.createDataFrame(Seq(Row(5L, 7L), Row(252L, 3L)).asJava,
+      schema)
+    val got = Multimodal.gifFramesMeta(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5)))).toMap
+    assert(got(5L) == ((3, 8, 6, 5L + 42L + 79L, 79)))
+    // id=252: k = 252%4+2 = 2 frames, grays 252, (252+37)%256 = 33
+    assert(got(252L) == ((2, 4, 1, 285L, 33)))
+  }
+
   test("wavHaarBands: bands match a driver-side replica of the generator") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
