@@ -228,6 +228,50 @@ object StreamingEvents {
       .toDF("event_id", "user_id", "island", "slice")
   }
 
+  /** Streaming face of
+    * [[graft.analytics.EventsAnalytics.rateLimitAdmission]]: live
+    * token-bucket admission per user. Keyed state is the bucket — two
+    * longs (tokens, clock) — so memory is O(users) for any stream
+    * length; each arriving event emits its admit/reject decision in
+    * append mode, and whole-token refills advance the bucket clock
+    * exactly as the batch fold does, so the decisions are
+    * row-identical to the batch replay under the same in-order
+    * per-key delivery contract as [[streamingSessionAssign]] (rows
+    * within a micro-batch sort by event time; micro-batches arrive
+    * time-ordered per key).
+    */
+  def streamingRateLimit(
+      events: DataFrame,
+      capacity: Long = 3L,
+      refillNs: Long = 3600L * 1000000000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          var (tok, last) = state.getOption.getOrElse((-1L, 0L))
+          val out = rows.toSeq.sortBy(r => (r._2, r._1)).map { r =>
+            val ts = r._2
+            if (tok < 0) { tok = capacity; last = ts }
+            else {
+              val refill = (ts - last) / refillNs
+              if (tok + refill >= capacity) { tok = capacity; last = ts }
+              else { tok += refill; last += refill * refillNs }
+            }
+            val admitted = if (tok >= 1) { tok -= 1; 1 } else 0
+            (user, r._1, admitted)
+          }
+          state.update((tok, last))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "admitted")
+  }
+
   /** Streaming face of [[graft.analytics.EventsAnalytics.transitions]]:
     * the running first-order Markov transition matrix over per-user event
     * streams. Keyed state is ONE value — the user's last event type —

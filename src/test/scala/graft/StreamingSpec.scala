@@ -194,6 +194,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming rate-limit decisions equal the batch token-bucket replay") {
+    import java.nio.file._
+    import org.apache.spark.sql.functions._
+    val events = graft.analytics.EventTime.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val mid = events.agg(expr("percentile(ts, 0.5)")).head.getDouble(0)
+    val dir = Files.createTempDirectory("graft_stream_rate")
+    events.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$dir/a")
+    events.filter(col("ts") > mid).coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    StreamingEvents.runToMemory(
+      StreamingEvents.streamingRateLimit(stream), "stream_rate",
+      outputMode = "append")
+    val streamed = spark.table("stream_rate")
+    val batch = EventsAnalytics.rateLimitAdmission(events)
+      .select("user_id", "event_id", "admitted")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming transition edges aggregate to the batch Markov matrix") {
     import java.nio.file._
     import org.apache.spark.sql.functions._
