@@ -1776,6 +1776,17 @@ object Similarity {
     * passes over the candidate relation (shuffles on id_a, id_b) plus two
     * |sides|-row aggregate joins; candidates-per-bucket is the only
     * quadratic term, bounded by the LSH cut like every near-dup key.
+    *
+    * The cut WIDTH is the documented scale dial, and `nBits < 0` (the
+    * default) turns it automatically: nBits = bitlength(n/8) clamped to
+    * [8, 16], where n is the two-language corpus count — at the oracle
+    * gate scales this lands on the historical 8, and at 100× it widens
+    * so per-bucket density (and the sign-cluster SKEW a replicated
+    * corpus concentrates into hot buckets) stays bounded. The bit length
+    * comes from `length(bin(x))` — integer-exact and identical in Spark
+    * and DuckDB, so the oracle derives the SAME width from its own
+    * count(*); the one driver-side scalar is a count, like the PageRank
+    * node count.
     */
   def bitextMarginPairs(
       docs: DataFrame,
@@ -1783,13 +1794,20 @@ object Similarity {
       langA: String = "en",
       langB: String = "es",
       k: Int = 4,
-      nBits: Int = 8,
+      nBits: Int = -1,
       minMarginBp: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lang = docs.select(col("doc_id").as("vec_id"), col("lang"))
     val e = embeddings.join(lang, Seq("vec_id"))
       .filter(col("lang").isin(langA, langB))
-    val bucketed = withSignBucket(e, nBits)
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = e.count()
+        math.min(16, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(n / 8, 1L)))).toInt
+      }
+    val bucketed = withSignBucket(e, bits)
       .withColumn("nrm", sqrt(normSqDecimal(col("embedding")).cast("double")))
     val a = bucketed.filter(col("lang") === langA)
       .select(col("bucket"), col("vec_id").as("id_a"),

@@ -4123,8 +4123,13 @@ object ExtensionQueries {
     "bitext_margin_pairs" ->
       ("WITH l AS (SELECT e.vec_id, d.lang, e.embedding FROM embeddings e " +
         "JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang IN ('en', 'es')), " +
+        // adaptive cut width, same integer rule as the Spark side:
+        // bitlength(n/8) clamped to [8,16] via length(bin(x))
+        "nbv AS (SELECT least(greatest(length(bin(greatest(" +
+        "count(*) // 8, 1))), 8), 16) AS nb FROM l), " +
         "bk AS (SELECT vec_id, lang, embedding, " +
-        "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM l), " +
+        "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END " +
+        "FOR x IN embedding[1:nb]], '') AS bucket FROM l, nbv), " +
         "c0 AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, " +
         "a.embedding AS ea, c.embedding AS eb " +
         "FROM bk a JOIN bk c ON a.bucket = c.bucket " +

@@ -984,7 +984,12 @@ class AnalyticsSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val vecOf = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val nBits = 8
+    // mirror the adaptive cut: bitlength(n/8) clamped to [8, 16] over the
+    // two-language corpus count (8 at this fixture scale)
+    val nSide = vecOf.keys.count(id =>
+      langOf.get(id).exists(l => l == "en" || l == "es")).toLong
+    val nBits = math.min(16, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(nSide / 8, 1L))))
     val k = 4
     def bucket(v: Array[Float]): String =
       v.take(nBits).map(x => if (x > 0f) '1' else '0').mkString
