@@ -237,6 +237,12 @@ object Bench {
         "shufWriteMB" -> (after("shuffleWriteB") - before("shuffleWriteB")) / (1024 * 1024),
         "tasks" -> (after("tasks") - before("tasks"))) ++
         jvmAfter.view.filterKeys(k => k != "jvmGcMs").toMap)
+      // untimed, between keys: localCheckpoint blocks are unevictable and
+      // only release when the dropped RDD is GC'd (ContextCleaner); with a
+      // large heap GC may not run for many keys and accumulated storage
+      // squeezes the execution pool of later keys (measured 2-3x mid-sweep
+      // inflation at sf10)
+      System.gc()
       name -> sec
     }.toMap
     // Bench-noise hygiene (VERDICT r10 #5: single-run per-key numbers swung
@@ -257,6 +263,7 @@ object Bench {
         val sec2 = (System.nanoTime() - t0) / 1e9
         detail(name) = detail(name) ++
           Map("msRep2" -> (sec2 * 1000).toLong, "reps" -> 2L)
+        System.gc() // untimed; see the rep-1 loop
       } else detail(name) = detail(name) + ("reps" -> 1L)
     }
     def jstr(s: String): String =

@@ -591,15 +591,30 @@ object Similarity {
   def knnJoinIvf(
       embeddings: DataFrame,
       k: Int,
-      nCells: Int = 16,
+      nCells: Int = -1,
       nProbe: Int = 2,
       iters: Int = 2,
       trainMod: Int = 4,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
+    // nCells < 0 (default) turns the documented FAISS dial automatically:
+    // 2^max(4, bitlength(n/4096)) — cells grow ∝ corpus so per-cell
+    // population (and the join's per-cell quadratic term) stays bounded.
+    // The fixed-16 form measured 443 s at 100× the bench scale (500k
+    // vectors: every query scanned ~62k candidates); adaptive cells keep
+    // the candidate volume near-linear. All oracle gate scales land on
+    // the historical 16, so the unrolled 16-centroid oracle chain is
+    // exact wherever it runs. The one driver scalar is a count.
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val n = spread.count()
+        val bl = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
+        1 << math.min(12, math.max(4, bl))
+      }
     val centroids =
-      materialize(kMeansCentroids(spread, nCells, iters, trainMod))
+      materialize(kMeansCentroids(spread, cells, iters, trainMod))
     val indexed = assignCells(spread, centroids, 1)
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
       .select(col("cell_id"), col("vec_id").as("nbr_id"),
@@ -988,9 +1003,11 @@ object Similarity {
   }
 
   /** Bumped whenever the on-disk index layout changes, so an old index is
-    * rebuilt rather than half-read.
+    * rebuilt rather than half-read. v4: adaptive coarse-cell count
+    * (corpus-size-derived nlist) — indexes built with the fixed 16 must
+    * rebuild at corpora where the adaptive rule picks more cells.
     */
-  val IndexFormatVersion: Long = 3L
+  val IndexFormatVersion: Long = 4L
 
   /** Content signature of the embedding corpus for index-staleness checks:
     * row count, id sum, and a crc32 content sum over the stringified
@@ -1058,7 +1075,7 @@ object Similarity {
   def ivfPqIndexBuildIfStale(
       embeddings: DataFrame,
       indexDir: String,
-      nCells: Int = 16,
+      nCells: Int = -1,
       iters: Int = 2,
       m: Int = 4,
       subDim: Int = 16,
@@ -1073,9 +1090,22 @@ object Similarity {
         (0 to 2).forall(i => meta.getLong(i) == sig.getLong(i)) &&
           meta.getLong(3) == IndexFormatVersion
       } catch { case scala.util.control.NonFatal(_) => false }
-    if (!fresh)
-      ivfPqIndexBuild(embeddings, indexDir, nCells, iters, m, subDim,
+    if (!fresh) {
+      // same adaptive coarse-cell rule as knnJoinIvf (nCells < 0):
+      // 2^max(4, bitlength(n/4096)) — the FAISS nlist ∝ corpus regime;
+      // gate scales land on the historical 16 so the unrolled oracles
+      // hold, and the staleness signature already keys on the corpus
+      val cells =
+        if (nCells > 0) nCells
+        else {
+          val n = sig.getLong(0)
+          val bl =
+            64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
+          1 << math.min(12, math.max(4, bl))
+        }
+      ivfPqIndexBuild(embeddings, indexDir, cells, iters, m, subDim,
         trainMod, materialize)
+    }
     // the head read and the index-relation opens (partition discovery on
     // the cell-partitioned dirs) ride the build/staleness pass, so the
     // first probe's query path starts with the index fully resident
