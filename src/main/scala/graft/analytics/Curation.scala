@@ -1524,4 +1524,57 @@ object Curation {
         when(col("na2") + col("nb2") === 0L, 0L)
           .otherwise(expr("(o2 * 20000L) div (na2 + nb2)")).as("f2_bp"))
   }
+
+  /** T5-style span-corruption mask layout (Raffel et al., JMLR 2020:
+    * noise_density 0.15, mean span 3): for each document, the deterministic
+    * token positions of the corruption spans — n_spans ≈ round(0.15·n/3)
+    * = max(1, (n+10) div 20), one span per equal segment of the token
+    * stream (non-overlap by construction), offset inside its segment by an
+    * md5 draw. Emitting the mask LAYOUT (doc, span_idx, start) rather than
+    * rewritten text is what a distributed pretraining pipeline ships to
+    * the tokenizer workers; every quantity is integer arithmetic the
+    * oracle replays. Map-only: one bounded explode per document.
+    */
+  def spanCorruptionMasks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("n_spans", expr("greatest(1L, (n_tokens + 10) div 20)"))
+      // seg_len >= 3 always: n_spans = 1 keeps seg_len = n_tokens >= 3,
+      // and n_spans >= 2 implies n_tokens >= 30, so seg_len >= 15
+      .withColumn("seg_len", expr("n_tokens div n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("seg_len"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+      .withColumn("off", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+          "CAST(span_idx AS STRING))), 1, 6), 16, 10) AS BIGINT) % (seg_len - 2)"))
+      .select(col("doc_id"), col("span_idx"),
+        (col("span_idx") * col("seg_len") + col("off")).as("start_pos"),
+        col("n_tokens"))
+
+  /** Feature hashing / the "hashing trick" (Weinberger et al., ICML 2009;
+    * sklearn's HashingVectorizer): every token maps to a fixed bucket
+    * 0..nBuckets-1 by an md5 draw, with a second md5 bit choosing the
+    * sign (+1/−1) so hash collisions cancel in expectation instead of
+    * inflating — the vocabulary-free featurizer a distributed trainer
+    * uses when a fitted vocabulary (the [[vocab]] path) can't be shared.
+    * Output per (source, bucket): the signed feature value, the term
+    * count, and the distinct-term count feeding the bucket (the collision
+    * diagnostic). One explode + one groupBy: output is
+    * sources × nBuckets-bounded regardless of corpus size, and the md5
+    * arithmetic replays exactly in SQL.
+    */
+  def featureHashing(docs: DataFrame, nBuckets: Int = 32): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(tk), 1, 6), 16, 10) AS BIGINT) % $nBuckets"))
+      .withColumn("sgn", expr(
+        "IF(CAST(conv(substring(md5(tk), 7, 1), 16, 10) AS BIGINT) % 2 = 0, 1L, -1L)"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("sgn")).as("feat"),
+        count(lit(1)).as("n_terms"),
+        countDistinct(col("tk")).as("n_distinct_terms"))
 }

@@ -1588,4 +1588,138 @@ object Dedup {
     docs.repartition(col("doc_id"))
       .select(col("doc_id"), expr(s"simhash64(text, $bits)").as("simhash"))
   }
+
+  /** Bounded-depth multi-source BFS over an undirected edge relation: the
+    * minimum hop distance (0..maxDepth) from the `nHubs` highest-degree
+    * vertices (ties by vertex id) to every vertex reachable within
+    * `maxDepth` hops — the "how far is the graph from its hubs" traversal
+    * none of the fixpoint kernels (CC, PageRank, k-core) expose. Each hop
+    * is one vertex-keyed join of the current frontier against the
+    * adjacency relation plus an anti-join against the visited set — the
+    * standard distributed BFS round; depth is bounded so the plan is
+    * `maxDepth` joins, not an unbounded loop. The hub seed is TakeOrdered
+    * (parameter-sized) and broadcasts into the first hop.
+    */
+  def bfsDepthFromHubs(
+      edges: DataFrame, nHubs: Int = 4, maxDepth: Int = 3): DataFrame = {
+    val adj = edges
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.orderBy(col("deg").desc, col("u")).limit(nHubs)
+      .select(col("u").as("node"))
+    var frontier = hubs
+    var visited = hubs.withColumn("depth", lit(0))
+    val out = Seq.newBuilder[DataFrame]
+    out += visited
+    for (d <- 1 to maxDepth) {
+      val next = adj.join(
+          (if (d == 1) broadcast(frontier) else frontier)
+            .withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      // materialize each layer: the next hop and the visited anti-join
+      // both read it, and lineage would otherwise double per depth
+      frontier = graft.engine.Materialize.local(next)
+      val layer = frontier.withColumn("depth", lit(d))
+      out += layer
+      visited = visited.union(layer)
+    }
+    out.result().reduce(_.unionAll(_))
+  }
+
+  /** Newman modularity of a vertex partition over an undirected graph, per
+    * community (Newman & Girvan 2004): community c contributes
+    * e_c/m − (d_c/2m)², emitted signed in exact ppm via the integer
+    * identity 10^6·(4m·e_c − d_c²) / (4m²) in DECIMAL(38,0) (both engines
+    * truncate integral division toward zero). With communities = document
+    * SOURCE over the near-dup candidate graph this measures duplication
+    * assortativity — whether near-dup candidates concentrate within
+    * sources (template reuse inside a crawl) or cross them (syndication) —
+    * the signal that decides if dedup can shard by source. Plan: two
+    * doc-keyed joins tag each edge's endpoint communities, then
+    * community-keyed aggregates; m and the grand totals ride a one-row
+    * broadcast.
+    */
+  def communityModularity(
+      edges: DataFrame, membership: DataFrame): DataFrame = {
+    // membership: (node, community). Tag both endpoints.
+    val e = edges.select(col("id_a"), col("id_b")).distinct()
+    val tagged = e
+      .join(membership.select(col("node").as("id_a"), col("community").as("ca")),
+        Seq("id_a"))
+      .join(membership.select(col("node").as("id_b"), col("community").as("cb")),
+        Seq("id_b"))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    // degree mass per community: each edge endpoint adds 1 to its side
+    val degMass = tagged
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("deg_sum"))
+    val within = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val nodes = membership
+      .join(e.select(explode(array(col("id_a"), col("id_b"))).as("node")).distinct(),
+        Seq("node"))
+      .groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+    nodes
+      .join(degMass, Seq("community"))
+      .join(within, Seq("community"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .withColumn("num", expr(
+        "CAST(4 AS DECIMAL(38,0)) * m * e_in - " +
+          "CAST(deg_sum AS DECIMAL(38,0)) * deg_sum"))
+      .withColumn("mag", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * abs(num)) div " +
+          "(CAST(4 AS DECIMAL(38,0)) * m * m)"))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("deg_sum"),
+        when(col("num") < 0, -col("mag")).otherwise(col("mag"))
+          .cast("long").as("q_ppm"))
+  }
+
+  /** Degree assortativity (Newman, PRL 2002) of an undirected graph as
+    * signed r² in exact ppm: the Pearson correlation of endpoint degrees
+    * over the DIRECTED double cover (each edge contributes (deg u, deg v)
+    * and (deg v, deg u) — the standard undirected convention, which makes
+    * Σx = Σy and the denominator a perfect square). Disassortative graphs
+    * (hubs attach to leaves — star-like crawl boilerplate) come out
+    * negative, assortative cores positive. Two vertex-keyed joins tag the
+    * degrees, one global aggregate; exact DECIMAL(38,0) moments like the
+    * other r² operators. The num²/den² step needs num under ~10^19 (38
+    * digits after squaring): at extreme edge counts × web-scale hub
+    * degrees, pass the degree-capped subgraph (the
+    * [[linkPredictionTopK]] degCap argument exists for the same hub
+    * reason).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b")).distinct()
+    val dc = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(e.select(col("id_b").as("u"), col("id_a").as("v")))
+    val deg = dc.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val xy = dc
+      .join(deg.select(col("u"), col("d").as("x")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("y")), Seq("v"))
+    // moments in DECIMAL(38,0) from the start: Σxy over 100 TB-scale edge
+    // counts with web-scale hub degrees exceeds BIGINT well before the
+    // cross products do
+    xy.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sx"))
+          .cast("decimal(38,0)").as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("decimal(38,0)").as("den"))
+      .withColumn("mag", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * num * num) div " +
+          "(CASE WHEN den = 0 THEN 1 ELSE den * den END)"))
+      .select(expr("CAST(n div 2 AS BIGINT)").as("n_edges"),
+        when(col("den") === 0, lit(0L))
+          .when(col("num") < 0, -col("mag")).otherwise(col("mag"))
+          .cast("long").as("r2_signed_ppm"))
+  }
 }

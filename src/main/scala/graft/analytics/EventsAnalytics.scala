@@ -809,4 +809,82 @@ object EventsAnalytics {
           .when(col("num") < 0, -col("mag")).otherwise(col("mag"))
           .cast("long").as("r2_signed_ppm"))
   }
+
+  /** Benford's-law first-significant-digit audit of event values (Benford
+    * 1938; the fraud/synthetic-data screen): per digit 1–9, the observed
+    * count, its exact share in ppm, the Benford expectation
+    * log10(1+1/d) as a ppm literal (the nine constants sum to exactly
+    * 10^6), and the absolute deviation. One map-only digit extraction
+    * feeds a 9-row aggregate — the plan is a scan plus a tiny groupBy at
+    * any corpus size. Values quantize to exact cents first so the digit
+    * comes from an integer, never a float rendering.
+    */
+  def benfordFirstDigit(events: DataFrame): DataFrame = {
+    // log10(1 + 1/d) in ppm, d = 1..9; rounded values sum to 10^6 exactly
+    val benfordPpm =
+      Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+    val digits = events
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(1000000 * n) div n_total"))
+      .withColumn("benford_ppm",
+        element_at(array(benfordPpm.map(lit): _*), col("digit")))
+      .select(col("digit"), col("n"), col("share_ppm"), col("benford_ppm"),
+        abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
+  }
+
+  /** Inter-arrival-time spectrum: per event type, the histogram of
+    * PER-USER gaps between consecutive events in power-of-two second
+    * bands (band = bit length of seconds+1, so a 0-second gap lands in
+    * band 0) — the burstiness fingerprint behind rate-limit and
+    * bot-detection tuning. The lag window partitions by (user, type):
+    * user-keyed, never corpus-sized. Integer epoch arithmetic only.
+    */
+  def interArrivalBands(events0: DataFrame): DataFrame = {
+    val e = EventTime.toNanos(events0)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_ns", col("ts") - lag(col("ts"), 1).over(w))
+      .withColumn("gap_s", expr("gap_ns div 1000000000"))
+      .filter(col("gap_s").isNotNull)
+      .withColumn("band", expr("CAST(length(bin(gap_s + 1)) - 1 AS INT)"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap_s")).as("min_s"), max(col("gap_s")).as("max_s"))
+  }
+
+  /** Local maxima of the DENSE hourly count series per event type (the
+    * alerting primitive behind "traffic spiked at hour H"): an hour is a
+    * peak when its count strictly exceeds both neighbors. Missing hours
+    * inside each type's span are REAL ZEROS (a burst after silence is a
+    * peak) via the same bounded `sequence()` fill as [[autocorrHourly]];
+    * endpoints are excluded (no two-sided neighborhood). The window is
+    * partitioned by event type over a time-span-bounded series — never
+    * corpus-sized.
+    */
+  def peakHours(events0: DataFrame): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val e = EventTime.toNanos(events0)
+      .select(col("event_type"), expr(s"ts div $hourNs").as("hr"))
+    val cnt = e.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val rng = cnt.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+      .join(cnt, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    dense
+      .withColumn("prev", lag(col("c"), 1).over(w))
+      .withColumn("next", lead(col("c"), 1).over(w))
+      .filter(col("prev").isNotNull && col("next").isNotNull &&
+        col("c") > col("prev") && col("c") > col("next"))
+      .select(col("event_type"), col("hr"), col("c"), col("prev"), col("next"))
+  }
 }

@@ -80,4 +80,64 @@ object Privacy {
     concat(lit(prefix),
       substring(md5(concat(lit(pepper + "-"), id.cast("string"))
         .cast("binary")), 1, 12))
+
+  /** t-closeness (Li, Li & Venkatasubramanian, ICDE 2007): per QI group,
+    * the Earth Mover's Distance between the group's distribution over an
+    * ORDERED sensitive attribute (pre-binned to `nBins` integer bins
+    * 0..nBins-1) and the global distribution. For ordered 1-D histograms
+    * EMD is the mean absolute cumulative-share gap,
+    * EMD = Σ_j |cumshare_g(j) − cumshare_G(j)| / (nBins − 1), computed
+    * here without division as the integer cross-multiplication
+    * |cum_g(j)·N − cum_G(j)·n_g| summed in DECIMAL(38,0) and emitted in
+    * exact basis points. The group×bin grid (groups × nBins rows,
+    * missing bins as real zeros) is what cumulates — every window is
+    * nBins rows per group, never table-sized. Flags groups with
+    * EMD > t (the attribute-disclosure gap l-diversity misses: a group
+    * can have many DISTINCT sensitive values that are all clustered at
+    * the top of the range).
+    */
+  def tClosenessReport(
+      df: DataFrame, qi: Column, bin: Column, nBins: Int,
+      tBp: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2, "tClosenessReport: nBins >= 2")
+    val binned = df.select(qi.as("qi_group"), bin.as("bin"))
+    val cell = binned.groupBy(col("qi_group"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    // dense group×bin grid: every group must carry all nBins cumulative
+    // steps (a group missing the low bins is exactly the leak t-closeness
+    // measures). Groups relation is QI-domain-sized — broadcast.
+    val groups = cell.groupBy(col("qi_group")).agg(sum(col("c")).as("n_g"))
+    val bins = binned.sparkSession.range(0, nBins)
+      .select(col("id").cast("int").as("bin"))
+    val grid = groups
+      .crossJoin(broadcast(bins))
+      .join(cell, Seq("qi_group", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val n = binned.agg(count(lit(1)).as("n_all"))
+    val wG = Window.partitionBy(col("qi_group")).orderBy(col("bin"))
+    val wAll = Window.orderBy(col("bin")) // nBins rows — bounded
+    // globally-empty bins must still carry a cumulative step (their
+    // |cum_g·N − cum_all·n_g| term is generally nonzero), so the global
+    // cumulation runs over the DENSE bin range too
+    val gCum = bins
+      .join(binned.groupBy(col("bin")).agg(count(lit(1)).as("cg")),
+        Seq("bin"), "left")
+      .na.fill(0L, Seq("cg"))
+      .select(col("bin"), sum(col("cg")).over(wAll).as("cum_all"))
+    grid
+      .withColumn("cum_g", sum(col("c")).over(wG))
+      .join(broadcast(gCum), Seq("bin"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("qi_group"))
+      .agg(
+        first(col("n_g")).as("n"),
+        sum(abs(col("cum_g").cast("decimal(38,0)") * col("n_all") -
+          col("cum_all").cast("decimal(38,0)") * col("n_g"))).as("sad"),
+        first(col("n_all")).as("n_all"))
+      .select(col("qi_group"), col("n").as("n"),
+        expr(s"CAST((10000 * sad) div (CAST(n AS DECIMAL(38,0)) * n_all * ${nBins - 1}) AS BIGINT)")
+          .as("emd_bp"))
+      .withColumn("t_violation", (col("emd_bp") > tBp).cast("int"))
+  }
 }

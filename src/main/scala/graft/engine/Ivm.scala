@@ -56,4 +56,20 @@ object Ivm {
       cond: org.apache.spark.sql.Column): DataFrame =
     deltaA.join(baseB, cond)
       .unionByName(baseA.unionByName(deltaA).join(deltaB, cond))
+
+  /** Incremental top-k view maintenance under INSERT batches: top-k per
+    * key is closed under merge — topk(state ∪ batch) = topk(topk(state) ∪
+    * batch) — so a refresh touches only the k·|keys| materialized state
+    * rows plus the batch, never the base corpus (the property that makes a
+    * leaderboard view maintainable at 100 TB). Ordering is by `orderCols`
+    * ascending (caller pre-negates for descending), extended by the
+    * caller's tiebreaker to a total order; `IvmSpec`-style invariant: the
+    * merge equals a full recompute, which the oracle states directly.
+    * Both cuts run on the bounded-heap TopKPerKey operator.
+    */
+  def topKMaintain(
+      state: DataFrame, batch: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String], k: Int): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      state.unionByName(batch), keyCols, orderCols, k)
 }

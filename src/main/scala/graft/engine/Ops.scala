@@ -346,4 +346,61 @@ object Ops {
       .drop("__graft_bf")
     semiJoin(prefiltered, Seq(factKey), dim, Seq(dimKey))
   }
+
+  /** SQL NTILE(k) over a global (sortKey, tieKey) order WITHOUT a
+    * single-partition global window: rows bucket by which of the
+    * `boundsPow2` exact-quantile boundaries they fall under (power-of-two
+    * fractions interpolate to exact binary doubles — the cross-engine-safe
+    * percentile class), each range ranks independently under a
+    * range-partitioned window, broadcast range offsets lift the local
+    * ranks to the global rank, and the global rank maps to the NTILE
+    * bucket by the exact SQL remainder rule (the first n mod k buckets
+    * take ceil(n/k) rows). Same distributed two-phase-rank shape as
+    * `Curation.curriculumOrder`. Returns the input plus `ntile_bucket`.
+    *
+    * `sortKey` must be integral (boundary comparison is `<=` on exact
+    * values); ties beyond (sortKey, tieKey) must not exist (tieKey
+    * unique), which keeps both engines' total order identical.
+    */
+  def ntileBuckets(
+      df: DataFrame, sortKey: String, tieKey: String, k: Int,
+      boundsPow2: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "ntileBuckets: k >= 1")
+    require(boundsPow2 >= 2 && (boundsPow2 & (boundsPow2 - 1)) == 0,
+      "ntileBuckets: boundsPow2 must be a power of two")
+    val qs = (1 until boundsPow2).map(i => i.toDouble / boundsPow2)
+    val bounds = df.agg(
+      expr(s"percentile($sortKey, array(${qs.mkString(", ")}))").as("bs"))
+    val rangeId = (1 until boundsPow2)
+      .map(i => when(col(sortKey) >= element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    val ranged = df.crossJoin(broadcast(bounds))
+      .withColumn("__rg", rangeId.cast("int")).drop("bs")
+    val wOff = Window.orderBy(col("__rg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // boundsPow2-row relation: cumulate into global range offsets
+    val offsets = ranged.groupBy(col("__rg")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__rg"), col("__off"))
+    val nTotal = df.agg(count(lit(1)).as("__nt"))
+    val wIn = Window.partitionBy(col("__rg"))
+      .orderBy(col(sortKey), col(tieKey))
+    ranged.join(broadcast(offsets), Seq("__rg"))
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
+      .crossJoin(broadcast(nTotal))
+      // SQL NTILE: with q = n div k, r = n mod k, the first r buckets hold
+      // q+1 rows — rank <= r*(q+1) lands in bucket (rank+q) div (q+1),
+      // the rest offset into the q-sized tail buckets
+      .withColumn("__q", expr(s"__nt div ${k}L"))
+      .withColumn("__r", expr(s"__nt % ${k}L"))
+      .withColumn("ntile_bucket", expr(
+        "CAST(IF(__rank <= __r * (__q + 1), " +
+          "(__rank + __q) div (__q + 1), " +
+          // divisor guarded inline (house ANSI rule): the else branch is
+          // unreachable when __q = 0 (every rank <= __r then), but the
+          // guard keeps the expression total either way
+          "__r + (__rank - __r * (__q + 1) + __q - 1) div IF(__q = 0, 1, __q)) AS INT)"))
+      .drop("__rg", "__off", "__rank", "__nt", "__q", "__r")
+  }
 }

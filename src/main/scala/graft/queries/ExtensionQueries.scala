@@ -191,11 +191,12 @@ object ExtensionQueries {
     */
   val pinConsumers: Map[String, Set[String]] = Map(
     "tokenEdges" -> Set("token_graph_triangles", "token_graph_pagerank",
-      "token_graph_kcore", "token_graph_degrees", "link_prediction_topk"),
+      "token_graph_kcore", "token_graph_degrees", "link_prediction_topk",
+      "token_graph_bfs_depth", "token_graph_assortativity"),
     "lshPairs" -> Set("minhash_lsh_pairs", "neardup_components",
       "neardup_components_incremental", "neardup_components_star",
       "neardup_triangles", "neardup_labelprop", "neardup_component_sizes",
-      "rouge_overlap_pairs"),
+      "rouge_overlap_pairs", "neardup_source_modularity"),
     "entityMatches" -> Set("entity_match_customers",
       // the entityClusters pin is BUILT from the entityMatches pin
       "entity_match_clusters", "entity_golden_record"),
@@ -419,6 +420,26 @@ object ExtensionQueries {
     // signal / the pairs one more LSH band would surface
     "link_prediction_topk" -> ((s, dir) =>
       Dedup.linkPredictionTopK(tokenEdges(s, dir))),
+    // bounded-depth multi-source BFS from the 4 highest-degree tokens:
+    // min hop distance 0..3 per reached vertex — the hub-eccentricity
+    // traversal the fixpoint kernels don't expose; one frontier join +
+    // visited anti-join per hop
+    "token_graph_bfs_depth" -> ((s, dir) =>
+      Dedup.bfsDepthFromHubs(tokenEdges(s, dir), nHubs = 4, maxDepth = 3)),
+    // degree assortativity of the token graph, signed r^2 in exact ppm:
+    // negative = hubs attach to leaves (star-like boilerplate), positive
+    // = a degree-stratified core; one tagged-edge aggregate
+    "token_graph_assortativity" -> ((s, dir) =>
+      Dedup.degreeAssortativity(tokenEdges(s, dir))),
+    // Newman modularity of the SOURCE partition over the near-dup
+    // candidate graph, per source in signed exact ppm: measures whether
+    // near-dup candidates concentrate within sources (template reuse —
+    // dedup can shard by source) or cross them (syndication — it can't)
+    "neardup_source_modularity" -> ((s, dir) =>
+      Dedup.communityModularity(
+        lshPairs(s, dir).select(col("id_a"), col("id_b")),
+        t(s, dir, "documents")
+          .select(col("doc_id").as("node"), col("source").as("community")))),
     // ROUGE-1/2 P/R/F over the pinned LSH candidate pairs in exact bp:
     // grades HOW close each near-dup candidate is (verbatim copy vs
     // shared vocabulary) — clipped-count overlap, F1 = 2o/(|a|+|b|)
@@ -1273,6 +1294,17 @@ object ExtensionQueries {
     // per-source fold via mapPartitions, the one honest use of it
     "doc_pack_nextfit" -> ((s, dir) =>
       Curation.docPackNextFit(t(s, dir, "documents"))),
+    // feature hashing / the hashing trick: vocabulary-free signed token
+    // features per (source, bucket) with the collision diagnostic —
+    // one explode + one groupBy, output sources x 32 regardless of scale
+    "text_feature_hashing" -> ((s, dir) =>
+      Curation.featureHashing(t(s, dir, "documents"))),
+    // T5 span-corruption mask layout: deterministic (doc, span, start)
+    // positions at noise_density 0.15 / mean span 3, one md5-offset span
+    // per equal token segment — map-only, the layout a pretraining
+    // pipeline ships to tokenizer workers
+    "span_corruption_masks" -> ((s, dir) =>
+      Curation.spanCorruptionMasks(t(s, dir, "documents"))),
     // decontamination scan: which benchmark strings occur in the corpus,
     // via a broadcast pattern list + substring containment join
     "contamination_scan" -> ((s, dir) => {
@@ -1363,6 +1395,17 @@ object ExtensionQueries {
         Privacy.pseudonym(col("c_custkey"), "pepper1", "Customer#")
           .as("pseud_name"),
         floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))),
+    // t-closeness per market segment over the account-balance bands:
+    // ordered-EMD between each segment's balance distribution and the
+    // global one, exact basis points — the attribute-disclosure gap
+    // l-diversity misses; bands from exact cents arithmetic (no float
+    // boundary), every window 10 rows per segment
+    "privacy_tcloseness_customer" -> ((s, dir) =>
+      Privacy.tClosenessReport(
+        t(s, dir, "customer"), col("c_mktsegment"),
+        expr("CAST(least(greatest((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+          "+ 100000) div 110000, 0L), 9L) AS INT)"),
+        nBins = 10)),
 
     // ---- incremental maintenance / pre-join diagnostics ----
     // Bloom runtime prefilter + exact semi-join: lineitems of urgent
@@ -1582,6 +1625,21 @@ object ExtensionQueries {
         .select(col("n_suppliers"),
           expr("CAST((10000 * sq) div (t * t) AS BIGINT)").as("hhi_bp"))
     }),
+    // SQL NTILE(8) over the global order-value order WITHOUT a global
+    // single-partition window (distributed two-phase rank over exact
+    // binary-fraction quantile ranges), aggregated per bucket; oracle is
+    // DuckDB's native ntile() — the remainder rule must match exactly
+    "orders_ntile_buckets" -> ((s, dir) =>
+      graft.engine.Ops.ntileBuckets(
+        t(s, dir, "orders").select(col("o_orderkey"), expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents")),
+        sortKey = "cents", tieKey = "o_orderkey", k = 8, boundsPow2 = 32)
+        .groupBy(col("ntile_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)")
+            .as("sum_cents"))),
     // Pareto/ABC inventory classification: parts ranked by exact cent
     // revenue, cumulative share classes A (<=80%), B (<=95%), C. The
     // running sum is the distributed prefix scan (revenue-range buckets
@@ -1772,6 +1830,46 @@ object ExtensionQueries {
     // via DECIMAL moments — the seasonality screen before any forecaster
     "events_autocorr" -> ((s, dir) =>
       EventsAnalytics.autocorrHourly(t(s, dir, "events"))),
+    // Benford first-significant-digit audit of event values: per digit,
+    // observed share vs the log10(1+1/d) expectation, exact ppm — the
+    // fraud / synthetic-data screen; map-only scan + 9-row aggregate
+    "events_benford" -> ((s, dir) =>
+      EventsAnalytics.benfordFirstDigit(t(s, dir, "events"))),
+    // local maxima of the dense hourly count series per event type
+    // (missing hours are real zeros): the alerting primitive behind
+    // "traffic spiked at hour H"; time-span-bounded windows only
+    "events_peak_hours" -> ((s, dir) =>
+      EventsAnalytics.peakHours(t(s, dir, "events"))),
+    // inter-arrival-time spectrum: per-user consecutive-event gaps in
+    // power-of-two second bands per type — the burstiness fingerprint
+    // behind rate-limit tuning; user-keyed windows only
+    "events_interarrival_bands" -> ((s, dir) =>
+      EventsAnalytics.interArrivalBands(t(s, dir, "events"))),
+    // incremental top-k view maintenance: merge an insert batch (event_id
+    // % 4 = 3) into the materialized top-5-value-per-type state — both
+    // cuts on the bounded-heap TopKPerKey, refresh cost is state+batch,
+    // never the corpus; the oracle is the full recompute the merge must equal
+    "ivm_topk_maintain" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .withColumn("neg_cents", -col("cents"))
+      val state = graft.plans.TopKPerKey.topKPerKey(
+        e.filter(col("event_id") % 4 =!= 3),
+        Seq("event_type"), Seq("neg_cents", "event_id"), 5)
+      graft.engine.Ivm.topKMaintain(
+        state, e.filter(col("event_id") % 4 === 3),
+        Seq("event_type"), Seq("neg_cents", "event_id"), 5)
+        .select(col("event_type"), col("event_id"), col("cents"))
+    }),
+    // PIVOT: hour-of-day x event-type count matrix with the type list
+    // pinned (no extra distinct-discovery job, fixed-width output) —
+    // the relational pivot operator over the events stream
+    "events_pivot_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(expr("(ts div 3600000000000) % 24").as("hod"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))),
     "events_json" -> ((s, dir) => EventsAnalytics.jsonProps(t(s, dir, "events"))),
     "events_value_quantiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type")).agg(
@@ -3481,6 +3579,48 @@ object ExtensionQueries {
         "SELECT CAST(length(bin(deg)) - 1 AS INT) AS band, " +
         "count(*) AS n_vertices, CAST(min(deg) AS BIGINT) AS min_deg, " +
         "CAST(max(deg) AS BIGINT) AS max_deg FROM deg GROUP BY 1"),
+    // the 3 BFS hops unrolled as frontier CTEs, each excluding everything
+    // already visited; hub seed = top-4 degree with the same tie-break
+    "token_graph_bfs_depth" ->
+      (tokenEdgeCte + ", " +
+        "adj AS (SELECT id_a AS u, id_b AS v FROM e " +
+        "UNION ALL SELECT id_b, id_a FROM e), " +
+        "deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1), " +
+        "d0 AS (SELECT u AS node FROM deg ORDER BY deg DESC, u LIMIT 4), " +
+        "f1 AS (SELECT DISTINCT adj.v AS node FROM adj " +
+        "JOIN d0 ON adj.u = d0.node " +
+        "WHERE adj.v NOT IN (SELECT node FROM d0)), " +
+        "f2 AS (SELECT DISTINCT adj.v AS node FROM adj " +
+        "JOIN f1 ON adj.u = f1.node " +
+        "WHERE adj.v NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM f1)), " +
+        "f3 AS (SELECT DISTINCT adj.v AS node FROM adj " +
+        "JOIN f2 ON adj.u = f2.node " +
+        "WHERE adj.v NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM f1 " +
+        "UNION ALL SELECT node FROM f2)) " +
+        "SELECT node, CAST(depth AS INT) AS depth FROM (" +
+        "SELECT node, 0 AS depth FROM d0 " +
+        "UNION ALL SELECT node, 1 FROM f1 " +
+        "UNION ALL SELECT node, 2 FROM f2 " +
+        "UNION ALL SELECT node, 3 FROM f3) x"),
+    // Pearson moments over the directed double cover; Σy/Σyy collapse to
+    // Σx/Σxx by symmetry, so den is a perfect square like the engine's
+    "token_graph_assortativity" ->
+      (tokenEdgeCte + ", " +
+        "dc AS (SELECT id_a AS u, id_b AS v FROM e " +
+        "UNION ALL SELECT id_b, id_a FROM e), " +
+        "deg AS (SELECT u, count(*) AS d FROM dc GROUP BY 1), " +
+        "xy AS (SELECT dx.d AS x, dy.d AS y FROM dc " +
+        "JOIN deg dx ON dc.u = dx.u JOIN deg dy ON dc.v = dy.u), " +
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, " +
+        "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(x * x) AS HUGEINT) AS sxx, " +
+        "CAST(sum(x * y) AS HUGEINT) AS sxy FROM xy), " +
+        "f AS (SELECT n, n * sxy - sx * sx AS num, " +
+        "n * sxx - sx * sx AS den FROM m) " +
+        "SELECT CAST(n // 2 AS BIGINT) AS n_edges, " +
+        "CAST(CASE WHEN den = 0 THEN 0 WHEN num < 0 THEN " +
+        "-((1000000::HUGEINT * num * num) // (den * den)) " +
+        "ELSE (1000000::HUGEINT * num * num) // (den * den) END AS BIGINT) " +
+        "AS r2_signed_ppm FROM f"),
     // same islands/degree/frequency pipeline in SQL; positions are
     // 1-based here vs 0-based in Spark — islands only use differences
     "keyphrases_rake_topk" ->
@@ -3759,6 +3899,35 @@ object ExtensionQueries {
         ", comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src) " +
         "SELECT sz, count(*) AS n_components FROM " +
         "(SELECT component, count(*) AS sz FROM comp GROUP BY 1) c GROUP BY sz"),
+    // Newman per-community term 10^6*(4m*e_c - d_c^2)/(4m^2), communities
+    // = doc source tagged onto the distinct candidate pairs; signed
+    // integral division truncates toward zero in both engines
+    "neardup_source_modularity" ->
+      ("WITH " + minhashPairCtes + ", " +
+        "p AS (SELECT DISTINCT id_a, id_b FROM pairs), " +
+        "tg AS (SELECT p.id_a, p.id_b, da.source AS ca, db.source AS cb " +
+        "FROM p JOIN documents da ON p.id_a = da.doc_id " +
+        "JOIN documents db ON p.id_b = db.doc_id), " +
+        "mm AS (SELECT count(*) AS m FROM tg), " +
+        "dm AS (SELECT community, count(*) AS deg_sum FROM " +
+        "(SELECT ca AS community FROM tg UNION ALL SELECT cb FROM tg) u " +
+        "GROUP BY 1), " +
+        "wi AS (SELECT ca AS community, count(*) AS e_in FROM tg " +
+        "WHERE ca = cb GROUP BY 1), " +
+        "nd AS (SELECT d.source AS community, count(DISTINCT d.doc_id) AS n_nodes " +
+        "FROM documents d JOIN " +
+        "(SELECT id_a AS x FROM p UNION ALL SELECT id_b FROM p) q " +
+        "ON d.doc_id = q.x GROUP BY 1), " +
+        "j AS (SELECT nd.community, nd.n_nodes, coalesce(wi.e_in, 0) AS e_in, " +
+        "dm.deg_sum, " +
+        "4::HUGEINT * mm.m * coalesce(wi.e_in, 0) - " +
+        "CAST(dm.deg_sum AS HUGEINT) * dm.deg_sum AS num, " +
+        "4::HUGEINT * mm.m * mm.m AS den " +
+        "FROM nd JOIN dm USING (community) LEFT JOIN wi USING (community), mm) " +
+        "SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes, " +
+        "CAST(e_in AS BIGINT) AS e_in, CAST(deg_sum AS BIGINT) AS deg_sum, " +
+        "CAST(CASE WHEN num < 0 THEN -((1000000::HUGEINT * abs(num)) // den) " +
+        "ELSE (1000000::HUGEINT * num) // den END AS BIGINT) AS q_ppm FROM j"),
     // the same k-NN chain as a subquery, then majority vote + accuracy
     "knn_label_accuracy" ->
       ("WITH nn AS (SELECT * FROM (" +
@@ -4213,6 +4382,34 @@ object ExtensionQueries {
     "text_length_histogram" ->
       ("SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket, " +
         "count(*) AS n FROM documents GROUP BY 1"),
+    // the same md5 bucket/sign draws replayed in SQL: bucket from the
+    // first 6 hex chars, sign from the 7th's parity
+    "text_feature_hashing" ->
+      ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tk " +
+        "FROM documents), " +
+        "f AS (SELECT source, tk, " +
+        "('0x' || substr(md5(tk), 1, 6))::BIGINT % 32 AS bucket, " +
+        "CASE WHEN ('0x' || substr(md5(tk), 7, 1))::BIGINT % 2 = 0 " +
+        "THEN 1 ELSE -1 END AS sgn FROM tk WHERE tk != '') " +
+        "SELECT source, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(sum(sgn) AS BIGINT) AS feat, count(*) AS n_terms, " +
+        "CAST(count(DISTINCT tk) AS BIGINT) AS n_distinct_terms " +
+        "FROM f GROUP BY 1, 2"),
+    // same segment partition + md5 offset draws; span length is the
+    // constant 3, so only (doc, span, start) needs checking
+    "span_corruption_masks" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "e AS (SELECT doc_id, n_tokens, " +
+        "greatest(1, (n_tokens + 10) // 20) AS n_spans FROM d " +
+        "WHERE n_tokens >= 3), " +
+        "s AS (SELECT doc_id, n_tokens, n_tokens // n_spans AS seg_len, " +
+        "unnest(generate_series(0, n_spans - 1)) AS span_idx FROM e) " +
+        "SELECT doc_id, span_idx, span_idx * seg_len + " +
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(span_idx AS VARCHAR)), 1, 6))::BIGINT % (seg_len - 2)) " +
+        "AS start_pos, n_tokens FROM s"),
     "stratified_sample_docs" ->
       ("SELECT * FROM documents WHERE CASE WHEN lang = 'en' " +
         "THEN doc_id % 2 = 0 ELSE doc_id % 5 = 0 END"),
@@ -4342,6 +4539,34 @@ object ExtensionQueries {
       ("SELECT c_custkey, 'Customer#' || " +
         "substr(md5('pepper1-' || CAST(c_custkey AS VARCHAR)), 1, 12) AS pseud_name, " +
         "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer"),
+    // ordered EMD per segment vs global, all integer cross-multiplication;
+    // the dense 10-bin grid makes missing bins real cumulative steps
+    "privacy_tcloseness_customer" ->
+      ("WITH b AS (SELECT c_mktsegment AS qi_group, " +
+        "CAST(least(greatest((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+        "+ 100000) // 110000, 0), 9) AS INT) AS bin FROM customer), " +
+        "g AS (SELECT qi_group, count(*) AS n_g FROM b GROUP BY 1), " +
+        "bins AS (SELECT unnest(generate_series(0, 9)) AS bin), " +
+        "cell AS (SELECT qi_group, bin, count(*) AS c FROM b GROUP BY 1, 2), " +
+        "grid AS (SELECT g.qi_group, g.n_g, bins.bin, coalesce(cell.c, 0) AS c " +
+        "FROM g CROSS JOIN bins LEFT JOIN cell " +
+        "ON cell.qi_group = g.qi_group AND cell.bin = bins.bin), " +
+        "gt AS (SELECT bins.bin, coalesce(x.cg, 0) AS cg FROM bins " +
+        "LEFT JOIN (SELECT bin, count(*) AS cg FROM b GROUP BY 1) x USING (bin)), " +
+        "gc AS (SELECT bin, sum(cg) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) " +
+        "AS cum_all FROM gt), " +
+        "nn AS (SELECT count(*) AS n_all FROM b), " +
+        "cum AS (SELECT qi_group, n_g, bin, sum(c) OVER " +
+        "(PARTITION BY qi_group ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_g " +
+        "FROM grid), " +
+        "s AS (SELECT qi_group, any_value(n_g) AS n, any_value(n_all) AS n_all, " +
+        "sum(abs(CAST(cum_g AS HUGEINT) * n_all - CAST(cum_all AS HUGEINT) * n_g)) " +
+        "AS sad FROM cum JOIN gc USING (bin), nn GROUP BY 1) " +
+        "SELECT qi_group, CAST(n AS BIGINT) AS n, " +
+        "CAST((10000::HUGEINT * sad) // (CAST(n AS HUGEINT) * n_all * 9) AS BIGINT) " +
+        "AS emd_bp, " +
+        "CAST(CASE WHEN (10000::HUGEINT * sad) // (CAST(n AS HUGEINT) * n_all * 9) " +
+        "> 2000 THEN 1 ELSE 0 END AS INT) AS t_violation FROM s"),
     "events_window_dedup" ->
       ("WITH m AS (SELECT event_id, user_id, event_type, ts, " +
         "CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w <= 300000000000 " +
@@ -4385,6 +4610,69 @@ object ExtensionQueries {
         "-((1000000::HUGEINT * num * num) // (da * db)) " +
         "ELSE (1000000::HUGEINT * num * num) // (da * db) END AS BIGINT) " +
         "AS r2_signed_ppm FROM f"),
+    // Benford constants are the same nine ppm literals the Spark side
+    // carries; shares are exact integer div of the positive-cents counts
+    "events_benford" ->
+      ("WITH d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) " +
+        "AS digit FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "AS cents FROM events) t WHERE cents > 0), " +
+        "c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), " +
+        "tt AS (SELECT sum(n) AS n_total FROM c), " +
+        "b AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit, " +
+        "unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]) " +
+        "AS bf) " +
+        "SELECT c.digit, CAST(c.n AS BIGINT) AS n, " +
+        "CAST((1000000 * c.n) // n_total AS BIGINT) AS share_ppm, " +
+        "CAST(bf AS BIGINT) AS benford_ppm, " +
+        "CAST(abs((1000000 * c.n) // n_total - bf) AS BIGINT) AS dev_ppm " +
+        "FROM c JOIN b USING (digit), tt"),
+    // same dense zero-filled hourly series as events_autocorr; a peak is
+    // a strict two-sided local maximum (endpoints have no neighborhood)
+    "events_peak_hours" ->
+      ("WITH e AS (SELECT event_type, " +
+        "epoch_ns(ts) // 3600000000000 AS hr FROM events), " +
+        "cnt AS (SELECT event_type, hr, count(*) AS c FROM e GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx " +
+        "FROM cnt GROUP BY 1), " +
+        "hrs AS (SELECT event_type, unnest(generate_series(mn, mx)) AS hr " +
+        "FROM rng), " +
+        "dense AS (SELECT h.event_type, h.hr, coalesce(c.c, 0) AS c " +
+        "FROM hrs h LEFT JOIN cnt c " +
+        "ON c.event_type = h.event_type AND c.hr = h.hr), " +
+        "l AS (SELECT event_type, hr, c, lag(c) OVER w AS prev, " +
+        "lead(c) OVER w AS next FROM dense " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY hr)) " +
+        "SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(c AS BIGINT) AS c, " +
+        "CAST(prev AS BIGINT) AS prev, CAST(next AS BIGINT) AS next FROM l " +
+        "WHERE prev IS NOT NULL AND next IS NOT NULL " +
+        "AND c > prev AND c > next"),
+    "events_interarrival_bands" ->
+      ("WITH g AS (SELECT event_type, " +
+        "(epoch_ns(ts) - lag(epoch_ns(ts)) OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id)) " +
+        "// 1000000000 AS gap_s FROM events), " +
+        "b AS (SELECT event_type, " +
+        "CAST(length(bin(gap_s + 1)) - 1 AS INT) AS band, gap_s FROM g " +
+        "WHERE gap_s IS NOT NULL) " +
+        "SELECT event_type, band, count(*) AS n, " +
+        "CAST(min(gap_s) AS BIGINT) AS min_s, " +
+        "CAST(max(gap_s) AS BIGINT) AS max_s FROM b GROUP BY 1, 2"),
+    // the merge must equal the direct full recompute — stated directly
+    "ivm_topk_maintain" ->
+      ("WITH e AS (SELECT event_type, event_id, " +
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents " +
+        "FROM events), " +
+        "r AS (SELECT event_type, event_id, cents, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY cents DESC, event_id) AS rn FROM e) " +
+        "SELECT event_type, event_id, cents FROM r WHERE rn <= 5"),
+    // the pivot stated as conditional aggregation — ANSI-expressible, so
+    // the hash checks every cell of the hour x type matrix
+    "events_pivot_hourly" ->
+      ("SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hod, " +
+        Seq("click", "error", "purchase", "signup", "view").map(ty =>
+          s"CAST(sum(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END) AS BIGINT) AS $ty")
+          .mkString(", ") +
+        " FROM events GROUP BY 1"),
     "events_transitions" ->
       ("WITH o AS (SELECT user_id, event_type AS to_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type " +
@@ -4601,6 +4889,17 @@ object ExtensionQueries {
         "CASE WHEN cum_cents * 100 <= total * 80 THEN 'A' " +
         "WHEN cum_cents * 100 <= total * 95 THEN 'B' ELSE 'C' END AS abc_class " +
         "FROM c, t"),
+    // native ntile() — the engine's two-phase rank must reproduce SQL's
+    // remainder rule (first n mod k buckets take the extra row) exactly
+    "orders_ntile_buckets" ->
+      ("WITH o AS (SELECT o_orderkey, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents " +
+        "FROM orders), " +
+        "nt AS (SELECT cents, ntile(8) OVER (ORDER BY cents, o_orderkey) AS b " +
+        "FROM o) " +
+        "SELECT CAST(b AS INT) AS ntile_bucket, count(*) AS n, " +
+        "min(cents) AS min_cents, max(cents) AS max_cents, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM nt GROUP BY 1"),
     "basket_pairs_topk" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab " +

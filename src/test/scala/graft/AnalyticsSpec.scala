@@ -1043,4 +1043,113 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq.map(_._1).distinct.size == got.size)
     assert(got.toSeq.map(_._2).distinct.size == got.size)
   }
+
+  test("benford: hand digits + the nine ppm constants partition 10^6") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    // cents 100, 25, 999, 1 → first digits 1, 2, 9, 1
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 1000L, 1L, 1.0), Row(2L, 2000L, 1L, 0.25),
+      Row(3L, 3000L, 1L, 9.99), Row(4L, 4000L, 1L, 0.01)).asJava, schema)
+    val got = EventsAnalytics.benfordFirstDigit(tiny).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got == Map(
+      1 -> ((2L, 500000L, 198970L)),
+      2 -> ((1L, 250000L, 73909L)),
+      9 -> ((1L, 250000L, 204243L))))
+    // the expectation constants surface per digit: log10(2), log10(3/2),
+    // log10(10/9) in ppm
+    assert(EventsAnalytics.benfordFirstDigit(tiny).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap ==
+      Map(1 -> 301030L, 2 -> 176091L, 9 -> 45757L))
+  }
+
+  test("peak hours: zero-filled gap hours form real two-sided neighborhoods") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val hourNs = 3600L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType)))
+    // type 'a' occupancy: hr0 ×1, hr2 ×5, hr4 ×1 → dense [1,0,5,0,1]
+    val rows = (Seq((0L, 1)) ++ Seq.fill(5)((2L, 1)) ++ Seq((4L, 1)))
+      .zipWithIndex.map { case ((hr, _), i) =>
+        Row(i.toLong, hr * hourNs + 1000L * i, "a") }
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.peakHours(tiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // only hr2 peaks: endpoints excluded, the zero hours are not peaks but
+    // they ARE the neighbors that make hr2 one
+    assert(got.toSeq == Seq(("a", 2L, 5L, 0L, 0L)))
+  }
+
+  test("BFS from hubs: star+chain hand case, depth cap excludes the tail") {
+    import spark.implicits._
+    val edges = (Seq("x1", "x2", "x3", "x4", "x5").map(x => ("h", x)) ++
+      Seq(("x1", "y1"), ("y1", "z1"), ("z1", "w1")))
+      .toDF("id_a", "id_b")
+    val got = analytics.Dedup.bfsDepthFromHubs(edges, nHubs = 1, maxDepth = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("h" -> 0, "x1" -> 1, "x2" -> 1, "x3" -> 1,
+      "x4" -> 1, "x5" -> 1, "y1" -> 2, "z1" -> 3)) // w1 is 4 hops out
+  }
+
+  test("assortativity: a star is exactly -1 (r2_signed_ppm = -10^6)") {
+    import spark.implicits._
+    val star = Seq(("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"))
+      .toDF("id_a", "id_b")
+    val got = analytics.Dedup.degreeAssortativity(star).collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((4L, -1000000L)))
+    // a cycle is degree-regular: zero variance → defined as 0
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("id_a", "id_b")
+    val reg = analytics.Dedup.degreeAssortativity(cycle).collect().head
+    assert((reg.getLong(0), reg.getLong(1)) == ((3L, 0L)))
+  }
+
+  test("inter-arrival bands: hand gaps land in their power-of-two bands") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    // user 1, type a: gaps 1 s, 3 s, 16 s → bands 1, 2, 4; a same-ts pair
+    // for user 2 → gap 0 → band 0
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 0L, 1L, "a"), Row(2L, 1000000000L, 1L, "a"),
+      Row(3L, 4000000000L, 1L, "a"), Row(4L, 20000000000L, 1L, "a"),
+      Row(5L, 7L, 2L, "a"), Row(6L, 7L, 2L, "a")).asJava, schema)
+    val got = EventsAnalytics.interArrivalBands(tiny).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("a", 0) -> ((1L, 0L, 0L)), ("a", 1) -> ((1L, 1L, 1L)),
+      ("a", 2) -> ((1L, 3L, 3L)), ("a", 4) -> ((1L, 16L, 16L))))
+  }
+
+  test("modularity: two cliques with one cross edge, hand-computed ppm") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("a", "d")).toDF("id_a", "id_b")
+    val member = Seq("a" -> "X", "b" -> "X", "c" -> "X",
+      "d" -> "Y", "e" -> "Y", "f" -> "Y").toDF("node", "community")
+    val got = analytics.Dedup.communityModularity(edges, member).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // m=7; each clique: e_in=3, deg_sum=7 → 10^6·(4·7·3 − 49)/(4·49) = 178571
+    assert(got == Map("X" -> ((3L, 3L, 7L, 178571L)),
+      "Y" -> ((3L, 3L, 7L, 178571L))))
+    // the anti-community partition (odd split) must score strictly lower
+    val bad = Seq("a" -> "X", "b" -> "Y", "c" -> "X",
+      "d" -> "Y", "e" -> "X", "f" -> "Y").toDF("node", "community")
+    val qBad = analytics.Dedup.communityModularity(edges, bad).collect()
+      .map(_.getLong(4)).sum
+    assert(qBad < 2 * 178571L)
+  }
 }

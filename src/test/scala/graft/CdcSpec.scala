@@ -138,6 +138,25 @@ class CdcSpec extends SparkSpecBase {
     assert(delta.intersect(baseView).count() == 0)
   }
 
+  test("Ivm.topKMaintain: merge of state + batch equals full recompute, per split") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("neg_cents", -col("cents"))
+    val full = graft.plans.TopKPerKey.topKPerKey(
+      e, Seq("event_type"), Seq("neg_cents", "event_id"), 5)
+    for (m <- Seq(2L, 4L, 7L)) {
+      val state = graft.plans.TopKPerKey.topKPerKey(
+        e.filter(col("event_id") % m =!= 0),
+        Seq("event_type"), Seq("neg_cents", "event_id"), 5)
+      val merged = graft.engine.Ivm.topKMaintain(
+        state, e.filter(col("event_id") % m === 0),
+        Seq("event_type"), Seq("neg_cents", "event_id"), 5)
+      assert(merged.exceptAll(full).count() == 0)
+      assert(full.exceptAll(merged).count() == 0)
+    }
+  }
+
   test("cusumShift: argmax lands at a constructed level shift") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

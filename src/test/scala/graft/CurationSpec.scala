@@ -957,4 +957,54 @@ class CurationSpec extends SparkSpecBase {
       // cat: truth {1,2}; top-3 = 1,2,3 -> prec 2/3, recall 2/2, MRR 1/1
       ("cat", 2L, 3L, 2L, 6666L, 10000L, 1000000L)))
   }
+
+  test("span corruption: segment placement invariants + tiny-doc edge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("w " * 44).trim, "s1"), // 44 tokens → 2 spans, seg_len 22
+      (2L, "a b c", "s1"),          // 3 tokens → 1 span, seg_len 3
+      (3L, "a b", "s1")             // 2 tokens → ineligible
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.spanCorruptionMasks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(2L).length == 1)
+    val Seq((_, _, s2, n2)) = byDoc(2L).toSeq
+    assert(n2 == 3L && s2 == 0L) // seg_len 3 → only offset 0 possible
+    assert(byDoc(1L).length == 2)
+    // span i lives in [i*seg_len, i*seg_len + seg_len - 3]: spans of 3
+    // never overlap or spill past the token stream
+    byDoc(1L).foreach { case (_, idx, start, n) =>
+      assert(start >= idx * 22 && start <= idx * 22 + 19 && start + 3 <= n)
+    }
+    // deterministic across runs
+    assert(Curation.spanCorruptionMasks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      got.map(t => (t._1, t._2, t._3)).sorted.toSeq)
+  }
+
+  test("feature hashing: buckets/signs replay the md5 draws, counts conserve") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha", "s1"), (2L, "beta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.featureHashing(docs, nBuckets = 32).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // replay the same md5 arithmetic driver-side
+    def draw(tk: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 32,
+        if (java.lang.Long.parseLong(hex.substring(6, 7), 16) % 2 == 0) 1L else -1L)
+    }
+    val (bA, sA) = draw("alpha")
+    val (bB, sB) = draw("beta")
+    val expected =
+      if (bA == bB) Map(("s1", bA) -> ((2 * sA + 2 * sB, 4L, 2L)))
+      else Map(("s1", bA) -> ((2 * sA, 2L, 1L)), ("s1", bB) -> ((2 * sB, 2L, 1L)))
+    assert(got == expected)
+    // term mass is conserved across buckets regardless of collisions
+    assert(got.values.map(_._2).sum == 4L)
+  }
 }

@@ -199,4 +199,27 @@ class OpsSpec extends SparkSpecBase {
     assert(n1 == n2)
     assert(n1 > 50 && n1 < 350) // 10% of 1500 ± wide band
   }
+
+  test("ntileBuckets reproduces SQL NTILE exactly, including the remainder rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    // 13 rows, k=5: q=2, r=3 → buckets sized 3,3,3,2,2; keys shuffled in
+    // input order so the ranking must come from the sort, not arrival
+    val df = Seq(7, 1, 12, 3, 9, 0, 11, 5, 2, 10, 4, 8, 6)
+      .map(i => (i.toLong * 10, i.toLong)).toDF("k", "id")
+    val got = Ops.ntileBuckets(df, "k", "id", k = 5, boundsPow2 = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val ref = df.withColumn("b",
+        ntile(5).over(Window.orderBy(col("k"), col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == ref)
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(1 -> 3, 2 -> 3, 3 -> 3, 4 -> 2, 5 -> 2))
+    // n < k: every row its own bucket, numbered from 1 by rank
+    val small = Seq((30L, 1L), (10L, 2L), (20L, 3L)).toDF("k", "id")
+    val gotSmall = Ops.ntileBuckets(small, "k", "id", k = 5, boundsPow2 = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(gotSmall == Map(10L -> 1, 20L -> 2, 30L -> 3))
+  }
 }

@@ -39,4 +39,22 @@ class PrivacySpec extends SparkSpecBase {
     assert(rep.agg(sum("k")).head.getLong(0) == customer.count())
     assert(rep.filter((col("k") < 5) =!= (col("below") === 1)).count() == 0)
   }
+
+  test("t-closeness: hand-computed ordered EMD, skewed group flagged") {
+    import spark.implicits._
+    // global over 2 bins: bin0 ×2, bin1 ×4 (N=6). Group A(4): 0,0,1,1 —
+    // sad = |2·6−2·4| = 4 → 40000 div 24 = 1666. Group B(2): 1,1 —
+    // sad = |0·6−2·2| = 4 → 40000 div 12 = 3333 > t=2000.
+    val df = Seq(("A", 0), ("A", 0), ("A", 1), ("A", 1), ("B", 1), ("B", 1))
+      .toDF("seg", "b")
+    val got = Privacy.tClosenessReport(df, col("seg"), col("b"), nBins = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got == Map("A" -> ((4L, 1666L, 0)), "B" -> ((2L, 3333L, 1))))
+    // a group distributed like the global distribution has EMD exactly 0
+    val uni = Seq(("A", 0), ("A", 1), ("B", 0), ("B", 1)).toDF("seg", "b")
+    val zero = Privacy.tClosenessReport(uni, col("seg"), col("b"), nBins = 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(zero == Seq(0L, 0L))
+  }
 }
