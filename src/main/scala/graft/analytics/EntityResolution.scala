@@ -148,4 +148,59 @@ object EntityResolution {
     }
     perStrategy.reduce(_.unionAll(_))
   }
+
+  /** Fellegi–Sunter match/non-match agreement probabilities (JASA 1969),
+    * the counting half of probabilistic record linkage: over a
+    * deterministic candidate-pair set (same `blockCol`, id within
+    * `idWindow` — linear, ×idWindow rows, never a block-wide self-join),
+    * label each pair by bounded name edit distance ≤ 1, then per comparison
+    * feature emit m = P(agree | match) and u = P(agree | non-match) in
+    * exact basis points plus the agreement weight m_bp·10⁴ div u_bp (the
+    * integer image of the log-odds ratio a linkage rule thresholds on —
+    * monotone in it, so ranking features by weight is identical).
+    * `features` are (name, boolean agreement column over the a_/b_-prefixed
+    * pair relation).
+    */
+  def fellegiSunterWeights(
+      records: DataFrame, idCol: String, nameCol: String, blockCol: String,
+      features: Seq[(String, org.apache.spark.sql.Column)],
+      idWindow: Int = 5): DataFrame = {
+    require(features.nonEmpty, "fellegiSunterWeights: need features")
+    val a = records.columns.foldLeft(records)((d, c) =>
+      d.withColumnRenamed(c, s"a_$c"))
+    val b = records.columns.foldLeft(records)((d, c) =>
+      d.withColumnRenamed(c, s"b_$c"))
+    // candidate generation as an equi-join: a-side explodes its next
+    // idWindow ids, so the pairing shuffles on (block, id) — no range join
+    val probes = a.select((a.columns.map(col) :+
+      explode(sequence(col(s"a_$idCol") + 1, col(s"a_$idCol") + idWindow))
+        .as("probe_id")): _*)
+    val pairs = probes.join(b,
+      col("probe_id") === col(s"b_$idCol") &&
+        col(s"a_$blockCol") === col(s"b_$blockCol"))
+      .withColumn("is_match",
+        (levenshtein(col(s"a_$nameCol"), col(s"b_$nameCol")) <= 1).cast("int"))
+    val aggCols = count(lit(1)).as("n_all") ::
+      features.toList.zipWithIndex.flatMap { case ((_, agree), i) => List(
+        sum(when(col("is_match") === 1 && agree, 1L).otherwise(0L)).as(s"am_$i"),
+        sum(when(col("is_match") === 0 && agree, 1L).otherwise(0L)).as(s"au_$i"))
+      }
+    val agg = pairs
+      .agg(sum(col("is_match")).cast("long").as("n_match"), aggCols: _*)
+      .withColumn("n_nonmatch", col("n_all") - col("n_match"))
+    agg.select(explode(array(features.zipWithIndex.map { case ((fname, _), i) =>
+        struct(lit(fname).as("feature"),
+          col("n_match").cast("long").as("n_match"),
+          col("n_nonmatch").cast("long").as("n_nonmatch"),
+          expr(s"(am_$i * 10000L) div (CASE WHEN n_match = 0 THEN 1 ELSE n_match END)")
+            .as("m_bp"),
+          expr(s"(au_$i * 10000L) div (CASE WHEN n_nonmatch = 0 THEN 1 ELSE n_nonmatch END)")
+            .as("u_bp"))
+      }: _*)).as("p"))
+      .select(col("p.feature").as("feature"), col("p.n_match").as("n_match"),
+        col("p.n_nonmatch").as("n_nonmatch"),
+        col("p.m_bp").as("m_bp"), col("p.u_bp").as("u_bp"))
+      .withColumn("weight_fp", expr(
+        "(m_bp * 10000L) div (CASE WHEN u_bp = 0 THEN 1 ELSE u_bp END)"))
+  }
 }

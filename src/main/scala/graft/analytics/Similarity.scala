@@ -1879,4 +1879,58 @@ object Similarity {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("sim_fp"), col("margin_bp"))
   }
+
+  /** Greedy k-center / farthest-point coreset selection (Gonzalez 1985,
+    * the classic 2-approximation; the "diverse seed set" selector behind
+    * coreset sampling and dedup-canopy seeding — corpus-global, unlike the
+    * query-relative [[mmrDiverseTopK]]). Seed = min vec_id; each of the
+    * k−1 following steps picks the vector FARTHEST (max of its min
+    * quantized squared L2 distance) from everything selected so far, ties
+    * to the smallest vec_id. Dimensions quantize to round(x·10⁴) BIGINTs
+    * so distances are exact integers in both engines. Per step: ONE
+    * linear aggregate over the corpus against the ≤k-row broadcast
+    * selected set (Gonzalez is O(k·N) by construction) plus one
+    * parameter-sized head fetch — the same bounded-driver-loop shape as
+    * the BPE argmax. Returns (step, vec_id, d2_min): the selection order
+    * and each pick's distance to the prior set (the k-center radius
+    * sequence, non-increasing — `AnalyticsSpec` pins it).
+    */
+  def kCenterSample(emb: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, "kCenterSample: k >= 1")
+    val spark = emb.sparkSession
+    val q = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))")
+      .as("qv"))
+    def d2To(sel: Array[Long]): org.apache.spark.sql.Column = {
+      val litArr = typedlit(sel.toSeq)
+      aggregate(
+        zip_with(col("qv"), litArr, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    }
+    val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
+    var picked = Vector((seed.getLong(0),
+      seed.getSeq[Long](1).toArray, 0L))
+    for (step <- 2 to k) {
+      val minD2 = picked.map(p => d2To(p._2)).reduce(least(_, _))
+      val top = q
+        .filter(!col("vec_id").isInCollection(picked.map(_._1)))
+        .select(col("vec_id"), col("qv"), minD2.as("mind"))
+        .agg(max(struct(col("mind").as("m"), (-col("vec_id")).as("nid"),
+          col("qv").as("v"))).as("t"))
+        .select(col("t.m"), (-col("t.nid")).as("vec_id"), col("t.v"))
+        .collect()(0)
+      picked :+= ((top.getLong(1), top.getSeq[Long](2).toArray, top.getLong(0)))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      picked.zipWithIndex.map { case ((id, _, d2), i) =>
+        org.apache.spark.sql.Row(i + 1, id, d2) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("d2_min",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

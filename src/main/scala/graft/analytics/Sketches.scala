@@ -283,4 +283,37 @@ object Sketches {
       .agg(min(col("c")).as("n_est"))
       .withColumn("overcount", col("n_est") - col("n_exact"))
   }
+
+  /** HLL sketch MERGEABILITY audit: per-source Datasketches HLL sketches of
+    * the token vocabulary (Spark's native `hll_sketch_agg`, codegen'd
+    * partial aggregation) are UNIONED into a corpus estimate — the
+    * distributed-sketch property that lets a 1000-executor ingest keep one
+    * KB-sized state per source and still answer the global distinct
+    * question (re-aggregating raw tokens would shuffle the corpus). Like
+    * `approx_distinct_parts`, the emitted image is exact-count + an
+    * integer error-band flag (|est − exact|·10⁴ div exact within
+    * `bandBp`), so the oracle states exact + flag = 1 and a broken
+    * estimator or union flips the hash red. Output: one row per source
+    * plus the '__union__' row whose flag certifies the merged estimate.
+    */
+  def hllUnionSources(docs: DataFrame, bandBp: Long = 1500L): DataFrame = {
+    val tk = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+    val per = tk.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(tk)").as("sk"),
+        countDistinct(col("tk")).as("n_exact"))
+    val perOut = per.select(col("source"), col("n_exact"),
+      expr("hll_sketch_estimate(sk)").as("est"))
+    val exactAll = tk.agg(countDistinct(col("tk")).as("n_exact"))
+    val unionOut = per.agg(expr("hll_union_agg(sk)").as("u"))
+      .crossJoin(broadcast(exactAll))
+      .select(lit("__union__").as("source"), col("n_exact"),
+        expr("hll_sketch_estimate(u)").as("est"))
+    perOut.unionAll(unionOut)
+      .select(col("source"), col("n_exact"),
+        (expr("abs(est - n_exact) * 10000L div " +
+          "(CASE WHEN n_exact = 0 THEN 1 ELSE n_exact END)") <= bandBp)
+          .cast("int").as("within_band"))
+  }
 }

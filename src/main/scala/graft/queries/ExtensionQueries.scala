@@ -484,6 +484,19 @@ object ExtensionQueries {
     // truth: the report that picks a block key BEFORE a corpus-scale run.
     // name-prefix-12 is deliberately terrible (every fixture name shares
     // it) — the metric exists to expose exactly that
+    // Fellegi-Sunter m/u agreement probabilities over a linear
+    // nation-blocked candidate window, labels from bounded edit distance:
+    // the counting half of probabilistic record linkage, exact bp
+    "er_fellegi_sunter" -> ((s, dir) =>
+      EntityResolution.fellegiSunterWeights(
+        t(s, dir, "customer"), "c_custkey", "c_name", "c_nationkey",
+        Seq(
+          ("segment", col("a_c_mktsegment") === col("b_c_mktsegment")),
+          ("bal_band",
+            expr("CAST(CAST(a_c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) div 100000") ===
+              expr("CAST(CAST(b_c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) div 100000")),
+          ("name_prefix",
+            substring(col("a_c_name"), 1, 12) === substring(col("b_c_name"), 1, 12))))),
     "er_blocking_eval" -> ((s, dir) =>
       EntityResolution.blockingEval(t(s, dir, "customer"),
         "c_custkey", "c_name", Seq(
@@ -516,6 +529,11 @@ object ExtensionQueries {
     // of relevance vs redundancy, driver loop over the bounded pool only
     "cosine_topk_mmr" -> ((s, dir) =>
       Similarity.mmrDiverseTopK(t(s, dir, "embeddings"))),
+    // greedy k-center / farthest-point coreset (Gonzalez): corpus-global
+    // diverse seed selection — one linear aggregate per step against the
+    // broadcast selected set, exact integer quantized distances
+    "diversity_kcenter_sample" -> ((s, dir) =>
+      Similarity.kCenterSample(t(s, dir, "embeddings"), k = 8)),
     "cosine_topk_lsh_bucket" -> ((s, dir) =>
       Similarity.lshBucketTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5, nBits = 8)),
     "cosine_topk_native" -> ((s, dir) =>
@@ -1598,6 +1616,31 @@ object ExtensionQueries {
           expr("percentile(d, 0.75)").as("p75_days"),
           max(col("d")).as("max_days"))
     }),
+    // cohort lifetime value: first-order-month cohorts x months-since,
+    // exact-cent revenue and its running total — the LTV curve next to
+    // the repeat-rate rollup; windows are cohort-keyed over a
+    // months-bounded series, never customer- or order-sized
+    "orders_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+      val sizes = first.groupBy(col("cohort_m"))
+        .agg(count(lit(1)).as("n_customers"))
+      val rev = o.join(first, Seq("o_custkey"))
+        .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("months_since"))
+        .agg(expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)")
+          .as("rev_cents"))
+      val w = Window.partitionBy(col("cohort_m")).orderBy(col("months_since"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.join(sizes, Seq("cohort_m"))
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .select(col("cohort_m").cast("long").as("cohort_m"),
+          col("months_since").cast("long").as("months_since"),
+          col("n_customers"), col("rev_cents"), col("cum_rev_cents"))
+    }),
     // repeat-purchase rate by first-order-year cohort (integer bp) — the
     // orders-side loyalty rollup next to the events retention cohorts
     "orders_repeat_rate_cohort" -> ((s, dir) =>
@@ -2016,6 +2059,11 @@ object ExtensionQueries {
       Sketches.cmsErrorEval(t(s, dir, "documents"))),
     // KMV distinct sketches with SET operations: per source pair the
     // k-min-values Jaccard estimate next to the exact answer (integer bp)
+    // HLL sketch mergeability audit: per-source native Datasketches HLL
+    // sketches union into the corpus distinct estimate — exact counts +
+    // integer error-band flags, the KB-per-source state story at 100 TB
+    "hll_union_sources" -> ((s, dir) =>
+      Sketches.hllUnionSources(t(s, dir, "documents"))),
     "kmv_overlap_eval" -> ((s, dir) =>
       Sketches.kmvOverlapEval(t(s, dir, "documents"))),
     // retention cohorts: users bucketed by first-seen week, distinct-user
@@ -4039,6 +4087,41 @@ object ExtensionQueries {
         "CAST(CASE WHEN coalesce(n_truth, 0) = 0 THEN 10000 " +
         "ELSE (n_found * 10000) // n_truth END AS BIGINT) AS completeness_bp " +
         "FROM st LEFT JOIN fnd ON st.strategy = fnd.strategy"),
+    // the same nation-blocked id-window candidates, labels from plain
+    // levenshtein <= 1; one grand aggregate feeds all three feature rows
+    "er_fellegi_sunter" ->
+      ("WITH c AS (SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nat, " +
+        "c_mktsegment AS seg, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bb " +
+        "FROM customer), " +
+        "p AS (SELECT a.nm AS nm_a, b.nm AS nm_b, a.seg AS seg_a, " +
+        "b.seg AS seg_b, a.bb AS bb_a, b.bb AS bb_b FROM c a JOIN c b " +
+        "ON a.nat = b.nat AND b.id BETWEEN a.id + 1 AND a.id + 5), " +
+        "l AS (SELECT CASE WHEN levenshtein(nm_a, nm_b) <= 1 THEN 1 ELSE 0 END AS m, " +
+        "CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS f0, " +
+        "CASE WHEN bb_a = bb_b THEN 1 ELSE 0 END AS f1, " +
+        "CASE WHEN substr(nm_a, 1, 12) = substr(nm_b, 1, 12) THEN 1 ELSE 0 END AS f2 " +
+        "FROM p), " +
+        "g AS (SELECT sum(m) AS n_match, count(*) - sum(m) AS n_nonmatch, " +
+        "sum(CASE WHEN m = 1 THEN f0 ELSE 0 END) AS am0, " +
+        "sum(CASE WHEN m = 0 THEN f0 ELSE 0 END) AS au0, " +
+        "sum(CASE WHEN m = 1 THEN f1 ELSE 0 END) AS am1, " +
+        "sum(CASE WHEN m = 0 THEN f1 ELSE 0 END) AS au1, " +
+        "sum(CASE WHEN m = 1 THEN f2 ELSE 0 END) AS am2, " +
+        "sum(CASE WHEN m = 0 THEN f2 ELSE 0 END) AS au2 FROM l), " +
+        "fr AS (SELECT 'segment' AS feature, am0 AS am, au0 AS au FROM g " +
+        "UNION ALL SELECT 'bal_band', am1, au1 FROM g " +
+        "UNION ALL SELECT 'name_prefix', am2, au2 FROM g) " +
+        "SELECT feature, CAST(n_match AS BIGINT) AS n_match, " +
+        "CAST(n_nonmatch AS BIGINT) AS n_nonmatch, " +
+        "CAST((am * 10000) // (CASE WHEN n_match = 0 THEN 1 ELSE n_match END) " +
+        "AS BIGINT) AS m_bp, " +
+        "CAST((au * 10000) // (CASE WHEN n_nonmatch = 0 THEN 1 ELSE n_nonmatch END) " +
+        "AS BIGINT) AS u_bp, " +
+        "CAST(((am * 10000) // (CASE WHEN n_match = 0 THEN 1 ELSE n_match END) * 10000) " +
+        "// (CASE WHEN (au * 10000) // (CASE WHEN n_nonmatch = 0 THEN 1 ELSE n_nonmatch END) = 0 " +
+        "THEN 1 ELSE (au * 10000) // (CASE WHEN n_nonmatch = 0 THEN 1 ELSE n_nonmatch END) END) " +
+        "AS BIGINT) AS weight_fp FROM fr, g"),
     "entity_match_clusters" ->
       ("WITH RECURSIVE " + custPairCtes + ", " + closureCtes("cust_pairs") +
         " SELECT src AS c_custkey, min(dst) AS entity_id FROM reach GROUP BY src"),
@@ -4061,6 +4144,36 @@ object ExtensionQueries {
         "SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
     "cosine_topk_mmr" -> mmrOracle,
+    // the Gonzalez greedy unrolled: step i maximizes the running min
+    // quantized L2^2 to the selected set (ties to smallest vec_id)
+    "diversity_kcenter_sample" -> {
+      def dist(aq: String, bq: String): String =
+        s"list_sum([($aq[i] - $bq[i]) * ($aq[i] - $bq[i]) " +
+          s"FOR i IN generate_series(1, len($aq))])"
+      val head =
+        "WITH q AS MATERIALIZED (SELECT vec_id, " +
+          "[CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) FOR x IN embedding] " +
+          "AS qv FROM embeddings), " +
+          "s1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1), " +
+          "d1 AS MATERIALIZED (SELECT q.vec_id, q.qv, " + dist("q.qv", "s.qv") +
+          " AS mind FROM q, s1 s WHERE q.vec_id != s.vec_id)"
+      val steps = (2 to 8).map { i =>
+        val sel = s"s$i AS (SELECT vec_id, qv, mind FROM d${i - 1} " +
+          "ORDER BY mind DESC, vec_id LIMIT 1)"
+        val nxt = if (i < 8)
+          s", d$i AS MATERIALIZED (SELECT d.vec_id, d.qv, least(d.mind, " +
+            dist("d.qv", "s.qv") + s") AS mind FROM d${i - 1} d, s$i s " +
+            "WHERE d.vec_id != s.vec_id)"
+        else ""
+        ", " + sel + nxt
+      }.mkString
+      val tail = " SELECT CAST(1 AS INT) AS step, vec_id, " +
+        "CAST(0 AS BIGINT) AS d2_min FROM s1 " +
+        (2 to 8).map(i =>
+          s"UNION ALL SELECT $i, vec_id, CAST(mind AS BIGINT) FROM s$i ")
+          .mkString
+      head + steps + tail
+    },
     "cosine_topk_bruteforce" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +
@@ -4863,6 +4976,22 @@ object ExtensionQueries {
         "CAST(coalesce((est_rows * 10000) // total_est, 0) AS BIGINT) " +
         "AS share_bp FROM k, t " +
         "ORDER BY est_rows DESC, join_key LIMIT 25"),
+    "orders_cohort_ltv" ->
+      ("WITH o AS (SELECT o_custkey, " +
+        "date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) - 1 AS m, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents " +
+        "FROM orders), " +
+        "f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1), " +
+        "sz AS (SELECT cohort_m, count(*) AS n_customers FROM f GROUP BY 1), " +
+        "r AS (SELECT f.cohort_m, o.m - f.cohort_m AS months_since, " +
+        "CAST(sum(cents) AS BIGINT) AS rev_cents FROM o " +
+        "JOIN f USING (o_custkey) GROUP BY 1, 2) " +
+        "SELECT CAST(r.cohort_m AS BIGINT) AS cohort_m, " +
+        "CAST(r.months_since AS BIGINT) AS months_since, " +
+        "CAST(sz.n_customers AS BIGINT) AS n_customers, r.rev_cents, " +
+        "CAST(sum(rev_cents) OVER (PARTITION BY r.cohort_m " +
+        "ORDER BY months_since ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+        "AS cum_rev_cents FROM r JOIN sz USING (cohort_m)"),
     "orders_repeat_rate_cohort" ->
       ("SELECT cohort_year, count(*) AS n_customers, " +
         "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat, " +
@@ -5165,6 +5294,16 @@ object ExtensionQueries {
         "tot AS (SELECT count(*) AS total FROM bi) " +
         "SELECT gram, count(*) AS n FROM bi GROUP BY 1 " +
         "HAVING count(*) * 2000 >= (SELECT total FROM tot)"),
+    // exact distincts + flag = 1: a broken estimator or union breaks the
+    // hash (the approx_distinct_parts banding pattern)
+    "hll_union_sources" ->
+      ("WITH f AS (SELECT source, tk FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents) t " +
+        "WHERE tk != '') " +
+        "SELECT source, CAST(count(DISTINCT tk) AS BIGINT) AS n_exact, " +
+        "CAST(1 AS INT) AS within_band FROM f GROUP BY 1 " +
+        "UNION ALL SELECT '__union__', CAST(count(DISTINCT tk) AS BIGINT), " +
+        "CAST(1 AS INT) FROM f"),
     // the same md5-32bit KMV layout: per-source k-min sketch, union-k
     // candidates, membership via sketch joins, exact side from the full
     // distinct token sets

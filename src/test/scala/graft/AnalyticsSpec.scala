@@ -1100,6 +1100,39 @@ class AnalyticsSpec extends SparkSpecBase {
       "x4" -> 1, "x5" -> 1, "y1" -> 2, "z1" -> 3)) // w1 is 4 hops out
   }
 
+  test("k-center greedy: hand case on a line, tie to smallest id, radii non-increasing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val pts = spark.createDataFrame(Seq(
+      Row(0L, Seq(0.0f)), Row(1L, Seq(1.0f)),
+      Row(2L, Seq(0.1f)), Row(3L, Seq(0.9f))).asJava, schema)
+    val got = Similarity.kCenterSample(pts, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // seed 0; farthest is 1.0 (d2 = 10000^2); then 0.1 and 0.9 tie at
+    // 1000^2 — smaller vec_id (2) first
+    assert(got == Seq((1, 0L, 0L), (2, 1L, 100000000L),
+      (3, 2L, 1000000L), (4, 3L, 1000000L)))
+    // on the fixture corpus the radius sequence never increases
+    val radii = Similarity.kCenterSample(emb, k = 6).collect()
+      .drop(1).map(_.getLong(2)).toSeq
+    assert(radii == radii.sorted.reverse)
+  }
+
+  test("hll union: per-source and merged estimates inside the band, exact counts honest") {
+    val got = Sketches.hllUnionSources(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got.values.forall(_._2 == 1)) // every flag inside the band
+    val exactUnion = docs
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") =!= "").agg(countDistinct(col("tk"))).head.getLong(0)
+    assert(got("__union__")._1 == exactUnion)
+    assert(got.size >= 2 && got.keySet.contains("__union__"))
+  }
+
   test("assortativity: a star is exactly -1 (r2_signed_ppm = -10^6)") {
     import spark.implicits._
     val star = Seq(("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"))

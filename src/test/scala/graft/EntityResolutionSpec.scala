@@ -86,4 +86,20 @@ class EntityResolutionSpec extends SparkSpecBase {
       "good" -> ((2L, 2L, 1L, 1L, 6667L, 10000L)),
       "bad" -> ((2L, 2L, 1L, 0L, 6667L, 0L))))
   }
+
+  test("Fellegi-Sunter: hand-computed m/u and weight on a 4-record block") {
+    val recs = Seq(
+      (1L, "aa", 7, "x"), (2L, "ab", 7, "x"),
+      (3L, "zz", 7, "y"), (4L, "zz", 7, "z"))
+      .toDF("id", "nm", "blk", "attr")
+    val got = EntityResolution.fellegiSunterWeights(
+      recs, "id", "nm", "blk",
+      Seq(("attr_eq", col("a_attr") === col("b_attr"))))
+      .collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 6 pairs; matches (lev<=1): (1,2) and (3,4) → n_match=2, n_nonmatch=4;
+    // attr agrees only on (1,2) → m = 1/2 = 5000 bp, u = 0/4 = 0 bp,
+    // weight = 5000·10000 div max(u,1) = 50,000,000
+    assert(got.toSeq == Seq(("attr_eq", 2L, 4L, 5000L, 0L, 50000000L)))
+  }
 }
