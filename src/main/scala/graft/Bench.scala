@@ -65,6 +65,22 @@ object Bench {
       "ccMaxMB" -> cc.map(_.getUsage.getMax).sum / (1024 * 1024))
   }
 
+  /** Untimed between-keys GC hint, gated on real heap pressure. The hint
+    * exists for the large-heap sweep regime (unevictable localCheckpoint
+    * blocks only release when the dropped RDD is collected; at sf10/48 GB
+    * accumulated storage squeezed later keys 2-3x). But an UNCONDITIONAL
+    * full GC is itself a measured regression at bench scale: G1's full
+    * collection unloads Spark's generated (whole-stage-codegen) classes,
+    * so every later key recompiles and re-JITs its kernels — warm reps ran
+    * 1.5-2x their isolated time across the whole surface (r14, 325 keys:
+    * session warm 299 s vs 196 s with per-key Solo times unchanged). Gate:
+    * collect only when the heap is actually loaded.
+    */
+  def maybeGc(thresholdMB: Long = 8192): Unit = {
+    val used = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
+    if (used / (1024 * 1024) > thresholdMB) System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -237,12 +253,8 @@ object Bench {
         "shufWriteMB" -> (after("shuffleWriteB") - before("shuffleWriteB")) / (1024 * 1024),
         "tasks" -> (after("tasks") - before("tasks"))) ++
         jvmAfter.view.filterKeys(k => k != "jvmGcMs").toMap)
-      // untimed, between keys: localCheckpoint blocks are unevictable and
-      // only release when the dropped RDD is GC'd (ContextCleaner); with a
-      // large heap GC may not run for many keys and accumulated storage
-      // squeezes the execution pool of later keys (measured 2-3x mid-sweep
-      // inflation at sf10)
-      System.gc()
+      // untimed, between keys; pressure-gated — see maybeGc
+      maybeGc()
       name -> sec
     }.toMap
     // Bench-noise hygiene (VERDICT r10 #5: single-run per-key numbers swung
@@ -263,7 +275,7 @@ object Bench {
         val sec2 = (System.nanoTime() - t0) / 1e9
         detail(name) = detail(name) ++
           Map("msRep2" -> (sec2 * 1000).toLong, "reps" -> 2L)
-        System.gc() // untimed; see the rep-1 loop
+        maybeGc() // untimed; see the rep-1 loop
       } else detail(name) = detail(name) + ("reps" -> 1L)
     }
     def jstr(s: String): String =

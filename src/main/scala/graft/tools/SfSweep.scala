@@ -94,12 +94,9 @@ object SfSweep {
         f"rows=$rows%9d taskRun=${run1}%7dms taskCpu=${cpu1}%7dms " +
         f"cpu2=${cpu2}%7dms gc=${gc1}%5dms spill=${spill1}%5dMB " +
         f"shufW=${shuf1}%6dMB tasks=$tk1%5d")
-      // localCheckpoint blocks are unevictable and only release when the
-      // dropped RDD is GC'd (ContextCleaner) — with a large heap GC may
-      // not run for many keys and storage squeezes the execution pool
-      // (measured: keys mid-sweep 2-3x their isolated time at sf10).
-      // One untimed hint per key keeps the session's storage flat.
-      System.gc()
+      // untimed, pressure-gated GC hint (see Bench.maybeGc: unconditional
+      // full GC unloads codegen classes and re-JITs every later key)
+      graft.Bench.maybeGc()
     }
     spark.stop()
   }
