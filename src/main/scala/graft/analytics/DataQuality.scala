@@ -353,4 +353,31 @@ object DataQuality {
       expr("(sum(pos) * 10000L) div count(1)").as("pos_rate_bp"))
       .withColumn("gap_bp", abs(col("mean_conf_bp") - col("pos_rate_bp")))
   }
+
+  /** N-gram novelty rate per document: the share of a document's DISTINCT
+    * n-grams whose corpus-wide FIRST occurrence (min doc_id) is this
+    * document — the marginal-new-content curve behind "is crawling more of
+    * this source still worth it" and the dedup-ROI estimate (a corpus
+    * whose late documents contribute no novel n-grams is template-
+    * saturated). One gram-keyed aggregate attributes first occurrence;
+    * one doc-keyed aggregate scores. Documents shorter than n tokens have
+    * no grams and emit no row (same rule in the oracle).
+    */
+  def ngramNoveltyRate(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, "ngramNoveltyRate: n >= 1")
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
+          s"concat_ws(' ', slice(w, i, $n)))")).as("g"))
+      .distinct()
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp", expr("(n_novel * 10000L) div n_grams"))
+  }
 }

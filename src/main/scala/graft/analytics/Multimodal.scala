@@ -805,6 +805,60 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-frame gray levels decoded from the same REAL animated GIF
+    * payloads as [[gifFramesMeta]] — the long-format frame feature stream
+    * a shot-boundary detector consumes. One row per (asset, frame) read
+    * back from actual GIF89a bytes, so a broken container scan or frame
+    * decode shifts the values (generator-predictable: frame f of asset id
+    * is the solid gray (id + 37·f) mod 256).
+    */
+  def gifFrameGrays(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("gray", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val k = (id % 4).toInt + 2
+        val w = (r.getLong(1) % 15).toInt + 1
+        val h = (id % 9).toInt + 1
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < k) {
+          val g = ((id + 37L * f) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.flush()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          Row(id, i, (reader.read(i).getRGB(0, 0) >> 16) & 0xff)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL JPEG decode — same `javax.imageio` path as [[pngRoundTripMeta]]
     * (the JDK ships JPEG, GIF and BMP codecs alongside PNG; the stub tier
     * is only for codecs it does not ship, e.g. JPEG2000/video/audio). The

@@ -1895,6 +1895,38 @@ object Similarity {
     * and each pick's distance to the prior set (the k-center radius
     * sequence, non-increasing — `AnalyticsSpec` pins it).
     */
+  /** Matryoshka / truncated-dimension retrieval eval (Kusupati et al.,
+    * NeurIPS 2022): for a fixed query set, recall@k of the top-k under
+    * PREFIX-dimension cosine (the cheap index every MRL deployment
+    * actually serves) against the full-dimension top-k truth — the
+    * measurement that decides how many dims the ANN index can drop. Both
+    * rankings run as one broadcast-queries corpus scan each, cut by the
+    * bounded-heap TopKPerKey (query-keyed, never a corpus-sized window);
+    * the overlap join is k·|queries|-sized. Exact integer recall bp.
+    */
+  def matryoshkaRecallEval(
+      emb: DataFrame, queryIds: Seq[Long] = Seq(0L, 50L, 100L, 150L, 200L),
+      k: Int = 10, prefixDims: Int = 16): DataFrame = {
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pairs = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+    def top(sim: org.apache.spark.sql.Column): DataFrame =
+      graft.plans.TopKPerKey.topKPerKey(
+        pairs.select(col("q_id"), col("vec_id"), (-sim).as("neg_sim")),
+        Seq("q_id"), Seq("neg_sim", "vec_id"), k)
+    val full = top(cosineRounded(col("embedding"), col("q_emb")))
+    val trunc = top(cosineRounded(
+      slice(col("embedding"), 1, prefixDims), slice(col("q_emb"), 1, prefixDims)))
+    full.select(col("q_id"), col("vec_id"))
+      .join(trunc.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+      .withColumn("recall_bp", expr("(n_overlap * 10000L) div n_truth"))
+  }
+
   def kCenterSample(emb: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, "kCenterSample: k >= 1")
     val spark = emb.sparkSession

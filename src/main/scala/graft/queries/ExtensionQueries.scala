@@ -534,6 +534,11 @@ object ExtensionQueries {
     // broadcast selected set, exact integer quantized distances
     "diversity_kcenter_sample" -> ((s, dir) =>
       Similarity.kCenterSample(t(s, dir, "embeddings"), k = 8)),
+    // Matryoshka truncation eval: recall@10 of prefix-16-dim cosine vs the
+    // full-dim truth per query — how many dims the index can drop; both
+    // rankings on the bounded-heap TopKPerKey
+    "embedding_matryoshka_eval" -> ((s, dir) =>
+      Similarity.matryoshkaRecallEval(t(s, dir, "embeddings"))),
     "cosine_topk_lsh_bucket" -> ((s, dir) =>
       Similarity.lshBucketTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5, nBits = 8)),
     "cosine_topk_native" -> ((s, dir) =>
@@ -1062,6 +1067,11 @@ object ExtensionQueries {
     // DECIMAL-exact cross-multiplied ratio flags at 6/5
     "vocab_drift" -> ((s, dir) =>
       DataQuality.vocabDrift(t(s, dir, "documents"))),
+    // per-document n-gram novelty: share of a doc's distinct trigrams
+    // whose corpus-wide first occurrence is this doc — the marginal-new-
+    // content / dedup-ROI curve; one gram-keyed + one doc-keyed aggregate
+    "ngram_novelty_rate" -> ((s, dir) =>
+      DataQuality.ngramNoveltyRate(t(s, dir, "documents"))),
     // robust per-source length stats: exact median + MAD + outlier count
     // (|x - med| > 5*MAD) — the mean/stddev monitor's corruption-proof twin
     "source_robust_stats" -> ((s, dir) =>
@@ -2210,6 +2220,21 @@ object ExtensionQueries {
     // multi-image container the JDK ships
     "multimodal_gif_frames" -> ((s, dir) =>
       Multimodal.gifFramesMeta(t(s, dir, "documents"))),
+    // shot-boundary detection over the decoded GIF frame stream: per-frame
+    // gray deltas under a per-asset lag window (frames-per-asset bounded),
+    // cut when |delta| >= 128 — the temporal-segmentation pass of a video
+    // ingest, run on real container decode output
+    "multimodal_gif_shot_cuts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+      Multimodal.gifFrameGrays(t(s, dir, "documents"))
+        .withColumn("prev_gray", lag(col("gray"), 1).over(w))
+        .filter(col("prev_gray").isNotNull)
+        .withColumn("delta", abs(col("gray") - col("prev_gray")))
+        .filter(col("delta") >= 128)
+        .select(col("asset_id"), col("frame_idx"), col("gray"),
+          col("prev_gray"), col("delta"))
+    }),
     // decode-free metadata probe: real PNG payloads parsed by pure
     // substring/hex/conv expressions (signature + IHDR fields)
     "multimodal_png_header" -> ((s, dir) =>
@@ -3190,6 +3215,20 @@ object ExtensionQueries {
         "CAST(any_value(t.n_docs) AS BIGINT) AS n_docs " +
         "FROM cum c JOIN tot t ON c.source = t.source " +
         "WHERE c.cw * 2 >= t.total_weight GROUP BY c.source"),
+    "ngram_novelty_rate" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "tri AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
+        "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "FOR i IN generate_series(1, len(w) - 2)]) AS g FROM toks " +
+        "WHERE len(w) >= 3) t), " +
+        "fst AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_novel, " +
+        "CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 10000) " +
+        "// count(*) AS BIGINT) AS novelty_bp " +
+        "FROM tri JOIN fst USING (g) GROUP BY 1"),
     "value_drift_bins" ->
       ("WITH b AS (SELECT event_id % 2 = 0 AS even, " +
         "CAST(floor(value * 10) AS BIGINT) AS bin FROM events), " +
@@ -4174,6 +4213,34 @@ object ExtensionQueries {
           .mkString
       head + steps + tail
     },
+    // full-dim vs prefix-16 rankings via the same decimal-exact cosine;
+    // recall joined on the (query, vec) pairs
+    "embedding_matryoshka_eval" -> {
+      def cosOf(e: String, q: String): String = {
+        def d(x: String, y: String, ln: String): String =
+          s"list_sum([CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) " +
+            s"AS DECIMAL(18,16)) FOR i IN generate_series(1, len($ln))])"
+        s"round(CAST(${d(e, q, e)} AS DOUBLE) / " +
+          s"(sqrt(CAST(${d(e, e, e)} AS DOUBLE)) * " +
+          s"sqrt(CAST(${d(q, q, q)} AS DOUBLE))), 6)"
+      }
+      "WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings " +
+        "WHERE vec_id IN (0, 50, 100, 150, 200)), " +
+        "p AS MATERIALIZED (SELECT q.q_id, e.vec_id, " +
+        cosOf("e.embedding", "q.qe") + " AS s_full, " +
+        cosOf("(e.embedding[1:16])", "(q.qe[1:16])") + " AS s_pre " +
+        "FROM embeddings e, qs q WHERE e.vec_id != q.q_id), " +
+        "tf AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY s_full DESC, vec_id) " +
+        "AS rn FROM p) t WHERE rn <= 10), " +
+        "tp AS (SELECT q_id, vec_id, 1 AS hit FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY s_pre DESC, vec_id) " +
+        "AS rn FROM p) t WHERE rn <= 10) " +
+        "SELECT tf.q_id, count(*) AS n_truth, " +
+        "CAST(sum(coalesce(tp.hit, 0)) AS BIGINT) AS n_overlap, " +
+        "CAST((sum(coalesce(tp.hit, 0)) * 10000) // count(*) AS BIGINT) " +
+        "AS recall_bp FROM tf LEFT JOIN tp USING (q_id, vec_id) GROUP BY 1"
+    },
     "cosine_topk_bruteforce" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
         "prod AS (SELECT e.vec_id, " +
@@ -4921,6 +4988,20 @@ object ExtensionQueries {
         "CAST(list_sum([(doc_id + 37 * f) % 256 " +
         "FOR f IN generate_series(0, k - 1)]) AS BIGINT) AS gray0_sum, " +
         "CAST((doc_id + 37 * (k - 1)) % 256 AS INT) AS gray_last FROM p"),
+    // the generator's frame-gray sequence replayed; a cut is a wrap of the
+    // (id + 37f) mod 256 walk — Spark reads the grays from real GIF decode
+    "multimodal_gif_shot_cuts" ->
+      ("WITH f AS (SELECT doc_id AS asset_id, " +
+        "unnest(generate_series(0, (doc_id % 4) + 1)) AS frame_idx " +
+        "FROM documents), " +
+        "g AS (SELECT asset_id, frame_idx, " +
+        "CAST((asset_id + 37 * frame_idx) % 256 AS INT) AS gray FROM f), " +
+        "l AS (SELECT asset_id, frame_idx, gray, " +
+        "lag(gray) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS prev_gray " +
+        "FROM g) " +
+        "SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx, gray, " +
+        "prev_gray, CAST(abs(gray - prev_gray) AS INT) AS delta FROM l " +
+        "WHERE prev_gray IS NOT NULL AND abs(gray - prev_gray) >= 128"),
     "bloom_semi_join" ->
       // the Bloom prefilter is an optimization, not a semantics change:
       // the oracle is the PLAIN semi-join it must exactly equal

@@ -1122,6 +1122,43 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(radii == radii.sorted.reverse)
   }
 
+  test("matryoshka eval: full-dim prefix is a perfect retriever; truncation only loses") {
+    // prefix = all 64 dims → identical rankings → recall exactly 10000
+    val self = Similarity.matryoshkaRecallEval(emb, prefixDims = 64).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getLong(1) == 10L && r.getLong(2) == 10L && r.getLong(3) == 10000L)
+    }
+    val cut = Similarity.matryoshkaRecallEval(emb, prefixDims = 8).collect()
+    cut.foreach(r => assert(r.getLong(3) <= 10000L && r.getLong(1) == 10L))
+  }
+
+  test("ngram novelty: duplicate doc scores zero, first copy scores full") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "x y")) // 3: under 3 tokens
+      .toDF("doc_id", "text")
+    val got = DataQuality.ngramNoveltyRate(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 10000L)), 2L -> ((2L, 0L, 0L))))
+  }
+
+  test("gif shot cuts: detected cuts equal the generator's mod-256 wraps") {
+    val got = Multimodal.gifFrameGrays(docs.limit(64))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // per-frame grays from REAL decode equal the generator formula
+    got.foreach { case ((id, f), g) => assert(g == ((id + 37 * f) % 256).toInt) }
+    // and every adjacent delta is either 37 or the 219 wrap
+    val byAsset = got.groupBy(_._1._1)
+    byAsset.foreach { case (_, fr) =>
+      val seq = fr.toSeq.sortBy(_._1._2).map(_._2)
+      seq.sliding(2).foreach { case Seq(a, b) =>
+        assert(math.abs(b - a) == 37 || math.abs(b - a) == 219)
+      case _ => ()
+      }
+    }
+  }
+
   test("hll union: per-source and merged estimates inside the band, exact counts honest") {
     val got = Sketches.hllUnionSources(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
