@@ -1898,6 +1898,39 @@ object ExtensionQueries {
     // behind rate-limit tuning; user-keyed windows only
     "events_interarrival_bands" -> ((s, dir) =>
       EventsAnalytics.interArrivalBands(t(s, dir, "events"))),
+    // rolling 7-day revenue per type via a RANGE frame (value-based, so
+    // calendar GAPS shorten the window — the semantics a ROWS frame gets
+    // wrong); windows are type-keyed over a days-bounded series
+    "events_rolling_7day" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)")
+          .as("day_cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily.withColumn("rolling7_cents", sum(col("day_cents")).over(w))
+    }),
+    // audience overlap: per event-type pair, the distinct-user
+    // intersection and Jaccard in exact bp — one user-keyed self-join of
+    // the (type, user) distinct relation, output bounded by type pairs
+    "events_audience_overlap" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = u.select(col("event_type").as("type_a"), col("user_id"))
+        .join(u.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.toDF("type_a", "n_a")), Seq("type_a"))
+        .join(broadcast(sizes.toDF("type_b", "n_b")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          expr("(n_both * 10000L) div (n_a + n_b - n_both)").as("jaccard_bp"))
+    }),
     // incremental top-k view maintenance: merge an insert batch (event_id
     // % 4 = 3) into the materialized top-5-value-per-type state — both
     // cuts on the bounded-heap TopKPerKey, refresh cost is state+batch,
@@ -4837,6 +4870,27 @@ object ExtensionQueries {
         "SELECT event_type, band, count(*) AS n, " +
         "CAST(min(gap_s) AS BIGINT) AS min_s, " +
         "CAST(max(gap_s) AS BIGINT) AS max_s FROM b GROUP BY 1, 2"),
+    "events_rolling_7day" ->
+      ("WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) " +
+        "AS day_cents FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS day, day_cents, " +
+        "CAST(sum(day_cents) OVER (PARTITION BY event_type ORDER BY day " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS rolling7_cents FROM d"),
+    "events_audience_overlap" ->
+      ("WITH u AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "sz AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1), " +
+        "iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "count(*) AS n_both FROM u a JOIN u b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, CAST(sa.n AS BIGINT) AS n_a, " +
+        "CAST(sb.n AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both, " +
+        "CAST((n_both * 10000) // (sa.n + sb.n - n_both) AS BIGINT) " +
+        "AS jaccard_bp FROM iv " +
+        "JOIN sz sa ON iv.type_a = sa.event_type " +
+        "JOIN sz sb ON iv.type_b = sb.event_type"),
     // the merge must equal the direct full recompute — stated directly
     "ivm_topk_maintain" ->
       ("WITH e AS (SELECT event_type, event_id, " +

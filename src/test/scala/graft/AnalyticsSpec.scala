@@ -1122,6 +1122,62 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(radii == radii.sorted.reverse)
   }
 
+  test("rolling 7-day RANGE frame: calendar gaps shorten the window (ROWS would not)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    // type a: value 1.00 on days 0, 1, 10 — day 10's window covers days
+    // 4..10, so ONLY day 10 itself (a ROWS-2 frame would wrongly add both)
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 0L * dayNs, "a", 1.0), Row(2L, 1L * dayNs, "a", 1.0),
+      Row(3L, 10L * dayNs, "a", 1.0)).asJava, schema)
+    val got = graft.queries.ExtensionQueries.queries("events_rolling_7day")
+      .apply(spark, sfDir) // fixture smoke: runs
+    assert(got.columns.toSeq ==
+      Seq("event_type", "day", "day_cents", "rolling7_cents"))
+    import org.apache.spark.sql.expressions.Window
+    val daily = tiny
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)")
+        .as("day_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    val roll = daily.withColumn("r", sum(col("day_cents")).over(w))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(roll == Map(0L -> 100L, 1L -> 200L, 10L -> 100L))
+  }
+
+  test("audience overlap: hand-computed intersection and Jaccard") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType), StructField("user_id", LongType)))
+    // A users {1,2,3}, B users {2,3,4,4-dup}: inter 2, union 4 → 5000 bp
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, 1L, "A", 1L), Row(2L, 2L, "A", 2L), Row(3L, 3L, "A", 3L),
+      Row(4L, 4L, "B", 2L), Row(5L, 5L, "B", 3L), Row(6L, 6L, "B", 4L),
+      Row(7L, 7L, "B", 4L)).asJava, schema)
+    val u = tiny.select(col("event_type"), col("user_id")).distinct()
+    val sizes = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = u.select(col("event_type").as("type_a"), col("user_id"))
+      .join(u.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.toDF("type_a", "n_a")), Seq("type_a"))
+      .join(broadcast(sizes.toDF("type_b", "n_b")), Seq("type_b"))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        expr("(n_both * 10000L) div (n_a + n_b - n_both)").as("j"))
+      .collect().head
+    assert((inter.getLong(0), inter.getLong(1), inter.getLong(2),
+      inter.getLong(3)) == ((3L, 3L, 2L, 5000L)))
+  }
+
   test("matryoshka eval: full-dim prefix is a perfect retriever; truncation only loses") {
     // prefix = all 64 dims → identical rankings → recall exactly 10000
     val self = Similarity.matryoshkaRecallEval(emb, prefixDims = 64).collect()
