@@ -724,6 +724,68 @@ object Curation {
         col("prec_bp"), col("recall_bp"), col("mrr_ppm"))
   }
 
+  /** nDCG@k per query with graded relevance (Järvelin & Kekäläinen 2002),
+    * the rank-position-sensitive companion of [[retrievalEvalPR]]. The
+    * SYSTEM under evaluation is the cheap shortest-doc-first prior
+    * (dl ASC, doc_id — the heuristic re-ranker a pipeline might serve
+    * before scoring exists); graded truth is term-frequency based,
+    * grade = min(tf, 4). The grading must NOT be monotone in the ranking
+    * signal or nDCG is identically 1 — that is the metric's whole point.
+    * DCG = Σ grade·D(rank) with the log2 discounts
+    * D(i) = round(10⁶ / log2(i+1)) carried as ten INTEGER ppm literals
+    * both engines share (log2 is the one transcendental whose last-ulp
+    * behavior could differ — freezing the constants removes it from the
+    * comparison entirely). IDCG re-ranks the same per-term grade relation
+    * by grade itself; both cuts ride the bounded-heap TopKPerKey, so the
+    * eval stays one corpus pass + query-sized aggregates at any scale.
+    * ndcg_ppm = 10⁶·DCG div IDCG (0 when the term has no matching doc).
+    */
+  def retrievalNdcgEval(docs: DataFrame, terms: Seq[String], k: Int = 10)
+      : DataFrame = {
+    require(terms.nonEmpty && k >= 1 && k <= 10,
+      s"retrievalNdcgEval: needs terms and 1 <= k <= 10, got (${terms.size}, $k)")
+    // round(1e6 / log2(i+1)) for i = 1..10
+    val discounts = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termsDf = terms.toDF("tk")
+    val tf = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokenCount(col("text")).as("dl"),
+        explode(tokens(col("text"))).as("tk"))
+      .join(broadcast(termsDf), Seq("tk"))
+      .groupBy(col("tk"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("grade", least(col("tf"), lit(4L)))
+    val dArr = array(discounts.map(lit): _*)
+    def dcgOf(ranked: DataFrame, order: Seq[String]): DataFrame = {
+      val wq = Window.partitionBy(col("tk")).orderBy(order.map(col): _*)
+      ranked
+        .withColumn("rank", row_number().over(wq))
+        .select(col("tk"),
+          (col("grade") * element_at(dArr, col("rank"))).as("part"))
+        .groupBy(col("tk")).agg(sum(col("part")).as("dcg"))
+    }
+    val retrieved = graft.plans.TopKPerKey.topKPerKey(
+      tf.select(col("tk"), col("doc_id"), col("grade"), col("dl")),
+      Seq("tk"), Seq("dl", "doc_id"), k)
+    val ideal = graft.plans.TopKPerKey.topKPerKey(
+      tf.select(col("tk"), col("doc_id"), col("grade"),
+        (-col("grade")).as("neg_g"), col("dl")),
+      Seq("tk"), Seq("neg_g", "dl", "doc_id"), k)
+    val dcg = dcgOf(retrieved, Seq("dl", "doc_id"))
+    val idcg = dcgOf(ideal, Seq("neg_g", "dl", "doc_id"))
+      .withColumnRenamed("dcg", "idcg")
+    termsDf.join(dcg, Seq("tk"), "left").join(idcg, Seq("tk"), "left")
+      .select(col("tk").as("term"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_fp"),
+        coalesce(col("idcg"), lit(0L)).as("idcg_fp"))
+      .withColumn("ndcg_ppm", expr(
+        "CASE WHEN idcg_fp = 0 THEN 0L " +
+          "ELSE (1000000L * dcg_fp) div idcg_fp END"))
+  }
+
   /** BM25 ranking for a bag of query terms — the canonical retrieval scorer
     * (Robertson et al., Okapi BM25) with one deliberate substitution: the
     * idf factor is the FIXED-POINT rational `(10^6 · N) div df` of

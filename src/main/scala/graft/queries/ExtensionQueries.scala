@@ -876,6 +876,12 @@ object ExtensionQueries {
     "retrieval_eval_pr" -> ((s, dir) =>
       Curation.retrievalEvalPR(t(s, dir, "documents"),
         terms = Seq("spark", "vector", "quantile"), k = 10)),
+    // nDCG@10 of the cheap shortest-doc-first ranker vs tf-graded truth
+    // (grade = min(tf,4)); log2 discounts frozen as the ten shared ppm
+    // literals, both cuts on TopKPerKey
+    "retrieval_ndcg_eval" -> ((s, dir) =>
+      Curation.retrievalNdcgEval(t(s, dir, "documents"),
+        terms = Seq("spark", "vector", "quantile"), k = 10)),
     // RefinedWeb/C4-style per-source document cap: longest-first priority,
     // rank cut on the bounded-heap TopKPerKey + parameter-sized running
     // token budget — one row per SURVIVING doc so every keep/drop decision
@@ -1914,6 +1920,33 @@ object ExtensionQueries {
     // audience overlap: per event-type pair, the distinct-user
     // intersection and Jaccard in exact bp — one user-keyed self-join of
     // the (type, user) distinct relation, output bounded by type pairs
+    // heterogeneous treatment effect readout: md5 arm assignment x
+    // customer segment (events.user_id joins c_custkey), per segment the
+    // distinct-user purchase rate per arm and the SIGNED uplift in bp —
+    // the subgroup analysis an A/B readout runs after the topline
+    "events_uplift_by_segment" -> ((s, dir) => {
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) " +
+            "AS BIGINT) % 2"))
+        .join(seg, Seq("user_id"))
+      u.groupBy(col("segment"))
+        .agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_t"),
+          sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_c"))
+        .withColumn("rate_t_bp", expr(
+          "(conv_t * 10000L) div (CASE WHEN n_t = 0 THEN 1 ELSE n_t END)"))
+        .withColumn("rate_c_bp", expr(
+          "(conv_c * 10000L) div (CASE WHEN n_c = 0 THEN 1 ELSE n_c END)"))
+        .withColumn("uplift_bp", col("rate_t_bp") - col("rate_c_bp"))
+    }),
     "events_audience_overlap" -> ((s, dir) => {
       val u = t(s, dir, "events")
         .select(col("event_type"), col("user_id")).distinct()
@@ -3882,6 +3915,30 @@ object ExtensionQueries {
         "CAST(CASE WHEN coalesce(frr, 0) = 0 THEN 0 " +
         "ELSE 1000000 // frr END AS BIGINT) AS mrr_ppm " +
         "FROM q LEFT JOIN tr USING (tk) LEFT JOIN ret USING (tk)"),
+    // same frozen log2-discount ppm literals; ranking = (dl, doc_id),
+    // ideal = (grade DESC, dl, doc_id) over the same per-term relation
+    "retrieval_ndcg_eval" ->
+      ("WITH q AS (SELECT unnest(['spark', 'vector', 'quantile']) AS tk), " +
+        "dd AS (SELECT [1000000, 630930, 500000, 430677, 386853, " +
+        "356207, 333333, 315465, 301030, 289065] AS ds), " +
+        "occ AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "tfq AS MATERIALIZED (SELECT tk, doc_id, max(dl) AS dl, " +
+        "least(count(*), 4) AS grade FROM occ JOIN q USING (tk) " +
+        "GROUP BY tk, doc_id), " +
+        "ret AS (SELECT tk, grade, row_number() OVER " +
+        "(PARTITION BY tk ORDER BY dl, doc_id) AS rn FROM tfq), " +
+        "idl AS (SELECT tk, grade, row_number() OVER " +
+        "(PARTITION BY tk ORDER BY grade DESC, dl, doc_id) AS rn FROM tfq), " +
+        "dc AS (SELECT tk, sum(grade * ds[rn]) AS dcg FROM ret, dd " +
+        "WHERE rn <= 10 GROUP BY tk), " +
+        "ic AS (SELECT tk, sum(grade * ds[rn]) AS idcg FROM idl, dd " +
+        "WHERE rn <= 10 GROUP BY tk) " +
+        "SELECT q.tk AS term, CAST(coalesce(dcg, 0) AS BIGINT) AS dcg_fp, " +
+        "CAST(coalesce(idcg, 0) AS BIGINT) AS idcg_fp, " +
+        "CAST(CASE WHEN coalesce(idcg, 0) = 0 THEN 0 " +
+        "ELSE (1000000 * dcg) // idcg END AS BIGINT) AS ndcg_ppm " +
+        "FROM q LEFT JOIN dc USING (tk) LEFT JOIN ic USING (tk)"),
     "source_domain_cap" ->
       ("WITH r AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok, " +
         "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk " +
@@ -4870,6 +4927,28 @@ object ExtensionQueries {
         "SELECT event_type, band, count(*) AS n, " +
         "CAST(min(gap_s) AS BIGINT) AS min_s, " +
         "CAST(max(gap_s) AS BIGINT) AS max_s FROM b GROUP BY 1, 2"),
+    "events_uplift_by_segment" ->
+      ("WITH u AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm " +
+        "FROM events GROUP BY user_id), " +
+        "j AS (SELECT c.c_mktsegment AS segment, u.arm, u.converted " +
+        "FROM u JOIN customer c ON u.user_id = c.c_custkey), " +
+        "g AS (SELECT segment, " +
+        "sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t, " +
+        "sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c, " +
+        "sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_t, " +
+        "sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_c " +
+        "FROM j GROUP BY 1) " +
+        "SELECT segment, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c, " +
+        "CAST(conv_t AS BIGINT) AS conv_t, CAST(conv_c AS BIGINT) AS conv_c, " +
+        "CAST((conv_t * 10000) // (CASE WHEN n_t = 0 THEN 1 ELSE n_t END) " +
+        "AS BIGINT) AS rate_t_bp, " +
+        "CAST((conv_c * 10000) // (CASE WHEN n_c = 0 THEN 1 ELSE n_c END) " +
+        "AS BIGINT) AS rate_c_bp, " +
+        "CAST((conv_t * 10000) // (CASE WHEN n_t = 0 THEN 1 ELSE n_t END) - " +
+        "(conv_c * 10000) // (CASE WHEN n_c = 0 THEN 1 ELSE n_c END) " +
+        "AS BIGINT) AS uplift_bp FROM g"),
     "events_rolling_7day" ->
       ("WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, " +
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) " +

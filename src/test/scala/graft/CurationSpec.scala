@@ -958,6 +958,28 @@ class CurationSpec extends SparkSpecBase {
       ("cat", 2L, 3L, 2L, 6666L, 10000L, 1000000L)))
   }
 
+  test("nDCG: hand case — short low-grade doc outranks the high-grade one") {
+    import spark.implicits._
+    // term 'x': doc 1 short (dl 2, tf 1 → grade 1) ranks first under the
+    // length prior; doc 2 long (tf 4 → grade 4) second.
+    // DCG = 1·1000000 + 4·630930 = 3523720; IDCG = 4·1000000 + 1·630930
+    // = 4630930 → ndcg = 760909 ppm. 'absent' → all zeros.
+    val docs = Seq(
+      (1L, "x pad"),
+      (2L, "x x x x pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val got = Curation.retrievalNdcgEval(docs, Seq("x", "absent"), k = 10)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "x" -> ((3523720L, 4630930L, 760909L)),
+      "absent" -> ((0L, 0L, 0L))))
+    // perfectly aligned grades (shorter doc also higher-grade) → 10^6
+    val aligned = Seq((1L, "y y y y"), (2L, "y pad pad pad pad"))
+      .toDF("doc_id", "text")
+    assert(Curation.retrievalNdcgEval(aligned, Seq("y"), k = 10)
+      .collect().head.getLong(3) == 1000000L)
+  }
+
   test("span corruption: segment placement invariants + tiny-doc edge") {
     import spark.implicits._
     val docs = Seq(
