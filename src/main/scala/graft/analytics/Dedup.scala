@@ -1679,6 +1679,47 @@ object Dedup {
           .cast("long").as("q_ppm"))
   }
 
+  /** Dedup-savings executive rollup: for each tier of the dedup cascade —
+    * exact raw text, normalized fingerprint, MinHash-LSH near-dup
+    * components — the groups-with-duplicates count, documents affected /
+    * removable (keep = min doc_id survives), and the exact characters a
+    * min-keep apply at that tier alone would delete. The report a pipeline
+    * owner reads to decide which tier pays for its compute. Each tier is
+    * one key-grouped aggregate (no window); the near-dup tier reuses the
+    * caller's candidate-pair relation (pinned LSH pairs) through the same
+    * min-label components as the apply keys.
+    */
+  def dedupSavingsReport(docs: DataFrame, candidatePairs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    def rollup(tier: String, keyed: DataFrame): DataFrame =
+      keyed // (doc_id, n_chars, k)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          min(struct(col("doc_id"), col("n_chars"))).getField("n_chars")
+            .as("keep_chars"))
+        .agg(
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_docs_affected"),
+          sum(col("n") - 1).as("n_docs_removed"),
+          sum(col("chars") - col("keep_chars")).as("chars_removed"))
+        .select(lit(tier).as("tier"), col("n_dup_groups"),
+          col("n_docs_affected"), col("n_docs_removed"), col("chars_removed"))
+    val exact = rollup("exact",
+      docs.select(col("doc_id"), col("n_chars"), col("text").as("k")))
+    val fp = rollup("fingerprint",
+      docs.select(col("doc_id"), col("n_chars"), fingerprint(col("text")).as("k")))
+    val labels = connectedComponents(
+      candidatePairs.select(col("id_a"), col("id_b")).distinct())
+    val near = rollup("neardup",
+      base.join(labels.select(col("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("component"), col("doc_id")).as("k")))
+    exact.unionAll(fp).unionAll(near)
+  }
+
   /** Degree assortativity (Newman, PRL 2002) of an undirected graph as
     * signed r² in exact ppm: the Pearson correlation of endpoint degrees
     * over the DIRECTED double cover (each edge contributes (deg u, deg v)

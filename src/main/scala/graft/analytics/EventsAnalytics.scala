@@ -858,6 +858,43 @@ object EventsAnalytics {
         min(col("gap_s")).as("min_s"), max(col("gap_s")).as("max_s"))
   }
 
+  /** Robust daily-volume anomaly detection per event type: a day is
+    * anomalous when its count deviates from the type's MEDIAN daily count
+    * by more than `k`× the median absolute deviation — the
+    * distribution-shaped outlier screen that, unlike the sequential EWMA /
+    * CUSUM detectors, a single corrupted day cannot drag (median and MAD
+    * have 50% breakdown; mean/stddev have 0%). Both medians are exact
+    * power-of-two-fraction percentiles over integer counts (the
+    * cross-engine-safe class); the flag comparison is the integer
+    * cross-multiplication |2·(x − med)| > 2·k·MAD evaluated on doubled
+    * values so the .5-interpolated medians stay integral. Day grid is the
+    * DENSE per-type span (missing days are real zero-count anomalies).
+    */
+  def dailyVolumeAnomalies(events0: DataFrame, k: Int = 5): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val e = EventTime.toNanos(events0)
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"))
+    val cnt = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val rng = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(cnt, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    // med2 = 2·median is integral even when the median interpolates at .5
+    val med = dense.groupBy(col("event_type"))
+      .agg(expr("CAST(round(2 * percentile(c, 0.5), 0) AS BIGINT)").as("med2"))
+    val dev = dense.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev2", abs(col("c") * 2 - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(round(percentile(absdev2, 0.5), 0) AS BIGINT)").as("mad2"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("absdev2") > lit(k.toLong) * col("mad2"))
+      .select(col("event_type"), col("day"), col("c"),
+        col("med2"), col("mad2"))
+  }
+
   /** Local maxima of the DENSE hourly count series per event type (the
     * alerting primitive behind "traffic spiked at hour H"): an hour is a
     * peak when its count strictly exceeds both neighbors. Missing hours

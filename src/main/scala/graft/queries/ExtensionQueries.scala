@@ -196,7 +196,8 @@ object ExtensionQueries {
     "lshPairs" -> Set("minhash_lsh_pairs", "neardup_components",
       "neardup_components_incremental", "neardup_components_star",
       "neardup_triangles", "neardup_labelprop", "neardup_component_sizes",
-      "rouge_overlap_pairs", "neardup_source_modularity"),
+      "rouge_overlap_pairs", "neardup_source_modularity",
+      "corpus_dedup_savings"),
     "entityMatches" -> Set("entity_match_customers",
       // the entityClusters pin is BUILT from the entityMatches pin
       "entity_match_clusters", "entity_golden_record"),
@@ -440,6 +441,12 @@ object ExtensionQueries {
         lshPairs(s, dir).select(col("id_a"), col("id_b")),
         t(s, dir, "documents")
           .select(col("doc_id").as("node"), col("source").as("community")))),
+    // dedup-savings executive rollup: per cascade tier (exact /
+    // fingerprint / LSH near-dup CC), dup groups, affected / removable
+    // docs and exact chars a min-keep apply would delete
+    "corpus_dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavingsReport(t(s, dir, "documents"),
+        lshPairs(s, dir).select(col("id_a"), col("id_b")))),
     // ROUGE-1/2 P/R/F over the pinned LSH candidate pairs in exact bp:
     // grades HOW close each near-dup candidate is (verbatim copy vs
     // shared vocabulary) — clipped-count overlap, F1 = 2o/(|a|+|b|)
@@ -1899,6 +1906,11 @@ object ExtensionQueries {
     // "traffic spiked at hour H"; time-span-bounded windows only
     "events_peak_hours" -> ((s, dir) =>
       EventsAnalytics.peakHours(t(s, dir, "events"))),
+    // robust (median/MAD) daily-volume outliers per type over the dense
+    // day grid — the 50%-breakdown screen a single corrupted day can't
+    // drag, unlike the sequential EWMA/CUSUM detectors
+    "events_daily_anomaly_robust" -> ((s, dir) =>
+      EventsAnalytics.dailyVolumeAnomalies(t(s, dir, "events"), k = 3)),
     // inter-arrival-time spectrum: per-user consecutive-event gaps in
     // power-of-two second bands per type — the burstiness fingerprint
     // behind rate-limit tuning; user-keyed windows only
@@ -4076,6 +4088,39 @@ object ExtensionQueries {
         ", comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src) " +
         "SELECT sz, count(*) AS n_components FROM " +
         "(SELECT component, count(*) AS sz FROM comp GROUP BY 1) c GROUP BY sz"),
+    // per-tier rollups are independent aggregates; arg_min mirrors the
+    // engine's min(struct(doc_id, n_chars)) keep-row selection
+    "corpus_dedup_savings" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") + ", " +
+        "comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach " +
+        "GROUP BY src), " +
+        "t1 AS (SELECT text AS k, count(*) AS n, sum(n_chars) AS chars, " +
+        "arg_min(n_chars, doc_id) AS kc FROM documents GROUP BY 1), " +
+        "t2 AS (SELECT md5(lower(trim(text))) AS k, count(*) AS n, " +
+        "sum(n_chars) AS chars, arg_min(n_chars, doc_id) AS kc " +
+        "FROM documents GROUP BY 1), " +
+        "t3 AS (SELECT coalesce(comp.component, d.doc_id) AS k, " +
+        "count(*) AS n, sum(n_chars) AS chars, arg_min(n_chars, d.doc_id) AS kc " +
+        "FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id " +
+        "GROUP BY 1), " +
+        "r1 AS (SELECT 'exact' AS tier, * FROM (SELECT " +
+        "sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS g, " +
+        "sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS a, " +
+        "sum(n - 1) AS r, sum(chars - kc) AS ch FROM t1) x), " +
+        "r2 AS (SELECT 'fingerprint' AS tier, * FROM (SELECT " +
+        "sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS g, " +
+        "sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS a, " +
+        "sum(n - 1) AS r, sum(chars - kc) AS ch FROM t2) x), " +
+        "r3 AS (SELECT 'neardup' AS tier, * FROM (SELECT " +
+        "sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS g, " +
+        "sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS a, " +
+        "sum(n - 1) AS r, sum(chars - kc) AS ch FROM t3) x) " +
+        "SELECT tier, CAST(g AS BIGINT) AS n_dup_groups, " +
+        "CAST(a AS BIGINT) AS n_docs_affected, " +
+        "CAST(r AS BIGINT) AS n_docs_removed, " +
+        "CAST(ch AS BIGINT) AS chars_removed FROM " +
+        "(SELECT * FROM r1 UNION ALL SELECT * FROM r2 " +
+        "UNION ALL SELECT * FROM r3) u"),
     // Newman per-community term 10^6*(4m*e_c - d_c^2)/(4m^2), communities
     // = doc source tagged onto the distinct candidate pairs; signed
     // integral division truncates toward zero in both engines
@@ -4916,6 +4961,30 @@ object ExtensionQueries {
         "CAST(prev AS BIGINT) AS prev, CAST(next AS BIGINT) AS next FROM l " +
         "WHERE prev IS NOT NULL AND next IS NOT NULL " +
         "AND c > prev AND c > next"),
+    // same dense day grid; medians are exact half-integer percentiles on
+    // doubled values, flag by integer comparison (no division)
+    "events_daily_anomaly_robust" ->
+      ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
+        "FROM events), " +
+        "cnt AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM cnt GROUP BY 1), " +
+        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.day, coalesce(c.c, 0) AS c " +
+        "FROM ds d LEFT JOIN cnt c " +
+        "ON c.event_type = d.event_type AND c.day = d.day), " +
+        "md AS (SELECT event_type, " +
+        "CAST(round(2 * quantile_cont(c, 0.5), 0) AS BIGINT) AS med2 " +
+        "FROM dense GROUP BY 1), " +
+        "dev AS (SELECT dense.event_type, day, c, med2, " +
+        "abs(2 * c - med2) AS absdev2 FROM dense JOIN md USING (event_type)), " +
+        "mad AS (SELECT event_type, " +
+        "CAST(round(quantile_cont(absdev2, 0.5), 0) AS BIGINT) AS mad2 " +
+        "FROM dev GROUP BY 1) " +
+        "SELECT dev.event_type, CAST(day AS BIGINT) AS day, " +
+        "CAST(c AS BIGINT) AS c, med2, mad2 FROM dev JOIN mad USING (event_type) " +
+        "WHERE absdev2 > 3 * mad2"),
     "events_interarrival_bands" ->
       ("WITH g AS (SELECT event_type, " +
         "(epoch_ns(ts) - lag(epoch_ns(ts)) OVER " +

@@ -1122,6 +1122,46 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(radii == radii.sorted.reverse)
   }
 
+  test("robust daily anomaly: constructed spike flags, steady days don't") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType)))
+    // type a: 2 events/day on days 0..6, 20 on day 7 → med2=4 (with the
+    // spike day, median of [2×7,20] is 2), MAD2 = 0 → spike flags, the
+    // steady days (absdev2 = 0) don't
+    val rows = (0 to 6).flatMap(d => Seq.fill(2)(d.toLong)) ++ Seq.fill(20)(7L)
+    val tiny = spark.createDataFrame(
+      rows.zipWithIndex.map { case (d, i) =>
+        Row(i.toLong, d * dayNs + i, "a") }.asJava, schema)
+    val got = EventsAnalytics.dailyVolumeAnomalies(tiny, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 7L, 20L)))
+  }
+
+  test("dedup savings: hand corpus — exact subsumed by fingerprint, neardup from pairs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text", 9L), (2L, "same text", 9L),   // exact dup pair
+      (3L, "Same  Text", 10L),                         // fp-only variant? (fingerprint lowers/trims, not collapse)
+      (4L, "unique one", 10L), (5L, "unique two", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((4L, 5L)).toDF("id_a", "id_b") // near-dup candidates
+    val got = analytics.Dedup.dedupSavingsReport(d, pairs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // exact: group {1,2} → 1 group, 2 affected, 1 removed, 9 chars
+    assert(got("exact") == ((1L, 2L, 1L, 9L)))
+    // fingerprint: same group (internal double space differs from single —
+    // fingerprint only lowercases/trims, so doc 3 stays its own group)
+    assert(got("fingerprint") == ((1L, 2L, 1L, 9L)))
+    // neardup: CC over pairs → {4,5} plus the raw-exact docs untouched
+    assert(got("neardup") == ((1L, 2L, 1L, 10L)))
+  }
+
   test("rolling 7-day RANGE frame: calendar gaps shorten the window (ROWS would not)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
