@@ -76,9 +76,13 @@ object Bench {
     * session warm 299 s vs 196 s with per-key Solo times unchanged). Gate:
     * collect only when the heap is actually loaded.
     */
-  def maybeGc(thresholdMB: Long = 8192): Unit = {
-    val used = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
-    if (used / (1024 * 1024) > thresholdMB) System.gc()
+  def maybeGc(fractionOfMax: Double = 0.6): Unit = {
+    val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    // relative to -Xmx (8g default here, 48g in the sf10 sweeps): an
+    // absolute threshold either never fires on the small heap or fires
+    // per-key on the big one
+    if (heap.getMax > 0 && heap.getUsed > fractionOfMax * heap.getMax)
+      System.gc()
   }
 
   def main(args: Array[String]): Unit = {
