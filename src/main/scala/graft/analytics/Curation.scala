@@ -724,6 +724,42 @@ object Curation {
         col("prec_bp"), col("recall_bp"), col("mrr_ppm"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Table A1 — the canonical
+    * pretraining document filter), the document-shape subset that applies
+    * to a corpus without line structure: word count in [50, 100000], mean
+    * word length in [3, 10], ≥ 80% of words contain an alphabetic
+    * character, and at least 2 distinct stopwords present (the
+    * boilerplate/gibberish screens). Every rule is an integer
+    * cross-multiplication over per-document token aggregates (no float
+    * ratio), one map-side-combining pass; emits the per-rule flags plus
+    * the conjunction, so downstream both filters on `keep` and reports
+    * per-rule attrition.
+    */
+  def gopherQualityRules(docs: DataFrame): DataFrame = {
+    val stopArr = "array('the', 'a', 'of', 'and')"
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+          .as("sum_word_chars"),
+        expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast("long")
+          .as("n_alpha_words"),
+        expr(s"size(array_intersect(array_distinct(w), $stopArr))").cast("long")
+          .as("n_stop_distinct"))
+      .withColumn("f_word_count",
+        (col("n_words") >= 50L && col("n_words") <= 100000L).cast("int"))
+      .withColumn("f_mean_word_len", (
+        col("sum_word_chars") >= col("n_words") * 3L &&
+          col("sum_word_chars") <= col("n_words") * 10L).cast("int"))
+      .withColumn("f_alpha_ratio",
+        (col("n_alpha_words") * 10L >= col("n_words") * 8L).cast("int"))
+      .withColumn("f_stopwords", (col("n_stop_distinct") >= 2L).cast("int"))
+      .withColumn("keep", (col("f_word_count") === 1 &&
+        col("f_mean_word_len") === 1 && col("f_alpha_ratio") === 1 &&
+        col("f_stopwords") === 1).cast("int"))
+  }
+
   /** nDCG@k per query with graded relevance (Järvelin & Kekäläinen 2002),
     * the rank-position-sensitive companion of [[retrievalEvalPR]]. The
     * SYSTEM under evaluation is the cheap shortest-doc-first prior

@@ -889,6 +889,11 @@ object ExtensionQueries {
     "retrieval_ndcg_eval" -> ((s, dir) =>
       Curation.retrievalNdcgEval(t(s, dir, "documents"),
         terms = Seq("spark", "vector", "quantile"), k = 10)),
+    // the canonical Gopher document-shape filter (word count, mean word
+    // length, alpha-word share, stopword presence) as per-rule integer
+    // flags + the conjunction — one map-side pass, no float ratios
+    "quality_gopher_rules" -> ((s, dir) =>
+      Curation.gopherQualityRules(t(s, dir, "documents"))),
     // RefinedWeb/C4-style per-source document cap: longest-first priority,
     // rank cut on the bounded-heap TopKPerKey + parameter-sized running
     // token budget — one row per SURVIVING doc so every keep/drop decision
@@ -3927,6 +3932,28 @@ object ExtensionQueries {
         "CAST(CASE WHEN coalesce(frr, 0) = 0 THEN 0 " +
         "ELSE 1000000 // frr END AS BIGINT) AS mrr_ppm " +
         "FROM q LEFT JOIN tr USING (tk) LEFT JOIN ret USING (tk)"),
+    "quality_gopher_rules" ->
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(list_sum([length(x) FOR x IN w]) AS BIGINT) AS sum_word_chars, " +
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) " +
+        "AS n_alpha_words, " +
+        "CAST(len(list_intersect(list_distinct(w), ['the', 'a', 'of', 'and'])) " +
+        "AS BIGINT) AS n_stop_distinct FROM s) " +
+        "SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stop_distinct, " +
+        "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END " +
+        "AS INT) AS f_word_count, " +
+        "CAST(CASE WHEN sum_word_chars >= n_words * 3 " +
+        "AND sum_word_chars <= n_words * 10 THEN 1 ELSE 0 END AS INT) " +
+        "AS f_mean_word_len, " +
+        "CAST(CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END " +
+        "AS INT) AS f_alpha_ratio, " +
+        "CAST(CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS INT) " +
+        "AS f_stopwords, " +
+        "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 " +
+        "AND sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 " +
+        "AND n_alpha_words * 10 >= n_words * 8 AND n_stop_distinct >= 2 " +
+        "THEN 1 ELSE 0 END AS INT) AS keep FROM m"),
     // same frozen log2-discount ppm literals; ranking = (dl, doc_id),
     // ideal = (grade DESC, dl, doc_id) over the same per-term relation
     "retrieval_ndcg_eval" ->

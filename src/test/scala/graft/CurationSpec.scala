@@ -958,6 +958,26 @@ class CurationSpec extends SparkSpecBase {
       ("cat", 2L, 3L, 2L, 6666L, 10000L, 1000000L)))
   }
 
+  test("gopher rules: each rule fails on its constructed violator only") {
+    import spark.implicits._
+    val base = ("the a of and " + ("word " * 46)).trim // 50 words, passes all
+    val docs = Seq(
+      (1L, base),
+      (2L, "the a of and too short"),                  // word count < 50
+      (3L, ("the a of and " + ("hyperlongtokenxyz " * 46)).trim), // mean len > 10
+      (4L, ("the a of and " + ("12345 " * 46)).trim),  // alpha share 4/50 < 80%
+      (5L, ("the " + ("word " * 49)).trim))            // only 1 distinct stopword
+      .toDF("doc_id", "text")
+    val got = Curation.gopherQualityRules(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(5), r.getInt(6), r.getInt(7),
+        r.getInt(8), r.getInt(9)))).toMap
+    assert(got(1L) == ((1, 1, 1, 1, 1)))
+    assert(got(2L)._1 == 0 && got(2L)._5 == 0)
+    assert(got(3L)._2 == 0 && got(3L)._5 == 0)
+    assert(got(4L)._3 == 0 && got(4L)._5 == 0)
+    assert(got(5L)._4 == 0 && got(5L)._5 == 0)
+  }
+
   test("nDCG: hand case — short low-grade doc outranks the high-grade one") {
     import spark.implicits._
     // term 'x': doc 1 short (dl 2, tf 1 → grade 1) ranks first under the
