@@ -1916,6 +1916,23 @@ object ExtensionQueries {
     // drag, unlike the sequential EWMA/CUSUM detectors
     "events_daily_anomaly_robust" -> ((s, dir) =>
       EventsAnalytics.dailyVolumeAnomalies(t(s, dir, "events"), k = 3)),
+    // DAU/MAU stickiness per 30-day epoch bucket in exact bp: mean daily
+    // actives over monthly actives — two distinct-count aggregates, the
+    // classic engagement ratio; stickiness = Σdau·10^4 div (n_days·mau)
+    "events_dau_mau" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        expr("ts div 86400000000000").as("day"), col("user_id"))
+        .withColumn("mo", expr("day div 30"))
+      val dau = e.groupBy(col("mo"), col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .groupBy(col("mo"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val mau = e.groupBy(col("mo"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, Seq("mo"))
+        .select(col("mo"), col("n_days"), col("mau"), col("sum_dau"),
+          expr("(sum_dau * 10000L) div (n_days * mau)").as("stickiness_bp"))
+    }),
     // inter-arrival-time spectrum: per-user consecutive-event gaps in
     // power-of-two second bands per type — the burstiness fingerprint
     // behind rate-limit tuning; user-keyed windows only
@@ -4988,6 +5005,19 @@ object ExtensionQueries {
         "CAST(prev AS BIGINT) AS prev, CAST(next AS BIGINT) AS next FROM l " +
         "WHERE prev IS NOT NULL AND next IS NOT NULL " +
         "AND c > prev AND c > next"),
+    "events_dau_mau" ->
+      ("WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id " +
+        "FROM events), " +
+        "m AS (SELECT day // 30 AS mo, day, user_id FROM e), " +
+        "d AS (SELECT mo, day, count(DISTINCT user_id) AS dau FROM m " +
+        "GROUP BY 1, 2), " +
+        "dm AS (SELECT mo, count(*) AS n_days, sum(dau) AS sum_dau FROM d " +
+        "GROUP BY 1), " +
+        "ma AS (SELECT mo, count(DISTINCT user_id) AS mau FROM m GROUP BY 1) " +
+        "SELECT dm.mo AS mo, CAST(n_days AS BIGINT) AS n_days, " +
+        "CAST(mau AS BIGINT) AS mau, CAST(sum_dau AS BIGINT) AS sum_dau, " +
+        "CAST((sum_dau * 10000) // (n_days * mau) AS BIGINT) AS stickiness_bp " +
+        "FROM dm JOIN ma USING (mo)"),
     // same dense day grid; medians are exact half-integer percentiles on
     // doubled values, flag by integer comparison (no division)
     "events_daily_anomaly_robust" ->
