@@ -728,7 +728,8 @@ object Curation {
     * pretraining document filter), the document-shape subset that applies
     * to a corpus without line structure: word count in [50, 100000], mean
     * word length in [3, 10], ≥ 80% of words contain an alphabetic
-    * character, and at least 2 distinct stopwords present (the
+    * character, and at least 2 of the paper's 8 stopwords ('the', 'be',
+    * 'to', 'of', 'and', 'that', 'have', 'with') present (the
     * boilerplate/gibberish screens). Every rule is an integer
     * cross-multiplication over per-document token aggregates (no float
     * ratio), one map-side-combining pass; emits the per-rule flags plus
@@ -736,7 +737,8 @@ object Curation {
     * per-rule attrition.
     */
   def gopherQualityRules(docs: DataFrame): DataFrame = {
-    val stopArr = "array('the', 'a', 'of', 'and')"
+    val stopArr =
+      "array('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"),

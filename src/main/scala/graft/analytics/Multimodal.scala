@@ -66,18 +66,32 @@ object Multimodal {
     def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.write(img)
-      ios.flush()
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+      } finally ios.close()
       bos.toByteArray
     }
     def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      reader.setInput(iis)
-      reader.read(0)
+      try {
+        reader.setInput(iis)
+        reader.read(0)
+      } finally iis.close()
     }
+    def dispose(): Unit = { writer.dispose(); reader.dispose() }
   }
+
+  /** Release a per-partition codec instance when the task ends — success
+    * OR failure (exhaustion-based cleanup misses the failure path). The
+    * `Option` guard keeps the helpers callable outside a task (driver
+    * unit probes).
+    */
+  private def disposeAtTaskEnd(cleanup: () => Unit): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => cleanup()))
 
   /** Per-partition WAVE codec handle — the audio sibling of [[Codec]].
     * `AudioSystem.write`/`AudioSystem.getAudioInputStream` route EVERY
@@ -199,6 +213,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
       val codec = new Codec(fmt)
+      disposeAtTaskEnd(() => codec.dispose())
       rows.map { r =>
         val id = r.getLong(0)
         val w = (r.getLong(1) % 31).toInt + 1
@@ -428,6 +443,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
       val codec = new Codec("png")
+      disposeAtTaskEnd(() => codec.dispose())
       rows.map { r =>
         val id = r.getLong(0)
         val w = (r.getLong(1) % 31).toInt + 1
@@ -494,6 +510,7 @@ object Multimodal {
     val assets = spreadForCodec(docs.select(col("doc_id"), col("n_chars")))
       .mapPartitions { rows =>
         val codec = new Codec("png")
+      disposeAtTaskEnd(() => codec.dispose())
         rows.map { r =>
           val id = r.getLong(0)
           val w = (r.getLong(1) % 31).toInt + 1
@@ -547,6 +564,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
       val codec = new Codec("png")
+      disposeAtTaskEnd(() => codec.dispose())
       rows.map { r =>
         val id = r.getLong(0)
         val w = (r.getLong(1) % 31).toInt + 1
@@ -612,6 +630,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
       val codec = new Codec("png")
+      disposeAtTaskEnd(() => codec.dispose())
       rows.map { r =>
         val id = r.getLong(0)
         val w = (r.getLong(1) % 31).toInt + 1
@@ -758,6 +777,7 @@ object Multimodal {
     spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      disposeAtTaskEnd(() => { writer.dispose(); reader.dispose() })
       rows.map { r =>
         val id = r.getLong(0)
         val k = (id % 4).toInt + 2
@@ -765,42 +785,46 @@ object Multimodal {
         val h = (id % 9).toInt + 1
         val bos = new java.io.ByteArrayOutputStream()
         val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < k) {
-          val g = ((id + 37L * f) % 256).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (g << 16) | (g << 8) | g
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < k) {
+            val g = ((id + 37L * f) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
           }
-          writer.writeToSequence(
-            new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
-        }
-        writer.endWriteSequence()
-        ios.flush()
+          writer.endWriteSequence()
+          ios.flush()
+        } finally ios.close()
         val payload = bos.toByteArray // the real stored animated GIF
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload))
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        var sum = 0L
-        var last = 0
-        var i = 0
-        while (i < n) {
-          val d = reader.read(i)
-          val g = (d.getRGB(0, 0) >> 16) & 0xff
-          sum += g
-          last = g
-          i += 1
-        }
-        Row(id, n, reader.getWidth(0), reader.getHeight(0), sum, last)
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var sum = 0L
+          var last = 0
+          var i = 0
+          while (i < n) {
+            val d = reader.read(i)
+            val g = (d.getRGB(0, 0) >> 16) & 0xff
+            sum += g
+            last = g
+            i += 1
+          }
+          Row(id, n, reader.getWidth(0), reader.getHeight(0), sum, last)
+        } finally iis.close()
       }
     }(enc)
   }
@@ -821,6 +845,7 @@ object Multimodal {
     spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      disposeAtTaskEnd(() => { writer.dispose(); reader.dispose() })
       rows.flatMap { r =>
         val id = r.getLong(0)
         val k = (id % 4).toInt + 2
@@ -828,33 +853,37 @@ object Multimodal {
         val h = (id % 9).toInt + 1
         val bos = new java.io.ByteArrayOutputStream()
         val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < k) {
-          val g = ((id + 37L * f) % 256).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (g << 16) | (g << 8) | g
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < k) {
+            val g = ((id + 37L * f) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
           }
-          writer.writeToSequence(
-            new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
-        }
-        writer.endWriteSequence()
-        ios.flush()
+          writer.endWriteSequence()
+          ios.flush()
+        } finally ios.close()
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bos.toByteArray))
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        (0 until n).map { i =>
-          Row(id, i, (reader.read(i).getRGB(0, 0) >> 16) & 0xff)
-        }
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n).map { i =>
+            Row(id, i, (reader.read(i).getRGB(0, 0) >> 16) & 0xff)
+          }
+        } finally iis.close()
       }
     }(enc)
   }
@@ -878,6 +907,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     spreadForCodec(docs.select(col("doc_id"), col("n_chars"))).mapPartitions { rows =>
       val codec = new Codec("jpg")
+      disposeAtTaskEnd(() => codec.dispose())
       rows.map { r =>
         val id = r.getLong(0)
         val w = (r.getLong(1) % 31).toInt + 1

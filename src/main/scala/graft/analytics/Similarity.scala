@@ -1942,7 +1942,8 @@ object Similarity {
     val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
     var picked = Vector((seed.getLong(0),
       seed.getSeq[Long](1).toArray, 0L))
-    for (step <- 2 to k) {
+    var exhausted = false
+    for (step <- 2 to k if !exhausted) {
       val minD2 = picked.map(p => d2To(p._2)).reduce(least(_, _))
       val top = q
         .filter(!col("vec_id").isInCollection(picked.map(_._1)))
@@ -1951,7 +1952,11 @@ object Similarity {
           col("qv").as("v"))).as("t"))
         .select(col("t.m"), (-col("t.nid")).as("vec_id"), col("t.v"))
         .collect()(0)
-      picked :+= ((top.getLong(1), top.getSeq[Long](2).toArray, top.getLong(0)))
+      // max over an empty relation (k > corpus size) is a null struct:
+      // stop and return the full selection instead of NPE-ing below.
+      if (top.isNullAt(0)) exhausted = true
+      else picked :+= ((top.getLong(1), top.getSeq[Long](2).toArray,
+        top.getLong(0)))
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(

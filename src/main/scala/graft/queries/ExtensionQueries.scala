@@ -3955,7 +3955,8 @@ object ExtensionQueries {
         "CAST(list_sum([length(x) FOR x IN w]) AS BIGINT) AS sum_word_chars, " +
         "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) " +
         "AS n_alpha_words, " +
-        "CAST(len(list_intersect(list_distinct(w), ['the', 'a', 'of', 'and'])) " +
+        "CAST(len(list_intersect(list_distinct(w), " +
+        "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) " +
         "AS BIGINT) AS n_stop_distinct FROM s) " +
         "SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stop_distinct, " +
         "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END " +

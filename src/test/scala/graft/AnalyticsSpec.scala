@@ -1120,6 +1120,10 @@ class AnalyticsSpec extends SparkSpecBase {
     val radii = Similarity.kCenterSample(emb, k = 6).collect()
       .drop(1).map(_.getLong(2)).toSeq
     assert(radii == radii.sorted.reverse)
+    // k beyond the corpus size returns the full selection, not an NPE
+    val all = Similarity.kCenterSample(pts, k = 9).collect()
+      .map(_.getLong(1)).toSeq
+    assert(all.sorted == Seq(0L, 1L, 2L, 3L))
   }
 
   test("robust daily anomaly: constructed spike flags, steady days don't") {
