@@ -256,12 +256,17 @@ object Dedup {
     * predicts which un-compared pairs an extra LSH band would surface.
     *
     * Scale shape: common-neighbor counting needs UNORIENTED wedges
-    * (Σ_u C(deg u, 2)), which a hub vertex makes quadratic, so vertices
-    * with degree > `degCap` are dropped first — the same hub-token
+    * (Σ_u C(deg u, 2)), which a hub vertex makes quadratic, so
+    * high-degree vertices are dropped first — the same hub-token
     * argument as the shingle dfCap: a stop-token's neighborhood carries
-    * no pairwise signal. All joins are vertex-keyed on the capped
-    * subgraph; the k-row result comes from TakeOrdered with a full
-    * deterministic tie-break.
+    * no pairwise signal. The cap ADAPTS to the graph: greatest(`degCap`,
+    * 8 × average degree), in exact integers, because a fixed cut that
+    * prunes hubs at one corpus size empties the graph at 10× (at sf0.1
+    * every fixture token outdegrees a fixed 64 and a constant cap
+    * predicts nothing) while the Zipfian hubs stay far above any
+    * constant multiple of the mean. All joins are vertex-keyed on the
+    * capped subgraph; the k-row result comes from TakeOrdered with a
+    * full deterministic tie-break.
     */
   def linkPredictionTopK(
       edges: DataFrame, degCap: Int = 64, k: Int = 20): DataFrame = {
@@ -269,8 +274,12 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b")).distinct()
     val sym = e0.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(e0.select(col("id_b").as("u"), col("id_a").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      .filter(col("d") <= degCap)
+    val deg0 = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // one-row broadcast: sum(d) = 2|E|, count = |V| — cap from the mean
+    val cap = deg0.agg(greatest(lit(degCap.toLong),
+      expr("(8 * sum(d)) div count(1)")).as("cap"))
+    val deg = deg0.crossJoin(broadcast(cap)).filter(col("d") <= col("cap"))
+      .select(col("u"), col("d"))
     // capped subgraph: BOTH endpoints under the cap; degrees re-derived
     // within it so the Jaccard denominator matches the graph being scored
     val adj = sym.join(deg.select(col("u")), Seq("u"), "left_semi")

@@ -3536,8 +3536,10 @@ object ExtensionQueries {
       (tokenEdgeCte +
         ", sym AS (SELECT id_a AS u, id_b AS v FROM e " +
         "UNION ALL SELECT id_b, id_a FROM e), " +
-        "dg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1 " +
-        "HAVING count(*) <= 64), " +
+        "dg0 AS (SELECT u, count(*) AS d FROM sym GROUP BY 1), " +
+        "cap AS (SELECT greatest(64, (8 * sum(d)) // count(*)) AS cap " +
+        "FROM dg0), " +
+        "dg AS (SELECT u, d FROM dg0, cap WHERE d <= cap.cap), " +
         "adj AS MATERIALIZED (SELECT s.u, s.v FROM sym s " +
         "JOIN dg a ON s.u = a.u JOIN dg b ON s.v = b.u), " +
         "cdeg AS MATERIALIZED (SELECT u, count(*) AS d FROM adj GROUP BY 1), " +
