@@ -1677,4 +1677,84 @@ object Curation {
       .agg(sum(col("sgn")).as("feat"),
         count(lit(1)).as("n_terms"),
         countDistinct(col("tk")).as("n_distinct_terms"))
+
+  /** Per-source boilerplate scrub (the C4 / web-curation "template line"
+    * screen, Raffel et al. 2020 §2.2): a text unit that recurs VERBATIM
+    * across many documents of one source is navigation/footer/license
+    * template, not content, and is dropped from every document — distinct
+    * from [[graft.analytics.Dedup.paragraphDedup]], which keeps the FIRST
+    * occurrence; boilerplate has no first legitimate home. Units are the
+    * corpus's fixed 20-token chunks (fixture docs carry no newlines;
+    * reference condenser has no notion of sub-row text units at all). A
+    * chunk is boilerplate within its source when it appears in ≥
+    * `minDocs` documents AND in ≥ `dfBp`/10⁴ of the source's documents —
+    * both cuts integer cross-multiplications.
+    *
+    * Scale shape: chunk doc-frequency shuffles on the chunk string
+    * (bounded by corpus token volume), the per-source doc totals are a
+    * sources-sized broadcast, and the verdict re-joins position rows on
+    * the same chunk key — no window, no all-pairs. Emits per document:
+    * chunk counts, boilerplate-chunk count, retained chars and the
+    * boilerplate share in exact bp.
+    */
+  def boilerplateChunkScrub(docs: DataFrame, chunkTokens: Int = 20,
+      minDocs: Int = 3, dfBp: Int = 2000): DataFrame = {
+    val nChunks = ceil(size(col("w")) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(
+            slice(col("w"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("idx", "chunk")))
+    val srcTotals = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_src"))
+    val df = chunks.select(col("source"), col("chunk"), col("doc_id"))
+      .distinct()
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("df_docs"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .withColumn("boiler",
+        col("df_docs") >= minDocs.toLong &&
+          col("df_docs") * 10000L >= lit(dfBp.toLong) * col("n_docs_src"))
+    chunks.join(df.select(col("source"), col("chunk"), col("boiler")),
+        Seq("source", "chunk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(!col("boiler"), length(col("chunk"))).otherwise(0L))
+          .as("kept_chars"))
+      .withColumn("boiler_share_bp", expr("(n_boiler * 10000L) div n_chunks"))
+  }
+
+  /** Flesch readability in exact fixed point — the classic document
+    * difficulty prior a curation pipeline buckets by (Flesch 1948;
+    * Kincaid et al. 1975). Syllables are the standard vowel-group
+    * heuristic: per word, the count of maximal `[aeiouy]+` runs, floored
+    * at 1 (a vowel-less token — digits, CJK — counts one); sentences are
+    * fixed 15-token segments, ceil-divided, because the fixture corpus
+    * carries no terminator punctuation (the segmentation is shared
+    * verbatim with the oracle, so it cancels in the compare). Both
+    * formulas emit MILLI-points with positive-integer floor division:
+    * reading ease 206835 − (1015·W) div S − (84600·Syl) div W and FK
+    * grade (390·W) div S + (11800·Syl) div W − 15590 — identical in
+    * Spark `div` and DuckDB `//`. One map-side-combining pass; the only
+    * per-word work is a codegen'd regexp over the token array.
+    */
+  def readabilityScores(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + " +
+          "greatest(1L, CAST(size(regexp_extract_all(x, '[aeiouy]+', 0)) AS BIGINT)))")
+          .as("n_syllables"))
+      .filter(col("n_words") >= 1L)
+      .withColumn("n_sents", expr("(n_words + 14L) div 15L"))
+      .withColumn("fre_milli", expr(
+        "206835L - (1015L * n_words) div n_sents - (84600L * n_syllables) div n_words"))
+      .withColumn("fkg_milli", expr(
+        "(390L * n_words) div n_sents + (11800L * n_syllables) div n_words - 15590L"))
 }

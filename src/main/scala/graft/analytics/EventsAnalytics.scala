@@ -924,4 +924,81 @@ object EventsAnalytics {
         col("c") > col("prev") && col("c") > col("next"))
       .select(col("event_type"), col("hr"), col("c"), col("prev"), col("next"))
   }
+
+  /** Heavy changers: the (user, event type) pairs whose activity moved
+    * most between the first and second half of the observed range — the
+    * exact form of the "heavy change detection" question sketch deltas
+    * (Cormode & Muthukrishnan's CM deltas) answer approximately. The
+    * split point is the integer midpoint of the global [min ts, max ts]
+    * span (a one-row broadcast); each pair gets its two half-counts in
+    * one conditional aggregate, delta = n2 − n1, and the k most-moved
+    * rows surface via TakeOrdered with a full deterministic tie-break
+    * (|delta| desc, user, type). ratio_bp = n2·10⁴ div max(1, n1) reads
+    * growth. One scan + one pair-keyed shuffle at any scale.
+    */
+  def heavyChangers(events0: DataFrame, k: Int = 25): DataFrame = {
+    val e = EventTime.toNanos(events0)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val mid = e.agg(
+      expr("(min(ts) + max(ts)) div 2").as("mid_ns"))
+    e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(when(col("ts") < col("mid_ns"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ts") >= col("mid_ns"), 1L).otherwise(0L)).as("n2"))
+      .withColumn("delta", col("n2") - col("n1"))
+      .withColumn("ratio_bp", expr("(n2 * 10000L) div greatest(1L, n1)"))
+      .orderBy(abs(col("delta")).desc, col("user_id"), col("event_type"))
+      .limit(k)
+  }
+
+  /** Poisson-bootstrap confidence band for mean daily purchase revenue —
+    * the single-pass distributed bootstrap (Chamandy et al., "Estimating
+    * uncertainty for massive data streams", Google 2012): resample
+    * replica `b` weights each day by an independent Poisson(1) draw, and
+    * the spread of the replica means IS the sampling distribution of the
+    * estimator. Every draw is a DETERMINISTIC md5 inverse-CDF lookup —
+    * u = first 6 md5 hex digits of "boot-b:day" as an integer in
+    * [0, 16⁶), laddered through the FROZEN Poisson(1) CDF thresholds in
+    * 16⁶ths (the nDCG-discount trick: the one transcendental, e, enters
+    * only via shared integer literals) — so replicas are identical in
+    * any engine and any partitioning. Emits one row per replica: its
+    * total day weight and its weighted mean in cents (floor division;
+    * 0-weight replicas are impossible beyond toy spans but guarded).
+    * The day relation is span-bounded, replicas explode it ×`reps`, and
+    * the aggregate is map-side combining — the whole bootstrap costs one
+    * scan plus a reps×days-sized shuffle regardless of event volume.
+    */
+  def bootstrapDailyMeanCI(events0: DataFrame, reps: Int = 32): DataFrame = {
+    require(reps >= 1, s"bootstrapDailyMeanCI: reps >= 1, got $reps")
+    val dayNs = 86400L * 1000000000L
+    // Poisson(1) CDF in 16^6ths: floor(16^6 · Σ_{i<=n} e^{-1}/i!)
+    // for n = 0..6; a draw past the last threshold weights 7.
+    val thresholds = Seq(6171992L, 12343985L, 15429982L, 16458647L,
+      16715813L, 16767247L, 16775819L)
+    val daily = EventTime.toNanos(events0)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr(s"ts div $dayNs").as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)")
+        .as("day_cents"))
+    val u = expr(
+      "CAST(conv(substring(md5(concat('boot-', CAST(rep AS STRING), ':', " +
+        "CAST(day AS STRING))), 1, 6), 16, 10) AS BIGINT)")
+    val wCase = thresholds.zipWithIndex
+      .foldRight(lit(7L): Column) { case ((t, i), rest) =>
+        when(col("u") < t, i.toLong).otherwise(rest)
+      }
+    daily
+      .select(col("day"), col("day_cents"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("u", u)
+      .withColumn("w", wCase)
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("sum_w"),
+        sum(col("w") * col("day_cents")).as("w_cents"))
+      .withColumn("boot_mean_cents",
+        expr("CASE WHEN sum_w = 0 THEN 0L ELSE w_cents div sum_w END"))
+      .select(col("rep").cast("long").as("rep"), col("sum_w"),
+        col("boot_mean_cents"))
+  }
 }

@@ -894,6 +894,15 @@ object ExtensionQueries {
     // flags + the conjunction — one map-side pass, no float ratios
     "quality_gopher_rules" -> ((s, dir) =>
       Curation.gopherQualityRules(t(s, dir, "documents"))),
+    // per-source verbatim-chunk boilerplate scrub (C4 template screen):
+    // chunk df per source, drop everywhere when df clears both cuts
+    "boilerplate_chunk_scrub" -> ((s, dir) =>
+      Curation.boilerplateChunkScrub(t(s, dir, "documents"))),
+    // Flesch reading ease + FK grade in exact milli-points; syllables =
+    // vowel-group runs floored at 1, sentences = ceil-div 15-token
+    // segments (no terminator punctuation in the fixture corpus)
+    "text_readability" -> ((s, dir) =>
+      Curation.readabilityScores(t(s, dir, "documents"))),
     // RefinedWeb/C4-style per-source document cap: longest-first priority,
     // rank cut on the bounded-heap TopKPerKey + parameter-sized running
     // token budget — one row per SURVIVING doc so every keep/drop decision
@@ -1938,6 +1947,16 @@ object ExtensionQueries {
     // behind rate-limit tuning; user-keyed windows only
     "events_interarrival_bands" -> ((s, dir) =>
       EventsAnalytics.interArrivalBands(t(s, dir, "events"))),
+    // heavy changers: top-25 (user, type) pairs by |second-half −
+    // first-half| count delta around the exact range midpoint — the
+    // exact form of sketch-delta heavy-change detection
+    "events_heavy_changers" -> ((s, dir) =>
+      EventsAnalytics.heavyChangers(t(s, dir, "events"))),
+    // Poisson-bootstrap band for mean daily purchase revenue: 32
+    // deterministic md5 inverse-CDF replicas over the day relation,
+    // one row per replica (weight total + weighted mean in cents)
+    "events_bootstrap_ci" -> ((s, dir) =>
+      EventsAnalytics.bootstrapDailyMeanCI(t(s, dir, "events"))),
     // rolling 7-day revenue per type via a RANGE frame (value-based, so
     // calendar GAPS shorten the window — the semantics a ROWS frame gets
     // wrong); windows are type-keyed over a days-bounded series
@@ -3974,6 +3993,44 @@ object ExtensionQueries {
         "AND sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 " +
         "AND n_alpha_words * 10 >= n_words * 8 AND n_stop_distinct >= 2 " +
         "THEN 1 ELSE 0 END AS INT) AS keep FROM m"),
+    // same 20-token chunking as dedup_paragraph; df over DISTINCT
+    // (source, chunk, doc) then both integer cuts
+    "boilerplate_chunk_scrub" ->
+      ("WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "paras AS (SELECT doc_id, source, unnest(generate_series(0, " +
+        "CAST(ceil(len(w) / 20.0) AS INT) - 1)) AS idx, w FROM toks), " +
+        "p AS (SELECT doc_id, source, idx, " +
+        "array_to_string(w[idx * 20 + 1 : idx * 20 + 20], ' ') AS chunk " +
+        "FROM paras), " +
+        "st AS (SELECT source, count(DISTINCT doc_id) AS n_docs_src " +
+        "FROM documents GROUP BY 1), " +
+        "df AS (SELECT source, chunk, count(DISTINCT doc_id) AS df_docs " +
+        "FROM p GROUP BY 1, 2), " +
+        "b AS (SELECT df.source, df.chunk, (df_docs >= 3 AND " +
+        "df_docs * 10000 >= 2000 * n_docs_src) AS boiler " +
+        "FROM df JOIN st USING (source)) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, " +
+        "CAST(sum(CASE WHEN boiler THEN 0 ELSE length(chunk) END) AS BIGINT) " +
+        "AS kept_chars, " +
+        "CAST((sum(CASE WHEN boiler THEN 1 ELSE 0 END) * 10000) // count(*) " +
+        "AS BIGINT) AS boiler_share_bp " +
+        "FROM p JOIN b USING (source, chunk) GROUP BY doc_id"),
+    // vowel-group syllables floored at 1; 15-token segment sentences;
+    // milli-point Flesch formulas in positive-integer floor division
+    "text_readability" ->
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
+        "CAST(list_sum([greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))) " +
+        "FOR x IN w]) AS BIGINT) AS n_syllables FROM s) " +
+        "SELECT doc_id, n_words, n_syllables, " +
+        "CAST((n_words + 14) // 15 AS BIGINT) AS n_sents, " +
+        "CAST(206835 - (1015 * n_words) // ((n_words + 14) // 15) " +
+        "- (84600 * n_syllables) // n_words AS BIGINT) AS fre_milli, " +
+        "CAST((390 * n_words) // ((n_words + 14) // 15) " +
+        "+ (11800 * n_syllables) // n_words - 15590 AS BIGINT) AS fkg_milli " +
+        "FROM m WHERE n_words >= 1"),
     // same frozen log2-discount ppm literals; ranking = (dl, doc_id),
     // ideal = (grade DESC, dl, doc_id) over the same per-term relation
     "retrieval_ndcg_eval" ->
@@ -5078,6 +5135,39 @@ object ExtensionQueries {
         "CAST((conv_t * 10000) // (CASE WHEN n_t = 0 THEN 1 ELSE n_t END) - " +
         "(conv_c * 10000) // (CASE WHEN n_c = 0 THEN 1 ELSE n_c END) " +
         "AS BIGINT) AS uplift_bp FROM g"),
+    // exact midpoint split from a one-row aggregate; TakeOrdered with a
+    // full tie-break mirrors the LIMIT
+    "events_heavy_changers" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events), " +
+        "m AS (SELECT (min(tn) + max(tn)) // 2 AS mid FROM e), " +
+        "c AS (SELECT user_id, event_type, " +
+        "sum(CASE WHEN tn < mid THEN 1 ELSE 0 END) AS n1, " +
+        "sum(CASE WHEN tn >= mid THEN 1 ELSE 0 END) AS n2 " +
+        "FROM e, m GROUP BY 1, 2) " +
+        "SELECT user_id, event_type, CAST(n1 AS BIGINT) AS n1, " +
+        "CAST(n2 AS BIGINT) AS n2, CAST(n2 - n1 AS BIGINT) AS delta, " +
+        "CAST((n2 * 10000) // greatest(1, n1) AS BIGINT) AS ratio_bp " +
+        "FROM c ORDER BY abs(n2 - n1) DESC, user_id, event_type LIMIT 25"),
+    // frozen Poisson(1) CDF thresholds in 16^6ths; md5('boot-b:day')
+    // inverse-CDF weights, identical in both engines
+    "events_bootstrap_ci" ->
+      ("WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) " +
+        "AS day_cents FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "r AS (SELECT day, day_cents, unnest(generate_series(0, 31)) AS rep FROM d), " +
+        "u AS (SELECT rep, day_cents, ('0x' || substr(md5('boot-' || " +
+        "CAST(rep AS VARCHAR) || ':' || CAST(day AS VARCHAR)), 1, 6))::BIGINT AS u " +
+        "FROM r), " +
+        "ww AS (SELECT rep, day_cents, CASE WHEN u < 6171992 THEN 0 " +
+        "WHEN u < 12343985 THEN 1 WHEN u < 15429982 THEN 2 " +
+        "WHEN u < 16458647 THEN 3 WHEN u < 16715813 THEN 4 " +
+        "WHEN u < 16767247 THEN 5 WHEN u < 16775819 THEN 6 ELSE 7 END AS w " +
+        "FROM u), " +
+        "a AS (SELECT rep, sum(w) AS sum_w, sum(w * day_cents) AS w_cents " +
+        "FROM ww GROUP BY 1) " +
+        "SELECT CAST(rep AS BIGINT) AS rep, CAST(sum_w AS BIGINT) AS sum_w, " +
+        "CAST(CASE WHEN sum_w = 0 THEN 0 ELSE w_cents // sum_w END AS BIGINT) " +
+        "AS boot_mean_cents FROM a"),
     "events_rolling_7day" ->
       ("WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, " +
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) " +

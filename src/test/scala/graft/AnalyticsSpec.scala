@@ -1146,6 +1146,68 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("a", 7L, 20L)))
   }
 
+  test("heavy changers: hand halves around the exact midpoint, |delta| order") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType)))
+    // span [0, 100] → mid = 50; ts = 50 counts in the second half
+    val rows = Seq(
+      Row(1L, 0L, "a"), Row(1L, 60L, "a"), Row(1L, 61L, "a"),
+      Row(1L, 62L, "a"), Row(1L, 64L, "a"), Row(1L, 100L, "a"),
+      Row(2L, 1L, "b"), Row(2L, 2L, "b"), Row(2L, 3L, "b"),
+      Row(3L, 4L, "c"), Row(3L, 70L, "c"))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.heavyChangers(tiny, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, "a", 1L, 5L, 4L, 50000L),   // grew 1 → 5
+      (2L, "b", 3L, 0L, -3L, 0L),      // vanished
+      (3L, "c", 1L, 1L, 0L, 10000L)))  // flat
+  }
+
+  test("Poisson bootstrap: replica weights replay the md5 inverse-CDF exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // three days of purchase revenue: 100, 250, 400 cents
+    val rows = Seq(
+      Row(0L * dayNs, "purchase", 1.00), Row(1L * dayNs, "purchase", 2.50),
+      Row(2L * dayNs, "purchase", 4.00), Row(1L * dayNs, "view", 99.0))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    // driver-side replay of the frozen inverse-CDF draw
+    val thresholds = Seq(6171992L, 12343985L, 15429982L, 16458647L,
+      16715813L, 16767247L, 16775819L)
+    def weight(rep: Int, day: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"boot-$rep:$day".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      val u = java.lang.Long.parseLong(hex, 16)
+      thresholds.indexWhere(u < _) match {
+        case -1 => 7L
+        case i  => i.toLong
+      }
+    }
+    val cents = Map(0L -> 100L, 1L -> 250L, 2L -> 400L)
+    val expect = (0 until 8).map { b =>
+      val ws = cents.keys.toSeq.sorted.map(d => d -> weight(b, d)).toMap
+      val sw = ws.values.sum
+      val m = if (sw == 0) 0L else ws.map { case (d, w) => w * cents(d) }.sum / sw
+      (b.toLong, sw, m)
+    }
+    val got = EventsAnalytics.bootstrapDailyMeanCI(tiny, reps = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == expect)
+  }
+
   test("dedup savings: hand corpus — exact subsumed by fingerprint, neardup from pairs") {
     import spark.implicits._
     val d = Seq(

@@ -978,6 +978,45 @@ class CurationSpec extends SparkSpecBase {
     assert(got(5L)._4 == 0 && got(5L)._5 == 0)
   }
 
+  test("boilerplate scrub: template chunk drops per source, rare chunk survives") {
+    import spark.implicits._
+    val tpl = (1 to 20).map(i => s"t$i").mkString(" ")     // shared 20-token chunk
+    val uniq = (1 to 20).map(i => s"u$i").mkString(" ")    // doc-4-only chunk
+    val other = (1 to 20).map(i => s"v$i").mkString(" ")   // srcB pair chunk
+    val docs = Seq(
+      (1L, tpl, "srcA"), (2L, tpl, "srcA"), (3L, tpl, "srcA"),
+      (4L, s"$tpl $uniq", "srcA"),              // chunk0 = template, chunk1 unique
+      (5L, other, "srcB"), (6L, other, "srcB")) // df 2 < minDocs 3 → kept
+      .toDF("doc_id", "text", "source")
+    val got = Curation.boilerplateChunkScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // template df = 4 of 4 srcA docs → boiler everywhere in srcA
+    assert(got(1L) == ((1L, 1L, 0L, 10000L)))
+    assert(got(4L) == ((2L, 1L, uniq.length.toLong, 5000L)))
+    // srcB pair is below the absolute doc cut → retained
+    assert(got(5L) == ((1L, 0L, other.length.toLong, 0L)))
+    assert(got(6L) == ((1L, 0L, other.length.toLong, 0L)))
+  }
+
+  test("readability: hand syllable counts and exact milli-point formulas") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),   // 3 words, 3 syllables, 1 segment
+      (2L, "123 456"),       // vowel-less words floor at 1 syllable
+      (3L, "beautiful"))     // eau + i + u = 3 vowel groups
+      .toDF("doc_id", "text")
+    val got = Curation.readabilityScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((3L, 3L, 1L, 206835L - 3045L - 84600L,
+      1170L + 11800L - 15590L)))
+    assert(got(2L) == ((2L, 2L, 1L, 206835L - 2030L - 84600L,
+      780L + 11800L - 15590L)))
+    assert(got(3L) == ((1L, 3L, 1L, 206835L - 1015L - 253800L,
+      390L + 35400L - 15590L)))
+  }
+
   test("nDCG: hand case — short low-grade doc outranks the high-grade one") {
     import spark.implicits._
     // term 'x': doc 1 short (dl 2, tf 1 → grade 1) ranks first under the
