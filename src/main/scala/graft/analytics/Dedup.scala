@@ -107,6 +107,35 @@ object Dedup {
           " ")).as("clean_md5"))
   }
 
+  /** Fragment stitching: DIRECTED candidate pairs (a → b) where document
+    * a's last `k` tokens equal document b's first `k` tokens verbatim —
+    * the signal that one source document was split across two rows (a
+    * crawler page boundary, a chunked ingest), the complement of the
+    * symmetric near-dup detectors. Each side contributes ONE fingerprint
+    * row per document (the md5 of the boundary k-gram; the shuffle key
+    * is the 32-char hash, never the text) and the join is equality on
+    * that hash — doc-sized relations, no window, no pair explosion
+    * beyond true boundary collisions. Documents shorter than 2k tokens
+    * are skipped (their head and tail overlap, which is self-similarity,
+    * not a split). Production stitchers use k ≈ 50; the fixture default
+    * k = 3 keeps the 31-token-vocabulary corpus producing collisions to
+    * exercise the join at every scale.
+    */
+  def fragmentStitchPairs(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"fragmentStitchPairs: k >= 1, got $k")
+    val base = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2 * k)
+    val heads = base.select(col("doc_id").as("id_b"),
+      md5Hex(array_join(slice(col("w"), 1, k), " ")).as("fp"))
+    val tails = base.select(col("doc_id").as("id_a"),
+      md5Hex(array_join(slice(col("w"), -k, k), " ")).as("fp"))
+    tails.join(heads, Seq("fp"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp"))
+  }
+
   /** Connected components over a near-duplicate pair relation — the
     * clustering step a dedup pipeline runs after pair detection, so each
     * component keeps exactly one representative. Min-label propagation as

@@ -925,6 +925,46 @@ object EventsAnalytics {
       .select(col("event_type"), col("hr"), col("c"), col("prev"), col("next"))
   }
 
+  /** Theil–Sen daily-volume trend per event type — the robust slope
+    * estimator (median of all pairwise slopes; Theil 1950, Sen 1968)
+    * whose 29% breakdown point survives the spike days that drag an OLS
+    * fit ([[graft.queries]]' `events_trend_slope`) arbitrarily far. Runs
+    * on the DENSE per-type day grid (missing days are real zeros, the
+    * [[dailyVolumeAnomalies]] convention). Each pairwise slope is the
+    * TRUNCATING integer milli-slope (Δcount·1000) div Δdays — toward
+    * zero for negatives in both Spark `div` and DuckDB `//` (the
+    * measured house rule) — and the median ships doubled
+    * (2×percentile(.5), integral at .5-interpolation). The pair relation
+    * is span²-bounded per type — it scales with the CALENDAR, not the
+    * event volume; the only corpus-sized work is the one daily
+    * groupBy.
+    */
+  def theilSenDailyTrend(events0: DataFrame): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val e = EventTime.toNanos(events0)
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"))
+    val cnt = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val rng = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(cnt, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    dense.select(col("event_type"), col("day").as("da"), col("c").as("ca"))
+      .join(dense.select(col("event_type"), col("day").as("db"),
+        col("c").as("cb")), Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .withColumn("slope_milli",
+        expr("((cb - ca) * 1000L) div (db - da)"))
+      .groupBy(col("event_type"))
+      .agg(
+        (max(col("db")) - min(col("da")) + 1L).as("n_days"),
+        count(lit(1)).as("n_pairs"),
+        expr("CAST(round(2 * percentile(slope_milli, 0.5), 0) AS BIGINT)")
+          .as("slope2_milli"))
+  }
+
   /** Heavy changers: the (user, event type) pairs whose activity moved
     * most between the first and second half of the observed range — the
     * exact form of the "heavy change detection" question sketch deltas

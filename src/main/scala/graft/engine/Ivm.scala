@@ -72,4 +72,32 @@ object Ivm {
       keyCols: Seq[String], orderCols: Seq[String], k: Int): DataFrame =
     graft.plans.TopKPerKey.topKPerKey(
       state.unionByName(batch), keyCols, orderCols, k)
+
+  /** Incremental maintenance of a DISTINCT-count view under insert-only
+    * deltas: count(DISTINCT v) per key grows by exactly the number of
+    * (key, v) pairs in the batch that the base has never seen —
+    * Δdistinct = |π(ΔB) ∖ π(B)| — so a refresh costs one batch-sized
+    * dedup plus a delta-keyed anti-join against the materialized pair
+    * relation, never a corpus re-sweep (deletes additionally need the
+    * refcounted pair state; insert-only streams — new users, new docs —
+    * are the common case and need only membership). Emits per key the
+    * old, added and new distinct counts; keys born in the batch appear
+    * with old = 0. One pair-keyed shuffle per side; AQE broadcasts small
+    * batches into the anti-join.
+    */
+  def distinctDelta(
+      base: DataFrame, delta: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    val cols = keys.map(col) :+ col(valueCol)
+    val bp = base.select(cols: _*).distinct()
+    val dp = delta.select(cols: _*).distinct()
+    val old = bp.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("old_distinct"))
+    val added = dp.join(bp, keys :+ valueCol, "left_anti")
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("added_distinct"))
+    old.join(added, keys, "full_outer")
+      .na.fill(0L, Seq("old_distinct", "added_distinct"))
+      .withColumn("new_distinct", col("old_distinct") + col("added_distinct"))
+  }
 }

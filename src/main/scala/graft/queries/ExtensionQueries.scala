@@ -264,6 +264,10 @@ object ExtensionQueries {
     // blocks stand in for paragraphs (fixture text has no newlines); a block
     // survives only at its first corpus occurrence and each doc reports its
     // cleaned-text md5
+    // directed split-document candidates: a's last-3-token gram equals
+    // b's first-3 — one boundary fingerprint per doc, hash-keyed join
+    "doc_fragment_stitch" -> ((s, dir) =>
+      Dedup.fragmentStitchPairs(t(s, dir, "documents"))),
     "dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(t(s, dir, "documents"))),
     // full corpus (no input cap): the df-cap inside the operator bounds the
@@ -1891,6 +1895,21 @@ object ExtensionQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
           col("l_quantity"), col("o_totalprice"))
     }),
+    // incremental DISTINCT-count maintenance: distinct users per type,
+    // base = first 8 of each 10 days, batch = the rest; the refresh is
+    // a batch dedup + pair anti-join, never a corpus re-sweep
+    "ivm_distinct_delta" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("ts div 86400000000000").as("day"))
+      graft.engine.Ivm.distinctDelta(
+        e.filter(col("day") % 10 < 8), e.filter(col("day") % 10 >= 8),
+        Seq("event_type"), "user_id")
+    }),
+    // Theil–Sen robust daily trend per type: doubled median of all
+    // pairwise integer milli-slopes over the dense day grid
+    "events_theil_sen" -> ((s, dir) =>
+      EventsAnalytics.theilSenDailyTrend(t(s, dir, "events"))),
     // CUSUM/KS mean-shift change point per event series: max deviation of
     // the value prefix sum from its uniform-rate line, integer
     // cross-multiplied — the drift monitor a feed pipeline runs per type
@@ -3038,6 +3057,14 @@ object ExtensionQueries {
         "reps AS (SELECT fp, min(doc_id) AS doc_id FROM fp WHERE doc_id % 10 = 0 GROUP BY fp) " +
         "SELECT doc_id, fp FROM reps WHERE fp NOT IN " +
         "(SELECT fp FROM fp WHERE doc_id % 10 != 0)"),
+    "doc_fragment_stitch" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "b AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 6), " +
+        "h AS (SELECT doc_id AS id_b, md5(array_to_string(w[1:3], ' ')) AS fp " +
+        "FROM b), " +
+        "t AS (SELECT doc_id AS id_a, md5(array_to_string(w[n-2:n], ' ')) AS fp " +
+        "FROM b) " +
+        "SELECT id_a, id_b, fp FROM t JOIN h USING (fp) WHERE id_a != id_b"),
     "dedup_paragraph" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "paras AS (SELECT doc_id, unnest(generate_series(0, " +
@@ -5226,6 +5253,39 @@ object ExtensionQueries {
         "CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS var_x_num, " +
         "CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS var_y_num " +
         "FROM a"),
+    "ivm_distinct_delta" ->
+      ("WITH e AS (SELECT event_type, user_id, " +
+        "epoch_ns(ts) // 86400000000000 AS day FROM events), " +
+        "bp AS (SELECT DISTINCT event_type, user_id FROM e WHERE day % 10 < 8), " +
+        "dp AS (SELECT DISTINCT event_type, user_id FROM e WHERE day % 10 >= 8), " +
+        "o AS (SELECT event_type, count(*) AS old_distinct FROM bp GROUP BY 1), " +
+        "a AS (SELECT event_type, count(*) AS added_distinct FROM dp " +
+        "WHERE NOT EXISTS (SELECT 1 FROM bp WHERE bp.event_type = dp.event_type " +
+        "AND bp.user_id = dp.user_id) GROUP BY 1) " +
+        "SELECT event_type, " +
+        "CAST(coalesce(old_distinct, 0) AS BIGINT) AS old_distinct, " +
+        "CAST(coalesce(added_distinct, 0) AS BIGINT) AS added_distinct, " +
+        "CAST(coalesce(old_distinct, 0) + coalesce(added_distinct, 0) AS BIGINT) " +
+        "AS new_distinct FROM o FULL OUTER JOIN a USING (event_type)"),
+    "events_theil_sen" ->
+      ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
+        "FROM events), " +
+        "cnt AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM cnt GROUP BY 1), " +
+        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.day, coalesce(c.c, 0) AS c " +
+        "FROM ds d LEFT JOIN cnt c ON c.event_type = d.event_type " +
+        "AND c.day = d.day), " +
+        "p AS (SELECT a.event_type, " +
+        "((b.c - a.c) * 1000) // (b.day - a.day) AS slope_milli, " +
+        "a.day AS da, b.day AS db FROM dense a JOIN dense b " +
+        "ON a.event_type = b.event_type AND a.day < b.day) " +
+        "SELECT event_type, CAST(max(db) - min(da) + 1 AS BIGINT) AS n_days, " +
+        "count(*) AS n_pairs, " +
+        "CAST(round(2 * quantile_cont(slope_milli, 0.5), 0) AS BIGINT) " +
+        "AS slope2_milli FROM p GROUP BY 1"),
     "ivm_agg_merge" ->
       // postcondition: the merged state IS the direct aggregate over the
       // full table — not a replay of the split/merge machinery

@@ -1146,6 +1146,43 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("a", 7L, 20L)))
   }
 
+  test("Theil–Sen: linear series gives the exact slope, a terminal spike can't drag the median") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    // type a: counts 1,2,3,4,5 on days 0..4 → every pairwise slope is
+    // exactly 1000 milli; type b: 1..6 on days 0..5 then 100 on day 6 —
+    // 15 of 21 slopes stay 1000, so the median ignores the spike (OLS
+    // would not)
+    val rows =
+      (0 to 4).flatMap(d => Seq.fill(d + 1)(Row(d * dayNs, "a"))) ++
+      (0 to 5).flatMap(d => Seq.fill(d + 1)(Row(d * dayNs, "b"))) ++
+      Seq.fill(100)(Row(6L * dayNs, "b"))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.theilSenDailyTrend(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "a" -> ((5L, 10L, 2000L)),
+      "b" -> ((7L, 21L, 2000L))))
+  }
+
+  test("fragment stitch: tail-head gram pairs are directional, short docs skip") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z a b c"),        // tail "a b c"
+      (2L, "a b c q r s"),        // head "a b c"
+      (3L, "a b c"),              // 3 tokens < 2k → skipped
+      (4L, "a b c a b c"))        // head AND tail "a b c"
+      .toDF("doc_id", "text")
+    val got = analytics.Dedup.fragmentStitchPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (4L, 2L)))
+  }
+
   test("heavy changers: hand halves around the exact midpoint, |delta| order") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

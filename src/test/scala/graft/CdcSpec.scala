@@ -157,6 +157,26 @@ class CdcSpec extends SparkSpecBase {
     }
   }
 
+  test("Ivm.distinctDelta: added = batch pairs unseen by base; batch-born keys get old 0") {
+    import spark.implicits._
+    val base = Seq(("k1", 1L), ("k1", 2L), ("k1", 2L), ("k2", 1L))
+      .toDF("k", "v")
+    val delta = Seq(("k1", 2L), ("k1", 3L), ("k3", 9L)).toDF("k", "v")
+    val got = graft.engine.Ivm.distinctDelta(base, delta, Seq("k"), "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "k1" -> ((2L, 1L, 3L)),   // v2 re-arrives (not added), v3 is new
+      "k2" -> ((1L, 0L, 1L)),   // untouched by the batch
+      "k3" -> ((0L, 1L, 1L)))) // born in the batch
+    // postcondition: new_distinct equals the direct distinct count
+    val full = base.unionByName(delta).groupBy("k")
+      .agg(countDistinct(col("v")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map { case (k, t) => k -> t._3 } == full)
+  }
+
   test("cusumShift: argmax lands at a constructed level shift") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
