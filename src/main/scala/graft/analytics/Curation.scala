@@ -1729,6 +1729,42 @@ object Curation {
       .withColumn("boiler_share_bp", expr("(n_boiler * 10000L) div n_chunks"))
   }
 
+  /** Vocabulary coverage curve: what share of the corpus's token volume
+    * the top 2^j vocabulary entries cover, for j = 0..`maxLogRank` — the
+    * measurement that sizes a tokenizer/embedding vocabulary (the area
+    * under a Zipfian corpus's curve saturates fast; a flat curve says
+    * the corpus is dictionary-hostile). The vocabulary is cut to the top
+    * 2^maxLogRank entries FIRST on the bounded-heap TopKPerKey (count
+    * desc, token — deterministic), so the rank/cumsum window runs over a
+    * fixed-size relation regardless of corpus vocabulary; the corpus
+    * total is a one-row broadcast. Coverage in exact bp.
+    */
+  def vocabCoverageCurve(docs: DataFrame, maxLogRank: Int = 14): DataFrame = {
+    require(maxLogRank >= 0 && maxLogRank <= 30,
+      s"vocabCoverageCurve: 0 <= maxLogRank <= 30, got $maxLogRank")
+    val counts = docs
+      .repartition(col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      counts.select(lit(1).as("g"), col("token"), (-col("n")).as("neg_n")),
+      Seq("g"), Seq("neg_n", "token"), 1 << maxLogRank)
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("neg_n"), col("token"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(-col("neg_n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(expr("(rank & (rank - 1)) = 0"))
+      .crossJoin(broadcast(total))
+      .select(
+        expr("CAST(length(bin(rank)) - 1 AS INT)").as("log_rank"),
+        col("rank"), col("cum_tokens"),
+        expr("(cum_tokens * 10000L) div total").as("coverage_bp"))
+  }
+
   /** Flesch readability in exact fixed point — the classic document
     * difficulty prior a curation pipeline buckets by (Flesch 1948;
     * Kincaid et al. 1975). Syllables are the standard vowel-group

@@ -1312,6 +1312,27 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** LSH index commissioning diagnostic: the bucket-occupancy histogram
+    * per band, with the candidate-pair volume each occupancy class will
+    * generate (Σ C(sz, 2) per bucket). This is the measurement that
+    * predicts whether a banding scheme explodes BEFORE the pair join
+    * runs — a bucket of size s costs s·(s−1)/2 candidates, so one hot
+    * bucket (a template/boilerplate cluster) dominates the join; the
+    * histogram surfaces it as a high size-band row. Size bands are
+    * integer bit lengths (the ulp-safe floor(log2) of
+    * `token_graph_degrees`). Two partial-aggregating groupBys over the
+    * band relation; output bounded by bands × 64 size classes.
+    */
+  def lshBandOccupancy(docs: DataFrame, numHashes: Int = 8,
+      rowsPerBand: Int = 4, n: Int = 3): DataFrame =
+    lshBands(docs, numHashes, rowsPerBand, n)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"),
+        expr("CAST(length(bin(sz)) - 1 AS INT)").as("size_band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        sum(expr("(sz * (sz - 1)) div 2")).as("n_cand_pairs"))
+
   /** MinHash+LSH candidate pairs: documents sharing at least one band
     * bucket, with the number of shared bands. The bucket join shuffles on
     * (band, bkey) — the LSH scale path: candidates ≪ all-pairs.

@@ -268,6 +268,20 @@ object ExtensionQueries {
     // b's first-3 — one boundary fingerprint per doc, hash-keyed join
     "doc_fragment_stitch" -> ((s, dir) =>
       Dedup.fragmentStitchPairs(t(s, dir, "documents"))),
+    // LSH bucket-occupancy histogram + per-class candidate-pair volume:
+    // the pre-join explosion forecast for the banding scheme
+    "lsh_band_occupancy" -> ((s, dir) =>
+      Dedup.lshBandOccupancy(t(s, dir, "documents"))),
+    // top-2^j vocabulary coverage of the corpus token volume in exact
+    // bp — tokenizer/embedding vocab sizing; ranks cut on TopKPerKey
+    "vocab_coverage_curve" -> ((s, dir) =>
+      Curation.vocabCoverageCurve(t(s, dir, "documents"))),
+    // Mondrian k-anonymity: three unrolled median cuts on (acctbal
+    // cents, nationkey), leaf regions with population + ranges + verdict
+    "privacy_mondrian_kanon" -> ((s, dir) =>
+      Privacy.mondrianPartitions(t(s, dir, "customer"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)"),
+        col("c_nationkey"))),
     "dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(t(s, dir, "documents"))),
     // full corpus (no input cap): the df-cap inside the operator bounds the
@@ -3057,6 +3071,48 @@ object ExtensionQueries {
         "reps AS (SELECT fp, min(doc_id) AS doc_id FROM fp WHERE doc_id % 10 = 0 GROUP BY fp) " +
         "SELECT doc_id, fp FROM reps WHERE fp NOT IN " +
         "(SELECT fp FROM fp WHERE doc_id % 10 != 0)"),
+    "lsh_band_occupancy" ->
+      ("WITH " + minhashPairCtes +
+        ", bs AS (SELECT band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2) " +
+        "SELECT CAST(band AS INT) AS band, " +
+        "CAST(length(bin(sz)) - 1 AS INT) AS size_band, " +
+        "count(*) AS n_buckets, CAST(sum(sz) AS BIGINT) AS n_docs, " +
+        "CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_cand_pairs " +
+        "FROM bs GROUP BY 1, 2"),
+    "vocab_coverage_curve" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "c AS (SELECT tk AS token, count(*) AS n FROM " +
+        "(SELECT unnest(w) AS tk FROM toks) u WHERE tk != '' GROUP BY 1), " +
+        "tot AS (SELECT sum(n) AS total FROM c), " +
+        "r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank, " +
+        "sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM c) " +
+        "SELECT CAST(length(bin(rank)) - 1 AS INT) AS log_rank, " +
+        "CAST(rank AS BIGINT) AS rank, CAST(cum AS BIGINT) AS cum_tokens, " +
+        "CAST((cum * 10000) // total AS BIGINT) AS coverage_bp " +
+        "FROM r, tot WHERE rank <= 16384 AND (rank & (rank - 1)) = 0"),
+    "privacy_mondrian_kanon" ->
+      ("WITH b AS (SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x, " +
+        "CAST(c_nationkey AS BIGINT) AS y FROM customer), " +
+        "m1 AS (SELECT CAST(round(2 * quantile_cont(x, 0.5), 0) AS BIGINT) AS mx2 " +
+        "FROM b), " +
+        "r1 AS (SELECT x, y, CASE WHEN x * 2 > mx2 THEN 1 ELSE 0 END AS r1 " +
+        "FROM b, m1), " +
+        "m2 AS (SELECT r1, CAST(round(2 * quantile_cont(y, 0.5), 0) AS BIGINT) " +
+        "AS my2 FROM r1 GROUP BY 1), " +
+        "r2 AS (SELECT x, y, r1.r1, CASE WHEN y * 2 > my2 THEN 1 ELSE 0 END AS r2 " +
+        "FROM r1 JOIN m2 USING (r1)), " +
+        "m3 AS (SELECT r1, r2, CAST(round(2 * quantile_cont(x, 0.5), 0) AS BIGINT) " +
+        "AS mx2b FROM r2 GROUP BY 1, 2), " +
+        "r3 AS (SELECT x, y, r2.r1, r2.r2, " +
+        "CASE WHEN x * 2 > mx2b THEN 1 ELSE 0 END AS r3 " +
+        "FROM r2 JOIN m3 USING (r1, r2)) " +
+        "SELECT CAST(r1 AS INT) AS r1, CAST(r2 AS INT) AS r2, " +
+        "CAST(r3 AS INT) AS r3, count(*) AS n, " +
+        "CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x, " +
+        "CAST(count(DISTINCT y) AS BIGINT) AS n_cat, " +
+        "CAST(CASE WHEN count(*) >= 25 THEN 1 ELSE 0 END AS INT) AS kanon " +
+        "FROM r3 GROUP BY 1, 2, 3"),
     "doc_fragment_stitch" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "b AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 6), " +

@@ -999,6 +999,44 @@ class CurationSpec extends SparkSpecBase {
     assert(got(6L) == ((1L, 0L, other.length.toLong, 0L)))
   }
 
+  test("vocab coverage curve: hand Zipf counts at power-of-two ranks") {
+    import spark.implicits._
+    // token volumes a:8 b:4 c:2 d:1 → total 15
+    val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim))
+      .toDF("doc_id", "text")
+    val got = Curation.vocabCoverageCurve(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq(
+      (0, 1L, 8L, 5333L),    // top-1 covers 8/15
+      (1, 2L, 12L, 8000L),
+      (2, 4L, 15L, 10000L)))
+  }
+
+  test("LSH bucket occupancy: duplicate pairs land in size-2 buckets, pair sums match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),   // identical pair
+      (3L, "x y z w"), (4L, "x y z w"),   // identical pair
+      (5L, "p q r s"))                     // unique
+      .toDF("doc_id", "text")
+    val got = analytics.Dedup.lshBandOccupancy(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // per band: two size-2 buckets (4 docs, 2 candidate pairs), one
+    // size-1 bucket (0 pairs)
+    for (band <- Seq(0, 1)) {
+      assert(got((band, 1)) == ((2L, 4L, 2L)))
+      assert(got((band, 0)) == ((1L, 1L, 0L)))
+    }
+    // Σ n_cand_pairs over the histogram = Σ n_shared_bands over the
+    // candidate relation (each pair counted once per shared band)
+    val sumHist = got.values.map(_._3).sum
+    val sumPairs = analytics.Dedup.lshCandidatePairs(docs).collect()
+      .map(_.getLong(2)).sum
+    assert(sumHist == sumPairs)
+  }
+
   test("readability: hand syllable counts and exact milli-point formulas") {
     import spark.implicits._
     val docs = Seq(

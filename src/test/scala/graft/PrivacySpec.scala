@@ -57,4 +57,27 @@ class PrivacySpec extends SparkSpecBase {
       .collect().map(_.getLong(2)).toSeq
     assert(zero == Seq(0L, 0L))
   }
+
+  test("Mondrian: hand median cuts split 1..8 into singleton leaves; ties never split") {
+    import spark.implicits._
+    // x = 1..8, y = x mod 2: every cut lands exactly between two values
+    val df = (1 to 8).map(x => (x.toLong, (x % 2).toLong)).toDF("x", "y")
+    val got = Privacy.mondrianPartitions(df, col("x"), col("y"), k = 2L)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7))))
+      .toMap
+    assert(got.size == 8)
+    // leaf (r1, r2, r3) holds exactly one row; spot-check the corners
+    assert(got((0, 0, 0)) == ((1L, 2L, 2L, 1L, 0L.toInt)))
+    assert(got((1, 1, 1)) == ((1L, 7L, 7L, 1L, 0)))
+    assert(got.values.forall { case (n, _, _, _, kanon) =>
+      n == 1L && kanon == 0 })
+    // all-ties numeric column: the x cuts are no-ops, only the y cut
+    // fires, and both leaves clear k = 2
+    val ties = Seq((5L, 0L), (5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    val got2 = Privacy.mondrianPartitions(ties, col("x"), col("y"), k = 2L)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getInt(7)))).toMap
+    assert(got2 == Map((0, 0, 0) -> ((2L, 1)), (0, 1, 0) -> ((2L, 1))))
+  }
 }
