@@ -293,9 +293,11 @@ object Dedup {
     * prunes hubs at one corpus size empties the graph at 10× (at sf0.1
     * every fixture token outdegrees a fixed 64 and a constant cap
     * predicts nothing) while the Zipfian hubs stay far above any
-    * constant multiple of the mean. All joins are vertex-keyed on the
-    * capped subgraph; the k-row result comes from TakeOrdered with a
-    * full deterministic tie-break.
+    * constant multiple of the mean. The cap itself is one driver scalar
+    * from a one-row aggregate (parameter-sized, like PageRank's node
+    * count). All joins are vertex-keyed on the capped subgraph; the
+    * k-row result comes from TakeOrdered with a full deterministic
+    * tie-break.
     */
   def linkPredictionTopK(
       edges: DataFrame, degCap: Int = 64, k: Int = 20): DataFrame = {
@@ -304,11 +306,14 @@ object Dedup {
     val sym = e0.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(e0.select(col("id_b").as("u"), col("id_a").as("v")))
     val deg0 = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    // one-row broadcast: sum(d) = 2|E|, count = |V| — cap from the mean
-    val cap = deg0.agg(greatest(lit(degCap.toLong),
-      expr("(8 * sum(d)) div count(1)")).as("cap"))
-    val deg = deg0.crossJoin(broadcast(cap)).filter(col("d") <= col("cap"))
-      .select(col("u"), col("d"))
+    // driver scalar (the pageRankFixedPoint n pattern): sum(d) = 2|E|,
+    // count = |V| — cap from the mean. A broadcast-crossJoin form was
+    // measured 2x slower here: it adds an exchange + BNLJ stage to a
+    // query whose cost is stage overhead, not data.
+    val capRow = deg0.agg(greatest(lit(degCap.toLong),
+      expr("(8 * sum(d)) div greatest(1L, count(1))")).as("cap")).collect()(0)
+    val cap = if (capRow.isNullAt(0)) degCap.toLong else capRow.getLong(0)
+    val deg = deg0.filter(col("d") <= cap)
     // capped subgraph: BOTH endpoints under the cap; degrees re-derived
     // within it so the Jaccard denominator matches the graph being scored
     val adj = sym.join(deg.select(col("u")), Seq("u"), "left_semi")

@@ -925,6 +925,98 @@ object EventsAnalytics {
       .select(col("event_type"), col("hr"), col("c"), col("prev"), col("next"))
   }
 
+  /** Semi-structured schema discovery over a JSON payload column — the
+    * profiling pass a pipeline runs before writing extraction code
+    * against telemetry props: per JSON key, its row coverage, value
+    * cardinality, and an inferred-type histogram (int / float / bool /
+    * string by full-match classification of the extracted text). The
+    * fixture's `props` is uniformly {"k": int}, so the key first
+    * ENRICHES the payload deterministically from row fields (the
+    * `text_pii_scrub` convention: synthesize the mess, then profile it
+    * with the real machinery) — a third of rows gain a decimal "amt", a
+    * third a "tag" string and a "flag" bool, keys now OPTIONAL so
+    * coverage means something. The profile itself is one
+    * keys-explode + one groupBy on the key name; output is bounded by
+    * the key vocabulary, never the event count.
+    */
+  def propsSchemaProfile(events0: DataFrame): DataFrame = {
+    val e = events0
+      .withColumn("kstr", expr("get_json_object(props, '$.k')"))
+      .withColumn("eprops", expr(
+        "CASE CAST(event_id % 3 AS INT) " +
+          "WHEN 0 THEN concat('{\"k\": ', kstr, ', \"amt\": \"', " +
+          "CAST(CAST(value AS DECIMAL(18,2)) AS STRING), '\"}') " +
+          "WHEN 1 THEN concat('{\"k\": ', kstr, ', \"tag\": \"t', " +
+          "CAST(user_id % 5 AS STRING), '\", \"flag\": ', " +
+          "IF(user_id % 2 = 0, 'true', 'false'), '}') " +
+          "ELSE props END"))
+      .select(col("eprops"))
+    val total = e.agg(count(lit(1)).as("total"))
+    e.select(col("eprops"),
+        explode(expr("json_object_keys(eprops)")).as("key"))
+      .withColumn("val", expr("get_json_object(eprops, concat('$.', key))"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("val")).as("n_distinct"),
+        sum(expr("IF(val rlike '^-?[0-9]+$', 1L, 0L)")).as("n_int"),
+        sum(expr("IF(val rlike '^-?[0-9]+\\\\.[0-9]+$', 1L, 0L)")).as("n_float"),
+        sum(expr("IF(val IN ('true', 'false'), 1L, 0L)")).as("n_bool"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_present"),
+        expr("(n_present * 10000L) div total").as("coverage_bp"),
+        col("n_distinct"), col("n_int"), col("n_float"), col("n_bool"),
+        (col("n_present") - col("n_int") - col("n_float") - col("n_bool"))
+          .as("n_str"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimate of user churn (Aalen 1978;
+    * the log-space-exact counterpart of Kaplan–Meier — KM's survival
+    * product is a float whose value depends on multiplication order,
+    * while NA's hazard SUM of exact per-day rationals is
+    * engine/partitioning-independent in fixed point; S(t) ≈ exp(−H(t))).
+    * A user is AT RISK from their first to their last observed day;
+    * churn happens on the last day unless it equals the corpus's final
+    * day (right-censored — still absent tomorrow is not evidence of
+    * churn when tomorrow isn't observed). n_risk needs no (user × day)
+    * explosion: it is the running difference of the per-day start and
+    * end counts — two user-sized aggregates plus cumulative sums over
+    * the DENSE day grid (span-bounded, the one global window, same
+    * class as the gap-fill keys). hazard_ppm = churn·10⁶ div risk;
+    * cum_hazard_ppm is its running sum.
+    */
+  def survivalHazard(events0: DataFrame): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val spans = EventTime.toNanos(events0)
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(ts div $dayNs)").as("first_day"),
+        expr(s"max(ts div $dayNs)").as("last_day"))
+    val bounds = spans.agg(min(col("first_day")).as("g0"),
+      max(col("last_day")).as("gm"))
+    val withCensor = spans.crossJoin(broadcast(bounds))
+      .withColumn("churned", (col("last_day") < col("gm")).cast("long"))
+    val starts = withCensor.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_start"))
+    val ends = withCensor.groupBy(col("last_day").as("day"))
+      .agg(count(lit(1)).as("n_end"), sum(col("churned")).as("n_churn"))
+    val grid = bounds.select(explode(sequence(col("g0"), col("gm"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .join(starts, Seq("day"), "left")
+      .join(ends, Seq("day"), "left")
+      .na.fill(0L, Seq("n_start", "n_end", "n_churn"))
+      .withColumn("n_risk",
+        sum(col("n_start")).over(w) -
+          coalesce(sum(col("n_end")).over(wPrev), lit(0L)))
+      .withColumn("hazard_ppm", expr(
+        "CASE WHEN n_risk = 0 THEN 0L ELSE (n_churn * 1000000L) div n_risk END"))
+      .withColumn("cum_hazard_ppm", sum(col("hazard_ppm")).over(w))
+      .select(col("day"), col("n_risk"), col("n_churn"),
+        col("hazard_ppm"), col("cum_hazard_ppm"))
+  }
+
   /** Theil–Sen daily-volume trend per event type — the robust slope
     * estimator (median of all pairwise slopes; Theil 1950, Sen 1968)
     * whose 29% breakdown point survives the spike days that drag an OLS

@@ -1924,6 +1924,15 @@ object ExtensionQueries {
     // pairwise integer milli-slopes over the dense day grid
     "events_theil_sen" -> ((s, dir) =>
       EventsAnalytics.theilSenDailyTrend(t(s, dir, "events"))),
+    // Nelson–Aalen churn hazard: per-day risk set from running
+    // start/end count differences, exact ppm hazard + cumulative sum;
+    // last-day users are right-censored
+    "events_survival_hazard" -> ((s, dir) =>
+      EventsAnalytics.survivalHazard(t(s, dir, "events"))),
+    // JSON schema discovery: per-key coverage, cardinality and
+    // inferred-type histogram over the enriched heterogeneous payload
+    "events_props_schema" -> ((s, dir) =>
+      EventsAnalytics.propsSchemaProfile(t(s, dir, "events"))),
     // CUSUM/KS mean-shift change point per event series: max deviation of
     // the value prefix sum from its uniform-rate line, integer
     // cross-multiplied — the drift monitor a feed pipeline runs per type
@@ -5323,6 +5332,57 @@ object ExtensionQueries {
         "CAST(coalesce(added_distinct, 0) AS BIGINT) AS added_distinct, " +
         "CAST(coalesce(old_distinct, 0) + coalesce(added_distinct, 0) AS BIGINT) " +
         "AS new_distinct FROM o FULL OUTER JOIN a USING (event_type)"),
+    "events_survival_hazard" ->
+      ("WITH sp AS (SELECT user_id, min(epoch_ns(ts) // 86400000000000) AS fd, " +
+        "max(epoch_ns(ts) // 86400000000000) AS ld FROM events GROUP BY 1), " +
+        "bd AS (SELECT min(fd) AS g0, max(ld) AS gm FROM sp), " +
+        "wc AS (SELECT user_id, fd, ld, " +
+        "CASE WHEN ld < gm THEN 1 ELSE 0 END AS churned FROM sp, bd), " +
+        "st AS (SELECT fd AS day, count(*) AS n_start FROM wc GROUP BY 1), " +
+        "en AS (SELECT ld AS day, count(*) AS n_end, sum(churned) AS n_churn " +
+        "FROM wc GROUP BY 1), " +
+        "grid AS (SELECT unnest(generate_series(g0, gm)) AS day FROM bd), " +
+        "d AS (SELECT g.day, coalesce(n_start, 0) AS n_start, " +
+        "coalesce(n_end, 0) AS n_end, coalesce(n_churn, 0) AS n_churn " +
+        "FROM grid g LEFT JOIN st USING (day) LEFT JOIN en USING (day)), " +
+        "r AS (SELECT day, n_churn, " +
+        "sum(n_start) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - " +
+        "coalesce(sum(n_end) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM d), " +
+        "h AS (SELECT day, n_risk, n_churn, CASE WHEN n_risk = 0 THEN 0 " +
+        "ELSE (n_churn * 1000000) // n_risk END AS hazard_ppm FROM r) " +
+        "SELECT CAST(day AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk, " +
+        "CAST(n_churn AS BIGINT) AS n_churn, " +
+        "CAST(hazard_ppm AS BIGINT) AS hazard_ppm, " +
+        "CAST(sum(hazard_ppm) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum_hazard_ppm FROM h"),
+    "events_props_schema" ->
+      ("WITH b AS (SELECT event_id, user_id, " +
+        "CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS amt, " +
+        "json_extract_string(props, '$.k') AS kstr, props FROM events), " +
+        "e AS (SELECT CASE CAST(event_id % 3 AS INT) " +
+        "WHEN 0 THEN '{\"k\": ' || kstr || ', \"amt\": \"' || amt || '\"}' " +
+        "WHEN 1 THEN '{\"k\": ' || kstr || ', \"tag\": \"t' || " +
+        "CAST(user_id % 5 AS VARCHAR) || '\", \"flag\": ' || " +
+        "(CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END) || '}' " +
+        "ELSE props END AS eprops FROM b), " +
+        "kv AS (SELECT unnest(json_keys(eprops)) AS key, eprops FROM e), " +
+        "v AS (SELECT key, json_extract_string(eprops, '$.' || key) AS val " +
+        "FROM kv), " +
+        "tot AS (SELECT count(*) AS total FROM e), " +
+        "p AS (SELECT key, count(*) AS n_present, " +
+        "count(DISTINCT val) AS n_distinct, " +
+        "sum(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS n_int, " +
+        "sum(CASE WHEN regexp_matches(val, '^-?[0-9]+\\.[0-9]+$') THEN 1 ELSE 0 END) AS n_float, " +
+        "sum(CASE WHEN val IN ('true', 'false') THEN 1 ELSE 0 END) AS n_bool " +
+        "FROM v GROUP BY 1) " +
+        "SELECT key, CAST(n_present AS BIGINT) AS n_present, " +
+        "CAST((n_present * 10000) // total AS BIGINT) AS coverage_bp, " +
+        "CAST(n_distinct AS BIGINT) AS n_distinct, " +
+        "CAST(n_int AS BIGINT) AS n_int, CAST(n_float AS BIGINT) AS n_float, " +
+        "CAST(n_bool AS BIGINT) AS n_bool, " +
+        "CAST(n_present - n_int - n_float - n_bool AS BIGINT) AS n_str " +
+        "FROM p, tot"),
     "events_theil_sen" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
         "FROM events), " +

@@ -1146,6 +1146,53 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("a", 7L, 20L)))
   }
 
+  test("survival hazard: hand risk sets, churn days, boundary censoring") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType)))
+    // u1: days 0-2 (churns day 2); u2: 0-5 (censored at the corpus end);
+    // u3: 3-5 (censored); u4: day 1 only (churns day 1)
+    val spans = Seq(1L -> Seq(0, 1, 2), 2L -> Seq(0, 3, 5),
+      3L -> Seq(3, 4, 5), 4L -> Seq(1))
+    val rows = spans.flatMap { case (u, ds) => ds.map(d => Row(u, d * dayNs)) }
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.survivalHazard(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (0L, 2L, 0L, 0L, 0L),
+      (1L, 3L, 1L, 333333L, 333333L),
+      (2L, 2L, 1L, 500000L, 833333L),
+      (3L, 2L, 0L, 0L, 833333L),
+      (4L, 2L, 0L, 0L, 833333L),
+      (5L, 2L, 0L, 0L, 833333L))) // censored exits add no hazard
+  }
+
+  test("props schema profile: enriched keys get coverage, cardinality and types") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rows = Seq(
+      Row(0L, 1L, 3.5, """{"k": 7}"""),   // class 0 → gains amt "3.50"
+      Row(1L, 4L, 9.9, """{"k": 8}"""),   // class 1 → tag "t4", flag true
+      Row(2L, 2L, 1.0, """{"k": 9}"""))   // class 2 → untouched
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.propsSchemaProfile(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == Map(
+      "k" -> ((3L, 10000L, 3L, 3L, 0L, 0L, 0L)),
+      "amt" -> ((1L, 3333L, 1L, 0L, 1L, 0L, 0L)),
+      "tag" -> ((1L, 3333L, 1L, 0L, 0L, 0L, 1L)),
+      "flag" -> ((1L, 3333L, 1L, 0L, 0L, 1L, 0L))))
+  }
+
   test("Theil–Sen: linear series gives the exact slope, a terminal spike can't drag the median") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
