@@ -300,11 +300,18 @@ object Dedup {
     * tie-break.
     */
   def linkPredictionTopK(
-      edges: DataFrame, degCap: Int = 64, k: Int = 20): DataFrame = {
+      edges: DataFrame, degCap: Int = 64, k: Int = 20,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
     val e0 = edges.select(col("id_a"), col("id_b"))
       .filter(col("id_a") =!= col("id_b")).distinct()
-    val sym = e0.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(e0.select(col("id_b").as("u"), col("id_a").as("v")))
+    // sym feeds the degree aggregate AND the capped-subgraph joins; adj
+    // below feeds FOUR consumers (cdeg, both wedge legs, the anti-join)
+    // — materialize each once or Spark re-runs the scan→distinct→join
+    // chain per consumer (measured 1741 tasks at sf1 without the cuts)
+    val sym = materialize(
+      e0.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(e0.select(col("id_b").as("u"), col("id_a").as("v"))))
     val deg0 = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
     // driver scalar (the pageRankFixedPoint n pattern): sum(d) = 2|E|,
     // count = |V| — cap from the mean. A broadcast-crossJoin form was
@@ -316,9 +323,10 @@ object Dedup {
     val deg = deg0.filter(col("d") <= cap)
     // capped subgraph: BOTH endpoints under the cap; degrees re-derived
     // within it so the Jaccard denominator matches the graph being scored
-    val adj = sym.join(deg.select(col("u")), Seq("u"), "left_semi")
-      .join(deg.select(col("u").as("v")), Seq("v"), "left_semi")
-      .select(col("u"), col("v"))
+    val adj = materialize(
+      sym.join(deg.select(col("u")), Seq("u"), "left_semi")
+        .join(deg.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")))
     val cdeg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val wedges = adj.select(col("u"), col("v").as("b"))
       .join(adj.select(col("u"), col("v").as("c")), Seq("u"))
