@@ -1729,6 +1729,38 @@ object Curation {
       .withColumn("boiler_share_bp", expr("(n_boiler * 10000L) div n_chunks"))
   }
 
+  /** Code-switching segmentation: language-ID per fixed 20-token chunk
+    * (the [[graft.functions.TextFunctions.langIdHeuristic]] stopword
+    * screen — any classifier with the same per-chunk contract slots in),
+    * then maximal same-prediction runs via gaps-and-islands (idx −
+    * row_number within (doc, prediction) — the [[keyphrases]] pattern).
+    * A multilingual crawl needs this BEFORE document-level langid:
+    * a page that switches language mid-body poisons whole-doc stopword
+    * ratios, while per-run splitting routes each segment to its own
+    * pipeline. Windows are document-keyed only; output is one row per
+    * run with its start chunk, length and prediction.
+    */
+  def langSegments(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
+    val nChunks = ceil(size(col("w")) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(
+            slice(col("w"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("idx", "chunk")))
+      .withColumn("pred", langIdHeuristic(col("chunk")))
+    val wg = Window.partitionBy(col("doc_id"), col("pred")).orderBy(col("idx"))
+    chunks
+      .withColumn("grp", col("idx") - row_number().over(wg))
+      .groupBy(col("doc_id"), col("pred"), col("grp"))
+      .agg(min(col("idx")).as("seg_start"),
+        count(lit(1)).as("seg_len"))
+      .select(col("doc_id"), col("seg_start"), col("seg_len"),
+        col("pred").as("lang_pred"))
+  }
+
   /** Vocabulary coverage curve: what share of the corpus's token volume
     * the top 2^j vocabulary entries cover, for j = 0..`maxLogRank` — the
     * measurement that sizes a tokenizer/embedding vocabulary (the area

@@ -925,6 +925,88 @@ object EventsAnalytics {
       .select(col("event_type"), col("hr"), col("c"), col("prev"), col("next"))
   }
 
+  /** Offline policy evaluation by REPLAY (Li, Chu, Langford & Wang,
+    * "Unbiased offline evaluation of contextual-bandit-based news
+    * article recommendation algorithms", WSDM 2011): when the logged
+    * arm was chosen uniformly at random, restricting to the events
+    * where the logged arm AGREES with the candidate policy's choice
+    * gives an unbiased estimate of that policy's online reward — no
+    * live experiment needed. Logged arms and both candidate policies
+    * are deterministic md5 draws (logging: per event; "hash" policy:
+    * per user; "fixed" policy: always arm 0), reward is the purchase
+    * value in cents, so every estimate is an exact integer ratio.
+    * One scan, per-policy conditional aggregates; output is
+    * policies-sized.
+    */
+  def banditReplayEval(events0: DataFrame, nArms: Int = 3): DataFrame = {
+    require(nArms >= 1, s"banditReplayEval: nArms >= 1, got $nArms")
+    val spark = events0.sparkSession
+    import spark.implicits._
+    val e = events0
+      .withColumn("arm_log", expr(
+        "CAST(conv(substring(md5(concat('log-', CAST(event_id AS STRING))), " +
+          s"1, 6), 16, 10) AS BIGINT) % $nArms"))
+      .withColumn("arm_hash", expr(
+        "CAST(conv(substring(md5(concat('tgt-', CAST(user_id AS STRING))), " +
+          s"1, 6), 16, 10) AS BIGINT) % $nArms"))
+      .withColumn("reward_cents", expr(
+        "IF(event_type = 'purchase', " +
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0L)"))
+    def replay(name: String, matched: org.apache.spark.sql.Column) =
+      e.agg(count(lit(1)).as("n_total"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(matched, col("reward_cents")).otherwise(0L)).as("reward_cents"))
+        .select(lit(name).as("policy"), col("n_total"), col("n_matched"),
+          expr("(n_matched * 10000L) div n_total").as("match_bp"),
+          expr("CASE WHEN n_matched = 0 THEN 0L " +
+            "ELSE reward_cents div n_matched END").as("mean_reward_cents"))
+    replay("logged", lit(true))
+      .unionByName(replay("hash_by_user", col("arm_log") === col("arm_hash")))
+      .unionByName(replay("fixed_arm0", col("arm_log") === 0))
+  }
+
+  /** Interval–interval overlap join, the bucketed form: user activity
+    * spans joined to overlapping campaign windows. A naive theta-join
+    * (`a.start <= b.end AND b.start <= a.end`) is a cartesian at scale;
+    * the scale path FRAGMENTS each interval into the fixed-width
+    * buckets it touches (weeks here) and equi-joins on the bucket index
+    * — candidates are exactly the pairs sharing a bucket, a superset of
+    * true overlaps pruned by the exact predicate, and the bucket
+    * explosion is span/width-bounded per row (the standard interval-
+    * join decomposition, e.g. the grid join in spatial engines).
+    * Campaign windows are the deterministic 14-day-every-7 ladder off
+    * the corpus origin. Emits exact overlap day counts.
+    */
+  def intervalOverlapJoin(events0: DataFrame, nCampaigns: Int = 12)
+      : DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val spans = EventTime.toNanos(events0)
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(ts div $dayNs)").as("u_start"),
+        expr(s"max(ts div $dayNs)").as("u_end"))
+    val origin = spans.agg(min(col("u_start")).as("g0"))
+    val withBuckets = spans.crossJoin(broadcast(origin))
+      .withColumn("rs", col("u_start") - col("g0"))
+      .withColumn("re", col("u_end") - col("g0"))
+    val spark = events0.sparkSession
+    import spark.implicits._
+    val campaigns = (0 until nCampaigns)
+      .map(c => (c.toLong, 7L * c, 7L * c + 13L))
+      .toDF("campaign_id", "c_start", "c_end")
+    val frag = withBuckets
+      .select(col("user_id"), col("rs"), col("re"),
+        explode(sequence(expr("rs div 7"), expr("re div 7"))).as("wk"))
+    val cFrag = campaigns
+      .select(col("campaign_id"), col("c_start"), col("c_end"),
+        explode(sequence(expr("c_start div 7"), expr("c_end div 7"))).as("wk"))
+    frag.join(broadcast(cFrag), Seq("wk"))
+      .filter(col("rs") <= col("c_end") && col("c_start") <= col("re"))
+      .select(col("user_id"), col("campaign_id"),
+        (least(col("re"), col("c_end")) -
+          greatest(col("rs"), col("c_start")) + 1L).as("overlap_days"))
+      .distinct()
+  }
+
   /** Semi-structured schema discovery over a JSON payload column — the
     * profiling pass a pipeline runs before writing extraction code
     * against telemetry props: per JSON key, its row coverage, value

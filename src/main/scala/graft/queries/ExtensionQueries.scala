@@ -921,6 +921,10 @@ object ExtensionQueries {
     // segments (no terminator punctuation in the fixture corpus)
     "text_readability" -> ((s, dir) =>
       Curation.readabilityScores(t(s, dir, "documents"))),
+    // code-switching runs: per-chunk stopword langid, then maximal
+    // same-prediction segments via gaps-and-islands (doc-keyed windows)
+    "text_lang_segments" -> ((s, dir) =>
+      Curation.langSegments(t(s, dir, "documents"))),
     // RefinedWeb/C4-style per-source document cap: longest-first priority,
     // rank cut on the bounded-heap TopKPerKey + parameter-sized running
     // token budget — one row per SURVIVING doc so every keep/drop decision
@@ -1933,6 +1937,14 @@ object ExtensionQueries {
     // inferred-type histogram over the enriched heterogeneous payload
     "events_props_schema" -> ((s, dir) =>
       EventsAnalytics.propsSchemaProfile(t(s, dir, "events"))),
+    // offline bandit policy eval by replay: md5 logging/target arms,
+    // exact integer match rates + matched-mean purchase reward
+    "events_bandit_replay" -> ((s, dir) =>
+      EventsAnalytics.banditReplayEval(t(s, dir, "events"))),
+    // interval-interval overlap join via week-bucket fragmentation:
+    // user activity spans x the 14-day-every-7 campaign ladder
+    "events_interval_overlap_join" -> ((s, dir) =>
+      EventsAnalytics.intervalOverlapJoin(t(s, dir, "events"))),
     // CUSUM/KS mean-shift change point per event series: max deviation of
     // the value prefix sum from its uniform-rate line, integer
     // cross-multiplied — the drift monitor a feed pipeline runs per type
@@ -4109,6 +4121,22 @@ object ExtensionQueries {
         "CAST((sum(CASE WHEN boiler THEN 1 ELSE 0 END) * 10000) // count(*) " +
         "AS BIGINT) AS boiler_share_bp " +
         "FROM p JOIN b USING (source, chunk) GROUP BY doc_id"),
+    // same chunking as dedup_paragraph; stopword langid per chunk; runs
+    // via idx - row_number within (doc, prediction)
+    "text_lang_segments" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "paras AS (SELECT doc_id, unnest(generate_series(0, " +
+        "CAST(ceil(len(w) / 20.0) AS INT) - 1)) AS idx, w FROM toks), " +
+        "p AS (SELECT doc_id, idx, w[idx * 20 + 1 : idx * 20 + 20] AS cw " +
+        "FROM paras), " +
+        "pr AS (SELECT doc_id, idx, CASE WHEN " +
+        "len(list_filter(cw, x -> x IN ('the', 'a', 'of', 'and'))) * 10 " +
+        ">= len(cw) THEN 'en' ELSE 'unk' END AS pred FROM p), " +
+        "g AS (SELECT doc_id, idx, pred, idx - row_number() OVER " +
+        "(PARTITION BY doc_id, pred ORDER BY idx) AS grp FROM pr) " +
+        "SELECT doc_id, CAST(min(idx) AS INT) AS seg_start, " +
+        "count(*) AS seg_len, pred AS lang_pred " +
+        "FROM g GROUP BY doc_id, pred, grp"),
     // vowel-group syllables floored at 1; 15-token segment sentences;
     // milli-point Flesch formulas in positive-integer floor division
     "text_readability" ->
@@ -5383,6 +5411,39 @@ object ExtensionQueries {
         "CAST(n_bool AS BIGINT) AS n_bool, " +
         "CAST(n_present - n_int - n_float - n_bool AS BIGINT) AS n_str " +
         "FROM p, tot"),
+    "events_bandit_replay" ->
+      ("WITH e AS (SELECT " +
+        "('0x' || substr(md5('log-' || CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 3 AS arm_log, " +
+        "('0x' || substr(md5('tgt-' || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 3 AS arm_hash, " +
+        "CASE WHEN event_type = 'purchase' " +
+        "THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END AS rw " +
+        "FROM events), " +
+        "r AS (SELECT 'logged' AS policy, count(*) AS n_total, " +
+        "count(*) AS n_matched, sum(rw) AS rc FROM e " +
+        "UNION ALL SELECT 'hash_by_user', count(*), " +
+        "sum(CASE WHEN arm_log = arm_hash THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN arm_log = arm_hash THEN rw ELSE 0 END) FROM e " +
+        "UNION ALL SELECT 'fixed_arm0', count(*), " +
+        "sum(CASE WHEN arm_log = 0 THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN arm_log = 0 THEN rw ELSE 0 END) FROM e) " +
+        "SELECT policy, CAST(n_total AS BIGINT) AS n_total, " +
+        "CAST(n_matched AS BIGINT) AS n_matched, " +
+        "CAST((n_matched * 10000) // n_total AS BIGINT) AS match_bp, " +
+        "CAST(CASE WHEN n_matched = 0 THEN 0 ELSE rc // n_matched END " +
+        "AS BIGINT) AS mean_reward_cents FROM r"),
+    // the oracle is the NAIVE overlap theta-join; the engine's bucketed
+    // fragmentation must reproduce it exactly
+    "events_interval_overlap_join" ->
+      ("WITH sp AS (SELECT user_id, " +
+        "min(epoch_ns(ts) // 86400000000000) AS us, " +
+        "max(epoch_ns(ts) // 86400000000000) AS ue FROM events GROUP BY 1), " +
+        "o AS (SELECT min(us) AS g0 FROM sp), " +
+        "s2 AS (SELECT user_id, us - g0 AS rs, ue - g0 AS re FROM sp, o), " +
+        "c AS (SELECT c AS campaign_id, 7 * c AS cs, 7 * c + 13 AS ce " +
+        "FROM (SELECT unnest(generate_series(0, 11)) AS c)) " +
+        "SELECT user_id, CAST(campaign_id AS BIGINT) AS campaign_id, " +
+        "CAST(least(re, ce) - greatest(rs, cs) + 1 AS BIGINT) AS overlap_days " +
+        "FROM s2 JOIN c ON rs <= ce AND cs <= re"),
     "events_theil_sen" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
         "FROM events), " +

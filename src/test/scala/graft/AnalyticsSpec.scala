@@ -1146,6 +1146,65 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("a", 7L, 20L)))
   }
 
+  test("bandit replay: md5 arm replay matches driver-side aggregate exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val data = Seq(
+      (0L, 1L, "purchase", 10.00), (1L, 1L, "view", 99.0),
+      (2L, 2L, "purchase", 2.50), (3L, 2L, "purchase", 4.00),
+      (4L, 3L, "view", 1.0), (5L, 3L, "purchase", 8.00))
+    val tiny = spark.createDataFrame(
+      data.map { case (e, u, t, v) => Row(e, u, t, v) }.asJava, schema)
+    def md5arm(prefix: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$prefix$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 3
+    }
+    val rows = data.map { case (e, u, t, v) =>
+      (md5arm("log-", e), md5arm("tgt-", u),
+        if (t == "purchase") math.round(v * 100) else 0L)
+    }
+    def agg(m: ((Long, Long, Long)) => Boolean): (Long, Long, Long, Long) = {
+      val hit = rows.filter(m)
+      val mean = if (hit.isEmpty) 0L else hit.map(_._3).sum / hit.size
+      (rows.size.toLong, hit.size.toLong,
+        hit.size.toLong * 10000L / rows.size, mean)
+    }
+    val expect = Map(
+      "logged" -> agg(_ => true),
+      "hash_by_user" -> agg(r => r._1 == r._2),
+      "fixed_arm0" -> agg(r => r._1 == 0L))
+    val got = EventsAnalytics.banditReplayEval(tiny).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect.map { case (k, (a, b, c, d)) => k -> ((a, b, c, d)) })
+  }
+
+  test("interval overlap join: bucketed join equals the hand overlap table") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType)))
+    // u1 active days [0,3]; u2 [20,40]; campaign c covers [7c, 7c+13]
+    val rows = Seq(Row(1L, 0L), Row(1L, 3L * dayNs),
+      Row(2L, 20L * dayNs), Row(2L, 40L * dayNs))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.intervalOverlapJoin(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 0L, 4L),                       // [0,3] inside c0 [0,13]
+      (2L, 1L, 1L),                       // touches c1's last day 20
+      (2L, 2L, 8L), (2L, 3L, 14L),        // c3 [21,34] fully inside
+      (2L, 4L, 13L), (2L, 5L, 6L)))
+  }
+
   test("survival hazard: hand risk sets, churn days, boundary censoring") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

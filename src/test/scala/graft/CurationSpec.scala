@@ -999,6 +999,23 @@ class CurationSpec extends SparkSpecBase {
     assert(got(6L) == ((1L, 0L, other.length.toLong, 0L)))
   }
 
+  test("lang segments: alternating chunk predictions form separate runs") {
+    import spark.implicits._
+    val en = ("the a of and " + ("w " * 16)).trim   // 20 tokens, 4 stopword hits
+    val unk = ("w " * 20).trim
+    val en2 = ("the the " + ("w " * 18)).trim       // 2 hits of 20 → still en
+    val docs = Seq(
+      (1L, s"$en $unk $en2"),   // en / unk / en → three runs
+      (2L, s"$en $en"))          // one two-chunk en run
+      .toDF("doc_id", "text")
+    val got = Curation.langSegments(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0, 1L, "en"), (1L, 1, 1L, "unk"), (1L, 2, 1L, "en"),
+      (2L, 0, 2L, "en")))
+  }
+
   test("vocab coverage curve: hand Zipf counts at power-of-two ranks") {
     import spark.implicits._
     // token volumes a:8 b:4 c:2 d:1 → total 15
