@@ -107,6 +107,40 @@ object Dedup {
           " ")).as("clean_md5"))
   }
 
+  /** B-CUBED clustering quality (Bagga & Baldwin 1998; the metric Amigó
+    * et al. 2009 show uniquely satisfies all four clustering-eval
+    * constraints): per ELEMENT, precision = |C(d)∩G(d)|/|C(d)| and
+    * recall = |C(d)∩G(d)|/|G(d)| against gold classes, averaged — the
+    * standard scorecard for a dedup/ER clustering against labeled
+    * truth, and unlike pair-F1 it neither ignores singletons nor lets
+    * one mega-cluster dominate. Per-element ratios are exact ppm floor
+    * divisions; the corpus averages are their integer means and F1 is
+    * the harmonic mean of the two (computed from the already-floored
+    * ppm values — the documented quantization). Three
+    * partial-aggregating groupBys (cluster, gold, intersection) + one
+    * join back; every shuffle keys on cluster/gold ids.
+    */
+  def bcubedEval(assign: DataFrame, gold: DataFrame): DataFrame = {
+    val a = assign.select(col("doc_id"), col("c"))
+      .join(gold.select(col("doc_id"), col("g")), Seq("doc_id"))
+    val cs = a.groupBy(col("c")).agg(count(lit(1)).as("csz"))
+    val gs = a.groupBy(col("g")).agg(count(lit(1)).as("gsz"))
+    val ig = a.groupBy(col("c"), col("g")).agg(count(lit(1)).as("isz"))
+    a.join(cs, Seq("c")).join(gs, Seq("g")).join(ig, Seq("c", "g"))
+      .select(
+        expr("(isz * 1000000L) div csz").as("p_ppm"),
+        expr("(isz * 1000000L) div gsz").as("r_ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p_ppm")).as("sp"), sum(col("r_ppm")).as("sr"))
+      .select(col("n_docs"),
+        expr("sp div n_docs").as("bcubed_p_ppm"),
+        expr("sr div n_docs").as("bcubed_r_ppm"))
+      .withColumn("bcubed_f_ppm", expr(
+        "CASE WHEN bcubed_p_ppm + bcubed_r_ppm = 0 THEN 0L " +
+          "ELSE (2 * bcubed_p_ppm * bcubed_r_ppm) div " +
+          "(bcubed_p_ppm + bcubed_r_ppm) END"))
+  }
+
   /** Fragment stitching: DIRECTED candidate pairs (a → b) where document
     * a's last `k` tokens equal document b's first `k` tokens verbatim —
     * the signal that one source document was split across two rows (a

@@ -925,6 +925,42 @@ object EventsAnalytics {
       .select(col("event_type"), col("hr"), col("c"), col("prev"), col("next"))
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every revenue
+    * forecast must beat (forecast(d) = actual(d − 7), the same weekday
+    * last week) evaluated on each type's LAST 14 days: MAE in exact
+    * cents and mean absolute percentage error in exact bp (per-day APE
+    * floor-divided against max(1, actual) so zero-revenue days are
+    * defined, then integer-averaged — the documented quantization).
+    * Runs on the dense zero-filled day grid (a missing day is a real
+    * zero the naive forecast must also predict); windows are type-keyed
+    * over the span-bounded series.
+    */
+  def seasonalNaiveBacktest(events0: DataFrame, season: Int = 7,
+      horizon: Int = 14): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)")
+        .as("cents"))
+    val rng = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), col("mn"), col("mx"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    dense
+      .withColumn("fc", lag(col("cents"), season).over(w))
+      .filter(col("day") > col("mx") - horizon && col("fc").isNotNull)
+      .withColumn("ae", abs(col("cents") - col("fc")))
+      .withColumn("ape_bp", expr("(ae * 10000L) div greatest(1L, cents)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        expr("sum(ae) div count(1)").as("mae_cents"),
+        expr("sum(ape_bp) div count(1)").as("mape_bp"))
+  }
+
   /** Offline policy evaluation by REPLAY (Li, Chu, Langford & Wang,
     * "Unbiased offline evaluation of contextual-bandit-based news
     * article recommendation algorithms", WSDM 2011): when the logged

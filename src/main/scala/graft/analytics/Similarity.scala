@@ -1927,6 +1927,54 @@ object Similarity {
       .withColumn("recall_bp", expr("(n_overlap * 10000L) div n_truth"))
   }
 
+  /** Variance-ranked dimension selection + recall eval — the
+    * data-adaptive counterpart of [[matryoshkaRecallEval]]'s fixed
+    * prefix: keep the `nDims` HIGHEST-VARIANCE dimensions (classic
+    * unsupervised feature selection; for mean-centered embeddings this
+    * is the diagonal approximation of PCA energy ranking) and measure
+    * recall@k of the thin index against full-dimension truth. The
+    * variance ranking is EXACT: on q = round(x·10⁴), score =
+    * n·Σq² − (Σq)² (the uncentered identity — no division, no float),
+    * accumulated in DECIMAL(38,0) so a 10⁹-row corpus cannot overflow;
+    * identical integers rank identically in any engine. The selection
+    * is a 64-row relation (dimension-bounded); both rankings ride
+    * TopKPerKey as in the matryoshka eval.
+    */
+  def dimSelectRecallEval(
+      emb: DataFrame, queryIds: Seq[Long] = Seq(0L, 50L, 100L, 150L, 200L),
+      k: Int = 10, nDims: Int = 16): DataFrame = {
+    val dims = emb.select(posexplode(expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"))
+      .as(Seq("dim", "q")))
+    val score = dims.groupBy(col("dim"))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("n"),
+        sum(col("q").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sq"),
+        sum((col("q") * col("q"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sqq"))
+      .select(col("dim"), (col("n") * col("sqq") - col("sq") * col("sq")).as("v"))
+    val sel = score.orderBy(col("v").desc, col("dim").asc).limit(nDims)
+      .agg(sort_array(collect_list(col("dim") + 1)).as("sel")) // 1-based
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pairs = emb.crossJoin(broadcast(queries)).crossJoin(broadcast(sel))
+      .filter(col("vec_id") =!= col("q_id"))
+    def top(sim: org.apache.spark.sql.Column): DataFrame =
+      graft.plans.TopKPerKey.topKPerKey(
+        pairs.select(col("q_id"), col("vec_id"), (-sim).as("neg_sim")),
+        Seq("q_id"), Seq("neg_sim", "vec_id"), k)
+    val full = top(cosineRounded(col("embedding"), col("q_emb")))
+    val thin = top(cosineRounded(
+      expr("transform(sel, i -> element_at(embedding, CAST(i AS INT)))"),
+      expr("transform(sel, i -> element_at(q_emb, CAST(i AS INT)))")))
+    full.select(col("q_id"), col("vec_id"))
+      .join(thin.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+      .withColumn("recall_bp", expr("(n_overlap * 10000L) div n_truth"))
+  }
+
   def kCenterSample(emb: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, "kCenterSample: k >= 1")
     val spark = emb.sparkSession

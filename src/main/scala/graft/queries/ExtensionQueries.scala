@@ -327,6 +327,19 @@ object ExtensionQueries {
     "neardup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
         lshPairs(s, dir).select(col("id_a"), col("id_b")))),
+    // B-cubed scorecard of the LSH near-dup clustering against the
+    // exact-duplicate gold classes (md5 of text); singletons count
+    "dedup_bcubed_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+        lshPairs(s, dir).select(col("id_a"), col("id_b")))
+      val assign = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("c"))
+      val gold = docs.select(col("doc_id"), md5Hex(col("text")).as("g"))
+      Dedup.bcubedEval(assign, gold)
+    }),
     // b-bit minwise storage/accuracy table: full-signature vs corrected
     // 1-bit Jaccard estimates vs exact, per LSH candidate pair
     "bbit_minhash_eval" -> ((s, dir) =>
@@ -564,6 +577,11 @@ object ExtensionQueries {
     // rankings on the bounded-heap TopKPerKey
     "embedding_matryoshka_eval" -> ((s, dir) =>
       Similarity.matryoshkaRecallEval(t(s, dir, "embeddings"))),
+    // data-adaptive thin index: keep the 16 highest-variance dims
+    // (exact integer ranking in DECIMAL) and measure recall@10 vs the
+    // full-dimension truth
+    "embedding_dim_select_eval" -> ((s, dir) =>
+      Similarity.dimSelectRecallEval(t(s, dir, "embeddings"))),
     "cosine_topk_lsh_bucket" -> ((s, dir) =>
       Similarity.lshBucketTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5, nBits = 8)),
     "cosine_topk_native" -> ((s, dir) =>
@@ -1928,6 +1946,10 @@ object ExtensionQueries {
     // pairwise integer milli-slopes over the dense day grid
     "events_theil_sen" -> ((s, dir) =>
       EventsAnalytics.theilSenDailyTrend(t(s, dir, "events"))),
+    // seasonal-naive backtest on each type's last 14 days: exact MAE
+    // cents + mean APE bp vs the same-weekday-last-week forecast
+    "events_forecast_eval" -> ((s, dir) =>
+      EventsAnalytics.seasonalNaiveBacktest(t(s, dir, "events"))),
     // Nelson–Aalen churn hazard: per-day risk set from running
     // start/end count differences, exact ppm hazard + cumulative sum;
     // last-day users are right-censored
@@ -4398,6 +4420,26 @@ object ExtensionQueries {
     "neardup_components" ->
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
         " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
+    // same closure as neardup_components; gold = md5(text); F1 from the
+    // already-floored ppm averages (the documented quantization)
+    "dedup_bcubed_eval" ->
+      ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
+        ", comp AS (SELECT src AS doc_id, min(dst) AS component " +
+        "FROM reach GROUP BY src), " +
+        "a AS (SELECT d.doc_id, coalesce(component, d.doc_id) AS c, " +
+        "md5(d.text) AS g FROM documents d LEFT JOIN comp USING (doc_id)), " +
+        "cs AS (SELECT c, count(*) AS csz FROM a GROUP BY 1), " +
+        "gs AS (SELECT g, count(*) AS gsz FROM a GROUP BY 1), " +
+        "ig AS (SELECT c, g, count(*) AS isz FROM a GROUP BY 1, 2), " +
+        "per AS (SELECT (isz * 1000000) // csz AS p_ppm, " +
+        "(isz * 1000000) // gsz AS r_ppm " +
+        "FROM a JOIN cs USING (c) JOIN gs USING (g) JOIN ig USING (c, g)), " +
+        "t AS (SELECT count(*) AS n_docs, " +
+        "CAST(sum(p_ppm) // count(*) AS BIGINT) AS p, " +
+        "CAST(sum(r_ppm) // count(*) AS BIGINT) AS r FROM per) " +
+        "SELECT n_docs, p AS bcubed_p_ppm, r AS bcubed_r_ppm, " +
+        "CAST(CASE WHEN p + r = 0 THEN 0 ELSE (2 * p * r) // (p + r) END " +
+        "AS BIGINT) AS bcubed_f_ppm FROM t"),
     "neardup_components_star" ->
       ("WITH RECURSIVE " + minhashPairCtes + ", " + closureCtes("pairs") +
         " SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"),
@@ -4594,6 +4636,50 @@ object ExtensionQueries {
         "AS rn FROM p) t WHERE rn <= 10), " +
         "tp AS (SELECT q_id, vec_id, 1 AS hit FROM (SELECT q_id, vec_id, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY s_pre DESC, vec_id) " +
+        "AS rn FROM p) t WHERE rn <= 10) " +
+        "SELECT tf.q_id, count(*) AS n_truth, " +
+        "CAST(sum(coalesce(tp.hit, 0)) AS BIGINT) AS n_overlap, " +
+        "CAST((sum(coalesce(tp.hit, 0)) * 10000) // count(*) AS BIGINT) " +
+        "AS recall_bp FROM tf LEFT JOIN tp USING (q_id, vec_id) GROUP BY 1"
+    },
+    // variance ranking replayed exactly (HUGEINT n·Σq² − (Σq)²), then
+    // the matryoshka eval shape over the selected-dim comprehension
+    "embedding_dim_select_eval" -> {
+      def dSel(x: String, y: String): String =
+        s"list_sum([CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) " +
+          "AS DECIMAL(18,16)) FOR i IN l])"
+      def dFull(x: String, y: String, ln: String): String =
+        s"list_sum([CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) " +
+          s"AS DECIMAL(18,16)) FOR i IN generate_series(1, len($ln))])"
+      def cosFull(e: String, q: String): String =
+        s"round(CAST(${dFull(e, q, e)} AS DOUBLE) / " +
+          s"(sqrt(CAST(${dFull(e, e, e)} AS DOUBLE)) * " +
+          s"sqrt(CAST(${dFull(q, q, q)} AS DOUBLE))), 6)"
+      def cosSel(e: String, q: String): String =
+        s"round(CAST(${dSel(e, q)} AS DOUBLE) / " +
+          s"(sqrt(CAST(${dSel(e, e)} AS DOUBLE)) * " +
+          s"sqrt(CAST(${dSel(q, q)} AS DOUBLE))), 6)"
+      "WITH dims AS (SELECT unnest([{'dim': i - 1, " +
+        "'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)} " +
+        "FOR i IN generate_series(1, len(embedding))], recursive := true) " +
+        "FROM embeddings), " +
+        "sc AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n, " +
+        "CAST(sum(q) AS HUGEINT) AS sq, " +
+        "sum(CAST(q * q AS HUGEINT)) AS sqq FROM dims GROUP BY 1), " +
+        "topd AS (SELECT dim FROM sc ORDER BY n * sqq - sq * sq DESC, dim " +
+        "LIMIT 16), " +
+        "sel AS (SELECT list_sort(list(dim + 1)) AS l FROM topd), " +
+        "qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings " +
+        "WHERE vec_id IN (0, 50, 100, 150, 200)), " +
+        "p AS MATERIALIZED (SELECT q.q_id, e.vec_id, " +
+        cosFull("e.embedding", "q.qe") + " AS s_full, " +
+        cosSel("(e.embedding)", "(q.qe)") + " AS s_sel " +
+        "FROM embeddings e, qs q, sel WHERE e.vec_id != q.q_id), " +
+        "tf AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY s_full DESC, vec_id) " +
+        "AS rn FROM p) t WHERE rn <= 10), " +
+        "tp AS (SELECT q_id, vec_id, 1 AS hit FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY s_sel DESC, vec_id) " +
         "AS rn FROM p) t WHERE rn <= 10) " +
         "SELECT tf.q_id, count(*) AS n_truth, " +
         "CAST(sum(coalesce(tp.hit, 0)) AS BIGINT) AS n_overlap, " +
@@ -5444,6 +5530,24 @@ object ExtensionQueries {
         "SELECT user_id, CAST(campaign_id AS BIGINT) AS campaign_id, " +
         "CAST(least(re, ce) - greatest(rs, cs) + 1 AS BIGINT) AS overlap_days " +
         "FROM s2 JOIN c ON rs <= ce AND cs <= re"),
+    "events_forecast_eval" ->
+      ("WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) " +
+        "AS cents FROM events GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM d GROUP BY 1), " +
+        "ds AS (SELECT event_type, mx, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dn AS (SELECT ds.event_type, ds.day, ds.mx, coalesce(cents, 0) AS cents " +
+        "FROM ds LEFT JOIN d ON d.event_type = ds.event_type AND d.day = ds.day), " +
+        "f AS (SELECT event_type, day, mx, cents, lag(cents, 7) OVER " +
+        "(PARTITION BY event_type ORDER BY day) AS fc FROM dn), " +
+        "e AS (SELECT event_type, abs(cents - fc) AS ae, " +
+        "(abs(cents - fc) * 10000) // greatest(1, cents) AS ape FROM f " +
+        "WHERE day > mx - 14 AND fc IS NOT NULL) " +
+        "SELECT event_type, count(*) AS n_eval, " +
+        "CAST(sum(ae) // count(*) AS BIGINT) AS mae_cents, " +
+        "CAST(sum(ape) // count(*) AS BIGINT) AS mape_bp FROM e GROUP BY 1"),
     "events_theil_sen" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
         "FROM events), " +

@@ -1146,6 +1146,63 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("a", 7L, 20L)))
   }
 
+  test("B-cubed: over-merged cluster penalizes precision only; perfect scores 10^6") {
+    import spark.implicits._
+    // gold {1,2} {3}; clustering lumps all three together
+    val assign = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("doc_id", "c")
+    val gold = Seq((1L, "ga"), (2L, "ga"), (3L, "gb")).toDF("doc_id", "g")
+    val r = analytics.Dedup.bcubedEval(assign, gold).collect().head
+    val p = (666666L + 666666L + 333333L) / 3   // per-element floors
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, p, 1000000L, (2 * p * 1000000L) / (p + 1000000L))))
+    // the gold clustering itself is perfect on all three axes
+    val perfect = analytics.Dedup.bcubedEval(
+      gold.select(col("doc_id"), col("g").as("c")), gold).collect().head
+    assert((perfect.getLong(1), perfect.getLong(2), perfect.getLong(3)) ==
+      ((1000000L, 1000000L, 1000000L)))
+  }
+
+  test("dim-select eval: zero-variance dims drop out, thin index recalls fully") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // dims 0,1 carry all the signal; dims 2,3 are constant zero, so the
+    // 2-dim thin index ranks exactly like the full vectors
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      Row(1L, Seq(0.9f, 0.2f, 0.0f, 0.0f)),
+      Row(2L, Seq(0.1f, 1.0f, 0.0f, 0.0f)),
+      Row(3L, Seq(-0.8f, 0.3f, 0.0f, 0.0f)),
+      Row(4L, Seq(0.5f, 0.5f, 0.0f, 0.0f)))
+    val emb = spark.createDataFrame(rows.asJava, schema)
+    val got = Similarity.dimSelectRecallEval(
+      emb, queryIds = Seq(0L), k = 3, nDims = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 3L, 3L, 10000L)))
+  }
+
+  test("seasonal-naive backtest: linear cents series gives exact MAE and mean APE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // cents(d) = 100·d on days 0..20 → forecast error 700 on every
+    // evaluated day 7..20
+    val rows = (0 to 20).map(d => Row(d * dayNs, "a", d.toDouble))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.seasonalNaiveBacktest(tiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .head
+    val apes = (7 to 20).map(d => 700L * 10000L / (100L * d))
+    assert(got == (("a", 14L, 700L, apes.sum / 14L)))
+  }
+
   test("bandit replay: md5 arm replay matches driver-side aggregate exactly") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
