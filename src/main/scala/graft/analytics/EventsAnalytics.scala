@@ -925,6 +925,89 @@ object EventsAnalytics {
       .select(col("event_type"), col("hr"), col("c"), col("prev"), col("next"))
   }
 
+  /** Sample-ratio-mismatch check — the first gate of every A/B readout
+    * (a 50/50 split whose arm counts differ beyond chance means broken
+    * randomization, and every downstream metric is garbage; Fabijan et
+    * al., "Diagnosing sample ratio mismatch", KDD 2019). Units are
+    * DISTINCT users per event type (SRM is about randomization units,
+    * not event volume); the χ² statistic for an even split is
+    * (n_a−n_b)²/(n_a+n_b), carried as exact milli via floor division,
+    * and the 95%/99% verdicts are integer cross-multiplications against
+    * the FROZEN critical values 3.8415/6.6349 (×10⁴ literals — the
+    * nDCG-discount trick). One distinct + one aggregate per type.
+    */
+  def srmCheck(events0: DataFrame): DataFrame =
+    events0
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .withColumn("arm", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("z2_milli", expr(
+        "((n_a - n_b) * (n_a - n_b) * 1000L) div (n_a + n_b)"))
+      .withColumn("srm_95", expr(
+        "CAST((n_a - n_b) * (n_a - n_b) * 10000L >= 38415L * (n_a + n_b) " +
+          "AS INT)"))
+      .withColumn("srm_99", expr(
+        "CAST((n_a - n_b) * (n_a - n_b) * 10000L >= 66349L * (n_a + n_b) " +
+          "AS INT)"))
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, "Improving the
+    * sensitivity of online controlled experiments by utilizing
+    * pre-experiment data", WSDM 2013): adjust each unit's metric by its
+    * pre-period covariate, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X),
+    * which shrinks variance by the squared correlation without biasing
+    * the treatment delta. Units are users; X = first-half purchase
+    * cents, Y = second-half (the usual pre/post split around the exact
+    * range midpoint); arms are the md5 user split. EVERYTHING is exact
+    * rational arithmetic over DECIMAL(38,0) sums — the per-arm adjusted
+    * mean ships as the single floor division of the common-denominator
+    * form (n_a·D·n, D = nΣxx−(Σx)²), so any engine reproduces it
+    * bit-for-bit. Bound: products stay inside DECIMAL(38) up to ~10⁶
+    * units at cent scale; beyond that pre-scale X/Y to coarser units.
+    * Degenerate var(X)=0 falls back to the unadjusted mean. One scan +
+    * one user-keyed aggregate + arms-sized algebra.
+    */
+  def cupedAdjustment(events0: DataFrame): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    val e = EventTime.toNanos(events0)
+    val mid = e.agg(expr("(min(ts) + max(ts)) div 2").as("mid_ns"))
+    val units = e.crossJoin(broadcast(mid))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        expr("CAST(sum(CASE WHEN ts < mid_ns THEN " +
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) " +
+          s"AS $d)").as("x"),
+        expr("CAST(sum(CASE WHEN ts >= mid_ns THEN " +
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) " +
+          s"AS $d)").as("y"))
+      .withColumn("arm", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 2"))
+    val glob = units.agg(count(lit(1)).cast(d).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+    units
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).cast(d).as("na"),
+        sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+      .crossJoin(broadcast(glob))
+      .withColumn("dd", expr("n * sxx - sx * sx"))
+      .withColumn("nt", expr("n * sxy - sx * sy"))
+      .select(col("arm").cast("long").as("arm"),
+        col("na").cast("long").as("n_units"),
+        expr("CAST(sya div na AS BIGINT)").as("raw_mean_cents"),
+        expr("CAST(CASE WHEN dd = 0 THEN (1000 * sya) div na " +
+          "ELSE (1000 * (sya * dd * n - nt * (sxa * n - sx * na))) " +
+          "div (na * dd * n) END AS BIGINT)").as("cuped_mean_milli"),
+        expr("CAST(CASE WHEN dd = 0 THEN 0 " +
+          "ELSE (nt * 1000000) div dd END AS BIGINT)").as("theta_ppm"))
+  }
+
   /** Seasonal-naive forecast backtest — the baseline every revenue
     * forecast must beat (forecast(d) = actual(d − 7), the same weekday
     * last week) evaluated on each type's LAST 14 days: MAE in exact

@@ -1733,6 +1733,39 @@ object ExtensionQueries {
     // supplier revenue concentration: Herfindahl index in basis points,
     // (10000 · Σx²) div T² over exact cent revenues — the antitrust-style
     // concentration number next to the Gini and the ABC classes
+    // SRM gate per event type: distinct-user arm counts, exact chi²
+    // milli, frozen 95/99 critical-value verdicts
+    "events_ab_srm_check" -> ((s, dir) =>
+      EventsAnalytics.srmCheck(t(s, dir, "events"))),
+    // CUPED variance reduction: pre/post purchase cents around the
+    // exact midpoint, theta = cov/var as an exact rational, per-arm
+    // adjusted mean as ONE common-denominator floor division
+    "events_cuped_adjustment" -> ((s, dir) =>
+      EventsAnalytics.cupedAdjustment(t(s, dir, "events"))),
+    // demand elasticity proxy: per-brand OLS slope of quantity on the
+    // discount percent, exact DECIMAL normal equations (the
+    // trendSlopes sign + abs-pico form), zero-variance brands flagged
+    "lineitem_discount_elasticity" -> ((s, dir) => {
+      val d = "DECIMAL(38,0)"
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            s"AS $d)").as("x"),
+          expr(s"CAST(CAST(l_quantity AS BIGINT) AS $d)").as("y"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast(d).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(col("p_brand"), col("n").cast("long").as("n"),
+          expr("CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 " +
+            "WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS INT)")
+            .as("slope_sign"),
+          expr("CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 " +
+            "ELSE (abs(n * sxy - sx * sy) * 1000000000000) div " +
+            "(n * sxx - sx * sx) END AS BIGINT)").as("slope_abs_pico"))
+    }),
     "supplier_revenue_hhi" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey"))
@@ -5773,6 +5806,62 @@ object ExtensionQueries {
         "// count(*) AS BIGINT) AS repeat_bp FROM " +
         "(SELECT o_custkey, CAST(min(year(o_orderdate)) AS INT) AS cohort_year, " +
         "count(*) AS n_orders FROM orders GROUP BY 1) c GROUP BY cohort_year"),
+    "events_ab_srm_check" ->
+      ("WITH u AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "a AS (SELECT event_type, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 " +
+        "AS arm FROM u), " +
+        "c AS (SELECT event_type, " +
+        "sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a, " +
+        "sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b FROM a GROUP BY 1) " +
+        "SELECT event_type, CAST(n_a AS BIGINT) AS n_a, " +
+        "CAST(n_b AS BIGINT) AS n_b, " +
+        "CAST(((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b) AS BIGINT) " +
+        "AS z2_milli, " +
+        "CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 10000 >= " +
+        "38415 * (n_a + n_b) THEN 1 ELSE 0 END AS INT) AS srm_95, " +
+        "CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 10000 >= " +
+        "66349 * (n_a + n_b) THEN 1 ELSE 0 END AS INT) AS srm_99 FROM c"),
+    "events_cuped_adjustment" ->
+      ("WITH m AS (SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 " +
+        "AS mid FROM events), " +
+        "u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN epoch_ns(ts) < mid THEN " +
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) " +
+        "AS HUGEINT) AS x, " +
+        "CAST(sum(CASE WHEN epoch_ns(ts) >= mid THEN " +
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) " +
+        "AS HUGEINT) AS y, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 " +
+        "AS arm FROM events, m WHERE event_type = 'purchase' GROUP BY user_id), " +
+        "g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, " +
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM u), " +
+        "p AS (SELECT arm, CAST(count(*) AS HUGEINT) AS na, " +
+        "sum(x) AS sxa, sum(y) AS sya FROM u GROUP BY 1), " +
+        "q AS (SELECT arm, na, sxa, sya, n, sx, sxy, " +
+        "n * sxx - sx * sx AS dd, n * sxy - sx * sy AS nt FROM p, g) " +
+        "SELECT CAST(arm AS BIGINT) AS arm, CAST(na AS BIGINT) AS n_units, " +
+        "CAST(sya // na AS BIGINT) AS raw_mean_cents, " +
+        "CAST(CASE WHEN dd = 0 THEN (1000 * sya) // na " +
+        "ELSE (1000 * (sya * dd * n - nt * (sxa * n - sx * na))) // " +
+        "(na * dd * n) END AS BIGINT) AS cuped_mean_milli, " +
+        "CAST(CASE WHEN dd = 0 THEN 0 ELSE (nt * 1000000) // dd END " +
+        "AS BIGINT) AS theta_ppm FROM q"),
+    "lineitem_discount_elasticity" ->
+      ("WITH b AS (SELECT p_brand, " +
+        "CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "AS HUGEINT) AS x, " +
+        "CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS y " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+        "s AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n, " +
+        "sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx " +
+        "FROM b GROUP BY 1) " +
+        "SELECT p_brand, CAST(n AS BIGINT) AS n, " +
+        "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 " +
+        "WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS INT) AS slope_sign, " +
+        "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 " +
+        "ELSE (abs(n * sxy - sx * sy) * 1000000000000) // " +
+        "(n * sxx - sx * sx) END AS BIGINT) AS slope_abs_pico FROM s"),
     "supplier_revenue_hhi" ->
       ("SELECT count(*) AS n_suppliers, " +
         "CAST((10000 * sum(CAST(x AS HUGEINT) * x)) // " +

@@ -1146,6 +1146,79 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("a", 7L, 20L)))
   }
 
+  test("SRM check: constructed 30/2 imbalance flags, 10/10 balance does not") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val ids = (1L to 400L)
+    val a0 = ids.filter(arm(_) == 0).take(30)
+    val a1 = ids.filter(arm(_) == 1).take(2)
+    val b0 = ids.filter(arm(_) == 0).take(10)
+    val b1 = ids.filter(arm(_) == 1).take(10)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("user_id", LongType)))
+    val rows = (a0 ++ a1).map(u => Row("a", u)) ++
+      (b0 ++ b1).map(u => Row("b", u))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.srmCheck(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))).toMap
+    assert(got("a") == ((30L, 2L, 28L * 28 * 1000 / 32, 1, 1)))
+    assert(got("b") == ((10L, 10L, 0L, 0, 0)))
+  }
+
+  test("CUPED: BigInt replay matches; constant covariate falls back to raw mean") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val xy = Map(1L -> (100L, 200L), 2L -> (200L, 400L),
+      3L -> (300L, 500L), 4L -> (400L, 900L))
+    val rows = xy.toSeq.flatMap { case (u, (x, y)) => Seq(
+      Row(u, 0L, "purchase", x / 100.0), Row(u, 100L, "purchase", y / 100.0)) }
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    // exact BigInt replay of the common-denominator form
+    val n = BigInt(xy.size)
+    val sx = BigInt(xy.values.map(_._1).sum); val sy = BigInt(xy.values.map(_._2).sum)
+    val sxy = xy.values.map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = xy.values.map { case (x, _) => BigInt(x) * x }.sum
+    val dd = n * sxx - sx * sx; val nt = n * sxy - sx * sy
+    val expect = xy.keys.groupBy(arm).map { case (a, us) =>
+      val na = BigInt(us.size)
+      val sxa = BigInt(us.map(xy(_)._1).sum); val sya = BigInt(us.map(xy(_)._2).sum)
+      a -> ((us.size.toLong, (sya / na).toLong,
+        ((BigInt(1000) * (sya * dd * n - nt * (sxa * n - sx * na))) /
+          (na * dd * n)).toLong,
+        (nt * 1000000 / dd).toLong))
+    }
+    val got = EventsAnalytics.cupedAdjustment(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expect)
+    // constant covariate: var(X) = 0 → adjusted mean is the raw mean
+    val flat = spark.createDataFrame(Seq(
+      Row(1L, 0L, "purchase", 1.00), Row(1L, 100L, "purchase", 3.00),
+      Row(2L, 0L, "purchase", 1.00), Row(2L, 100L, "purchase", 5.00)).asJava,
+      schema)
+    val g2 = EventsAnalytics.cupedAdjustment(flat).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(g2.forall { case (raw, adj, th) => adj == raw * 1000 && th == 0L })
+  }
+
   test("B-cubed: over-merged cluster penalizes precision only; perfect scores 10^6") {
     import spark.implicits._
     // gold {1,2} {3}; clustering lumps all three together
