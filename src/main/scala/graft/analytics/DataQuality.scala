@@ -380,4 +380,77 @@ object DataQuality {
           .as("n_novel"))
       .withColumn("novelty_bp", expr("(n_novel * 10000L) div n_grams"))
   }
+
+  /** Composition drift as TOTAL-VARIATION distance in exact bp: per
+    * group (e.g. nation), TV(group mix, global mix) over a categorical
+    * column = ½·Σ|share_in_group − share_global| — the distribution-
+    * level "does this cohort look like the population" screen (TV is
+    * the metric behind most mix-shift alerts because it bounds every
+    * event-probability difference). The absolute differences
+    * cross-multiply onto the common denominator T_group·T_global in
+    * DECIMAL(38,0), so tv_bp = Σ|c_gs·T − C_s·T_g|·10⁴ div (2·T_g·T) is
+    * exact at any scale. One (group, category) aggregate; category and
+    * group totals broadcast.
+    */
+  def mixShiftTV(df: DataFrame, groupCol: String, catCol: String)
+      : DataFrame = {
+    val d = "DECIMAL(38,0)"
+    val cell = df.groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+      .agg(count(lit(1)).cast(d).as("c"))
+    val gTot = cell.groupBy(col("grp"))
+      .agg(sum(col("c")).as("tg"))
+    val cTot = cell.groupBy(col("cat"))
+      .agg(sum(col("c")).as("cs"))
+    val tot = cell.agg(sum(col("c")).as("t"))
+    // dense (grp × cat) grid: a category absent from a group still
+    // contributes |0·T − C_s·T_g|
+    gTot.crossJoin(cTot)
+      .join(cell, Seq("grp", "cat"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("grp"))
+      .agg(max(col("tg")).as("tg"), max(col("t")).as("t"),
+        sum(abs(expr("CAST(c AS DECIMAL(38,0)) * t - cs * tg"))).as("sad"))
+      .select(col("grp"), col("tg").cast("long").as("n_rows"),
+        expr("CAST((sad * 10000) div (2 * tg * t) AS BIGINT)").as("tv_bp"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov test between two cohorts'
+    * value distributions, dollar-quantized so the CDF support is
+    * bounded by the PRICE DOMAIN rather than the row count (the
+    * quality_auc_eval convention — the one ordered window runs over
+    * distinct quantized values only). D = max|F₁−F₂| carried as the
+    * integer M = max|cum₁·n₂ − cum₂·n₁| over the common denominator
+    * n₁·n₂; d_ppm = M·10⁶ div (n₁n₂) and the α = 0.05 verdict is the
+    * squared cross-multiplication M²·10⁶ ≥ 1844164·(n₁+n₂)·n₁·n₂
+    * (c(0.05) = 1.358, c² frozen at 1.844164 — no square root in the
+    * decision). DECIMAL(38,0) keeps M² exact at a 10⁹-row cohort.
+    */
+  def ksTwoSample(df: DataFrame, cohortCol: String, a: String, b: String,
+      valueDollars: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val vals = df.filter(col(cohortCol).isin(a, b))
+      .select(col(cohortCol).as("cohort"), valueDollars.as("x"))
+    val cnt = vals.groupBy(col("x"))
+      .agg(sum(when(col("cohort") === a, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("cohort") === b, 1L).otherwise(0L)).as("c2"))
+    val tot = cnt.agg(sum(col("c1")).cast(d).as("n1"),
+      sum(col("c2")).cast(d).as("n2"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt
+      .withColumn("f1", sum(col("c1")).over(w).cast(d))
+      .withColumn("f2", sum(col("c2")).over(w).cast(d))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs(expr("f1 * n2 - f2 * n1"))).as("m"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        expr("CAST((m * 1000000) div (n1 * n2) AS BIGINT)").as("d_ppm"),
+        // squared verdict with the FLOORED right-hand side (documented:
+        // both engines floor the same way, so the boundary is shared)
+        expr("CAST(m * m >= (1844164 * (n1 + n2) * n1 * n2) div 1000000 " +
+          "AS INT)").as("reject_95"))
+  }
 }

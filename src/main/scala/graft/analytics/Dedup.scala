@@ -1735,6 +1735,49 @@ object Dedup {
     out.result().reduce(_.unionAll(_))
   }
 
+  /** Bounded-horizon closeness centrality of the hub vertices: for each
+    * of the `nHubs` highest-degree seeds, a PER-SEED BFS to `maxDepth`
+    * (the multi-source frontier carries the seed, so layers stay one
+    * relation) and closeness = (reached−1)·10⁶ div Σdistance — the
+    * bounded-neighborhood form large-graph practice uses because exact
+    * all-pairs closeness is quadratic and disconnected components make
+    * the unbounded sum undefined. Frontiers materialize per hop (the
+    * [[bfsDepthFromHubs]] lineage rule); every join keys on the vertex.
+    */
+  def closenessFromHubs(
+      edges: DataFrame, nHubs: Int = 4, maxDepth: Int = 3): DataFrame = {
+    val adj = graft.engine.Materialize.local(edges
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct())
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.orderBy(col("deg").desc, col("u")).limit(nHubs)
+      .select(col("u").as("seed"))
+    var frontier = hubs.select(col("seed"), col("seed").as("node"))
+    var visited = frontier.withColumn("depth", lit(0))
+    val out = Seq.newBuilder[DataFrame]
+    out += visited
+    for (d <- 1 to maxDepth) {
+      val next = adj.join(
+          (if (d == 1) broadcast(frontier) else frontier)
+            .withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+      frontier = graft.engine.Materialize.local(next)
+      val layer = frontier.withColumn("depth", lit(d))
+      out += layer
+      visited = visited.union(layer)
+    }
+    out.result().reduce(_.unionAll(_))
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("depth")).cast("long").as("sum_dist"))
+      .withColumn("closeness_ppm", expr(
+        "CASE WHEN sum_dist = 0 THEN 0L " +
+          "ELSE ((n_reached - 1) * 1000000L) div sum_dist END"))
+  }
+
   /** Newman modularity of a vertex partition over an undirected graph, per
     * community (Newman & Girvan 2004): community c contributes
     * e_c/m − (d_c/2m)², emitted signed in exact ppm via the integer

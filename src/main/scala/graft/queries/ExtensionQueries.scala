@@ -458,6 +458,10 @@ object ExtensionQueries {
     // visited anti-join per hop
     "token_graph_bfs_depth" -> ((s, dir) =>
       Dedup.bfsDepthFromHubs(tokenEdges(s, dir), nHubs = 4, maxDepth = 3)),
+    // bounded-horizon closeness of the 4 hub tokens: per-seed BFS to
+    // depth 3, closeness = (reached-1)*1e6 div sum(distance)
+    "token_graph_closeness" -> ((s, dir) =>
+      Dedup.closenessFromHubs(tokenEdges(s, dir), nHubs = 4, maxDepth = 3)),
     // degree assortativity of the token graph, signed r^2 in exact ppm:
     // negative = hubs attach to leaves (star-like boilerplate), positive
     // = a degree-stratified core; one tagged-edge aggregate
@@ -1742,6 +1746,20 @@ object ExtensionQueries {
     // adjusted mean as ONE common-denominator floor division
     "events_cuped_adjustment" -> ((s, dir) =>
       EventsAnalytics.cupedAdjustment(t(s, dir, "events"))),
+    // composition drift: per-nation total-variation distance of the
+    // segment mix from the global mix, exact bp on a dense grid
+    "customer_mix_shift_tv" -> ((s, dir) =>
+      DataQuality.mixShiftTV(t(s, dir, "customer"),
+        "c_nationkey", "c_mktsegment")),
+    // exact two-sample KS between two segments' dollar-quantized order
+    // values; frozen c(0.05)^2 verdict without a square root
+    "orders_ks_segments" -> ((s, dir) =>
+      DataQuality.ksTwoSample(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "BUILDING", "MACHINERY",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
     // demand elasticity proxy: per-brand OLS slope of quantity on the
     // discount percent, exact DECIMAL normal equations (the
     // trendSlopes sign + abs-pico form), zero-variance brands flagged
@@ -3946,6 +3964,39 @@ object ExtensionQueries {
         "SELECT CAST(length(bin(deg)) - 1 AS INT) AS band, " +
         "count(*) AS n_vertices, CAST(min(deg) AS BIGINT) AS min_deg, " +
         "CAST(max(deg) AS BIGINT) AS max_deg FROM deg GROUP BY 1"),
+    // per-seed BFS unrolled; frontier f_k excludes every earlier layer
+    // OF THE SAME SEED; hub seeds = top-4 degree, same tie-break
+    "token_graph_closeness" ->
+      (tokenEdgeCte + ", " +
+        "adj AS (SELECT id_a AS u, id_b AS v FROM e " +
+        "UNION SELECT id_b, id_a FROM e), " +
+        "deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1), " +
+        "d0 AS (SELECT u AS seed FROM deg ORDER BY deg DESC, u LIMIT 4), " +
+        "v0 AS (SELECT seed, seed AS node FROM d0), " +
+        "f1 AS (SELECT DISTINCT v.seed, a.v AS node FROM v0 v " +
+        "JOIN adj a ON a.u = v.node WHERE NOT EXISTS " +
+        "(SELECT 1 FROM v0 x WHERE x.seed = v.seed AND x.node = a.v)), " +
+        "f2 AS (SELECT DISTINCT f.seed, a.v AS node FROM f1 f " +
+        "JOIN adj a ON a.u = f.node WHERE NOT EXISTS " +
+        "(SELECT 1 FROM v0 x WHERE x.seed = f.seed AND x.node = a.v) " +
+        "AND NOT EXISTS " +
+        "(SELECT 1 FROM f1 x WHERE x.seed = f.seed AND x.node = a.v)), " +
+        "f3 AS (SELECT DISTINCT f.seed, a.v AS node FROM f2 f " +
+        "JOIN adj a ON a.u = f.node WHERE NOT EXISTS " +
+        "(SELECT 1 FROM v0 x WHERE x.seed = f.seed AND x.node = a.v) " +
+        "AND NOT EXISTS " +
+        "(SELECT 1 FROM f1 x WHERE x.seed = f.seed AND x.node = a.v) " +
+        "AND NOT EXISTS " +
+        "(SELECT 1 FROM f2 x WHERE x.seed = f.seed AND x.node = a.v)), " +
+        "alld AS (SELECT seed, node, 0 AS depth FROM v0 " +
+        "UNION ALL SELECT seed, node, 1 FROM f1 " +
+        "UNION ALL SELECT seed, node, 2 FROM f2 " +
+        "UNION ALL SELECT seed, node, 3 FROM f3) " +
+        "SELECT seed, count(*) AS n_reached, " +
+        "CAST(sum(depth) AS BIGINT) AS sum_dist, " +
+        "CAST(CASE WHEN sum(depth) = 0 THEN 0 ELSE " +
+        "((count(*) - 1) * 1000000) // sum(depth) END AS BIGINT) " +
+        "AS closeness_ppm FROM alld GROUP BY 1"),
     // the 3 BFS hops unrolled as frontier CTEs, each excluding everything
     // already visited; hub seed = top-4 degree with the same tie-break
     "token_graph_bfs_depth" ->
@@ -5847,6 +5898,38 @@ object ExtensionQueries {
         "(na * dd * n) END AS BIGINT) AS cuped_mean_milli, " +
         "CAST(CASE WHEN dd = 0 THEN 0 ELSE (nt * 1000000) // dd END " +
         "AS BIGINT) AS theta_ppm FROM q"),
+    "customer_mix_shift_tv" ->
+      ("WITH cell AS (SELECT c_nationkey AS grp, c_mktsegment AS cat, " +
+        "CAST(count(*) AS HUGEINT) AS c FROM customer GROUP BY 1, 2), " +
+        "gt AS (SELECT grp, sum(c) AS tg FROM cell GROUP BY 1), " +
+        "ct AS (SELECT cat, sum(c) AS cs FROM cell GROUP BY 1), " +
+        "tt AS (SELECT sum(c) AS t FROM cell), " +
+        "g AS (SELECT gt.grp, gt.tg, ct.cat, ct.cs, t, coalesce(c, 0) AS c " +
+        "FROM gt CROSS JOIN ct CROSS JOIN tt LEFT JOIN cell " +
+        "ON cell.grp = gt.grp AND cell.cat = ct.cat) " +
+        "SELECT grp, CAST(max(tg) AS BIGINT) AS n_rows, " +
+        "CAST((sum(abs(CAST(c AS HUGEINT) * t - cs * tg)) * 10000) // " +
+        "(2 * max(tg) * max(t)) AS BIGINT) AS tv_bp FROM g GROUP BY grp"),
+    "orders_ks_segments" ->
+      ("WITH j AS (SELECT c_mktsegment AS cohort, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), " +
+        "cnt AS (SELECT x, " +
+        "sum(CASE WHEN cohort = 'BUILDING' THEN 1 ELSE 0 END) AS c1, " +
+        "sum(CASE WHEN cohort = 'MACHINERY' THEN 1 ELSE 0 END) AS c2 " +
+        "FROM j GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1, " +
+        "CAST(sum(c2) AS HUGEINT) AS n2 FROM cnt), " +
+        "r AS (SELECT CAST(sum(c1) OVER (ORDER BY x ROWS UNBOUNDED " +
+        "PRECEDING) AS HUGEINT) AS f1, CAST(sum(c2) OVER (ORDER BY x " +
+        "ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS f2 FROM cnt), " +
+        "m AS (SELECT max(abs(f1 * n2 - f2 * n1)) AS m, max(n1) AS n1, " +
+        "max(n2) AS n2 FROM r, tot) " +
+        "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, " +
+        "CAST((m * 1000000) // (n1 * n2) AS BIGINT) AS d_ppm, " +
+        "CAST(CASE WHEN m * m >= (1844164 * (n1 + n2) * n1 * n2) // 1000000 " +
+        "THEN 1 ELSE 0 END AS INT) AS reject_95 FROM m"),
     "lineitem_discount_elasticity" ->
       ("WITH b AS (SELECT p_brand, " +
         "CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) " +

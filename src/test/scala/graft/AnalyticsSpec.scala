@@ -1146,6 +1146,18 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("a", 7L, 20L)))
   }
 
+  test("closeness from hubs: hand chain, depth-bounded sum, per-seed") {
+    import spark.implicits._
+    // hub h (deg 3) → a,b,x; chain a-c-d-e; depth cap 3 leaves e out
+    val edges = Seq(("h", "a"), ("h", "b"), ("h", "x"),
+      ("a", "c"), ("c", "d"), ("d", "e")).toDF("id_a", "id_b")
+    val got = analytics.Dedup.closenessFromHubs(edges, nHubs = 1, maxDepth = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // reached: h(0) a,b,x(1) c(2) d(3) → n 6, Σd 8, (6−1)·10⁶/8
+    assert(got.toSeq == Seq(("h", 6L, 8L, 625000L)))
+  }
+
   test("SRM check: constructed 30/2 imbalance flags, 10/10 balance does not") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -183,4 +183,37 @@ class DataQualitySpec extends SparkSpecBase {
       5L -> ((2L, 5000L, 5000L, 0L)),
       0L -> ((1L, 0L, 10000L, 10000L))))
   }
+
+  test("mix-shift TV: hand mixes give exactly 2500 bp; matching mix gives 0") {
+    import spark.implicits._
+    // A = (.5, .5), B = (1, 0), global = (.75, .25) → TV = .25 for both
+    val df = Seq(("A", "c1"), ("A", "c1"), ("A", "c2"), ("A", "c2"),
+      ("B", "c1"), ("B", "c1"), ("B", "c1"), ("B", "c1"))
+      .toDF("grp0", "cat0")
+    val got = DataQuality.mixShiftTV(df, "grp0", "cat0").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("A" -> ((4L, 2500L)), "B" -> ((4L, 2500L))))
+    // a group whose mix equals the global mix scores 0
+    val same = Seq(("A", "c1"), ("A", "c2"), ("B", "c1"), ("B", "c2"))
+      .toDF("grp0", "cat0")
+    val z = DataQuality.mixShiftTV(same, "grp0", "cat0").collect()
+      .map(_.getLong(2)).toSeq
+    assert(z == Seq(0L, 0L))
+  }
+
+  test("KS two-sample: hand CDFs give D = 1/2; identical samples give 0") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 3L), ("B", 4L), ("B", 5L), ("B", 6L))
+      .toDF("cohort0", "v")
+    val got = DataQuality.ksTwoSample(df, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getInt(3)) ==
+      ((4L, 4L, 500000L, 0)))
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("cohort0", "v")
+    val z = DataQuality.ksTwoSample(same, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert(z.getLong(2) == 0L && z.getInt(3) == 0)
+  }
 }
