@@ -250,6 +250,68 @@ object Multimodal {
     * leaves the task. Compressed codecs (MP3/AAC/Opus) stay in the
     * declared stub tier — the JDK ships no decoder for them.
     */
+  /** RIFF container structure parse from REAL WAV bytes — the
+    * container-level scan an ingest runs before any codec work (chunk
+    * walk, not sample decode): encode the deterministic PCM16 buffer
+    * with the real JDK WAVE writer, then walk the RIFF chunk table
+    * byte-by-byte (4-char ids + little-endian u32 sizes) and emit what
+    * the CONTAINER says — overall RIFF size, subchunk count, fmt and
+    * data chunk sizes. The oracle states the spec-mandated values
+    * (riff = 36 + 2n for canonical fmt(16)+data PCM), so a writer that
+    * padded or reordered chunks would fail the compare loudly.
+    */
+  def wavRiffChunks(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("riff_size", LongType, nullable = false),
+      StructField("n_chunks", IntegerType, nullable = false),
+      StructField("fmt_size", LongType, nullable = false),
+      StructField("data_size", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"))).mapPartitions { rows =>
+      import javax.sound.sampled._
+      val codec = new WavCodec
+      def u32(b: Array[Byte], off: Int): Long =
+        (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+      def id4(b: Array[Byte], off: Int): String =
+        new String(b, off, 4, "US-ASCII")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 50).toInt + 20
+        val sr = 8000 + (id % 4).toInt * 4000
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val payload = codec.encode(ais)
+        require(id4(payload, 0) == "RIFF" && id4(payload, 8) == "WAVE",
+          s"not a RIFF/WAVE container for asset $id")
+        val riffSize = u32(payload, 4)
+        var off = 12
+        var nChunks = 0
+        var fmtSize = -1L
+        var dataSize = -1L
+        while (off + 8 <= payload.length) {
+          val cid = id4(payload, off)
+          val sz = u32(payload, off + 4)
+          nChunks += 1
+          if (cid == "fmt ") fmtSize = sz
+          if (cid == "data") dataSize = sz
+          off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        }
+        Row(id, riffSize, nChunks, fmtSize, dataSize)
+      }
+    }(enc)
+  }
+
   def wavRoundTripMeta(docs: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),

@@ -1861,6 +1861,36 @@ object ExtensionQueries {
     // and all three thresholds are integer percentiles at binary-exact
     // fractions, so every score hashes across engines. One orders
     // aggregate + two one-row broadcasts.
+    // monetary-quartile migration matrix between the two date halves:
+    // per-half customer spend classes (per-half thresholds), absent
+    // halves class 0, full-outer matrix counts
+    "orders_rfm_migration" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val bounds = o.agg(min(col("o_orderdate")).as("mind"),
+        max(col("o_orderdate")).as("maxd"))
+      val tagged = o.crossJoin(broadcast(bounds))
+        .withColumn("h", when(
+          datediff(col("o_orderdate"), col("mind")) * 2 <=
+            datediff(col("maxd"), col("mind")), 1).otherwise(2))
+      def halfClass(h: Int): DataFrame = {
+        val m = tagged.filter(col("h") === h)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 " +
+            "AS BIGINT)").as("mc"))
+        val th = m.agg(
+          expr("percentile(mc, array(0.25, 0.5, 0.75))").as("t"))
+        m.crossJoin(broadcast(th)).select(col("custkey"),
+          (lit(1) +
+            (col("mc") >= element_at(col("t"), 1)).cast("int") +
+            (col("mc") >= element_at(col("t"), 2)).cast("int") +
+            (col("mc") >= element_at(col("t"), 3)).cast("int"))
+            .as(s"class_h$h"))
+      }
+      halfClass(1).join(halfClass(2), Seq("custkey"), "full_outer")
+        .na.fill(0, Seq("class_h1", "class_h2"))
+        .groupBy(col("class_h1"), col("class_h2"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
     "customer_rfm_segments" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val m = o.groupBy(col("o_custkey").as("custkey"))
@@ -2417,6 +2447,10 @@ object ExtensionQueries {
     // (long format, one row per window; last window ragged)
     "multimodal_wav_energy_windows" -> ((s, dir) =>
       Multimodal.wavEnergyWindows(t(s, dir, "documents"))),
+    // RIFF chunk-table walk over real JDK-written WAV bytes; oracle
+    // states the spec-canonical sizes (riff = 36 + 2n)
+    "multimodal_riff_chunks" -> ((s, dir) =>
+      Multimodal.wavRiffChunks(t(s, dir, "documents"))),
     "multimodal_decode_wav" -> ((s, dir) =>
       Multimodal.wavRoundTripMeta(t(s, dir, "documents"))),
     // REAL audio downsampling: decode-by-2 pair averaging (floor division)
@@ -6043,6 +6077,36 @@ object ExtensionQueries {
     // quartile thresholds are interpolated over INTEGER metrics at
     // binary-exact fractions (the established percentile/quantile_cont
     // parity class); date_diff mirrors Spark's datediff(end, start)
+    "multimodal_riff_chunks" ->
+      ("SELECT doc_id AS asset_id, " +
+        "CAST(36 + 2 * ((doc_id % 50) + 20) AS BIGINT) AS riff_size, " +
+        "CAST(2 AS INT) AS n_chunks, CAST(16 AS BIGINT) AS fmt_size, " +
+        "CAST(2 * ((doc_id % 50) + 20) AS BIGINT) AS data_size FROM documents"),
+    "orders_rfm_migration" ->
+      ("WITH b AS (SELECT min(o_orderdate) AS mind, max(o_orderdate) AS maxd " +
+        "FROM orders), " +
+        "t AS (SELECT o_custkey, o_totalprice, " +
+        "CASE WHEN date_diff('day', mind, o_orderdate) * 2 <= " +
+        "date_diff('day', mind, maxd) THEN 1 ELSE 2 END AS h FROM orders, b), " +
+        "m1 AS (SELECT o_custkey AS custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mc " +
+        "FROM t WHERE h = 1 GROUP BY 1), " +
+        "q1 AS (SELECT quantile_cont(mc, [0.25, 0.5, 0.75]) AS th FROM m1), " +
+        "c1 AS (SELECT custkey, 1 + CAST(mc >= th[1] AS INT) + " +
+        "CAST(mc >= th[2] AS INT) + CAST(mc >= th[3] AS INT) AS class_h1 " +
+        "FROM m1, q1), " +
+        "m2 AS (SELECT o_custkey AS custkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mc " +
+        "FROM t WHERE h = 2 GROUP BY 1), " +
+        "q2 AS (SELECT quantile_cont(mc, [0.25, 0.5, 0.75]) AS th FROM m2), " +
+        "c2 AS (SELECT custkey, 1 + CAST(mc >= th[1] AS INT) + " +
+        "CAST(mc >= th[2] AS INT) + CAST(mc >= th[3] AS INT) AS class_h2 " +
+        "FROM m2, q2), " +
+        "j AS (SELECT coalesce(class_h1, 0) AS class_h1, " +
+        "coalesce(class_h2, 0) AS class_h2 " +
+        "FROM c1 FULL OUTER JOIN c2 ON c1.custkey = c2.custkey) " +
+        "SELECT class_h1, class_h2, count(*) AS n_customers " +
+        "FROM j GROUP BY 1, 2"),
     "customer_rfm_segments" ->
       ("WITH m AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_order, " +
         "count(*) AS f, " +

@@ -163,4 +163,16 @@ class MultimodalSpec extends SparkSpecBase {
         s"id=$id")
     }
   }
+
+  test("RIFF chunk walk: parsed container sizes match the WAVE spec formulas") {
+    import spark.implicits._
+    val docs = Seq(1L, 7L, 120L).toDF("doc_id")
+    val got = Multimodal.wavRiffChunks(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    for (id <- Seq(1L, 7L, 120L)) {
+      val n = (id % 50) + 20
+      assert(got(id) == ((36L + 2 * n, 2, 16L, 2 * n)), s"id=$id")
+    }
+  }
 }
