@@ -925,6 +925,44 @@ object EventsAnalytics {
       .select(col("event_type"), col("hr"), col("c"), col("prev"), col("next"))
   }
 
+  /** Multiwindow error-budget burn-rate alerts (the Google SRE workbook
+    * recipe): with a 99% SLO the error budget is 1%, the burn rate is
+    * (error share)/(budget), and paging fires on a FAST window burning
+    * ≥ 14.4× (2% of the 30-day budget in 1h) while ticketing fires on a
+    * SLOW window ≥ 6× over 6h — two windows so a hard outage pages in
+    * minutes and a slow leak still surfaces. Rates are exact milli via
+    * floor division and the verdicts are integer cross-multiplications
+    * (1000·e ≥ 144·t and 6000·e6 ≥ 360·t6... reduced: e·1000 ≥ 144·t,
+    * e6·1000 ≥ 60·t6); the 6h sums ride a RANGE frame over the DENSE
+    * hour grid (span-bounded, missing hours are real zero-traffic
+    * hours that must not shrink the window).
+    */
+  def errorBudgetBurn(events0: DataFrame, errType: String = "error")
+      : DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val e = EventTime.toNanos(events0)
+      .select(expr(s"ts div $hourNs").as("hr"),
+        (col("event_type") === errType).cast("long").as("is_err"))
+    val cnt = e.groupBy(col("hr"))
+      .agg(count(lit(1)).as("t"), sum(col("is_err")).as("er"))
+    val rng = cnt.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val dense = rng
+      .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+      .join(cnt, Seq("hr"), "left")
+      .na.fill(0L, Seq("t", "er"))
+    val w6 = Window.orderBy(col("hr")).rangeBetween(-5, 0)
+    dense
+      .withColumn("t6", sum(col("t")).over(w6))
+      .withColumn("e6", sum(col("er")).over(w6))
+      .select(col("hr"), col("t"), col("er"),
+        expr("CASE WHEN t = 0 THEN 0L ELSE (er * 100000L) div t END")
+          .as("burn1_milli"),
+        expr("CASE WHEN t6 = 0 THEN 0L ELSE (e6 * 100000L) div t6 END")
+          .as("burn6_milli"),
+        expr("CAST(er * 1000L >= 144L * t AND t > 0 AS INT)").as("page_fast"),
+        expr("CAST(e6 * 1000L >= 60L * t6 AND t6 > 0 AS INT)").as("ticket_slow"))
+  }
+
   /** Sample-ratio-mismatch check — the first gate of every A/B readout
     * (a 50/50 split whose arm counts differ beyond chance means broken
     * randomization, and every downstream metric is garbage; Fabijan et

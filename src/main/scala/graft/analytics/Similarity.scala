@@ -1927,6 +1927,48 @@ object Similarity {
       .withColumn("recall_bp", expr("(n_overlap * 10000L) div n_truth"))
   }
 
+  /** Matryoshka recall CURVE: [[matryoshkaRecallEval]] generalized to a
+    * ladder of prefix widths from ONE materialized query-pair relation
+    * — the full accuracy-vs-dimension trade table an MRL deployment
+    * reads to pick its serving width (Kusupati et al. 2022 report
+    * exactly this curve). The pair relation (queries × corpus)
+    * materializes once; the full-width truth and each thin ranking are
+    * separate bounded-heap TopKPerKey cuts over it, so the whole curve
+    * costs one corpus scan + |widths|+1 heap passes. Exact integer
+    * recall bp per (width, query).
+    */
+  def matryoshkaRecallCurve(
+      emb: DataFrame, queryIds: Seq[Long] = Seq(0L, 50L, 100L, 150L, 200L),
+      k: Int = 10, widths: Seq[Int] = Seq(4, 8, 16, 32),
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    require(widths.nonEmpty, "matryoshkaRecallCurve: widths must be non-empty")
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pairs = materialize(emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb")))
+    def top(sim: org.apache.spark.sql.Column): DataFrame =
+      graft.plans.TopKPerKey.topKPerKey(
+        pairs.select(col("q_id"), col("vec_id"), (-sim).as("neg_sim")),
+        Seq("q_id"), Seq("neg_sim", "vec_id"), k)
+    val full = top(cosineRounded(col("embedding"), col("q_emb")))
+      .select(col("q_id"), col("vec_id"))
+    widths.map { wd =>
+      val thin = top(cosineRounded(
+        slice(col("embedding"), 1, wd), slice(col("q_emb"), 1, wd)))
+      full
+        .join(thin.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .select(lit(wd).cast("int").as("width"), col("q_id"),
+          col("n_truth"), col("n_overlap"),
+          expr("(n_overlap * 10000L) div n_truth").as("recall_bp"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Variance-ranked dimension selection + recall eval — the
     * data-adaptive counterpart of [[matryoshkaRecallEval]]'s fixed
     * prefix: keep the `nDims` HIGHEST-VARIANCE dimensions (classic

@@ -586,6 +586,10 @@ object ExtensionQueries {
     // full-dimension truth
     "embedding_dim_select_eval" -> ((s, dir) =>
       Similarity.dimSelectRecallEval(t(s, dir, "embeddings"))),
+    // the full accuracy-vs-width trade table: recall@10 per prefix
+    // width {4,8,16,32}, all cuts over ONE materialized pair relation
+    "embedding_matryoshka_curve" -> ((s, dir) =>
+      Similarity.matryoshkaRecallCurve(t(s, dir, "embeddings"))),
     "cosine_topk_lsh_bucket" -> ((s, dir) =>
       Similarity.lshBucketTopK(t(s, dir, "embeddings"), queryId = 0L, k = 5, nBits = 8)),
     "cosine_topk_native" -> ((s, dir) =>
@@ -1737,6 +1741,10 @@ object ExtensionQueries {
     // supplier revenue concentration: Herfindahl index in basis points,
     // (10000 · Σx²) div T² over exact cent revenues — the antitrust-style
     // concentration number next to the Gini and the ABC classes
+    // SRE multiwindow burn-rate alerts over the dense hour grid: exact
+    // milli burn rates, 14.4x/1h page + 6x/6h ticket verdicts
+    "events_error_budget_burn" -> ((s, dir) =>
+      EventsAnalytics.errorBudgetBurn(t(s, dir, "events"))),
     // SRM gate per event type: distinct-user arm counts, exact chi²
     // milli, frozen 95/99 critical-value verdicts
     "events_ab_srm_check" -> ((s, dir) =>
@@ -4760,6 +4768,43 @@ object ExtensionQueries {
         "CAST((sum(coalesce(tp.hit, 0)) * 10000) // count(*) AS BIGINT) " +
         "AS recall_bp FROM tf LEFT JOIN tp USING (q_id, vec_id) GROUP BY 1"
     },
+    // per-width rankings over one materialized pair relation carrying
+    // every prefix cosine; unioned recall rows per width
+    "embedding_matryoshka_curve" -> {
+      def cosOf(e: String, q: String, w: String): String = {
+        def d(x: String, y: String): String =
+          s"list_sum([CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) " +
+            s"AS DECIMAL(18,16)) FOR i IN generate_series(1, $w)])"
+        s"round(CAST(${d(e, q)} AS DOUBLE) / " +
+          s"(sqrt(CAST(${d(e, e)} AS DOUBLE)) * " +
+          s"sqrt(CAST(${d(q, q)} AS DOUBLE))), 6)"
+      }
+      val widths = Seq(4, 8, 16, 32)
+      val simCols = (widths.map(w =>
+        cosOf("e.embedding", "q.qe", w.toString) + s" AS s$w") :+
+        (cosOf("e.embedding", "q.qe", "len(e.embedding)") + " AS sf"))
+        .mkString(", ")
+      val perWidth = widths.map { w =>
+        s"t$w AS (SELECT q_id, vec_id, 1 AS hit FROM (SELECT q_id, vec_id, " +
+          s"row_number() OVER (PARTITION BY q_id ORDER BY s$w DESC, vec_id) " +
+          s"AS rn FROM p) t WHERE rn <= 10)"
+      }.mkString(", ")
+      val unions = widths.map { w =>
+        s"SELECT $w AS width, tf.q_id, count(*) AS n_truth, " +
+          s"CAST(sum(coalesce(t$w.hit, 0)) AS BIGINT) AS n_overlap, " +
+          s"CAST((sum(coalesce(t$w.hit, 0)) * 10000) // count(*) AS BIGINT) " +
+          s"AS recall_bp FROM tf LEFT JOIN t$w USING (q_id, vec_id) GROUP BY 2"
+      }.mkString(" UNION ALL ")
+      "WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings " +
+        "WHERE vec_id IN (0, 50, 100, 150, 200)), " +
+        s"p AS MATERIALIZED (SELECT q.q_id, e.vec_id, $simCols " +
+        "FROM embeddings e, qs q WHERE e.vec_id != q.q_id), " +
+        "tf AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY sf DESC, vec_id) " +
+        s"AS rn FROM p) t WHERE rn <= 10), $perWidth " +
+        s"SELECT CAST(width AS INT) AS width, q_id, n_truth, n_overlap, " +
+        s"recall_bp FROM ($unions) u"
+    },
     // variance ranking replayed exactly (HUGEINT n·Σq² − (Σq)²), then
     // the matryoshka eval shape over the selected-dim comprehension
     "embedding_dim_select_eval" -> {
@@ -5891,6 +5936,29 @@ object ExtensionQueries {
         "// count(*) AS BIGINT) AS repeat_bp FROM " +
         "(SELECT o_custkey, CAST(min(year(o_orderdate)) AS INT) AS cohort_year, " +
         "count(*) AS n_orders FROM orders GROUP BY 1) c GROUP BY cohort_year"),
+    "events_error_budget_burn" ->
+      ("WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS hr, " +
+        "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS ie FROM events), " +
+        "cnt AS (SELECT hr, count(*) AS t, sum(ie) AS er FROM e GROUP BY 1), " +
+        "rng AS (SELECT min(hr) AS mn, max(hr) AS mx FROM cnt), " +
+        "g AS (SELECT unnest(generate_series(mn, mx)) AS hr FROM rng), " +
+        "d AS (SELECT g.hr, coalesce(t, 0) AS t, coalesce(er, 0) AS er " +
+        "FROM g LEFT JOIN cnt USING (hr)), " +
+        "r AS (SELECT hr, t, er, " +
+        "sum(t) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) " +
+        "AS t6, " +
+        "sum(er) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) " +
+        "AS e6 FROM d) " +
+        "SELECT CAST(hr AS BIGINT) AS hr, CAST(t AS BIGINT) AS t, " +
+        "CAST(er AS BIGINT) AS er, " +
+        "CAST(CASE WHEN t = 0 THEN 0 ELSE (er * 100000) // t END AS BIGINT) " +
+        "AS burn1_milli, " +
+        "CAST(CASE WHEN t6 = 0 THEN 0 ELSE (e6 * 100000) // t6 END AS BIGINT) " +
+        "AS burn6_milli, " +
+        "CAST(CASE WHEN er * 1000 >= 144 * t AND t > 0 THEN 1 ELSE 0 END " +
+        "AS INT) AS page_fast, " +
+        "CAST(CASE WHEN e6 * 1000 >= 60 * t6 AND t6 > 0 THEN 1 ELSE 0 END " +
+        "AS INT) AS ticket_slow FROM r"),
     "events_ab_srm_check" ->
       ("WITH u AS (SELECT DISTINCT event_type, user_id FROM events), " +
         "a AS (SELECT event_type, " +

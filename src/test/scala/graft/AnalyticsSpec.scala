@@ -1146,6 +1146,50 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("a", 7L, 20L)))
   }
 
+  test("error-budget burn: fast spike pages, slow leak tickets through a silent hour") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val hourNs = 3600L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    def hour(h: Long, n: Int, errs: Int): Seq[Row] =
+      (0 until n).map(i =>
+        Row(h * hourNs + i, if (i < errs) "error" else "view"))
+    // h0: 1% (exactly at budget), h1: 50% outage, h2 silent, h3 clean
+    val rows = hour(0, 100, 1) ++ hour(1, 100, 50) ++ hour(3, 10, 0)
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.errorBudgetBurn(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(got(0L) == ((100L, 1L, 1000L, 1000L, 0, 0)))
+    assert(got(1L) == ((100L, 50L, 50000L, 25500L, 1, 1)))
+    // zero-traffic hour: no 1h signal, but the 6h window still burns
+    assert(got(2L) == ((0L, 0L, 0L, 25500L, 0, 1)))
+    assert(got(3L) == ((10L, 0L, 0L, 51L * 100000L / 210L, 0, 1)))
+  }
+
+  test("matryoshka curve: the full-width rung recalls exactly 10000") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.1f, -0.3f, 0.8f)),
+      Row(1L, Seq(0.9f, 0.2f, -0.2f, 0.7f)),
+      Row(2L, Seq(-0.5f, 1.0f, 0.4f, -0.6f)),
+      Row(3L, Seq(0.2f, -0.8f, 0.9f, 0.1f)),
+      Row(4L, Seq(1.0f, 0.0f, -0.4f, 0.9f)))
+    val emb = spark.createDataFrame(rows.asJava, schema)
+    val got = Similarity.matryoshkaRecallCurve(
+      emb, queryIds = Seq(0L), k = 3, widths = Seq(2, 4)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got(4) == ((3L, 10000L)))          // width = dim ⇒ identity
+    assert(got(2)._1 == 3L && got(2)._2 <= 10000L)
+  }
+
   test("closeness from hubs: hand chain, depth-bounded sum, per-seed") {
     import spark.implicits._
     // hub h (deg 3) → a,b,x; chain a-c-d-e; depth cap 3 leaves e out
