@@ -332,6 +332,13 @@ object Dedup {
     * count). All joins are vertex-keyed on the capped subgraph; the
     * k-row result comes from TakeOrdered with a full deterministic
     * tie-break.
+    *
+    * EAGER: construction runs Spark jobs (same lineage rule as
+    * [[bfsDepthFromHubs]]) — `sym`/`adj` are cut through `materialize`
+    * and the adaptive cap is a driver `collect()` scalar, so merely
+    * building the returned DataFrame executes the edge scan and degree
+    * aggregate; failures surface at call time even if the result is
+    * never consumed.
     */
   def linkPredictionTopK(
       edges: DataFrame, degCap: Int = 64, k: Int = 20,

@@ -108,23 +108,38 @@ object EntityResolution {
     * groupBy (never materializing the pairs), and completeness joins the
     * truth pairs against the two records' block keys. Output: one row
     * per strategy, every metric in exact basis points.
+    *
+    * EAGER: construction runs Spark jobs — the variant relation and the
+    * truth pair set feed every per-strategy branch, so both are cut
+    * through `materialize` (default [[graft.engine.Materialize.local]])
+    * before the loop; without the cut Spark re-executes the expensive
+    * deletion-variant self-join + Levenshtein verify once PER STRATEGY
+    * (the repeated-subtree class fixed in [[Dedup.linkPredictionTopK]]).
+    * Cluster deployments pass `Materialize.parquet(dir)` (or `none`).
     */
   def blockingEval(
       records: DataFrame, idCol: String, nameCol: String,
-      strategies: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+      strategies: Seq[(String, org.apache.spark.sql.Column)],
+      materialize: DataFrame => DataFrame =
+        graft.engine.Materialize.local): DataFrame = {
     require(strategies.nonEmpty, "blockingEval: need strategies")
     val base = records.select(col(idCol).as("rid"), col(nameCol).as("name"))
     // truth: dist <= 1 pairs with NO blocking (deletion variants are a
-    // complete candidate generator at threshold 1)
-    val v = base.select(col("rid"), col("name"),
-      explode(expr(deletionVariants)).as("vv"))
-    val truth = v.alias("a").join(v.alias("b"),
+    // complete candidate generator at threshold 1). `v` feeds both sides
+    // of the self-join, `truth` feeds every strategy branch — cut each
+    // once so the variant explode and the Levenshtein verify run once.
+    // The repartition on the join key BEFORE the cut matters: a compact
+    // source (one parquet row group) leaves the explode on 1 partition,
+    // and a 1-partition checkpoint serializes the whole self-join
+    // (measured 3x wall at sf0.1); verify runs BEFORE distinct so the
+    // pair dedup shuffles only the surviving matches.
+    val v = materialize(base.select(col("rid"), col("name"),
+      explode(expr(deletionVariants)).as("vv")).repartition(col("vv")))
+    val truth = materialize(v.alias("a").join(v.alias("b"),
         col("a.vv") === col("b.vv") && col("a.rid") < col("b.rid"))
-      .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"),
-        col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
-      .filter(expr("levenshtein(name_a, name_b, 1) >= 0"))
-      .select(col("id_a"), col("id_b"))
+      .filter(expr("levenshtein(a.name, b.name, 1) >= 0"))
+      .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"))
+      .distinct())
     val perStrategy = strategies.map { case (sname, keyCol) =>
       val keyed = records.select(col(idCol).as("rid"), keyCol.as("bk"))
       val stats = keyed.groupBy(col("bk")).agg(count(lit(1)).as("sz"))

@@ -1097,8 +1097,6 @@ object EventsAnalytics {
     */
   def banditReplayEval(events0: DataFrame, nArms: Int = 3): DataFrame = {
     require(nArms >= 1, s"banditReplayEval: nArms >= 1, got $nArms")
-    val spark = events0.sparkSession
-    import spark.implicits._
     val e = events0
       .withColumn("arm_log", expr(
         "CAST(conv(substring(md5(concat('log-', CAST(event_id AS STRING))), " +

@@ -302,6 +302,12 @@ object Multimodal {
         while (off + 8 <= payload.length) {
           val cid = id4(payload, off)
           val sz = u32(payload, off + 4)
+          // untrusted size field: a declared size >= 2^31 wraps sz.toInt
+          // negative and would walk `off` backwards forever; a size past
+          // the buffer end means a truncated container — stop either way
+          require(sz >= 0L && off.toLong + 8L + sz <= payload.length,
+            s"malformed RIFF chunk '$cid' at $off: size $sz exceeds " +
+              s"payload ${payload.length} for asset $id")
           nChunks += 1
           if (cid == "fmt ") fmtSize = sz
           if (cid == "data") dataSize = sz
@@ -572,7 +578,7 @@ object Multimodal {
     val assets = spreadForCodec(docs.select(col("doc_id"), col("n_chars")))
       .mapPartitions { rows =>
         val codec = new Codec("png")
-      disposeAtTaskEnd(() => codec.dispose())
+        disposeAtTaskEnd(() => codec.dispose())
         rows.map { r =>
           val id = r.getLong(0)
           val w = (r.getLong(1) % 31).toInt + 1
