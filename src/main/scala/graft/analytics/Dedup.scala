@@ -284,13 +284,21 @@ object Dedup {
     * metric applied to a dedup clustering before trusting its
     * representatives. Nodes in no triangle are absent.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e0 = edges.select(col("id_a"), col("id_b")).distinct()
+  def triangleCounts(
+      edges: DataFrame,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    // EAGER: `e0` feeds the degree aggregate and the orientation join,
+    // and `oriented` feeds THREE consumers (both wedge legs + the closing
+    // edge) under different projections, so AQE's stage cache cannot
+    // reuse them — RepeatAudit measured the distinct/degree chains
+    // executing x6 uncut. Both are cut through `materialize`.
+    val e0 = materialize(edges.select(col("id_a"), col("id_b")).distinct())
     val deg = e0.select(explode(array(col("id_a"), col("id_b"))).as("vtx"))
       .groupBy("vtx").agg(count(lit(1)).as("d"))
     def ord(d: Column, id: Column): Column =
       struct(d.as("d"), id.as("id"))
-    val oriented = e0
+    val oriented = materialize(e0
       .join(deg.select(col("vtx").as("id_a"), col("d").as("da")), "id_a")
       .join(deg.select(col("vtx").as("id_b"), col("d").as("db")), "id_b")
       .select(
@@ -299,7 +307,7 @@ object Dedup {
             ord(col("db"), col("id_b")).as("v")))
           .otherwise(struct(ord(col("db"), col("id_b")).as("u"),
             ord(col("da"), col("id_a")).as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .select(col("e.u").as("u"), col("e.v").as("v")))
     // two out-edges of u, ordered so the closing edge is oriented b -> c
     val wedges = oriented.select(col("u"), col("v").as("b"))
       .join(oriented.select(col("u"), col("v").as("c")), "u")
@@ -1799,14 +1807,19 @@ object Dedup {
     * broadcast.
     */
   def communityModularity(
-      edges: DataFrame, membership: DataFrame): DataFrame = {
-    // membership: (node, community). Tag both endpoints.
-    val e = edges.select(col("id_a"), col("id_b")).distinct()
-    val tagged = e
+      edges: DataFrame, membership: DataFrame,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    // membership: (node, community). Tag both endpoints. EAGER: `e`
+    // feeds the tag join and the node census, `tagged` feeds the edge
+    // count, the degree-mass explode, and the within-community filter —
+    // all under different prunings (RepeatAudit: x3 uncut) — cut each.
+    val e = materialize(edges.select(col("id_a"), col("id_b")).distinct())
+    val tagged = materialize(e
       .join(membership.select(col("node").as("id_a"), col("community").as("ca")),
         Seq("id_a"))
       .join(membership.select(col("node").as("id_b"), col("community").as("cb")),
-        Seq("id_b"))
+        Seq("id_b")))
     val m = tagged.agg(count(lit(1)).as("m"))
     // degree mass per community: each edge endpoint adds 1 to its side
     val degMass = tagged
@@ -1890,10 +1903,17 @@ object Dedup {
     * [[linkPredictionTopK]] degCap argument exists for the same hub
     * reason).
     */
-  def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("id_a"), col("id_b")).distinct()
-    val dc = e.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(e.select(col("id_b").as("u"), col("id_a").as("v")))
+  def degreeAssortativity(
+      edges: DataFrame,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    // EAGER: the double cover feeds the degree aggregate and both tag
+    // joins under different prunings (RepeatAudit: x4 uncut) — cut once
+    val dc = materialize {
+      val e = edges.select(col("id_a"), col("id_b")).distinct()
+      e.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(e.select(col("id_b").as("u"), col("id_a").as("v")))
+    }
     val deg = dc.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val xy = dc
       .join(deg.select(col("u"), col("d").as("x")), Seq("u"))
