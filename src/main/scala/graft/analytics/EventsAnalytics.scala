@@ -1046,6 +1046,105 @@ object EventsAnalytics {
           "ELSE (nt * 1000000) div dd END AS BIGINT)").as("theta_ppm"))
   }
 
+  /** Wald SPRT sequential monitor (Wald, "Sequential Tests of Statistical
+    * Hypotheses", Ann. Math. Stat. 1945) — the always-valid daily gate an
+    * experiment dashboard polls without inflating false positives the way
+    * repeated fixed-horizon tests do. Tests the event stream's daily
+    * success rate (H0: p = 1/5 vs H1: p = 1/4, the fixture's conversion
+    * neighborhood) by the cumulative log-likelihood ratio: each success
+    * adds ln(p1/p0), each failure ln((1−p1)/(1−p0)), and the run stops
+    * when the sum crosses ln((1−β)/α) (accept H1) or ln(β/(1−α)) (accept
+    * H0). All transcendentals are FROZEN micro-scaled integer literals
+    * (the χ²-critical discipline of [[srmCheck]]): +223144 / −64539 per
+    * event and ±2944439 for α = β = 0.05, so the whole monitor is one
+    * integer cumulative sum any engine replays bit-for-bit. Output: one
+    * row per day on the dense grid with the cumulative LLR and the
+    * decision state (−1 accept H0, 0 continue, +1 accept H1). The
+    * cumulative window runs over the span-bounded dense day grid.
+    */
+  def sprtMonitor(
+      events0: DataFrame, successType: String = "purchase"): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .groupBy(expr(s"ts div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === successType).cast("long")).as("s"))
+    val rng = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("n", "s"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("llr_micro",
+        sum(expr("s * 223144L - (n - s) * 64539L")).over(w))
+      .select(col("day"), col("n"), col("s"), col("llr_micro"),
+        when(col("llr_micro") >= 2944439L, 1)
+          .when(col("llr_micro") <= -2944439L, -1)
+          .otherwise(0).as("decision"))
+  }
+
+  /** Winsorized mean of per-user purchase revenue — the standard
+    * heavy-tail guard for A/B revenue metrics (cap each unit at the p95
+    * of unit totals before averaging; one whale stops moving the mean).
+    * The cap is carried as the EXACT 20× image of the 0.95 quantile
+    * (0.95·(n−1) has a fractional part that is a multiple of 1/20, so
+    * 20× the linear interpolation is integral — the doubled-median trick
+    * at p95), the winsorized totals as 20× integers, and both means as
+    * floor-divided milli-cents. One user-keyed aggregate + a broadcast
+    * one-row cap.
+    */
+  def winsorizedMetric(events0: DataFrame): DataFrame = {
+    val units = events0
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))")
+        .as("cents"))
+    val cap = units.agg(expr(
+      "CAST(round(percentile(cents, 0.95) * 20) AS BIGINT)").as("cap_x20"))
+    units.crossJoin(broadcast(cap))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("s"),
+        sum(least(expr("cents * 20"), col("cap_x20"))).as("sw_x20"),
+        first(col("cap_x20")).as("cap_x20"))
+      .select(col("n_users"),
+        expr("CASE WHEN n_users = 0 THEN 0L " +
+          "ELSE (s * 1000L) div n_users END").as("mean_milli"),
+        expr("CASE WHEN n_users = 0 THEN 0L " +
+          "ELSE (sw_x20 * 50L) div n_users END").as("win_mean_milli"),
+        coalesce(col("cap_x20"), lit(0L)).as("cap_x20"))
+  }
+
+  /** Leave-one-bucket-out jackknife for a ratio metric (Quenouille/Tukey;
+    * the delta-method alternative used when units are too many to
+    * resample individually): average order value = purchase cents per
+    * purchase event, with events hashed into md5 buckets and the ratio
+    * recomputed with each bucket held out. Per-bucket long format —
+    * (bucket, n, cents, leave-one-out ratio, its delta from the full
+    * ratio) — from which the jackknife variance is one trivial rollup;
+    * everything is exact integer floor division on both engines. One
+    * scan, one buckets-sized aggregate, a broadcast one-row total.
+    */
+  def ratioJackknife(events0: DataFrame, nBuckets: Int = 16): DataFrame = {
+    require(nBuckets >= 2, s"ratioJackknife: nBuckets >= 2, got $nBuckets")
+    val per = events0
+      .filter(col("event_type") === "purchase")
+      .select(expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 6), 16, 10) " +
+          s"AS BIGINT) % $nBuckets").as("bucket"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("nb"), sum(col("cents")).as("sb"))
+    val tot = per.agg(sum(col("nb")).as("n"), sum(col("sb")).as("s"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("nb"), col("sb"),
+        expr("(s * 1000L) div n").as("r_full_milli"),
+        expr("CASE WHEN n = nb THEN 0L " +
+          "ELSE ((s - sb) * 1000L) div (n - nb) END").as("r_loo_milli"))
+      .withColumn("d_milli", expr("r_loo_milli - r_full_milli"))
+  }
+
   /** Seasonal-naive forecast backtest — the baseline every revenue
     * forecast must beat (forecast(d) = actual(d − 7), the same weekday
     * last week) evaluated on each type's LAST 14 days: MAE in exact

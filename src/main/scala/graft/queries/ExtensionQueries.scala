@@ -2052,6 +2052,18 @@ object ExtensionQueries {
     // exact integer match rates + matched-mean purchase reward
     "events_bandit_replay" -> ((s, dir) =>
       EventsAnalytics.banditReplayEval(t(s, dir, "events"))),
+    // Wald SPRT sequential monitor: daily cumulative LLR with frozen
+    // micro-log increments, always-valid accept/continue/reject state
+    "events_sprt_monitor" -> ((s, dir) =>
+      EventsAnalytics.sprtMonitor(t(s, dir, "events"))),
+    // heavy-tail-guarded revenue mean: per-user totals winsorized at the
+    // exact 20x image of the p95 cap
+    "events_winsorized_metric" -> ((s, dir) =>
+      EventsAnalytics.winsorizedMetric(t(s, dir, "events"))),
+    // leave-one-bucket-out jackknife for the average-order-value ratio:
+    // md5 buckets, exact integer leave-one-out ratios
+    "events_ratio_jackknife" -> ((s, dir) =>
+      EventsAnalytics.ratioJackknife(t(s, dir, "events"))),
     // interval-interval overlap join via week-bucket fragmentation:
     // user activity spans x the 14-day-every-7 campaign ladder
     "events_interval_overlap_join" -> ((s, dir) =>
@@ -5680,6 +5692,53 @@ object ExtensionQueries {
         "CAST((n_matched * 10000) // n_total AS BIGINT) AS match_bp, " +
         "CAST(CASE WHEN n_matched = 0 THEN 0 ELSE rc // n_matched END " +
         "AS BIGINT) AS mean_reward_cents FROM r"),
+    "events_sprt_monitor" ->
+      ("WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sc " +
+        "FROM events), " +
+        "d AS (SELECT day, count(*) AS n, sum(sc) AS s FROM e GROUP BY 1), " +
+        "rng AS (SELECT min(day) AS mn, max(day) AS mx FROM d), " +
+        "g AS (SELECT unnest(generate_series(mn, mx)) AS day FROM rng), " +
+        "f AS (SELECT g.day, coalesce(n, 0) AS n, coalesce(s, 0) AS s " +
+        "FROM g LEFT JOIN d USING (day)), " +
+        "c AS (SELECT day, n, s, " +
+        "sum(s * 223144 - (n - s) * 64539) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr FROM f) " +
+        "SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n, " +
+        "CAST(s AS BIGINT) AS s, CAST(llr AS BIGINT) AS llr_micro, " +
+        "CAST(CASE WHEN llr >= 2944439 THEN 1 " +
+        "WHEN llr <= -2944439 THEN -1 ELSE 0 END AS INT) AS decision " +
+        "FROM c"),
+    "events_winsorized_metric" ->
+      ("WITH u AS (SELECT user_id, " +
+        "sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "cap AS (SELECT CAST(round(quantile_cont(cents, 0.95) * 20) " +
+        "AS BIGINT) AS cap_x20 FROM u) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(CASE WHEN count(*) = 0 THEN 0 " +
+        "ELSE (sum(cents) * 1000) // count(*) END AS BIGINT) AS mean_milli, " +
+        "CAST(CASE WHEN count(*) = 0 THEN 0 " +
+        "ELSE (sum(least(cents * 20, cap_x20)) * 50) // count(*) END " +
+        "AS BIGINT) AS win_mean_milli, " +
+        "CAST(coalesce(first(cap_x20), 0) AS BIGINT) AS cap_x20 " +
+        "FROM u, cap"),
+    "events_ratio_jackknife" ->
+      ("WITH per AS (SELECT " +
+        "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 16 " +
+        "AS bucket, count(*) AS nb, " +
+        "sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sb " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "tot AS (SELECT sum(nb) AS n, sum(sb) AS s FROM per) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(nb AS BIGINT) AS nb, " +
+        "CAST(sb AS BIGINT) AS sb, " +
+        "CAST((s * 1000) // n AS BIGINT) AS r_full_milli, " +
+        "CAST(CASE WHEN n = nb THEN 0 " +
+        "ELSE ((s - sb) * 1000) // (n - nb) END AS BIGINT) AS r_loo_milli, " +
+        "CAST(CASE WHEN n = nb THEN 0 - (s * 1000) // n " +
+        "ELSE ((s - sb) * 1000) // (n - nb) - (s * 1000) // n END " +
+        "AS BIGINT) AS d_milli " +
+        "FROM per, tot"),
     // the oracle is the NAIVE overlap theta-join; the engine's bucketed
     // fragmentation must reproduce it exactly
     "events_interval_overlap_join" ->

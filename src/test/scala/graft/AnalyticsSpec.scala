@@ -1713,4 +1713,92 @@ class AnalyticsSpec extends SparkSpecBase {
       .map(_.getLong(4)).sum
     assert(qBad < 2 * 178571L)
   }
+
+  test("SPRT monitor: hand grid with gap day; both boundary crossings") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    // day0: 1 success + 3 failures -> llr 223144 - 3*64539 = 29527
+    // day1: empty (dense grid row, llr carries)
+    // day2: 20 successes -> 29527 + 20*223144 = 4492407 >= 2944439 -> +1
+    val rows = (Seq(Row(0L, "purchase")) ++
+      (1 to 3).map(i => Row(i.toLong, "view")) ++
+      (1 to 20).map(i => Row(2L * dayNs + i, "purchase"))).asJava
+    val tiny = spark.createDataFrame(rows, schema)
+    val got = EventsAnalytics.sprtMonitor(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))).toMap
+    assert(got == Map(
+      0L -> ((4L, 1L, 29527L, 0)),
+      1L -> ((0L, 0L, 29527L, 0)),
+      2L -> ((20L, 20L, 4492407L, 1))))
+    // all failures: 50 * -64539 = -3226950 <= -2944439 -> accept H0
+    val lo = spark.createDataFrame(
+      (1 to 50).map(i => Row(i.toLong, "view")).asJava, schema)
+    val g2 = EventsAnalytics.sprtMonitor(lo).collect()
+    assert(g2.length == 1 && g2(0).getLong(3) == -3226950L &&
+      g2(0).getInt(4) == -1)
+  }
+
+  test("winsorized metric: p95 cap interpolates at the exact 20x image") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // user totals in cents: 100 200 300 400 10000; p95 pos = 0.95*4 = 3.8
+    // cap = 400 + 0.8*(10000-400) = 8080 -> cap_x20 161600
+    // win totals: 100 200 300 400 8080 -> sum_x20 181600
+    val rows = Seq((1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L),
+      (5L, 10000L)).map { case (u, c) => Row(u, "purchase", c / 100.0) }
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.winsorizedMetric(tiny).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((5L, 11000L * 1000 / 5, 181600L * 50 / 5, 161600L)))
+    // non-purchase rows are ignored entirely
+    val noise = spark.createDataFrame((rows ++ Seq(Row(9L, "view", 99.0))).asJava, schema)
+    assert(EventsAnalytics.winsorizedMetric(noise).collect()(0).getLong(0) == 5L)
+  }
+
+  test("ratio jackknife: BigInt replay incl. the all-in-one-bucket guard") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val ev = Seq((1L, 500L), (2L, 300L), (3L, 700L), (4L, 100L), (5L, 400L))
+    val tiny = spark.createDataFrame(
+      ev.map { case (id, c) => Row(id, "purchase", c / 100.0) }.asJava, schema)
+    val n = ev.size.toLong; val s = ev.map(_._2).sum
+    val perB = ev.groupBy { case (id, _) => bucket(id) }
+      .map { case (b, es) => b -> ((es.size.toLong, es.map(_._2).sum)) }
+    val expect = perB.map { case (b, (nb, sb)) =>
+      b -> ((nb, sb, s * 1000 / n,
+        if (n == nb) 0L else (s - sb) * 1000 / (n - nb),
+        (if (n == nb) 0L else (s - sb) * 1000 / (n - nb)) - s * 1000 / n))
+    }
+    val got = EventsAnalytics.ratioJackknife(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect)
+    // degenerate: every event in ONE bucket -> r_loo 0, d = -r_full
+    val sameB = (1L to 200L).filter(bucket(_) == bucket(1L)).take(3)
+    assert(sameB.size == 3)
+    val one = spark.createDataFrame(
+      sameB.map(id => Row(id, "purchase", 2.00)).asJava, schema)
+    val g1 = EventsAnalytics.ratioJackknife(one).collect()
+    assert(g1.length == 1 && g1(0).getLong(4) == 0L &&
+      g1(0).getLong(5) == -g1(0).getLong(3))
+  }
 }
