@@ -762,6 +762,97 @@ object Curation {
         col("f_stopwords") === 1).cast("int"))
   }
 
+  /** Per-source lexical diversity profile — the corpus-health read a
+    * pretraining pipeline uses to spot template/boilerplate sources
+    * (machine-generated text has anomalously LOW type-token ratio and
+    * hapax share; OCR noise anomalously high): document count, token and
+    * distinct-type counts, hapax legomena (types occurring exactly once —
+    * Baayen's productivity measure), TTR and hapax share in exact ppm.
+    * One (source, token) aggregate then a source rollup; a separate
+    * doc-count aggregate joins in (both shuffles on the semantic keys).
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy(col("source"), col("tk"))
+      .agg(count(lit(1)).as("c"))
+    val perSource = tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum((col("c") === 1L).cast("long")).as("n_hapax"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    nd.join(perSource, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        expr("(n_types * 1000000L) div n_tokens").as("ttr_ppm"),
+        expr("(n_hapax * 1000000L) div n_types").as("hapax_ppm"))
+  }
+
+  /** Brier-score decomposition bins (Murphy 1973: reliability −
+    * resolution + uncertainty) for a calibratable classifier — here the
+    * 8-stopword count as a 9-level predictor of P(lang = 'en'), the
+    * signal [[gopherQualityRules]] already extracts. Per predictor level:
+    * count, prediction (level × 125000 ppm), observed rate in exact ppm,
+    * and the reliability / resolution terms as n·(Δppm)² div 10⁶
+    * (milli²-scaled, DECIMAL-safe), with the global base rate from a
+    * broadcast one-row aggregate. The decomposition totals are a trivial
+    * rollup of the emitted terms.
+    */
+  def brierDecomposition(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stop.map(s =>
+      array_contains(tokens(col("text")), s).cast("long")).reduce(_ + _)
+    val d = docs.select(nStop.as("bin"),
+      (col("lang") === "en").cast("long").as("y"))
+    val bins = d.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val base = bins.agg(
+      expr("(sum(n_pos) * 1000000L) div sum(n)").as("ybar_ppm"))
+    bins.crossJoin(broadcast(base))
+      .withColumn("p_ppm", expr("bin * 125000L"))
+      .withColumn("obs_ppm", expr("(n_pos * 1000000L) div n"))
+      .select(col("bin"), col("n"), col("n_pos"), col("p_ppm"),
+        col("obs_ppm"), col("ybar_ppm"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * (p_ppm - obs_ppm) * " +
+          "(p_ppm - obs_ppm)) div 1000000 AS BIGINT)").as("rel_term_milli2"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * (obs_ppm - ybar_ppm) * " +
+          "(obs_ppm - ybar_ppm)) div 1000000 AS BIGINT)").as("res_term_milli2"))
+  }
+
+  /** Cohen's kappa (Educ. Psychol. Meas. 1960) between two deterministic
+    * document raters — the inter-rater agreement check run before
+    * trusting any pair of quality classifiers enough to ensemble them.
+    * Rater A: >= 2 of the Gopher stopwords present; rater B: mean token
+    * length <= 5 chars (floor division). Observed agreement po and
+    * chance agreement pe (from the marginals) in exact ppm, kappa as the
+    * ppm ratio (po − pe)/(1 − pe); the marginal products run in
+    * DECIMAL(38,0) so n² never overflows. One scan, one one-row
+    * aggregate.
+    */
+  def raterKappa(docs: DataFrame): DataFrame = {
+    val stopArr =
+      "array('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"), col("text"))
+      .select(
+        (expr(s"size(array_intersect(array_distinct(w), $stopArr))") >= 2)
+          .cast("long").as("a"),
+        expr("CAST(length(text) div greatest(1, size(w)) <= 5 AS LONG)")
+          .as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(a = b AS LONG)")).as("n_agree"),
+        sum(col("a")).as("a1"), sum(col("b")).as("b1"))
+      .select(col("n"), col("n_agree"),
+        expr("(n_agree * 1000000L) div n").as("po_ppm"),
+        expr("CAST((CAST(a1 AS DECIMAL(38,0)) * b1 + " +
+          "CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)) * 1000000 div " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("pe_ppm"))
+      .withColumn("kappa_ppm", expr(
+        "CASE WHEN pe_ppm = 1000000 THEN 0L " +
+          "ELSE ((po_ppm - pe_ppm) * 1000000L) div (1000000L - pe_ppm) END"))
+  }
+
   /** nDCG@k per query with graded relevance (Järvelin & Kekäläinen 2002),
     * the rank-position-sensitive companion of [[retrievalEvalPR]]. The
     * SYSTEM under evaluation is the cheap shortest-doc-first prior

@@ -947,6 +947,17 @@ object ExtensionQueries {
     // segments (no terminator punctuation in the fixture corpus)
     "text_readability" -> ((s, dir) =>
       Curation.readabilityScores(t(s, dir, "documents"))),
+    // per-source lexical diversity: types/tokens/hapax, TTR + hapax ppm
+    "text_lexical_diversity" -> ((s, dir) =>
+      Curation.lexicalDiversity(t(s, dir, "documents"))),
+    // Brier decomposition bins: 9-level stopword-count predictor of
+    // lang='en', reliability/resolution terms in exact milli^2
+    "quality_brier_decomposition" -> ((s, dir) =>
+      Curation.brierDecomposition(t(s, dir, "documents"))),
+    // Cohen's kappa between the stopword rater and the mean-token-length
+    // rater: po/pe/kappa in exact ppm
+    "quality_rater_kappa" -> ((s, dir) =>
+      Curation.raterKappa(t(s, dir, "documents"))),
     // code-switching runs: per-chunk stopword langid, then maximal
     // same-prediction segments via gaps-and-islands (doc-keyed windows)
     "text_lang_segments" -> ((s, dir) =>
@@ -4297,6 +4308,72 @@ object ExtensionQueries {
         "SELECT doc_id, CAST(min(idx) AS INT) AS seg_start, " +
         "count(*) AS seg_len, pred AS lang_pred " +
         "FROM g GROUP BY doc_id, pred, grp"),
+    "text_lexical_diversity" ->
+      ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tk " +
+        "FROM documents), " +
+        "tf AS (SELECT source, tk, count(*) AS c FROM tk WHERE tk <> '' " +
+        "GROUP BY 1, 2), " +
+        "ps AS (SELECT source, count(*) AS n_types, sum(c) AS n_tokens, " +
+        "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax FROM tf " +
+        "GROUP BY 1), " +
+        "nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) " +
+        "SELECT nd.source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(n_types AS BIGINT) AS n_types, " +
+        "CAST(n_hapax AS BIGINT) AS n_hapax, " +
+        "CAST((n_types * 1000000) // n_tokens AS BIGINT) AS ttr_ppm, " +
+        "CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_ppm " +
+        "FROM nd JOIN ps ON nd.source = ps.source"),
+    "quality_brier_decomposition" ->
+      ("WITH d AS (SELECT " +
+        "(CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END) " +
+        "AS bin, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents), " +
+        "b AS (SELECT bin, count(*) AS n, sum(y) AS n_pos FROM d GROUP BY 1), " +
+        "g AS (SELECT (sum(n_pos) * 1000000) // sum(n) AS ybar_ppm FROM b) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, " +
+        "CAST(n_pos AS BIGINT) AS n_pos, " +
+        "CAST(bin * 125000 AS BIGINT) AS p_ppm, " +
+        "CAST((n_pos * 1000000) // n AS BIGINT) AS obs_ppm, " +
+        "CAST(ybar_ppm AS BIGINT) AS ybar_ppm, " +
+        "CAST((CAST(n AS HUGEINT) * (bin * 125000 - (n_pos * 1000000) // n) " +
+        "* (bin * 125000 - (n_pos * 1000000) // n)) // 1000000 AS BIGINT) " +
+        "AS rel_term_milli2, " +
+        "CAST((CAST(n AS HUGEINT) * ((n_pos * 1000000) // n - ybar_ppm) " +
+        "* ((n_pos * 1000000) // n - ybar_ppm)) // 1000000 AS BIGINT) " +
+        "AS res_term_milli2 FROM b, g"),
+    "quality_rater_kappa" ->
+      ("WITH d AS (SELECT " +
+        "CASE WHEN (" +
+        "CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END + " +
+        "CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END" +
+        ") >= 2 THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN length(text) // greatest(1, len(string_split(text, ' '))) " +
+        "<= 5 THEN 1 ELSE 0 END AS b FROM documents), " +
+        "agg AS (SELECT count(*) AS n, " +
+        "sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree, " +
+        "sum(a) AS a1, sum(b) AS b1 FROM d), " +
+        "r AS (SELECT CAST(n AS BIGINT) AS n, " +
+        "CAST(n_agree AS BIGINT) AS n_agree, " +
+        "CAST((n_agree * 1000000) // n AS BIGINT) AS po_ppm, " +
+        "CAST(((CAST(a1 AS HUGEINT) * b1 + CAST(n - a1 AS HUGEINT) * (n - b1)) " +
+        "* 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm FROM agg) " +
+        "SELECT n, n_agree, po_ppm, pe_ppm, " +
+        "CAST(CASE WHEN pe_ppm = 1000000 THEN 0 " +
+        "ELSE ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm) END " +
+        "AS BIGINT) AS kappa_ppm FROM r"),
     // vowel-group syllables floored at 1; 15-token segment sentences;
     // milli-point Flesch formulas in positive-integer floor division
     "text_readability" ->

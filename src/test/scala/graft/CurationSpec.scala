@@ -1143,4 +1143,57 @@ class CurationSpec extends SparkSpecBase {
     // term mass is conserved across buckets regardless of collisions
     assert(got.values.map(_._2).sum == 4L)
   }
+
+  test("lexical diversity: hand counts — types, hapax, ppm ratios") {
+    import spark.implicits._
+    // s1: tokens a a b c -> types 3 (a:2 b:1 c:1), hapax 2
+    val docs = Seq((1L, "a a b", "s1", "en"), (2L, "c", "s1", "en"),
+      (3L, "x x x x", "s2", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = Curation.lexicalDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      "s1" -> ((2L, 4L, 3L, 2L, 750000L, 666666L)),
+      "s2" -> ((1L, 4L, 1L, 0L, 250000L, 0L))))
+  }
+
+  test("Brier bins: constructed calibrated vs miscalibrated levels") {
+    import spark.implicits._
+    // bin 8 (all 8 stopwords): 4 docs, 3 en -> p 1e6, obs 750000
+    // bin 0 (none): 4 docs, 1 en -> p 0, obs 250000; ybar = 4/8 = 500000
+    val all8 = "the be to of and that have with"
+    val docs = (1 to 4).map(i =>
+        (i.toLong, all8, "s", if (i <= 3) "en" else "fr")) ++
+      (5 to 8).map(i =>
+        (i.toLong, "x y z", "s", if (i == 5) "en" else "fr"))
+    val df = docs.toDF("doc_id", "text", "source", "lang")
+    val got = Curation.brierDecomposition(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // rel = n*(p-obs)^2/1e6 = 4*250000^2/1e6 = 250000 for both bins
+    // res = n*(obs-ybar)^2/1e6 = 4*250000^2/1e6 = 250000 for both bins
+    assert(got == Map(
+      8L -> ((4L, 3L, 1000000L, 750000L, 500000L, 250000L, 250000L)),
+      0L -> ((4L, 1L, 0L, 250000L, 500000L, 250000L, 250000L))))
+  }
+
+  test("rater kappa: perfect agreement 10^6; replayed mixed case") {
+    import spark.implicits._
+    val all8 = "the be to of and that have with" // A=1; 35 chars/8 tok -> B=1
+    val long = "waaaaaaaaaaaaaaat"                // A=0; 17 chars/1 tok -> B=0
+    val perfect = Seq((1L, all8, "s", "en"), (2L, long, "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val gp = Curation.raterKappa(perfect).collect()(0)
+    assert((gp.getLong(0), gp.getLong(1), gp.getLong(2), gp.getLong(4)) ==
+      ((2L, 2L, 1000000L, 1000000L)))
+    // mixed: add a disagreeing doc (A=0 short words -> B=1)
+    val mixed = perfect.union(
+      Seq((3L, "x y z", "s", "en")).toDF("doc_id", "text", "source", "lang"))
+    val gm = Curation.raterKappa(mixed).collect()(0)
+    // n=3 agree=2 po=666666; a1=1 b1=2: pe=(1*2+2*1)*1e6/9=444444
+    // kappa = (666666-444444)*1e6/(1e6-444444) = 222222e6/555556 -> 399999
+    assert((gm.getLong(0), gm.getLong(1), gm.getLong(2), gm.getLong(3),
+      gm.getLong(4)) == ((3L, 2L, 666666L, 444444L, 399999L)))
+  }
 }
