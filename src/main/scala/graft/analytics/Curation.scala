@@ -853,6 +853,41 @@ object Curation {
           "ELSE ((po_ppm - pe_ppm) * 1000000L) div (1000000L - pe_ppm) END"))
   }
 
+  /** Collocation extraction by exact association lift — the
+    * integer-exact image of PMI (Church & Hanks, "Word association
+    * norms, mutual information, and lexicography", CL 1990): for each
+    * adjacent token bigram with support >= `minCount`,
+    * lift_ppm = n_ab·N·10⁶ div (n_a·n_b) — PMI is log(lift), and log is
+    * monotone, so ranking by exact lift IS ranking by PMI with no
+    * transcendental in the hash. Top-k with a full deterministic
+    * tie-break; products run in DECIMAL(38,0) (n_ab·N at corpus scale
+    * exceeds BIGINT long before the result does). One corpus scan for
+    * bigrams + one for unigrams, token-keyed joins, TakeOrdered cut.
+    */
+  def collocationLift(
+      docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val bi = toks.select(explode(expr(
+        "filter(transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS a, w[i] AS b)), " +
+          "x -> x.a != '' AND x.b != '')")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount.toLong)
+    bi.join(uni.select(col("tk").as("a"), col("c").as("n_a")), Seq("a"))
+      .join(uni.select(col("tk").as("b"), col("c").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("n_ab").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** nDCG@k per query with graded relevance (Järvelin & Kekäläinen 2002),
     * the rank-position-sensitive companion of [[retrievalEvalPR]]. The
     * SYSTEM under evaluation is the cheap shortest-doc-first prior

@@ -453,4 +453,41 @@ object DataQuality {
         expr("CAST(m * m >= (1844164 * (n1 + n2) * n1 * n2) div 1000000 " +
           "AS INT)").as("reject_95"))
   }
+
+  /** Order-header vs line-item totals reconciliation — the financial
+    * consistency audit run before trusting any revenue rollup: recompute
+    * each order's total from its lines as
+    * Σ floor(ext_cents · (100 + tax_c) · (100 − disc_c) / 10⁴) (the
+    * TPC-H pricing identity, with the per-line flooring documented as
+    * the audit's quantization), diff against the header total in exact
+    * cents, and report the relative-error histogram on power-of-two
+    * basis-point bands (band −1 = exact match; `length(bin(bp)) − 1`
+    * floors identically on both engines). One orderkey-co-partitioned
+    * join + one bands-sized rollup; never a header- or line-sized
+    * output.
+    */
+  def orderTotalReconciliation(
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val comp = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(expr(
+        "sum((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * " +
+          "(100 + CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)) * " +
+          "(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) " +
+          "div 10000)").as("comp_cents"))
+    orders
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("hdr_cents"))
+      .join(comp, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("bp", expr(
+        "(abs(comp_cents - hdr_cents) * 10000L) div greatest(1L, hdr_cents)"))
+      .withColumn("band", expr(
+        "CASE WHEN comp_cents = hdr_cents THEN -1L " +
+          "ELSE CAST(length(bin(bp)) - 1 AS BIGINT) END"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("bp")).as("min_bp"), max(col("bp")).as("max_bp"),
+        max(expr("abs(comp_cents - hdr_cents)")).as("max_abs_cents"))
+  }
 }

@@ -484,6 +484,60 @@ object Multimodal {
     }(enc)
   }
 
+  /** Zero-crossing rate over REAL decoded PCM — the classic cheap
+    * voiced/unvoiced + noisiness feature (high ZCR = fricatives/noise,
+    * low = voiced speech/tones) every audio-curation pass computes
+    * alongside energy: decode the actual RIFF/WAVE binary and count sign
+    * alternations between consecutive samples (zero counts as
+    * non-negative), emitting the exact ppm rate over the n−1 sample
+    * pairs. Map-only over per-partition codec handles, one row per
+    * asset; the oracle replays the PCM generator formula while Spark
+    * derives the count from genuinely parsed audio.
+    */
+  def audioZeroCrossingRate(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_cross", LongType, nullable = false),
+      StructField("zcr_ppm", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    spreadForCodec(docs.select(col("doc_id"))).mapPartitions { rows =>
+      import javax.sound.sampled._
+      val codec = new WavCodec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 50).toInt + 20
+        val sr = 8000 + (id % 4).toInt * 4000
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val in = codec.decode(codec.encode(ais))
+        val decoded = in.readAllBytes()
+        val m = decoded.length / 2
+        def sample(j: Int): Int = {
+          val lo = decoded(2 * j) & 0xff
+          (decoded(2 * j + 1).toInt << 8) | lo
+        }
+        var cross = 0L
+        var j = 1
+        while (j < m) {
+          if ((sample(j - 1) < 0) != (sample(j) < 0)) cross += 1
+          j += 1
+        }
+        val zcr = if (m > 1) cross * 1000000L / (m - 1) else 0L
+        Row(id, m.toLong, cross, zcr)
+      }
+    }(enc)
+  }
+
   /** Image NEAR-DUPLICATE detection via a perceptual average-hash (aHash)
     * over REAL decoded pixels — the image-dedup pass a multimodal training
     * pipeline runs so one meme reposted at 40 crops/recompressions counts

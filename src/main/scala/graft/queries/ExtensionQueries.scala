@@ -1357,6 +1357,10 @@ object ExtensionQueries {
     // inverse-CDF interval join — the noise-contrastive data prep step
     "negative_samples_unigram" -> ((s, dir) =>
       Curation.negativeSamples(t(s, dir, "documents"))),
+    // collocation mining: exact lift_ppm = n_ab*N*1e6/(n_a*n_b) — the
+    // integer image of PMI (log-free, hash-stable), support floor 5
+    "token_collocation_lift" -> ((s, dir) =>
+      Curation.collocationLift(t(s, dir, "documents"))),
     "cooccurrence_topk" -> ((s, dir) =>
       t(s, dir, "documents")
         .repartition(col("doc_id"))
@@ -1958,6 +1962,12 @@ object ExtensionQueries {
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
             .as("revenue"))),
     // referential-integrity profile of the whole config-declared FK graph
+    // financial reconciliation: recompute each order total from its
+    // lines (per-line floored pricing identity), histogram the relative
+    // error on power-of-two bp bands
+    "orders_total_reconciliation" -> ((s, dir) =>
+      DataQuality.orderTotalReconciliation(
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
     // on the SOURCE tables (the drift alarm; the subsetter proves closure
     // on its output) — one lazy plan, one row per FK edge
     "fk_integrity_report" -> ((s, dir) =>
@@ -2523,6 +2533,10 @@ object ExtensionQueries {
       Multimodal.sobelEnergyMeta(t(s, dir, "documents"))),
     // two-level integer Haar band energies over REAL decoded PCM: the
     // cheapest time-frequency split (truncating div, matches //)
+    // zero-crossing rate over REAL decoded PCM: sign alternations per
+    // sample pair in exact ppm (the cheap voiced/unvoiced feature)
+    "audio_zero_crossing_rate" -> ((s, dir) =>
+      Multimodal.audioZeroCrossingRate(t(s, dir, "documents"))),
     "audio_haar_bands" -> ((s, dir) =>
       Multimodal.wavHaarBands(t(s, dir, "documents"))),
     // multi-frame (animated) GIF: k solid-gray frames written into ONE
@@ -3495,6 +3509,42 @@ object ExtensionQueries {
       "CAST((n_symbols * 10000) // n_tokens AS BIGINT) AS fertility_bp, " +
       "CAST((n_chars * 10000) // n_symbols AS BIGINT) AS chars_per_symbol_bp " +
       "FROM ps"),
+    "orders_total_reconciliation" ->
+      ("WITH comp AS (SELECT l_orderkey, sum((" +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * " +
+        "(100 + CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)) * " +
+        "(100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) " +
+        "// 10000) AS comp_cents FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT) AS hdr_cents, comp_cents FROM orders " +
+        "JOIN comp ON o_orderkey = l_orderkey), " +
+        "b AS (SELECT comp_cents, hdr_cents, " +
+        "(abs(comp_cents - hdr_cents) * 10000) // greatest(1, hdr_cents) " +
+        "AS bp FROM j) " +
+        "SELECT CAST(CASE WHEN comp_cents = hdr_cents THEN -1 " +
+        "ELSE length(bin(bp)) - 1 END AS BIGINT) AS band, " +
+        "CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(min(bp) AS BIGINT) AS min_bp, " +
+        "CAST(max(bp) AS BIGINT) AS max_bp, " +
+        "CAST(max(abs(comp_cents - hdr_cents)) AS BIGINT) AS max_abs_cents " +
+        "FROM b GROUP BY 1"),
+    "token_collocation_lift" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "uni AS (SELECT tk, count(*) AS c FROM " +
+        "(SELECT unnest(w) AS tk FROM toks) WHERE tk <> '' GROUP BY 1), " +
+        "tot AS (SELECT sum(c) AS n FROM uni), " +
+        "bi AS (SELECT a, b, count(*) AS n_ab FROM " +
+        "(SELECT unnest([{'a': w[i], 'b': w[i + 1]} " +
+        "FOR i IN generate_series(1, len(w) - 1)], recursive := true) " +
+        "FROM toks) WHERE a <> '' AND b <> '' GROUP BY 1, 2 " +
+        "HAVING count(*) >= 5) " +
+        "SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab, " +
+        "CAST(ua.c AS BIGINT) AS n_a, CAST(ub.c AS BIGINT) AS n_b, " +
+        "CAST((CAST(n_ab AS HUGEINT) * n * 1000000) // " +
+        "(CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift_ppm " +
+        "FROM bi JOIN uni ua ON bi.a = ua.tk " +
+        "JOIN uni ub ON bi.b = ub.tk, tot " +
+        "ORDER BY lift_ppm DESC, n_ab DESC, a, b LIMIT 50"),
     "fk_integrity_report" ->
       Seq(("nation", "n_regionkey", "region", "r_regionkey"),
         ("customer", "c_nationkey", "nation", "n_nationkey"),
@@ -6680,6 +6730,16 @@ object ExtensionQueries {
         "CAST(n_int * 64 * (sx * sx + sy * sy) AS BIGINT) AS energy, " +
         "CAST(CASE WHEN 8 * sx + 8 * sy >= 16 THEN n_int ELSE 0 END AS BIGINT) " +
         "AS n_edge FROM d"),
+    "audio_zero_crossing_rate" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents), " +
+        "s AS (SELECT doc_id, n, [(doc_id * 31 + i * 17) % 65536 - 32768 " +
+        "FOR i IN generate_series(0, n - 1)] AS v FROM p), " +
+        "c AS (SELECT doc_id, n, CAST(len([k FOR k IN " +
+        "generate_series(2, n) IF (v[k - 1] < 0) != (v[k] < 0)]) AS BIGINT) " +
+        "AS n_cross FROM s) " +
+        "SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples, " +
+        "n_cross, CAST((n_cross * 1000000) // (n - 1) AS BIGINT) AS zcr_ppm " +
+        "FROM c"),
     "audio_haar_bands" ->
       ("WITH p AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents), " +
         "s AS (SELECT doc_id, n, [(doc_id * 31 + i * 17) % 65536 - 32768 " +

@@ -1196,4 +1196,25 @@ class CurationSpec extends SparkSpecBase {
     assert((gm.getLong(0), gm.getLong(1), gm.getLong(2), gm.getLong(3),
       gm.getLong(4)) == ((3L, 2L, 666666L, 444444L, 399999L)))
   }
+
+  test("collocation lift: hand corpus — lift ppm exact, support floor enforced") {
+    import spark.implicits._
+    // 'a b' x5 adjacent, plus 5 isolated 'a' and 5 isolated 'b' fillers
+    // N = 40 tokens; n_a = 10, n_b = 10, n_ab = 5
+    // lift = 5*40*1e6/(10*10) = 2000000
+    val docs = ((1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 10).map(i => (i.toLong, "a x")) ++
+      (11 to 15).map(i => (i.toLong, "y b")) ++
+      (16 to 20).map(i => (i.toLong, "x y")))
+      .toDF("doc_id", "text")
+    val got = Curation.collocationLift(docs, minCount = 5, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // only 'a b' reaches support 5 ('a x','y b','x y' have 5 too... all 4 pairs)
+    assert(got(("a", "b")) == ((5L, 10L, 10L, 2000000L)))
+    assert(got(("x", "y")) == ((5L, 10L, 10L, 2000000L)))
+    assert(got.size == 4)
+    // support floor: raise minCount above 5 and nothing survives
+    assert(Curation.collocationLift(docs, minCount = 6, k = 10).count() == 0L)
+  }
 }

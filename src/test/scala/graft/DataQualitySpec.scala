@@ -216,4 +216,27 @@ class DataQualitySpec extends SparkSpecBase {
       .collect().head
     assert(z.getLong(2) == 0L && z.getInt(3) == 0)
   }
+
+  test("order reconciliation: exact match bands -1; hand diff lands its bp band") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val oSchema = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val lSchema = StructType(Seq(StructField("l_orderkey", LongType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_tax", DoubleType), StructField("l_discount", DoubleType)))
+    // order 1: one line 100.00, tax 8%, disc 5% -> 10000*108*95/10000 = 10260
+    //   header 102.60 -> exact match, band -1
+    // order 2: same line but header 110.00 (11000c): diff 740, bp = 740*1e4/11000
+    //   = 672 -> band = len(bin(672))-1 = 9
+    val orders = spark.createDataFrame(Seq(
+      Row(1L, 102.60), Row(2L, 110.00)).asJava, oSchema)
+    val lines = spark.createDataFrame(Seq(
+      Row(1L, 100.00, 0.08, 0.05), Row(2L, 100.00, 0.08, 0.05)).asJava, lSchema)
+    val got = analytics.DataQuality.orderTotalReconciliation(orders, lines)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(-1L -> ((1L, 0L, 0L, 0L)), 9L -> ((1L, 672L, 672L, 740L))))
+  }
 }

@@ -175,4 +175,23 @@ class MultimodalSpec extends SparkSpecBase {
       assert(got(id) == ((36L + 2 * n, 2, 16L, 2 * n)), s"id=$id")
     }
   }
+
+  test("zero-crossing rate: decoded-PCM count replays the generator formula") {
+    import spark.implicits._
+    // 1041*31 = 32271: the sample ramp crosses the sign boundary mid-run
+    val docs = Seq((0L, "x"), (7L, "y"), (1041L, "z")).toDF("doc_id", "text")
+    val got = analytics.Multimodal.audioZeroCrossingRate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def expect(id: Long): (Long, Long, Long) = {
+      val n = (id % 50).toInt + 20
+      val v = (0 until n).map(i => ((id * 31 + i * 17) % 65536 - 32768).toInt)
+      val cross = (1 until n).count(j => (v(j - 1) < 0) != (v(j) < 0)).toLong
+      (n.toLong, cross, cross * 1000000L / (n - 1))
+    }
+    assert(got == Map(0L -> expect(0L), 7L -> expect(7L), 1041L -> expect(1041L)))
+    // small-id ramps stay negative (0 crossings); 1041's straddles the
+    // sign boundary once
+    assert(got(0L)._2 == 0L && got(1041L)._2 > 0L)
+  }
 }
