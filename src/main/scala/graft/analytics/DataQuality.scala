@@ -490,4 +490,23 @@ object DataQuality {
         min(col("bp")).as("min_bp"), max(col("bp")).as("max_bp"),
         max(expr("abs(comp_cents - hdr_cents)")).as("max_abs_cents"))
   }
+
+  /** Column completeness/cardinality profile — the first pass any data
+    * catalog or ingestion monitor runs over a new table: per column, row
+    * count, NULL count, and EXACT distinct count (count(DISTINCT c),
+    * NULLs excluded, matching SQL semantics on both engines). One
+    * column-pruned aggregate per column, unioned — each branch scans
+    * only its own column (parquet ReadSchema stays single-column), so
+    * the whole profile reads each byte of the table once.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: need columns")
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col(c).isNull.cast("long")).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -318,6 +318,55 @@ object Dedup {
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Rich-club coefficients (Zhou & Mondragón, IEEE Comm. Lett. 2004):
+    * for each degree threshold k, the fraction of POSSIBLE edges that
+    * actually exist among the nodes of degree > k — φ(k) near 1 means
+    * the hubs form a tight club (boilerplate/stop-token cores in a
+    * token graph; glue documents in a near-dup graph), near 0 means
+    * hubs are mutually independent stars. Exact ppm: φ = e_k·10⁶ div
+    * C(n_k, 2). One degree aggregate + one min-endpoint-degree tag of
+    * the edge relation, then ALL thresholds come from two one-row
+    * conditional aggregates (no per-threshold pass, no theta join) and
+    * unpivot to thresholds-sized output.
+    *
+    * EAGER: the edge and degree relations each feed two consumers under
+    * different prunings (RepeatAudit class) — cut through `materialize`.
+    */
+  def richClubCoefficients(
+      edges: DataFrame, thresholds: Seq[Int] = Seq(4, 8, 16, 32),
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    require(thresholds.nonEmpty, "richClubCoefficients: need thresholds")
+    val e = materialize(edges.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct())
+    val deg = materialize(
+      e.select(explode(array(col("id_a"), col("id_b"))).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("d")))
+    val tagged = e
+      .join(deg.select(col("u").as("id_a"), col("d").as("da")), Seq("id_a"))
+      .join(deg.select(col("u").as("id_b"), col("d").as("db")), Seq("id_b"))
+      .select(least(col("da"), col("db")).as("md"))
+    val eAgg = tagged.agg(
+      thresholds.map(k =>
+        sum((col("md") > k.toLong).cast("long")).as(s"e$k")).head,
+      thresholds.tail.map(k =>
+        sum((col("md") > k.toLong).cast("long")).as(s"e$k")): _*)
+    val nAgg = deg.agg(
+      thresholds.map(k =>
+        sum((col("d") > k.toLong).cast("long")).as(s"n$k")).head,
+      thresholds.tail.map(k =>
+        sum((col("d") > k.toLong).cast("long")).as(s"n$k")): _*)
+    val stacked = thresholds
+      .map(k => s"${k}L, n$k, e$k").mkString(", ")
+    eAgg.crossJoin(broadcast(nAgg))
+      .select(expr(s"stack(${thresholds.size}, $stacked) " +
+        "AS (k, n_nodes, n_edges)"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        expr("CASE WHEN n_nodes < 2 THEN 0L " +
+          "ELSE (n_edges * 1000000L) div ((n_nodes * (n_nodes - 1)) div 2) " +
+          "END").as("phi_ppm"))
+  }
+
   /** Link prediction over a co-occurrence graph: top-k NON-adjacent node
     * pairs by common-neighbor count, with the neighborhood-Jaccard score
     * in exact basis points (Liben-Nowell & Kleinberg's two classic

@@ -316,4 +316,54 @@ object Sketches {
           "(CASE WHEN n_exact = 0 THEN 1 ELSE n_exact END)") <= bandBp)
           .cast("int").as("within_band"))
   }
+
+  /** Empirical Bloom-filter false-positive audit — the commissioning
+    * check run before trusting a Bloom prefilter's m/k sizing on real
+    * key distributions: build the filter over the DISTINCT build keys
+    * (md5-positional bits, so any engine replays the exact bit pattern —
+    * the xxhash64 production filter in [[graft.engine.Ops]] is
+    * deliberately NOT used here because the oracle cannot replay it),
+    * probe with a synthetic key set guaranteed disjoint (keys shifted
+    * past 10x the max build key), and report the observed FP rate in
+    * exact ppm. The word table is a bounded collect (<= mBits/64 longs
+    * regardless of data size); the probe is map-only against the
+    * broadcast literal array.
+    */
+  def bloomFprAudit(
+      dim: DataFrame, keyCol: String,
+      mBits: Int = 1 << 14, numHashes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"bloomFprAudit: bad mBits $mBits")
+    val keys = dim.select(col(keyCol).cast("long").as("k")).distinct()
+    def pos(i: Int, c: Column): Column =
+      expr(s"CAST(conv(substring(md5(concat('$i:', CAST(${c.toString} AS STRING))), " +
+        s"1, 12), 16, 10) AS BIGINT) % $mBits")
+    val posList = (0 until numHashes).map(i => pos(i, col("k")))
+    val wordRows = keys
+      .select(explode(array(posList: _*)).as("p")).distinct()
+      .select(expr("CAST(p div 64 AS INT)").as("w"),
+        expr("shiftleft(1L, CAST(p % 64 AS INT))").as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("word"))
+      .collect() // bounded: <= mBits/64 rows regardless of data size
+    val words = new Array[Long](mBits / 64)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val mx = keys.agg(max(col("k")).as("mk"))
+    val probes = keys.crossJoin(broadcast(mx))
+      .select((col("k") + (col("mk") + 1L) * 10L).as("q"))
+    val test = (0 until numHashes).map { i =>
+      val p = s"CAST(conv(substring(md5(concat('$i:', CAST(q AS STRING))), " +
+        s"1, 12), 16, 10) AS BIGINT) % $mBits"
+      expr(s"((element_at(__bf, CAST(($p) div 64 AS INT) + 1) " +
+        s">> CAST(($p) % 64 AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+    probes
+      .withColumn("__bf", typedlit(words.toSeq))
+      .agg(count(lit(1)).as("n_probe"),
+        sum(test.cast("long")).as("n_fp"))
+      .select(lit(mBits.toLong).as("m_bits"),
+        lit(numHashes.toLong).as("k_hashes"),
+        col("n_probe").as("n_build"), // probes = shifted build keys, 1:1
+        col("n_probe"), col("n_fp"),
+        expr("CASE WHEN n_probe = 0 THEN 0L " +
+          "ELSE (n_fp * 1000000L) div n_probe END").as("fpr_ppm"))
+  }
 }

@@ -192,7 +192,8 @@ object ExtensionQueries {
   val pinConsumers: Map[String, Set[String]] = Map(
     "tokenEdges" -> Set("token_graph_triangles", "token_graph_pagerank",
       "token_graph_kcore", "token_graph_degrees", "link_prediction_topk",
-      "token_graph_bfs_depth", "token_graph_assortativity"),
+      "token_graph_bfs_depth", "token_graph_assortativity",
+      "token_graph_rich_club"),
     "lshPairs" -> Set("minhash_lsh_pairs", "neardup_components",
       "neardup_components_incremental", "neardup_components_star",
       "neardup_triangles", "neardup_labelprop", "neardup_component_sizes",
@@ -417,6 +418,10 @@ object ExtensionQueries {
     // dense, so every vertex participates in many triangles
     "token_graph_triangles" -> ((s, dir) =>
       Dedup.triangleCounts(tokenEdges(s, dir))),
+    // rich-club coefficients: edge density among degree->k hubs in exact
+    // ppm, all thresholds from two one-row conditional aggregates
+    "token_graph_rich_club" -> ((s, dir) =>
+      Dedup.richClubCoefficients(tokenEdges(s, dir))),
     // integer-fixed-point damped PageRank over the same token graph:
     // 3 iterations, rank mass scaled by 1e12, floor divisions only
     "token_graph_pagerank" -> ((s, dir) =>
@@ -1962,6 +1967,17 @@ object ExtensionQueries {
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
             .as("revenue"))),
     // referential-integrity profile of the whole config-declared FK graph
+    // column completeness/cardinality profile of orders: per column row/
+    // NULL/exact-distinct counts, one column-pruned aggregate per column
+    "orders_column_profile" -> ((s, dir) =>
+      DataQuality.columnProfile(t(s, dir, "orders"), Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))),
+    // empirical Bloom FPR audit: md5-positional filter over distinct
+    // custkeys probed with a guaranteed-disjoint shifted key set
+    "bloom_fpr_audit" -> ((s, dir) =>
+      graft.analytics.Sketches.bloomFprAudit(
+        t(s, dir, "customer"), "c_custkey")),
     // financial reconciliation: recompute each order total from its
     // lines (per-line floored pricing identity), histogram the relative
     // error on power-of-two bp bands
@@ -3509,6 +3525,46 @@ object ExtensionQueries {
       "CAST((n_symbols * 10000) // n_tokens AS BIGINT) AS fertility_bp, " +
       "CAST((n_chars * 10000) // n_symbols AS BIGINT) AS chars_per_symbol_bp " +
       "FROM ps"),
+    "orders_column_profile" ->
+      ("SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders UNION ALL " +
+        "SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders UNION ALL " +
+        "SELECT 'o_orderstatus' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM orders UNION ALL " +
+        "SELECT 'o_totalprice' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct FROM orders UNION ALL " +
+        "SELECT 'o_orderdate' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct FROM orders UNION ALL " +
+        "SELECT 'o_orderpriority' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct FROM orders"),
+    "bloom_fpr_audit" ->
+      ("WITH a AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k FROM customer), " +
+        "pos AS (SELECT DISTINCT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || " +
+        "CAST(k AS VARCHAR)), 1, 12))::BIGINT % 16384 AS p " +
+        "FROM a, unnest(generate_series(0, 2)) AS t(i)), " +
+        "mx AS (SELECT max(k) AS mk FROM a), " +
+        "b AS (SELECT k + (mk + 1) * 10 AS q FROM a, mx), " +
+        "f AS (SELECT q FROM b WHERE " +
+        "('0x' || substr(md5('0:' || CAST(q AS VARCHAR)), 1, 12))::BIGINT % 16384 " +
+        "IN (SELECT p FROM pos) AND " +
+        "('0x' || substr(md5('1:' || CAST(q AS VARCHAR)), 1, 12))::BIGINT % 16384 " +
+        "IN (SELECT p FROM pos) AND " +
+        "('0x' || substr(md5('2:' || CAST(q AS VARCHAR)), 1, 12))::BIGINT % 16384 " +
+        "IN (SELECT p FROM pos)), " +
+        "z AS (SELECT (SELECT count(*) FROM b) AS n_probe, " +
+        "(SELECT count(*) FROM f) AS n_fp) " +
+        "SELECT CAST(16384 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes, " +
+        "CAST(n_probe AS BIGINT) AS n_build, CAST(n_probe AS BIGINT) AS n_probe, " +
+        "CAST(n_fp AS BIGINT) AS n_fp, " +
+        "CAST(CASE WHEN n_probe = 0 THEN 0 ELSE (n_fp * 1000000) // n_probe END " +
+        "AS BIGINT) AS fpr_ppm FROM z"),
+    "token_graph_rich_club" ->
+      (tokenEdgeCte + ", " +
+        "dc AS (SELECT id_a AS u FROM e UNION ALL SELECT id_b FROM e), " +
+        "deg AS (SELECT u, count(*) AS d FROM dc GROUP BY 1), " +
+        "tagged AS (SELECT least(da.d, db.d) AS md FROM e " +
+        "JOIN deg da ON e.id_a = da.u JOIN deg db ON e.id_b = db.u), " +
+        "na AS (SELECT sum(CASE WHEN d > 4 THEN 1 ELSE 0 END) AS n4, sum(CASE WHEN d > 8 THEN 1 ELSE 0 END) AS n8, sum(CASE WHEN d > 16 THEN 1 ELSE 0 END) AS n16, sum(CASE WHEN d > 32 THEN 1 ELSE 0 END) AS n32 FROM deg), " +
+        "ea AS (SELECT sum(CASE WHEN md > 4 THEN 1 ELSE 0 END) AS e4, sum(CASE WHEN md > 8 THEN 1 ELSE 0 END) AS e8, sum(CASE WHEN md > 16 THEN 1 ELSE 0 END) AS e16, sum(CASE WHEN md > 32 THEN 1 ELSE 0 END) AS e32 FROM tagged) " +
+        "SELECT CAST(4 AS BIGINT) AS k, CAST(n4 AS BIGINT) AS n_nodes, CAST(e4 AS BIGINT) AS n_edges, CAST(CASE WHEN n4 < 2 THEN 0 ELSE (e4 * 1000000) // ((n4 * (n4 - 1)) // 2) END AS BIGINT) AS phi_ppm FROM na, ea UNION ALL " +
+        "SELECT CAST(8 AS BIGINT) AS k, CAST(n8 AS BIGINT) AS n_nodes, CAST(e8 AS BIGINT) AS n_edges, CAST(CASE WHEN n8 < 2 THEN 0 ELSE (e8 * 1000000) // ((n8 * (n8 - 1)) // 2) END AS BIGINT) AS phi_ppm FROM na, ea UNION ALL " +
+        "SELECT CAST(16 AS BIGINT) AS k, CAST(n16 AS BIGINT) AS n_nodes, CAST(e16 AS BIGINT) AS n_edges, CAST(CASE WHEN n16 < 2 THEN 0 ELSE (e16 * 1000000) // ((n16 * (n16 - 1)) // 2) END AS BIGINT) AS phi_ppm FROM na, ea UNION ALL " +
+        "SELECT CAST(32 AS BIGINT) AS k, CAST(n32 AS BIGINT) AS n_nodes, CAST(e32 AS BIGINT) AS n_edges, CAST(CASE WHEN n32 < 2 THEN 0 ELSE (e32 * 1000000) // ((n32 * (n32 - 1)) // 2) END AS BIGINT) AS phi_ppm FROM na, ea"),
     "orders_total_reconciliation" ->
       ("WITH comp AS (SELECT l_orderkey, sum((" +
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * " +

@@ -1801,4 +1801,56 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(g1.length == 1 && g1(0).getLong(4) == 0L &&
       g1(0).getLong(5) == -g1(0).getLong(3))
   }
+
+  test("rich club: clique-plus-pendants hand graph, exact phi per threshold") {
+    import spark.implicits._
+    // K5 among a..e (deg 4 each) + 3 pendants on a (deg(a)=7)
+    val k5 = Seq("a","b","c","d","e").combinations(2).map(p => (p(0), p(1))).toSeq
+    val edges = (k5 ++ Seq(("a","p1"), ("a","p2"), ("a","p3")))
+      .toDF("id_a", "id_b")
+    val got = analytics.Dedup.richClubCoefficients(edges, Seq(2, 4, 6))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // deg: a=7, b..e=4, pendants=1
+    // k=2: nodes {a..e}=5, edges with min_deg>2 = the 10 clique edges
+    //   phi = 10*1e6 / C(5,2)=10 -> 1000000
+    // k=4: nodes {a}=1 -> phi 0 (guard); edges with min>4: none
+    // k=6: nodes {a}=1, edges 0 -> 0
+    assert(got == Map(2L -> ((5L, 10L, 1000000L)),
+      4L -> ((1L, 0L, 0L)), 6L -> ((1L, 0L, 0L))))
+  }
+
+  test("column profile: null and distinct counts per column") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("y", StringType)))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, "a"), Row(2L, null), Row(2L, "a"), Row(null, "b")).asJava, schema)
+    val got = analytics.DataQuality.columnProfile(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("x" -> ((4L, 1L, 2L)), "y" -> ((4L, 1L, 2L))))
+  }
+
+  test("bloom FPR audit: replayed md5 bits; tiny filter saturates to high FPR") {
+    import spark.implicits._
+    val dim = (1L to 200L).toDF("c_custkey")
+    val got = analytics.Sketches.bloomFprAudit(dim, "c_custkey",
+      mBits = 64, numHashes = 2).collect()(0)
+    // driver-side replay of the exact md5 bit pattern
+    def posOf(i: Int, v: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 64
+    }
+    val bits = (1L to 200L).flatMap(v => Seq(posOf(0, v), posOf(1, v))).toSet
+    val fp = (1L to 200L).map(_ + 201L * 10L)
+      .count(q => bits(posOf(0, q)) && bits(posOf(1, q))).toLong
+    assert((got.getLong(0), got.getLong(1), got.getLong(3), got.getLong(4),
+      got.getLong(5)) == ((64L, 2L, 200L, fp, fp * 1000000L / 200L)))
+    // 200 keys x 2 hashes into 64 bits: filter is saturated, FPR ~ 1
+    assert(fp > 150L)
+  }
 }
