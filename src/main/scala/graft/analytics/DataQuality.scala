@@ -509,4 +509,67 @@ object DataQuality {
           col("n_distinct"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Demand-intermittency classification (Syntetos, Boylan & Croston —
+    * the SBC quadrant: smooth / intermittent / erratic / lumpy by mean
+    * inter-demand interval and size variability) per part over the
+    * lineitem stream — the classifier that decides which forecasting
+    * model a part gets (Croston vs simple smoothing) and, in a data
+    * pipeline, which parts have enough signal to model at all. ADI is
+    * the global ship-date span over the part's distinct demand days
+    * (milli, floor-divided); CV² = var/mean² of quantities from exact
+    * DECIMAL moments. The canonical cutoffs 1.32 / 0.49 are applied as
+    * integer cross-multiplications (no float enters the verdict). One
+    * part-keyed aggregate + one broadcast global span row.
+    */
+  def demandIntermittency(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_partkey").as("part_id"),
+      expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') " +
+        "AS BIGINT)").as("d"),
+      expr("CAST(l_quantity AS BIGINT)").as("q"))
+    val span = base.agg(
+      (max(col("d")) - min(col("d")) + 1L).as("span_days"))
+    base
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_demands"),
+        countDistinct(col("d")).as("n_days"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sqq"))
+      .crossJoin(broadcast(span))
+      .withColumn("adi_milli", expr("(span_days * 1000L) div n_days"))
+      .withColumn("cv2_milli", expr(
+        "CAST(CASE WHEN sq = 0 THEN 0 ELSE " +
+          "(1000 * (n_demands * sqq - sq * sq)) div (sq * sq) END AS BIGINT)"))
+      .select(col("part_id"), col("n_demands"), col("n_days"),
+        col("adi_milli"), col("cv2_milli"),
+        when(col("adi_milli") > 1320L && col("cv2_milli") > 490L, "lumpy")
+          .when(col("adi_milli") > 1320L, "intermittent")
+          .when(col("cv2_milli") > 490L, "erratic")
+          .otherwise("smooth").as("demand_class"))
+  }
+
+  /** Neyman-optimal stratified sample allocation (Neyman, JRSS 1934):
+    * per stratum h, allocation ∝ N_h·σ_h — the variance-minimizing split
+    * of a fixed labeling/eval budget across sources. The weight is the
+    * EXACT integer isqrt of the variance numerator, w_h =
+    * isqrt(N_h·Σx² − (Σx)²) = N_h·σ_h (float sqrt + integer ±1 repair),
+    * x = document length in chars; quotas are floor-divided against the
+    * broadcast weight total. One source-keyed aggregate.
+    */
+  def neymanAllocation(docs: DataFrame, budget: Long = 10000L): DataFrame = {
+    val s = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+        sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("sxx"))
+      .withColumn("v", expr("n_docs * sxx - sx * sx"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS DECIMAL(38,0))"))
+      .withColumn("w", expr(
+        "CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1 " +
+          "WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS BIGINT)"))
+    val tot = s.agg(sum(col("w")).as("wt"))
+    s.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w"),
+        expr(s"CASE WHEN wt = 0 THEN 0L ELSE ($budget * w) div wt END")
+          .as("alloc"))
+  }
 }

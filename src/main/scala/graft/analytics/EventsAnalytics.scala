@@ -1046,6 +1046,34 @@ object EventsAnalytics {
           "ELSE (nt * 1000000) div dd END AS BIGINT)").as("theta_ppm"))
   }
 
+  /** Minimum detectable effect (MDE) planning per event type — the power
+    * calculation every experiment design starts from: for a 50/50 split
+    * of the observed user base, the smallest absolute lift in the
+    * type's user-conversion rate a two-sided α = 0.05 test detects with
+    * 80% power, mde = (z_{α/2} + z_β)·√(2p(1−p)/n_arm). The z-sum is the
+    * FROZEN micro literal 7848851 ((1.959964 + 0.841621)² × 10⁶ — the
+    * χ²-critical discipline), the radicand is exact DECIMAL integer
+    * algebra in ppm², and the root is float sqrt with the integer ±1
+    * repair (the `source_mixture_plan` isqrt idiom) — bit-stable on any
+    * engine. One distinct + two aggregates; output is types-sized.
+    */
+  def mdePower(events0: DataFrame): DataFrame = {
+    val u = events0.select(col("event_type"), col("user_id")).distinct()
+    val nAll = u.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    u.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("n_arm", expr("greatest(1L, n_users div 2)"))
+      .withColumn("p_ppm", expr("(n_t * 1000000L) div n_users"))
+      .withColumn("mde2", expr(
+        "CAST((CAST(7848851 AS DECIMAL(38,0)) * 2 * p_ppm * " +
+          "(1000000 - p_ppm)) div (1000000 * n_arm) AS BIGINT)"))
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(mde2 AS DOUBLE))) AS BIGINT)"))
+      .select(col("event_type"), col("n_users"), col("n_arm"), col("p_ppm"),
+        expr("CASE WHEN (s0 + 1) * (s0 + 1) <= mde2 THEN s0 + 1 " +
+          "WHEN s0 * s0 > mde2 THEN s0 - 1 ELSE s0 END").as("mde_ppm"))
+  }
+
   /** Wald SPRT sequential monitor (Wald, "Sequential Tests of Statistical
     * Hypotheses", Ann. Math. Stat. 1945) — the always-valid daily gate an
     * experiment dashboard polls without inflating false positives the way

@@ -1967,6 +1967,14 @@ object ExtensionQueries {
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
             .as("revenue"))),
     // referential-integrity profile of the whole config-declared FK graph
+    // SBC demand-intermittency quadrant per part: ADI x CV2 with frozen
+    // 1.32/0.49 cutoffs as integer cross-multiplications
+    "part_demand_intermittency" -> ((s, dir) =>
+      DataQuality.demandIntermittency(t(s, dir, "lineitem"))),
+    // Neyman-optimal stratified allocation across sources: w = N*sigma
+    // via exact isqrt of the variance numerator
+    "source_neyman_allocation" -> ((s, dir) =>
+      DataQuality.neymanAllocation(t(s, dir, "documents"))),
     // column completeness/cardinality profile of orders: per column row/
     // NULL/exact-distinct counts, one column-pruned aggregate per column
     "orders_column_profile" -> ((s, dir) =>
@@ -2089,6 +2097,10 @@ object ExtensionQueries {
     // exact integer match rates + matched-mean purchase reward
     "events_bandit_replay" -> ((s, dir) =>
       EventsAnalytics.banditReplayEval(t(s, dir, "events"))),
+    // MDE/power planning per event type: frozen z-sum micro literal,
+    // exact ppm radicand, isqrt with integer +-1 repair
+    "events_mde_power" -> ((s, dir) =>
+      EventsAnalytics.mdePower(t(s, dir, "events"))),
     // Wald SPRT sequential monitor: daily cumulative LLR with frozen
     // micro-log increments, always-valid accept/continue/reject state
     "events_sprt_monitor" -> ((s, dir) =>
@@ -3525,6 +3537,41 @@ object ExtensionQueries {
       "CAST((n_symbols * 10000) // n_tokens AS BIGINT) AS fertility_bp, " +
       "CAST((n_chars * 10000) // n_symbols AS BIGINT) AS chars_per_symbol_bp " +
       "FROM ps"),
+    "part_demand_intermittency" ->
+      ("WITH b AS (SELECT l_partkey AS part_id, " +
+        "date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS d, " +
+        "CAST(l_quantity AS BIGINT) AS q FROM lineitem), " +
+        "sp AS (SELECT max(d) - min(d) + 1 AS span_days FROM b), " +
+        "p AS (SELECT part_id, count(*) AS n_demands, " +
+        "count(DISTINCT d) AS n_days, sum(CAST(q AS HUGEINT)) AS sq, " +
+        "sum(CAST(q AS HUGEINT) * q) AS sqq FROM b GROUP BY 1), " +
+        "m AS (SELECT part_id, n_demands, n_days, " +
+        "(span_days * 1000) // n_days AS adi_milli, " +
+        "CAST(CASE WHEN sq = 0 THEN 0 ELSE " +
+        "(1000 * (n_demands * sqq - sq * sq)) // (sq * sq) END AS BIGINT) " +
+        "AS cv2_milli FROM p, sp) " +
+        "SELECT part_id, CAST(n_demands AS BIGINT) AS n_demands, " +
+        "CAST(n_days AS BIGINT) AS n_days, " +
+        "CAST(adi_milli AS BIGINT) AS adi_milli, cv2_milli, " +
+        "CASE WHEN adi_milli > 1320 AND cv2_milli > 490 THEN 'lumpy' " +
+        "WHEN adi_milli > 1320 THEN 'intermittent' " +
+        "WHEN cv2_milli > 490 THEN 'erratic' " +
+        "ELSE 'smooth' END AS demand_class FROM m"),
+    "source_neyman_allocation" ->
+      ("WITH s AS (SELECT source, count(*) AS n_docs, " +
+        "sum(CAST(n_chars AS HUGEINT)) AS sx, " +
+        "sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx FROM documents " +
+        "GROUP BY 1), " +
+        "v AS (SELECT source, n_docs, n_docs * sxx - sx * sx AS v FROM s), " +
+        "r AS (SELECT source, n_docs, v, " +
+        "CAST(floor(sqrt(CAST(v AS DOUBLE))) AS HUGEINT) AS s0 FROM v), " +
+        "w AS (SELECT source, n_docs, " +
+        "CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN s0 + 1 " +
+        "WHEN s0 * s0 > v THEN s0 - 1 ELSE s0 END AS BIGINT) AS w FROM r), " +
+        "t AS (SELECT sum(w) AS wt FROM w) " +
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w, " +
+        "CAST(CASE WHEN wt = 0 THEN 0 ELSE (10000 * w) // wt END AS BIGINT) " +
+        "AS alloc FROM w, t"),
     "orders_column_profile" ->
       ("SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders UNION ALL " +
         "SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders UNION ALL " +
@@ -5875,6 +5922,22 @@ object ExtensionQueries {
         "CAST((n_matched * 10000) // n_total AS BIGINT) AS match_bp, " +
         "CAST(CASE WHEN n_matched = 0 THEN 0 ELSE rc // n_matched END " +
         "AS BIGINT) AS mean_reward_cents FROM r"),
+    "events_mde_power" ->
+      ("WITH u AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "na AS (SELECT count(DISTINCT user_id) AS n_users FROM u), " +
+        "t AS (SELECT event_type, count(*) AS n_t FROM u GROUP BY 1), " +
+        "m AS (SELECT event_type, n_users, greatest(1, n_users // 2) AS n_arm, " +
+        "(n_t * 1000000) // n_users AS p_ppm FROM t, na), " +
+        "r AS (SELECT event_type, n_users, n_arm, p_ppm, " +
+        "CAST((CAST(7848851 AS HUGEINT) * 2 * p_ppm * (1000000 - p_ppm)) // " +
+        "(1000000 * n_arm) AS BIGINT) AS mde2 FROM m), " +
+        "s AS (SELECT *, CAST(floor(sqrt(CAST(mde2 AS DOUBLE))) AS BIGINT) " +
+        "AS s0 FROM r) " +
+        "SELECT event_type, CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(n_arm AS BIGINT) AS n_arm, CAST(p_ppm AS BIGINT) AS p_ppm, " +
+        "CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= mde2 THEN s0 + 1 " +
+        "WHEN s0 * s0 > mde2 THEN s0 - 1 ELSE s0 END AS BIGINT) AS mde_ppm " +
+        "FROM s"),
     "events_sprt_monitor" ->
       ("WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day, " +
         "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sc " +

@@ -1853,4 +1853,71 @@ class AnalyticsSpec extends SparkSpecBase {
     // 200 keys x 2 hashes into 64 bits: filter is saturated, FPR ~ 1
     assert(fp > 150L)
   }
+
+  test("MDE power: replayed isqrt; rarer event needs bigger detectable lift") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("user_id", LongType)))
+    // 10 users total; 'a': 5 users (p=.5), 'b': 1 user (p=.1)
+    val rows = (1L to 10L).map(u => Row("base", u)) ++
+      (1L to 5L).map(u => Row("a", u)) ++ Seq(Row("b", 1L))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.mdePower(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    def isqrt(v: BigInt): Long = {
+      val s0 = BigInt(math.sqrt(v.toDouble).toLong)
+      (if ((s0 + 1) * (s0 + 1) <= v) s0 + 1
+       else if (s0 * s0 > v) s0 - 1 else s0).toLong
+    }
+    def mde(pPpm: Long, nArm: Long): Long =
+      isqrt(BigInt(7848851) * 2 * pPpm * (1000000L - pPpm) / (1000000L * nArm))
+    assert(got("a") == ((10L, 5L, 500000L, mde(500000L, 5L))))
+    assert(got("b") == ((10L, 5L, 100000L, mde(100000L, 5L))))
+    // p=.5 maximizes variance: its MDE strictly exceeds the p=.1 one
+    assert(got("a")._4 > got("b")._4)
+  }
+
+  test("demand intermittency: all four SBC quadrants from hand streams") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("l_partkey", LongType),
+      StructField("l_shipdate", TimestampType), StructField("l_quantity", DoubleType)))
+    def ts(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDate.of(1992, 1, 1)
+        .plusDays(day).atStartOfDay())
+    // span = 12 days (d 0..11). part 1 'smooth': daily-ish (12 days),
+    // equal q. part 2 'intermittent': 2 demand days, equal q (ADI 6).
+    // part 3 'erratic': 12 days, wildly varying q. part 4 'lumpy': 2
+    // days, varying q.
+    val rows =
+      (0 to 11).map(d => Row(1L, ts(d), 5.0)) ++
+      Seq(Row(2L, ts(0), 5.0), Row(2L, ts(11), 5.0)) ++
+      (0 to 11).map(d => Row(3L, ts(d), if (d == 0) 100.0 else 1.0)) ++
+      Seq(Row(4L, ts(0), 100.0), Row(4L, ts(11), 1.0))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = analytics.DataQuality.demandIntermittency(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(got(1L)._3 == "smooth" && got(1L)._1 == 1000L && got(1L)._2 == 0L)
+    assert(got(2L)._3 == "intermittent" && got(2L)._1 == 6000L)
+    assert(got(3L)._3 == "erratic")
+    assert(got(4L)._3 == "lumpy")
+  }
+
+  test("Neyman allocation: zero-variance stratum gets zero; quotas floor-split") {
+    import spark.implicits._
+    // s1: lengths 10,10 -> var 0 -> w 0. s2: 0,20 -> v = 2*400-400=400,
+    // w = isqrt(400)=20 -> all budget to s2
+    val docs = Seq((1L, "s1", 10L), (2L, "s1", 10L),
+      (3L, "s2", 0L), (4L, "s2", 20L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = analytics.DataQuality.neymanAllocation(docs, budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("s1" -> ((2L, 0L, 0L)), "s2" -> ((2L, 20L, 100L))))
+  }
 }
