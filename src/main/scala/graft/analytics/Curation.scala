@@ -853,6 +853,37 @@ object Curation {
           "ELSE ((po_ppm - pe_ppm) * 1000000L) div (1000000L - pe_ppm) END"))
   }
 
+  /** Intra-document repetition score — the Gopher repetition screens
+    * (Rae et al. 2021, Table A1: duplicate-token share and the fraction
+    * of tokens covered by the most frequent 2-gram) that separate
+    * crawler-loop/template pages from prose BEFORE any cross-document
+    * dedup runs. Per document: token count, distinct-token count, the
+    * duplicate-token share in exact ppm, the top bigram's occurrence
+    * count and its exact token-coverage ppm (2·m₂·10⁶ div n). Doc-keyed
+    * shuffles only.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr("CAST(size(array_distinct(w)) AS BIGINT)").as("n_distinct"),
+        col("w"))
+      .filter(col("n_tokens") >= 2L)
+    val topBi = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    toks.drop("w")
+      .join(topBi, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("((n_tokens - n_distinct) * 1000000L) div n_tokens")
+          .as("dup_token_ppm"),
+        col("top_bigram_n"),
+        expr("(2L * top_bigram_n * 1000000L) div n_tokens")
+          .as("top_bigram_ppm"))
+  }
+
   /** Collocation extraction by exact association lift — the
     * integer-exact image of PMI (Church & Hanks, "Word association
     * norms, mutual information, and lexicography", CL 1990): for each

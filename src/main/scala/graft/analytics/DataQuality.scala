@@ -572,4 +572,34 @@ object DataQuality {
         expr(s"CASE WHEN wt = 0 THEN 0L ELSE ($budget * w) div wt END")
           .as("alloc"))
   }
+
+  /** Herfindahl–Hirschman revenue-concentration index per nation — the
+    * standard market-concentration statistic (HHI = Σ share²; monopoly =
+    * 10⁶ ppm, atomized = 10⁶/n): how concentrated each nation's order
+    * revenue is across its customers. Exact ppm from DECIMAL(38,0)
+    * moments — HHI·10⁶ = 10⁶·Σcᵢ² div (Σcᵢ)², cᵢ = customer revenue in
+    * cents. One custkey aggregate, broadcast dim joins, nations-sized
+    * output.
+    */
+  def revenueHhi(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS DECIMAL(38,0))").as("c"))
+    // customer is NOT broadcast: it scales with the corpus — the join
+    // shuffles on custkey, co-partitioned with the revenue aggregate
+    perCust
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), Seq("o_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), Seq("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c")).as("s"), sum(expr("c * c")).as("s2"))
+      .select(col("n_name"), col("n_customers"),
+        expr("CAST(s AS BIGINT)").as("rev_cents"),
+        expr("CAST(CASE WHEN s = 0 THEN 0 ELSE (1000000 * s2) div (s * s) " +
+          "END AS BIGINT)").as("hhi_ppm"))
+  }
 }

@@ -588,6 +588,27 @@ object Similarity {
     * distinct. Queries whose probed cells hold no other vector emit fewer
     * than k rows (inner-join semantics, mirrored by the oracle).
     */
+  /** k-occurrence hubness histogram (Radovanović et al., "Hubs in
+    * space", JMLR 2010) — the ANN-index health check for intrinsic-
+    * dimensionality pathology: N_k(x) = how many vectors list x among
+    * their k nearest neighbors. A heavy right tail (hub vectors with
+    * N_k >> k) predicts degraded recall and skewed retrieval; the
+    * histogram (n_k, n_vectors), including the orphan row at n_k = 0,
+    * is the whole distribution. One rollup over the [[knnJoinIvf]]
+    * result — the k-NN join does all the heavy lifting.
+    */
+  def knnHubnessHistogram(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val knn = knnJoinIvf(embeddings, k)
+    val occ = knn.groupBy(col("nbr_id")).agg(count(lit(1)).as("n_k"))
+    val hist = occ.groupBy(col("n_k")).agg(count(lit(1)).as("n_vectors"))
+    val tot = embeddings.agg(count(lit(1)).as("n_total"))
+    val seen = occ.agg(count(lit(1)).as("n_seen"))
+    hist.unionAll(
+      tot.crossJoin(broadcast(seen))
+        .select(lit(0L).as("n_k"), (col("n_total") - col("n_seen")).as("n_vectors"))
+        .filter(col("n_vectors") > 0L))
+  }
+
   def knnJoinIvf(
       embeddings: DataFrame,
       k: Int,

@@ -648,6 +648,10 @@ object ExtensionQueries {
       Similarity.ivfPqIndexBuildIfStale(emb, idx, trainMod = 4)
       Similarity.ivfPqProbeTopK(emb, idx, queryId = 0L, k = 10)
     }),
+    // k-occurrence hubness histogram over the batch k-NN join: N_k(x)
+    // distribution incl. the orphan row — the ANN pathology diagnostic
+    "knn_hubness_histogram" -> ((s, dir) =>
+      Similarity.knnHubnessHistogram(t(s, dir, "embeddings"))),
     // batch k-NN JOIN: top-3 neighbors for EVERY vector via the IVF cell
     // cut, per-query top-k on the custom bounded-heap TopKPerKey operator
     "knn_join_ivf" -> ((s, dir) =>
@@ -1362,6 +1366,10 @@ object ExtensionQueries {
     // inverse-CDF interval join — the noise-contrastive data prep step
     "negative_samples_unigram" -> ((s, dir) =>
       Curation.negativeSamples(t(s, dir, "documents"))),
+    // intra-doc repetition screens (Gopher Table A1): duplicate-token
+    // share + top-bigram token coverage in exact ppm
+    "text_repetition_score" -> ((s, dir) =>
+      Curation.repetitionScore(t(s, dir, "documents"))),
     // collocation mining: exact lift_ppm = n_ab*N*1e6/(n_a*n_b) — the
     // integer image of PMI (log-free, hash-stable), support floor 5
     "token_collocation_lift" -> ((s, dir) =>
@@ -1967,6 +1975,12 @@ object ExtensionQueries {
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
             .as("revenue"))),
     // referential-integrity profile of the whole config-declared FK graph
+    // HHI revenue concentration per nation: exact ppm from DECIMAL
+    // moments, shuffle join on custkey (customer scales, only nation
+    // broadcasts)
+    "nation_revenue_hhi" -> ((s, dir) =>
+      DataQuality.revenueHhi(t(s, dir, "orders"), t(s, dir, "customer"),
+        t(s, dir, "nation"))),
     // SBC demand-intermittency quadrant per part: ADI x CV2 with frozen
     // 1.32/0.49 cutoffs as integer cross-multiplications
     "part_demand_intermittency" -> ((s, dir) =>
@@ -3537,6 +3551,18 @@ object ExtensionQueries {
       "CAST((n_symbols * 10000) // n_tokens AS BIGINT) AS fertility_bp, " +
       "CAST((n_chars * 10000) // n_symbols AS BIGINT) AS chars_per_symbol_bp " +
       "FROM ps"),
+    "nation_revenue_hhi" ->
+      ("WITH pc AS (SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice " +
+        "AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS c FROM orders " +
+        "GROUP BY 1), " +
+        "n AS (SELECT n_name, count(*) AS n_customers, sum(c) AS s, " +
+        "sum(c * c) AS s2 FROM pc " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1) " +
+        "SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers, " +
+        "CAST(s AS BIGINT) AS rev_cents, " +
+        "CAST(CASE WHEN s = 0 THEN 0 ELSE (1000000 * s2) // (s * s) END " +
+        "AS BIGINT) AS hhi_ppm FROM n"),
     "part_demand_intermittency" ->
       ("WITH b AS (SELECT l_partkey AS part_id, " +
         "date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS d, " +
@@ -4461,6 +4487,21 @@ object ExtensionQueries {
         "SELECT doc_id, CAST(min(idx) AS INT) AS seg_start, " +
         "count(*) AS seg_len, pred AS lang_pred " +
         "FROM g GROUP BY doc_id, pred, grp"),
+    "text_repetition_score" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, w FROM toks " +
+        "WHERE len(w) >= 2), " +
+        "bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i + 1] " +
+        "FOR i IN generate_series(1, len(w) - 1)]) AS bg FROM m), " +
+        "bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), " +
+        "tb AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1) " +
+        "SELECT m.doc_id, n_tokens, n_distinct, " +
+        "CAST(((n_tokens - n_distinct) * 1000000) // n_tokens AS BIGINT) " +
+        "AS dup_token_ppm, CAST(top_bigram_n AS BIGINT) AS top_bigram_n, " +
+        "CAST((2 * top_bigram_n * 1000000) // n_tokens AS BIGINT) " +
+        "AS top_bigram_ppm FROM m JOIN tb ON m.doc_id = tb.doc_id"),
     "text_lexical_diversity" ->
       ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tk " +
         "FROM documents), " +
@@ -4688,6 +4729,18 @@ object ExtensionQueries {
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
     "semantic_dedup_apply_probe" ->
       semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
+    "knn_hubness_histogram" ->
+      ("WITH occ AS (SELECT nbr_id, count(*) AS n_k FROM (" +
+        knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4,
+          k = 3) + ") knn GROUP BY 1), " +
+        "hist AS (SELECT n_k, count(*) AS n_vectors FROM occ GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_total FROM embeddings), " +
+        "sn AS (SELECT count(*) AS n_seen FROM occ) " +
+        "SELECT CAST(n_k AS BIGINT) AS n_k, " +
+        "CAST(n_vectors AS BIGINT) AS n_vectors FROM hist " +
+        "UNION ALL SELECT CAST(0 AS BIGINT), " +
+        "CAST(n_total - n_seen AS BIGINT) FROM tot, sn " +
+        "WHERE n_total > n_seen"),
     "knn_join_ivf" ->
       knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
     "embedding_norm_bands" ->

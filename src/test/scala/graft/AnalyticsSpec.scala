@@ -1920,4 +1920,39 @@ class AnalyticsSpec extends SparkSpecBase {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == Map("s1" -> ((2L, 0L, 0L)), "s2" -> ((2L, 20L, 100L))))
   }
+
+  test("revenue HHI: monopoly nation scores 1e6, even split 1e6/n") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val oS = StructType(Seq(StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val cS = StructType(Seq(StructField("c_custkey", LongType),
+      StructField("c_nationkey", LongType)))
+    val nS = StructType(Seq(StructField("n_nationkey", LongType),
+      StructField("n_name", StringType)))
+    // nation A: one customer -> HHI 1e6. nation B: 4 equal -> 250000
+    val orders = spark.createDataFrame((Seq(Row(1L, 50.0)) ++
+      (2L to 5L).map(c => Row(c, 10.0))).asJava, oS)
+    val cust = spark.createDataFrame(
+      (1L to 5L).map(c => Row(c, if (c == 1L) 0L else 1L)).asJava, cS)
+    val nat = spark.createDataFrame(
+      Seq(Row(0L, "A"), Row(1L, "B")).asJava, nS)
+    val got = analytics.DataQuality.revenueHhi(orders, cust, nat).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("A" -> ((1L, 5000L, 1000000L)),
+      "B" -> ((4L, 4000L, 250000L))))
+  }
+
+  test("hubness histogram: vector counts conserve; orphan row completes them") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = analytics.Similarity.knnHubnessHistogram(emb, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = emb.count()
+    // every vector appears exactly once across the histogram incl. orphans
+    assert(got.values.sum == total)
+    // k=3 join emits 3 slots per query: occurrence mass = 3n
+    assert(got.map { case (k, n) => k * n }.sum == 3L * total)
+  }
 }

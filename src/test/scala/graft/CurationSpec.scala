@@ -1217,4 +1217,20 @@ class CurationSpec extends SparkSpecBase {
     // support floor: raise minCount above 5 and nothing survives
     assert(Curation.collocationLift(docs, minCount = 6, k = 10).count() == 0L)
   }
+
+  test("repetition score: template doc maxes coverage; short docs dropped") {
+    import spark.implicits._
+    // doc 1: 'a b a b a b' -> 6 tokens, 2 distinct, dup 4/6;
+    //   bigrams: 'a b'x3, 'b a'x2 -> top 3, coverage 6/6
+    // doc 2: 'x y z' -> all distinct, top bigram 1, coverage 2/3
+    // doc 3: single token -> dropped (n_tokens < 2)
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      1L -> ((6L, 2L, 666666L, 3L, 1000000L)),
+      2L -> ((3L, 3L, 0L, 1L, 666666L))))
+  }
 }
