@@ -602,4 +602,70 @@ object DataQuality {
         expr("CAST(CASE WHEN s = 0 THEN 0 ELSE (1000000 * s2) div (s * s) " +
           "END AS BIGINT)").as("hhi_ppm"))
   }
+
+  /** Ship-lag SLA readout per order priority — the fulfillment metric an
+    * ops dashboard tracks: days from order to line shipment, the doubled
+    * exact median (2·p50 is integral at .5 interpolation — the
+    * cross-engine percentile idiom), and the share shipped within 30
+    * days in exact basis points. One orderkey-co-partitioned join + one
+    * priorities-sized aggregate; the percentile runs per priority over
+    * the lag-day domain.
+    */
+  def shipLagSla(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(o_orderdate AS DATE)").as("od"))
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"),
+        expr("CAST(l_shipdate AS DATE)").as("sd")), Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("CAST(datediff(sd, od) AS BIGINT)").as("lag"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("CAST(round(percentile(lag, 0.5) * 2) AS BIGINT)")
+          .as("p50_lag_x2"),
+        sum((col("lag") <= 30L).cast("long")).as("n_within"))
+      .select(col("o_orderpriority"), col("n_lines"), col("p50_lag_x2"),
+        expr("(n_within * 10000L) div n_lines").as("within_30d_bp"))
+
+  /** Signed r² (ppm) between a customer's account balance and their
+    * order revenue — the "does balance predict spend" screen, the
+    * exact-DECIMAL Pearson moments of the assortativity/elasticity
+    * operators with one extra step: cent-scale covariance numerators
+    * SQUARED blow past DECIMAL(38)/HUGEINT at sf0.1 (measured 2e43), so
+    * num/dx/dy are floor-scaled by the FIXED literal 10¹² before the
+    * quadratic form — the documented divide-first quantization (both
+    * engines truncate identically, including num's sign toward zero).
+    * Customers with no orders count with revenue 0 via the left join.
+    */
+  def balanceRevenueR2(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT))").as("r"))
+    customer
+      .select(col("c_custkey").as("o_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("b"))
+      .join(rev, Seq("o_custkey"), "left")
+      .na.fill(0L, Seq("r"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("b").cast("decimal(38,0)")).as("sx"),
+        sum(col("r").cast("decimal(38,0)")).as("sy"),
+        sum(expr("CAST(b AS DECIMAL(38,0)) * r")).as("sxy"),
+        sum(expr("CAST(b AS DECIMAL(38,0)) * b")).as("sxx"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("syy"))
+      .select(expr("CAST(n AS BIGINT)").as("n_customers"),
+        expr("CAST((n * sxy - sx * sy) div 1000000000000 " +
+          "AS DECIMAL(38,0))").as("num"),
+        expr("CAST((n * sxx - sx * sx) div 1000000000000 " +
+          "AS DECIMAL(38,0))").as("dx"),
+        expr("CAST((n * syy - sy * sy) div 1000000000000 " +
+          "AS DECIMAL(38,0))").as("dy"))
+      .select(col("n_customers"),
+        when(expr("dx = 0 OR dy = 0"), lit(0L))
+          .when(col("num") < 0,
+            -expr("CAST((1000000 * num * num) div (dx * dy) AS BIGINT)"))
+          .otherwise(
+            expr("CAST((1000000 * num * num) div (dx * dy) AS BIGINT)"))
+          .as("r2_signed_ppm"))
+  }
 }

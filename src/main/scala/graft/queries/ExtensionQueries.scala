@@ -1975,6 +1975,15 @@ object ExtensionQueries {
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
             .as("revenue"))),
     // referential-integrity profile of the whole config-declared FK graph
+    // fulfillment SLA per priority: doubled exact median lag + within-30d
+    // bp over the orderkey-co-partitioned join
+    "orders_ship_lag_sla" -> ((s, dir) =>
+      DataQuality.shipLagSla(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // signed r2 ppm between account balance and revenue, exact DECIMAL
+    // moments, zero-revenue customers included via left join
+    "customer_balance_revenue_r2" -> ((s, dir) =>
+      DataQuality.balanceRevenueR2(
+        t(s, dir, "customer"), t(s, dir, "orders"))),
     // HHI revenue concentration per nation: exact ppm from DECIMAL
     // moments, shuffle join on custkey (customer scales, only nation
     // broadcasts)
@@ -3551,6 +3560,34 @@ object ExtensionQueries {
       "CAST((n_symbols * 10000) // n_tokens AS BIGINT) AS fertility_bp, " +
       "CAST((n_chars * 10000) // n_symbols AS BIGINT) AS chars_per_symbol_bp " +
       "FROM ps"),
+    "orders_ship_lag_sla" ->
+      ("WITH l AS (SELECT o_orderpriority, " +
+        "date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) AS lag FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(round(quantile_cont(lag, 0.5) * 2) AS BIGINT) AS p50_lag_x2, " +
+        "CAST((sum(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) * 10000) // " +
+        "count(*) AS BIGINT) AS within_30d_bp FROM l GROUP BY 1"),
+    "customer_balance_revenue_r2" ->
+      ("WITH rev AS (SELECT o_custkey, sum(CAST(CAST(o_totalprice " +
+        "AS DECIMAL(18,2)) * 100 AS BIGINT)) AS r FROM orders GROUP BY 1), " +
+        "j AS (SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "AS b, coalesce(r, 0) AS r FROM customer " +
+        "LEFT JOIN rev ON c_custkey = o_custkey), " +
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, " +
+        "sum(CAST(b AS HUGEINT)) AS sx, sum(CAST(r AS HUGEINT)) AS sy, " +
+        "sum(CAST(b AS HUGEINT) * r) AS sxy, " +
+        "sum(CAST(b AS HUGEINT) * b) AS sxx, " +
+        "sum(CAST(r AS HUGEINT) * r) AS syy FROM j), " +
+        "d AS (SELECT CAST(n AS BIGINT) AS n_customers, " +
+        "(n * sxy - sx * sy) // 1000000000000 AS num, " +
+        "(n * sxx - sx * sx) // 1000000000000 AS dx, " +
+        "(n * syy - sy * sy) // 1000000000000 AS dy FROM m) " +
+        "SELECT n_customers, CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0 " +
+        "WHEN num < 0 THEN 0 - (1000000 * num * num) // (dx * dy) " +
+        "ELSE (1000000 * num * num) // (dx * dy) END AS BIGINT) " +
+        "AS r2_signed_ppm FROM d"),
     "nation_revenue_hhi" ->
       ("WITH pc AS (SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice " +
         "AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS c FROM orders " +

@@ -1955,4 +1955,65 @@ class AnalyticsSpec extends SparkSpecBase {
     // k=3 join emits 3 slots per query: occurrence mass = 3n
     assert(got.map { case (k, n) => k * n }.sum == 3L * total)
   }
+
+  test("ship-lag SLA: doubled median exact; within-30d basis points") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val oS = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_orderdate", TimestampType)))
+    val lS = StructType(Seq(StructField("l_orderkey", LongType),
+      StructField("l_shipdate", TimestampType)))
+    val orders = spark.createDataFrame(Seq(
+      Row(1L, "1-URGENT", ts("1995-01-01")),
+      Row(2L, "1-URGENT", ts("1995-01-01"))).asJava, oS)
+    // lags: 10, 21, 40 -> median 21 (x2=42), within30 = 2/3 -> 6666 bp
+    val lines = spark.createDataFrame(Seq(
+      Row(1L, ts("1995-01-11")), Row(1L, ts("1995-01-22")),
+      Row(2L, ts("1995-02-10"))).asJava, lS)
+    val got = analytics.DataQuality.shipLagSla(orders, lines).collect()(0)
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == (("1-URGENT", 3L, 42L, 6666L)))
+  }
+
+  test("balance-revenue r2: BigInt replay through the 1e12 scale-down") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val cS = StructType(Seq(StructField("c_custkey", LongType),
+      StructField("c_acctbal", DoubleType)))
+    val oS = StructType(Seq(StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    // large magnitudes so the 1e12 floor-scale keeps signal
+    val bals = Seq(1L -> 50000.00, 2L -> 90000.00, 3L -> 10000.00, 4L -> 70000.00)
+    val revs = Seq(1L -> 200000.00, 2L -> 390000.00, 4L -> 280000.00) // cust 3: none
+    val cust = spark.createDataFrame(
+      bals.map { case (k, b) => Row(k, b) }.asJava, cS)
+    val orders = spark.createDataFrame(
+      revs.map { case (k, r) => Row(k, r) }.asJava, oS)
+    val got = analytics.DataQuality.balanceRevenueR2(cust, orders).collect()(0)
+    val b = bals.map { case (k, v) => k -> BigInt((v * 100).round) }.toMap
+    val r = bals.map { case (k, _) =>
+      k -> BigInt((revs.toMap.getOrElse(k, 0.0) * 100).round) }.toMap
+    val n = BigInt(4)
+    val sx = b.values.sum; val sy = r.values.sum
+    val sxy = b.keys.map(k => b(k) * r(k)).sum
+    val sxx = b.values.map(v => v * v).sum
+    val syy = r.values.map(v => v * v).sum
+    val S = BigInt("1000000000000")
+    val num = (n * sxy - sx * sy) / S
+    val dx = (n * sxx - sx * sx) / S
+    val dy = (n * syy - sy * sy) / S
+    val expect =
+      if (dx == 0 || dy == 0) 0L
+      else {
+        val m = (BigInt(1000000) * num * num / (dx * dy)).toLong
+        if (num < 0) -m else m
+      }
+    assert((got.getLong(0), got.getLong(1)) == ((4L, expect)))
+    assert(expect > 800000L) // strongly correlated by construction
+  }
+
 }
