@@ -1742,12 +1742,18 @@ object Curation {
     * Σ_pairs (|a|+|b|) distinct grams, linear in the candidate volume
     * the LSH stage already bounded.
     */
-  def rougeOverlapPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    def gramCounts(n: Int): DataFrame = docs
+  def rougeOverlapPairs(docs: DataFrame, pairs: DataFrame,
+      materialize: DataFrame => DataFrame =
+        graft.engine.Materialize.local): DataFrame = {
+    // EAGER: each order's gram-count relation feeds the per-doc total
+    // aggregate AND both pair-join sides; the join sides canonicalize
+    // equal (AQE reuses one) but the total's pruning differs, so the
+    // corpus shingle chain re-ran x2 per order (RepeatAudit) — cut once
+    def gramCounts(n: Int): DataFrame = materialize(docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c")))
     def overlap(n: Int, tag: String): DataFrame = {
       val gc = gramCounts(n)
       val tot = gc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tot"))
