@@ -668,4 +668,35 @@ object DataQuality {
             expr("CAST((1000000 * num * num) div (dx * dy) AS BIGINT)"))
           .as("r2_signed_ppm"))
   }
+
+  /** Source × language χ² independence profile — the contingency
+    * diagnostic a corpus curator reads to see which sources are
+    * language-skewed (a crawl seed gone monolingual shows up as a hot
+    * cell): per (source, lang) cell the observed count, the expected
+    * count under independence in exact milli (rowSum·colSum·1000 div n),
+    * and the cell's χ² contribution in exact milli computed as
+    * (o·n − rs·cs)²·1000 div (n·rs·cs) — the cross-multiplied form with
+    * no float; Σ contrib_milli IS the χ² statistic ×1000 for whatever
+    * df the table has. DECIMAL(38,0) products — (o·n)² bounds the form
+    * to tables of ~10¹⁷ documents (the [[degreeAssortativity]] bound
+    * class); beyond that, pre-aggregate to sampled or coarser cells.
+    */
+  def sourceLangChi2(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("rs"))
+    val colsM = cells.groupBy(col("lang")).agg(sum(col("o")).as("cs"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(rows, Seq("source"))
+      .join(colsM, Seq("lang"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("lang"), col("o"),
+        expr("CAST((CAST(rs AS DECIMAL(38,0)) * cs * 1000) div n AS BIGINT)")
+          .as("expected_milli"),
+        expr("CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(rs AS DECIMAL(38,0)) * cs) * " +
+          "(CAST(o AS DECIMAL(38,0)) * n - CAST(rs AS DECIMAL(38,0)) * cs) * 1000) div " +
+          "(CAST(n AS DECIMAL(38,0)) * rs * cs) AS BIGINT)")
+          .as("contrib_milli"))
+  }
 }

@@ -1975,6 +1975,10 @@ object ExtensionQueries {
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
             .as("revenue"))),
     // referential-integrity profile of the whole config-declared FK graph
+    // source x lang chi2 independence profile: per-cell observed,
+    // expected milli, and exact cross-multiplied chi2 contribution
+    "source_lang_chi2" -> ((s, dir) =>
+      DataQuality.sourceLangChi2(t(s, dir, "documents"))),
     // fulfillment SLA per priority: doubled exact median lag + within-30d
     // bp over the orderkey-co-partitioned join
     "orders_ship_lag_sla" -> ((s, dir) =>
@@ -3560,6 +3564,19 @@ object ExtensionQueries {
       "CAST((n_symbols * 10000) // n_tokens AS BIGINT) AS fertility_bp, " +
       "CAST((n_chars * 10000) // n_symbols AS BIGINT) AS chars_per_symbol_bp " +
       "FROM ps"),
+    "source_lang_chi2" ->
+      ("WITH cells AS (SELECT source, lang, count(*) AS o FROM documents " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT source, sum(o) AS rs FROM cells GROUP BY 1), " +
+        "c AS (SELECT lang, sum(o) AS cs FROM cells GROUP BY 1), " +
+        "t AS (SELECT sum(o) AS n FROM cells) " +
+        "SELECT source, lang, CAST(o AS BIGINT) AS o, " +
+        "CAST((CAST(rs AS HUGEINT) * cs * 1000) // n AS BIGINT) " +
+        "AS expected_milli, " +
+        "CAST(((CAST(o AS HUGEINT) * n - CAST(rs AS HUGEINT) * cs) * " +
+        "(CAST(o AS HUGEINT) * n - CAST(rs AS HUGEINT) * cs) * 1000) // " +
+        "(CAST(n AS HUGEINT) * rs * cs) AS BIGINT) AS contrib_milli " +
+        "FROM cells JOIN r USING (source) JOIN c USING (lang), t"),
     "orders_ship_lag_sla" ->
       ("WITH l AS (SELECT o_orderpriority, " +
         "date_diff('day', CAST(o_orderdate AS DATE), " +

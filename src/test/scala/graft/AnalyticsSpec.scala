@@ -2016,4 +2016,30 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(expect > 800000L) // strongly correlated by construction
   }
 
+
+  test("source-lang chi2: independent table contributes 0; hot cell replays") {
+    import spark.implicits._
+    // independent 2x2: each cell 5 -> expected = o, contrib 0
+    val ind = (1 to 5).flatMap(i => Seq(
+      (i.toLong, "s1", "en"), (i.toLong + 10, "s1", "fr"),
+      (i.toLong + 20, "s2", "en"), (i.toLong + 30, "s2", "fr")))
+      .toDF("doc_id", "source", "lang")
+    val g1 = analytics.DataQuality.sourceLangChi2(ind).collect()
+    assert(g1.length == 4 && g1.forall(r =>
+      r.getLong(3) == r.getLong(2) * 1000 && r.getLong(4) == 0L))
+    // skewed: s1 all-en(4), s2 all-fr(4): n=8, rs=cs=4
+    // e = 4*4*1000/8 = 2000 milli per cell
+    // diagonal cells: (4*8-16)^2*1000/(8*16) = 256000/128 = 2000
+    val skew = ((1 to 4).map(i => (i.toLong, "s1", "en")) ++
+      (5 to 8).map(i => (i.toLong, "s2", "fr")))
+      .toDF("doc_id", "source", "lang")
+    val g2 = analytics.DataQuality.sourceLangChi2(skew).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(g2 == Map(("s1", "en") -> ((4L, 2000L, 2000L)),
+      ("s2", "fr") -> ((4L, 2000L, 2000L))))
+    // chi2 = sum/1000 = 4 (only observed cells emitted) — the classic
+    // 2x2 full-association statistic counts absent cells too; the
+    // operator profiles OBSERVED cells, documented.
+  }
 }
