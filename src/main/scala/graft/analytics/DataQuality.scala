@@ -454,6 +454,70 @@ object DataQuality {
           "AS INT)").as("reject_95"))
   }
 
+  /** Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) test between two
+    * cohorts' value distributions — the nonparametric twin of the KS key:
+    * KS asks "same distribution anywhere?", MW asks "does one cohort
+    * stochastically dominate?". Values are dollar-quantized like
+    * [[ksTwoSample]], so the one ordered window runs over the PRICE
+    * DOMAIN, not the row count. Tie-averaged ranks ship DOUBLED to stay
+    * integral (2·avgrank = 2·C(<x) + t + 1); U₂ = 2·U throughout.
+    * Normal-approximation z² ships as z2_milli =
+    * 3000·n(n−1)·d² div var12 with d = u2_a − n_a·n_b and
+    * var12 = n_a·n_b·((n+1)n(n−1) − Σt(t²−1)) (the tie-corrected
+    * Var(U)·12·n(n−1) image); the α=0.05 verdict is decided on the
+    * milli-truncated statistic, z2_milli ≥ 3842 (z²crit = 1.959964²
+    * = 3.841459 — a z² inside [3.841459, 3.842) reads non-reject; the
+    * sub-milli boundary band is the documented quantization, shared
+    * bit-for-bit by both engines since `div`/`//` truncate alike, and
+    * chosen over the KS-style cross-multiplication because 3841459·var12
+    * overflows Spark's LONG-typed `div` at sf ≥ 0.1). DECIMAL(38,0)
+    * keeps every term exact through sf1 (3000·n(n−1)·d² ≤ 1.4·10³⁵);
+    * rank-biserial effect size in exact ppm.
+    */
+  def mannWhitneyU(df: DataFrame, cohortCol: String, a: String, b: String,
+      valueDollars: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val vals = df.filter(col(cohortCol).isin(a, b))
+      .select(col(cohortCol).as("cohort"), valueDollars.as("x"))
+    val cnt = vals.groupBy(col("x"))
+      .agg(sum(when(col("cohort") === a, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("cohort") === b, 1L).otherwise(0L)).as("c2"))
+      .withColumn("t", col("c1") + col("c2"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt
+      .withColumn("cumt", sum(col("t")).over(w))
+      // doubled tie-averaged rank of every row holding value x
+      .withColumn("r2", expr(s"CAST(2 * (cumt - t) + t + 1 AS $d)"))
+      .agg(
+        sum(col("c1")).cast(d).as("n1"),
+        sum(col("c2")).cast(d).as("n2"),
+        sum(expr(s"CAST(c1 AS $d) * r2")).as("r2a"),
+        sum(expr(s"CAST(t AS $d) * t * t - t")).as("tie_cubic"))
+      .withColumn("u2a", expr("r2a - n1 * (n1 + 1)"))
+      .withColumn("dd", expr("u2a - n1 * n2"))
+      .withColumn("var12", expr(
+        "n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tie_cubic)"))
+      // divisor guards: an all-tied sample zeroes var12 and an empty
+      // cohort zeroes n1·n2 — dd is 0 in both degenerate cases, so the
+      // guarded statistics read 0 instead of ANSI DIVIDE_BY_ZERO
+      .withColumn("z2_milli", expr(
+        "(3000 * (n1 + n2) * (n1 + n2 - 1) * dd * dd) div " +
+          "(CASE WHEN var12 = 0 THEN 1 ELSE var12 END)"))
+      .select(
+        col("n1").cast("long").as("n_a"),
+        col("n2").cast("long").as("n_b"),
+        col("u2a").cast("long").as("u2_a"),
+        expr("CAST(2 * n1 * n2 - u2a AS BIGINT)").as("u2_b"),
+        col("tie_cubic").cast("long").as("tie_cubic"),
+        expr("CAST((dd * 1000000) div " +
+          "(CASE WHEN n1 * n2 = 0 THEN 1 ELSE n1 * n2 END) AS BIGINT)")
+          .as("rb_ppm"),
+        col("z2_milli"),
+        expr("CAST(z2_milli >= 3842 AS INT)").as("reject_95"))
+  }
+
   /** Order-header vs line-item totals reconciliation — the financial
     * consistency audit run before trusting any revenue rollup: recompute
     * each order's total from its lines as

@@ -1421,6 +1421,139 @@ object EventsAnalytics {
           .as("slope2_milli"))
   }
 
+  /** Mann–Kendall trend test per event type over the dense daily count
+    * grid — the significance companion to [[theilSenDailyTrend]] (Theil-
+    * Sen estimates the slope, MK decides whether a monotone trend exists
+    * at all). S = Σ_{i<j} sign(c_j − c_i) over day pairs; the pair
+    * relation is the same span²-bounded self-join as Theil-Sen — it
+    * scales with the CALENDAR, not the event volume. Tie-corrected
+    * variance ships as the exact integer image var18 = Var(S)·18 =
+    * n(n−1)(2n+5) − Σ t(t−1)(2t+5) (ties grouped by repeated daily
+    * count), and the continuity-corrected z² as z2_milli =
+    * 18000·(|S|−1)² div var18 (0 when S = 0) — all BIGINT-safe at any
+    * sf because every term is day-grid-bounded.
+    *
+    * The zero-filled (type, day) relation feeds three consumers (both
+    * sides of the pair self-join and the tie aggregate). RepeatAudit
+    * flags the shared chain, but cutting it was MEASURED 3× SLOWER at
+    * sf1 (warm 0.67 → 2.10 s, tasks 37 → 73: AQE's exchange reuse
+    * already shares the identical groupBy exchange across the three
+    * consumers, and a localCheckpoint adds the write plus loses scan
+    * pruning — the er_blocking_eval lesson). `materialize` therefore
+    * defaults to [[graft.engine.Materialize.none]]; pass
+    * [[graft.engine.Materialize.parquet]] only on a cluster where a
+    * lost executor must not recompute the events scan.
+    */
+  def mannKendallDailyTrend(events0: DataFrame,
+      materialize: DataFrame => DataFrame =
+        graft.engine.Materialize.none): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val e = EventTime.toNanos(events0)
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"))
+    val cnt = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val rng = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = materialize(rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(cnt, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c")))
+    val s = dense.select(col("event_type"), col("day").as("da"), col("c").as("ca"))
+      .join(dense.select(col("event_type"), col("day").as("db"),
+        col("c").as("cb")), Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("CASE WHEN cb > ca THEN 1L WHEN cb < ca THEN -1L " +
+        "ELSE 0L END")).as("s_stat"),
+        (max(col("db")) - min(col("da")) + 1L).as("n_days"))
+    val ties = dense.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    s.join(ties, Seq("event_type"))
+      .withColumn("var18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("tie_term"), col("var18"),
+        expr("CASE WHEN s_stat = 0 THEN 0L ELSE " +
+          "(18000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)) div var18 END")
+          .as("z2_milli"))
+  }
+
+  /** Spearman rank correlation between two event types' daily volumes
+    * (do clicks and purchases co-move day to day?) — computed as Pearson
+    * over tie-averaged ranks, the form that stays valid under ties where
+    * the 6Σd² shortcut does not. Both series live on the shared dense
+    * day grid (zero-filled), so every relation — the grid, the per-value
+    * tie groups, the two ranking windows — is CALENDAR-bounded. Ranks
+    * ship doubled (2·avgrank = 2·C(<v) + t + 1, integral under ties);
+    * the signed square of ρ ships in exact ppm via one DECIMAL(38,0)
+    * cross-multiplication, the [[DataQuality.kendallGridCorr]]
+    * convention (n ≈ 2.4·10³ days ⇒ num² ≈ 10²⁸ ≪ 10³⁸).
+    *
+    * EAGER at construction: the zero-filled day relation feeds five
+    * consumers (two rank windows, two tie aggregates, the moment join),
+    * so the corpus-sized scan behind it is cut once via `materialize`
+    * (sf1 measured 5.5× warm lazy → cut; the RepeatAudit class). Pass
+    * [[graft.engine.Materialize.none]] to stay lazy.
+    */
+  def spearmanDailyCorr(events0: DataFrame, typeA: String = "click",
+      typeB: String = "purchase",
+      materialize: DataFrame => DataFrame =
+        graft.engine.Materialize.local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val dayNs = 86400L * 1000000000L
+    val e = EventTime.toNanos(events0)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"))
+    val grid = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val cnt = e.groupBy(col("day"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("y"))
+    val days = materialize(
+      grid.join(cnt, Seq("day"), "left").na.fill(0L, Seq("x", "y")))
+    def rank2(v: String): DataFrame = {
+      val byV = days.groupBy(col(v)).agg(count(lit(1)).as("t"))
+      val w = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.withColumn("cumt", sum(col("t")).over(w))
+        .select(col(v), expr("2 * (cumt - t) + t + 1").as(s"r2$v"),
+          expr("t * t * t - t").as(s"tie_$v"))
+    }
+    // Each rank relation feeds two consumers (the day join and its tie
+    // aggregate) but stays LAZY: both read it through identical plans
+    // over the already-cut `days`, so AQE reuses the exchange — cutting
+    // the ranks too was measured 1.6× slower at sf1 (0.81 → 1.31 s).
+    val rx = rank2("x")
+    val ry = rank2("y")
+    // Σ(t³−t) per axis aggregates over DISTINCT values (one row each),
+    // broadcast in — summing it over the day join would count each tie
+    // group t times.
+    val tx = rx.agg(sum(col("tie_x")).as("tie_x"))
+    val ty = ry.agg(sum(col("tie_y")).as("tie_y"))
+    days
+      .join(rx.drop("tie_x"), Seq("x"))
+      .join(ry.drop("tie_y"), Seq("y"))
+      .agg(count(lit(1)).cast(d).as("n"),
+        sum(col("r2x").cast(d)).as("sx"), sum(col("r2y").cast(d)).as("sy"),
+        sum(expr(s"CAST(r2x AS $d) * r2y")).as("sxy"),
+        sum(expr(s"CAST(r2x AS $d) * r2x")).as("sxx"),
+        sum(expr(s"CAST(r2y AS $d) * r2y")).as("syy"))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      // a constant series zeroes its den factor — num is 0 there too, so
+      // the guarded ρ² reads 0 instead of ANSI DIVIDE_BY_ZERO
+      .withColumn("den", expr(
+        "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 1 " +
+          "ELSE (n * sxx - sx * sx) * (n * syy - sy * sy) END"))
+      .select(col("n").cast("long").as("n_days"), col("tie_x"), col("tie_y"),
+        expr("CAST(CASE WHEN num < 0 THEN -((num * num * 1000000) div den) " +
+          "ELSE ((num * num * 1000000) div den) END AS BIGINT)")
+          .as("rho2_signed_ppm"))
+  }
+
   /** Heavy changers: the (user, event type) pairs whose activity moved
     * most between the first and second half of the observed range — the
     * exact form of the "heavy change detection" question sketch deltas

@@ -1988,6 +1988,24 @@ object ExtensionQueries {
     "customer_balance_revenue_r2" -> ((s, dir) =>
       DataQuality.balanceRevenueR2(
         t(s, dir, "customer"), t(s, dir, "orders"))),
+    // Mann-Whitney rank-sum test between two market segments' order
+    // totals: dollar-quantized ranks (price-domain-bounded window),
+    // doubled tie-averaged ranks, tie-corrected z2 in exact milli
+    "orders_mann_whitney" -> ((s, dir) =>
+      DataQuality.mannWhitneyU(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "BUILDING", "MACHINERY",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
+    // Mann-Kendall monotone-trend test per event type over the dense
+    // daily grid: S statistic, tie-corrected var18, continuity z2 milli
+    "events_mann_kendall" -> ((s, dir) =>
+      EventsAnalytics.mannKendallDailyTrend(t(s, dir, "events"))),
+    // Spearman rank correlation of daily click vs purchase volumes:
+    // Pearson over doubled tie-averaged ranks, signed rho2 in exact ppm
+    "rank_corr_spearman" -> ((s, dir) =>
+      EventsAnalytics.spearmanDailyCorr(t(s, dir, "events"))),
     // HHI revenue concentration per nation: exact ppm from DECIMAL
     // moments, shuffle join on custkey (customer scales, only nation
     // broadcasts)
@@ -3577,6 +3595,98 @@ object ExtensionQueries {
         "(CAST(o AS HUGEINT) * n - CAST(rs AS HUGEINT) * cs) * 1000) // " +
         "(CAST(n AS HUGEINT) * rs * cs) AS BIGINT) AS contrib_milli " +
         "FROM cells JOIN r USING (source) JOIN c USING (lang), t"),
+    "orders_mann_whitney" ->
+      ("WITH j AS (SELECT c_mktsegment AS cohort, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), " +
+        "cnt AS (SELECT x, " +
+        "sum(CASE WHEN cohort = 'BUILDING' THEN 1 ELSE 0 END) AS c1, " +
+        "sum(CASE WHEN cohort = 'MACHINERY' THEN 1 ELSE 0 END) AS c2, " +
+        "count(*) AS t FROM j GROUP BY 1), " +
+        "r AS (SELECT c1, c2, t, sum(t) OVER (ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt FROM cnt), " +
+        "m AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1, " +
+        "CAST(sum(c2) AS HUGEINT) AS n2, " +
+        "sum(CAST(c1 AS HUGEINT) * (2 * (cumt - t) + t + 1)) AS r2a, " +
+        "sum(CAST(t AS HUGEINT) * t * t - t) AS tie_cubic FROM r), " +
+        "k AS (SELECT n1, n2, tie_cubic, r2a - n1 * (n1 + 1) AS u2a, " +
+        "r2a - n1 * (n1 + 1) - n1 * n2 AS dd, " +
+        "n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tie_cubic) " +
+        "AS var12 FROM m) " +
+        "SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, " +
+        "CAST(u2a AS BIGINT) AS u2_a, " +
+        "CAST(2 * n1 * n2 - u2a AS BIGINT) AS u2_b, " +
+        "CAST(tie_cubic AS BIGINT) AS tie_cubic, " +
+        "CAST((dd * 1000000) // " +
+        "(CASE WHEN n1 * n2 = 0 THEN 1 ELSE n1 * n2 END) AS BIGINT) " +
+        "AS rb_ppm, " +
+        "CAST((3000 * (n1 + n2) * (n1 + n2 - 1) * dd * dd) // " +
+        "(CASE WHEN var12 = 0 THEN 1 ELSE var12 END) AS BIGINT) " +
+        "AS z2_milli, " +
+        "CAST((3000 * (n1 + n2) * (n1 + n2 - 1) * dd * dd) // " +
+        "(CASE WHEN var12 = 0 THEN 1 ELSE var12 END) >= 3842 " +
+        "AS INT) AS reject_95 FROM k"),
+    "events_mann_kendall" ->
+      ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
+        "FROM events), " +
+        "cnt AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM cnt GROUP BY 1), " +
+        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.day, coalesce(c.c, 0) AS c " +
+        "FROM ds d LEFT JOIN cnt c ON c.event_type = d.event_type " +
+        "AND c.day = d.day), " +
+        "s AS (SELECT a.event_type, sum(CASE WHEN b.c > a.c THEN 1 " +
+        "WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat, " +
+        "max(b.day) - min(a.day) + 1 AS n_days FROM dense a JOIN dense b " +
+        "ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1), " +
+        "tg AS (SELECT event_type, c, count(*) AS t FROM dense GROUP BY 1, 2), " +
+        "ties AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) " +
+        "AS tie_term FROM tg GROUP BY 1), " +
+        "v AS (SELECT s.event_type, n_days, s_stat, tie_term, " +
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18 " +
+        "FROM s JOIN ties USING (event_type)) " +
+        "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, " +
+        "CAST(s_stat AS BIGINT) AS s_stat, " +
+        "CAST(tie_term AS BIGINT) AS tie_term, " +
+        "CAST(var18 AS BIGINT) AS var18, " +
+        "CAST(CASE WHEN s_stat = 0 THEN 0 ELSE (18000 * (abs(s_stat) - 1) * " +
+        "(abs(s_stat) - 1)) // var18 END AS BIGINT) AS z2_milli FROM v"),
+    "rank_corr_spearman" ->
+      ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "g AS (SELECT unnest(generate_series((SELECT min(day) FROM e), " +
+        "(SELECT max(day) FROM e))) AS day), " +
+        "cnt AS (SELECT day, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y " +
+        "FROM e GROUP BY 1), " +
+        "days AS (SELECT g.day, coalesce(cnt.x, 0) AS x, " +
+        "coalesce(cnt.y, 0) AS y FROM g LEFT JOIN cnt USING (day)), " +
+        "bx AS (SELECT x, count(*) AS t FROM days GROUP BY 1), " +
+        "rx AS (SELECT x, 2 * (sum(t) OVER (ORDER BY x ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2x FROM bx), " +
+        "tx AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie_x FROM bx), " +
+        "by2 AS (SELECT y, count(*) AS t FROM days GROUP BY 1), " +
+        "ry AS (SELECT y, 2 * (sum(t) OVER (ORDER BY y ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2y FROM by2), " +
+        "ty AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie_y FROM by2), " +
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, " +
+        "sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy, " +
+        "sum(CAST(r2x AS HUGEINT) * r2y) AS sxy, " +
+        "sum(CAST(r2x AS HUGEINT) * r2x) AS sxx, " +
+        "sum(CAST(r2y AS HUGEINT) * r2y) AS syy " +
+        "FROM days JOIN rx USING (x) JOIN ry USING (y)), " +
+        "k AS (SELECT n, n * sxy - sx * sy AS num, " +
+        "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 1 " +
+        "ELSE (n * sxx - sx * sx) * (n * syy - sy * sy) END AS den FROM m) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, CAST(tie_x AS BIGINT) AS tie_x, " +
+        "CAST(tie_y AS BIGINT) AS tie_y, " +
+        "CAST(CASE WHEN num < 0 THEN -((num * num * 1000000) // den) " +
+        "ELSE (num * num * 1000000) // den END AS BIGINT) " +
+        "AS rho2_signed_ppm FROM k, tx, ty"),
     "orders_ship_lag_sla" ->
       ("WITH l AS (SELECT o_orderpriority, " +
         "date_diff('day', CAST(o_orderdate AS DATE), " +

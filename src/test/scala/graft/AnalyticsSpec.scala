@@ -1462,6 +1462,62 @@ class AnalyticsSpec extends SparkSpecBase {
       "b" -> ((7L, 21L, 2000L))))
   }
 
+  test("Mann-Kendall: monotone series scores S = n(n-1)/2; all-tied var18 is 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    // type a: counts 1,2,3 on days 0..2 — every pair concordant: S = 3,
+    // var18 = 3·2·11 = 66, z² = 18·(3−1)²/66 = 1.0909 → 1090 milli.
+    // type b: counts 2,2 — S = 0, tie term 2·1·9 = 18 zeroes var18 and
+    // the CASE keeps z2 at 0 instead of dividing by zero.
+    val rows =
+      (0 to 2).flatMap(d => Seq.fill(d + 1)(Row(d * dayNs, "a"))) ++
+      (0 to 1).flatMap(d => Seq.fill(2)(Row(d * dayNs, "b")))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.mannKendallDailyTrend(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 3L, 0L, 66L, 1090L)),
+      "b" -> ((2L, 0L, 18L, 0L, 0L))))
+  }
+
+  test("Spearman daily corr: perfectly co-moving series give +1e6 ppm; other types ignored") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    // clicks 1,2,3 and purchases 2,4,6 on days 0..2 → identical rank
+    // orders, ρ = +1. The day-5 'view' burst must not stretch the grid.
+    val rows =
+      (0 to 2).flatMap(d => Seq.fill(d + 1)(Row(d * dayNs, "click"))) ++
+      (0 to 2).flatMap(d => Seq.fill(2 * (d + 1))(Row(d * dayNs, "purchase"))) ++
+      Seq.fill(9)(Row(5L * dayNs, "view"))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.spearmanDailyCorr(tiny).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((3L, 0L, 0L, 1000000L)))
+    // reversed purchases → ρ = −1 exactly (ranks anti-aligned)
+    val rev =
+      (0 to 2).flatMap(d => Seq.fill(d + 1)(Row(d * dayNs, "click"))) ++
+      (0 to 2).flatMap(d => Seq.fill(2 * (3 - d))(Row(d * dayNs, "purchase")))
+    val got2 = EventsAnalytics.spearmanDailyCorr(
+      spark.createDataFrame(rev.asJava, schema)).collect().head
+    assert(got2.getLong(3) == -1000000L)
+    // constant purchase series → den factor 0: guarded ρ² reads 0 (ANSI)
+    val const =
+      (0 to 2).flatMap(d => Seq.fill(d + 1)(Row(d * dayNs, "click"))) ++
+      (0 to 2).flatMap(d => Seq.fill(2)(Row(d * dayNs, "purchase")))
+    val got3 = EventsAnalytics.spearmanDailyCorr(
+      spark.createDataFrame(const.asJava, schema)).collect().head
+    assert(got3.getLong(3) == 0L)
+  }
+
   test("fragment stitch: tail-head gram pairs are directional, short docs skip") {
     import spark.implicits._
     val docs = Seq(

@@ -217,6 +217,40 @@ class DataQualitySpec extends SparkSpecBase {
     assert(z.getLong(2) == 0L && z.getInt(3) == 0)
   }
 
+  test("Mann-Whitney: full separation and tie-averaged ranks by hand") {
+    import spark.implicits._
+    // A = {1,2}, B = {3,4}: complete dominance. ranksum(A)=3 → u2_a = 0,
+    // u2_b = 2·n_a·n_b = 8, rb = −1; z² = (0−2)²/(4·5/12) = 2.4
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("cohort0", "v")
+    val got = DataQuality.mannWhitneyU(df, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getLong(6), got.getInt(7)) ==
+      ((2L, 2L, 0L, 8L, 0L, -1000000L, 2400L, 0)))
+    // A = {1,2}, B = {2,3}: the shared 2 averages ranks 2/3 → avgrank 2.5,
+    // doubled 5; ranksum2(A) = 2+5 = 7 → u2_a = 1; tie_cubic = 2³−2 = 6;
+    // var12 = 4·(5·4·3−6) = 216 → Var(U) = 216/(12·4·3) = 1.5 and
+    // z² = ((1−4)/2)²/1.5 = 1.5 exactly → 1500 milli
+    val tied = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("cohort0", "v")
+    val gt = DataQuality.mannWhitneyU(tied, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert((gt.getLong(2), gt.getLong(3), gt.getLong(4), gt.getLong(5),
+      gt.getLong(6), gt.getInt(7)) == ((1L, 7L, 6L, -750000L, 1500L, 0)))
+    // degenerate guards (ANSI): all-tied sample zeroes var12, an absent
+    // cohort zeroes n1·n2 — both must read 0, not DIVIDE_BY_ZERO
+    val allTied = Seq(("A", 5L), ("A", 5L), ("B", 5L))
+      .toDF("cohort0", "v")
+    val at = DataQuality.mannWhitneyU(allTied, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert((at.getLong(5), at.getLong(6), at.getInt(7)) == ((0L, 0L, 0)))
+    val oneSided = Seq(("A", 1L), ("A", 2L)).toDF("cohort0", "v")
+    val os = DataQuality.mannWhitneyU(oneSided, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert((os.getLong(1), os.getLong(5), os.getLong(6)) == ((0L, 0L, 0L)))
+  }
+
   test("order reconciliation: exact match bands -1; hand diff lands its bp band") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
