@@ -518,6 +518,76 @@ object DataQuality {
         expr("CAST(z2_milli >= 3842 AS INT)").as("reject_95"))
   }
 
+  /** Kruskal–Wallis H test across ALL cohorts present — the k-sample
+    * generalisation of [[mannWhitneyU]] (is at least one cohort's value
+    * distribution shifted?). Same doubled tie-averaged ranks over the
+    * quantized VALUE DOMAIN (2·avgrank = 2·C(<x) + t + 1, always
+    * integral); with R2ᵢ the doubled rank sum of cohort i,
+    * H = (3·Σ R2ᵢ²/nᵢ)/(n(n+1)) − 3(n+1) (the 12/4 cancellation), and
+    * the tie correction divides by 1 − Σ(t³−t)/(n³−n). Ships as
+    * h_milli = ((3000·Σ(R2ᵢ² div nᵢ)) div (n(n+1)) − 3000(n+1)) ·
+    * (n³−n) div ((n³−n) − Σ(t³−t)) — per-group and outer `div`
+    * truncations are the documented sub-milli quantization, identical
+    * in both engines since `div`/`//` truncate alike. DECIMAL(38,0)
+    * holds every term at sf1 (R2ᵢ² ≤ 8·10²³; the correction product
+    * ≤ ~10²⁸). The α=0.05 verdict compares h_milli against the frozen
+    * χ²(k−1) criticals for k−1 = 1..10, milli-ceiled so a statistic
+    * inside the sub-milli boundary band reads non-reject (the
+    * [[mannWhitneyU]] convention). Degenerate guards: an all-tied
+    * sample zeroes both H and the correction divisor (guarded to 1);
+    * a single cohort yields H = 0.
+    */
+  def kruskalWallisH(df: DataFrame, cohortCol: String,
+      valueDollars: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val vals = df.select(col(cohortCol).as("cohort"), valueDollars.as("x"))
+    // ONE corpus pass: the (cohort, value) counts are the only
+    // corpus-sized aggregate; per-value totals (for ranks) reduce from
+    // them, so the orders⋈customer join is never re-scanned
+    val cv = vals.groupBy(col("cohort"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val cnt = cv.groupBy(col("x")).agg(sum(col("c")).as("t"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = cnt.withColumn("cumt", sum(col("t")).over(w))
+      .select(col("x"), expr("2 * (cumt - t) + t + 1").as("r2"),
+        expr(s"CAST(t AS $d) * t * t - t").as("tie"))
+    val ties = r2.agg(sum(col("tie")).as("tie_cubic"))
+    val grp = cv
+      .join(r2.select(col("x"), col("r2")), Seq("x"))
+      .groupBy(col("cohort"))
+      .agg(sum(col("c")).cast(d).as("ni"),
+        sum(expr(s"CAST(c AS $d) * r2")).as("r2i"))
+    grp
+      .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+        sum(expr("(r2i * r2i) div ni")).as("sq"))
+      .crossJoin(broadcast(ties))
+      // `div` returns BIGINT whatever its inputs, so sq (a sum of
+      // per-group BIGINT quotients, ~1.4e16 at sf0.1) must re-enter
+      // DECIMAL before the *3000 — the long product overflows at sf0.1
+      .withColumn("h_raw_milli", expr(
+        s"(3000 * CAST(sq AS $d)) div (n * (n + 1)) - 3000 * (n + 1)"))
+      .withColumn("cube", expr("n * n * n - n"))
+      .withColumn("h_milli", expr(
+        "(h_raw_milli * cube) div (CASE WHEN cube - tie_cubic = 0 THEN 1 " +
+          "ELSE cube - tie_cubic END)"))
+      // frozen chi-square(df) 0.95 criticals, milli-ceiled, df = k-1 in
+      // 1..10 (beyond 10 cohorts the verdict ships NULL rather than a
+      // wrong threshold)
+      .withColumn("crit_milli", expr(
+        "CASE k - 1 WHEN 1 THEN 3842 WHEN 2 THEN 5992 WHEN 3 THEN 7815 " +
+          "WHEN 4 THEN 9488 WHEN 5 THEN 11071 WHEN 6 THEN 12592 " +
+          "WHEN 7 THEN 14068 WHEN 8 THEN 15508 WHEN 9 THEN 16919 " +
+          "WHEN 10 THEN 18308 ELSE NULL END"))
+      .select(col("k").cast("long").as("k_cohorts"),
+        col("n").cast("long").as("n"),
+        col("tie_cubic").cast("long").as("tie_cubic"),
+        col("h_milli").cast("long").as("h_milli"),
+        expr("CAST(k - 1 AS BIGINT)").as("df"),
+        expr("CAST(h_milli >= crit_milli AS INT)").as("reject_95"))
+  }
+
   /** Order-header vs line-item totals reconciliation — the financial
     * consistency audit run before trusting any revenue rollup: recompute
     * each order's total from its lines as

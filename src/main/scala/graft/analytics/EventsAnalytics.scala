@@ -1480,6 +1480,106 @@ object EventsAnalytics {
           .as("z2_milli"))
   }
 
+  /** Pettitt changepoint test per event type over the dense daily count
+    * grid — the rank-based "WHEN did the level shift?" companion to
+    * [[mannKendallDailyTrend]]'s "is there a trend?". The textbook
+    * U_t = Σ_{i≤t}Σ_{j>t} sign(cᵢ−cⱼ) collapses to a single window:
+    * with r2 the doubled tie-averaged rank of day t's count within its
+    * type, V_t = #(c < c_t) − #(c > c_t) = r2_t − 1 − n, and U_t is the
+    * running sum of V in day order (U_n telescopes to 0 — asserted by
+    * construction). K = max|U_t| over t < last day; t_hat is the
+    * EARLIEST day attaining K. Significance ships log-free: the
+    * approximate p = 2·exp(−6K²/(n³+n²)) is monotone in its exponent,
+    * so `exp6k2_milli` = (6000·K²) div (n³+n²) is its exact integer
+    * image and p ≤ 0.05 ⟺ exponent ≥ ln 40 — the frozen milli-ceiled
+    * literal 3689 (a statistic in the sub-milli band [3.68888, 3.689)
+    * reads non-reject; the [[DataQuality.mannWhitneyU]] convention).
+    * Every relation — grid, per-count tie groups, both windows — is
+    * CALENDAR-bounded and partitioned by event type.
+    */
+  def pettittChangepoint(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000000000L
+    val e = EventTime.toNanos(events0)
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"))
+    val cnt = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val rng = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), col("mx"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(cnt, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    val byC = dense.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = byC.withColumn("cumt", sum(col("t")).over(wr))
+      .select(col("event_type"), col("c"),
+        expr("2 * (cumt - t) + t + 1").as("r2"))
+    val wu = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = dense.join(r2, Seq("event_type", "c"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("u_t", sum(expr("r2 - 1 - n")).over(wu))
+      .filter(col("day") < col("mx"))
+    u.groupBy(col("event_type"))
+      .agg(max(expr("abs(u_t)")).as("k_stat"),
+        max(col("n")).as("n_days"))
+      .join(u.select(col("event_type"), col("day"),
+        expr("abs(u_t)").as("absu")),
+        Seq("event_type"))
+      .filter(col("absu") === col("k_stat"))
+      .groupBy(col("event_type"), col("n_days"), col("k_stat"))
+      .agg(min(col("day")).as("t_hat_day"))
+      .select(col("event_type"), col("n_days"), col("k_stat"),
+        col("t_hat_day"),
+        expr("(6000 * k_stat * k_stat) div " +
+          "(n_days * n_days * n_days + n_days * n_days)")
+          .as("exp6k2_milli"))
+      .withColumn("reject_95", expr("CAST(exp6k2_milli >= 3689 AS INT)"))
+  }
+
+  /** McNemar paired-proportion test on conversion: did the share of
+    * users converting (emitting `convType`) CHANGE between the first
+    * and second half of the observed range, pairing each user with
+    * itself? The midpoint is a one-row broadcast aggregate (the
+    * [[heavyChangers]] pattern); each user seen in ANY event collapses
+    * to its (early, late) conversion pair in one user-keyed aggregate,
+    * and the 2×2 discordant cells drive the continuity-corrected
+    * χ²₁ = (|b−c|−1)²/(b+c), shipped exact as
+    * chi2_cc_milli = 1000·(|b−c|−1)² div (b+c) (0 when b = c — the
+    * correction cannot push a χ² below zero — and guarded when
+    * b + c = 0); verdict at the frozen milli-ceiled χ²₁ critical 3842.
+    * One corpus scan, one user-keyed shuffle, O(1) output.
+    */
+  def mcnemarConversion(events0: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val e = EventTime.toNanos(events0)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val mid = e.agg(expr("(min(ts) + max(ts)) div 2").as("mid_ns"))
+    e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === convType &&
+          col("ts") < col("mid_ns"), 1L).otherwise(0L)).as("early"),
+        max(when(col("event_type") === convType &&
+          col("ts") >= col("mid_ns"), 1L).otherwise(0L)).as("late"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(early = 1 AND late = 1 AS BIGINT)")).as("a_both"),
+        sum(expr("CAST(early = 1 AND late = 0 AS BIGINT)")).as("b_early_only"),
+        sum(expr("CAST(early = 0 AND late = 1 AS BIGINT)")).as("c_late_only"),
+        sum(expr("CAST(early = 0 AND late = 0 AS BIGINT)")).as("d_neither"))
+      .withColumn("chi2_cc_milli", expr(
+        "CASE WHEN b_early_only = c_late_only THEN 0L ELSE " +
+          "(1000 * (abs(b_early_only - c_late_only) - 1) * " +
+          "(abs(b_early_only - c_late_only) - 1)) div " +
+          "(b_early_only + c_late_only) END"))
+      .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
+  }
+
   /** Spearman rank correlation between two event types' daily volumes
     * (do clicks and purchases co-move day to day?) — computed as Pearson
     * over tie-averaged ranks, the form that stays valid under ties where

@@ -2002,6 +2002,26 @@ object ExtensionQueries {
     // daily grid: S statistic, tie-corrected var18, continuity z2 milli
     "events_mann_kendall" -> ((s, dir) =>
       EventsAnalytics.mannKendallDailyTrend(t(s, dir, "events"))),
+    // Kruskal-Wallis H across all five market segments' order totals:
+    // doubled tie-averaged ranks, per-group R2i^2 div ni, frozen chi2
+    // criticals by df
+    "orders_kruskal_wallis" -> ((s, dir) =>
+      DataQuality.kruskalWallisH(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
+    // Pettitt changepoint per event type: K = max |U_t| from one
+    // rank-derived running sum over the dense day grid, earliest argmax,
+    // log-free exponent image of the approximate p-value
+    "events_pettitt_changepoint" -> ((s, dir) =>
+      EventsAnalytics.pettittChangepoint(t(s, dir, "events"))),
+    // McNemar paired conversion test: per-user early/late purchase
+    // pair around the broadcast midpoint, continuity-corrected chi2
+    // from the discordant cells in exact milli
+    "events_mcnemar_conversion" -> ((s, dir) =>
+      EventsAnalytics.mcnemarConversion(t(s, dir, "events"))),
     // Spearman rank correlation of daily click vs purchase volumes:
     // Pearson over doubled tie-averaged ranks, signed rho2 in exact ppm
     "rank_corr_spearman" -> ((s, dir) =>
@@ -3654,6 +3674,101 @@ object ExtensionQueries {
         "CAST(var18 AS BIGINT) AS var18, " +
         "CAST(CASE WHEN s_stat = 0 THEN 0 ELSE (18000 * (abs(s_stat) - 1) * " +
         "(abs(s_stat) - 1)) // var18 END AS BIGINT) AS z2_milli FROM v"),
+    "orders_kruskal_wallis" ->
+      ("WITH j AS (SELECT c_mktsegment AS cohort, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "cv AS (SELECT cohort, x, count(*) AS c FROM j GROUP BY 1, 2), " +
+        "cnt AS (SELECT x, sum(c) AS t FROM cv GROUP BY 1), " +
+        "r AS (SELECT x, 2 * (sum(t) OVER (ORDER BY x ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2, " +
+        "CAST(t AS HUGEINT) * t * t - t AS tie FROM cnt), " +
+        "ties AS (SELECT sum(tie) AS tie_cubic FROM r), " +
+        "g AS (SELECT cohort, CAST(sum(c) AS HUGEINT) AS ni, " +
+        "sum(CAST(c AS HUGEINT) * r2) AS r2i FROM cv JOIN r USING (x) " +
+        "GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(ni) AS n, " +
+        "sum((r2i * r2i) // ni) AS sq FROM g), " +
+        "h AS (SELECT k, n, tie_cubic, " +
+        "(3000 * sq) // (n * (n + 1)) - 3000 * (n + 1) AS h_raw, " +
+        "n * n * n - n AS cube FROM m, ties), " +
+        "z AS (SELECT k, n, tie_cubic, " +
+        "(h_raw * cube) // (CASE WHEN cube - tie_cubic = 0 THEN 1 " +
+        "ELSE cube - tie_cubic END) AS h_milli FROM h) " +
+        "SELECT CAST(k AS BIGINT) AS k_cohorts, CAST(n AS BIGINT) AS n, " +
+        "CAST(tie_cubic AS BIGINT) AS tie_cubic, " +
+        "CAST(h_milli AS BIGINT) AS h_milli, " +
+        "CAST(k - 1 AS BIGINT) AS df, " +
+        "CAST(h_milli >= (CASE k - 1 WHEN 1 THEN 3842 WHEN 2 THEN 5992 " +
+        "WHEN 3 THEN 7815 WHEN 4 THEN 9488 WHEN 5 THEN 11071 " +
+        "WHEN 6 THEN 12592 WHEN 7 THEN 14068 WHEN 8 THEN 15508 " +
+        "WHEN 9 THEN 16919 WHEN 10 THEN 18308 ELSE NULL END) AS INT) " +
+        "AS reject_95 FROM z"),
+    "events_pettitt_changepoint" ->
+      ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
+        "FROM events), " +
+        "cnt AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM cnt GROUP BY 1), " +
+        "ds AS (SELECT event_type, mx, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.mx, d.day, coalesce(c.c, 0) AS c " +
+        "FROM ds d LEFT JOIN cnt c ON c.event_type = d.event_type " +
+        "AND c.day = d.day), " +
+        "byc AS (SELECT event_type, c, count(*) AS t FROM dense GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, c, 2 * (sum(t) OVER (PARTITION BY event_type " +
+        "ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) " +
+        "+ t + 1 AS r2 FROM byc), " +
+        "uv AS (SELECT d.event_type, d.day, d.mx, r.r2, " +
+        "count(*) OVER (PARTITION BY d.event_type) AS n " +
+        "FROM dense d JOIN r ON r.event_type = d.event_type AND r.c = d.c), " +
+        "u AS (SELECT event_type, day, mx, n, " +
+        "sum(r2 - 1 - n) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u_t FROM uv), " +
+        "f AS (SELECT * FROM u WHERE day < mx), " +
+        "k AS (SELECT event_type, max(abs(u_t)) AS k_stat, max(n) AS n_days " +
+        "FROM f GROUP BY 1), " +
+        "th AS (SELECT k.event_type, n_days, k_stat, min(f.day) AS t_hat_day " +
+        "FROM k JOIN f ON f.event_type = k.event_type " +
+        "AND abs(f.u_t) = k.k_stat GROUP BY 1, 2, 3) " +
+        "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, " +
+        "CAST(k_stat AS BIGINT) AS k_stat, " +
+        "CAST(t_hat_day AS BIGINT) AS t_hat_day, " +
+        "CAST((6000 * k_stat * k_stat) // " +
+        "(n_days * n_days * n_days + n_days * n_days) AS BIGINT) " +
+        "AS exp6k2_milli, " +
+        "CAST((6000 * k_stat * k_stat) // " +
+        "(n_days * n_days * n_days + n_days * n_days) >= 3689 AS INT) " +
+        "AS reject_95 FROM th"),
+    "events_mcnemar_conversion" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts " +
+        "FROM events), " +
+        "m AS (SELECT (min(ts) + max(ts)) // 2 AS mid_ns FROM e), " +
+        "p AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'purchase' AND ts < mid_ns THEN 1 " +
+        "ELSE 0 END) AS early, " +
+        "max(CASE WHEN event_type = 'purchase' AND ts >= mid_ns THEN 1 " +
+        "ELSE 0 END) AS late FROM e, m GROUP BY 1), " +
+        "t AS (SELECT count(*) AS n_users, " +
+        "sum(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END) AS a_both, " +
+        "sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END) " +
+        "AS b_early_only, " +
+        "sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END) " +
+        "AS c_late_only, " +
+        "sum(CASE WHEN early = 0 AND late = 0 THEN 1 ELSE 0 END) " +
+        "AS d_neither FROM p), " +
+        "z AS (SELECT n_users, a_both, b_early_only, c_late_only, d_neither, " +
+        "CASE WHEN b_early_only = c_late_only THEN 0 ELSE " +
+        "(1000 * (abs(b_early_only - c_late_only) - 1) * " +
+        "(abs(b_early_only - c_late_only) - 1)) // " +
+        "(b_early_only + c_late_only) END AS chi2_cc_milli FROM t) " +
+        "SELECT CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(a_both AS BIGINT) AS a_both, " +
+        "CAST(b_early_only AS BIGINT) AS b_early_only, " +
+        "CAST(c_late_only AS BIGINT) AS c_late_only, " +
+        "CAST(d_neither AS BIGINT) AS d_neither, " +
+        "CAST(chi2_cc_milli AS BIGINT) AS chi2_cc_milli, " +
+        "CAST(chi2_cc_milli >= 3842 AS INT) AS reject_95 FROM z"),
     "rank_corr_spearman" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
         "FROM events WHERE event_type IN ('click', 'purchase')), " +

@@ -1518,6 +1518,61 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got3.getLong(3) == 0L)
   }
 
+  test("Pettitt: level-shift K and earliest argmax by hand; zero-filled gap day") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    // type a: daily counts 1,1,5,5 -> V = -2,-2,2,2, U = -2,-4,-2,(0):
+    // K = 4 at t_hat = day 1; exp image 6000*16/(64+16) = 1200.
+    // type b: counts 2,0,2 (day 1 zero-filled) -> U = 1,-1,(0): K = 1
+    // at day 0; 6000/(27+9) = 166.
+    val rows =
+      Seq(0, 1).map(d => Row(d * dayNs, "a")) ++
+      Seq(2, 3).flatMap(d => Seq.fill(5)(Row(d * dayNs, "a"))) ++
+      Seq(0, 2).flatMap(d => Seq.fill(2)(Row(d * dayNs, "b")))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.pettittChangepoint(tiny).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))).toMap
+    assert(got == Map(
+      "a" -> ((4L, 4L, 1L, 1200L, 0)),
+      "b" -> ((3L, 1L, 0L, 166L, 0))))
+  }
+
+  test("McNemar: discordant cells and continuity-corrected chi2 by hand") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    // mid = 50: u1 both halves (a), u2 early-only (b), u3/u5/u6
+    // late-only (c=3), u4 never (d). chi2_cc = 1000*(|1-3|-1)^2/4 = 250.
+    val rows = Seq(
+      Row(0L, 1L, "purchase"), Row(100L, 1L, "purchase"),
+      Row(0L, 2L, "purchase"), Row(100L, 2L, "view"),
+      Row(0L, 3L, "view"), Row(100L, 3L, "purchase"),
+      Row(0L, 4L, "view"), Row(50L, 4L, "view"),
+      Row(0L, 5L, "view"), Row(100L, 5L, "purchase"),
+      Row(0L, 6L, "view"), Row(100L, 6L, "purchase"))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    val got = EventsAnalytics.mcnemarConversion(tiny).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getInt(6)) ==
+      ((6L, 1L, 1L, 3L, 1L, 250L, 0)))
+    // symmetric discordance (b = c) must read 0, not (|0|-1)^2 noise;
+    // b + c = 0 (all concordant) exercises the same CASE arm
+    val sym = Seq(
+      Row(0L, 1L, "purchase"), Row(100L, 1L, "view"),
+      Row(0L, 2L, "view"), Row(100L, 2L, "purchase"))
+    val g2 = EventsAnalytics.mcnemarConversion(
+      spark.createDataFrame(sym.asJava, schema)).collect().head
+    assert((g2.getLong(2), g2.getLong(3), g2.getLong(5)) == ((1L, 1L, 0L)))
+  }
+
   test("fragment stitch: tail-head gram pairs are directional, short docs skip") {
     import spark.implicits._
     val docs = Seq(

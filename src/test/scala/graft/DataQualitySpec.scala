@@ -251,6 +251,35 @@ class DataQualitySpec extends SparkSpecBase {
     assert((os.getLong(1), os.getLong(5), os.getLong(6)) == ((0L, 0L, 0L)))
   }
 
+  test("Kruskal-Wallis: 3-group hand case; tie correction; degenerate guards") {
+    import spark.implicits._
+    // A={1,2}, B={3,4}, C={5,6}: R_i = 3,7,11 -> H = 12/42*89.5 - 21
+    // = 4.5714 -> 4571 milli; no ties; df=2, crit 5992 -> no reject
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 5L), ("C", 6L)).toDF("cohort0", "v")
+    val got = DataQuality.kruskalWallisH(df, "cohort0", col("v"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getInt(5)) == ((3L, 6L, 0L, 4571L, 2L, 0)))
+    // A={1,1}, B={2,3}: raw H = 2.4, tie term 6 over cube 60 ->
+    // corrected 2.4/0.9 = 2.6667 -> 2666 milli (truncated); df=1
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 3L))
+      .toDF("cohort0", "v")
+    val gt = DataQuality.kruskalWallisH(tied, "cohort0", col("v"))
+      .collect().head
+    assert((gt.getLong(2), gt.getLong(3), gt.getInt(5)) == ((6L, 2666L, 0)))
+    // all-tied: H = 0 and the zeroed correction divisor is guarded (ANSI)
+    val at = DataQuality.kruskalWallisH(
+      Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("cohort0", "v"),
+      "cohort0", col("v")).collect().head
+    assert((at.getLong(3), at.getInt(5)) == ((0L, 0)))
+    // single cohort: H = 0, df = 0 has no frozen critical -> NULL verdict
+    val sc = DataQuality.kruskalWallisH(
+      Seq(("A", 1L), ("A", 2L)).toDF("cohort0", "v"),
+      "cohort0", col("v")).collect().head
+    assert(sc.getLong(3) == 0L && sc.isNullAt(5))
+  }
+
   test("order reconciliation: exact match bands -1; hand diff lands its bp band") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
