@@ -1960,6 +1960,34 @@ object Curation {
         expr("(cum_tokens * 10000L) div total").as("coverage_bp"))
   }
 
+  /** Chao1 vocabulary-richness estimate + Good-Turing unseen mass — the
+    * "how much vocabulary have we NOT seen yet?" commissioning question
+    * for a tokenizer/embedding vocabulary (Chao 1984; Good 1953). From
+    * the token frequency table alone: f1/f2 = singleton/doubleton type
+    * counts, the bias-corrected Chao1 V + f1(f1−1)/(2(f2+1)) (defined
+    * even at f2 = 0) ships in exact milli-types, and the Good-Turing
+    * probability mass of UNSEEN types f1/N in exact ppm. One corpus
+    * tokenize → one token-keyed count → one row; the frequency-of-
+    * frequencies reduction is vocabulary-bounded.
+    */
+  def vocabChao1Richness(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .repartition(col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    counts.agg(
+      count(lit(1)).as("v_obs"),
+      sum(col("n")).as("n_tokens"),
+      sum(expr("CAST(n = 1 AS BIGINT)")).as("f1"),
+      sum(expr("CAST(n = 2 AS BIGINT)")).as("f2"))
+      .select(col("v_obs"), col("n_tokens"), col("f1"), col("f2"),
+        expr("v_obs * 1000 + (1000 * f1 * (f1 - 1)) div (2 * (f2 + 1))")
+          .as("chao1_milli"),
+        expr("(1000000 * f1) div (CASE WHEN n_tokens = 0 THEN 1 " +
+          "ELSE n_tokens END)").as("unseen_mass_ppm"))
+  }
+
   /** Flesch readability in exact fixed point — the classic document
     * difficulty prior a curation pipeline buckets by (Flesch 1948;
     * Kincaid et al. 1975). Syllables are the standard vowel-group

@@ -588,6 +588,69 @@ object DataQuality {
         expr("CAST(h_milli >= crit_milli AS INT)").as("reject_95"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test across all cohorts — "do
+    * the groups differ in SPREAD?" (the robust Levene variant: one-way
+    * ANOVA on absolute deviations from the GROUP MEDIAN, Brown &
+    * Forsythe 1974). Everything stays integral: group medians ship
+    * doubled (m2 = the ⌈n/2⌉-th + (⌊n/2⌋+1)-th order statistics, read
+    * from one cumulative window over the per-cohort VALUE DOMAIN), so
+    * z = |2v − m2| is an exact integer per value, and the F statistic
+    * reduces to moment algebra — SSB = Σ(Sᵢ² div nᵢ) − S² div N,
+    * SSW = ΣQᵢ − Σ(Sᵢ² div nᵢ) with Sᵢ = Σz, Qᵢ = Σz² — shipped as
+    * f_milli = (1000·(N−k)·SSB) div ((k−1)·SSW) (per-group `div`
+    * truncation is the shared sub-milli quantization; the zero-SSW
+    * degenerate divisor is guarded to 1, so equal within-group spreads
+    * read the unscaled numerator). The α=0.05 verdict uses the frozen
+    * F(k−1, ∞) milli-ceiled criticals (= χ²(k−1)/(k−1) asymptote —
+    * conservative-leaning at the fixture's N ≫ k; exact finite-df2
+    * criticals would differ past the third decimal). Sᵢ² div nᵢ stays
+    * under BIGINT through sf10 for dollar-quantized TPC-H totals
+    * (~3·10¹⁸); DECIMAL(38,0) everywhere else.
+    */
+  def brownForsytheF(df: DataFrame, cohortCol: String,
+      valueDollars: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val cv = df.select(col(cohortCol).as("cohort"), valueDollars.as("v"))
+      .groupBy(col("cohort"), col("v")).agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("cohort")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = cv.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("ni", sum(col("c")).over(
+        Window.partitionBy(col("cohort"))))
+      .groupBy(col("cohort"))
+      .agg(min(when(expr("cum >= (ni + 1) div 2"), col("v"))).as("v_lo"),
+        min(when(expr("cum >= ni div 2 + 1"), col("v"))).as("v_hi"))
+      .select(col("cohort"), (col("v_lo") + col("v_hi")).as("m2"))
+    val grp = cv.join(broadcast(med), Seq("cohort"))
+      .withColumn("z", expr("abs(2 * v - m2)"))
+      .groupBy(col("cohort"))
+      .agg(sum(col("c")).cast(d).as("ni"),
+        sum(expr(s"CAST(c AS $d) * z")).as("si"),
+        sum(expr(s"CAST(c AS $d) * z * z")).as("qi"))
+    grp
+      .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+        sum(expr("(si * si) div ni")).as("sqb"),
+        sum(col("si")).as("s"), sum(col("qi")).as("q"))
+      .withColumn("ssb", expr(s"CAST(sqb AS $d) - (s * s) div n"))
+      .withColumn("ssw", expr(s"q - CAST(sqb AS $d)"))
+      .withColumn("f_milli", expr(
+        "(1000 * (n - k) * ssb) div (CASE WHEN (k - 1) * ssw = 0 THEN 1 " +
+          "ELSE (k - 1) * ssw END)"))
+      .withColumn("crit_milli", expr(
+        "CASE k - 1 WHEN 1 THEN 3842 WHEN 2 THEN 2996 WHEN 3 THEN 2605 " +
+          "WHEN 4 THEN 2372 WHEN 5 THEN 2215 WHEN 6 THEN 2099 " +
+          "WHEN 7 THEN 2010 WHEN 8 THEN 1939 WHEN 9 THEN 1880 " +
+          "WHEN 10 THEN 1831 ELSE NULL END"))
+      .select(col("k").cast("long").as("k_cohorts"),
+        col("n").cast("long").as("n"),
+        col("ssb").cast("long").as("ssb"),
+        col("ssw").cast("long").as("ssw"),
+        col("f_milli").cast("long").as("f_milli"),
+        expr("CAST(k - 1 AS BIGINT)").as("df1"),
+        expr("CAST(f_milli >= crit_milli AS INT)").as("reject_95"))
+  }
+
   /** Order-header vs line-item totals reconciliation — the financial
     * consistency audit run before trusting any revenue rollup: recompute
     * each order's total from its lines as
@@ -801,6 +864,31 @@ object DataQuality {
           .otherwise(
             expr("CAST((1000000 * num * num) div (dx * dy) AS BIGINT)"))
           .as("r2_signed_ppm"))
+  }
+
+  /** Per-source language diversity — Gini–Simpson index and effective
+    * language count, the concentration twin of [[sourceLangChi2]]'s
+    * independence view (a crawl seed gone monolingual reads as
+    * gini_simpson → 0 / eff_langs → 1). Both ship log-free and exact:
+    * gini_simpson_ppm = 10⁶ − (10⁶·Σnₗ²) div n² and the inverse-Simpson
+    * effective count eff_langs_milli = (1000·n²) div Σnₗ² (Hill number
+    * of order 2 — the diversity family that needs no transcendental,
+    * unlike Shannon). One (source, lang) count pass, one source-keyed
+    * reduction; Σnₗ² in DECIMAL(38,0) (n ≤ 10¹⁴ docs per source safe).
+    */
+  def sourceSimpsonDiversity(docs: DataFrame): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        sum(col("c")).cast(d).as("n"),
+        sum(expr(s"CAST(c AS $d) * c")).as("sq"))
+      .select(col("source"),
+        col("n").cast("long").as("n_docs"), col("n_langs"),
+        expr("CAST(1000000 - (1000000 * sq) div (n * n) AS BIGINT)")
+          .as("gini_simpson_ppm"),
+        expr("CAST((1000 * n * n) div sq AS BIGINT)").as("eff_langs_milli"))
   }
 
   /** Source × language χ² independence profile — the contingency

@@ -2022,6 +2022,20 @@ object ExtensionQueries {
     // from the discordant cells in exact milli
     "events_mcnemar_conversion" -> ((s, dir) =>
       EventsAnalytics.mcnemarConversion(t(s, dir, "events"))),
+    // Chao1 richness + Good-Turing unseen mass from the token
+    // frequency-of-frequencies: exact milli-types / ppm
+    "vocab_chao1_richness" -> ((s, dir) =>
+      Curation.vocabChao1Richness(t(s, dir, "documents"))),
+    // Gini-Simpson language diversity + inverse-Simpson effective
+    // language count per source, log-free exact ppm/milli
+    "source_simpson_diversity" -> ((s, dir) =>
+      DataQuality.sourceSimpsonDiversity(t(s, dir, "documents"))),
+    // Brown-Forsythe spread-homogeneity F across order priorities:
+    // doubled group medians from one value-domain window, moment-form
+    // SSB/SSW, frozen F(df1, inf) criticals
+    "orders_brown_forsythe" -> ((s, dir) =>
+      DataQuality.brownForsytheF(t(s, dir, "orders"), "o_orderpriority",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
     // Spearman rank correlation of daily click vs purchase volumes:
     // Pearson over doubled tie-averaged ranks, signed rho2 in exact ppm
     "rank_corr_spearman" -> ((s, dir) =>
@@ -3769,6 +3783,64 @@ object ExtensionQueries {
         "CAST(d_neither AS BIGINT) AS d_neither, " +
         "CAST(chi2_cc_milli AS BIGINT) AS chi2_cc_milli, " +
         "CAST(chi2_cc_milli >= 3842 AS INT) AS reject_95 FROM z"),
+    "vocab_chao1_richness" ->
+      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tk " +
+        "FROM documents), " +
+        "c AS (SELECT tk, count(*) AS n FROM toks WHERE tk != '' GROUP BY 1), " +
+        "m AS (SELECT count(*) AS v_obs, sum(n) AS n_tokens, " +
+        "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1, " +
+        "sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2 FROM c) " +
+        "SELECT CAST(v_obs AS BIGINT) AS v_obs, " +
+        "CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, " +
+        "CAST(v_obs * 1000 + (1000 * f1 * (f1 - 1)) // (2 * (f2 + 1)) " +
+        "AS BIGINT) AS chao1_milli, " +
+        "CAST((1000000 * f1) // (CASE WHEN n_tokens = 0 THEN 1 " +
+        "ELSE n_tokens END) AS BIGINT) AS unseen_mass_ppm FROM m"),
+    "source_simpson_diversity" ->
+      ("WITH c AS (SELECT source, lang, count(*) AS c FROM documents " +
+        "GROUP BY 1, 2), " +
+        "g AS (SELECT source, count(*) AS n_langs, " +
+        "CAST(sum(c) AS HUGEINT) AS n, " +
+        "sum(CAST(c AS HUGEINT) * c) AS sq FROM c GROUP BY 1) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_docs, " +
+        "CAST(n_langs AS BIGINT) AS n_langs, " +
+        "CAST(1000000 - (1000000 * sq) // (n * n) AS BIGINT) " +
+        "AS gini_simpson_ppm, " +
+        "CAST((1000 * n * n) // sq AS BIGINT) AS eff_langs_milli FROM g"),
+    "orders_brown_forsythe" ->
+      ("WITH j AS (SELECT o_orderpriority AS cohort, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v " +
+        "FROM orders), " +
+        "cv AS (SELECT cohort, v, count(*) AS c FROM j GROUP BY 1, 2), " +
+        "w AS (SELECT cohort, v, c, sum(c) OVER (PARTITION BY cohort " +
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(c) OVER (PARTITION BY cohort) AS ni FROM cv), " +
+        "med AS (SELECT cohort, " +
+        "min(CASE WHEN cum >= (ni + 1) // 2 THEN v END) + " +
+        "min(CASE WHEN cum >= ni // 2 + 1 THEN v END) AS m2 " +
+        "FROM w GROUP BY 1), " +
+        "z AS (SELECT cv.cohort, abs(2 * v - m2) AS z, c " +
+        "FROM cv JOIN med ON cv.cohort = med.cohort), " +
+        "g AS (SELECT cohort, CAST(sum(c) AS HUGEINT) AS ni, " +
+        "sum(CAST(c AS HUGEINT) * z) AS si, " +
+        "sum(CAST(c AS HUGEINT) * z * z) AS qi FROM z GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(ni) AS n, " +
+        "sum((si * si) // ni) AS sqb, sum(si) AS s, sum(qi) AS q FROM g), " +
+        "f AS (SELECT k, n, sqb - (s * s) // n AS ssb, q - sqb AS ssw " +
+        "FROM m), " +
+        "r AS (SELECT k, n, ssb, ssw, " +
+        "(1000 * (n - k) * ssb) // (CASE WHEN (k - 1) * ssw = 0 THEN 1 " +
+        "ELSE (k - 1) * ssw END) AS f_milli FROM f) " +
+        "SELECT CAST(k AS BIGINT) AS k_cohorts, CAST(n AS BIGINT) AS n, " +
+        "CAST(ssb AS BIGINT) AS ssb, CAST(ssw AS BIGINT) AS ssw, " +
+        "CAST(f_milli AS BIGINT) AS f_milli, " +
+        "CAST(k - 1 AS BIGINT) AS df1, " +
+        "CAST(f_milli >= (CASE k - 1 WHEN 1 THEN 3842 WHEN 2 THEN 2996 " +
+        "WHEN 3 THEN 2605 WHEN 4 THEN 2372 WHEN 5 THEN 2215 " +
+        "WHEN 6 THEN 2099 WHEN 7 THEN 2010 WHEN 8 THEN 1939 " +
+        "WHEN 9 THEN 1880 WHEN 10 THEN 1831 ELSE NULL END) AS INT) " +
+        "AS reject_95 FROM r"),
     "rank_corr_spearman" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
         "FROM events WHERE event_type IN ('click', 'purchase')), " +

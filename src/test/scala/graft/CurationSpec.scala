@@ -1158,6 +1158,24 @@ class CurationSpec extends SparkSpecBase {
       "s2" -> ((1L, 4L, 1L, 0L, 250000L, 0L))))
   }
 
+  test("Chao1: hand frequency-of-frequencies; f2=0 bias-corrected form") {
+    import spark.implicits._
+    // tokens: a:3 b:1 c:1 d:1 -> V=4, N=6, f1=3, f2=0:
+    // chao1 = 4000 + (1000*3*2)//2 = 7000; unseen = 3e6//6 = 500000
+    val docs = Seq((1L, "a b a c", "s1", "en"), (2L, "d a", "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = Curation.vocabChao1Richness(docs).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) == ((4L, 6L, 3L, 0L, 7000L, 500000L)))
+    // add "b e e": a:3 b:2 c:1 d:1 e:2 -> f1=2, f2=2:
+    // chao1 = 5000 + 2000//6 = 5333; unseen = 2e6//9 = 222222
+    val docs2 = docs.union(Seq((3L, "b e e", "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang"))
+    val g2 = Curation.vocabChao1Richness(docs2).collect().head
+    assert((g2.getLong(0), g2.getLong(1), g2.getLong(2), g2.getLong(3),
+      g2.getLong(4), g2.getLong(5)) == ((5L, 9L, 2L, 2L, 5333L, 222222L)))
+  }
+
   test("Brier bins: constructed calibrated vs miscalibrated levels") {
     import spark.implicits._
     // bin 8 (all 8 stopwords): 4 docs, 3 en -> p 1e6, obs 750000

@@ -280,6 +280,49 @@ class DataQualitySpec extends SparkSpecBase {
     assert(sc.getLong(3) == 0L && sc.isNullAt(5))
   }
 
+  test("Simpson diversity: skewed vs monolingual source by hand") {
+    import spark.implicits._
+    // s1: en*3 fr*1 -> sq=10, gini = 1e6 - 10e6//16 = 375000, eff 1600
+    // s2: en*2 -> gini 0, eff 1000 (exactly one effective language)
+    val docs = Seq((1L, "t", "s1", "en"), (2L, "t", "s1", "en"),
+      (3L, "t", "s1", "en"), (4L, "t", "s1", "fr"),
+      (5L, "t", "s2", "en"), (6L, "t", "s2", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = DataQuality.sourceSimpsonDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "s1" -> ((4L, 2L, 375000L, 1600L)),
+      "s2" -> ((2L, 1L, 0L, 1000L))))
+  }
+
+  test("Brown-Forsythe: hand moments; zero-SSW guard; all-constant zero") {
+    import spark.implicits._
+    // A={0,2,10} m2=4 -> z={4,0,16}; B={5,5,5} m2=10 -> z=0:
+    // sqb=133, ssb=67, ssw=139, F = 4*67000//139 = 1928 < 3842
+    val df = Seq(("A", 0L), ("A", 2L), ("A", 10L),
+      ("B", 5L), ("B", 5L), ("B", 5L)).toDF("cohort0", "v")
+    val got = DataQuality.brownForsytheF(df, "cohort0", col("v"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getInt(6)) ==
+      ((2L, 6L, 67L, 139L, 1928L, 1L, 0)))
+    // within-group spreads identical -> SSW = 0: guarded divisor reads
+    // the unscaled numerator (ANSI-safe), verdict rejects
+    val z0 = Seq(("A", 0L), ("A", 10L), ("B", 4L), ("B", 6L))
+      .toDF("cohort0", "v")
+    val g2 = DataQuality.brownForsytheF(z0, "cohort0", col("v"))
+      .collect().head
+    assert((g2.getLong(2), g2.getLong(3), g2.getLong(4), g2.getInt(6)) ==
+      ((64L, 0L, 128000L, 1)))
+    // all values identical everywhere -> both sums 0 -> F = 0
+    val const = Seq(("A", 7L), ("A", 7L), ("B", 7L)).toDF("cohort0", "v")
+    val g3 = DataQuality.brownForsytheF(const, "cohort0", col("v"))
+      .collect().head
+    assert((g3.getLong(2), g3.getLong(3), g3.getLong(4), g3.getInt(6)) ==
+      ((0L, 0L, 0L, 0)))
+  }
+
   test("order reconciliation: exact match bands -1; hand diff lands its bp band") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
