@@ -588,6 +588,145 @@ object DataQuality {
         expr("CAST(h_milli >= crit_milli AS INT)").as("reject_95"))
   }
 
+  /** Welch t² and Cohen's d between two cohorts' value distributions —
+    * the parametric twin of [[mannWhitneyU]] (MW asks about ranks;
+    * Welch asks about MEANS under unequal variances, and d standardises
+    * the gap). Everything reduces to the five moment sums (nᵢ, Sᵢ, Qᵢ)
+    * in DECIMAL(38,0); the only quantizations are the documented fixed
+    * points — mean difference to MILLI-units
+    * (dd_milli = 1000·(S₁n₂ − S₂n₁) div n₁n₂), per-cohort variance to
+    * MICRO-units² (vᵢ = 10⁶·(Qᵢ − Sᵢ² div nᵢ) div (nᵢ−1)) — after
+    * which t² = dd_milli²·1000 div (v₁ div n₁ + v₂ div n₂) and
+    * d² = dd_milli²·10⁶ div v_pooled are exact integer arithmetic,
+    * identical under Spark `div` and DuckDB `//`. The α=0.05 verdict
+    * uses the frozen z² critical 3842 (Welch df is ≫ 100 at every
+    * fixture scale, where t² and z² criticals agree past the third
+    * decimal). Degenerate divisors (empty/singleton cohort, zero
+    * variance) are guarded to 1; dollar-quantized inputs keep
+    * Sᵢ² div nᵢ inside BIGINT through sf10 (~10¹⁸).
+    */
+  def welchEffect(df: DataFrame, cohortCol: String, a: String, b: String,
+      valueDollars: org.apache.spark.sql.Column): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    df.filter(col(cohortCol).isin(a, b))
+      .select(when(col(cohortCol) === a, 1L).otherwise(2L).as("g"),
+        valueDollars.as("v"))
+      .agg(
+        sum(expr("CAST(g = 1 AS BIGINT)")).cast(d).as("n1"),
+        sum(expr("CAST(g = 2 AS BIGINT)")).cast(d).as("n2"),
+        sum(expr(s"CASE WHEN g = 1 THEN CAST(v AS $d) ELSE 0 END")).as("s1"),
+        sum(expr(s"CASE WHEN g = 2 THEN CAST(v AS $d) ELSE 0 END")).as("s2"),
+        sum(expr(s"CASE WHEN g = 1 THEN CAST(v AS $d) * v ELSE 0 END"))
+          .as("q1"),
+        sum(expr(s"CASE WHEN g = 2 THEN CAST(v AS $d) * v ELSE 0 END"))
+          .as("q2"))
+      .withColumn("dd_milli", expr(
+        "(1000 * (s1 * n2 - s2 * n1)) div " +
+          "(CASE WHEN n1 * n2 = 0 THEN 1 ELSE n1 * n2 END)"))
+      .withColumn("w1", expr(
+        "q1 - (s1 * s1) div (CASE WHEN n1 = 0 THEN 1 ELSE n1 END)"))
+      .withColumn("w2", expr(
+        "q2 - (s2 * s2) div (CASE WHEN n2 = 0 THEN 1 ELSE n2 END)"))
+      .withColumn("v1", expr(
+        "(1000000 * w1) div (CASE WHEN n1 <= 1 THEN 1 ELSE n1 - 1 END)"))
+      .withColumn("v2", expr(
+        "(1000000 * w2) div (CASE WHEN n2 <= 1 THEN 1 ELSE n2 - 1 END)"))
+      .withColumn("ve", expr(
+        "v1 div (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) + " +
+          "v2 div (CASE WHEN n2 = 0 THEN 1 ELSE n2 END)"))
+      .withColumn("vp", expr(
+        "(1000000 * (w1 + w2)) div " +
+          "(CASE WHEN n1 + n2 <= 2 THEN 1 ELSE n1 + n2 - 2 END)"))
+      // dd_milli is BIGINT (div result); it must re-enter DECIMAL
+      // before squaring — 10⁶·dd² overflows LONG for mean gaps ≥ ~3000
+      .withColumn("t2_milli", expr(
+        "(1000 * CAST(dd_milli AS DECIMAL(38,0)) * dd_milli) div " +
+          "(CASE WHEN ve = 0 THEN 1 ELSE ve END)"))
+      .select(col("n1").cast("long").as("n_a"),
+        col("n2").cast("long").as("n_b"),
+        col("dd_milli").cast("long").as("mean_diff_milli"),
+        expr("CAST((1000000 * CAST(dd_milli AS DECIMAL(38,0)) * dd_milli) " +
+          "div (CASE WHEN vp = 0 THEN 1 ELSE vp END) AS BIGINT)")
+          .as("d2_ppm"),
+        col("t2_milli").cast("long").as("t2_milli"),
+        expr("CAST(t2_milli >= 3842 AS INT)").as("reject_95"))
+  }
+
+  /** Dunn's post-hoc pairwise comparisons after [[kruskalWallisH]] —
+    * which cohort PAIRS differ, read from the SAME doubled tie-averaged
+    * ranks (Dunn 1964): per pair z² = (r̄ᵢ − r̄ⱼ)² / (σ²(1/nᵢ + 1/nⱼ))
+    * with σ² = (n(n²−1) − Σ(t³−t)) / (12(n−1)). Mean ranks quantize to
+    * CENTI-doubled ranks (rcᵢ = 100·R2ᵢ div nᵢ, the one documented
+    * fixed point, ±0.005 rank), after which
+    * z2_milli = (3·(n−1)·diffc²·nᵢnⱼ) div (10·(nᵢ+nⱼ)·(n(n²−1) − T))
+    * is exact integer algebra inside DECIMAL(38,0) (≤ ~4·10³⁴ at sf1).
+    * Verdicts are Bonferroni-held at family α = 0.05: the frozen
+    * χ²₁(0.05/m) milli-ceiled criticals for m = k(k−1)/2 pairs,
+    * k = 2..6 (beyond 6 cohorts the verdict ships NULL). The pair
+    * relation is k²-bounded — cohort-count-sized, never data-sized.
+    *
+    * EAGER at construction: the value-domain rank relation and the
+    * k-row per-cohort rank-sum relation each feed multiple consumers
+    * (the tie aggregate; both sides of the pair self-join plus the
+    * global aggregate), so both are cut via `materialize` — measured
+    * 2.2× warm at sf1 (6.52 → 2.91 s, tasks 385 → 234) vs lazy, the
+    * linkPredictionTopK class (small relations after a heavy chain,
+    * where AQE exchange reuse does not cover the post-aggregate
+    * window). Cutting the corpus-sized cv as well was measured 2×
+    * SLOWER (see inline note). Pass
+    * [[graft.engine.Materialize.none]] to stay lazy.
+    */
+  def dunnPosthoc(df: DataFrame, cohortCol: String,
+      valueDollars: org.apache.spark.sql.Column,
+      materialize: DataFrame => DataFrame =
+        graft.engine.Materialize.local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    // cv stays LAZY although two eager jobs below consume it: cutting
+    // it was measured 2× SLOWER at sf1 (2.91 → 5.99 s warm — the
+    // ~1.3M-row checkpoint write costs more than the rescan it saves)
+    val cv = df.select(col(cohortCol).as("cohort"), valueDollars.as("x"))
+      .groupBy(col("cohort"), col("x")).agg(count(lit(1)).as("c"))
+    val cnt = cv.groupBy(col("x")).agg(sum(col("c")).as("t"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r2 (value-domain-bounded) is the shared root of the tie aggregate
+    // and the per-cohort rank sums — one cut runs the rank window once
+    val r2 = materialize(cnt.withColumn("cumt", sum(col("t")).over(w))
+      .select(col("x"), expr("2 * (cumt - t) + t + 1").as("r2"),
+        expr(s"CAST(t AS $d) * t * t - t").as("tie")))
+    val ties = r2.agg(sum(col("tie")).as("tie_cubic"))
+    val grp = materialize(
+      cv.join(r2.select(col("x"), col("r2")), Seq("x"))
+        .groupBy(col("cohort"))
+        .agg(sum(col("c")).as("ni"),
+          sum(expr(s"CAST(c AS $d) * r2")).as("r2i"))
+        .withColumn("rc", expr("(100 * r2i) div ni")))
+    val glob = grp.agg(count(lit(1)).as("k"),
+      sum(col("ni")).cast(d).as("n"))
+    grp.select(col("cohort").as("cohort_a"), col("ni").as("na"),
+      col("rc").as("rca"))
+      .join(broadcast(grp.select(col("cohort").as("cohort_b"),
+        col("ni").as("nb"), col("rc").as("rcb"))),
+        col("cohort_a") < col("cohort_b"))
+      .crossJoin(broadcast(glob)).crossJoin(broadcast(ties))
+      .withColumn("diffc", expr(s"CAST(rca AS $d) - rcb"))
+      .withColumn("den", expr(
+        "10 * (CAST(na AS DECIMAL(38,0)) + nb) * " +
+          "(n * (n * n - 1) - tie_cubic)"))
+      .withColumn("z2_milli", expr(
+        "(3 * (n - 1) * diffc * diffc * na * nb) div " +
+          "(CASE WHEN den = 0 THEN 1 ELSE den END)"))
+      .withColumn("crit_milli", expr(
+        "CASE k WHEN 2 THEN 3842 WHEN 3 THEN 5732 WHEN 4 THEN 6961 " +
+          "WHEN 5 THEN 7880 WHEN 6 THEN 8616 ELSE NULL END"))
+      .select(col("cohort_a"), col("cohort_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("CAST(rca - rcb AS BIGINT)").as("rank_diff_centi2"),
+        col("z2_milli").cast("long").as("z2_milli"),
+        expr("CAST(z2_milli >= crit_milli AS INT)").as("reject_bonf_95"))
+  }
+
   /** Brown–Forsythe variance-homogeneity test across all cohorts — "do
     * the groups differ in SPREAD?" (the robust Levene variant: one-way
     * ANOVA on absolute deviations from the GROUP MEDIAN, Brown &

@@ -1580,6 +1580,54 @@ object EventsAnalytics {
       .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
   }
 
+  /** Paired sign-flip permutation test on daily revenue difference
+    * between two event types — the resampling-inference companion to
+    * [[bootstrapDailyMeanCI]] (bootstrap asks "how wide?", the
+    * permutation test asks "could the observed difference be label
+    * noise?"). Under H0 the per-day (A, B) cent totals are
+    * exchangeable, so each replica flips the sign of each day's
+    * difference on a DETERMINISTIC md5 coin — u = first 6 md5 hex
+    * digits of "perm-b:day", flip when u < 2²³ (16⁶/2) — identical in
+    * any engine or partitioning (the [[bootstrapDailyMeanCI]] draw
+    * discipline). The statistic is |Σ diff| and the add-one p-value
+    * ships exact: p_milli = 1000·(1 + #{|S_b| ≥ |S_obs|}) div (B + 1)
+    * (Phipson & Smyth 2010 — never exactly zero). The day relation is
+    * CALENDAR-bounded; replicas explode it ×B and reduce map-side.
+    */
+  def permutationTestDailyDiff(events0: DataFrame, typeA: String = "click",
+      typeB: String = "view", reps: Int = 64): DataFrame = {
+    require(reps >= 1, s"permutationTestDailyDiff: reps >= 1, got $reps")
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr(s"ts div $dayNs").as("day"))
+      .agg(sum(when(col("event_type") === typeA,
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .otherwise(0L)).as("xa"),
+        sum(when(col("event_type") === typeB,
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .otherwise(0L)).as("xb"))
+      .select(col("day"), (col("xa") - col("xb")).as("diff"))
+    val obs = daily.agg(count(lit(1)).as("n_days"),
+      abs(sum(col("diff"))).as("s_obs"))
+    val flips = daily
+      .select(col("day"), col("diff"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat('perm-', CAST(rep AS STRING), " +
+          "':', CAST(day AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .withColumn("s", when(col("u") < 8388608L, col("diff"))
+        .otherwise(-col("diff")))
+      .groupBy(col("rep")).agg(abs(sum(col("s"))).as("s_rep"))
+    flips.crossJoin(broadcast(obs))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("s_obs")).as("s_obs_cents"),
+        count(lit(1)).as("b_reps"),
+        sum(expr("CAST(s_rep >= s_obs AS BIGINT)")).as("n_ge"))
+      .withColumn("p_milli", expr(
+        "(1000 * (1 + n_ge)) div (b_reps + 1)"))
+  }
+
   /** Spearman rank correlation between two event types' daily volumes
     * (do clicks and purchases co-move day to day?) — computed as Pearson
     * over tie-averaged ranks, the form that stays valid under ties where

@@ -2036,6 +2036,28 @@ object ExtensionQueries {
     "orders_brown_forsythe" -> ((s, dir) =>
       DataQuality.brownForsytheF(t(s, dir, "orders"), "o_orderpriority",
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
+    // paired sign-flip permutation test on daily click-vs-view revenue:
+    // deterministic md5 coins, add-one p in exact milli
+    "events_permutation_test" -> ((s, dir) =>
+      EventsAnalytics.permutationTestDailyDiff(t(s, dir, "events"))),
+    // Welch t^2 + Cohen's d between BUILDING and MACHINERY order
+    // totals: moment sums in DECIMAL, milli/micro fixed points
+    "orders_welch_effect" -> ((s, dir) =>
+      DataQuality.welchEffect(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "BUILDING", "MACHINERY",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
+    // Dunn post-hoc pairwise rank tests after Kruskal-Wallis across
+    // the five market segments, Bonferroni-frozen criticals
+    "orders_dunn_posthoc" -> ((s, dir) =>
+      DataQuality.dunnPosthoc(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
     // Spearman rank correlation of daily click vs purchase volumes:
     // Pearson over doubled tie-averaged ranks, signed rho2 in exact ppm
     "rank_corr_spearman" -> ((s, dir) =>
@@ -3841,6 +3863,105 @@ object ExtensionQueries {
         "WHEN 6 THEN 2099 WHEN 7 THEN 2010 WHEN 8 THEN 1939 " +
         "WHEN 9 THEN 1880 WHEN 10 THEN 1831 ELSE NULL END) AS INT) " +
         "AS reject_95 FROM r"),
+    "events_permutation_test" ->
+      ("WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day, " +
+        "sum(CASE WHEN event_type = 'click' THEN " +
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) - " +
+        "sum(CASE WHEN event_type = 'view' THEN " +
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) " +
+        "AS diff FROM events WHERE event_type IN ('click', 'view') " +
+        "GROUP BY 1), " +
+        "obs AS (SELECT count(*) AS n_days, abs(sum(diff)) AS s_obs " +
+        "FROM daily), " +
+        "r AS (SELECT day, diff, unnest(generate_series(0, 63)) AS rep " +
+        "FROM daily), " +
+        "u AS (SELECT rep, CASE WHEN ('0x' || substr(md5('perm-' || " +
+        "CAST(rep AS VARCHAR) || ':' || CAST(day AS VARCHAR)), 1, 6))" +
+        "::BIGINT < 8388608 THEN diff ELSE -diff END AS s FROM r), " +
+        "sr AS (SELECT rep, abs(sum(s)) AS s_rep FROM u GROUP BY 1), " +
+        "t AS (SELECT max(n_days) AS n_days, max(s_obs) AS s_obs_cents, " +
+        "count(*) AS b_reps, " +
+        "sum(CASE WHEN s_rep >= s_obs THEN 1 ELSE 0 END) AS n_ge " +
+        "FROM sr, obs) " +
+        "SELECT CAST(n_days AS BIGINT) AS n_days, " +
+        "CAST(s_obs_cents AS BIGINT) AS s_obs_cents, " +
+        "CAST(b_reps AS BIGINT) AS b_reps, CAST(n_ge AS BIGINT) AS n_ge, " +
+        "CAST((1000 * (1 + n_ge)) // (b_reps + 1) AS BIGINT) AS p_milli " +
+        "FROM t"),
+    "orders_welch_effect" ->
+      ("WITH j AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 " +
+        "ELSE 2 END AS g, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1, " +
+        "CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS n2, " +
+        "sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1, " +
+        "sum(CASE WHEN g = 2 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s2, " +
+        "sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1, " +
+        "sum(CASE WHEN g = 2 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q2 " +
+        "FROM j), " +
+        "k AS (SELECT n1, n2, " +
+        "(1000 * (s1 * n2 - s2 * n1)) // " +
+        "(CASE WHEN n1 * n2 = 0 THEN 1 ELSE n1 * n2 END) AS dd_milli, " +
+        "q1 - (s1 * s1) // (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) AS w1, " +
+        "q2 - (s2 * s2) // (CASE WHEN n2 = 0 THEN 1 ELSE n2 END) AS w2 " +
+        "FROM m), " +
+        "vv AS (SELECT n1, n2, dd_milli, w1, w2, " +
+        "(1000000 * w1) // (CASE WHEN n1 <= 1 THEN 1 ELSE n1 - 1 END) AS v1, " +
+        "(1000000 * w2) // (CASE WHEN n2 <= 1 THEN 1 ELSE n2 - 1 END) AS v2 " +
+        "FROM k), " +
+        "e AS (SELECT n1, n2, dd_milli, " +
+        "v1 // (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) + " +
+        "v2 // (CASE WHEN n2 = 0 THEN 1 ELSE n2 END) AS ve, " +
+        "(1000000 * (w1 + w2)) // " +
+        "(CASE WHEN n1 + n2 <= 2 THEN 1 ELSE n1 + n2 - 2 END) AS vp " +
+        "FROM vv), " +
+        "z AS (SELECT n1, n2, dd_milli, " +
+        "(1000 * dd_milli * dd_milli) // " +
+        "(CASE WHEN ve = 0 THEN 1 ELSE ve END) AS t2_milli, " +
+        "(1000000 * dd_milli * dd_milli) // " +
+        "(CASE WHEN vp = 0 THEN 1 ELSE vp END) AS d2_ppm FROM e) " +
+        "SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, " +
+        "CAST(dd_milli AS BIGINT) AS mean_diff_milli, " +
+        "CAST(d2_ppm AS BIGINT) AS d2_ppm, " +
+        "CAST(t2_milli AS BIGINT) AS t2_milli, " +
+        "CAST(t2_milli >= 3842 AS INT) AS reject_95 FROM z"),
+    "orders_dunn_posthoc" ->
+      ("WITH j AS (SELECT c_mktsegment AS cohort, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "cv AS (SELECT cohort, x, count(*) AS c FROM j GROUP BY 1, 2), " +
+        "cnt AS (SELECT x, sum(c) AS t FROM cv GROUP BY 1), " +
+        "r AS (SELECT x, 2 * (sum(t) OVER (ORDER BY x ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2, " +
+        "CAST(t AS HUGEINT) * t * t - t AS tie FROM cnt), " +
+        "ties AS (SELECT sum(tie) AS tie_cubic FROM r), " +
+        "g AS (SELECT cohort, sum(c) AS ni, " +
+        "sum(CAST(c AS HUGEINT) * r2) AS r2i FROM cv JOIN r USING (x) " +
+        "GROUP BY 1), " +
+        "gc AS (SELECT cohort, ni, (100 * r2i) // ni AS rc FROM g), " +
+        "gg AS (SELECT count(*) AS k, CAST(sum(ni) AS HUGEINT) AS n " +
+        "FROM g), " +
+        "p AS (SELECT a.cohort AS cohort_a, b.cohort AS cohort_b, " +
+        "a.ni AS na, b.ni AS nb, " +
+        "CAST(a.rc AS HUGEINT) - b.rc AS diffc, a.rc - b.rc AS rdiff " +
+        "FROM gc a JOIN gc b ON a.cohort < b.cohort), " +
+        "z AS (SELECT cohort_a, cohort_b, na, nb, rdiff, k, " +
+        "(3 * (n - 1) * diffc * diffc * na * nb) // " +
+        "(CASE WHEN 10 * (CAST(na AS HUGEINT) + nb) * " +
+        "(n * (n * n - 1) - tie_cubic) = 0 THEN 1 " +
+        "ELSE 10 * (CAST(na AS HUGEINT) + nb) * " +
+        "(n * (n * n - 1) - tie_cubic) END) AS z2_milli " +
+        "FROM p, gg, ties) " +
+        "SELECT cohort_a, cohort_b, CAST(na AS BIGINT) AS n_a, " +
+        "CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(rdiff AS BIGINT) AS rank_diff_centi2, " +
+        "CAST(z2_milli AS BIGINT) AS z2_milli, " +
+        "CAST(z2_milli >= (CASE k WHEN 2 THEN 3842 WHEN 3 THEN 5732 " +
+        "WHEN 4 THEN 6961 WHEN 5 THEN 7880 WHEN 6 THEN 8616 " +
+        "ELSE NULL END) AS INT) AS reject_bonf_95 FROM z"),
     "rank_corr_spearman" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
         "FROM events WHERE event_type IN ('click', 'purchase')), " +

@@ -1648,6 +1648,41 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("permutation test: sign flips replay the md5 coins exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // day diffs (cents): d0 = 100-40 = 60, d1 = 0-250 = -250, d2 = 300
+    // -> S_obs = |110|; 'error' rows must be ignored
+    val rows = Seq(
+      Row(0L * dayNs, "click", 1.00), Row(0L * dayNs, "view", 0.40),
+      Row(1L * dayNs, "view", 2.50),
+      Row(2L * dayNs, "click", 3.00), Row(1L * dayNs, "error", 99.0))
+    val tiny = spark.createDataFrame(rows.asJava, schema)
+    def flip(rep: Int, day: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"perm-$rep:$day".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) < 8388608L
+    }
+    val diffs = Map(0L -> 60L, 1L -> -250L, 2L -> 300L)
+    val sObs = math.abs(diffs.values.sum)
+    val reps = 16
+    val nGe = (0 until reps).count { b =>
+      math.abs(diffs.map { case (d, v) =>
+        if (flip(b, d)) v else -v }.sum) >= sObs
+    }
+    val got = EventsAnalytics.permutationTestDailyDiff(tiny, reps = 16)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) ==
+      ((3L, sObs, 16L, nGe.toLong, 1000L * (1 + nGe) / 17)))
+  }
+
   test("dedup savings: hand corpus — exact subsumed by fingerprint, neardup from pairs") {
     import spark.implicits._
     val d = Seq(

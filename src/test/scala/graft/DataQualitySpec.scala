@@ -323,6 +323,57 @@ class DataQualitySpec extends SparkSpecBase {
       ((0L, 0L, 0L, 0)))
   }
 
+  test("Welch effect: hand moments; zero-variance and absent-cohort guards") {
+    import spark.implicits._
+    // A={0,10} (mean 5, s2 50), B={20,30} (mean 25, s2 50):
+    // t2 = 400/(25+25) = 8 -> 8000 milli (reject), d2 = 400/50 = 8e6 ppm
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 20L), ("B", 30L))
+      .toDF("cohort0", "v")
+    val got = DataQuality.welchEffect(df, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getInt(5)) ==
+      ((2L, 2L, -20000L, 8000000L, 8000L, 1)))
+    // absent cohort B: every divisor guard fires, all statistics read 0
+    val solo = Seq(("A", 1L), ("A", 2L)).toDF("cohort0", "v")
+    val g2 = DataQuality.welchEffect(solo, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert((g2.getLong(1), g2.getLong(2), g2.getLong(4), g2.getInt(5)) ==
+      ((0L, 0L, 0L, 0)))
+    // zero variance both sides with a real mean gap: guarded divisor 1
+    // reads the unscaled numerator (documented; "infinitely significant")
+    val const = Seq(("A", 5L), ("A", 5L), ("B", 7L), ("B", 7L))
+      .toDF("cohort0", "v")
+    val g3 = DataQuality.welchEffect(const, "cohort0", "A", "B", col("v"))
+      .collect().head
+    assert((g3.getLong(2), g3.getLong(4), g3.getInt(5)) ==
+      ((-2000L, 4000000000L, 1)))
+  }
+
+  test("Dunn post-hoc: pairwise z2 by hand; Bonferroni boundary case") {
+    import spark.implicits._
+    // A={1,2}, B={3,4}, C={5,6}: sigma2 = 3.5, pair z2 = 4/3.5, 16/3.5,
+    // 4/3.5 -> 1142/4571/1142 milli; k=3 crit 5732 -> all retained
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 5L), ("C", 6L)).toDF("cohort0", "v")
+    val got = DataQuality.dunnPosthoc(df, "cohort0", col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((2L, 2L, -400L, 1142L, 0)),
+      ("A", "C") -> ((2L, 2L, -800L, 4571L, 0)),
+      ("B", "C") -> ((2L, 2L, -400L, 1142L, 0))))
+    // two fully separated triples: z2 = 9/(3.5*2/3) = 3.857 -> 3857,
+    // JUST over the k=2 critical 3842 -> rejected
+    val two = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 10L), ("B", 11L), ("B", 12L)).toDF("cohort0", "v")
+    val g2 = DataQuality.dunnPosthoc(two, "cohort0", col("v"))
+      .collect().head
+    assert((g2.getLong(4), g2.getLong(5), g2.getInt(6)) ==
+      ((-600L, 3857L, 1)))
+  }
+
   test("order reconciliation: exact match bands -1; hand diff lands its bp band") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
