@@ -588,6 +588,54 @@ object DataQuality {
         expr("CAST(h_milli >= crit_milli AS INT)").as("reject_95"))
   }
 
+  /** Lorenz concentration curve + exact Gini of a per-key value
+    * distribution — "what share of total revenue do the bottom d/10 of
+    * customers hold?" plus the single-number Gini summary. All exact on
+    * the VALUE DOMAIN (no per-row ranking window): for a value group
+    * (v, t) with C units strictly below, the rank sum telescopes to
+    * t·C + t(t+1)/2, so 2Σrankᵢ·xᵢ − (n+1)·Σx — the Gini numerator —
+    * reduces over distinct values, and each decile boundary
+    * p_d = (d·n) div 10 lands inside exactly one group, where the
+    * partial prefix (p_d − C)·v is exact because every unit in the
+    * group holds the same v. Emits 10 rows (decile, boundary position,
+    * cumulative value, share in ppm) with the constant gini_ppm
+    * replicated. The decile probe is a 10-row broadcast against the
+    * value-domain relation; nothing data-sized is windowed.
+    */
+  def lorenzGini(units: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val byV = units.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .withColumn("cumt", sum(col("t")).over(w))
+      .withColumn("cumv", sum(expr(s"CAST(t AS $d) * v")).over(w))
+      .withColumn("c_before", col("cumt") - col("t"))
+      .withColumn("v_before", expr(s"cumv - CAST(t AS $d) * v"))
+    val glob = cum.agg(
+      max(col("cumt")).as("n"), max(col("cumv")).as("s"),
+      sum(expr(s"CAST(v AS $d) * (2 * (CAST(t AS $d) * c_before + " +
+        s"(CAST(t AS $d) * (t + 1)) div 2))")).as("rank2x"))
+      .withColumn("gini_ppm", expr(
+        "CAST((1000000 * (rank2x - (n + 1) * s)) div " +
+          "(CASE WHEN CAST(n AS DECIMAL(38,0)) * s = 0 THEN 1 " +
+          "ELSE CAST(n AS DECIMAL(38,0)) * s END) AS BIGINT)"))
+    val deciles = glob.select(col("n"), col("s"), col("gini_ppm"),
+      explode(sequence(lit(1), lit(10))).as("decile"))
+      .withColumn("pos", expr("(decile * n) div 10"))
+    cum.join(broadcast(deciles),
+      col("c_before") < col("pos") && col("pos") <= col("cumt"))
+      .select(col("decile"), col("pos").as("boundary_pos"),
+        expr(s"CAST(v_before + (pos - c_before) * CAST(v AS $d) AS BIGINT)")
+          .as("cum_value"),
+        expr(s"CAST((1000000 * (v_before + (pos - c_before) * " +
+          "CAST(v AS DECIMAL(38,0)))) div (CASE WHEN s = 0 THEN 1 " +
+          "ELSE s END) AS BIGINT)").as("share_ppm"),
+        col("gini_ppm"))
+  }
+
   /** Welch t² and Cohen's d between two cohorts' value distributions —
     * the parametric twin of [[mannWhitneyU]] (MW asks about ranks;
     * Welch asks about MEANS under unequal variances, and d standardises

@@ -1580,6 +1580,97 @@ object EventsAnalytics {
       .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
   }
 
+  /** Cochran's Q test — do the k event types differ in REACH (share of
+    * users emitting them), treating each user as its own block? The
+    * k-treatment generalisation of [[mcnemarConversion]] (Cochran
+    * 1950): with column totals Cⱼ (users reaching type j), row totals
+    * Rᵢ (types user i reached) and S = ΣCⱼ = ΣRᵢ,
+    * Q = (k−1)·(k·ΣCⱼ² − S²) / (k·S − ΣRᵢ²), χ²(k−1) under H0; blocks
+    * with constant response cancel by construction. Ships exact as
+    * q_milli with the same frozen χ² criticals as [[DataQuality
+    * .kruskalWallisH]]. One distinct (user, type) reduction; both
+    * marginals reduce from it — nothing data-sized is ever paired.
+    */
+  def cochranQ(events0: DataFrame): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    val pairs = EventTime.toNanos(events0)
+      .select(col("user_id"), col("event_type")).distinct()
+    val rows = pairs.groupBy(col("user_id")).agg(count(lit(1)).as("r"))
+      .agg(count(lit(1)).as("n_users"), sum(col("r")).cast(d).as("s"),
+        sum(expr(s"CAST(r AS $d) * r")).as("sr2"))
+    val cols = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).cast(d).as("k"),
+        sum(expr(s"CAST(c AS $d) * c")).as("sc2"))
+    rows.crossJoin(broadcast(cols))
+      .withColumn("q_milli", expr(
+        "(1000 * (k - 1) * (k * sc2 - s * s)) div " +
+          "(CASE WHEN k * s - sr2 = 0 THEN 1 ELSE k * s - sr2 END)"))
+      .withColumn("crit_milli", expr(
+        "CASE k - 1 WHEN 1 THEN 3842 WHEN 2 THEN 5992 WHEN 3 THEN 7815 " +
+          "WHEN 4 THEN 9488 WHEN 5 THEN 11071 WHEN 6 THEN 12592 " +
+          "WHEN 7 THEN 14068 WHEN 8 THEN 15508 WHEN 9 THEN 16919 " +
+          "WHEN 10 THEN 18308 ELSE NULL END"))
+      .select(col("k").cast("long").as("k_types"),
+        col("n_users").cast("long").as("n_users"),
+        col("s").cast("long").as("s_total"),
+        col("q_milli").cast("long").as("q_milli"),
+        expr("CAST(k - 1 AS BIGINT)").as("df"),
+        expr("CAST(q_milli >= crit_milli AS INT)").as("reject_95"))
+  }
+
+  /** Difference-in-differences estimate of the treatment effect on
+    * per-user purchase revenue: arms are the deterministic md5 user
+    * buckets (the [[cupedAdjustment]] assignment), periods split at the
+    * broadcast range midpoint (the [[heavyChangers]] pattern), and the
+    * estimator is the classic
+    * DiD = (ȳ₁,post − ȳ₁,pre) − (ȳ₀,post − ȳ₀,pre) over the FULL user
+    * universe (non-purchasers contribute zero cents — dropping them
+    * would bias the parallel-trends baseline). Cell means ship in exact
+    * MILLI-cents ((1000·Σcents) div n_arm) and the headline effect as
+    * one cross-multiplied integer division:
+    * did_milli = 1000·((Σpost₁−Σpre₁)·n₀ − (Σpost₀−Σpre₀)·n₁) div n₁n₀.
+    * One user-keyed aggregate; everything after is arm-sized.
+    */
+  def diffInDiff(events0: DataFrame): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    val e = EventTime.toNanos(events0)
+    val mid = e.agg(expr("(min(ts) + max(ts)) div 2").as("mid_ns"))
+    val units = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("CAST(sum(CASE WHEN event_type = 'purchase' AND ts < mid_ns " +
+          "THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+          s"ELSE 0 END) AS $d)").as("pre"),
+        expr("CAST(sum(CASE WHEN event_type = 'purchase' AND ts >= mid_ns " +
+          "THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+          s"ELSE 0 END) AS $d)").as("post"))
+      .withColumn("arm", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 2"))
+    units
+      .agg(
+        sum(expr("CAST(arm = 0 AS BIGINT)")).cast(d).as("n0"),
+        sum(expr("CAST(arm = 1 AS BIGINT)")).cast(d).as("n1"),
+        sum(expr("CASE WHEN arm = 0 THEN pre ELSE 0 END")).as("pre0"),
+        sum(expr("CASE WHEN arm = 0 THEN post ELSE 0 END")).as("post0"),
+        sum(expr("CASE WHEN arm = 1 THEN pre ELSE 0 END")).as("pre1"),
+        sum(expr("CASE WHEN arm = 1 THEN post ELSE 0 END")).as("post1"))
+      .select(
+        col("n0").cast("long").as("n_control"),
+        col("n1").cast("long").as("n_treat"),
+        expr("CAST((1000 * pre0) div (CASE WHEN n0 = 0 THEN 1 ELSE n0 END) " +
+          "AS BIGINT)").as("pre_control_milli"),
+        expr("CAST((1000 * post0) div (CASE WHEN n0 = 0 THEN 1 ELSE n0 END) " +
+          "AS BIGINT)").as("post_control_milli"),
+        expr("CAST((1000 * pre1) div (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) " +
+          "AS BIGINT)").as("pre_treat_milli"),
+        expr("CAST((1000 * post1) div (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) " +
+          "AS BIGINT)").as("post_treat_milli"),
+        expr("CAST((1000 * ((post1 - pre1) * n0 - (post0 - pre0) * n1)) div " +
+          "(CASE WHEN n1 * n0 = 0 THEN 1 ELSE n1 * n0 END) AS BIGINT)")
+          .as("did_milli"))
+  }
+
   /** Paired sign-flip permutation test on daily revenue difference
     * between two event types — the resampling-inference companion to
     * [[bootstrapDailyMeanCI]] (bootstrap asks "how wide?", the

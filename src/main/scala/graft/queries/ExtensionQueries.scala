@@ -2058,6 +2058,23 @@ object ExtensionQueries {
           col("o_custkey") === col("c_custkey")),
         "c_mktsegment",
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
+    // Cochran's Q across event types' user reach: marginals from one
+    // distinct (user, type) reduction, frozen chi2(k-1) criticals
+    "events_cochran_q" -> ((s, dir) =>
+      EventsAnalytics.cochranQ(t(s, dir, "events"))),
+    // difference-in-differences on per-user purchase revenue: md5 arm
+    // buckets x midpoint periods, cell means + DiD in exact milli-cents
+    "events_diff_in_diff" -> ((s, dir) =>
+      EventsAnalytics.diffInDiff(t(s, dir, "events"))),
+    // Lorenz deciles + exact Gini of per-customer revenue: rank sums
+    // telescoped over the dollar value domain, decile boundaries via
+    // a 10-row broadcast probe
+    "customer_revenue_lorenz" -> ((s, dir) =>
+      DataQuality.lorenzGini(
+        t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT)) div 100").as("rev_dollars")),
+        "rev_dollars")),
     // Spearman rank correlation of daily click vs purchase volumes:
     // Pearson over doubled tie-averaged ranks, signed rho2 in exact ppm
     "rank_corr_spearman" -> ((s, dir) =>
@@ -3962,6 +3979,87 @@ object ExtensionQueries {
         "CAST(z2_milli >= (CASE k WHEN 2 THEN 3842 WHEN 3 THEN 5732 " +
         "WHEN 4 THEN 6961 WHEN 5 THEN 7880 WHEN 6 THEN 8616 " +
         "ELSE NULL END) AS INT) AS reject_bonf_95 FROM z"),
+    "events_cochran_q" ->
+      ("WITH p AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "rr AS (SELECT user_id, count(*) AS r FROM p GROUP BY 1), " +
+        "rm AS (SELECT count(*) AS n_users, CAST(sum(r) AS HUGEINT) AS s, " +
+        "sum(CAST(r AS HUGEINT) * r) AS sr2 FROM rr), " +
+        "cc AS (SELECT event_type, count(*) AS c FROM p GROUP BY 1), " +
+        "cm AS (SELECT CAST(count(*) AS HUGEINT) AS k, " +
+        "sum(CAST(c AS HUGEINT) * c) AS sc2 FROM cc), " +
+        "q AS (SELECT n_users, s, k, " +
+        "(1000 * (k - 1) * (k * sc2 - s * s)) // " +
+        "(CASE WHEN k * s - sr2 = 0 THEN 1 ELSE k * s - sr2 END) " +
+        "AS q_milli FROM rm, cm) " +
+        "SELECT CAST(k AS BIGINT) AS k_types, " +
+        "CAST(n_users AS BIGINT) AS n_users, CAST(s AS BIGINT) AS s_total, " +
+        "CAST(q_milli AS BIGINT) AS q_milli, CAST(k - 1 AS BIGINT) AS df, " +
+        "CAST(q_milli >= (CASE k - 1 WHEN 1 THEN 3842 WHEN 2 THEN 5992 " +
+        "WHEN 3 THEN 7815 WHEN 4 THEN 9488 WHEN 5 THEN 11071 " +
+        "WHEN 6 THEN 12592 WHEN 7 THEN 14068 WHEN 8 THEN 15508 " +
+        "WHEN 9 THEN 16919 WHEN 10 THEN 18308 ELSE NULL END) AS INT) " +
+        "AS reject_95 FROM q"),
+    "events_diff_in_diff" ->
+      ("WITH m AS (SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 " +
+        "AS mid FROM events), " +
+        "u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' AND epoch_ns(ts) < mid " +
+        "THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "ELSE 0 END) AS HUGEINT) AS pre, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' AND epoch_ns(ts) >= mid " +
+        "THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "ELSE 0 END) AS HUGEINT) AS post, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 " +
+        "AS arm FROM events, m GROUP BY user_id), " +
+        "t AS (SELECT " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1, " +
+        "sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS pre0, " +
+        "sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS post0, " +
+        "sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS pre1, " +
+        "sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS post1 FROM u) " +
+        "SELECT CAST(n0 AS BIGINT) AS n_control, " +
+        "CAST(n1 AS BIGINT) AS n_treat, " +
+        "CAST((1000 * pre0) // (CASE WHEN n0 = 0 THEN 1 ELSE n0 END) " +
+        "AS BIGINT) AS pre_control_milli, " +
+        "CAST((1000 * post0) // (CASE WHEN n0 = 0 THEN 1 ELSE n0 END) " +
+        "AS BIGINT) AS post_control_milli, " +
+        "CAST((1000 * pre1) // (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) " +
+        "AS BIGINT) AS pre_treat_milli, " +
+        "CAST((1000 * post1) // (CASE WHEN n1 = 0 THEN 1 ELSE n1 END) " +
+        "AS BIGINT) AS post_treat_milli, " +
+        "CAST((1000 * ((post1 - pre1) * n0 - (post0 - pre0) * n1)) // " +
+        "(CASE WHEN n1 * n0 = 0 THEN 1 ELSE n1 * n0 END) AS BIGINT) " +
+        "AS did_milli FROM t"),
+    "customer_revenue_lorenz" ->
+      ("WITH rev AS (SELECT o_custkey, " +
+        "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) " +
+        "// 100 AS v FROM orders GROUP BY 1), " +
+        "byv AS (SELECT v, count(*) AS t FROM rev GROUP BY 1), " +
+        "cum AS (SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt, " +
+        "sum(CAST(t AS HUGEINT) * v) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv FROM byv), " +
+        "cb AS (SELECT v, t, cumt, cumv, cumt - t AS c_before, " +
+        "cumv - CAST(t AS HUGEINT) * v AS v_before FROM cum), " +
+        "g AS (SELECT max(cumt) AS n, max(cumv) AS s, " +
+        "sum(CAST(v AS HUGEINT) * (2 * (CAST(t AS HUGEINT) * c_before + " +
+        "(CAST(t AS HUGEINT) * (t + 1)) // 2))) AS rank2x FROM cb), " +
+        "gg AS (SELECT n, s, " +
+        "CAST((1000000 * (rank2x - (n + 1) * s)) // " +
+        "(CASE WHEN CAST(n AS HUGEINT) * s = 0 THEN 1 " +
+        "ELSE CAST(n AS HUGEINT) * s END) AS BIGINT) AS gini_ppm FROM g), " +
+        "dec AS (SELECT n, s, gini_ppm, " +
+        "unnest(generate_series(1, 10)) AS decile FROM gg), " +
+        "dp AS (SELECT n, s, gini_ppm, decile, (decile * n) // 10 AS pos " +
+        "FROM dec) " +
+        "SELECT decile, CAST(pos AS BIGINT) AS boundary_pos, " +
+        "CAST(v_before + (pos - c_before) * CAST(v AS HUGEINT) AS BIGINT) " +
+        "AS cum_value, " +
+        "CAST((1000000 * (v_before + (pos - c_before) * " +
+        "CAST(v AS HUGEINT))) // (CASE WHEN s = 0 THEN 1 ELSE s END) " +
+        "AS BIGINT) AS share_ppm, gini_ppm " +
+        "FROM cb JOIN dp ON c_before < pos AND pos <= cumt"),
     "rank_corr_spearman" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
         "FROM events WHERE event_type IN ('click', 'purchase')), " +

@@ -1648,6 +1648,72 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("Cochran Q: hand marginals; all-constant blocks zero the statistic") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    // u1:{a,b}, u2:{a}, u3:{a,b,c} -> C=(3,2,1), R=(2,1,3):
+    // Q = 2*(3*14-36)/(18-14) = 3 -> 3000 milli; df=2 crit 5992
+    val rows = Seq(
+      Row(0L, 1L, "a"), Row(1L, 1L, "b"), Row(2L, 1L, "a"),
+      Row(0L, 2L, "a"),
+      Row(0L, 3L, "a"), Row(1L, 3L, "b"), Row(2L, 3L, "c"))
+    val got = EventsAnalytics.cochranQ(
+      spark.createDataFrame(rows.asJava, schema)).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getInt(5)) == ((3L, 3L, 6L, 3000L, 2L, 0)))
+    // every user reaches every type: numerator and denominator both 0
+    val const = Seq(
+      Row(0L, 1L, "a"), Row(1L, 1L, "b"),
+      Row(0L, 2L, "a"), Row(1L, 2L, "b"))
+    val g2 = EventsAnalytics.cochranQ(
+      spark.createDataFrame(const.asJava, schema)).collect().head
+    assert((g2.getLong(3), g2.getInt(5)) == ((0L, 0)))
+  }
+
+  test("diff-in-diff: cell means and DiD replay the md5 arm assignment") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    // every user pins the [0,100] range; purchases place pre/post cents
+    val purchases = Map(
+      1L -> (1000L, 2000L), 2L -> (0L, 500L), 3L -> (800L, 0L),
+      4L -> (0L, 0L))
+    val rows = purchases.keys.toSeq.sorted.flatMap { u =>
+      val (pre, post) = purchases(u)
+      Seq(Row(0L, u, "view", 0.0), Row(100L, u, "view", 0.0)) ++
+        (if (pre > 0) Seq(Row(10L, u, "purchase", pre / 100.0)) else Nil) ++
+        (if (post > 0) Seq(Row(90L, u, "purchase", post / 100.0)) else Nil)
+    }
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val byArm = purchases.groupBy { case (u, _) => arm(u) }
+    def cell(a: Long): (Long, Long, Long) = {
+      val m = byArm.getOrElse(a, Map.empty)
+      (m.size.toLong, m.values.map(_._1).sum, m.values.map(_._2).sum)
+    }
+    val (n0, pre0, post0) = cell(0L); val (n1, pre1, post1) = cell(1L)
+    val expDid =
+      1000L * ((post1 - pre1) * n0 - (post0 - pre0) * n1) /
+        (if (n1 * n0 == 0) 1L else n1 * n0)
+    val got = EventsAnalytics.diffInDiff(
+      spark.createDataFrame(rows.asJava, schema)).collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((n0, n1)))
+    assert(got.getLong(2) == 1000L * pre0 / math.max(1L, n0))
+    assert(got.getLong(5) == 1000L * post1 / math.max(1L, n1))
+    assert(got.getLong(6) == expDid)
+  }
+
   test("permutation test: sign flips replay the md5 coins exactly") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -374,6 +374,30 @@ class DataQualitySpec extends SparkSpecBase {
       ((-600L, 3857L, 1)))
   }
 
+  test("Lorenz/Gini: distinct values, tie groups, and sub-decile dropout") {
+    import spark.implicits._
+    // values 1..10: share_d = 1e6*d(d+1)/2 // 55; Gini = 0.3 exactly
+    val ten = (1L to 10L).map(v => (v, v)).toDF("id", "x")
+    val got = DataQuality.lorenzGini(ten, "x").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.size == 10)
+    assert(got(1) == ((1L, 1L, 18181L, 300000L)))
+    assert(got(5) == ((5L, 15L, 272727L, 300000L)))
+    assert(got(10) == ((10L, 55L, 1000000L, 300000L)))
+    // {2,2,2,4}: n=4 so deciles 1-2 have boundary 0 and drop out; the
+    // straddling tie group interpolates exactly; Gini = 6/40 = 150000
+    val tied = Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 4L)).toDF("id", "x")
+    val g2 = DataQuality.lorenzGini(tied, "x").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(g2.size == 8 && !g2.contains(1) && !g2.contains(2))
+    assert(g2(3) == ((1L, 2L, 200000L, 150000L)))
+    assert(g2(5) == ((2L, 4L, 400000L, 150000L)))
+    assert(g2(8) == ((3L, 6L, 600000L, 150000L)))
+    assert(g2(10) == ((4L, 10L, 1000000L, 150000L)))
+  }
+
   test("order reconciliation: exact match bands -1; hand diff lands its bp band") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
