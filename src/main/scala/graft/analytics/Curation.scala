@@ -1960,6 +1960,44 @@ object Curation {
         expr("(cum_tokens * 10000L) div total").as("coverage_bp"))
   }
 
+  /** Heaps-law vocabulary growth curve — distinct vocabulary size at
+    * power-of-two doc-id prefixes, the empirical V(n) whose slope sizes
+    * how fast a tokenizer vocabulary saturates as the corpus grows.
+    * Everything reduces over log₂ buckets: a token's first-occurrence
+    * doc (min doc_id, floored at 1) lands in bucket
+    * ⌊log₂ first⌋ = length(bin(first)) − 1 (the [[vocabCoverageCurve]]
+    * trick), docs bucket the same way, and one cumulative window over
+    * the ≤ ~40-row bucket grid yields both curves. Emits one row per
+    * occupied bucket: its doc-id ceiling 2^{b+1}−1, cumulative docs and
+    * cumulative vocabulary. The curve reads "by doc-id prefix" — with
+    * dense ids this IS V(n), and with sparse ids the emitted doc count
+    * keeps the row self-describing.
+    */
+  def vocabHeapsCurve(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docB = docs
+      .select(expr("length(bin(greatest(1L, doc_id))) - 1").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nd"))
+    val tokB = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(min(expr("greatest(1L, doc_id)")).as("first_doc"))
+      .select(expr("length(bin(first_doc)) - 1").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docB.join(tokB, Seq("b"), "left")
+      .na.fill(0L, Seq("nv"))
+      .withColumn("n_docs_cum", sum(col("nd")).over(w))
+      .withColumn("vocab_cum", sum(col("nv")).over(w))
+      .select(col("b").as("bucket"),
+        expr("CAST(shiftleft(1L, CAST(b AS INT) + 1) - 1 AS BIGINT)")
+          .as("doc_hi"),
+        col("n_docs_cum"), col("vocab_cum"))
+  }
+
   /** Chao1 vocabulary-richness estimate + Good-Turing unseen mass — the
     * "how much vocabulary have we NOT seen yet?" commissioning question
     * for a tokenizer/embedding vocabulary (Chao 1984; Good 1953). From

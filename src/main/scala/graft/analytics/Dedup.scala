@@ -1464,6 +1464,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Capture–recapture estimate of the duplicate-pair population — the
+    * dedup-QA question "how many duplicate pairs do our detectors
+    * MISS?": treating the exact-fingerprint pairs and the MinHash-LSH
+    * candidate pairs as two independent captures of the same underlying
+    * population, the Chapman bias-corrected Lincoln–Petersen estimator
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman 1951) sizes that population
+    * from the overlap m, and missed = N̂ − |union| is the residual-dup
+    * estimate. Ships exact as chapman_milli / missed_milli (floor
+    * division; independence is an assumption, stated, not checked).
+    * Both pair relations meet in ONE full-outer join on the pair key,
+    * so each detector's relation is scanned once; the exact pairs come
+    * from a fingerprint-keyed self-join (dup-family-sized groups — a
+    * pathological giant family would need the usual key-cap salting,
+    * irrelevant on real corpora where exact families are small).
+    *
+    * Pass a pre-built candidate relation via `lshPairs0` (the session
+    * pin, so the banded pipeline runs once per session, not per key);
+    * None rebuilds via [[lshCandidatePairs]] (EAGER, its documented
+    * behavior).
+    */
+  def captureRecapture(docs: DataFrame,
+      lshPairs0: Option[DataFrame] = None): DataFrame = {
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val exactPairs = fp.toDF("id_a", "fpa")
+      .join(fp.toDF("id_b", "fpb"),
+        col("fpa") === col("fpb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val lshPairs = lshPairs0.getOrElse(lshCandidatePairs(docs))
+      .select(col("id_a"), col("id_b"))
+    exactPairs.withColumn("in1", lit(1L))
+      .join(lshPairs.withColumn("in2", lit(1L)), Seq("id_a", "id_b"), "full")
+      .na.fill(0L, Seq("in1", "in2"))
+      .agg(sum(col("in1")).as("n_exact"), sum(col("in2")).as("n_lsh"),
+        sum(col("in1") * col("in2")).as("n_overlap"),
+        count(lit(1)).as("n_union"))
+      .withColumn("chapman_milli", expr(
+        "(1000 * (n_exact + 1) * (n_lsh + 1)) div (n_overlap + 1) - 1000"))
+      .withColumn("missed_milli", expr("chapman_milli - 1000 * n_union"))
+  }
+
   /** Incremental near-dup screening of an arriving batch against a stored
     * LSH index — the no-recompute ingest path (the text-side analogue of
     * [[graft.analytics.Similarity]]'s `ivf_index_append`): the corpus's

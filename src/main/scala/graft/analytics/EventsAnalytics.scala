@@ -1580,6 +1580,38 @@ object EventsAnalytics {
       .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
   }
 
+  /** Next-event diversity per antecedent type — how PREDICTABLE is what
+    * follows each event type? The log-free cousin of transition entropy:
+    * over the same (prev, next) bigram relation [[markovNextEval]] fits
+    * its model on, each antecedent's successor distribution ships its
+    * Gini–Simpson index in exact ppm and its inverse-Simpson effective
+    * successor count in milli (Hill number of order 2 — eff ≈ 1 means
+    * the next event is near-deterministic, eff ≈ k means anything can
+    * follow). One user-keyed lead window (the shared funnel/session
+    * shape), then a |types|²-bounded reduction.
+    */
+  def transitionDiversity(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    EventTime.toNanos(events0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("prev_type"))
+      .agg(count(lit(1)).as("n_next_types"),
+        sum(col("c")).cast(d).as("n"),
+        sum(expr(s"CAST(c AS $d) * c")).as("sq"))
+      .select(col("prev_type"),
+        col("n").cast("long").as("n_transitions"), col("n_next_types"),
+        expr("CAST(1000000 - (1000000 * sq) div (n * n) AS BIGINT)")
+          .as("gini_simpson_ppm"),
+        expr("CAST((1000 * n * n) div sq AS BIGINT)").as("eff_next_milli"))
+  }
+
   /** Cochran's Q test — do the k event types differ in REACH (share of
     * users emitting them), treating each user as its own block? The
     * k-treatment generalisation of [[mcnemarConversion]] (Cochran

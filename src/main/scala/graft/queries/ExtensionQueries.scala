@@ -2075,6 +2075,20 @@ object ExtensionQueries {
           .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
             "AS BIGINT)) div 100").as("rev_dollars")),
         "rev_dollars")),
+    // next-event diversity per antecedent: Gini-Simpson + effective
+    // successor count over the markov bigram relation
+    "events_transition_diversity" -> ((s, dir) =>
+      EventsAnalytics.transitionDiversity(t(s, dir, "events"))),
+    // Heaps vocabulary growth: cumulative vocab at power-of-two doc
+    // prefixes from first-occurrence log2 buckets
+    "vocab_heaps_curve" -> ((s, dir) =>
+      Curation.vocabHeapsCurve(t(s, dir, "documents"))),
+    // Chapman capture-recapture estimate of the duplicate-pair
+    // population from the exact-fingerprint and LSH detectors' overlap
+    // (candidates from the session lshPairs pin — no re-banding)
+    "dedup_capture_recapture" -> ((s, dir) =>
+      Dedup.captureRecapture(t(s, dir, "documents"),
+        Some(lshPairs(s, dir)))),
     // Spearman rank correlation of daily click vs purchase volumes:
     // Pearson over doubled tie-averaged ranks, signed rho2 in exact ppm
     "rank_corr_spearman" -> ((s, dir) =>
@@ -4060,6 +4074,60 @@ object ExtensionQueries {
         "CAST(v AS HUGEINT))) // (CASE WHEN s = 0 THEN 1 ELSE s END) " +
         "AS BIGINT) AS share_ppm, gini_ppm " +
         "FROM cb JOIN dp ON c_before < pos AND pos <= cumt"),
+    "events_transition_diversity" ->
+      ("WITH s AS (SELECT user_id, event_id, event_type, epoch_ns(ts) " +
+        "AS tsn FROM events), " +
+        "p AS (SELECT event_type AS prev_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY tsn, event_id) AS next_type FROM s), " +
+        "c AS (SELECT prev_type, next_type, count(*) AS c FROM p " +
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2), " +
+        "g AS (SELECT prev_type, count(*) AS n_next_types, " +
+        "CAST(sum(c) AS HUGEINT) AS n, sum(CAST(c AS HUGEINT) * c) AS sq " +
+        "FROM c GROUP BY 1) " +
+        "SELECT prev_type, CAST(n AS BIGINT) AS n_transitions, " +
+        "CAST(n_next_types AS BIGINT) AS n_next_types, " +
+        "CAST(1000000 - (1000000 * sq) // (n * n) AS BIGINT) " +
+        "AS gini_simpson_ppm, " +
+        "CAST((1000 * n * n) // sq AS BIGINT) AS eff_next_milli FROM g"),
+    "vocab_heaps_curve" ->
+      ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
+        "count(*) AS nd FROM documents GROUP BY 1), " +
+        "tk AS (SELECT tk, min(greatest(1, doc_id)) AS fd FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tk " +
+        "FROM documents) u WHERE tk != '' GROUP BY 1), " +
+        "tb AS (SELECT length(bin(fd)) - 1 AS b, count(*) AS nv " +
+        "FROM tk GROUP BY 1), " +
+        "j AS (SELECT db.b, nd, coalesce(nv, 0) AS nv FROM db " +
+        "LEFT JOIN tb ON db.b = tb.b) " +
+        "SELECT CAST(b AS INT) AS bucket, " +
+        "CAST((CAST(1 AS BIGINT) << (b + 1)) - 1 AS BIGINT) AS doc_hi, " +
+        "CAST(sum(nd) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT) AS n_docs_cum, " +
+        "CAST(sum(nv) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT) AS vocab_cum FROM j"),
+    "dedup_capture_recapture" ->
+      ("WITH " + minhashPairCtes + ", " +
+        "lsh AS (SELECT DISTINCT id_a, id_b FROM pairs), " +
+        "fpr AS (SELECT doc_id, md5(lower(trim(text))) AS f " +
+        "FROM documents), " +
+        "ep AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM fpr a " +
+        "JOIN fpr b ON a.f = b.f AND a.doc_id < b.doc_id), " +
+        "t AS (SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END " +
+        "AS in1, CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS in2 " +
+        "FROM ep e FULL OUTER JOIN lsh l ON e.id_a = l.id_a " +
+        "AND e.id_b = l.id_b), " +
+        "m AS (SELECT sum(in1) AS n_exact, sum(in2) AS n_lsh, " +
+        "sum(in1 * in2) AS n_overlap, count(*) AS n_union FROM t), " +
+        "z AS (SELECT n_exact, n_lsh, n_overlap, n_union, " +
+        "(1000 * (n_exact + 1) * (n_lsh + 1)) // (n_overlap + 1) - 1000 " +
+        "AS chapman_milli FROM m) " +
+        "SELECT CAST(n_exact AS BIGINT) AS n_exact, " +
+        "CAST(n_lsh AS BIGINT) AS n_lsh, " +
+        "CAST(n_overlap AS BIGINT) AS n_overlap, " +
+        "CAST(n_union AS BIGINT) AS n_union, " +
+        "CAST(chapman_milli AS BIGINT) AS chapman_milli, " +
+        "CAST(chapman_milli - 1000 * n_union AS BIGINT) AS missed_milli " +
+        "FROM z"),
     "rank_corr_spearman" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
         "FROM events WHERE event_type IN ('click', 'purchase')), " +

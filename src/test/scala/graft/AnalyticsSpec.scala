@@ -1648,6 +1648,42 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("transition diversity: successor Simpson stats from hand bigrams") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    // bigrams: a->b x2, a->c x1, b->c x1. prev a: n=3 over 2 types,
+    // sq=5 -> gini 444445 ppm, eff 1800 milli; prev b: deterministic
+    val rows = Seq(
+      Row(0L, 1L, 1L, "a"), Row(1L, 2L, 1L, "b"), Row(2L, 3L, 1L, "c"),
+      Row(0L, 4L, 2L, "a"), Row(1L, 5L, 2L, "b"),
+      Row(0L, 6L, 3L, "a"), Row(1L, 7L, 3L, "c"))
+    val got = EventsAnalytics.transitionDiversity(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 2L, 444445L, 1800L)),
+      "b" -> ((1L, 1L, 0L, 1000L))))
+  }
+
+  test("capture-recapture: exact and LSH detectors meet in Chapman's estimate") {
+    import spark.implicits._
+    // (1,2): identical text -> caught by BOTH detectors.
+    // (3,4): case variant -> fingerprint-only (shingles differ).
+    // n1=2, n2=1, m=1, union=2: Chapman = 3*2/2 - 1 = 2 -> missed 0
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z w"),
+      (3L, "A b c"), (4L, "a b c"),
+      (5L, "an entirely unrelated document")).toDF("doc_id", "text")
+    val got = Dedup.captureRecapture(docs).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) == ((2L, 1L, 1L, 2L, 2000L, 0L)))
+  }
+
   test("Cochran Q: hand marginals; all-constant blocks zero the statistic") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -1158,6 +1158,22 @@ class CurationSpec extends SparkSpecBase {
       "s2" -> ((1L, 4L, 1L, 0L, 250000L, 0L))))
   }
 
+  test("Heaps curve: first-occurrence buckets accumulate docs and vocab") {
+    import spark.implicits._
+    // firsts: a,b -> doc1 (bucket 0), c -> doc2 (bucket 1), d -> doc4
+    // (bucket 2); docs bucket as 1 | 2,3 | 4,5
+    val docs = Seq((1L, "a b", "s", "en"), (2L, "a c", "s", "en"),
+      (3L, "a", "s", "en"), (4L, "d", "s", "en"), (5L, "a", "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = Curation.vocabHeapsCurve(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      0 -> ((1L, 1L, 2L)),
+      1 -> ((3L, 3L, 3L)),
+      2 -> ((7L, 5L, 4L))))
+  }
+
   test("Chao1: hand frequency-of-frequencies; f2=0 bias-corrected form") {
     import spark.implicits._
     // tokens: a:3 b:1 c:1 d:1 -> V=4, N=6, f1=3, f2=0:
