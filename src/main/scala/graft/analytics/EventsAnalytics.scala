@@ -1580,6 +1580,159 @@ object EventsAnalytics {
       .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
   }
 
+  /** Wald–Wolfowitz runs test per event type — is the daily revenue
+    * series RANDOM around its median, or does it trend/cluster (too few
+    * runs) or oscillate (too many)? Days at the exact median are
+    * excluded (the standard treatment); signs come from the doubled
+    * median (2c vs m2, integral under even counts), runs from one lag
+    * over the day order, and the normal approximation ships exact:
+    * z² = (Rn − 2n₁n₂ − n)²·(n−1) / (2n₁n₂·(2n₁n₂ − n)) in milli with
+    * the frozen 3842 verdict. Every relation — grid, value-domain
+    * median window, sign lag — is CALENDAR-bounded per type.
+    *
+    * EAGER at construction: the per-type median relation (k rows after
+    * the grid + value-window chain) is cut once — measured 2.0× warm at
+    * sf1 (3.39 → 1.71 s) vs lazy (the dunnPosthoc pattern).
+    */
+  def runsTest(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT)").as("c"))
+    val rng = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx")))
+        .as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = graft.engine.Materialize.local(
+      dense.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("t"))
+        .withColumn("cum", sum(col("t")).over(wc))
+        .withColumn("ni", sum(col("t")).over(
+          Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg((min(when(expr("cum >= (ni + 1) div 2"), col("c"))) +
+          min(when(expr("cum >= ni div 2 + 1"), col("c")))).as("m2")))
+    val signed = dense.join(broadcast(med), Seq("event_type"))
+      .filter(expr("2 * c != m2"))
+      .withColumn("s", expr("CASE WHEN 2 * c > m2 THEN 1 ELSE -1 END"))
+    signed
+      .withColumn("brk", expr(
+        "CASE WHEN lag(s, 1) OVER (PARTITION BY event_type ORDER BY day) " +
+          "IS NULL OR lag(s, 1) OVER (PARTITION BY event_type " +
+          "ORDER BY day) != s THEN 1L ELSE 0L END"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(s = 1 AS BIGINT)")).as("n_above"),
+        sum(expr("CAST(s = -1 AS BIGINT)")).as("n_below"),
+        sum(col("brk")).as("r_runs"))
+      .withColumn("num", expr(
+        s"CAST(r_runs * n - 2 * n_above * n_below - n AS $d)"))
+      .withColumn("den", expr(
+        s"2 * CAST(n_above AS $d) * n_below * " +
+          "(2 * CAST(n_above AS DECIMAL(38,0)) * n_below - n)"))
+      .select(col("event_type"), col("n").as("n_scored"),
+        col("n_above"), col("n_below"), col("r_runs"),
+        expr("CAST((1000 * num * num * (n - 1)) div " +
+          "(CASE WHEN den <= 0 THEN 1 ELSE den END) AS BIGINT)")
+          .as("z2_milli"))
+      .withColumn("reject_95", expr("CAST(z2_milli >= 3842 AS INT)"))
+  }
+
+  /** Durbin–Watson statistic per event type over the dense daily
+    * revenue grid — first-order serial correlation of the residuals
+    * from the series mean (DW ≈ 2 means none, → 0 positive, → 4
+    * negative autocorrelation). With the exact scaled residual
+    * e′_t = n·c_t − S (no division), successive differences collapse to
+    * e′_t − e′_{t−1} = n·(c_t − c_{t−1}), so
+    * DW = n²·Σ(Δc)² / Σ(n·c_t − S)² ships as one DECIMAL(38,0)
+    * cross-multiplied milli quotient. CALENDAR-bounded throughout; a
+    * constant series zeroes the denominator (guarded, reads 0).
+    */
+  def durbinWatson(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT)").as("c"))
+    val rng = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx")))
+        .as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    dense
+      .withColumn("dc", col("c") - lag(col("c"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).cast(d).as("s"),
+        sum(expr(s"CAST(c AS $d) * c")).as("q"),
+        sum(expr(s"CAST(dc AS $d) * dc")).as("sq_diff"))
+      // Σ(n·c − S)² = n²·Σc² − n·S² = n·(n·Σc² − S²)
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * " +
+        "(n * q - s * s)"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr(s"CAST((1000 * CAST(n AS $d) * n * sq_diff) div " +
+          "(CASE WHEN den = 0 THEN 1 ELSE den END) AS BIGINT)")
+          .as("dw_milli"))
+  }
+
+  /** Theil's U relative-accuracy metrics for the seasonal-naive
+    * forecast per event type — the scale-free companions to
+    * [[seasonalNaiveBacktest]]'s MAE/MAPE: over the SAME evaluation
+    * rows (days with a lag-`season` forecast), relative MAE vs the
+    * naive-1 forecast (Theil's U₁ flavour, = MASE restricted to the
+    * shared span) and the squared-error ratio U² (Theil 1966). Both
+    * ship as exact milli cross-ratios of DECIMAL error sums — below
+    * 1000 means the seasonal model beats last-value persistence.
+    * CALENDAR-bounded lag windows; degenerate zero-denominator series
+    * guarded to 1.
+    */
+  def forecastTheilU(events0: DataFrame, season: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT)").as("c"))
+    val rng = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx")))
+        .as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    dense
+      .withColumn("f", lag(col("c"), season).over(w))
+      .withColumn("p", lag(col("c"), 1).over(w))
+      .filter(col("f").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(expr("abs(c - f)")).cast(d).as("ae_f"),
+        sum(expr("abs(c - p)")).cast(d).as("ae_1"),
+        sum(expr(s"CAST(c - f AS $d) * (c - f)")).as("sq_f"),
+        sum(expr(s"CAST(c - p AS $d) * (c - p)")).as("sq_1"))
+      .select(col("event_type"), col("n_eval"),
+        col("ae_f").cast("long").as("ae_seasonal_cents"),
+        col("ae_1").cast("long").as("ae_naive1_cents"),
+        expr("CAST((1000 * ae_f) div (CASE WHEN ae_1 = 0 THEN 1 " +
+          "ELSE ae_1 END) AS BIGINT)").as("rel_mae_milli"),
+        expr("CAST((1000 * sq_f) div (CASE WHEN sq_1 = 0 THEN 1 " +
+          "ELSE sq_1 END) AS BIGINT)").as("u2_milli"))
+  }
+
   /** Next-event diversity per antecedent type — how PREDICTABLE is what
     * follows each event type? The log-free cousin of transition entropy:
     * over the same (prev, next) bigram relation [[markovNextEval]] fits

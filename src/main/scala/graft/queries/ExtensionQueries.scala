@@ -2079,6 +2079,18 @@ object ExtensionQueries {
     // successor count over the markov bigram relation
     "events_transition_diversity" -> ((s, dir) =>
       EventsAnalytics.transitionDiversity(t(s, dir, "events"))),
+    // Wald-Wolfowitz runs test on daily revenue around the doubled
+    // median (ties excluded), exact cross-multiplied z2 milli
+    "events_runs_test" -> ((s, dir) =>
+      EventsAnalytics.runsTest(t(s, dir, "events"))),
+    // Durbin-Watson serial-correlation statistic over the dense daily
+    // grid via exact scaled residuals (n*c - S)
+    "events_durbin_watson" -> ((s, dir) =>
+      EventsAnalytics.durbinWatson(t(s, dir, "events"))),
+    // Theil's U / relative-MAE of the lag-7 seasonal-naive forecast vs
+    // naive-1 persistence, exact milli cross-ratios
+    "events_forecast_theil_u" -> ((s, dir) =>
+      EventsAnalytics.forecastTheilU(t(s, dir, "events"))),
     // Heaps vocabulary growth: cumulative vocab at power-of-two doc
     // prefixes from first-occurrence log2 buckets
     "vocab_heaps_curve" -> ((s, dir) =>
@@ -4089,6 +4101,97 @@ object ExtensionQueries {
         "CAST(1000000 - (1000000 * sq) // (n * n) AS BIGINT) " +
         "AS gini_simpson_ppm, " +
         "CAST((1000 * n * n) // sq AS BIGINT) AS eff_next_milli FROM g"),
+    "events_runs_test" ->
+      ("WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 " +
+        "AS day, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM daily GROUP BY 1), " +
+        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.day, coalesce(dl.c, 0) AS c " +
+        "FROM ds d LEFT JOIN daily dl ON dl.event_type = d.event_type " +
+        "AND dl.day = d.day), " +
+        "vt AS (SELECT event_type, c, count(*) AS t FROM dense GROUP BY 1, 2), " +
+        "vw AS (SELECT event_type, c, t, sum(t) OVER (PARTITION BY " +
+        "event_type ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS cum, sum(t) OVER (PARTITION BY event_type) AS ni " +
+        "FROM vt), " +
+        "med AS (SELECT event_type, " +
+        "min(CASE WHEN cum >= (ni + 1) // 2 THEN c END) + " +
+        "min(CASE WHEN cum >= ni // 2 + 1 THEN c END) AS m2 " +
+        "FROM vw GROUP BY 1), " +
+        "sg AS (SELECT d.event_type, d.day, " +
+        "CASE WHEN 2 * d.c > m.m2 THEN 1 ELSE -1 END AS s " +
+        "FROM dense d JOIN med m ON d.event_type = m.event_type " +
+        "WHERE 2 * d.c != m.m2), " +
+        "br AS (SELECT event_type, s, CASE WHEN lag(s) OVER (PARTITION BY " +
+        "event_type ORDER BY day) IS NULL OR lag(s) OVER (PARTITION BY " +
+        "event_type ORDER BY day) != s THEN 1 ELSE 0 END AS brk FROM sg), " +
+        "agg AS (SELECT event_type, count(*) AS n, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_above, " +
+        "sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n_below, " +
+        "sum(brk) AS r_runs FROM br GROUP BY 1), " +
+        "z AS (SELECT event_type, n, n_above, n_below, r_runs, " +
+        "CAST(r_runs * n - 2 * n_above * n_below - n AS HUGEINT) AS num, " +
+        "2 * CAST(n_above AS HUGEINT) * n_below * " +
+        "(2 * CAST(n_above AS HUGEINT) * n_below - n) AS den FROM agg) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n_scored, " +
+        "CAST(n_above AS BIGINT) AS n_above, " +
+        "CAST(n_below AS BIGINT) AS n_below, " +
+        "CAST(r_runs AS BIGINT) AS r_runs, " +
+        "CAST((1000 * num * num * (n - 1)) // " +
+        "(CASE WHEN den <= 0 THEN 1 ELSE den END) AS BIGINT) AS z2_milli, " +
+        "CAST((1000 * num * num * (n - 1)) // " +
+        "(CASE WHEN den <= 0 THEN 1 ELSE den END) >= 3842 AS INT) " +
+        "AS reject_95 FROM z"),
+    "events_durbin_watson" ->
+      ("WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 " +
+        "AS day, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM daily GROUP BY 1), " +
+        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.day, coalesce(dl.c, 0) AS c " +
+        "FROM ds d LEFT JOIN daily dl ON dl.event_type = d.event_type " +
+        "AND dl.day = d.day), " +
+        "dd AS (SELECT event_type, c, c - lag(c) OVER (PARTITION BY " +
+        "event_type ORDER BY day) AS dc FROM dense), " +
+        "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, " +
+        "CAST(sum(c) AS HUGEINT) AS s, sum(CAST(c AS HUGEINT) * c) AS q, " +
+        "sum(CAST(dc AS HUGEINT) * dc) AS sq_diff FROM dd GROUP BY 1) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n_days, " +
+        "CAST((1000 * n * n * sq_diff) // (CASE WHEN n * (n * q - s * s) " +
+        "= 0 THEN 1 ELSE n * (n * q - s * s) END) AS BIGINT) AS dw_milli " +
+        "FROM m"),
+    "events_forecast_theil_u" ->
+      ("WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 " +
+        "AS day, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM daily GROUP BY 1), " +
+        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.day, coalesce(dl.c, 0) AS c " +
+        "FROM ds d LEFT JOIN daily dl ON dl.event_type = d.event_type " +
+        "AND dl.day = d.day), " +
+        "lg AS (SELECT event_type, c, lag(c, 7) OVER (PARTITION BY " +
+        "event_type ORDER BY day) AS f, lag(c, 1) OVER (PARTITION BY " +
+        "event_type ORDER BY day) AS p FROM dense), " +
+        "m AS (SELECT event_type, count(*) AS n_eval, " +
+        "CAST(sum(abs(c - f)) AS HUGEINT) AS ae_f, " +
+        "CAST(sum(abs(c - p)) AS HUGEINT) AS ae_1, " +
+        "sum(CAST(c - f AS HUGEINT) * (c - f)) AS sq_f, " +
+        "sum(CAST(c - p AS HUGEINT) * (c - p)) AS sq_1 " +
+        "FROM lg WHERE f IS NOT NULL GROUP BY 1) " +
+        "SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval, " +
+        "CAST(ae_f AS BIGINT) AS ae_seasonal_cents, " +
+        "CAST(ae_1 AS BIGINT) AS ae_naive1_cents, " +
+        "CAST((1000 * ae_f) // (CASE WHEN ae_1 = 0 THEN 1 ELSE ae_1 END) " +
+        "AS BIGINT) AS rel_mae_milli, " +
+        "CAST((1000 * sq_f) // (CASE WHEN sq_1 = 0 THEN 1 ELSE sq_1 END) " +
+        "AS BIGINT) AS u2_milli FROM m"),
     "vocab_heaps_curve" ->
       ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
         "count(*) AS nd FROM documents GROUP BY 1), " +

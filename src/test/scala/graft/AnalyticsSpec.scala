@@ -1648,6 +1648,71 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("runs test: alternating series by hand; median ties drop out") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // type a: daily dollars 1,5,1,5,1,5 -> m2=600, signs alternate:
+    // R=6, num = 36-18-6 = 12, den = 216 -> z2 = 720000//216 = 3333
+    // type b: 2,2,4 -> m2=400; the two median days (2*c = m2) drop,
+    // leaving one scored day with num 0
+    val rows =
+      Seq(1, 5, 1, 5, 1, 5).zipWithIndex.map { case (v, d) =>
+        Row(d * dayNs, "a", v.toDouble) } ++
+      Seq(2, 2, 4).zipWithIndex.map { case (v, d) =>
+        Row(d * dayNs, "b", v.toDouble) }
+    val got = EventsAnalytics.runsTest(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)))).toMap
+    assert(got == Map(
+      "a" -> ((6L, 3L, 3L, 6L, 3333L, 0)),
+      "b" -> ((1L, 1L, 0L, 1L, 0L, 0))))
+  }
+
+  test("Durbin-Watson: alternating residuals read ~4-ish; constant series 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // a: cents 100,300,100,300 -> DW = 1.2e5/4e4 = 3.000 exactly
+    val rows =
+      Seq(1, 3, 1, 3).zipWithIndex.map { case (v, d) =>
+        Row(d * dayNs, "a", v.toDouble) } ++
+      Seq(2, 2).zipWithIndex.map { case (v, d) =>
+        Row(d * dayNs, "b", v.toDouble) }
+    val got = EventsAnalytics.durbinWatson(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((4L, 3000L)), "b" -> ((2L, 0L))))
+  }
+
+  test("Theil U: hand lag-2 case — seasonal errors double naive-1") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // cents 100..500: lag-2 AE = 200*3 = 600 vs lag-1 AE = 300:
+    // rel_mae 2000; squares 1.2e5 vs 3e4: u2 4000
+    val rows = (1 to 5).map(v => Row((v - 1).toLong * dayNs, "a", v.toDouble))
+    val got = EventsAnalytics.forecastTheilU(
+      spark.createDataFrame(rows.asJava, schema), season = 2)
+      .collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) ==
+      (("a", 3L, 600L, 300L, 2000L, 4000L)))
+  }
+
   test("transition diversity: successor Simpson stats from hand bigrams") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
