@@ -1960,6 +1960,29 @@ object Curation {
         expr("(cum_tokens * 10000L) div total").as("coverage_bp"))
   }
 
+  /** Stratified k-fold assignment audit — the split every evaluation
+    * pipeline needs before cross-validation: folds are the
+    * deterministic md5 buckets of the doc id (reproducible in any
+    * engine, stable under re-partitioning), and the audit reports each
+    * (source, fold) cell's count with its deviation from the uniform
+    * expectation in exact basis points, dev_bp = 10⁴·(k·n − n_src) div
+    * n_src — the number a reviewer checks before trusting per-fold
+    * metrics. One grouped pass plus a source-keyed total join.
+    */
+  def kfoldAssignment(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, s"kfoldAssignment: k >= 2, got $k")
+    val cells = docs
+      .withColumn("fold", expr(
+        s"CAST(conv(substring(md5(concat('fold:', CAST(doc_id AS STRING))), " +
+          s"1, 6), 16, 10) AS BIGINT) % $k"))
+      .groupBy(col("source"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("ns"))
+    cells.join(totals, Seq("source"))
+      .select(col("source"), col("fold"), col("n_docs"),
+        expr(s"(10000 * ($k * n_docs - ns)) div ns").as("dev_bp"))
+  }
+
   /** Heaps-law vocabulary growth curve — distinct vocabulary size at
     * power-of-two doc-id prefixes, the empirical V(n) whose slope sizes
     * how fast a tokenizer vocabulary saturates as the corpus grows.

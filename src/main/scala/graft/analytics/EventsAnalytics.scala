@@ -1733,6 +1733,65 @@ object EventsAnalytics {
           "ELSE sq_1 END) AS BIGINT)").as("u2_milli"))
   }
 
+  /** Qini curve at score deciles — the standard uplift-model EVAL
+    * (Radcliffe 2007): rank users by a targeting score (here pre-period
+    * activity), walk down from the most-targeted, and at each decile
+    * compare cumulative treated conversions against the
+    * control-rate-scaled expectation:
+    * Q(φ) = conv_t(φ) − conv_c(φ)·n_t(φ)/n_c(φ), in exact milli. Arms
+    * are the md5 user buckets ([[cupedAdjustment]]), conversion is a
+    * post-midpoint purchase, and deciles are VALUE-GROUPED — each score
+    * tie group sits wholly in the decile of its first member
+    * ((10·C_before) div n + 1), so the assignment reduces over the
+    * score DOMAIN (small integers), never per-user rank. The curve is
+    * a 10-row cumulative window.
+    */
+  def qiniDeciles(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val e = EventTime.toNanos(events0)
+    val mid = e.agg(expr("(min(ts) + max(ts)) div 2").as("mid_ns"))
+    val units = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < col("mid_ns"), 1L).otherwise(0L))
+        .as("score"),
+        max(when(col("event_type") === "purchase" &&
+          col("ts") >= col("mid_ns"), 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) % 2"))
+    // byScore is consumed twice (global total + the decile walk) but
+    // stays LAZY: a localCheckpoint cut measured neutral at sf1
+    // (1.63 vs 1.59 s warm) — AQE reuses the user-aggregate exchange
+    val byScore = units.groupBy(col("score"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("ct"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("cc"))
+    val glob = byScore.agg(sum(col("t")).as("n"))
+    val wD = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum_before", sum(col("t")).over(wD) - col("t"))
+      .crossJoin(broadcast(glob))
+      .withColumn("bucket", expr("(10 * cum_before) div n + 1"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("nt")).as("bnt"), sum(col("ct")).as("bct"),
+        sum(col("nc")).as("bnc"), sum(col("cc")).as("bcc"))
+      .withColumn("cum_n_treat", sum(col("bnt")).over(wB))
+      .withColumn("cum_conv_treat", sum(col("bct")).over(wB))
+      .withColumn("cum_n_ctrl", sum(col("bnc")).over(wB))
+      .withColumn("cum_conv_ctrl", sum(col("bcc")).over(wB))
+      .select(col("bucket"), col("cum_n_treat"), col("cum_n_ctrl"),
+        col("cum_conv_treat"), col("cum_conv_ctrl"),
+        expr(s"CAST(1000 * cum_conv_treat - (1000 * CAST(cum_conv_ctrl " +
+          s"AS $d) * cum_n_treat) div (CASE WHEN cum_n_ctrl = 0 THEN 1 " +
+          "ELSE cum_n_ctrl END) AS BIGINT)").as("qini_milli"))
+  }
+
   /** Next-event diversity per antecedent type — how PREDICTABLE is what
     * follows each event type? The log-free cousin of transition entropy:
     * over the same (prev, next) bigram relation [[markovNextEval]] fits

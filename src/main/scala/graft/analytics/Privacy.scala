@@ -175,4 +175,38 @@ object Privacy {
           .as("emd_bp"))
       .withColumn("t_violation", (col("emd_bp") > tBp).cast("int"))
   }
+
+  /** Differentially-private count release via the GEOMETRIC mechanism —
+    * the discrete Laplace (Ghosh, Roughgarden & Sundararajan 2009) at
+    * ε = ln 2 (α = 1/2, so P(0) = 1/3 and each further step halves),
+    * which keeps the whole inverse CDF inside FROZEN integer literals:
+    * the draw u = first 6 md5 hex digits of "dp-<pepper>:<key>" in
+    * [0, 16⁶) ladders through the cumulative thresholds for outcomes
+    * 0, +1, −1, …, ±4 in 16⁶ths (the Poisson-bootstrap discipline —
+    * the one transcendental, ln 2, never appears at runtime), a draw
+    * past the last threshold clamps to +5 (tail mass 1/24, stated).
+    * Deterministic noise is exactly what a DP pipeline's commissioning
+    * harness wants: the release replays bit-for-bit in any engine, and
+    * the true count ships NEXT TO the noisy one because this is the
+    * calibration view, not the public release. Released counts floor
+    * at 0 (post-processing preserves DP). One group-keyed aggregate;
+    * noise is a map-side expression.
+    */
+  def dpGeometricCounts(df: DataFrame, keyCol: String,
+      pepper: String = "r16"): DataFrame = {
+    val thresholds = Seq(5592405L -> 0L, 8388608L -> 1L, 11184810L -> -1L,
+      12582912L -> 2L, 13981013L -> -2L, 14680064L -> 3L,
+      15379114L -> -3L, 15728640L -> 4L, 16078165L -> -4L)
+    val ladder = thresholds.foldRight(lit(5L): Column) { case ((t, k), rest) =>
+      when(col("u") < t, k).otherwise(rest)
+    }
+    df.groupBy(col(keyCol).as("group_key"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u", expr(
+        s"CAST(conv(substring(md5(concat('dp-$pepper:', " +
+          "CAST(group_key AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .withColumn("k_noise", ladder)
+      .select(col("group_key"), col("n_true"), col("u"), col("k_noise"),
+        greatest(lit(0L), col("n_true") + col("k_noise")).as("n_released"))
+  }
 }

@@ -2091,6 +2091,18 @@ object ExtensionQueries {
     // naive-1 persistence, exact milli cross-ratios
     "events_forecast_theil_u" -> ((s, dir) =>
       EventsAnalytics.forecastTheilU(t(s, dir, "events"))),
+    // Qini uplift curve at activity-score deciles: value-grouped decile
+    // assignment over the score domain, 10-row cumulative window
+    "events_qini_deciles" -> ((s, dir) =>
+      EventsAnalytics.qiniDeciles(t(s, dir, "events"))),
+    // DP geometric-mechanism count release per nation: frozen discrete-
+    // Laplace CDF ladder at eps=ln2, md5 draws the oracle replays
+    "privacy_dp_geometric_counts" -> ((s, dir) =>
+      Privacy.dpGeometricCounts(t(s, dir, "customer"), "c_nationkey")),
+    // stratified k-fold audit: md5 fold buckets per doc, per-cell
+    // deviation from uniform in exact bp
+    "corpus_kfold_assignment" -> ((s, dir) =>
+      Curation.kfoldAssignment(t(s, dir, "documents"))),
     // Heaps vocabulary growth: cumulative vocab at power-of-two doc
     // prefixes from first-occurrence log2 buckets
     "vocab_heaps_curve" -> ((s, dir) =>
@@ -4192,6 +4204,70 @@ object ExtensionQueries {
         "AS BIGINT) AS rel_mae_milli, " +
         "CAST((1000 * sq_f) // (CASE WHEN sq_1 = 0 THEN 1 ELSE sq_1 END) " +
         "AS BIGINT) AS u2_milli FROM m"),
+    "events_qini_deciles" ->
+      ("WITH m AS (SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 " +
+        "AS mid FROM events), " +
+        "u AS (SELECT user_id, " +
+        "sum(CASE WHEN epoch_ns(ts) < mid THEN 1 ELSE 0 END) AS score, " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_ns(ts) >= mid " +
+        "THEN 1 ELSE 0 END) AS conv, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 " +
+        "AS arm FROM events, m GROUP BY user_id), " +
+        "bs AS (SELECT score, count(*) AS t, " +
+        "sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt, " +
+        "sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS ct, " +
+        "sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nc, " +
+        "sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS cc " +
+        "FROM u GROUP BY 1), " +
+        "g AS (SELECT sum(t) AS n FROM bs), " +
+        "cb AS (SELECT score, nt, ct, nc, cc, sum(t) OVER (ORDER BY score " +
+        "DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t " +
+        "AS cum_before FROM bs), " +
+        "bk AS (SELECT (10 * cum_before) // n + 1 AS bucket, " +
+        "sum(nt) AS bnt, sum(ct) AS bct, sum(nc) AS bnc, sum(cc) AS bcc " +
+        "FROM cb, g GROUP BY 1), " +
+        "cw AS (SELECT bucket, " +
+        "sum(bnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum_n_treat, " +
+        "sum(bnc) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum_n_ctrl, " +
+        "sum(bct) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum_conv_treat, " +
+        "sum(bcc) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum_conv_ctrl FROM bk) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(cum_n_treat AS BIGINT) AS cum_n_treat, " +
+        "CAST(cum_n_ctrl AS BIGINT) AS cum_n_ctrl, " +
+        "CAST(cum_conv_treat AS BIGINT) AS cum_conv_treat, " +
+        "CAST(cum_conv_ctrl AS BIGINT) AS cum_conv_ctrl, " +
+        "CAST(1000 * cum_conv_treat - (1000 * CAST(cum_conv_ctrl " +
+        "AS HUGEINT) * cum_n_treat) // (CASE WHEN cum_n_ctrl = 0 THEN 1 " +
+        "ELSE cum_n_ctrl END) AS BIGINT) AS qini_milli FROM cw"),
+    "privacy_dp_geometric_counts" ->
+      ("WITH c AS (SELECT c_nationkey AS group_key, count(*) AS n_true " +
+        "FROM customer GROUP BY 1), " +
+        "d AS (SELECT group_key, n_true, ('0x' || substr(md5('dp-r16:' || " +
+        "CAST(group_key AS VARCHAR)), 1, 6))::BIGINT AS u FROM c), " +
+        "k AS (SELECT group_key, n_true, u, " +
+        "CASE WHEN u < 5592405 THEN 0 WHEN u < 8388608 THEN 1 " +
+        "WHEN u < 11184810 THEN -1 WHEN u < 12582912 THEN 2 " +
+        "WHEN u < 13981013 THEN -2 WHEN u < 14680064 THEN 3 " +
+        "WHEN u < 15379114 THEN -3 WHEN u < 15728640 THEN 4 " +
+        "WHEN u < 16078165 THEN -4 ELSE 5 END AS k_noise FROM d) " +
+        "SELECT group_key, CAST(n_true AS BIGINT) AS n_true, " +
+        "CAST(u AS BIGINT) AS u, CAST(k_noise AS BIGINT) AS k_noise, " +
+        "CAST(greatest(0, n_true + k_noise) AS BIGINT) AS n_released " +
+        "FROM k"),
+    "corpus_kfold_assignment" ->
+      ("WITH f AS (SELECT source, ('0x' || substr(md5('fold:' || " +
+        "CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 5 AS fold " +
+        "FROM documents), " +
+        "c AS (SELECT source, fold, count(*) AS n_docs FROM f GROUP BY 1, 2), " +
+        "t AS (SELECT source, sum(n_docs) AS ns FROM c GROUP BY 1) " +
+        "SELECT c.source, CAST(fold AS BIGINT) AS fold, " +
+        "CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST((10000 * (5 * n_docs - ns)) // ns AS BIGINT) AS dev_bp " +
+        "FROM c JOIN t ON c.source = t.source"),
     "vocab_heaps_curve" ->
       ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
         "count(*) AS nd FROM documents GROUP BY 1), " +

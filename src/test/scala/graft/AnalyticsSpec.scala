@@ -1749,6 +1749,49 @@ class AnalyticsSpec extends SparkSpecBase {
       got.getLong(4), got.getLong(5)) == ((2L, 1L, 1L, 2L, 2000L, 0L)))
   }
 
+  test("Qini deciles: curve replays the md5 arms and value-grouped buckets") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val convSet = Set(2L, 5L, 7L)
+    // user u: u pre-mid views (score u), one view at 100 pinning the
+    // range, converters purchase at 90
+    val rows = (1L to 8L).flatMap { u =>
+      (0 until u.toInt).map(i => Row(i.toLong, u, "view", 0.0)) ++
+        Seq(Row(100L, u, "view", 0.0)) ++
+        (if (convSet(u)) Seq(Row(90L, u, "purchase", 1.0)) else Nil)
+    }
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    // driver-side replay: scores are distinct 1..8, walk descending
+    val users = (1L to 8L).map(u => (u, u, if (convSet(u)) 1L else 0L, arm(u)))
+    val desc = users.sortBy(-_._2)
+    val buckets = desc.zipWithIndex.map { case ((u, _, cv, a), i) =>
+      (10L * i / 8L + 1L, cv, a)
+    }
+    val byBucket = buckets.groupBy(_._1).toSeq.sortBy(_._1)
+    var (cnt1, cnt0, cv1, cv0) = (0L, 0L, 0L, 0L)
+    val expect = byBucket.map { case (b, rs) =>
+      cnt1 += rs.count(_._3 == 1L); cnt0 += rs.count(_._3 == 0L)
+      cv1 += rs.filter(_._3 == 1L).map(_._2).sum
+      cv0 += rs.filter(_._3 == 0L).map(_._2).sum
+      (b, cnt1, cnt0, cv1, cv0,
+        1000L * cv1 - 1000L * cv0 * cnt1 / math.max(1L, cnt0))
+    }
+    val got = EventsAnalytics.qiniDeciles(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    assert(got == expect)
+  }
+
   test("Cochran Q: hand marginals; all-constant blocks zero the statistic") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -1158,6 +1158,26 @@ class CurationSpec extends SparkSpecBase {
       "s2" -> ((1L, 4L, 1L, 0L, 250000L, 0L))))
   }
 
+  test("k-fold audit: folds replay md5, dev_bp sums near zero per source") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, "t", "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    def fold(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"fold:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 5
+    }
+    val expCounts = (1L to 20L).groupBy(fold).map { case (f, xs) =>
+      f -> xs.size.toLong }
+    val got = Curation.kfoldAssignment(docs).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    expCounts.foreach { case (f, n) =>
+      assert(got(f) == ((n, 10000L * (5 * n - 20) / 20)), s"fold $f")
+    }
+    assert(got.keySet == expCounts.keySet)
+  }
+
   test("Heaps curve: first-occurrence buckets accumulate docs and vocab") {
     import spark.implicits._
     // firsts: a,b -> doc1 (bucket 0), c -> doc2 (bucket 1), d -> doc4

@@ -80,4 +80,29 @@ class PrivacySpec extends SparkSpecBase {
         ((r.getLong(3), r.getInt(7)))).toMap
     assert(got2 == Map((0, 0, 0) -> ((2L, 1)), (0, 1, 0) -> ((2L, 1))))
   }
+
+  test("DP geometric counts: noise replays the frozen CDF ladder") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(0) ++ Seq.fill(7)(1) ++ Seq.fill(1)(2))
+      .map(k => (k, "x")).toDF("grp", "pad")
+    val thresholds = Seq(5592405L -> 0L, 8388608L -> 1L, 11184810L -> -1L,
+      12582912L -> 2L, 13981013L -> -2L, 14680064L -> 3L,
+      15379114L -> -3L, 15728640L -> 4L, 16078165L -> -4L)
+    def noise(key: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp-r16:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      val u = java.lang.Long.parseLong(hex, 16)
+      thresholds.find(u < _._1).map(_._2).getOrElse(5L)
+    }
+    val trueN = Map(0 -> 3L, 1 -> 7L, 2 -> 1L)
+    val got = Privacy.dpGeometricCounts(df, "grp").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    trueN.foreach { case (k, n) =>
+      val kn = noise(k)
+      assert(got(k) == ((n, kn, math.max(0L, n + kn))),
+        s"key $k: got ${got(k)}, noise $kn")
+    }
+  }
 }
