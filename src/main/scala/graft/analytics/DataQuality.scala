@@ -588,6 +588,86 @@ object DataQuality {
         expr("CAST(h_milli >= crit_milli AS INT)").as("reject_95"))
   }
 
+  /** Split-conformal prediction interval per cohort — distribution-free
+    * uncertainty for a point predictor (Vovk et al.; Lei et al. 2018):
+    * train rows (odd ids, deterministic split) fit the cohort-mean
+    * predictor in exact cents; calibration rows (even ids) score
+    * absolute residuals; and the 90% conformal radius is the
+    * ⌈0.9·(n_cal+1)⌉-th smallest calibration residual — an order
+    * statistic read from one cumulative window over the per-cohort
+    * RESIDUAL VALUE DOMAIN (never a per-row rank). Coverage ≥ 90% on
+    * exchangeable data holds by construction. A cohort whose
+    * calibration set is too small for the rank (p > n_cal) ships a
+    * NULL radius — the honest "cannot certify" answer.
+    */
+  def conformalInterval(df: DataFrame, cohortCol: String, idCol: String,
+      valueCents: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(cohortCol).as("cohort"), col(idCol).as("id"),
+      valueCents.as("v"))
+    val pred = rows.filter(expr("id % 2 = 1"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_train"),
+        expr("sum(v) div count(1)").as("pred_cents"))
+    val cal = rows.filter(expr("id % 2 = 0"))
+      .join(broadcast(pred), Seq("cohort"))
+      .withColumn("r", expr("abs(v - pred_cents)"))
+      .groupBy(col("cohort"), col("n_train"), col("pred_cents"), col("r"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("n_cal", sum(col("t")).over(
+        Window.partitionBy(col("cohort"))))
+      .groupBy(col("cohort"), col("n_train"), col("pred_cents"),
+        col("n_cal"))
+      .agg(min(when(expr("cum >= (9 * (n_cal + 1) + 9) div 10"), col("r")))
+        .as("q90_radius_cents"))
+      .select(col("cohort"), col("n_train"), col("n_cal"),
+        col("pred_cents"), col("q90_radius_cents"))
+  }
+
+  /** Per-part inventory policy — the two OR classics every demand
+    * planner runs, both exact: the economic order quantity
+    * EOQ = √(2·D·S/H) (Harris 1913) via DECIMAL square + float-sqrt
+    * with the integer ±1 repair (the [[Curation]] isqrt discipline,
+    * S and H frozen cost literals), and the newsvendor stocking level
+    * at the critical fractile Cu/(Cu+Co) = 3/4 — the ⌈0.75·n⌉-th order
+    * statistic of the part's per-line demand, read from one cumulative
+    * window over the (part, quantity) VALUE DOMAIN (quantities are
+    * small integers, so the window relation is parts × ~50). One
+    * lineitem scan, part-keyed shuffles only.
+    */
+  def inventoryPolicy(lineitem: DataFrame, setupCents: Long = 2500L,
+      holdCents: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = lineitem.select(col("l_partkey").as("partkey"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .groupBy(col("partkey"), col("qty")).agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("partkey")).orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("n", sum(col("t")).over(
+        Window.partitionBy(col("partkey"))))
+      .withColumn("dsum", sum(col("qty") * col("t")).over(
+        Window.partitionBy(col("partkey"))))
+      .groupBy(col("partkey"), col("n"), col("dsum"))
+      .agg(min(when(expr("cum >= (3 * n + 3) div 4"), col("qty")))
+        .as("q75_qty"))
+      .withColumn("x", expr(
+        s"CAST(2 AS DECIMAL(38,0)) * dsum * $setupCents div $holdCents"))
+      .withColumn("s0", expr(
+        "CAST(floor(sqrt(CAST(x AS DOUBLE))) AS DECIMAL(38,0))"))
+      .select(col("partkey"), col("n").as("n_lines"),
+        col("dsum").as("demand_units"),
+        expr("CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 " +
+          "WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS BIGINT)")
+          .as("eoq_units"),
+        col("q75_qty"))
+  }
+
   /** Lorenz concentration curve + exact Gini of a per-key value
     * distribution — "what share of total revenue do the bottom d/10 of
     * customers hold?" plus the single-number Gini summary. All exact on

@@ -1733,6 +1733,46 @@ object EventsAnalytics {
           "ELSE sq_1 END) AS BIGINT)").as("u2_milli"))
   }
 
+  /** Forecast tracking signal per event type — the classic bias monitor
+    * (Trigg 1964 flavour, cumulative form): TS = Σe / MAD where
+    * e = actual − lag-7 seasonal-naive forecast over the dense daily
+    * grid; |TS| ≥ 4 is the textbook "forecast is biased, re-fit" alarm.
+    * With MAD = Σ|e|/n the ratio collapses to the exact cross form
+    * ts_milli = (1000·n·Σe) div Σ|e| (sign preserved, divisor guarded),
+    * and the alarm is the frozen 4000-milli threshold on |ts|.
+    * CALENDAR-bounded lag window per type.
+    */
+  def trackingSignal(events0: DataFrame, season: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT)").as("c"))
+    val rng = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx")))
+        .as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("f", lag(col("c"), season).over(w))
+      .filter(col("f").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(expr("c - f")).cast(d).as("se"),
+        sum(expr("abs(c - f)")).cast(d).as("sae"))
+      .select(col("event_type"), col("n_eval"),
+        col("se").cast("long").as("sum_err_cents"),
+        col("sae").cast("long").as("sum_abs_err_cents"),
+        expr("CAST((1000 * CAST(n_eval AS DECIMAL(38,0)) * se) div " +
+          "(CASE WHEN sae = 0 THEN 1 ELSE sae END) AS BIGINT)")
+          .as("ts_milli"))
+      .withColumn("bias_alarm", expr("CAST(abs(ts_milli) >= 4000 AS INT)"))
+  }
+
   /** Qini curve at score deciles — the standard uplift-model EVAL
     * (Radcliffe 2007): rank users by a targeting score (here pre-period
     * activity), walk down from the most-targeted, and at each decile

@@ -2103,6 +2103,23 @@ object ExtensionQueries {
     // deviation from uniform in exact bp
     "corpus_kfold_assignment" -> ((s, dir) =>
       Curation.kfoldAssignment(t(s, dir, "documents"))),
+    // split-conformal 90% interval per market segment: odd-key train
+    // mean, even-key calibration residual order statistic
+    "orders_conformal_interval" -> ((s, dir) =>
+      DataQuality.conformalInterval(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_orderkey",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+    // per-part EOQ (exact isqrt) + newsvendor 3/4-fractile stocking
+    // level from the (part, qty) value domain
+    "part_inventory_policy" -> ((s, dir) =>
+      DataQuality.inventoryPolicy(t(s, dir, "lineitem"))),
+    // cumulative tracking signal of the lag-7 forecast: exact
+    // n*sum(e)/sum|e| milli with the frozen +-4 alarm
+    "events_tracking_signal" -> ((s, dir) =>
+      EventsAnalytics.trackingSignal(t(s, dir, "events"))),
     // Heaps vocabulary growth: cumulative vocab at power-of-two doc
     // prefixes from first-occurrence log2 buckets
     "vocab_heaps_curve" -> ((s, dir) =>
@@ -4268,6 +4285,70 @@ object ExtensionQueries {
         "CAST(n_docs AS BIGINT) AS n_docs, " +
         "CAST((10000 * (5 * n_docs - ns)) // ns AS BIGINT) AS dev_bp " +
         "FROM c JOIN t ON c.source = t.source"),
+    "orders_conformal_interval" ->
+      ("WITH j AS (SELECT c_mktsegment AS cohort, o_orderkey AS id, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "pr AS (SELECT cohort, count(*) AS n_train, sum(v) // count(*) " +
+        "AS pred_cents FROM j WHERE id % 2 = 1 GROUP BY 1), " +
+        "cal AS (SELECT j.cohort, n_train, pred_cents, " +
+        "abs(v - pred_cents) AS r, count(*) AS t FROM j JOIN pr " +
+        "ON j.cohort = pr.cohort WHERE id % 2 = 0 GROUP BY 1, 2, 3, 4), " +
+        "cw AS (SELECT cohort, n_train, pred_cents, r, " +
+        "sum(t) OVER (PARTITION BY cohort ORDER BY r ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(t) OVER (PARTITION BY cohort) AS n_cal FROM cal) " +
+        "SELECT cohort, CAST(n_train AS BIGINT) AS n_train, " +
+        "CAST(n_cal AS BIGINT) AS n_cal, " +
+        "CAST(pred_cents AS BIGINT) AS pred_cents, " +
+        "CAST(min(CASE WHEN cum >= (9 * (n_cal + 1) + 9) // 10 THEN r " +
+        "END) AS BIGINT) AS q90_radius_cents " +
+        "FROM cw GROUP BY 1, 2, 3, 4"),
+    "part_inventory_policy" ->
+      ("WITH q AS (SELECT l_partkey AS partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty, count(*) AS t FROM lineitem " +
+        "GROUP BY 1, 2), " +
+        "cw AS (SELECT partkey, qty, t, sum(t) OVER (PARTITION BY partkey " +
+        "ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cum, sum(t) OVER (PARTITION BY partkey) AS n, " +
+        "sum(qty * t) OVER (PARTITION BY partkey) AS dsum FROM q), " +
+        "g AS (SELECT partkey, n, dsum, min(CASE WHEN cum >= " +
+        "(3 * n + 3) // 4 THEN qty END) AS q75_qty FROM cw " +
+        "GROUP BY 1, 2, 3), " +
+        "e AS (SELECT partkey, n, dsum, q75_qty, " +
+        "CAST(2 AS HUGEINT) * dsum * 2500 // 100 AS x FROM g), " +
+        "s AS (SELECT partkey, n, dsum, q75_qty, x, " +
+        "CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS s0 FROM e) " +
+        "SELECT partkey, CAST(n AS BIGINT) AS n_lines, " +
+        "CAST(dsum AS BIGINT) AS demand_units, " +
+        "CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 " +
+        "WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS BIGINT) " +
+        "AS eoq_units, CAST(q75_qty AS BIGINT) AS q75_qty FROM s"),
+    "events_tracking_signal" ->
+      ("WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 " +
+        "AS day, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM daily GROUP BY 1), " +
+        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.day, coalesce(dl.c, 0) AS c " +
+        "FROM ds d LEFT JOIN daily dl ON dl.event_type = d.event_type " +
+        "AND dl.day = d.day), " +
+        "lg AS (SELECT event_type, c, lag(c, 7) OVER (PARTITION BY " +
+        "event_type ORDER BY day) AS f FROM dense), " +
+        "m AS (SELECT event_type, count(*) AS n_eval, " +
+        "CAST(sum(c - f) AS HUGEINT) AS se, " +
+        "CAST(sum(abs(c - f)) AS HUGEINT) AS sae FROM lg " +
+        "WHERE f IS NOT NULL GROUP BY 1), " +
+        "z AS (SELECT event_type, n_eval, se, sae, " +
+        "(1000 * CAST(n_eval AS HUGEINT) * se) // " +
+        "(CASE WHEN sae = 0 THEN 1 ELSE sae END) AS ts_milli FROM m) " +
+        "SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval, " +
+        "CAST(se AS BIGINT) AS sum_err_cents, " +
+        "CAST(sae AS BIGINT) AS sum_abs_err_cents, " +
+        "CAST(ts_milli AS BIGINT) AS ts_milli, " +
+        "CAST(abs(ts_milli) >= 4000 AS INT) AS bias_alarm FROM z"),
     "vocab_heaps_curve" ->
       ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
         "count(*) AS nd FROM documents GROUP BY 1), " +

@@ -1749,6 +1749,29 @@ class AnalyticsSpec extends SparkSpecBase {
       got.getLong(4), got.getLong(5)) == ((2L, 1L, 1L, 2L, 2000L, 0L)))
   }
 
+  test("tracking signal: steady over-forecast trips the +-4 alarm at n=4") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // a: cents 100..600, lag-2 errors all +200: TS = 4*800/800*1000
+    // = 4000 -> alarm. b: period-2 series, zero errors -> guarded 0.
+    val rows =
+      (1 to 6).map(v => Row((v - 1).toLong * dayNs, "a", v.toDouble)) ++
+      Seq(1, 2, 1, 2).zipWithIndex.map { case (v, d) =>
+        Row(d.toLong * dayNs, "b", v.toDouble) }
+    val got = EventsAnalytics.trackingSignal(
+      spark.createDataFrame(rows.asJava, schema), season = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(got == Map(
+      "a" -> ((4L, 800L, 800L, 4000L, 1)),
+      "b" -> ((2L, 0L, 0L, 0L, 0))))
+  }
+
   test("Qini deciles: curve replays the md5 arms and value-grouped buckets") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -398,6 +398,40 @@ class DataQualitySpec extends SparkSpecBase {
     assert(g2(10) == ((4L, 10L, 1000000L, 150000L)))
   }
 
+  test("conformal interval: order-statistic radius; small cohort ships NULL") {
+    import spark.implicits._
+    // A: train (odd ids) 100,300 -> pred 200; cal residuals 10..100 ->
+    // p = ceil(0.9*11) = 10 -> radius 100
+    val a = Seq((1L, 100L), (3L, 300L)) ++
+      (1 to 10).map(i => (2L * i, 200L + 10L * i))
+    // B: one train row, two cal rows -> p = 3 > n_cal = 2 -> NULL
+    val b = Seq((21L, 500L), (22L, 480L), (24L, 530L))
+    val df = (a.map { case (id, v) => ("A", id, v) } ++
+      b.map { case (id, v) => ("B", id, v) })
+      .toDF("cohort0", "id0", "v")
+    val got = DataQuality.conformalInterval(df, "cohort0", "id0", col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got == Map(
+      "A" -> ((2L, 10L, 200L, 100L)),
+      "B" -> ((1L, 2L, 500L, -1L))))
+  }
+
+  test("inventory policy: EOQ isqrt repair and 3/4-fractile by hand") {
+    import spark.implicits._
+    // part 1: qty 1..4 -> demand 10, x = 500, EOQ = 22, q75 = 3
+    // part 2: one line of 7 -> x = 350, EOQ = 18, q75 = 7
+    val li = (Seq(1, 2, 3, 4).map(q => (1L, q.toDouble)) ++
+      Seq((2L, 7.0))).toDF("l_partkey", "l_quantity")
+    val got = DataQuality.inventoryPolicy(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 10L, 22L, 3L)),
+      2L -> ((1L, 7L, 18L, 7L))))
+  }
+
   test("order reconciliation: exact match bands -1; hand diff lands its bp band") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
