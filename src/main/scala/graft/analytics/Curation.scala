@@ -1960,6 +1960,41 @@ object Curation {
         expr("(cum_tokens * 10000L) div total").as("coverage_bp"))
   }
 
+  /** Token burstiness top-k — Church & Gale's observation that content
+    * words CLUMP (a doc mentioning a term mentions it again) while
+    * function words spread evenly: the variance-to-mean ratio of a
+    * token's per-doc count over ALL docs (zeros included, which is what
+    * makes the moment algebra exact without a dense matrix):
+    * VMR = s²/x̄ = (D·Q − S²) / ((D−1)·S) with S = Σc, Q = Σc² over the
+    * docs containing the token and D the corpus size — shipped in exact
+    * milli. VMR ≈ 1000 is Poisson (function word); ≫ 1000 is bursty
+    * (topical/boilerplate candidate). Support floor df ≥ `minDf`, rank
+    * cut via the bounded-heap grouped top-k (never a global sort).
+    */
+  def tokenBurstiness(docs: DataFrame, k: Int = 50,
+      minDf: Long = 5L): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    val perDoc = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val stats = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(expr(s"CAST(c AS $d) * c")).as("q"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("vmr_milli", expr(
+        s"CAST((1000 * (CAST(n_corpus AS $d) * q - CAST(tf AS $d) * tf)) " +
+          s"div ((n_corpus - 1) * CAST(tf AS $d)) AS BIGINT)"))
+    graft.plans.TopKPerKey.topKPerKey(
+      stats.select(lit(1).as("g"), col("token"), col("df"), col("tf"),
+        col("vmr_milli"), (-col("vmr_milli")).as("neg_v")),
+      Seq("g"), Seq("neg_v", "token"), k)
+      .select(col("token"), col("df"), col("tf"), col("vmr_milli"))
+  }
+
   /** Stratified k-fold assignment audit — the split every evaluation
     * pipeline needs before cross-validation: folds are the
     * deterministic md5 buckets of the doc id (reproducible in any

@@ -668,6 +668,37 @@ object DataQuality {
         col("q75_qty"))
   }
 
+  /** Bowley (quartile) skewness of the document-length distribution per
+    * source — the robust shape diagnostic that survives the outliers a
+    * crawl always carries: quartiles are type-1 order statistics
+    * (position ⌈p·n⌉) read from one cumulative window over the
+    * per-source LENGTH VALUE DOMAIN, and the coefficient ships exact as
+    * bowley_milli = 1000·(q3 + q1 − 2·q2) div (q3 − q1) (0 when the IQR
+    * collapses). Positive = right tail (a few huge docs), the usual
+    * crawl signature.
+    */
+  def lengthSkewness(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("n", sum(col("t")).over(
+        Window.partitionBy(col("source"))))
+      .groupBy(col("source"), col("n"))
+      .agg(
+        min(when(expr("cum >= (n + 3) div 4"), col("v"))).as("q1"),
+        min(when(expr("cum >= (n + 1) div 2"), col("v"))).as("q2"),
+        min(when(expr("cum >= (3 * n + 3) div 4"), col("v"))).as("q3"))
+      .select(col("source"), col("n").as("n_docs"),
+        col("q1"), col("q2"), col("q3"),
+        expr("CAST((1000 * (q3 + q1 - 2 * q2)) div " +
+          "(CASE WHEN q3 = q1 THEN 1 ELSE q3 - q1 END) AS BIGINT)")
+          .as("bowley_milli"))
+  }
+
   /** Lorenz concentration curve + exact Gini of a per-key value
     * distribution — "what share of total revenue do the bottom d/10 of
     * customers hold?" plus the single-number Gini summary. All exact on

@@ -2003,6 +2003,43 @@ object EventsAnalytics {
         "(1000 * (1 + n_ge)) div (b_reps + 1)"))
   }
 
+  /** Benjamini–Hochberg FDR control over the per-type Mann–Kendall
+    * trend tests — the multiple-testing gate a monitoring deployment
+    * needs once it runs one trend test PER SERIES: order the m tests by
+    * significance (z² descending = p ascending, ties broken by type
+    * name), reject ranks 1..i* where i* is the largest rank whose
+    * statistic clears the χ²₁(0.05·r/m) critical. Those criticals stay
+    * FROZEN because every fraction r/m for m ≤ 6 reduces to one of 12
+    * milli-ceiled literals keyed by (60·r) div m (exact since every
+    * m ≤ 6 divides 60); more than 6 series ships NULL criticals and
+    * rejects nothing — the honest out-of-table answer. The whole BH
+    * walk is a types-sized window over [[mannKendallDailyTrend]].
+    */
+  def mannKendallFdrBH(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mk = mannKendallDailyTrend(events0)
+      .select(col("event_type"), col("z2_milli"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = mk
+      .withColumn("p_rank", row_number().over(
+        Window.orderBy(col("z2_milli").desc, col("event_type"))).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("crit_milli", expr(
+        "CASE (60 * p_rank) div m_tests WHEN 10 THEN 6961 " +
+          "WHEN 12 THEN 6635 WHEN 15 THEN 6239 WHEN 20 THEN 5732 " +
+          "WHEN 24 THEN 5412 WHEN 30 THEN 5024 WHEN 36 THEN 4710 " +
+          "WHEN 40 THEN 4529 WHEN 45 THEN 4328 WHEN 48 THEN 4218 " +
+          "WHEN 50 THEN 4149 WHEN 60 THEN 3842 ELSE NULL END"))
+    ranked
+      .withColumn("istar", max(when(col("z2_milli") >= col("crit_milli"),
+        col("p_rank"))).over(wAll))
+      .select(col("event_type"), col("p_rank"), col("m_tests"),
+        col("z2_milli"), col("crit_milli").cast("long").as("crit_milli"),
+        expr("CAST(p_rank <= coalesce(istar, 0) AS INT)")
+          .as("reject_fdr_05"))
+  }
+
   /** Spearman rank correlation between two event types' daily volumes
     * (do clicks and purchases co-move day to day?) — computed as Pearson
     * over tie-averaged ranks, the form that stays valid under ties where

@@ -2120,6 +2120,18 @@ object ExtensionQueries {
     // n*sum(e)/sum|e| milli with the frozen +-4 alarm
     "events_tracking_signal" -> ((s, dir) =>
       EventsAnalytics.trackingSignal(t(s, dir, "events"))),
+    // Benjamini-Hochberg FDR over the per-type Mann-Kendall tests:
+    // frozen chi2 criticals keyed by (60r) div m, types-sized walk
+    "events_mk_fdr" -> ((s, dir) =>
+      EventsAnalytics.mannKendallFdrBH(t(s, dir, "events"))),
+    // Church-Gale burstiness: variance-to-mean of per-doc counts with
+    // zeros in the moment algebra, top-50 via bounded heap
+    "token_burstiness_topk" -> ((s, dir) =>
+      Curation.tokenBurstiness(t(s, dir, "documents"))),
+    // Bowley quartile skewness of doc length per source from the
+    // value-domain window, exact milli
+    "source_length_skewness" -> ((s, dir) =>
+      DataQuality.lengthSkewness(t(s, dir, "documents"))),
     // Heaps vocabulary growth: cumulative vocab at power-of-two doc
     // prefixes from first-occurrence log2 buckets
     "vocab_heaps_curve" -> ((s, dir) =>
@@ -3259,6 +3271,35 @@ object ExtensionQueries {
       "(SELECT src FROM comp WHERE component != src)"
   }
 
+  /** Shared CTE chain for the Mann-Kendall per-type trend statistics
+    * (mirrors [[EventsAnalytics.mannKendallDailyTrend]]): ends in
+    * `zz(event_type, n_days, s_stat, tie_term, var18, z2_milli)`.
+    */
+  private val mannKendallCtes: String =
+    "e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
+      "FROM events), " +
+      "cnt AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2), " +
+      "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+      "FROM cnt GROUP BY 1), " +
+      "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+      "FROM rng), " +
+      "dense AS (SELECT d.event_type, d.day, coalesce(c.c, 0) AS c " +
+      "FROM ds d LEFT JOIN cnt c ON c.event_type = d.event_type " +
+      "AND c.day = d.day), " +
+      "s AS (SELECT a.event_type, sum(CASE WHEN b.c > a.c THEN 1 " +
+      "WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat, " +
+      "max(b.day) - min(a.day) + 1 AS n_days FROM dense a JOIN dense b " +
+      "ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1), " +
+      "tg AS (SELECT event_type, c, count(*) AS t FROM dense GROUP BY 1, 2), " +
+      "ties AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) " +
+      "AS tie_term FROM tg GROUP BY 1), " +
+      "v AS (SELECT s.event_type, n_days, s_stat, tie_term, " +
+      "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18 " +
+      "FROM s JOIN ties USING (event_type)), " +
+      "zz AS (SELECT event_type, n_days, s_stat, tie_term, var18, " +
+      "CASE WHEN s_stat = 0 THEN 0 ELSE (18000 * (abs(s_stat) - 1) * " +
+      "(abs(s_stat) - 1)) // var18 END AS z2_milli FROM v)"
+
   /** Shared CTE chain for the MinHash LSH candidate pairs (mirrors
     * [[Dedup.lshCandidatePairs]]): ends in `pairs(id_a, id_b, band)`.
     */
@@ -3756,32 +3797,31 @@ object ExtensionQueries {
         "(CASE WHEN var12 = 0 THEN 1 ELSE var12 END) >= 3842 " +
         "AS INT) AS reject_95 FROM k"),
     "events_mann_kendall" ->
-      ("WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day " +
-        "FROM events), " +
-        "cnt AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2), " +
-        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
-        "FROM cnt GROUP BY 1), " +
-        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
-        "FROM rng), " +
-        "dense AS (SELECT d.event_type, d.day, coalesce(c.c, 0) AS c " +
-        "FROM ds d LEFT JOIN cnt c ON c.event_type = d.event_type " +
-        "AND c.day = d.day), " +
-        "s AS (SELECT a.event_type, sum(CASE WHEN b.c > a.c THEN 1 " +
-        "WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat, " +
-        "max(b.day) - min(a.day) + 1 AS n_days FROM dense a JOIN dense b " +
-        "ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1), " +
-        "tg AS (SELECT event_type, c, count(*) AS t FROM dense GROUP BY 1, 2), " +
-        "ties AS (SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) " +
-        "AS tie_term FROM tg GROUP BY 1), " +
-        "v AS (SELECT s.event_type, n_days, s_stat, tie_term, " +
-        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18 " +
-        "FROM s JOIN ties USING (event_type)) " +
-        "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, " +
+      ("WITH " + mannKendallCtes +
+        " SELECT event_type, CAST(n_days AS BIGINT) AS n_days, " +
         "CAST(s_stat AS BIGINT) AS s_stat, " +
         "CAST(tie_term AS BIGINT) AS tie_term, " +
         "CAST(var18 AS BIGINT) AS var18, " +
-        "CAST(CASE WHEN s_stat = 0 THEN 0 ELSE (18000 * (abs(s_stat) - 1) * " +
-        "(abs(s_stat) - 1)) // var18 END AS BIGINT) AS z2_milli FROM v"),
+        "CAST(z2_milli AS BIGINT) AS z2_milli FROM zz"),
+    "events_mk_fdr" ->
+      ("WITH " + mannKendallCtes + ", " +
+        "r AS (SELECT event_type, z2_milli, row_number() OVER " +
+        "(ORDER BY z2_milli DESC, event_type) AS r, " +
+        "count(*) OVER () AS m FROM zz), " +
+        "p AS (SELECT event_type, z2_milli, r, m, " +
+        "CASE (60 * r) // m WHEN 10 THEN 6961 WHEN 12 THEN 6635 " +
+        "WHEN 15 THEN 6239 WHEN 20 THEN 5732 WHEN 24 THEN 5412 " +
+        "WHEN 30 THEN 5024 WHEN 36 THEN 4710 WHEN 40 THEN 4529 " +
+        "WHEN 45 THEN 4328 WHEN 48 THEN 4218 WHEN 50 THEN 4149 " +
+        "WHEN 60 THEN 3842 ELSE NULL END AS crit FROM r), " +
+        "i AS (SELECT max(CASE WHEN z2_milli >= crit THEN r END) " +
+        "AS istar FROM p) " +
+        "SELECT event_type, CAST(r AS BIGINT) AS p_rank, " +
+        "CAST(m AS BIGINT) AS m_tests, " +
+        "CAST(z2_milli AS BIGINT) AS z2_milli, " +
+        "CAST(crit AS BIGINT) AS crit_milli, " +
+        "CAST(r <= coalesce(istar, 0) AS INT) AS reject_fdr_05 " +
+        "FROM p, i"),
     "orders_kruskal_wallis" ->
       ("WITH j AS (SELECT c_mktsegment AS cohort, " +
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x " +
@@ -4349,6 +4389,37 @@ object ExtensionQueries {
         "CAST(sae AS BIGINT) AS sum_abs_err_cents, " +
         "CAST(ts_milli AS BIGINT) AS ts_milli, " +
         "CAST(abs(ts_milli) >= 4000 AS INT) AS bias_alarm FROM z"),
+    "token_burstiness_topk" ->
+      ("WITH pd AS (SELECT doc_id, tk, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tk " +
+        "FROM documents) u WHERE tk != '' GROUP BY 1, 2), " +
+        "nd AS (SELECT count(*) AS n_corpus FROM documents), " +
+        "st AS (SELECT tk AS token, count(*) AS df, " +
+        "CAST(sum(c) AS HUGEINT) AS tf, " +
+        "sum(CAST(c AS HUGEINT) * c) AS q FROM pd GROUP BY 1), " +
+        "v AS (SELECT token, df, tf, " +
+        "(1000 * (CAST(n_corpus AS HUGEINT) * q - tf * tf)) // " +
+        "((n_corpus - 1) * tf) AS vmr_milli FROM st, nd WHERE df >= 5) " +
+        "SELECT token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf, " +
+        "CAST(vmr_milli AS BIGINT) AS vmr_milli FROM v " +
+        "ORDER BY vmr_milli DESC, token LIMIT 50"),
+    "source_length_skewness" ->
+      ("WITH bv AS (SELECT source, n_chars AS v, count(*) AS t " +
+        "FROM documents GROUP BY 1, 2), " +
+        "cw AS (SELECT source, v, t, sum(t) OVER (PARTITION BY source " +
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cum, sum(t) OVER (PARTITION BY source) AS n FROM bv), " +
+        "g AS (SELECT source, n, " +
+        "min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1, " +
+        "min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS q2, " +
+        "min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3 " +
+        "FROM cw GROUP BY 1, 2) " +
+        "SELECT source, CAST(n AS BIGINT) AS n_docs, " +
+        "CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2, " +
+        "CAST(q3 AS BIGINT) AS q3, " +
+        "CAST((1000 * (q3 + q1 - 2 * q2)) // " +
+        "(CASE WHEN q3 = q1 THEN 1 ELSE q3 - q1 END) AS BIGINT) " +
+        "AS bowley_milli FROM g"),
     "vocab_heaps_curve" ->
       ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
         "count(*) AS nd FROM documents GROUP BY 1), " +

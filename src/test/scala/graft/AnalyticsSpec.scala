@@ -1749,6 +1749,30 @@ class AnalyticsSpec extends SparkSpecBase {
       got.getLong(4), got.getLong(5)) == ((2L, 1L, 1L, 2L, 2000L, 0L)))
   }
 
+  test("MK FDR: BH walk rejects only the strong trend at m=3") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    // a: counts 1..10 -> z2 = 18000*44^2/2250 = 15488 (clears 5732)
+    // c: 1,2,1,2 -> S=2, var18=120 -> z2 = 150; b: flat -> 0
+    val rows =
+      (0 to 9).flatMap(d => Seq.fill(d + 1)(Row(d * dayNs, "a"))) ++
+      Seq(1, 2, 1, 2).zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(Row(d * dayNs, "c")) } ++
+      (0 to 1).flatMap(d => Seq.fill(2)(Row(d * dayNs, "b")))
+    val got = EventsAnalytics.mannKendallFdrBH(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(got == Map(
+      "a" -> ((1L, 3L, 15488L, 5732L, 1)),
+      "c" -> ((2L, 3L, 150L, 4529L, 0)),
+      "b" -> ((3L, 3L, 0L, 3842L, 0))))
+  }
+
   test("tracking signal: steady over-forecast trips the +-4 alarm at n=4") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -1158,6 +1158,21 @@ class CurationSpec extends SparkSpecBase {
       "s2" -> ((1L, 4L, 1L, 0L, 250000L, 0L))))
   }
 
+  test("burstiness: clumped token outranks the evenly spread one") {
+    import spark.implicits._
+    // 'the' once in each of 6 docs: VMR 0; 'burst' 5+1+1+1+1 over 5
+    // docs: VMR = (6*29 - 81)/(5*9) = 93/45 -> 2066 milli
+    val docs = (Seq((1L, "the burst burst burst burst burst")) ++
+      (2L to 5L).map(i => (i, "the burst")) ++ Seq((6L, "the")))
+      .map { case (i, t) => (i, t, "s", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+    val got = Curation.tokenBurstiness(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (-x._4, x._1)) // top-k output is a set; rank locally
+    assert(got.toSeq == Seq(
+      ("burst", 5L, 9L, 2066L), ("the", 6L, 6L, 0L)))
+  }
+
   test("k-fold audit: folds replay md5, dev_bp sums near zero per source") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, "t", "s1", "en"))

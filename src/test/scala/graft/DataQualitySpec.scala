@@ -432,6 +432,22 @@ class DataQualitySpec extends SparkSpecBase {
       2L -> ((1L, 7L, 18L, 7L))))
   }
 
+  test("length skewness: quartile positions and the collapsed-IQR guard") {
+    import spark.implicits._
+    // s1 lengths 1,1,2,10: q1=1, q2=1, q3=2 -> bowley = 1000
+    // s2 constant: IQR 0 -> guarded 0
+    val docs = (Seq(1L, 1L, 2L, 10L).zipWithIndex.map { case (n, i) =>
+      (i.toLong, "t", "s1", "en", n) } ++
+      Seq((10L, "t", "s2", "en", 5L), (11L, "t", "s2", "en", 5L)))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val got = DataQuality.lengthSkewness(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "s1" -> ((4L, 1L, 1L, 2L, 1000L)),
+      "s2" -> ((2L, 5L, 5L, 5L, 0L))))
+  }
+
   test("order reconciliation: exact match bands -1; hand diff lands its bp band") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
