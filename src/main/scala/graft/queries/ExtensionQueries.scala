@@ -198,7 +198,7 @@ object ExtensionQueries {
       "neardup_components_incremental", "neardup_components_star",
       "neardup_triangles", "neardup_labelprop", "neardup_component_sizes",
       "rouge_overlap_pairs", "neardup_source_modularity",
-      "corpus_dedup_savings"),
+      "corpus_dedup_savings", "dedup_capture_recapture"),
     "entityMatches" -> Set("entity_match_customers",
       // the entityClusters pin is BUILT from the entityMatches pin
       "entity_match_clusters", "entity_golden_record"),
