@@ -668,6 +668,45 @@ object DataQuality {
         col("q75_qty"))
   }
 
+  /** Q–Q shift profile between two cohorts — WHERE do the distributions
+    * differ, not just whether ([[ksTwoSample]] answers that): at each
+    * decile d = 1..9, both cohorts' type-1 quantiles (position ⌈d·n/10⌉
+    * from the per-cohort VALUE-DOMAIN cumulative window) side by side,
+    * with the absolute shift and its relative size in basis points.
+    * The decile probe is a 9-row broadcast against the value-domain
+    * relation (the lorenzGini pattern); nothing is ranked per row.
+    */
+  def qqShiftProfile(df: DataFrame, cohortCol: String, a: String, b: String,
+      valueDollars: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = df.filter(col(cohortCol).isin(a, b))
+      .select(col(cohortCol).as("cohort"), valueDollars.as("v"))
+      .groupBy(col("cohort"), col("v")).agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("n", sum(col("t")).over(
+        Window.partitionBy(col("cohort"))))
+    val dec = cum.select(col("cohort"), col("n")).distinct()
+      .select(col("cohort"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("decile"))
+      .withColumn("pos", expr("(decile * n + 9) div 10"))
+    val qs = cum.join(broadcast(dec.select(col("cohort"), col("decile"),
+      col("pos"))), Seq("cohort"))
+      .filter(col("cum") - col("t") < col("pos") &&
+        col("pos") <= col("cum"))
+      .select(col("cohort"), col("decile"), col("v"))
+    qs.filter(col("cohort") === a)
+      .select(col("decile"), col("v").as("q_a"))
+      .join(qs.filter(col("cohort") === b)
+        .select(col("decile"), col("v").as("q_b")), Seq("decile"))
+      .select(col("decile"), col("q_a"), col("q_b"),
+        (col("q_b") - col("q_a")).as("shift"),
+        expr("(10000 * (q_b - q_a)) div " +
+          "(CASE WHEN q_a = 0 THEN 1 ELSE q_a END)").as("shift_bp"))
+  }
+
   /** Bowley (quartile) skewness of the document-length distribution per
     * source — the robust shape diagnostic that survives the outliers a
     * crawl always carries: quartiles are type-1 order statistics

@@ -1580,6 +1580,110 @@ object EventsAnalytics {
       .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
   }
 
+  /** Watermark-lateness audit — for candidate watermark delays, how many
+    * events would a streaming deployment DROP because they arrive after
+    * the watermark already passed their event time? Arrival order is the
+    * event_id (the fixture's ingestion proxy, stated); an event is late
+    * for delay W when max(ts of strictly earlier arrivals) − ts > W.
+    * The running maximum is computed SCALE-SAFE as a three-level
+    * distributed prefix scan — within 4096-id buckets (partitioned
+    * windows), bucket carries within 4096-bucket superbuckets, and a
+    * top grid of n/2²⁴ rows (≈ 60 k at 10¹² events) — never a
+    * data-sized unpartitioned window; the DuckDB oracle states the SAME
+    * quantity as one global window, which is exactly the single-node
+    * shortcut the distributed form replaces. One row out with per-delay
+    * late counts and shares.
+    */
+  def watermarkLateness(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 4096L
+    val e = EventTime.toNanos(events0).select(col("event_id"), col("ts"))
+      .withColumn("bk", expr(s"event_id div $b"))
+      .withColumn("sb", expr(s"event_id div ${b * b}"))
+    val wB = Window.partitionBy(col("bk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmax = e.groupBy(col("sb"), col("bk")).agg(max(col("ts")).as("bm"))
+    val wSb = Window.partitionBy(col("sb")).orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry1 = bmax.withColumn("c1", max(col("bm")).over(wSb))
+      .select(col("bk"), col("c1"))
+    val sbmax = bmax.groupBy(col("sb")).agg(max(col("bm")).as("sm"))
+    val wTop = Window.orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry2 = sbmax.withColumn("c2", max(col("sm")).over(wTop))
+      .select(col("sb"), col("c2"))
+    val hourNs = 3600L * 1000000000L
+    e.withColumn("p0", max(col("ts")).over(wB))
+      .join(carry1, Seq("bk"))
+      .join(broadcast(carry2), Seq("sb"))
+      .withColumn("wm", greatest(
+        coalesce(col("p0"), lit(Long.MinValue)),
+        coalesce(col("c1"), lit(Long.MinValue)),
+        coalesce(col("c2"), lit(Long.MinValue))))
+      // additive compare (wm > ts + W): the MinValue no-earlier-arrival
+      // sentinel reads "not late" without the subtraction overflowing
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr(s"CAST(wm > ts + ${1L * hourNs} AS BIGINT)")).as("late_1h"),
+        sum(expr(s"CAST(wm > ts + ${6L * hourNs} AS BIGINT)")).as("late_6h"),
+        sum(expr(s"CAST(wm > ts + ${24L * hourNs} AS BIGINT)"))
+          .as("late_24h"))
+      .select(col("n_events"), col("late_1h"), col("late_6h"),
+        col("late_24h"),
+        expr("(10000 * late_1h) div n_events").as("late_1h_bp"),
+        expr("(10000 * late_24h) div n_events").as("late_24h_bp"))
+  }
+
+  /** Concurrent-session load profile — the capacity-planning view: gap
+    * sessionization (30-min inactivity, the [[sessions]] convention,
+    * deterministic (ts, event_id) order), each session occupies its
+    * half-open MINUTE span, and a sweep-line over the dense minute grid
+    * (+1 at start, −1 at end, one running sum — CALENDAR-bounded)
+    * yields concurrency per minute. Emits per day: peak concurrent
+    * sessions and the time-average in exact milli
+    * ((1000·Σ minute-concurrency) div minutes-in-day).
+    */
+  def sessionConcurrency(events0: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minNs = 60L * 1000000000L
+    val gapNs = gapMinutes * minNs
+    val e = EventTime.toNanos(events0)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = e
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk", expr(
+        s"CASE WHEN prev IS NULL OR ts - prev > $gapNs THEN 1L " +
+          "ELSE 0L END"))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr(s"min(ts) div $minNs").as("sm"),
+        expr(s"max(ts) div $minNs + 1").as("em"))
+    val deltas = sess
+      .select(explode(array(
+        struct(col("sm").as("minute"), lit(1L).as("d")),
+        struct(col("em").as("minute"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.minute"), col("x.d"))
+      .groupBy(col("minute")).agg(sum(col("d")).as("delta"))
+    val rng = deltas.agg(min(col("minute")).as("mn"),
+      max(col("minute")).as("mx"))
+    val wG = Window.orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rng
+      .select(explode(sequence(col("mn"), col("mx"))).as("minute"))
+      .join(deltas, Seq("minute"), "left")
+      .na.fill(0L, Seq("delta"))
+      .withColumn("conc", sum(col("delta")).over(wG))
+      .groupBy(expr("minute div 1440").as("day"))
+      .agg(max(col("conc")).as("peak_concurrent"),
+        count(lit(1)).as("n_minutes"),
+        sum(col("conc")).as("conc_sum"))
+      .select(col("day"), col("peak_concurrent"),
+        expr("(1000 * conc_sum) div n_minutes").as("avg_concurrent_milli"))
+  }
+
   /** Wald–Wolfowitz runs test per event type — is the daily revenue
     * series RANDOM around its median, or does it trend/cluster (too few
     * runs) or oscillate (too many)? Days at the exact median are

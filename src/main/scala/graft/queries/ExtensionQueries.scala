@@ -2132,6 +2132,23 @@ object ExtensionQueries {
     // value-domain window, exact milli
     "source_length_skewness" -> ((s, dir) =>
       DataQuality.lengthSkewness(t(s, dir, "documents"))),
+    // watermark-lateness audit: three-level distributed prefix max over
+    // arrival order (the oracle states the same thing as ONE window)
+    "events_watermark_lateness" -> ((s, dir) =>
+      EventsAnalytics.watermarkLateness(t(s, dir, "events"))),
+    // concurrent-session sweep-line over the dense minute grid: per-day
+    // peak + time-average concurrency in exact milli
+    "events_session_concurrency" -> ((s, dir) =>
+      EventsAnalytics.sessionConcurrency(t(s, dir, "events"))),
+    // Q-Q decile shift profile between two segments' order totals:
+    // where the distributions differ, in dollars and bp
+    "orders_qq_shift_profile" -> ((s, dir) =>
+      DataQuality.qqShiftProfile(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "BUILDING", "MACHINERY",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
     // Heaps vocabulary growth: cumulative vocab at power-of-two doc
     // prefixes from first-occurrence log2 buckets
     "vocab_heaps_curve" -> ((s, dir) =>
@@ -4420,6 +4437,69 @@ object ExtensionQueries {
         "CAST((1000 * (q3 + q1 - 2 * q2)) // " +
         "(CASE WHEN q3 = q1 THEN 1 ELSE q3 - q1 END) AS BIGINT) " +
         "AS bowley_milli FROM g"),
+    "events_watermark_lateness" ->
+      ("WITH e AS (SELECT event_id, epoch_ns(ts) AS ts FROM events), " +
+        "p AS (SELECT ts, max(ts) OVER (ORDER BY event_id ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM e), " +
+        "m AS (SELECT count(*) AS n_events, " +
+        "sum(CASE WHEN wm - ts > 3600000000000 THEN 1 ELSE 0 END) " +
+        "AS late_1h, " +
+        "sum(CASE WHEN wm - ts > 21600000000000 THEN 1 ELSE 0 END) " +
+        "AS late_6h, " +
+        "sum(CASE WHEN wm - ts > 86400000000000 THEN 1 ELSE 0 END) " +
+        "AS late_24h FROM p) " +
+        "SELECT CAST(n_events AS BIGINT) AS n_events, " +
+        "CAST(late_1h AS BIGINT) AS late_1h, " +
+        "CAST(late_6h AS BIGINT) AS late_6h, " +
+        "CAST(late_24h AS BIGINT) AS late_24h, " +
+        "CAST((10000 * late_1h) // n_events AS BIGINT) AS late_1h_bp, " +
+        "CAST((10000 * late_24h) // n_events AS BIGINT) AS late_24h_bp " +
+        "FROM m"),
+    "events_session_concurrency" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts " +
+        "FROM events), " +
+        "s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR " +
+        "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "> 1800000000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+        "sid AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS sid FROM s), " +
+        "sess AS (SELECT user_id, sid, min(ts) // 60000000000 AS sm, " +
+        "max(ts) // 60000000000 + 1 AS em FROM sid GROUP BY 1, 2), " +
+        "dl AS (SELECT minute, sum(d) AS delta FROM (" +
+        "SELECT sm AS minute, 1 AS d FROM sess " +
+        "UNION ALL SELECT em, -1 FROM sess) u GROUP BY 1), " +
+        "rng AS (SELECT min(minute) AS mn, max(minute) AS mx FROM dl), " +
+        "g AS (SELECT unnest(generate_series(mn, mx)) AS minute FROM rng), " +
+        "c AS (SELECT g.minute, sum(coalesce(dl.delta, 0)) OVER " +
+        "(ORDER BY g.minute ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS conc FROM g LEFT JOIN dl ON g.minute = dl.minute) " +
+        "SELECT minute // 1440 AS day, " +
+        "CAST(max(conc) AS BIGINT) AS peak_concurrent, " +
+        "CAST((1000 * sum(conc)) // count(*) AS BIGINT) " +
+        "AS avg_concurrent_milli FROM c GROUP BY 1"),
+    "orders_qq_shift_profile" ->
+      ("WITH j AS (SELECT c_mktsegment AS cohort, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 " +
+        "AS v FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), " +
+        "bv AS (SELECT cohort, v, count(*) AS t FROM j GROUP BY 1, 2), " +
+        "cw AS (SELECT cohort, v, t, sum(t) OVER (PARTITION BY cohort " +
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cum, sum(t) OVER (PARTITION BY cohort) AS n FROM bv), " +
+        "dec AS (SELECT cohort, n, unnest(generate_series(1, 9)) " +
+        "AS decile FROM (SELECT DISTINCT cohort, n FROM cw) dn), " +
+        "dp AS (SELECT cohort, decile, (decile * n + 9) // 10 AS pos " +
+        "FROM dec), " +
+        "qs AS (SELECT cw.cohort, decile, v FROM cw JOIN dp " +
+        "ON cw.cohort = dp.cohort AND cum - t < pos AND pos <= cum) " +
+        "SELECT a.decile, a.v AS q_a, b.v AS q_b, b.v - a.v AS shift, " +
+        "CAST((10000 * (b.v - a.v)) // (CASE WHEN a.v = 0 THEN 1 " +
+        "ELSE a.v END) AS BIGINT) AS shift_bp " +
+        "FROM (SELECT decile, v FROM qs WHERE cohort = 'BUILDING') a " +
+        "JOIN (SELECT decile, v FROM qs WHERE cohort = 'MACHINERY') b " +
+        "USING (decile)"),
     "vocab_heaps_curve" ->
       ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
         "count(*) AS nd FROM documents GROUP BY 1), " +

@@ -1749,6 +1749,48 @@ class AnalyticsSpec extends SparkSpecBase {
       got.getLong(4), got.getLong(5)) == ((2L, 1L, 1L, 2L, 2000L, 0L)))
   }
 
+  test("watermark lateness: prefix max crosses bucket and superbucket carries") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val h = 3600L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType)))
+    // arrival (by id): 100h, 200h, 50h (150h late), 201h, 199h (2h late),
+    // then bucket 1 (ids 4096/4097): 300h, 10h (290h late via carry1),
+    // then superbucket 1 (id 2^24): 5h (295h late via carry2)
+    val rows = Seq(
+      Row(1L, 100L * h), Row(2L, 200L * h), Row(3L, 50L * h),
+      Row(4L, 201L * h), Row(5L, 199L * h),
+      Row(4096L, 300L * h), Row(4097L, 10L * h),
+      Row(16777216L, 5L * h))
+    val got = EventsAnalytics.watermarkLateness(
+      spark.createDataFrame(rows.asJava, schema)).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) ==
+      ((8L, 4L, 3L, 3L, 5000L, 3750L)))
+  }
+
+  test("session concurrency: overlap peak and the idle-gap average by hand") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val m = 60L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_id", LongType),
+      StructField("user_id", LongType)))
+    // u1: [0,11) + a second session [45,46) after the 35-min gap;
+    // u2: single event -> [5,6). peak 2 at minute 5; sum conc = 13
+    // over 47 grid minutes -> avg 276 milli
+    val rows = Seq(
+      Row(0L * m, 1L, 1L), Row(10L * m, 2L, 1L), Row(45L * m, 3L, 1L),
+      Row(5L * m, 4L, 2L))
+    val got = EventsAnalytics.sessionConcurrency(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((2L, 276L))))
+  }
+
   test("MK FDR: BH walk rejects only the strong trend at m=3") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

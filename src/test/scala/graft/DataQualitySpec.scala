@@ -432,6 +432,19 @@ class DataQualitySpec extends SparkSpecBase {
       2L -> ((1L, 7L, 18L, 7L))))
   }
 
+  test("QQ shift: shifted uniform reads a constant 10-dollar decile gap") {
+    import spark.implicits._
+    val df = ((1L to 10L).map(v => ("A", v)) ++
+      (11L to 20L).map(v => ("B", v))).toDF("cohort0", "v")
+    val got = DataQuality.qqShiftProfile(df, "cohort0", "A", "B", col("v"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 9)
+    (1 to 9).foreach { d =>
+      assert(got(d) == ((d.toLong, d + 10L, 10L, 100000L / d)), s"d=$d")
+    }
+  }
+
   test("length skewness: quartile positions and the collapsed-IQR guard") {
     import spark.implicits._
     // s1 lengths 1,1,2,10: q1=1, q2=1, q3=2 -> bowley = 1000
