@@ -668,6 +668,42 @@ object DataQuality {
         col("q75_qty"))
   }
 
+  /** 10%-trimmed mean per cohort — the robust location estimate that
+    * survives the fat tails a raw mean drowns in: drop the lowest and
+    * highest ⌊n/10⌋ units and average the rest, all from the per-cohort
+    * VALUE-DOMAIN cumulative window (a straddling tie group contributes
+    * its exact partial count on both edges — no per-row rank). Ships
+    * trimmed_mean_milli = (1000·kept_sum) div kept_n next to the raw
+    * mean for the tail-weight contrast.
+    */
+  def trimmedMean(df: DataFrame, cohortCol: String,
+      valueDollars: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val byV = df.select(col(cohortCol).as("cohort"), valueDollars.as("v"))
+      .groupBy(col("cohort"), col("v")).agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("n", sum(col("t")).over(
+        Window.partitionBy(col("cohort"))))
+      .withColumn("lo", expr("n div 10"))
+      .withColumn("hi", expr("n - n div 10"))
+      // units of this value group inside the kept band (lo, hi]
+      .withColumn("kept", expr(
+        "greatest(0L, least(cum, hi) - greatest(cum - t, lo))"))
+      .groupBy(col("cohort"))
+      .agg(max(col("n")).as("n"),
+        sum(col("kept")).as("kept_n"),
+        sum(expr(s"CAST(kept AS $d) * v")).as("kept_sum"),
+        sum(expr(s"CAST(t AS $d) * v")).as("full_sum"))
+      .select(col("cohort"), col("n"), col("kept_n"),
+        expr("CAST((1000 * kept_sum) div (CASE WHEN kept_n = 0 THEN 1 " +
+          "ELSE kept_n END) AS BIGINT)").as("trimmed_mean_milli"),
+        expr("CAST((1000 * full_sum) div n AS BIGINT)").as("raw_mean_milli"))
+  }
+
   /** Q–Q shift profile between two cohorts — WHERE do the distributions
     * differ, not just whether ([[ksTwoSample]] answers that): at each
     * decile d = 1..9, both cohorts' type-1 quantiles (position ⌈d·n/10⌉

@@ -1580,6 +1580,50 @@ object EventsAnalytics {
       .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
   }
 
+  /** Hodges–Lehmann location estimate of daily revenue per event type —
+    * the rank-based robust "typical day" (the estimator dual to the
+    * Wilcoxon test): the median of all Walsh averages (cᵢ+cⱼ)/2, i ≤ j,
+    * over the day grid. The pair relation is CALENDAR²-bounded (the
+    * Theil–Sen shape); sums ship doubled and the median of the pair
+    * sums uses the shared doubled-median convention, so the output
+    * hl_quarter = lo + hi order statistics of (cᵢ+cⱼ) is the exact 4×HL
+    * image — hl_milli = 250·hl_quarter is exact milli-cents.
+    */
+  def hodgesLehmannDaily(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(expr("CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT)").as("c"))
+    val rng = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = rng
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx")))
+        .as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    val pairs = dense.select(col("event_type"), col("day").as("da"),
+      col("c").as("ca"))
+      .join(dense.select(col("event_type"), col("day").as("db"),
+        col("c").as("cb")), Seq("event_type"))
+      .filter(col("da") <= col("db"))
+      .groupBy(col("event_type"), (col("ca") + col("cb")).as("ws"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("np", sum(col("t")).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"), col("np"))
+      .agg((min(when(expr("cum >= (np + 1) div 2"), col("ws"))) +
+        min(when(expr("cum >= np div 2 + 1"), col("ws"))))
+        .as("hl_quarter"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        expr("250 * hl_quarter").as("hl_milli_cents"))
+  }
+
   /** Watermark-lateness audit — for candidate watermark delays, how many
     * events would a streaming deployment DROP because they arrive after
     * the watermark already passed their event time? Arrival order is the

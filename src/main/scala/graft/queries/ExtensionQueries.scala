@@ -2149,6 +2149,39 @@ object ExtensionQueries {
           col("o_custkey") === col("c_custkey")),
         "c_mktsegment", "BUILDING", "MACHINERY",
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
+    // 10%-trimmed vs raw mean per segment: tail-weight contrast from
+    // the value-domain window, straddling tie groups kept partially
+    "orders_trimmed_mean" -> ((s, dir) =>
+      DataQuality.trimmedMean(
+        t(s, dir, "orders").join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"))),
+    // Hodges-Lehmann robust daily-revenue location per type: median of
+    // Walsh averages over the calendar^2-bounded pair relation
+    "events_hodges_lehmann" -> ((s, dir) =>
+      EventsAnalytics.hodgesLehmannDaily(t(s, dir, "events"))),
+    // per-customer consecutive-order priority transitions: bigram
+    // counts + row-share bp over the deterministic order sequence
+    "orders_priority_markov" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+        .withColumn("prev_priority", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev_priority").isNotNull)
+        .groupBy(col("prev_priority"),
+          col("o_orderpriority").as("next_priority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("prev_priority"))))
+        .select(col("prev_priority"), col("next_priority"), col("n"),
+          expr("(10000 * n) div row_total").as("share_bp"))
+    }),
     // Heaps vocabulary growth: cumulative vocab at power-of-two doc
     // prefixes from first-occurrence log2 buckets
     "vocab_heaps_curve" -> ((s, dir) =>
@@ -4500,6 +4533,58 @@ object ExtensionQueries {
         "FROM (SELECT decile, v FROM qs WHERE cohort = 'BUILDING') a " +
         "JOIN (SELECT decile, v FROM qs WHERE cohort = 'MACHINERY') b " +
         "USING (decile)"),
+    "orders_trimmed_mean" ->
+      ("WITH j AS (SELECT c_mktsegment AS cohort, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 " +
+        "AS v FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "bv AS (SELECT cohort, v, count(*) AS t FROM j GROUP BY 1, 2), " +
+        "cw AS (SELECT cohort, v, t, sum(t) OVER (PARTITION BY cohort " +
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cum, sum(t) OVER (PARTITION BY cohort) AS n FROM bv), " +
+        "k AS (SELECT cohort, v, t, n, " +
+        "greatest(0, least(cum, n - n // 10) - " +
+        "greatest(cum - t, n // 10)) AS kept FROM cw), " +
+        "g AS (SELECT cohort, max(n) AS n, sum(kept) AS kept_n, " +
+        "sum(CAST(kept AS HUGEINT) * v) AS kept_sum, " +
+        "sum(CAST(t AS HUGEINT) * v) AS full_sum FROM k GROUP BY 1) " +
+        "SELECT cohort, CAST(n AS BIGINT) AS n, " +
+        "CAST(kept_n AS BIGINT) AS kept_n, " +
+        "CAST((1000 * kept_sum) // (CASE WHEN kept_n = 0 THEN 1 " +
+        "ELSE kept_n END) AS BIGINT) AS trimmed_mean_milli, " +
+        "CAST((1000 * full_sum) // n AS BIGINT) AS raw_mean_milli FROM g"),
+    "events_hodges_lehmann" ->
+      ("WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 " +
+        "AS day, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 " +
+        "AS BIGINT)) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "rng AS (SELECT event_type, min(day) AS mn, max(day) AS mx " +
+        "FROM daily GROUP BY 1), " +
+        "ds AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day " +
+        "FROM rng), " +
+        "dense AS (SELECT d.event_type, d.day, coalesce(dl.c, 0) AS c " +
+        "FROM ds d LEFT JOIN daily dl ON dl.event_type = d.event_type " +
+        "AND dl.day = d.day), " +
+        "pr AS (SELECT a.event_type, a.c + b.c AS ws, count(*) AS t " +
+        "FROM dense a JOIN dense b ON a.event_type = b.event_type " +
+        "AND a.day <= b.day GROUP BY 1, 2), " +
+        "cw AS (SELECT event_type, ws, t, sum(t) OVER (PARTITION BY " +
+        "event_type ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS cum, sum(t) OVER (PARTITION BY event_type) " +
+        "AS np FROM pr) " +
+        "SELECT event_type, CAST(np AS BIGINT) AS n_pairs, " +
+        "CAST(250 * (min(CASE WHEN cum >= (np + 1) // 2 THEN ws END) + " +
+        "min(CASE WHEN cum >= np // 2 + 1 THEN ws END)) AS BIGINT) " +
+        "AS hl_milli_cents FROM cw GROUP BY 1, 2"),
+    "orders_priority_markov" ->
+      ("WITH s AS (SELECT o_custkey, o_orderpriority, " +
+        "lag(o_orderpriority) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS prev_priority FROM orders), " +
+        "c AS (SELECT prev_priority, o_orderpriority AS next_priority, " +
+        "count(*) AS n FROM s WHERE prev_priority IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT prev_priority, sum(n) AS row_total FROM c GROUP BY 1) " +
+        "SELECT c.prev_priority, next_priority, CAST(n AS BIGINT) AS n, " +
+        "CAST((10000 * n) // row_total AS BIGINT) AS share_bp " +
+        "FROM c JOIN r ON c.prev_priority = r.prev_priority"),
     "vocab_heaps_curve" ->
       ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
         "count(*) AS nd FROM documents GROUP BY 1), " +

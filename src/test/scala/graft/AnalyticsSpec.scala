@@ -1749,6 +1749,28 @@ class AnalyticsSpec extends SparkSpecBase {
       got.getLong(4), got.getLong(5)) == ((2L, 1L, 1L, 2L, 2000L, 0L)))
   }
 
+  test("Hodges-Lehmann: Walsh-average median by hand; single day passthrough") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // a: daily cents 100,200,600 -> Walsh avgs 100,150,200,350,400,600:
+    // HL = 275 cents = 275000 milli; b: single 500-cent day
+    val rows = Seq(
+      Row(0L * dayNs, "a", 1.0), Row(1L * dayNs, "a", 2.0),
+      Row(2L * dayNs, "a", 6.0),
+      Row(0L * dayNs, "b", 5.0))
+    val got = EventsAnalytics.hodgesLehmannDaily(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> ((6L, 275000L)),
+      "b" -> ((1L, 500000L))))
+  }
+
   test("watermark lateness: prefix max crosses bucket and superbucket carries") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

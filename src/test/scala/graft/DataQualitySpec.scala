@@ -432,6 +432,23 @@ class DataQualitySpec extends SparkSpecBase {
       2L -> ((1L, 7L, 18L, 7L))))
   }
 
+  test("trimmed mean: outlier immunity and partial tie-group trimming") {
+    import spark.implicits._
+    // A: 1..9 plus a 1000 outlier -> trimmed keeps positions 2..9
+    // (values 2..9, mean 5.5); raw mean is dragged to 104.5
+    val a = ((1L to 9L) :+ 1000L).map(v => ("A", v))
+    // B: 1x3, 2x4, 3x3 -> one unit shaved off each edge tie group
+    val b = (Seq.fill(3)(1L) ++ Seq.fill(4)(2L) ++ Seq.fill(3)(3L))
+      .map(v => ("B", v))
+    val got = DataQuality.trimmedMean((a ++ b).toDF("cohort0", "v"),
+      "cohort0", col("v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "A" -> ((10L, 8L, 5500L, 104500L)),
+      "B" -> ((10L, 8L, 2000L, 2000L))))
+  }
+
   test("QQ shift: shifted uniform reads a constant 10-dollar decile gap") {
     import spark.implicits._
     val df = ((1L to 10L).map(v => ("A", v)) ++
