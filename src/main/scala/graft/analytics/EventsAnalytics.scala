@@ -1580,6 +1580,44 @@ object EventsAnalytics {
       .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
   }
 
+  /** Time-to-convert profile — the activation question "how long from a
+    * user's first touch to their first purchase?": per user the minute
+    * lag between first event and first purchase, then the conversion
+    * share and lag quartiles (type-1 order statistics over the
+    * CALENDAR-bounded lag-minute value domain). Non-converters count in
+    * the denominator (conv_bp) and are excluded from the lag quantiles —
+    * the right-censoring treatment stated; the survival-hazard key is
+    * the censoring-aware companion.
+    */
+  def timeToConvert(events0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minNs = 60L * 1000000000L
+    val users = EventTime.toNanos(events0)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tc"))
+    val lags = users.filter(col("tc").isNotNull)
+      .select(expr(s"(tc - t0) div $minNs").as("lag_min"))
+      .groupBy(col("lag_min")).agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("lag_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = lags
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("nc", sum(col("t")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .agg(max(col("nc")).as("n_converted"),
+        min(when(expr("cum >= (nc + 3) div 4"), col("lag_min"))).as("q1_min"),
+        min(when(expr("cum >= (nc + 1) div 2"), col("lag_min"))).as("med_min"),
+        min(when(expr("cum >= (3 * nc + 3) div 4"), col("lag_min")))
+          .as("q3_min"))
+    users.agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(q))
+      .select(col("n_users"), col("n_converted"),
+        expr("(10000 * n_converted) div n_users").as("conv_bp"),
+        col("q1_min"), col("med_min"), col("q3_min"))
+  }
+
   /** Hodges–Lehmann location estimate of daily revenue per event type —
     * the rank-based robust "typical day" (the estimator dual to the
     * Wilcoxon test): the median of all Walsh averages (cᵢ+cⱼ)/2, i ≤ j,

@@ -2162,6 +2162,32 @@ object ExtensionQueries {
     // Walsh averages over the calendar^2-bounded pair relation
     "events_hodges_lehmann" -> ((s, dir) =>
       EventsAnalytics.hodgesLehmannDaily(t(s, dir, "events"))),
+    // first-touch-to-first-purchase lag quartiles + conversion share,
+    // lags quantized to calendar-bounded minutes
+    "events_time_to_convert" -> ((s, dir) =>
+      EventsAnalytics.timeToConvert(t(s, dir, "events"))),
+    // activity concentration: Lorenz deciles + exact Gini of per-user
+    // event counts (straight reuse of the telescoped-rank machinery)
+    "events_activity_lorenz" -> ((s, dir) =>
+      DataQuality.lorenzGini(
+        t(s, dir, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        "n_events")),
+    // classical month-of-year seasonal index of order revenue in bp
+    // (10000 = an average month), exact cents throughout
+    "orders_seasonal_index" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(month(col("o_orderdate")).as("m"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val tot = o.agg(sum(expr("CAST(cents AS DECIMAL(38,0))")).as("total"))
+      o.groupBy(col("m"))
+        .agg(sum(expr("CAST(cents AS DECIMAL(38,0))")).as("rev"))
+        .crossJoin(broadcast(tot))
+        .select(col("m").as("month"), col("rev").cast("long").as("rev_cents"),
+          expr("CAST((10000 * 12 * rev) div total AS BIGINT)")
+            .as("index_bp"))
+    }),
     // per-customer consecutive-order priority transitions: bigram
     // counts + row-share bp over the deterministic order sequence
     "orders_priority_markov" -> ((s, dir) => {
@@ -4585,6 +4611,64 @@ object ExtensionQueries {
         "SELECT c.prev_priority, next_priority, CAST(n AS BIGINT) AS n, " +
         "CAST((10000 * n) // row_total AS BIGINT) AS share_bp " +
         "FROM c JOIN r ON c.prev_priority = r.prev_priority"),
+    "events_time_to_convert" ->
+      ("WITH u AS (SELECT user_id, min(epoch_ns(ts)) AS t0, " +
+        "min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) " +
+        "AS tc FROM events GROUP BY 1), " +
+        "lg AS (SELECT (tc - t0) // 60000000000 AS lag_min, count(*) AS t " +
+        "FROM u WHERE tc IS NOT NULL GROUP BY 1), " +
+        "cw AS (SELECT lag_min, t, sum(t) OVER (ORDER BY lag_min " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(t) OVER () AS nc FROM lg), " +
+        "q AS (SELECT max(nc) AS n_converted, " +
+        "min(CASE WHEN cum >= (nc + 3) // 4 THEN lag_min END) AS q1_min, " +
+        "min(CASE WHEN cum >= (nc + 1) // 2 THEN lag_min END) AS med_min, " +
+        "min(CASE WHEN cum >= (3 * nc + 3) // 4 THEN lag_min END) " +
+        "AS q3_min FROM cw), " +
+        "nu AS (SELECT count(*) AS n_users FROM u) " +
+        "SELECT CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(n_converted AS BIGINT) AS n_converted, " +
+        "CAST((10000 * n_converted) // n_users AS BIGINT) AS conv_bp, " +
+        "CAST(q1_min AS BIGINT) AS q1_min, " +
+        "CAST(med_min AS BIGINT) AS med_min, " +
+        "CAST(q3_min AS BIGINT) AS q3_min FROM nu, q"),
+    "events_activity_lorenz" ->
+      ("WITH rev AS (SELECT user_id, count(*) AS v FROM events GROUP BY 1), " +
+        "byv AS (SELECT v, count(*) AS t FROM rev GROUP BY 1), " +
+        "cum AS (SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt, " +
+        "sum(CAST(t AS HUGEINT) * v) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv FROM byv), " +
+        "cb AS (SELECT v, t, cumt, cumv, cumt - t AS c_before, " +
+        "cumv - CAST(t AS HUGEINT) * v AS v_before FROM cum), " +
+        "g AS (SELECT max(cumt) AS n, max(cumv) AS s, " +
+        "sum(CAST(v AS HUGEINT) * (2 * (CAST(t AS HUGEINT) * c_before + " +
+        "(CAST(t AS HUGEINT) * (t + 1)) // 2))) AS rank2x FROM cb), " +
+        "gg AS (SELECT n, s, " +
+        "CAST((1000000 * (rank2x - (n + 1) * s)) // " +
+        "(CASE WHEN CAST(n AS HUGEINT) * s = 0 THEN 1 " +
+        "ELSE CAST(n AS HUGEINT) * s END) AS BIGINT) AS gini_ppm FROM g), " +
+        "dec AS (SELECT n, s, gini_ppm, " +
+        "unnest(generate_series(1, 10)) AS decile FROM gg), " +
+        "dp AS (SELECT n, s, gini_ppm, decile, (decile * n) // 10 AS pos " +
+        "FROM dec) " +
+        "SELECT decile, CAST(pos AS BIGINT) AS boundary_pos, " +
+        "CAST(v_before + (pos - c_before) * CAST(v AS HUGEINT) AS BIGINT) " +
+        "AS cum_value, " +
+        "CAST((1000000 * (v_before + (pos - c_before) * " +
+        "CAST(v AS HUGEINT))) // (CASE WHEN s = 0 THEN 1 ELSE s END) " +
+        "AS BIGINT) AS share_ppm, gini_ppm " +
+        "FROM cb JOIN dp ON c_before < pos AND pos <= cumt"),
+    "orders_seasonal_index" ->
+      ("WITH o AS (SELECT month(CAST(o_orderdate AS DATE)) AS m, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "AS cents FROM orders), " +
+        "t AS (SELECT CAST(sum(cents) AS HUGEINT) AS total FROM o), " +
+        "g AS (SELECT m, CAST(sum(cents) AS HUGEINT) AS rev FROM o " +
+        "GROUP BY 1) " +
+        "SELECT CAST(m AS INT) AS month, CAST(rev AS BIGINT) AS rev_cents, " +
+        "CAST((10000 * 12 * rev) // total AS BIGINT) AS index_bp " +
+        "FROM g, t"),
     "vocab_heaps_curve" ->
       ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
         "count(*) AS nd FROM documents GROUP BY 1), " +

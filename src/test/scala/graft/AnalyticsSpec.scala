@@ -1749,6 +1749,26 @@ class AnalyticsSpec extends SparkSpecBase {
       got.getLong(4), got.getLong(5)) == ((2L, 1L, 1L, 2L, 2000L, 0L)))
   }
 
+  test("time to convert: censored users in the share, out of the quartiles") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val m = 60L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    // lags: u1 10min, u2 30min, u4 0min; u3 never converts
+    val rows = Seq(
+      Row(0L, 1L, "view"), Row(10L * m, 1L, "purchase"),
+      Row(0L, 2L, "view"), Row(30L * m, 2L, "purchase"),
+      Row(0L, 3L, "view"),
+      Row(0L, 4L, "purchase"))
+    val got = EventsAnalytics.timeToConvert(
+      spark.createDataFrame(rows.asJava, schema)).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) == ((4L, 3L, 7500L, 0L, 10L, 30L)))
+  }
+
   test("Hodges-Lehmann: Walsh-average median by hand; single day passthrough") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
