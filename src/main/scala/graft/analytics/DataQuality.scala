@@ -668,6 +668,60 @@ object DataQuality {
         col("q75_qty"))
   }
 
+  /** Dispersion of lines-per-order — is order size Poisson-like or
+    * over-dispersed? The full histogram (lines k → order count) plus the
+    * variance-to-mean ratio in exact milli (VMR = 1000 means Poisson;
+    * the [[Curation.tokenBurstiness]] moment form on relational data).
+    * The histogram relation is bounded by the max line count (~7 in
+    * TPC-H); the VMR replicates onto each row so one key carries both.
+    */
+  def linecountDispersion(lineitem: DataFrame): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    val perOrder = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("k"))
+    val hist = perOrder.groupBy(col("k")).agg(count(lit(1)).as("n_orders"))
+    val m = hist.agg(sum(col("n_orders")).cast(d).as("no"),
+      sum(expr(s"CAST(n_orders AS $d) * k")).as("s"),
+      sum(expr(s"CAST(n_orders AS $d) * k * k")).as("q"))
+      .withColumn("vmr_milli", expr(
+        "CAST((1000 * (no * q - s * s)) div " +
+          "(CASE WHEN (no - 1) * s = 0 THEN 1 ELSE (no - 1) * s END) " +
+          "AS BIGINT)"))
+    hist.crossJoin(broadcast(m.select(col("vmr_milli"))))
+      .select(col("k").as("n_lines"), col("n_orders"), col("vmr_milli"))
+  }
+
+  /** Pareto concentration check — "do the top 20% of parts carry 80% of
+    * the revenue?": the exact revenue share of the top ⌊n/5⌋ units,
+    * read from the value-domain cumulative relation with the lorenzGini
+    * partial-group treatment (every unit in a straddling tie group
+    * holds the same value, so the boundary prefix is exact). One row:
+    * unit and revenue totals, the top-20% count, and its share in ppm.
+    */
+  def paretoTopShare(units: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = "DECIMAL(38,0)"
+    val byV = units.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .withColumn("cumt", sum(col("t")).over(w))
+      .withColumn("cumv", sum(expr(s"CAST(t AS $d) * v")).over(w))
+    val glob = cum.agg(max(col("cumt")).as("n"), max(col("cumv")).as("s"))
+      .withColumn("pos", expr("n - n div 5"))
+    cum.crossJoin(broadcast(glob))
+      .filter(col("cumt") - col("t") < col("pos") &&
+        col("pos") <= col("cumt"))
+      .select(col("n").as("n_units"),
+        expr("n div 5").as("top_n"),
+        col("s").cast("long").as("total_value"),
+        expr(s"CAST(1000000 - (1000000 * (cumv - CAST(t AS $d) * v + " +
+          "(pos - (cumt - t)) * CAST(v AS DECIMAL(38,0)))) div " +
+          "(CASE WHEN s = 0 THEN 1 ELSE s END) AS BIGINT)")
+          .as("top_share_ppm"))
+  }
+
   /** 10%-trimmed mean per cohort — the robust location estimate that
     * survives the fat tails a raw mean drowns in: drop the lowest and
     * highest ⌊n/10⌋ units and average the rest, all from the per-cohort

@@ -1580,6 +1580,33 @@ object EventsAnalytics {
       .withColumn("reject_95", expr("CAST(chi2_cc_milli >= 3842 AS INT)"))
   }
 
+  /** Attribute control chart (p-chart) on the daily error share — the
+    * SPC companion to the CUSUM/EWMA keys: with the whole-span error
+    * rate p = E/N as the centre line, a day is OUT OF CONTROL when its
+    * share leaves the 3σ binomial band, decided with NO square root via
+    * the cross-multiplied form (eᵢN − Enᵢ)² > 9·E·(N−E)·nᵢ — exact
+    * integers end to end (DECIMAL for the square, ~5·10¹⁹ at sf1). One
+    * day-keyed aggregate plus a broadcast one-row total.
+    */
+  def errorPChart(events0: DataFrame,
+      errorType: String = "error"): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    val dayNs = 86400L * 1000000000L
+    val daily = EventTime.toNanos(events0)
+      .groupBy(expr(s"ts div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === errorType, 1L).otherwise(0L))
+          .as("e"))
+    val tot = daily.agg(sum(col("n")).as("nn"), sum(col("e")).as("ee"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("n").as("n_events"),
+        col("e").as("n_errors"),
+        expr("(10000 * e) div n").as("share_bp"),
+        expr(s"CAST((CAST(e AS $d) * nn - CAST(ee AS $d) * n) * " +
+          s"(CAST(e AS $d) * nn - CAST(ee AS $d) * n) > " +
+          s"9 * CAST(ee AS $d) * (nn - ee) * n AS INT)").as("oob_3sigma"))
+  }
+
   /** Time-to-convert profile — the activation question "how long from a
     * user's first touch to their first purchase?": per user the minute
     * lag between first event and first purchase, then the conversion

@@ -2173,6 +2173,20 @@ object ExtensionQueries {
         t(s, dir, "events").groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events")),
         "n_events")),
+    // SPC p-chart: daily error share vs the 3-sigma binomial band,
+    // square-root-free cross-multiplied verdict
+    "events_error_pchart" -> ((s, dir) =>
+      EventsAnalytics.errorPChart(t(s, dir, "events"))),
+    // lines-per-order histogram + variance-to-mean dispersion milli
+    "orders_linecount_dispersion" -> ((s, dir) =>
+      DataQuality.linecountDispersion(t(s, dir, "lineitem"))),
+    // Pareto 80/20 check: exact revenue share of the top 20% of parts
+    "part_pareto_share" -> ((s, dir) =>
+      DataQuality.paretoTopShare(
+        t(s, dir, "lineitem").groupBy(col("l_partkey"))
+          .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT)) div 100").as("rev_dollars")),
+        "rev_dollars")),
     // classical month-of-year seasonal index of order revenue in bp
     // (10000 = an average month), exact cents throughout
     "orders_seasonal_index" -> ((s, dir) => {
@@ -4669,6 +4683,48 @@ object ExtensionQueries {
         "SELECT CAST(m AS INT) AS month, CAST(rev AS BIGINT) AS rev_cents, " +
         "CAST((10000 * 12 * rev) // total AS BIGINT) AS index_bp " +
         "FROM g, t"),
+    "events_error_pchart" ->
+      ("WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day, " +
+        "count(*) AS n, sum(CASE WHEN event_type = 'error' THEN 1 " +
+        "ELSE 0 END) AS e FROM events GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS HUGEINT) AS nn, " +
+        "CAST(sum(e) AS HUGEINT) AS ee FROM daily) " +
+        "SELECT day, CAST(n AS BIGINT) AS n_events, " +
+        "CAST(e AS BIGINT) AS n_errors, " +
+        "CAST((10000 * e) // n AS BIGINT) AS share_bp, " +
+        "CAST((CAST(e AS HUGEINT) * nn - ee * n) * " +
+        "(CAST(e AS HUGEINT) * nn - ee * n) > 9 * ee * (nn - ee) * n " +
+        "AS INT) AS oob_3sigma FROM daily, t"),
+    "orders_linecount_dispersion" ->
+      ("WITH po AS (SELECT l_orderkey, count(*) AS k FROM lineitem " +
+        "GROUP BY 1), " +
+        "h AS (SELECT k, count(*) AS n_orders FROM po GROUP BY 1), " +
+        "m AS (SELECT CAST(sum(n_orders) AS HUGEINT) AS no, " +
+        "sum(CAST(n_orders AS HUGEINT) * k) AS s, " +
+        "sum(CAST(n_orders AS HUGEINT) * k * k) AS q FROM h), " +
+        "v AS (SELECT (1000 * (no * q - s * s)) // " +
+        "(CASE WHEN (no - 1) * s = 0 THEN 1 ELSE (no - 1) * s END) " +
+        "AS vmr_milli FROM m) " +
+        "SELECT CAST(k AS BIGINT) AS n_lines, " +
+        "CAST(n_orders AS BIGINT) AS n_orders, " +
+        "CAST(vmr_milli AS BIGINT) AS vmr_milli FROM h, v"),
+    "part_pareto_share" ->
+      ("WITH rev AS (SELECT l_partkey, " +
+        "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) " +
+        "// 100 AS v FROM lineitem GROUP BY 1), " +
+        "byv AS (SELECT v, count(*) AS t FROM rev GROUP BY 1), " +
+        "cum AS (SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt, " +
+        "sum(CAST(t AS HUGEINT) * v) OVER (ORDER BY v ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv FROM byv), " +
+        "g AS (SELECT max(cumt) AS n, max(cumv) AS s FROM cum), " +
+        "gp AS (SELECT n, s, n - n // 5 AS pos FROM g) " +
+        "SELECT CAST(n AS BIGINT) AS n_units, " +
+        "CAST(n // 5 AS BIGINT) AS top_n, CAST(s AS BIGINT) AS total_value, " +
+        "CAST(1000000 - (1000000 * (cumv - CAST(t AS HUGEINT) * v + " +
+        "(pos - (cumt - t)) * CAST(v AS HUGEINT))) // " +
+        "(CASE WHEN s = 0 THEN 1 ELSE s END) AS BIGINT) AS top_share_ppm " +
+        "FROM cum, gp WHERE cumt - t < pos AND pos <= cumt"),
     "vocab_heaps_curve" ->
       ("WITH db AS (SELECT length(bin(greatest(1, doc_id))) - 1 AS b, " +
         "count(*) AS nd FROM documents GROUP BY 1), " +

@@ -1749,6 +1749,29 @@ class AnalyticsSpec extends SparkSpecBase {
       got.getLong(4), got.getLong(5)) == ((2L, 1L, 1L, 2L, 2000L, 0L)))
   }
 
+  test("p-chart: only the 8/10 error day leaves the 3-sigma band") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dayNs = 86400L * 1000000000L
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    // p = 10/30; day2 (8 errors of 10): (8*30-10*10)^2 = 19600 >
+    // 9*10*20*10 = 18000 -> out; days 0-1 (1 of 10) stay in
+    def day(d: Long, errs: Int): Seq[Row] =
+      (0 until errs).map(i => Row(d * dayNs + i, "error")) ++
+        (errs until 10).map(i => Row(d * dayNs + i, "view"))
+    val rows = day(0, 1) ++ day(1, 1) ++ day(2, 8)
+    val got = EventsAnalytics.errorPChart(
+      spark.createDataFrame(rows.asJava, schema)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))).toMap
+    assert(got == Map(
+      0L -> ((10L, 1L, 1000L, 0)),
+      1L -> ((10L, 1L, 1000L, 0)),
+      2L -> ((10L, 8L, 8000L, 1))))
+  }
+
   test("time to convert: censored users in the share, out of the quartiles") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

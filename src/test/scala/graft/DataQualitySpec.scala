@@ -432,6 +432,30 @@ class DataQualitySpec extends SparkSpecBase {
       2L -> ((1L, 7L, 18L, 7L))))
   }
 
+  test("linecount dispersion: over-dispersed hand histogram reads 2000 milli") {
+    import spark.implicits._
+    // per-order line counts 1,1,1,5 -> VMR = (4*28-64)/(3*8) = 2.0
+    val li = (Seq(1L, 2L, 3L) ++ Seq.fill(5)(4L)).map(o => (o, 1))
+      .toDF("l_orderkey", "pad")
+    val got = DataQuality.linecountDispersion(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 2000L)), 5L -> ((1L, 2000L))))
+  }
+
+  test("Pareto share: top-20% cut lands inside a tie group exactly") {
+    import spark.implicits._
+    // values 1..5: top unit holds 5/15 -> complement floor gives 333334
+    val a = (1L to 5L).map(v => (v, v)).toDF("id", "x")
+    val g1 = DataQuality.paretoTopShare(a, "x").collect().head
+    assert((g1.getLong(0), g1.getLong(1), g1.getLong(2), g1.getLong(3)) ==
+      ((5L, 1L, 15L, 333334L)))
+    // 2,2,2,2,10: boundary splits the tie group; top = 10/18 -> 555556
+    val b = Seq(2L, 2L, 2L, 2L, 10L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val g2 = DataQuality.paretoTopShare(b, "x").collect().head
+    assert((g2.getLong(2), g2.getLong(3)) == ((18L, 555556L)))
+  }
+
   test("trimmed mean: outlier immunity and partial tie-group trimming") {
     import spark.implicits._
     // A: 1..9 plus a 1000 outlier -> trimmed keeps positions 2..9
