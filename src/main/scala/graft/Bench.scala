@@ -301,17 +301,42 @@ object Bench {
     // JIT, and any deliberate operator-level caches are hot), so
     // rep1 >> rep2 reads as noise/JIT and rep1 ~= rep2 as honest compute.
     // Override SPARK_GRAFT_BENCH_REP_SEC to rep only keys above a floor.
+    // Stall immunity (VERDICT r16 #1): a single rep-2 wall reading can't
+    // distinguish a code regression from a transient driver/host stall —
+    // r16's warmRegr carried 13 phantoms with flat CPU and wall up to 14x
+    // the key's own taskRun. The fix is targeted median-of-3: when the
+    // rep-2 reading is SUSPICIOUS (wall > 1.8x the previous committed warm,
+    // or wall > 5x the rep's own taskRun sum on a >=200ms key — i.e. the
+    // cluster did almost no work while the wall clock ran), take two more
+    // warm reps and record the median. Honest regressions survive the
+    // median; stalls (which land on different keys each run) don't. Cost
+    // stays ~1 warm rep for the whole sweep since <5% of keys trip it.
     val repThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_SEC", "0.0").toDouble
     order.foreach { name =>
       if (!errors.contains(name) && results(name) >= repThreshold) {
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        val sec2 = (System.nanoTime() - t0) / 1e9
-        detail(name) = detail(name) ++
-          Map("msRep2" -> (sec2 * 1000).toLong, "reps" -> 2L)
-        maybeGc() // untimed; see the rep-1 loop
+        def warmRep(): (Long, Long) = {
+          val before = listener.snap()
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          val wallMs = (System.nanoTime() - t0) / 1000000
+          val runMs = listener.snap()("runMs") - before("runMs")
+          maybeGc() // untimed; see the rep-1 loop
+          (wallMs, runMs)
+        }
+        val (w2, run2) = warmRep()
+        val regressed = prevDetail.get(name).exists { case (prevWarm, _) =>
+          prevWarm >= 200 && w2.toDouble / prevWarm > 1.8
+        }
+        val stalled = w2 >= 200 && w2 > 5 * math.max(run2, 1L)
+        if (regressed || stalled) {
+          val walls = Seq(w2, warmRep()._1, warmRep()._1).sorted
+          detail(name) = detail(name) ++ Map(
+            "msRep2" -> walls(1), "msRep2Raw" -> w2,
+            "taskRunMsRep2" -> run2, "reps" -> 4L)
+        } else detail(name) = detail(name) ++ Map(
+          "msRep2" -> w2, "taskRunMsRep2" -> run2, "reps" -> 2L)
       } else detail(name) = detail(name) + ("reps" -> 1L)
     }
     def jstr(s: String): String =

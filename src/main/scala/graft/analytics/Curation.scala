@@ -1987,7 +1987,10 @@ object Curation {
       .crossJoin(broadcast(nDocs))
       .withColumn("vmr_milli", expr(
         s"CAST((1000 * (CAST(n_corpus AS $d) * q - CAST(tf AS $d) * tf)) " +
-          s"div ((n_corpus - 1) * CAST(tf AS $d)) AS BIGINT)"))
+          // divisor guard (sibling convention): a single-doc corpus with
+          // minDf <= 1 would otherwise hit ANSI DIVIDE_BY_ZERO
+          s"div (CASE WHEN (n_corpus - 1) * CAST(tf AS $d) = 0 THEN 1 " +
+          s"ELSE (n_corpus - 1) * CAST(tf AS $d) END) AS BIGINT)"))
     graft.plans.TopKPerKey.topKPerKey(
       stats.select(lit(1).as("g"), col("token"), col("df"), col("tf"),
         col("vmr_milli"), (-col("vmr_milli")).as("neg_v")),

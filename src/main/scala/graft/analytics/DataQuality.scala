@@ -561,7 +561,10 @@ object DataQuality {
         sum(expr(s"CAST(c AS $d) * r2")).as("r2i"))
     grp
       .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
-        sum(expr("(r2i * r2i) div ni")).as("sq"))
+        // each quotient ~ ni*(n+1)^2 fits a LONG, but their SUM exceeds
+        // LONG range near sf10 (n ~ 1.5e7) while the DuckDB oracle sums
+        // HUGEINT — re-enter DECIMAL per term so both ceilings match
+        sum(expr(s"CAST((r2i * r2i) div ni AS $d)")).as("sq"))
       .crossJoin(broadcast(ties))
       // `div` returns BIGINT whatever its inputs, so sq (a sum of
       // per-group BIGINT quotients, ~1.4e16 at sf0.1) must re-enter

@@ -4531,13 +4531,13 @@ object ExtensionQueries {
     "events_session_concurrency" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts " +
         "FROM events), " +
-        "s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER " +
+        "s AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR " +
         "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
         "> 1800000000000 THEN 1 ELSE 0 END AS brk FROM e), " +
         "sid AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
-        "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "AS sid FROM s), " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS sid FROM s), " +
         "sess AS (SELECT user_id, sid, min(ts) // 60000000000 AS sm, " +
         "max(ts) // 60000000000 + 1 AS em FROM sid GROUP BY 1, 2), " +
         "dl AS (SELECT minute, sum(d) AS delta FROM (" +
