@@ -538,6 +538,60 @@ object Curation {
       .union(stat("4_exact_dedup", s3))
   }
 
+  /** End-to-end corpus build — the five-stage chain a real pretraining
+    * data pipeline runs as ONE job, each stage consuming the previous
+    * stage's survivors (not full-corpus flags): exact dedup by text
+    * fingerprint (min-doc_id representative), quality gate (interquartile
+    * n_chars band recomputed on the DEDUPED length distribution),
+    * decontamination (drop docs containing any benchmark pattern),
+    * tempered source mixing ([[sourceMixSample]]'s isqrt quota over the
+    * surviving per-source counts), and whole-document next-fit packing
+    * ([[docPackNextFit]]). Emits the packed-corpus manifest
+    * (doc_id, source, bin, off_tokens) — the artifact a training run
+    * reads — so any divergence in ANY upstream stage shifts membership,
+    * quotas, or bin offsets and is caught by the single end-to-end oracle.
+    *
+    * Per-stage cost is each operator's own at-scale shape: the dedup
+    * shuffle carries the 32-char fingerprint (never full text), the band
+    * is a one-row broadcast, decontamination is map-only, the mix quota
+    * table is |sources| rows broadcast, and packing folds per-source runs
+    * in one shuffle. Stages materialize through the `materialize` hook
+    * between shufflesets exactly as [[curationFunnel]] does (a 100 TB run
+    * checkpoints between stages anyway).
+    */
+  def corpusBuildE2E(
+      docs: DataFrame,
+      contamPatterns: Seq[String],
+      targetTotal: Long = 200L,
+      capacity: Long = 2048L,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      : DataFrame = {
+    val s0 = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      col("text"))
+    // stage 1: exact dedup — min-id representative per text fingerprint
+    val keep = s0
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val s1 = materialize(
+      s0.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    // stage 2: quality gate — IQR length band on the deduped survivors
+    val bands = s1.agg(
+      expr("percentile(n_chars, 0.25)").as("p_lo"),
+      expr("percentile(n_chars, 0.75)").as("p_hi"))
+    val s2 = s1.crossJoin(broadcast(bands))
+      .filter(col("n_chars") >= col("p_lo") && col("n_chars") <= col("p_hi"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // stage 3: decontaminate the quality survivors
+    val contaminated = contamPatterns
+      .map(p => instr(col("text"), lit(p)) > 0).reduce(_ || _)
+    val s3 = materialize(s2.filter(!contaminated))
+    // stage 4: sqrt-tempered source mix over the surviving distribution
+    val picked = sourceMixSample(s3, targetTotal)
+    val s4 = s3.join(picked.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // stage 5: whole-document next-fit packing → the training manifest
+    docPackNextFit(s4, capacity)
+  }
+
   /** Full curation audit — the per-document decision table a training-data
     * pipeline materializes before dropping anything: exact-dup (not the
     * min-id representative of its fingerprint), near-dup (non-representative

@@ -1239,6 +1239,14 @@ object ExtensionQueries {
     // outlier / contamination counts
     "source_curation_report" -> ((s, dir) =>
       Curation.sourceCurationReport(t(s, dir, "documents"))),
+    // the full five-stage corpus build run as ONE chained job — exact
+    // dedup → IQR quality gate → decontaminate → tempered source mix →
+    // next-fit pack — emitting the packed training manifest; the single
+    // oracle replays every stage, so this key verifies the INTERACTION
+    // of the stages (each already green alone), not just each in isolation
+    "corpus_build_e2e" -> ((s, dir) =>
+      Curation.corpusBuildE2E(t(s, dir, "documents"),
+        Seq("scan", "quantile"))),
     // skip-gram co-occurrence counts (word2vec data prep): (center,
     // context) pairs within a ±2 window, top-25 — one explode pass
     // shuffling on the pair, no self-join
@@ -3717,6 +3725,49 @@ object ExtensionQueries {
         "CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2 " +
         "UNION ALL SELECT '4_exact_dedup', count(*), " +
         "CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3"),
+    // the whole five-stage chain replayed sequentially: fingerprint dedup,
+    // IQR band ON THE DEDUPED distribution, pattern decontamination of the
+    // band survivors, the isqrt-tempered quota over SURVIVING per-source
+    // counts, then the next-fit fold as a recursive CTE (the
+    // doc_pack_nextfit state machine) over the mixed sample
+    "corpus_build_e2e" ->
+      ("WITH RECURSIVE s1 AS (SELECT doc_id, source, n_chars, text " +
+        "FROM documents WHERE doc_id IN (SELECT min(doc_id) " +
+        "FROM documents GROUP BY md5(lower(trim(text))))), " +
+        "b AS (SELECT quantile_cont(n_chars, 0.25) AS p_lo, " +
+        "quantile_cont(n_chars, 0.75) AS p_hi FROM s1), " +
+        "s2 AS (SELECT doc_id, source, text FROM s1, b " +
+        "WHERE n_chars >= p_lo AND n_chars <= p_hi), " +
+        "s3 AS (SELECT doc_id, source, text FROM s2 " +
+        "WHERE NOT (position('scan' IN text) > 0 " +
+        "OR position('quantile' IN text) > 0)), " +
+        "c AS (SELECT source, count(*) AS n FROM s3 GROUP BY source), " +
+        "x AS (SELECT source, CAST(n AS HUGEINT) * 1000000000000 AS x FROM c), " +
+        "r0 AS (SELECT source, x, " +
+        "CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS s0 FROM x), " +
+        "wts AS (SELECT source, " +
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 " +
+        "WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS w FROM r0), " +
+        "tot AS (SELECT sum(w) AS sw FROM wts), " +
+        "q AS (SELECT source, (200 * w + sw - 1) // sw AS quota " +
+        "FROM wts, tot), " +
+        "rk AS (SELECT doc_id, source, text, row_number() OVER " +
+        "(PARTITION BY source ORDER BY doc_id) AS rk FROM s3), " +
+        "s4 AS (SELECT doc_id, source, text FROM rk JOIN q USING (source) " +
+        "WHERE rk <= quota), " +
+        "t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
+        "FROM s4), " +
+        "p AS (SELECT doc_id, source, n, rn, CAST(0 AS BIGINT) AS bin, " +
+        "CAST(0 AS BIGINT) AS boff, n AS used FROM t WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT t.doc_id, t.source, t.n, t.rn, " +
+        "CASE WHEN p.used > 0 AND p.used + t.n > 2048 THEN p.bin + 1 ELSE p.bin END, " +
+        "CASE WHEN p.used > 0 AND p.used + t.n > 2048 THEN 0 ELSE p.used END, " +
+        "CASE WHEN p.used > 0 AND p.used + t.n > 2048 THEN t.n ELSE p.used + t.n END " +
+        "FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1) " +
+        "SELECT doc_id, source, bin, boff AS off_tokens FROM p"),
     "curation_audit" ->
       (curationAuditCtes +
         "SELECT d.doc_id, " +

@@ -313,6 +313,38 @@ class CurationSpec extends SparkSpecBase {
       "4_exact_dedup" -> ((1L, 20L))))
   }
 
+  test("corpusBuildE2E: five-stage chain matches hand computation") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "A", 5L, "a b c"),
+      Row(2L, "A", 5L, "a b c"), // exact dup of 1 → dropped stage 1
+      Row(3L, "A", 3L, "d e"),
+      Row(4L, "A", 10L, "u v w"), // above band after doc 2 drops
+      Row(5L, "B", 7L, "f g h i"),
+      Row(6L, "B", 3L, "j k"),
+      Row(7L, "B", 1L, "x"), // below band
+      Row(8L, "B", 44L, "l1 l2 l3 l4 l5 l6 l7 l8 l9"), // above band
+      Row(9L, "B", 5L, "XCONTAMX q r") // in band, killed by stage 3
+    ).asJava, schema)
+    // stage 1 drops doc 2; band over [1,3,3,5,5,7,10,44] = [3, 7.75]
+    // keeps {1,3,5,6,9}; stage 3 drops 9; mix: A=2, B=2, equal isqrt
+    // weights, quota = ceil(3/2) = 2 each → all four survive; pack at
+    // capacity 5: A packs (1: 3 tok, off 0) + (3: 2 tok, off 3) in bin 0;
+    // B packs (5: 4 tok, off 0) bin 0, (6: 2 tok) overflows → bin 1
+    val got = Curation.corpusBuildE2E(d, Seq("XCONTAMX"),
+      targetTotal = 3L, capacity = 5L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, "A", 0L, 0L), (3L, "A", 0L, 3L),
+      (5L, "B", 0L, 0L), (6L, "B", 1L, 0L)))
+  }
+
   test("survivor dedup keeps the longest copy, not the smallest id") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
