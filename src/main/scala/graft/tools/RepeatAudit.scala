@@ -183,6 +183,29 @@ object RepeatAudit {
       s"(worst x${uncutHeavy.map(_._2).max}), cut heavy-dup groups=0")
   }
 
+  /** Committed adjudication allowlist (VERDICT r16 #3): each entry is a
+    * REVIEWED x3+ heavy duplicate group — (key, fragment root nodeName,
+    * max tolerated occurrence count), with the decision and the A/B
+    * measurement recorded as documentation fields in the JSON. Under
+    * `--strict`, a heavy group with count >= 3 fails the run unless an
+    * entry covers it; x2 groups are tolerated BY MEASURED POLICY (the
+    * er_blocking_eval A/B: cutting the reduce-side x2 class was
+    * net-negative or neutral — see the file's `policy_x2` field).
+    */
+  private def readAllowlist(path: String): Map[(String, String), Int] = {
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val entries = root.get("entries")
+      if (entries == null) Map.empty
+      else (0 until entries.size()).map { i =>
+        val e = entries.get(i)
+        (e.get("key").asText(), e.get("fragment").asText()) ->
+          e.get("max_count").asInt()
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -201,7 +224,10 @@ object RepeatAudit {
       val sel = args.filterNot(_.startsWith("--")).toSeq
       if (sel.nonEmpty) sel else SparkEntry.queries.keys.toSeq.sorted
     }
+    val allow = readAllowlist(sys.env.getOrElse(
+      "SPARK_GRAFT_REPEAT_ALLOWLIST", "REPEAT_ALLOWLIST.json"))
     var heavyKeys = List.empty[String]
+    var strictFails = List.empty[String]
     var lightKeys = 0
     names.foreach { name =>
       try {
@@ -214,6 +240,14 @@ object RepeatAudit {
           val sev = if (heavy) "HEAVY" else "light"
           println(s"REPEAT $sev $name: stage '${rep.nodeName}' " +
             s"(${rep.collect { case x => x }.size} nodes) ran x$n")
+          // strict gate: an x3+ heavy group must carry a reviewed
+          // allowlist entry; x2 is the measured policy-tolerated class
+          if (heavy && n >= 3 &&
+              allow.getOrElse((name, rep.nodeName), 2) < n) {
+            strictFails ::= s"$name '${rep.nodeName}' x$n"
+            println(s"REPEAT STRICT-FAIL $name: '${rep.nodeName}' x$n " +
+              s"not covered by REPEAT_ALLOWLIST.json")
+          }
           if (heavy && verbose)
             println(rep.treeString.linesIterator.take(20).mkString("\n"))
         }
@@ -222,20 +256,25 @@ object RepeatAudit {
           println(s"REPEAT ERROR $name: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(100))
           heavyKeys ::= s"$name(error)"
+          strictFails ::= s"$name(error)"
       }
     }
     println(s"REPEAT-AUDIT ${names.size} keys: " +
-      s"heavy_dup_keys=${heavyKeys.size} light_dup_keys=$lightKeys")
+      s"heavy_dup_keys=${heavyKeys.size} light_dup_keys=$lightKeys " +
+      s"strict_fails=${strictFails.size} allowlist_entries=${allow.size}")
     heavyKeys.foreach(n => println(s"HEAVY-DUP $n"))
     spark.stop()
-    // Exit-fail only under --strict: a heavy duplicate is a REVIEW signal,
-    // not always a defect — the x2 class is usually a final reduce-side
-    // aggregate re-run per consumer over an exchange-reused map side, and
-    // cutting those was MEASURED net-negative or neutral (er_blocking_eval:
-    // lazy 69 tasks / 2.6s warm vs truth-cut 101 tasks / 2.2s with higher
-    // taskCpu; full-cut 165 tasks / 2.3s). The x3+ whole-chain class
-    // (triangles/assortativity/modularity, fixed this round) is the one
-    // to hunt.
-    if (args.contains("--strict") && heavyKeys.nonEmpty) sys.exit(1)
+    // Exit-fail only under --strict, and only for x3+ heavy groups outside
+    // the committed REPEAT_ALLOWLIST.json (each entry a reviewed
+    // adjudication with its A/B number). The x2 class is tolerated by
+    // measured policy: a final reduce-side aggregate re-run per consumer
+    // over an exchange-reused map side, where cutting was MEASURED
+    // net-negative or neutral (er_blocking_eval: lazy 69 tasks / 2.6s warm
+    // vs truth-cut 101 tasks / 2.2s with higher taskCpu; full-cut 165
+    // tasks / 2.3s; knn_hubness_histogram r17: uncut 2.11-2.23s warm vs
+    // occ-cut 2.37-2.59s). The x3+ whole-chain class (triangles/
+    // assortativity/modularity, fixed r16) is the one to hunt — a NEW x3+
+    // group fails this gate until it is fixed or reviewed onto the list.
+    if (args.contains("--strict") && strictFails.nonEmpty) sys.exit(1)
   }
 }
