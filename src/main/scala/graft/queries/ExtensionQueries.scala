@@ -1155,6 +1155,14 @@ object ExtensionQueries {
     "table_profile_docs" -> ((s, dir) =>
       DataQuality.tableProfile(t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // the sketch-cheap profile variant as its own oracle-checked key:
+    // same expand plan shape with approx_count_distinct riding along;
+    // the checked contract is the 10% error band each engine's OWN HLL
+    // must satisfy (the cms_error_eval pattern — sketch values differ
+    // across engines by construction)
+    "table_profile_approx_eval" -> ((s, dir) =>
+      DataQuality.profileApproxEval(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // expectations-suite validation: per-rule violation counts
     "quality_assertions_docs" -> ((s, dir) =>
       DataQuality.qualityAssertions(t(s, dir, "documents"))),
@@ -5020,6 +5028,17 @@ object ExtensionQueries {
         s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
           s"count(*) - count($c) AS n_nulls, " +
           s"count(DISTINCT $c) AS n_distinct FROM documents")
+        .mkString(" UNION ALL "),
+    // error-band contract: DuckDB's own HLL must land within 10% of exact,
+    // mirroring the Spark side's flag on ITS HLL++ (values differ across
+    // engines by construction; the band is what both must satisfy)
+    "table_profile_approx_eval" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(abs(approx_count_distinct($c) - count(DISTINCT $c)) * 10 " +
+          s"<= count(DISTINCT $c) AS INT) AS approx_ok FROM documents")
         .mkString(" UNION ALL "),
     "quality_assertions_docs" ->
       ("WITH a AS (SELECT count(doc_id) - count(DISTINCT doc_id) AS v_dup, " +

@@ -82,6 +82,21 @@ class DataQualitySpec extends SparkSpecBase {
     assert(got == Map("text" -> ((3L, 0L, 2L)), "lang" -> ((3L, 1L, 1L))))
   }
 
+  test("approx profile eval: exact columns match tableProfile and the HLL band holds") {
+    val tiny = spark.createDataFrame(Seq(
+      Row(1L, "a", "en", "web", 1L),
+      Row(2L, "a", null, "web", 1L),
+      Row(3L, "b", "en", "book", 1L)).asJava, docSchema)
+    val got = DataQuality.profileApproxEval(tiny, Seq("text", "lang"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // exact columns identical to tableProfile; at these cardinalities the
+    // HLL++ sparse path is exact, so the 10% band flag must be 1
+    assert(got == Map(
+      "text" -> ((3L, 0L, 2L, 1)), "lang" -> ((3L, 1L, 1L, 1))))
+  }
+
   test("vocab drift flags a token dumped into one slice only") {
     val rows = (0L until 20L).map { i =>
       val extra = if (i % 2 == 0) " zonly" else "" // token only in even ids
