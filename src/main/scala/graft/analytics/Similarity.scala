@@ -1660,14 +1660,29 @@ object Similarity {
     */
   def semDedupKeep(
       embeddings: DataFrame,
-      nCells: Int = 16,
+      nCells: Int = -1,
       iters: Int = 2,
       trainMod: Int = 4,
       minSim: Double = 0.30,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
-    val centroids = materialize(kMeansCentroids(spread, nCells, iters, trainMod))
+    // nCells < 0 (default) = the adaptive FAISS-nlist rule shared with
+    // knnJoinIvf / the index build: 2^max(4, bitlength(n/4096)) — the
+    // within-cell pair join is quadratic PER CELL, so cells must grow
+    // ∝ corpus for the candidate volume to stay linear. Measured r17 at
+    // sf10 (5M vectors): fixed 16 cells ran 266 s cold / 5534 s taskCpu
+    // (312k-vector cells → ~10^10 candidate dots); the oracle gate scales
+    // all land on the historical 16, so the unrolled oracles hold.
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val n = spread.count()
+        val bl =
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
+        1 << math.min(12, math.max(4, bl))
+      }
+    val centroids = materialize(kMeansCentroids(spread, cells, iters, trainMod))
     // assignment feeds both sides of the pair join — cut the Lloyd lineage
     // once and compute each row's norm a single time
     val assigned = materialize(assignCells(spread, centroids, 1)
