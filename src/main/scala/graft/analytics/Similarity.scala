@@ -1748,19 +1748,43 @@ object Similarity {
     * generated per bucket (the LSH candidate cut), then thresholded on the
     * rounded cosine.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, minSim: Double, nBits: Int = 8): DataFrame = {
+  def cosineNearDupPairs(embeddings: DataFrame, minSim: Double, nBits: Int = -1): DataFrame = {
+    // nBits < 0 (default): adaptive cut width min(16, max(8,
+    // bitlength(n/4096))) — the bucketed pair join is quadratic PER
+    // BUCKET, so buckets must grow ∝ corpus for candidate volume to stay
+    // linear (~4096-vector buckets → ~2048 dots/vector), the same regime
+    // as semDedupKeep's adaptive cells and bitextMarginPairs' cut. All
+    // oracle gate scales and sf1 land on the historical 8 bits; the
+    // oracle derives the SAME width from its own count(*) via
+    // length(bin(x)), so the two sides stay in lockstep at any scale.
+    // The 16-bit cap is deliberate: beyond 65k sign buckets recall decays
+    // faster than the cut helps — past that corpus size the IVF path
+    // (adaptive nlist, trained cells) is the deployment answer.
+    val bits =
+      if (nBits > 0) nBits
+      else {
+        val n = embeddings.count()
+        math.min(16, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(n / 4096, 1L)))).toInt
+      }
     // per-vector norms are computed once on the bucketed relation (N rows)
-    // instead of twice per candidate pair (O(N²/buckets) rows)
-    val bucketed = withSignBucket(embeddings, nBits)
-      .withColumn("nrm", sqrt(normSqDecimal(col("embedding")).cast("double")))
+    // instead of twice per candidate pair (O(N²/buckets) rows); the
+    // per-pair kernel is the codegen'd float_dot (the semDedupKeep /
+    // knnJoinIvf primitive — measured r17 at sf10: the interpreted
+    // DECIMAL HOF dot was still running the 6.1e9-candidate join after
+    // 12 min, float_dot finishes it in under a minute), rounded to the
+    // same 6 decimals the DECIMAL oracle replays
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val bucketed = withSignBucket(embeddings, bits)
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dotDecimal(col("emb_a"), col("emb_b")).cast("double") /
-          (col("nrm_a") * col("nrm_b")), 6).as("sim"))
+        round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
+          .as("sim"))
       .filter(col("sim") >= minSim)
   }
 

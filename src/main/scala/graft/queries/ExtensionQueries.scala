@@ -379,7 +379,7 @@ object ExtensionQueries {
     "semantic_dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(
         Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
-          minSim = 0.30, nBits = 8).select(col("id_a"), col("id_b")))
+          minSim = 0.30).select(col("id_a"), col("id_b")))
         .withColumnRenamed("doc_id", "vec_id")),
     // the composed MinHash production pipeline: LSH candidates + exact
     // df-capped Jaccard verify of ONLY the candidates — the scale-path
@@ -602,7 +602,7 @@ object ExtensionQueries {
     // embedding-space near-dup detection: all pairs above a cosine
     // threshold, candidate-cut by sign-LSH buckets
     "dedup_embedding_cosine" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), minSim = 0.30, nBits = 8)),
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), minSim = 0.30)),
     // margin-based bitext mining (Artetxe & Schwenk ratio margin + the
     // mutual-best filter) between the en and es sides of the corpus —
     // the LASER/CCMatrix parallel-pair mining shape, LSH-candidate-cut,
@@ -3499,8 +3499,12 @@ object ExtensionQueries {
   }
 
   private val cosinePairCtes: String =
-    "b AS (SELECT vec_id, embedding, " +
-      "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:8]], '') AS bucket FROM embeddings), " +
+    // adaptive cut width, same integer rule as the Spark side:
+    // bitlength(n/4096) clamped to [8,16] via length(bin(x))
+    "nbv AS (SELECT least(greatest(length(bin(greatest(" +
+      "count(*) // 4096, 1))), 8), 16) AS nb FROM embeddings), " +
+      "b AS (SELECT vec_id, embedding, " +
+      "array_to_string([CASE WHEN x > 0 THEN '1' ELSE '0' END FOR x IN embedding[1:nb]], '') AS bucket FROM embeddings, nbv), " +
       "cp0 AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, " +
       "a.embedding AS ea, b2.embedding AS eb FROM b a " +
       "JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id), " +
