@@ -778,15 +778,34 @@ object Similarity {
   def annRecallIvf(
       embeddings: DataFrame,
       k: Int = 10,
-      queryMod: Int = 100,
-      nCells: Int = 16,
+      queryMod: Long = -1L,
+      nCells: Int = -1,
       nProbe: Int = 4,
       iters: Int = 2,
       trainMod: Int = 4,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
-    val qs = spread.filter(col("vec_id") % queryMod === 0)
+    // defaults < 0 adapt both dials to the corpus: queryMod = max(100,
+    // n/500) caps the sampled query set at ~500, so the brute-force truth
+    // stays O(500·n) — a FIXED-FRACTION sample (the old % 100) makes the
+    // truth scan n²/100, quadratic; and nCells follows the shared
+    // FAISS-nlist rule so the eval measures the SAME index config the
+    // deployed build uses. All oracle gate scales land on the historical
+    // (100, 16), so the unrolled oracle chains hold where they run.
+    val (qMod, cells) = {
+      lazy val n = spread.count()
+      val qm = if (queryMod > 0) queryMod else math.max(100L, n / 500L)
+      val c =
+        if (nCells > 0) nCells
+        else {
+          val bl =
+            64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
+          1 << math.min(12, math.max(4, bl))
+        }
+      (qm, c)
+    }
+    val qs = spread.filter(col("vec_id") % qMod === 0)
     val qSide = broadcast(qs.select(col("vec_id").as("qid"),
       col("embedding").as("q_emb"),
       sqrt(expr("float_dot(embedding, embedding)")).as("qn")))
@@ -807,7 +826,7 @@ object Similarity {
 
     // approximate: the IVF cell cut, probes computed for the queries only
     val centroids =
-      materialize(kMeansCentroids(spread, nCells, iters, trainMod))
+      materialize(kMeansCentroids(spread, cells, iters, trainMod))
     val indexed = assignCells(spread, centroids, 1)
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
       .select(col("cell_id"), col("vec_id").as("nbr"),
@@ -841,8 +860,8 @@ object Similarity {
   def annRecallCurveIvf(
       embeddings: DataFrame,
       k: Int = 10,
-      queryMod: Int = 100,
-      nCells: Int = 16,
+      queryMod: Long = -1L,
+      nCells: Int = -1,
       probes: Seq[Int] = Seq(1, 2, 4),
       iters: Int = 2,
       trainMod: Int = 4,
@@ -850,7 +869,21 @@ object Similarity {
     require(probes.nonEmpty, "annRecallCurveIvf: need at least one probe width")
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
-    val qs = spread.filter(col("vec_id") % queryMod === 0)
+    // same adaptive dials as annRecallIvf: ~500-query truth (linear) and
+    // the deployed adaptive-nlist cell count; gate scales land on (100, 16)
+    val (qMod, cells) = {
+      lazy val n = spread.count()
+      val qm = if (queryMod > 0) queryMod else math.max(100L, n / 500L)
+      val c =
+        if (nCells > 0) nCells
+        else {
+          val bl =
+            64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
+          1 << math.min(12, math.max(4, bl))
+        }
+      (qm, c)
+    }
+    val qs = spread.filter(col("vec_id") % qMod === 0)
     val qSide = broadcast(qs.select(col("vec_id").as("qid"),
       col("embedding").as("q_emb"),
       sqrt(expr("float_dot(embedding, embedding)")).as("qn")))
@@ -867,7 +900,7 @@ object Similarity {
         round(expr("float_dot(embedding, q_emb)") / (col("nrm") * col("qn")), 6)
           .as("sim"))))
     val centroids =
-      materialize(kMeansCentroids(spread, nCells, iters, trainMod))
+      materialize(kMeansCentroids(spread, cells, iters, trainMod))
     val indexed = materialize(assignCells(spread, centroids, 1)
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))
       .select(col("cell_id"), col("vec_id").as("nbr"),
