@@ -226,7 +226,28 @@ object Similarity {
     // distance is the per-row hot loop of every Lloyd iteration and probe
     val d2 = "round(l2_sq(embedding, c.c_emb), 9)"
     val g = groupCols.map(col)
-    joined
+    if (n == 1) {
+      // argmin fast path for the dominant case (every Lloyd iteration and
+      // every index assignment): a single left fold instead of sorting the
+      // whole cell array per row — the sort's interpreted struct
+      // comparator is O(cells·log cells) PER VECTOR, which at the
+      // adaptive 2048-cell sf10 regime is ~11 extra comparator calls per
+      // cell per row. The fold visits cells in ascending cell_id order
+      // (the collected array is array_sort'ed on (cell_id, …)) with a
+      // strict `<` on d2, so ties keep the earlier = smaller cell_id —
+      // byte-identical to the sort's (d2 asc, cell_id asc) ordering, and
+      // the oracles are untouched.
+      val argmin =
+        s"aggregate(slice(cells, 2, size(cells)), " +
+          s"struct(round(l2_sq(embedding, element_at(cells, 1).c_emb), 9) AS d2, " +
+          s"element_at(cells, 1).cell_id AS cell_id), " +
+          s"(acc, c) -> IF($d2 < acc.d2, " +
+          s"struct($d2 AS d2, c.cell_id AS cell_id), acc))"
+      joined
+        .select(g ++ Seq(col("vec_id"),
+          expr(s"$argmin.cell_id").as("cell_id"),
+          col("embedding")): _*)
+    } else joined
       .select(g ++ Seq(col("vec_id"), col("embedding"),
         explode(expr(
           s"slice(array_sort(transform(cells, c -> " +
