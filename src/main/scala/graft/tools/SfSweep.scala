@@ -20,8 +20,8 @@ object SfSweep {
     "subset_out_orders", "subset_out_lineitem",
     "minhash_verified_pairs", "containment_pairs", "neardup_components",
     "semantic_dedup_apply_probe", "cosine_topk_ivfpq_probe",
-    "heavy_hitters_cms", "hilbert_events", "events_sessionize",
-    "dedup_exact", "text_quality_score")
+    "heavy_hitters_cms", "hilbert_events", "events_session",
+    "dedup_exact", "text_quality", "corpus_build_e2e")
 
   private final class L extends SparkListener {
     val runMs, cpuNs, gcMs, spillB, shufB, tasks = new AtomicLong
