@@ -1963,12 +1963,12 @@ object Similarity {
     val b = bucketed.filter(col("lang") === langB)
       .select(col("bucket"), col("vec_id").as("id_b"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-    val cand = a.join(b, Seq("bucket"))
+    val cand = graft.engine.Materialize.local(a.join(b, Seq("bucket"))
       .select(col("id_a"), col("id_b"),
         round(round(dotDecimal(col("ea"), col("eb")).cast("double") /
           (col("na") * col("nb")), 6) * lit(1000000.0), 0)
           .cast("long").as("sim_fp"))
-      .filter(col("sim_fp") > 0)
+      .filter(col("sim_fp") > 0))
     val wA = Window.partitionBy(col("id_a"))
       .orderBy(col("sim_fp").desc, col("id_b"))
     val wB = Window.partitionBy(col("id_b"))
