@@ -1725,8 +1725,10 @@ object Similarity {
     // knnJoinIvf / the index build: 2^max(4, bitlength(n/4096)) — the
     // within-cell pair join is quadratic PER CELL, so cells must grow
     // ∝ corpus for the candidate volume to stay linear. Measured r17 at
-    // sf10 (5M vectors): fixed 16 cells ran 266 s cold / 5534 s taskCpu
-    // (312k-vector cells → ~10^10 candidate dots); the oracle gate scales
+    // sf10 (200k vectors): fixed 16 cells ran 266 s cold / 5534 s taskCpu
+    // (12.5k-vector mean cells → >= 1.25e9 candidate PAIR ROWS each
+    // carrying two 64-float embeddings through the cell_id join — the
+    // cost is row materialization, not just dots); the oracle gate scales
     // all land on the historical 16, so the unrolled oracles hold.
     val cells =
       if (nCells > 0) nCells
