@@ -67,6 +67,10 @@ def fresh_con(sf_dir):
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
+            # Spark-written tables (the ScaleUp/VecScaleUp fixtures) are
+            # part-file DIRECTORIES; DuckDB needs the glob form for those
+            if os.path.isdir(p):
+                p = os.path.join(p, "*.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 

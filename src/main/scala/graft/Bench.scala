@@ -46,6 +46,45 @@ object Bench {
     */
   val CanaryBaselineMs = 440L
 
+  /** Host-load evidence (VERDICT r17 #5): /proc readings that let a
+    * CONTENDED bench run self-identify from the artifact alone — the r17
+    * driver run read 311 s warm with cold taskCpu inflated up to 10× by a
+    * co-tenant, and adjudicating it consumed a judge session. `loadavg` is
+    * the 1-minute figure; `host` is total busy jiffies across all CPUs
+    * (user+nice+system+irq+softirq+steal) and `self` this JVM's
+    * utime+stime — over an interval, cotenant CPU = Δhost − Δself. Returns
+    * zeros on a non-/proc platform (fields then read as absent evidence,
+    * not as a quiet host).
+    */
+  private def hostSnap(): (Double, Long, Long) = {
+    def slurp(p: String): Array[String] =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8").trim.split("\\s+")
+      catch { case _: Throwable => Array.empty }
+    val load = slurp("/proc/loadavg").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
+    val stat = slurp("/proc/stat")
+    // cpu  user nice system idle iowait irq softirq steal ...
+    val hostBusy =
+      if (stat.length >= 9 && stat(0) == "cpu")
+        Seq(1, 2, 3, 6, 7, 8).map(i => stat(i).toLong).sum
+      else 0L
+    val self = slurp("/proc/self/stat")
+    // fields 14/15 (1-based) are utime/stime
+    val selfBusy =
+      if (self.length >= 15) self(13).toLong + self(14).toLong else 0L
+    (load, hostBusy, selfBusy)
+  }
+
+  /** One warm canary rep — fixed, code-stable, CPU-bound; see canaryMs. */
+  private def canaryRep(spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    val t0 = System.nanoTime()
+    spark.range(0L, 2000L * 1000 * 1000, 1L, 32)
+      .select(bit_xor(xxhash64(col("id")))).head()
+    (System.nanoTime() - t0) / 1000000
+  }
+
   /** JVM-level readings that task metrics can't see: total collector time
     * (wall, all causes), heap occupancy, and the JIT code-cache pools. The
     * code-cache numbers are the tell for the "late-sweep keys run
@@ -220,18 +259,13 @@ object Bench {
     // carries canaryMs plus the warm total normalized by
     // canaryBaselineMs/canaryMs, so a slow host shows up as a ratio
     // instead of masquerading as a code regression.
-    val canaryMs: Long = {
-      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
-      // bit_xor (not sum): summing 2B hashes overflows long under ANSI
-      def rep(): Long = {
-        val t0 = System.nanoTime()
-        spark.range(0L, 2000L * 1000 * 1000, 1L, 32)
-          .select(bit_xor(xxhash64(col("id")))).head()
-        (System.nanoTime() - t0) / 1000000
-      }
-      try { rep(); Seq(rep(), rep(), rep()).sorted.apply(1) }
-      catch { case _: Throwable => -1L }
-    }
+    // bit_xor (not sum): summing 2B hashes overflows long under ANSI
+    val canaryMs: Long =
+      try {
+        canaryRep(spark)
+        Seq(canaryRep(spark), canaryRep(spark), canaryRep(spark)).sorted.apply(1)
+      } catch { case _: Throwable => -1L }
+    val hostStart = hostSnap()
     // Accounted SETUP phase: build the shared pinned relations (token
     // edges, LSH candidate pairs, entity matches/clusters) once, timed
     // separately, so no timed key absorbs a one-time pin build — in a
@@ -313,6 +347,13 @@ object Bench {
     // stays ~1 warm rep for the whole sweep since <5% of keys trip it.
     val repThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_SEC", "0.0").toDouble
+    // mid-run contention evidence (VERDICT r17 #5): a second canary read
+    // plus a loadavg snapshot BEFORE the rep-2 sweep — the r17 driver run's
+    // contention hit the cold sweep and was gone by warm time, a shape only
+    // a mid-run reading can show
+    val hostMid = hostSnap()
+    val canary2Ms: Long =
+      try canaryRep(spark) catch { case _: Throwable => -1L }
     order.foreach { name =>
       if (!errors.contains(name) && results(name) >= repThreshold) {
         def warmRep(): (Long, Long) = {
@@ -329,12 +370,22 @@ object Bench {
         val regressed = prevDetail.get(name).exists { case (prevWarm, _) =>
           prevWarm >= 200 && w2.toDouble / prevWarm > 1.8
         }
-        val stalled = w2 >= 200 && w2 > 5 * math.max(run2, 1L)
+        // driver-heavy/metadata-only keys have near-zero task-run by
+        // construction (rep 1 already read ~0), so wall > 5x taskRun is
+        // their PERMANENT shape, not a stall — skipping them saves two
+        // phantom warm reps per sweep (ADVICE r17)
+        val rep1DriverBound = detail(name).getOrElse("taskRunMs", 0L) < 50L
+        val stalled =
+          w2 >= 200 && w2 > 5 * math.max(run2, 1L) && !rep1DriverBound
         if (regressed || stalled) {
-          val walls = Seq(w2, warmRep()._1, warmRep()._1).sorted
+          // median of three (wall, taskRun) PAIRS picked by wall, so
+          // taskRunMsRep2 describes the same rep msRep2 reports (the
+          // first-reading run is kept as the *Raw field)
+          val reps3 = Seq((w2, run2), warmRep(), warmRep()).sortBy(_._1)
           detail(name) = detail(name) ++ Map(
-            "msRep2" -> walls(1), "msRep2Raw" -> w2,
-            "taskRunMsRep2" -> run2, "reps" -> 4L)
+            "msRep2" -> reps3(1)._1, "msRep2Raw" -> w2,
+            "taskRunMsRep2" -> reps3(1)._2, "taskRunMsRep2Raw" -> run2,
+            "reps" -> 4L)
         } else detail(name) = detail(name) ++ Map(
           "msRep2" -> w2, "taskRunMsRep2" -> run2, "reps" -> 2L)
       } else detail(name) = detail(name) + ("reps" -> 1L)
@@ -410,6 +461,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val diag =
       s"""{"gcSecTotal":${detail.valuesIterator.map(_.getOrElse("jvmGcMs", 0L)).sum / 1000},"spillMBTotal":${detail.valuesIterator.map(m => m.getOrElse("spillMemMB", 0L) + m.getOrElse("spillDiskMB", 0L)).sum},"ccUsedMB":${jvmEnd("ccUsedMB")},"ccMaxMB":${jvmEnd("ccMaxMB")},"heapUsedMB":${jvmEnd("heapUsedMB")},"slow":$diagSlow}"""
+    // whole-run host-load verdict: cotenant CPU = host busy jiffies this
+    // JVM didn't burn; >20-30% flags a contended run (r17's driver run
+    // would have read ~50%+ in the cold phase)
+    val hostEnd = hostSnap()
+    val hostJson = {
+      val dHost = hostEnd._2 - hostStart._2
+      val dSelf = hostEnd._3 - hostStart._3
+      val cotenantPct =
+        if (dHost > 0) 100.0 * math.max(dHost - dSelf, 0L) / dHost else -1.0
+      f"""{"loadStart":${hostStart._1}%.2f,"loadMid":${hostMid._1}%.2f,"loadEnd":${hostEnd._1}%.2f,"hostBusyJiffies":$dHost,"selfBusyJiffies":$dSelf,"cotenantCpuPct":$cotenantPct%.1f}"""
+    }
     // Stop Spark BEFORE printing so any shutdown logging lands above the
     // JSON lines; the harness parses the LAST line of stdout and captures
     // only its tail (~2000 chars), so the per-key detail goes on an EARLIER
@@ -444,7 +506,7 @@ object Bench {
         jstr(k) + f""":{"r":$r%.2f,"cpuR":$cpuR%.2f}""" }
       .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"valueWarm":$totalWarm%.3f,"valueWarmNorm":$totalWarmNorm%.3f,"canaryMs":$canaryMs,"canaryBaselineMs":$CanaryBaselineMs,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"setupSec":$setupSec%.1f,"warmRegrN":${warmRegressions.size},"warmRegr":$warmRegrInline,"diag":$diag,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"valueWarm":$totalWarm%.3f,"valueWarmNorm":$totalWarmNorm%.3f,"canaryMs":$canaryMs,"canary2Ms":$canary2Ms,"canaryBaselineMs":$CanaryBaselineMs,"host":$hostJson,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"setupSec":$setupSec%.1f,"warmRegrN":${warmRegressions.size},"warmRegr":$warmRegrInline,"diag":$diag,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     println(json)
     System.out.flush()
     if (errors.nonEmpty) {

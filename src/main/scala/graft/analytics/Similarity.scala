@@ -243,7 +243,12 @@ object Similarity {
           s"element_at(cells, 1).cell_id AS cell_id), " +
           s"(acc, c) -> IF($d2 < acc.d2, " +
           s"struct($d2 AS d2, c.cell_id AS cell_id), acc))"
+      // guard the degenerate empty-codebook corpus (no vec_id % trainMod
+      // == 0 row -> collect_list = []): the explode path returned zero
+      // rows there, and element_at(cells, 1) would error under ANSI —
+      // filter first so the fast path keeps the same empty-result contract
       joined
+        .filter(expr("size(cells) >= 1"))
         .select(g ++ Seq(col("vec_id"),
           expr(s"$argmin.cell_id").as("cell_id"),
           col("embedding")): _*)
@@ -1711,6 +1716,26 @@ object Similarity {
     * ∝ corpus size so cells stay ~constant-sized, the paper's regime);
     * per-pair scoring is the codegen'd `float_dot` primitive with per-row
     * norms computed once. Returns the KEPT rows (vec_id, label).
+    *
+    * SCALE CEILING (deliberate, like [[cosineNearDupPairs]]'s 16-bit cap):
+    * the adaptive nlist is capped at 2^12 = 4096 cells, because a flat
+    * quantizer's assignment pass costs nCells distance evaluations PER
+    * VECTOR — past 4096 the map-only assignment itself becomes the
+    * dominant term and FAISS practice switches coarse-quantizer shape
+    * rather than growing nlist unboundedly. The cap binds at n ≈ 17M
+    * vectors; beyond it per-cell population (hence the within-cell pair
+    * volume per vector) resumes growing ∝ n. Past that regime the
+    * deployment answer is NOT this fused build: either assign against the
+    * MATERIALIZED cell-partitioned index ([[semDedupKeepFromIndex]] — the
+    * nightly-run path, where the build is amortized) with a two-level
+    * (hierarchical) coarse quantizer, or accept ~n/4096-sized cells and
+    * spend the extra dots on more executors — the within-cell scoring is
+    * embarrassingly parallel and shuffle-free (pairs are generated and
+    * reduced inside the cell_id join stage, never shuffled). Measured
+    * r18: per-vector candidate work is flat 200k → 2M (see STATUS sweep
+    * rows); at 20M on local[32] the pair scoring is CPU-bound wall-hours
+    * on one JVM while remaining one-shuffle linear-per-executor-core on a
+    * cluster.
     */
   def semDedupKeep(
       embeddings: DataFrame,
@@ -1829,7 +1854,19 @@ object Similarity {
     // knnJoinIvf primitive — measured r17 at sf10: the interpreted
     // DECIMAL HOF dot was still running the 6.1e9-candidate join after
     // 12 min, float_dot finishes it in under a minute), rounded to the
-    // same 6 decimals the DECIMAL oracle replays
+    // same 6 decimals the DECIMAL oracle replays.
+    //
+    // ERROR BUDGET vs the DECIMAL(18,16) oracle sum: float_dot folds the
+    // EXACT per-term float×float products (each product of two float32s is
+    // exact in double) sequentially in IEEE double, so the two sides
+    // differ only by double-addition rounding — |err| <= (dim-1)·ulp ≈
+    // 64·2⁻⁵²·|dot| ~ 1e-14. Agreement after round(.,6) and at the
+    // sim >= 0.30 cut is therefore PROBABILISTIC, not structural: it fails
+    // only when a true cosine sits within ~1e-14 of a x.xxxxx5 rounding
+    // boundary or of the threshold — odds ~1e-8 per pair, and the sim
+    // values on this corpus are hash-checked tri-scale every round. If a
+    // boundary hit ever lands, the structural fix is the bitextMarginPairs
+    // pattern: compare in fixed point with a 1-ulp-tolerant band (sim_fp).
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val bucketed = withSignBucket(embeddings, bits)
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)")))

@@ -3099,8 +3099,36 @@ object ExtensionQueries {
       s"FROM afd WHERE vec_id = $queryId) p WHERE rn <= $nProbe)"
   }
 
+  /** Adaptive-parameter CTE shared by the oracles of the adaptive-nlist
+    * engine functions ([[Similarity.knnJoinIvf]], [[Similarity.annRecallIvf]],
+    * [[Similarity.semDedupKeep]], the index build): derives the SAME dials
+    * from the oracle's own `count(*)` that the Spark side derives from its
+    * live corpus count — `qm = max(100, n/500)` (the ~500-query recall
+    * sample) and the FAISS-nlist cell count `2^min(12, max(4,
+    * bitlength(n/4096)))`, exposed pre-multiplied by `trainMod` as the c0
+    * seed cut `cseed`. Keeping the rule in the SQL (the cosinePairCtes
+    * `length(bin(...))` pattern) means a regenerated or larger fixture can
+    * never strand the oracle on a stale (100, 16) while the engine adapts.
+    */
+  private def adaptivePrmCte(trainMod: Int): String =
+    "prm AS (SELECT greatest(100, count(*) // 500) AS qm, " +
+      "(1 << least(12, greatest(4, length(bin(greatest(count(*) // 4096, 1)))))) " +
+      s"* $trainMod AS cseed FROM embeddings)"
+
+  /** `vec_id < <seed cut>` — literal when `nCells` is explicit, the prm
+    * scalar subquery when adaptive (nCells <= 0). */
+  private def seedCut(nCells: Int, trainMod: Int): String =
+    if (nCells > 0) s"vec_id < ${nCells.toLong * trainMod}"
+    else "vec_id < (SELECT cseed FROM prm)"
+
+  /** `vec_id % <query modulus> = 0` — literal or adaptive, as above. */
+  private def queryCut(queryMod: Int): String =
+    if (queryMod > 0) s"vec_id % $queryMod = 0"
+    else "vec_id % (SELECT qm FROM prm) = 0"
+
   /** Mirror of [[Similarity.knnJoinIvf]]: the shared Lloyd chain, per-vector
     * nProbe probe cells, within-cell cosine pairs, per-query top-k.
+    * `nCells <= 0` mirrors the engine's adaptive-nlist default.
     */
   private def knnJoinOracle(
       nCells: Int, nProbe: Int, iters: Int, trainMod: Int, k: Int): String = {
@@ -3108,9 +3136,10 @@ object ExtensionQueries {
       kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
         kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
     }.mkString(", ")
-    s"WITH train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+    s"WITH ${adaptivePrmCte(trainMod)}, " +
+      s"train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
       s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
-      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      s"FROM train WHERE ${seedCut(nCells, trainMod)}), " + iterCtes + ", " +
       kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
       "probes AS (SELECT vec_id, cell_id, embedding FROM (SELECT vec_id, cell_id, embedding, " +
       s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn FROM afd) t WHERE rn <= $nProbe), " +
@@ -3193,18 +3222,19 @@ object ExtensionQueries {
         s"FOR j IN generate_series(1, len($a.embedding))])) * " +
         s"sqrt(list_sum([CAST($b.embedding[j] AS DOUBLE) * CAST($b.embedding[j] AS DOUBLE) " +
         s"FOR j IN generate_series(1, len($b.embedding))]))), 6)"
-    s"WITH train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+    s"WITH ${adaptivePrmCte(trainMod)}, " +
+      s"train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
       s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
-      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      s"FROM train WHERE ${seedCut(nCells, trainMod)}), " + iterCtes + ", " +
       kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
-      s"qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $queryMod = 0), " +
+      s"qs AS (SELECT vec_id, embedding FROM embeddings WHERE ${queryCut(queryMod)}), " +
       "ep AS (SELECT q.vec_id AS qid, e.vec_id AS nbr, " + cos("q", "e") + " AS sim " +
       "FROM qs q JOIN embeddings e ON e.vec_id != q.vec_id), " +
       "et AS (SELECT qid, nbr FROM (SELECT qid, nbr, row_number() OVER " +
       s"(PARTITION BY qid ORDER BY sim DESC, nbr) AS rn FROM ep) t WHERE rn <= $k), " +
       "qp AS (SELECT vec_id AS qid, cell_id FROM (SELECT vec_id, cell_id, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn " +
-      s"FROM afd WHERE vec_id % $queryMod = 0) t WHERE rn <= $nProbe), " +
+      s"FROM afd WHERE ${queryCut(queryMod)}) t WHERE rn <= $nProbe), " +
       "ap AS (SELECT p.qid, i.vec_id AS nbr, " + cos("q", "i") + " AS sim " +
       "FROM qp p JOIN af i ON i.cell_id = p.cell_id AND i.vec_id != p.qid " +
       "JOIN qs q ON q.vec_id = p.qid), " +
@@ -3234,7 +3264,7 @@ object ExtensionQueries {
     val perProbe = probes.map { p =>
       s"qp$p AS (SELECT vec_id AS qid, cell_id FROM (SELECT vec_id, cell_id, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn " +
-        s"FROM afd WHERE vec_id % $queryMod = 0) t WHERE rn <= $p), " +
+        s"FROM afd WHERE ${queryCut(queryMod)}) t WHERE rn <= $p), " +
         s"ap$p AS (SELECT p.qid, i.vec_id AS nbr, " + cos("q", "i") + " AS sim " +
         s"FROM qp$p p JOIN af i ON i.cell_id = p.cell_id AND i.vec_id != p.qid " +
         "JOIN qs q ON q.vec_id = p.qid), " +
@@ -3247,11 +3277,12 @@ object ExtensionQueries {
         s"CAST(coalesce(h$p.n, 0) AS BIGINT) AS n_hits " +
         s"FROM qs q LEFT JOIN h$p ON h$p.qid = q.vec_id"
     }.mkString(" UNION ALL ")
-    s"WITH train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+    s"WITH ${adaptivePrmCte(trainMod)}, " +
+      s"train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
       s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
-      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      s"FROM train WHERE ${seedCut(nCells, trainMod)}), " + iterCtes + ", " +
       kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
-      s"qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $queryMod = 0), " +
+      s"qs AS (SELECT vec_id, embedding FROM embeddings WHERE ${queryCut(queryMod)}), " +
       "ep AS (SELECT q.vec_id AS qid, e.vec_id AS nbr, " + cos("q", "e") + " AS sim " +
       "FROM qs q JOIN embeddings e ON e.vec_id != q.vec_id), " +
       "et AS (SELECT qid, nbr FROM (SELECT qid, nbr, row_number() OVER " +
@@ -3359,9 +3390,10 @@ object ExtensionQueries {
       kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
         kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
     }.mkString(", ")
-    s"WITH RECURSIVE train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+    s"WITH RECURSIVE ${adaptivePrmCte(trainMod)}, " +
+      s"train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
       s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
-      s"FROM train WHERE vec_id < ${nCells.toLong * trainMod}), " + iterCtes + ", " +
+      s"FROM train WHERE ${seedCut(nCells, trainMod)}), " + iterCtes + ", " +
       kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
       "nn AS (SELECT vec_id, cell_id, embedding, " +
       "sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) " +
@@ -6074,12 +6106,12 @@ object ExtensionQueries {
         "FOR x IN bs]) AS BIGINT) AS range_id FROM events, b) t " +
         "GROUP BY range_id"),
     "semantic_dedup_apply" ->
-      semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
+      semDedupOracle(nCells = -1, iters = 2, trainMod = 4, minSim = 0.30),
     "semantic_dedup_apply_probe" ->
-      semDedupOracle(nCells = 16, iters = 2, trainMod = 4, minSim = 0.30),
+      semDedupOracle(nCells = -1, iters = 2, trainMod = 4, minSim = 0.30),
     "knn_hubness_histogram" ->
       ("WITH occ AS (SELECT nbr_id, count(*) AS n_k FROM (" +
-        knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4,
+        knnJoinOracle(nCells = -1, nProbe = 2, iters = 2, trainMod = 4,
           k = 3) + ") knn GROUP BY 1), " +
         "hist AS (SELECT n_k, count(*) AS n_vectors FROM occ GROUP BY 1), " +
         "tot AS (SELECT count(*) AS n_total FROM embeddings), " +
@@ -6090,7 +6122,7 @@ object ExtensionQueries {
         "CAST(n_total - n_seen AS BIGINT) FROM tot, sn " +
         "WHERE n_total > n_seen"),
     "knn_join_ivf" ->
-      knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
+      knnJoinOracle(nCells = -1, nProbe = 2, iters = 2, trainMod = 4, k = 3),
     "embedding_norm_bands" ->
       ("SELECT CAST(length(bin(greatest(n2, 1))) - 1 AS INT) AS band, " +
         "count(*) AS n_vectors, CAST(min(n2) AS BIGINT) AS min_n2, " +
@@ -6168,7 +6200,7 @@ object ExtensionQueries {
     // the same k-NN chain as a subquery, then majority vote + accuracy
     "knn_label_accuracy" ->
       ("WITH nn AS (SELECT * FROM (" +
-        knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3) +
+        knnJoinOracle(nCells = -1, nProbe = 2, iters = 2, trainMod = 4, k = 3) +
         ") q), " +
         "lbl AS (SELECT vec_id, label FROM embeddings), " +
         "v AS (SELECT nn.vec_id, l.label AS nbr_label, count(*) AS v " +
@@ -6182,7 +6214,7 @@ object ExtensionQueries {
         "AS n_correct FROM pred p JOIN lbl l ON p.vec_id = l.vec_id " +
         "GROUP BY l.label"),
     "knn_join_ivf_probe" ->
-      knnJoinOracle(nCells = 16, nProbe = 2, iters = 2, trainMod = 4, k = 3),
+      knnJoinOracle(nCells = -1, nProbe = 2, iters = 2, trainMod = 4, k = 3),
     // exact transitive closure (recursive CTE) vs the engine's bounded
     // min-label propagation: equal because near-dup components on the
     // fixture corpus have diameter << 10 rounds
@@ -6525,10 +6557,10 @@ object ExtensionQueries {
         "SELECT vec_id, label, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS sim " +
         "FROM prod ORDER BY sim DESC, vec_id LIMIT 10"),
     "ann_recall_ivf" ->
-      annRecallOracle(k = 10, queryMod = 100, nCells = 16, nProbe = 4,
+      annRecallOracle(k = 10, queryMod = -1, nCells = -1, nProbe = 4,
         iters = 2, trainMod = 4),
     "ann_recall_curve_ivf" ->
-      annRecallCurveOracle(k = 10, queryMod = 100, nCells = 16,
+      annRecallCurveOracle(k = 10, queryMod = -1, nCells = -1,
         probes = Seq(1, 2, 4), iters = 2, trainMod = 4),
     "cluster_balanced_sample" -> clusterBalancedOracle,
     // the index probe path must land on the identical quota

@@ -203,7 +203,16 @@ object RepeatAudit {
         (e.get("key").asText(), e.get("fragment").asText()) ->
           e.get("max_count").asInt()
       }.toMap
-    } catch { case _: Throwable => Map.empty }
+    } catch {
+      case e: Throwable =>
+        // fail-closed (--strict then fails every tolerated group), but SAY
+        // WHY: a silently-empty allowlist makes the gate failure look like
+        // 15 fresh recompute regressions instead of a missing/broken file
+        System.err.println(s"[repeat-audit] WARNING: allowlist '$path' " +
+          s"unreadable (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          "proceeding with 0 entries; --strict will fail all tolerated groups")
+        Map.empty
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.SfSweep <sfDir> [key ...]
   */
 object SfSweep {
-  private val defaultKeys = Seq(
+  // package-visible so SfSweepKeysSpec can gate renames at test time
+  // (r17's two stale names were only caught when a sweep run errored)
+  private[graft] val defaultKeys = Seq(
     "q1_pricing_summary", "q9_product_profit", "q18_order_quantity",
     "subset_out_orders", "subset_out_lineitem",
     "minhash_verified_pairs", "containment_pairs", "neardup_components",
