@@ -288,9 +288,25 @@ object Similarity {
     val train =
       if (trainMod <= 1) embeddings
       else embeddings.filter(col("vec_id") % trainMod === 0)
-    var centroids = train.filter(col("vec_id") < nCells.toLong * trainMod)
+    val seed = train.filter(col("vec_id") < nCells.toLong * trainMod)
       .select(g ++ Seq(col("vec_id").as("cell_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb")): _*)
+    lloydIterate(train, seed, iters, groupCols)
+  }
+
+  /** The Lloyd iteration body shared by every quantizer here (one
+    * definition, so a precision tweak cannot desynchronize the flat and
+    * hierarchical builds): assignment via [[assignCells]] (broadcast
+    * argmin), per-dimension DECIMAL(18,16)-exact sums divided once in
+    * double, centroids re-collected per (group, cell). Callers differ only
+    * in how they SEED — [[kMeansCentroids]] takes the first nCells train
+    * vectors globally; the hierarchical sub-level seeds per parent cell.
+    */
+  private def lloydIterate(
+      train: DataFrame, seed: DataFrame, iters: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    var centroids = seed
     for (_ <- 1 to iters) {
       centroids = assignCells(train, centroids, 1, groupCols)
         .select(g ++ Seq(col("cell_id"),
@@ -1773,6 +1789,103 @@ object Similarity {
     val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     val pairs = a.join(b, Seq("cell_id")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+    val drop = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")), materialize = materialize)
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** [[semDedupKeep]] with a TWO-LEVEL (hierarchical) coarse quantizer —
+    * the past-the-cap branch of the scale ceiling documented there. The
+    * top level is the same adaptive-nlist k-means; any cell whose
+    * population exceeds `maxCellPop` then trains its OWN `subCells`-cell
+    * sub-quantizer (grouped Lloyd over the cell's training vectors, seeded
+    * by the cell's first `subCells` train vec_ids) and its members are
+    * re-assigned to (cell, sub-cell) leaves. The near-dup pair join runs
+    * on the leaf key, so per-leaf population — hence candidate volume per
+    * vector — stays bounded at ANY corpus size: where the flat build's
+    * 4096-cell cap lets cells grow ∝ n past ~17M vectors, the hierarchy
+    * splits exactly the cells that outgrew the regime (FAISS's
+    * IVF-in-IVF / residual-coarse practice, same shape as a two-level
+    * inverted file).
+    *
+    * Cost model vs the flat build: one extra bounded aggregate (cell
+    * populations), one grouped Lloyd over ONLY the oversized cells'
+    * training subsample, and one grouped re-assignment of only those
+    * cells' members — all broadcast/map-shaped except the per-group
+    * centroid collect ([[assignCells]]' one small shuffle). Below the
+    * split threshold nothing splits and the result is IDENTICAL to
+    * [[semDedupKeep]] at the same top-level parameters (spec-checked).
+    *
+    * SemDeDup semantics note: splitting a cell REFINES the candidate cut —
+    * near-dup pairs straddling a sub-cell boundary are no longer compared,
+    * exactly as raising nlist does in the paper's regime (and as the flat
+    * adaptive rule already does between corpus sizes). The gate-scale key
+    * forces tiny dials (topCells=4, maxCellPop=64, subCells=4) so the
+    * grouped Lloyd, the split decision, the (-1)-sub leaf for unsplit
+    * cells, and the leaf-keyed join are all hash-checked against the
+    * DuckDB oracle at every fixture scale.
+    */
+  def semDedupKeepHier(
+      embeddings: DataFrame,
+      topCells: Int = -1,
+      maxCellPop: Long = 8192L,
+      subCells: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 4,
+      minSim: Double = 0.30,
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val cells =
+      if (topCells > 0) topCells
+      else {
+        val n = spread.count()
+        val bl =
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
+        1 << math.min(12, math.max(4, bl))
+      }
+    val top = materialize(kMeansCentroids(spread, cells, iters, trainMod))
+    val a1 = materialize(assignCells(spread, top, 1))
+    // oversized parents: a <= nCells-row aggregate, broadcast back
+    val big = a1.groupBy(col("cell_id")).agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > maxCellPop)
+      .select(col("cell_id").as("g"))
+    val bigMembers = a1.join(broadcast(big), a1("cell_id") === big("g"))
+      .select(col("g"), col("vec_id"), col("embedding"))
+    val subTrain = bigMembers.filter(col("vec_id") % trainMod === 0)
+    // per-parent seed: the cell's first subCells train vectors by vec_id
+    // (the global `vec_id < nCells*trainMod` cut can't seed disjoint
+    // groups); row_number over a per-group total order is deterministic
+    val seeds = subTrain
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= subCells)
+      .select(col("g"), col("vec_id").as("cell_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+    val subC = materialize(lloydIterate(subTrain, seeds, iters, Seq("g")))
+    // members of split cells re-assigned to their parent's sub-quantizer;
+    // a parent with no training vectors has no sub-centroids (inner join
+    // drops its members) -> those keep sub_id = -1 like unsplit cells
+    val sub = assignCells(bigMembers, subC, 1, Seq("g"))
+      .select(col("vec_id"), col("cell_id").as("sub_id"))
+    val leaf = materialize(a1.join(sub, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("sub_id"), lit(-1L)).as("sub_id"), col("embedding"))
+      .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)"))))
+    val a = leaf.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = leaf.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val pairs = a.join(b, Seq("cell_id", "sub_id"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
           .as("sim"))

@@ -687,6 +687,14 @@ object ExtensionQueries {
     // → connected components → keep only component representatives
     "semantic_dedup_apply" -> ((s, dir) =>
       Similarity.semDedupKeep(t(s, dir, "embeddings"))),
+    // the past-the-cap branch: two-level coarse quantizer — oversized cells
+    // train per-cell sub-quantizers and the pair join runs on (cell,
+    // sub-cell) leaves. Gate dials forced tiny (4/64/4) so the grouped
+    // Lloyd, split decision, and leaf join are hash-checked at every
+    // fixture scale; production defaults are adaptive (see scaladoc).
+    "semantic_dedup_hier" -> ((s, dir) =>
+      Similarity.semDedupKeepHier(t(s, dir, "embeddings"),
+        topCells = 4, maxCellPop = 64L, subCells = 4)),
     // SemDeDup from the MATERIALIZED index: the pair join reads the
     // cell-partitioned inverted lists directly — no training, no corpus
     // assignment on the nightly run; same coarse params ⇒ same oracle
@@ -3409,6 +3417,68 @@ object ExtensionQueries {
       "(SELECT src FROM comp WHERE component != src)"
   }
 
+  /** Mirror of [[Similarity.semDedupKeepHier]]: the flat chain's top level,
+    * then a GROUPED Lloyd per oversized cell — per-parent row_number seeds,
+    * distances/argmin/update carrying the parent key `g` — members of split
+    * cells re-assigned to (cell, sub-cell) leaves (-1 for unsplit), pairs
+    * joined on the leaf key, exact closure, keep = representatives. The
+    * grouped CTE builders are hier-local on purpose: extending the shared
+    * kmDist/kmArgmin/kmUpdate with a group column would touch every
+    * committed quantizer oracle.
+    */
+  private def semDedupHierOracle(
+      topCells: Int, maxPop: Long, subCells: Int, iters: Int, trainMod: Int,
+      minSim: Double): String = {
+    val topIter = (1 to iters).map { i =>
+      kmDist("train", s"c${i - 1}", s"a${i}d") + ", " +
+        kmArgmin(s"a${i}d", s"a$i") + ", " + kmUpdate(s"a$i", s"u$i", s"c$i")
+    }.mkString(", ")
+    def gDist(eRel: String, cRel: String, out: String) =
+      s"$out AS (SELECT e.g, e.vec_id, c.cell_id, e.embedding, round(list_sum([" +
+        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) " +
+        s"FOR i IN generate_series(1, len(e.embedding))]), 9) AS d2 " +
+        s"FROM $eRel e JOIN $cRel c ON e.g = c.g)"
+    def gArgmin(dRel: String, out: String) =
+      s"$out AS (SELECT g, vec_id, cell_id, embedding FROM (SELECT g, vec_id, cell_id, embedding, " +
+        s"row_number() OVER (PARTITION BY g, vec_id ORDER BY d2, cell_id) AS rn FROM $dRel) t WHERE rn = 1)"
+    def gUpdate(aRel: String, uOut: String, cOut: String) =
+      s"$uOut AS (SELECT g, cell_id, unnest([{'pos': i, 'v': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,16))} " +
+        s"FOR i IN generate_series(1, len(embedding))], recursive := true) FROM $aRel), " +
+        s"$cOut AS (SELECT g, cell_id, list(v ORDER BY pos) AS c FROM (SELECT g, cell_id, pos, " +
+        s"CAST(sum(v) AS DOUBLE) / count(*) AS v FROM $uOut GROUP BY g, cell_id, pos) x GROUP BY g, cell_id)"
+    val subIter = (1 to iters).map { i =>
+      gDist("st", s"s${i - 1}", s"g${i}d") + ", " +
+        gArgmin(s"g${i}d", s"g$i") + ", " + gUpdate(s"g$i", s"gu$i", s"s$i")
+    }.mkString(", ")
+    s"WITH RECURSIVE train AS (SELECT * FROM embeddings WHERE vec_id % $trainMod = 0), " +
+      s"c0 AS (SELECT vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      s"FROM train WHERE vec_id < ${topCells.toLong * trainMod}), " + topIter + ", " +
+      kmDist("embeddings", s"c$iters", "afd") + ", " + kmArgmin("afd", "af") + ", " +
+      s"big AS (SELECT cell_id AS g FROM af GROUP BY 1 HAVING count(*) > $maxPop), " +
+      "bm AS (SELECT b.g, a.vec_id, a.embedding FROM af a JOIN big b ON a.cell_id = b.g), " +
+      s"st AS (SELECT * FROM bm WHERE vec_id % $trainMod = 0), " +
+      "s0 AS (SELECT g, vec_id AS cell_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS c " +
+      "FROM (SELECT g, vec_id, embedding, row_number() OVER " +
+      s"(PARTITION BY g ORDER BY vec_id) AS rn FROM st) t WHERE rn <= $subCells), " +
+      subIter + ", " +
+      gDist("bm", s"s$iters", "bmd") + ", " + gArgmin("bmd", "bma") + ", " +
+      "leaf AS (SELECT a.vec_id, a.cell_id, coalesce(s.cell_id, -1) AS sub_id, a.embedding " +
+      "FROM af a LEFT JOIN bma s ON s.vec_id = a.vec_id), " +
+      "nn AS (SELECT vec_id, cell_id, sub_id, embedding, " +
+      "sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) " +
+      "FOR i IN generate_series(1, len(embedding))])) AS nrm FROM leaf), " +
+      "p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) " +
+      "FOR i IN generate_series(1, len(a.embedding))]) / (a.nrm * b.nrm), 6) AS sim " +
+      "FROM nn a JOIN nn b ON a.cell_id = b.cell_id AND a.sub_id = b.sub_id " +
+      "AND a.vec_id < b.vec_id), " +
+      s"cpairs AS (SELECT id_a, id_b FROM p0 WHERE sim >= $minSim), " +
+      closureCtes("cpairs") + ", " +
+      "comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src) " +
+      "SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN " +
+      "(SELECT src FROM comp WHERE component != src)"
+  }
+
   /** Shared CTE chain for the Mann-Kendall per-type trend statistics
     * (mirrors [[EventsAnalytics.mannKendallDailyTrend]]): ends in
     * `zz(event_type, n_days, s_stat, tie_term, var18, z2_milli)`.
@@ -6107,6 +6177,9 @@ object ExtensionQueries {
         "GROUP BY range_id"),
     "semantic_dedup_apply" ->
       semDedupOracle(nCells = -1, iters = 2, trainMod = 4, minSim = 0.30),
+    "semantic_dedup_hier" ->
+      semDedupHierOracle(topCells = 4, maxPop = 64L, subCells = 4,
+        iters = 2, trainMod = 4, minSim = 0.30),
     "semantic_dedup_apply_probe" ->
       semDedupOracle(nCells = -1, iters = 2, trainMod = 4, minSim = 0.30),
     "knn_hubness_histogram" ->
