@@ -1903,8 +1903,8 @@ object Similarity {
     * needs is exactly the index's inverted lists, so the nightly dedup run
     * skips quantizer training and corpus assignment entirely — the pair
     * join reads cell-partitioned vectors as-is. Identical output at
-    * identical coarse parameters (nCells=16, iters=2, trainMod=4 — the
-    * index build's); same oracle as the fused key.
+    * identical coarse parameters (the index build's: adaptive nlist,
+    * iters=2, trainMod=4); same oracle as the fused key.
     */
   def semDedupKeepFromIndex(
       embeddings: DataFrame,

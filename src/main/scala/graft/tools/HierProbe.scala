@@ -1,0 +1,62 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Production-dial SemDeDup scale probe (dev tool): times
+  * [[graft.analytics.Similarity.semDedupKeep]] (flat, adaptive capped
+  * nlist) and/or [[graft.analytics.Similarity.semDedupKeepHier]] (two-level,
+  * adaptive top + maxCellPop=8192/subCells=16 defaults) on a vector corpus,
+  * with task metrics — the measurement half of the past-the-cap decision
+  * (VERDICT r17 #3). The REGISTERED semantic_dedup_hier key forces tiny
+  * gate dials for oracle checking and is useless at 20M vectors; this tool
+  * runs the dials a deployment would.
+  *
+  *   runMain graft.tools.HierProbe <dir> [flat|hier|both=hier]
+  */
+object HierProbe {
+  private final class L extends SparkListener {
+    val runMs, cpuNs, spillB, tasks = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        tasks.incrementAndGet()
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = if (args.length > 1) args(1) else "hier"
+    val spark = ConfHook(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val l = new L
+    spark.sparkContext.addSparkListener(l)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def run(name: String)(body: => Long): Unit = {
+      val (r0, c0, s0, t0) = (l.runMs.get, l.cpuNs.get, l.spillB.get, l.tasks.get)
+      val w0 = System.nanoTime()
+      val rows = body
+      println(f"HIERPROBE $name%-6s wall=${(System.nanoTime() - w0) / 1e9}%8.1fs " +
+        f"rows=$rows%9d taskRun=${(l.runMs.get - r0) / 1000}%7ds " +
+        f"taskCpu=${(l.cpuNs.get - c0) / 1000000000}%7ds " +
+        f"spill=${(l.spillB.get - s0) / (1 << 20)}%6dMB tasks=${l.tasks.get - t0}%6d")
+    }
+    if (mode == "flat" || mode == "both")
+      run("flat")(graft.analytics.Similarity.semDedupKeep(emb).count())
+    if (mode == "hier" || mode == "both")
+      run("hier")(graft.analytics.Similarity.semDedupKeepHier(emb).count())
+    spark.stop()
+  }
+}
