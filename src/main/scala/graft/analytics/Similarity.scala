@@ -1835,12 +1835,40 @@ object Similarity {
   def semDedupKeepHier(
       embeddings: DataFrame,
       topCells: Int = -1,
-      maxCellPop: Long = 8192L,
+      // split exactly when a cell outgrows the ~4096-member regime the
+      // adaptive nlist maintains below the cap — at 20M vectors (top pop
+      // ~4883) the hierarchy engages, which is the point of having it
+      maxCellPop: Long = 4096L,
       subCells: Int = 16,
       iters: Int = 2,
       trainMod: Int = 4,
       minSim: Double = 0.30,
       materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+    val pairs = semDedupHierLeafPairs(embeddings, topCells, maxCellPop,
+      subCells, iters, trainMod, minSim, materialize)
+    val drop = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")), materialize = materialize)
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** [[semDedupKeepHier]]'s candidate stage — build both quantizer levels,
+    * assign leaves, and emit the thresholded within-leaf near-dup pairs
+    * (everything except the connected-components tail). Package-visible so
+    * scale probes can measure the hierarchy's cost separately from the
+    * CC tail, whose input size is a (corpus, minSim) property.
+    */
+  private[graft] def semDedupHierLeafPairs(
+      embeddings: DataFrame,
+      topCells: Int,
+      maxCellPop: Long,
+      subCells: Int,
+      iters: Int,
+      trainMod: Int,
+      minSim: Double,
+      materialize: DataFrame => DataFrame): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     val cells =
@@ -1884,18 +1912,12 @@ object Similarity {
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = leaf.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    val pairs = a.join(b, Seq("cell_id", "sub_id"))
+    a.join(b, Seq("cell_id", "sub_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
           .as("sim"))
       .filter(col("sim") >= minSim)
-    val drop = Dedup.connectedComponents(
-        pairs.select(col("id_a"), col("id_b")), materialize = materialize)
-      .filter(col("component") =!= col("doc_id"))
-      .select(col("doc_id").as("vec_id"))
-    embeddings.join(drop, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("label"))
   }
 
   /** [[semDedupKeep]] answered from the MATERIALIZED index: the

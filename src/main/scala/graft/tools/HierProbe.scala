@@ -13,7 +13,16 @@ import org.apache.spark.sql.SparkSession
   * gate dials for oracle checking and is useless at 20M vectors; this tool
   * runs the dials a deployment would.
   *
-  *   runMain graft.tools.HierProbe <dir> [flat|hier|both=hier]
+  * `minSim` defaults to the deployment-realistic 0.90 (SemDeDup's paper
+  * regime) rather than the gate keys' deliberately loose 0.30: on the
+  * replica-built scale corpora, 0.30 passes ~26% of ALL candidate pairs
+  * (measured: 1.03e9 pair rows at 2M vectors), so the connected-components
+  * tail's INPUT is candidate-sized — a (corpus, threshold) property, not
+  * an operator cost. `stage=pairs` measures the two quantizer levels +
+  * leaf-keyed candidate scoring only (count of thresholded pairs);
+  * `stage=full` adds the CC tail and counts the keep set.
+  *
+  *   runMain graft.tools.HierProbe <dir> [flat|hier|both=hier] [minSim=0.90] [full|pairs=full]
   */
 object HierProbe {
   private final class L extends SparkListener {
@@ -32,6 +41,8 @@ object HierProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val mode = if (args.length > 1) args(1) else "hier"
+    val minSim = if (args.length > 2) args(2).toDouble else 0.90
+    val stage = if (args.length > 3) args(3) else "full"
     val spark = ConfHook(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,10 +64,21 @@ object HierProbe {
         f"taskCpu=${(l.cpuNs.get - c0) / 1000000000}%7ds " +
         f"spill=${(l.spillB.get - s0) / (1 << 20)}%6dMB tasks=${l.tasks.get - t0}%6d")
     }
+    import graft.analytics.Similarity
+    val label = s"${if (stage == "pairs") "p" else "f"}@$minSim"
     if (mode == "flat" || mode == "both")
-      run("flat")(graft.analytics.Similarity.semDedupKeep(emb).count())
-    if (mode == "hier" || mode == "both")
-      run("hier")(graft.analytics.Similarity.semDedupKeepHier(emb).count())
+      run(s"flat-$label")(
+        Similarity.semDedupKeep(emb, minSim = minSim).count())
+    if (mode == "hier" || mode == "both") {
+      if (stage == "pairs")
+        run(s"hier-$label")(Similarity.semDedupHierLeafPairs(emb,
+          topCells = -1, maxCellPop = 4096L, subCells = 16, iters = 2,
+          trainMod = 4, minSim = minSim,
+          materialize = graft.engine.Materialize.local).count())
+      else
+        run(s"hier-$label")(
+          Similarity.semDedupKeepHier(emb, minSim = minSim).count())
+    }
     spark.stop()
   }
 }
