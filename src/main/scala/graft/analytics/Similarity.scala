@@ -215,9 +215,20 @@ object Similarity {
     // same-group centroids, via the broadcast join on the group key.
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val collected = array_sort(collect_list(struct(col("cell_id"), col("c_emb"))))
-    val cells =
+    // Empty-codebook guard lives HERE, on the cells relation itself, so the
+    // n==1 and n>1 consumers carry the exact same fragment above the
+    // broadcast subtree and AQE exchange reuse unifies them (a branch-local
+    // filter made mixed single-cell/multi-probe plans re-execute this
+    // nCells-row reduce+broadcast per consumer). Semantics are unchanged:
+    // an empty collect_list means a degenerate no-training-row corpus, and
+    // the explode path emits nothing for an empty array anyway — filtering
+    // the one aggregate row keeps the same empty-result contract for both
+    // branches while letting element_at(cells, 1) stay ANSI-safe in the
+    // argmin fast path.
+    val cells = (
       if (groupCols.isEmpty) centroids.agg(collected.as("cells"))
       else centroids.groupBy(groupCols.map(col): _*).agg(collected.as("cells"))
+    ).filter(size(col("cells")) >= 1)
     val joined =
       if (groupCols.isEmpty) embeddings.crossJoin(broadcast(cells))
       else embeddings.join(broadcast(cells), groupCols)
@@ -228,29 +239,23 @@ object Similarity {
     val g = groupCols.map(col)
     if (n == 1) {
       // argmin fast path for the dominant case (every Lloyd iteration and
-      // every index assignment): a single left fold instead of sorting the
-      // whole cell array per row — the sort's interpreted struct
-      // comparator is O(cells·log cells) PER VECTOR, which at the
-      // adaptive 2048-cell sf10 regime is ~11 extra comparator calls per
-      // cell per row. The fold visits cells in ascending cell_id order
-      // (the collected array is array_sort'ed on (cell_id, …)) with a
-      // strict `<` on d2, so ties keep the earlier = smaller cell_id —
-      // byte-identical to the sort's (d2 asc, cell_id asc) ordering, and
-      // the oracles are untouched.
-      val argmin =
-        s"aggregate(slice(cells, 2, size(cells)), " +
-          s"struct(round(l2_sq(embedding, element_at(cells, 1).c_emb), 9) AS d2, " +
-          s"element_at(cells, 1).cell_id AS cell_id), " +
-          s"(acc, c) -> IF($d2 < acc.d2, " +
-          s"struct($d2 AS d2, c.cell_id AS cell_id), acc))"
-      // guard the degenerate empty-codebook corpus (no vec_id % trainMod
-      // == 0 row -> collect_list = []): the explode path returned zero
-      // rows there, and element_at(cells, 1) would error under ANSI —
-      // filter first so the fast path keeps the same empty-result contract
+      // every index assignment): the fused codegen kernel `l2_argmin_idx`
+      // — one generated Java loop per vector over the broadcast codebook,
+      // each distance computed exactly once. The interpreted `aggregate`
+      // fold it replaces was thread-dump-measured as THE bottleneck of
+      // the 20M-vector hierarchical build (~35+ of 56.5 CPU-hours): an
+      // interpreted lambda dispatch per cell per vector, with `l2_sq`
+      // evaluated twice per cell (once in the IF predicate, once in the
+      // replacement struct — HOF lambdas get no subexpression
+      // elimination). The kernel keeps the fold's exact semantics —
+      // sequential IEEE sums rounded HALF_UP to 9 decimals, cells visited
+      // in ascending cell_id order (the collected array is array_sort'ed),
+      // strict `<` so ties keep the smaller cell_id — so the oracles are
+      // untouched; see `NativeExpressions.L2ArgminIdx`.
       joined
-        .filter(expr("size(cells) >= 1"))
         .select(g ++ Seq(col("vec_id"),
-          expr(s"$argmin.cell_id").as("cell_id"),
+          expr("element_at(cells, l2_argmin_idx(cells, embedding)).cell_id")
+            .as("cell_id"),
           col("embedding")): _*)
     } else joined
       .select(g ++ Seq(col("vec_id"), col("embedding"),
@@ -1869,6 +1874,36 @@ object Similarity {
       trainMod: Int,
       minSim: Double,
       materialize: DataFrame => DataFrame): DataFrame = {
+    val leaf = semDedupHierLeaves(embeddings, topCells, maxCellPop,
+      subCells, iters, trainMod, materialize)
+    val a = leaf.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = leaf.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell_id", "sub_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** The hierarchical quantizer's MATERIALIZED leaf relation
+    * `(vec_id, cell_id, sub_id, embedding, nrm)` — split-cell members
+    * carry their sub-quantizer cell, unsplit (and untrained-parent)
+    * members sub_id = -1. Split out of [[semDedupHierLeafPairs]] so specs
+    * can assert the hierarchy is ACTIVE structurally (distinct leaves >
+    * distinct top cells) instead of through a fixture-distribution
+    * property of the keep-set.
+    */
+  private[graft] def semDedupHierLeaves(
+      embeddings: DataFrame,
+      topCells: Int,
+      maxCellPop: Long,
+      subCells: Int,
+      iters: Int,
+      trainMod: Int,
+      materialize: DataFrame => DataFrame): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
     val cells =
@@ -1904,20 +1939,10 @@ object Similarity {
     // drops its members) -> those keep sub_id = -1 like unsplit cells
     val sub = assignCells(bigMembers, subC, 1, Seq("g"))
       .select(col("vec_id"), col("cell_id").as("sub_id"))
-    val leaf = materialize(a1.join(sub, Seq("vec_id"), "left")
+    materialize(a1.join(sub, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell_id"),
         coalesce(col("sub_id"), lit(-1L)).as("sub_id"), col("embedding"))
       .withColumn("nrm", sqrt(expr("float_dot(embedding, embedding)"))))
-    val a = leaf.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = leaf.select(col("cell_id"), col("sub_id"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("cell_id", "sub_id"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(expr("float_dot(emb_a, emb_b)") / (col("nrm_a") * col("nrm_b")), 6)
-          .as("sim"))
-      .filter(col("sim") >= minSim)
   }
 
   /** [[semDedupKeep]] answered from the MATERIALIZED index: the

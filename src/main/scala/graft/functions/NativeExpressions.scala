@@ -525,6 +525,146 @@ object NativeExpressions {
       copy(text = newChildren(0), bitsExpr = newChildren(1))
   }
 
+  /** l2_argmin_idx(cells, embedding) → Int: 1-based index (element_at
+    * convention) of the codebook entry nearest to `embedding` by rounded
+    * squared-L2 — the fused centroid-argmin kernel for the k-means
+    * assignment hot path. `cells` is the broadcast sorted codebook array
+    * `array<struct<cell_id, c_emb: array<double>>>`; `embedding` is the
+    * row's `array<float>` vector.
+    *
+    * Replaces the interpreted `aggregate(slice(cells, 2, …), …)` left fold
+    * in `Similarity.assignCells` — at the 20M-vector probe that fold was
+    * the dominant cost of the entire hierarchical build (~35+ of 56.5
+    * CPU-hours, thread-dump sampled), doing an interpreted lambda dispatch
+    * AND a double-evaluated `l2_sq` per cell per vector. Here the whole
+    * argmin is one generated Java loop: each distance computed exactly
+    * once, no boxing, inside whole-stage codegen.
+    *
+    * Semantics are bit-identical to the fold so every DuckDB oracle is
+    * untouched: distances are the same sequential left-to-right IEEE
+    * double accumulation as [[FloatDoubleL2Sq]], rounded to 9 decimals
+    * with Spark's own `round` rule (HALF_UP via BigDecimal.valueOf, NaN /
+    * Infinity passed through un-rounded); the scan visits cells in array
+    * order (= ascending cell_id, the caller array_sorts) with a strict `<`
+    * so ties keep the earlier = smaller cell_id; a NaN distance never wins
+    * (Java `<` is false on NaN operands) and a NaN FIRST element is never
+    * displaced — exactly the fold's `IF(d2 < acc.d2, …, acc)` behavior.
+    * Returns NULL for an empty cells array (callers guard with
+    * `size(cells) >= 1`, so this never fires in practice).
+    */
+  case class L2ArgminIdx(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "l2_argmin_idx"
+
+    // resolved from the input struct shape at analysis time
+    private lazy val (numFields: Int, cEmbIdx: Int) = left.dataType match {
+      case ArrayType(st: StructType, _) =>
+        (st.size, st.fieldIndex("c_emb"))
+      case _ => (-1, -1)
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val leftOk = left.dataType match {
+        case ArrayType(st: StructType, _) =>
+          st.fields.exists(f => f.name == "c_emb" &&
+            (f.dataType match {
+              case ArrayType(DoubleType, _) => true
+              case _ => false
+            }))
+        case _ => false
+      }
+      val rightOk = right.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (leftOk && rightOk) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"l2_argmin_idx expects (array<struct<…, c_emb: array<double>>>, " +
+          s"array<float>), got (${left.dataType}, ${right.dataType})")
+    }
+
+    private def d2At(cells: ArrayData, emb: ArrayData, j: Int): Double = {
+      val c = cells.getStruct(j, numFields).getArray(cEmbIdx)
+      val n = math.min(emb.numElements(), c.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = emb.getFloat(i).toDouble - c.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s
+      else java.math.BigDecimal.valueOf(s)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val cells = a.asInstanceOf[ArrayData]
+      val emb = b.asInstanceOf[ArrayData]
+      val m = cells.numElements()
+      if (m == 0) null
+      else {
+        var best = 0
+        var bestD = d2At(cells, emb, 0)
+        var j = 1
+        while (j < m) {
+          val d = d2At(cells, emb, j)
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best + 1
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val ad = classOf[ArrayData].getName
+        val row = "org.apache.spark.sql.catalyst.InternalRow"
+        val d2Fn = ctx.freshName("l2ArgminD2")
+        val d2Func = ctx.addNewFunction(d2Fn,
+          s"""
+             |private double $d2Fn($ad cells, $ad emb, int j) {
+             |  $row r = cells.getStruct(j, $numFields);
+             |  $ad c = r.getArray($cEmbIdx);
+             |  int n = java.lang.Math.min(emb.numElements(), c.numElements());
+             |  double s = 0.0;
+             |  for (int i = 0; i < n; i++) {
+             |    double d = (double) emb.getFloat(i) - c.getDouble(i);
+             |    s += d * d;
+             |  }
+             |  if (Double.isNaN(s) || Double.isInfinite(s)) return s;
+             |  return java.math.BigDecimal.valueOf(s)
+             |    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+             |}
+           """.stripMargin)
+        val m = ctx.freshName("m")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        val j = ctx.freshName("j")
+        val d = ctx.freshName("d")
+        s"""
+           |int $m = $a.numElements();
+           |if ($m == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $best = 0;
+           |  double $bestD = $d2Func($a, $b, 0);
+           |  for (int $j = 1; $j < $m; $j++) {
+           |    double $d = $d2Func($a, $b, $j);
+           |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+           |  }
+           |  ${ev.value} = $best + 1;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register `float_dot`, `hamming`, `first_chunk_within`,
     * `winnow_minima` and `simhash64` as SQL functions in the session, so
     * they are usable from `expr(...)`/`spark.sql(...)`.
@@ -535,6 +675,8 @@ object NativeExpressions {
       "float_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "l2_sq", exprs => FloatDoubleL2Sq(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "l2_argmin_idx", exprs => L2ArgminIdx(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(

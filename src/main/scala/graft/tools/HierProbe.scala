@@ -66,8 +66,12 @@ object HierProbe {
     }
     import graft.analytics.Similarity
     val label = s"${if (stage == "pairs") "p" else "f"}@$minSim"
+    // the flat path has no pairs-only variant — it always runs the full
+    // semDedupKeep (CC tail included), so its row is labeled f@ even in
+    // stage=pairs mode; comparing hier-p@ to flat-f@ compares a stage to a
+    // pipeline, on purpose and now visibly
     if (mode == "flat" || mode == "both")
-      run(s"flat-$label")(
+      run(s"flat-f@$minSim")(
         Similarity.semDedupKeep(emb, minSim = minSim).count())
     if (mode == "hier" || mode == "both") {
       if (stage == "pairs")

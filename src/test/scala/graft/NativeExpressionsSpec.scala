@@ -29,6 +29,48 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("l2_argmin_idx matches the interpreted aggregate fold bit-for-bit") {
+    NativeExpressions.register(spark)
+    // real embeddings as the queries; a synthetic sorted codebook built
+    // from the first 16 vectors (the kMeansCentroids seed rule), with a
+    // deliberate duplicated centroid so the tie-break path is exercised
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codebook = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+    val dup = codebook.filter(col("cell_id") === 3)
+      .select((col("cell_id") + 100).as("cell_id"), col("c_emb"))
+    val cells = codebook.union(dup)
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("c_emb"))))
+        .as("cells"))
+    val d2 = "round(l2_sq(embedding, c.c_emb), 9)"
+    val fold =
+      s"aggregate(slice(cells, 2, size(cells)), " +
+        s"struct(round(l2_sq(embedding, element_at(cells, 1).c_emb), 9) AS d2, " +
+        s"element_at(cells, 1).cell_id AS cell_id), " +
+        s"(acc, c) -> IF($d2 < acc.d2, " +
+        s"struct($d2 AS d2, c.cell_id AS cell_id), acc))"
+    val both = emb.limit(200).crossJoin(broadcast(cells)).select(
+      expr("element_at(cells, l2_argmin_idx(cells, embedding)).cell_id")
+        .as("fast"),
+      expr(s"$fold.cell_id").as("fold"))
+    val rows = both.collect()
+    assert(rows.length == 200)
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    // vec_id 3 itself must pick cell 3, not the duplicate 103 (tie keeps
+    // the smaller cell_id — the fold's strict `<`)
+    val self = emb.filter(col("vec_id") === 3).crossJoin(broadcast(cells))
+      .select(expr(
+        "element_at(cells, l2_argmin_idx(cells, embedding)).cell_id")).head
+    assert(self.getLong(0) == 3L)
+    // empty codebook → NULL index (callers filter size(cells) >= 1 first)
+    val empty = emb.limit(1)
+      .withColumn("cells", expr(
+        "CAST(array() AS array<struct<cell_id: bigint, c_emb: array<double>>>)"))
+      .select(expr("l2_argmin_idx(cells, embedding)")).head
+    assert(empty.isNullAt(0))
+  }
+
   test("bitmap_distinct aggregate equals count(DISTINCT) and raises out of range") {
     graft.functions.NativeAggregates.register(spark)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -31,10 +31,19 @@ class SemDedupHierSpec extends SparkSpecBase {
     val hierKept = Similarity.semDedupKeepHier(emb,
       topCells = 4, maxCellPop = 64L, subCells = 4).count()
     assert(hierKept >= flatKept)
-    // and the hierarchy is actually ACTIVE at these dials: 500 vectors
-    // over 4 cells means at least one cell exceeds 64 members
-    assert(hierKept > flatKept,
-      "expected the 4/64/4 dials to split at least one cell on sf0.001")
+    // and the hierarchy is actually ACTIVE at these dials — asserted
+    // STRUCTURALLY (real sub-cells exist, i.e. more distinct leaves than
+    // top cells), not through hierKept > flatKept, which would encode a
+    // fixture-distribution property (some split must cut a >= minSim
+    // pair) and could fail on a regenerated fixture with correct code
+    val leaves = Similarity.semDedupHierLeaves(emb,
+      topCells = 4, maxCellPop = 64L, subCells = 4, iters = 2,
+      trainMod = 4, materialize = graft.engine.Materialize.local)
+    val nTop = leaves.select("cell_id").distinct().count()
+    val nLeaf = leaves.select("cell_id", "sub_id").distinct().count()
+    assert(nLeaf > nTop,
+      s"expected the 4/64/4 dials to split at least one cell on sf0.001 " +
+        s"(leaves $nLeaf vs top cells $nTop)")
   }
 
   test("split-cell members carry a real sub-cell, unsplit members -1") {
