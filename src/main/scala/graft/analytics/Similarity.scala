@@ -1758,6 +1758,23 @@ object Similarity {
     * on one JVM while remaining one-shuffle linear-per-executor-core on a
     * cluster.
     */
+  /** Quantizer build + full-corpus nearest-cell assignment at
+    * [[semDedupKeep]]'s production dials (adaptive nlist, iters=2,
+    * trainMod=4) and nothing else — the stage the codegen argmin kernel
+    * owns, probe-able in isolation (`HierProbe <dir> assign`) so its cost
+    * can be tracked per round without paying the pair-scoring tail.
+    */
+  private[graft] def semDedupAssignProbe(embeddings: DataFrame): DataFrame = {
+    graft.functions.NativeExpressions.register(embeddings.sparkSession)
+    val spread = embeddings.repartition(col("vec_id"))
+    val n = spread.count()
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
+    val cells = 1 << math.min(12, math.max(4, bl))
+    val centroids = graft.engine.Materialize.local(
+      kMeansCentroids(spread, cells, 2, 4))
+    assignCells(spread, centroids, 1).select(col("vec_id"), col("cell_id"))
+  }
+
   def semDedupKeep(
       embeddings: DataFrame,
       nCells: Int = -1,

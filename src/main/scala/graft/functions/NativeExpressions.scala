@@ -585,7 +585,19 @@ object NativeExpressions {
           s"array<float>), got (${left.dataType}, ${right.dataType})")
     }
 
-    private def d2At(cells: ArrayData, emb: ArrayData, j: Int): Double = {
+    // Raw (un-rounded) sequential-fold distance; rounding is applied
+    // LAZILY in the scan loop. The fold's replace test is
+    // `round(d) < bestRounded` with bestRounded itself a 9-decimal-rounded
+    // value; because Spark's round is monotone non-decreasing and
+    // idempotent, `d >= bestRounded` already implies `round(d) >=
+    // round(bestRounded) = bestRounded` — so the expensive rounding
+    // (BigDecimal.valueOf = a Double.toString per call, measured as the
+    // kernel's residual cost at 8×10¹⁰ cell-distances in the 20M probe)
+    // only needs to run when the RAW distance beats the incumbent, which
+    // happens O(log nCells) expected times per vector instead of nCells
+    // times. Bit-identical decisions: raw-compare-then-round accepts
+    // exactly the candidates the round-always fold accepts.
+    private def d2Raw(cells: ArrayData, emb: ArrayData, j: Int): Double = {
       val c = cells.getStruct(j, numFields).getArray(cEmbIdx)
       val n = math.min(emb.numElements(), c.numElements())
       var s = 0.0
@@ -595,10 +607,13 @@ object NativeExpressions {
         s += d * d
         i += 1
       }
+      s
+    }
+
+    private def round9(s: Double): Double =
       if (java.lang.Double.isNaN(s) || java.lang.Double.isInfinite(s)) s
       else java.math.BigDecimal.valueOf(s)
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-    }
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val cells = a.asInstanceOf[ArrayData]
@@ -607,11 +622,14 @@ object NativeExpressions {
       if (m == 0) null
       else {
         var best = 0
-        var bestD = d2At(cells, emb, 0)
+        var bestD = round9(d2Raw(cells, emb, 0))
         var j = 1
         while (j < m) {
-          val d = d2At(cells, emb, j)
-          if (d < bestD) { bestD = d; best = j }
+          val raw = d2Raw(cells, emb, j)
+          if (raw < bestD) {
+            val d = round9(raw)
+            if (d < bestD) { bestD = d; best = j }
+          }
           j += 1
         }
         best + 1
@@ -622,7 +640,7 @@ object NativeExpressions {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val ad = classOf[ArrayData].getName
         val row = "org.apache.spark.sql.catalyst.InternalRow"
-        val d2Fn = ctx.freshName("l2ArgminD2")
+        val d2Fn = ctx.freshName("l2ArgminD2Raw")
         val d2Func = ctx.addNewFunction(d2Fn,
           s"""
              |private double $d2Fn($ad cells, $ad emb, int j) {
@@ -634,6 +652,13 @@ object NativeExpressions {
              |    double d = (double) emb.getFloat(i) - c.getDouble(i);
              |    s += d * d;
              |  }
+             |  return s;
+             |}
+           """.stripMargin)
+        val rdFn = ctx.freshName("l2ArgminRound9")
+        val rdFunc = ctx.addNewFunction(rdFn,
+          s"""
+             |private double $rdFn(double s) {
              |  if (Double.isNaN(s) || Double.isInfinite(s)) return s;
              |  return java.math.BigDecimal.valueOf(s)
              |    .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
@@ -643,17 +668,25 @@ object NativeExpressions {
         val best = ctx.freshName("best")
         val bestD = ctx.freshName("bestD")
         val j = ctx.freshName("j")
+        val raw = ctx.freshName("raw")
         val d = ctx.freshName("d")
+        // lazy rounding: see d2Raw/round9 on the interpreted path — the
+        // raw compare is a sound prefilter because round is monotone and
+        // idempotent, so the BigDecimal (Double.toString) cost runs only
+        // on raw improvements, not per cell
         s"""
            |int $m = $a.numElements();
            |if ($m == 0) {
            |  ${ev.isNull} = true;
            |} else {
            |  int $best = 0;
-           |  double $bestD = $d2Func($a, $b, 0);
+           |  double $bestD = $rdFunc($d2Func($a, $b, 0));
            |  for (int $j = 1; $j < $m; $j++) {
-           |    double $d = $d2Func($a, $b, $j);
-           |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+           |    double $raw = $d2Func($a, $b, $j);
+           |    if ($raw < $bestD) {
+           |      double $d = $rdFunc($raw);
+           |      if ($d < $bestD) { $bestD = $d; $best = $j; }
+           |    }
            |  }
            |  ${ev.value} = $best + 1;
            |}

@@ -73,6 +73,12 @@ object HierProbe {
     if (mode == "flat" || mode == "both")
       run(s"flat-f@$minSim")(
         Similarity.semDedupKeep(emb, minSim = minSim).count())
+    if (mode == "assign") {
+      // quantizer build + full-corpus nearest-cell assignment only — the
+      // stage the codegen argmin kernel owns; counts distinct cells so the
+      // count cannot collapse into a metadata-only plan
+      run(s"assign@n")(Similarity.semDedupAssignProbe(emb).count())
+    }
     if (mode == "hier" || mode == "both") {
       if (stage == "pairs")
         run(s"hier-$label")(Similarity.semDedupHierLeafPairs(emb,

@@ -72,10 +72,13 @@ object SfSweep {
     graft.queries.ExtensionQueries.prebuildPinned(spark, dir,
         forKeys = Some(keys.toSet))
       .foreach { case (n, s) => println(f"SETUP pin $n%-16s ${s}%6.1fs") }
-    graft.analytics.Similarity.ivfPqIndexBuildIfStale(
-      spark.read.parquet(s"$dir/embeddings.parquet"),
-      graft.analytics.Similarity.defaultIndexDir(dir) + "/ivfpq",
-      trainMod = 4)
+    // single-table fixture dirs (DocScaleUp's doc5m, VecScaleUp's vec*)
+    // lack the other tables — build the ANN index only where vectors exist
+    if (new java.io.File(s"$dir/embeddings.parquet").exists())
+      graft.analytics.Similarity.ivfPqIndexBuildIfStale(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        graft.analytics.Similarity.defaultIndexDir(dir) + "/ivfpq",
+        trainMod = 4)
     println(f"SETUP total ${(System.nanoTime() - t0) / 1e9}%.1fs  dir=$dir")
 
     keys.foreach { k =>
