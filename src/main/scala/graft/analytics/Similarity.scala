@@ -1763,6 +1763,12 @@ object Similarity {
     * trainMod=4) and nothing else — the stage the codegen argmin kernel
     * owns, probe-able in isolation (`HierProbe <dir> assign`) so its cost
     * can be tracked per round without paying the pair-scoring tail.
+    * Returns per-cell population counts (≤ nCells rows), NOT per-vector
+    * assignments: grouping on `cell_id` forces the argmin to evaluate for
+    * every corpus row — a bare `.count()` over the assignment projection
+    * lets column pruning delete the argmin expression entirely (the join
+    * row count needs no columns), and the probe would time only the
+    * Lloyd-sample assignments inside the quantizer build.
     */
   private[graft] def semDedupAssignProbe(embeddings: DataFrame): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
@@ -1772,7 +1778,8 @@ object Similarity {
     val cells = 1 << math.min(12, math.max(4, bl))
     val centroids = graft.engine.Materialize.local(
       kMeansCentroids(spread, cells, 2, 4))
-    assignCells(spread, centroids, 1).select(col("vec_id"), col("cell_id"))
+    assignCells(spread, centroids, 1)
+      .groupBy("cell_id").agg(count(lit(1)).as("pop"))
   }
 
   def semDedupKeep(

@@ -75,8 +75,9 @@ object HierProbe {
         Similarity.semDedupKeep(emb, minSim = minSim).count())
     if (mode == "assign") {
       // quantizer build + full-corpus nearest-cell assignment only — the
-      // stage the codegen argmin kernel owns; counts distinct cells so the
-      // count cannot collapse into a metadata-only plan
+      // stage the codegen argmin kernel owns; the probe returns per-cell
+      // populations, so rows = populated cells and the argmin cannot be
+      // column-pruned out of the count
       run(s"assign@n")(Similarity.semDedupAssignProbe(emb).count())
     }
     if (mode == "hier" || mode == "both") {
