@@ -51,11 +51,26 @@ object DataQuality {
     */
   def profileApproxEval(df: DataFrame, columns: Seq[String],
       rsd: Double = 0.02): DataFrame = {
-    val aggs = columns.flatMap(c => Seq(
+    // The HLL sketches live in their OWN single-group aggregate, NOT inside
+    // the countDistinct expand: a non-distinct ImperativeAggregate riding
+    // the multi-countDistinct rewrite is allocated per (gid, value) GROUP
+    // of the partial aggregate below the expand's exchange — measured at
+    // sf0.1 as 5 sketches x ~410 longs = 2056 aggregate attributes per
+    // group over ~n_rows·(k+1) groups (~500 MB of zeroed registers through
+    // the first exchange, ~15 s task CPU for a 5000-row table, and a plan
+    // wide enough to knock the aggregate out of whole-stage codegen).
+    // Split out, the sketch aggregate keeps one buffer set per partition
+    // and the expand carries only count buffers; the results are identical
+    // (same rows into the same sketch algorithm; HLL merge is a register
+    // max, insensitive to partial-merge order).
+    val exactAggs = columns.flatMap(c => Seq(
       count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      approx_count_distinct(col(c), rsd).as(s"na_$c")))
-    val totals = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      countDistinct(col(c)).as(s"nd_$c")))
+    val exact = df.agg(count(lit(1)).as("n_rows"), exactAggs: _*)
+    val approxAggs = columns.map(c =>
+      approx_count_distinct(col(c), rsd).as(s"na_$c"))
+    val totals = exact.crossJoin(broadcast(
+      df.agg(approxAggs.head, approxAggs.tail: _*)))
     totals.select(explode(array(columns.map(c =>
       struct(lit(c).as("col_name"), col("n_rows"),
         (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
