@@ -191,6 +191,14 @@ object Similarity {
       .limit(k)
   }
 
+  /** Corpus size for the adaptive dials (nlist / queryMod), read from the
+    * PRE-repartition input: `repartition` never changes the count, and on a
+    * bare parquet scan the count resolves from footer statistics
+    * (`spark.sql.parquet.aggregatePushdown`) instead of paying a
+    * scan+shuffle job per key just to pick a dial.
+    */
+  private def countInput(embeddings: DataFrame): Long = embeddings.count()
+
   /** Nearest `n` cells per vector by squared-L2 distance (the k-means
     * metric). Distances are sequential-fold IEEE-double sums rounded to 9
     * decimals, so the argmin order is identical in any engine that folds
@@ -681,7 +689,7 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else {
-        val n = spread.count()
+        val n = countInput(embeddings)
         val bl = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
         1 << math.min(12, math.max(4, bl))
       }
@@ -841,7 +849,7 @@ object Similarity {
     // deployed build uses. All oracle gate scales land on the historical
     // (100, 16), so the unrolled oracle chains hold where they run.
     val (qMod, cells) = {
-      lazy val n = spread.count()
+      lazy val n = countInput(embeddings)
       val qm = if (queryMod > 0) queryMod else math.max(100L, n / 500L)
       val c =
         if (nCells > 0) nCells
@@ -919,7 +927,7 @@ object Similarity {
     // same adaptive dials as annRecallIvf: ~500-query truth (linear) and
     // the deployed adaptive-nlist cell count; gate scales land on (100, 16)
     val (qMod, cells) = {
-      lazy val n = spread.count()
+      lazy val n = countInput(embeddings)
       val qm = if (queryMod > 0) queryMod else math.max(100L, n / 500L)
       val c =
         if (nCells > 0) nCells
@@ -1773,7 +1781,7 @@ object Similarity {
   private[graft] def semDedupAssignProbe(embeddings: DataFrame): DataFrame = {
     graft.functions.NativeExpressions.register(embeddings.sparkSession)
     val spread = embeddings.repartition(col("vec_id"))
-    val n = spread.count()
+    val n = countInput(embeddings)
     val bl = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
     val cells = 1 << math.min(12, math.max(4, bl))
     val centroids = graft.engine.Materialize.local(
@@ -1803,7 +1811,7 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else {
-        val n = spread.count()
+        val n = countInput(embeddings)
         val bl =
           64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
         1 << math.min(12, math.max(4, bl))
@@ -1933,7 +1941,7 @@ object Similarity {
     val cells =
       if (topCells > 0) topCells
       else {
-        val n = spread.count()
+        val n = countInput(embeddings)
         val bl =
           64 - java.lang.Long.numberOfLeadingZeros(math.max(n / 4096, 1L))
         1 << math.min(12, math.max(4, bl))
@@ -2250,7 +2258,12 @@ object Similarity {
       k: Int = 10, prefixDims: Int = 16): DataFrame = {
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val pairs = emb.crossJoin(broadcast(queries))
+    // spread the corpus before the broadcast crossJoin: the fixture scan is
+    // one row group = ONE partition, and TopKPerKey's partial pass runs on
+    // the child's partitioning — unspread, both rankings were single-task
+    // scans of the whole pair relation (heap results are a total-order cut,
+    // partitioning-independent)
+    val pairs = emb.repartition(col("vec_id")).crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
     def top(sim: org.apache.spark.sql.Column): DataFrame =
       graft.plans.TopKPerKey.topKPerKey(
@@ -2286,7 +2299,11 @@ object Similarity {
     require(widths.nonEmpty, "matryoshkaRecallCurve: widths must be non-empty")
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val pairs = materialize(emb.crossJoin(broadcast(queries))
+    // spread before the crossJoin (see matryoshkaRecallEval): the pinned
+    // pair relation inherits this partitioning, so all |widths|+1 heap
+    // passes run parallel partials instead of one task each
+    val pairs = materialize(emb.repartition(col("vec_id"))
+      .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb")))
     def top(sim: org.apache.spark.sql.Column): DataFrame =
@@ -2326,7 +2343,8 @@ object Similarity {
   def dimSelectRecallEval(
       emb: DataFrame, queryIds: Seq[Long] = Seq(0L, 50L, 100L, 150L, 200L),
       k: Int = 10, nDims: Int = 16): DataFrame = {
-    val dims = emb.select(posexplode(expr(
+    val spreadEmb = emb.repartition(col("vec_id"))
+    val dims = spreadEmb.select(posexplode(expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"))
       .as(Seq("dim", "q")))
     val score = dims.groupBy(col("dim"))
@@ -2339,7 +2357,10 @@ object Similarity {
       .agg(sort_array(collect_list(col("dim") + 1)).as("sel")) // 1-based
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val pairs = emb.crossJoin(broadcast(queries)).crossJoin(broadcast(sel))
+    // spread (see matryoshkaRecallEval): single-row-group fixture scans
+    // otherwise serialize both the variance explode and both heap passes
+    val pairs = spreadEmb.crossJoin(broadcast(queries))
+      .crossJoin(broadcast(sel))
       .filter(col("vec_id") =!= col("q_id"))
     def top(sim: org.apache.spark.sql.Column): DataFrame =
       graft.plans.TopKPerKey.topKPerKey(
