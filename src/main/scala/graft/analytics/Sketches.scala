@@ -57,7 +57,13 @@ object Sketches {
     require(thresholdDen >= 1 && d >= 1 && w >= 1,
       s"heavyHittersCms: need positive (thresholdDen, d, w), got " +
         s"($thresholdDen, $d, $w)")
+    // spread the COMPACT doc rows before the explode (the shingles()
+    // house pattern): the fixture parquet is one row group = one scan
+    // task, which otherwise serializes the gram explode, the cached gram
+    // relation, and both downstream passes onto a single core. The
+    // shuffle moves doc rows once — never the ~2x-larger gram relation.
     val grams0 = docs
+      .repartition(col("doc_id"))
       .select(tokens(col("text")).as("wrds"))
       .select(explode(wordShingles(col("wrds"), 2)).as("gram"))
     // cache is freed by LRU eviction / session end; pass 1's collect below
@@ -258,26 +264,34 @@ object Sketches {
   def cmsErrorEval(
       docs: DataFrame, d: Int = 4, w: Int = 1024, topK: Int = 20)
       : DataFrame = {
+    // spread doc rows before the explode (see heavyHittersCms): both the
+    // counter build and the exact top-k otherwise run single-task off the
+    // one-row-group fixture scan
     val grams = docs
+      .repartition(col("doc_id"))
       .select(tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(wordShingles(col("w"), 2)).as("gram"))
-    // (row, col) pairs of one gram across the d hash rows, as a SQL
-    // fragment shared by the counter build and the probe side
-    val rcExpr =
-      s"transform(sequence(0, ${d - 1}), i -> struct(i AS row, " +
-        "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', gram)), " +
-        s"1, 8), 16, 10) AS BIGINT) % $w AS col))"
-    val counters = grams
-      .select(explode(expr(rcExpr)).as("rc"))
-      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+    // One (row, col) probe per gram per hash row, shared by the counter
+    // build and the probe side. Explode the ROW INDEX first and compute
+    // the bucket as a top-level column: inside the former
+    // `transform(sequence(…), i -> …)` fragment the d md5 calls per gram
+    // evaluated through the INTERPRETED lambda path, outside whole-stage
+    // codegen — same concat/md5/conv/mod chain as before, identical
+    // values, now codegen'd.
+    def withRc(df: DataFrame): DataFrame = df
+      .select(df.columns.map(col) :+
+        explode(expr(s"sequence(0, ${d - 1})")).as("row"): _*)
+      .withColumn("col", expr(
+        "CAST(conv(substring(md5(concat(CAST(row AS STRING), ':', gram)), " +
+          s"1, 8), 16, 10) AS BIGINT) % $w"))
+    val counters = withRc(grams)
+      .groupBy(col("row"), col("col"))
       .agg(count(lit(1)).as("c"))
     val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("gram")).limit(topK)
-    val probes = top
-      .select(col("gram"), col("n_exact"), explode(expr(rcExpr)).as("rc"))
-      .select(col("gram"), col("n_exact"),
-        col("rc.row").as("row"), col("rc.col").as("col"))
+    val probes = withRc(top)
+      .select(col("gram"), col("n_exact"), col("row"), col("col"))
     probes.join(counters, Seq("row", "col"))
       .groupBy(col("gram"), col("n_exact"))
       .agg(min(col("c")).as("n_est"))
