@@ -62,6 +62,7 @@ object SfSweep {
       // empty-partition cleanup while letting parallelism win. A/B hook:
       // SPARK_GRAFT_CONF can override any of these per run.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

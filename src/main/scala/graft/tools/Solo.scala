@@ -24,6 +24,7 @@ object Solo {
       // simhash_neardup_pairs_wide at sf0.1/local[32]). 64k keeps AQE's
       // empty-partition cleanup while letting parallelism win.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.ui.enabled", "false")
     // A/B experiment hook: SPARK_GRAFT_CONF="key=value;key=value"
     ConfHook(builder)
