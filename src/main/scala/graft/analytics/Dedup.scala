@@ -1395,14 +1395,20 @@ object Dedup {
     // for not shuffling the ~3x-larger exploded shingle+hash relation:
     // hash(doc_id) distribution established here satisfies the final
     // groupBy(doc_id) below, so the post-explode rows never move.
+    // h1/h2 via the fused md5_h1h2 kernel: one cached-digest pass per
+    // shingle straight to the two 40-bit longs — bit-identical to the
+    // former conv(substring(md5Hex(s), 1|11, 10), 16, 10) pair, which paid
+    // a MessageDigest.getInstance, a 32-char hex string and two base-16
+    // string parses per shingle (see NativeExpressions.Md5H1H2)
+    graft.functions.NativeExpressions.register(docs.sparkSession)
     val withH = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(wordShingles(col("w"), n)).as("s"))
-      .withColumn("hh", md5Hex(col("s")))
+      .withColumn("hh", expr("md5_h1h2(s)"))
       .select(col("doc_id"),
-        expr("CAST(conv(substring(hh, 1, 10), 16, 10) AS BIGINT)").as("h1"),
-        expr("CAST(conv(substring(hh, 11, 10), 16, 10) AS BIGINT)").as("h2"))
+        col("hh.h1").as("h1"),
+        col("hh.h2").as("h2"))
     val mins = (0 until numHashes).map(j =>
       min((col("h1") + lit(j.toLong) * col("h2")) % MinHashMod).as(s"m$j"))
     withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)

@@ -698,6 +698,91 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** md5_h1h2(s) → struct<h1: long, h2: long>: the MinHash affine family's
+    * two 40-bit base hashes, read directly from the md5 digest bytes —
+    * bit-identical to the former
+    * `CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 10), 16, 10) AS BIGINT)`
+    * / `…substring(…, 11, 10)…` pair (hex chars 1–10 are digest bytes 0–4
+    * big-endian, chars 11–20 bytes 5–9; both < 2^40 so the conv result is
+    * exact in a long).
+    *
+    * This fuses the per-SHINGLE hot path of [[graft.analytics.Dedup]]'s
+    * signature build, which previously paid, per shingle: a MessageDigest
+    * *instance lookup* (Spark's `md5` calls DigestUtils.md5Hex →
+    * MessageDigest.getInstance per row), the 32-char hex-string
+    * materialization, two substring allocations and two base-16 string
+    * parses. Here the digest object is created once per generated-class
+    * instance (one per partition iterator — single-threaded by
+    * construction) and the two longs come straight from the digest bytes.
+    */
+  case class Md5H1H2(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false)))
+    override def prettyName: String = "md5_h1h2"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"md5_h1h2 expects string or binary, got $t")
+    }
+
+    private def pack(dig: Array[Byte], off: Int): Long = {
+      var acc = 0L
+      var i = off
+      while (i < off + 5) { acc = (acc << 8) | (dig(i) & 0xffL); i += 1 }
+      acc
+    }
+
+    @transient private lazy val mdTL =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          org.apache.commons.codec.digest.DigestUtils.getMd5Digest
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = child.dataType match {
+        case StringType => input.asInstanceOf[UTF8String].getBytes
+        case _ => input.asInstanceOf[Array[Byte]]
+      }
+      val md = mdTL.get()
+      md.reset()
+      val dig = md.digest(bytes)
+      org.apache.spark.sql.catalyst.InternalRow(pack(dig, 0), pack(dig, 5))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val md = ctx.addMutableState("java.security.MessageDigest", "md5h1h2Md",
+        v => s"$v = org.apache.commons.codec.digest.DigestUtils.getMd5Digest();")
+      val packFn = ctx.freshName("md5h1h2Pack")
+      val pack = ctx.addNewFunction(packFn,
+        s"""
+           |private long $packFn(byte[] dig, int off) {
+           |  long acc = 0L;
+           |  for (int i = off; i < off + 5; i++) acc = (acc << 8) | (dig[i] & 0xffL);
+           |  return acc;
+           |}
+         """.stripMargin)
+      val bytesExpr = child.dataType match {
+        case StringType => (c: String) => s"$c.getBytes()"
+        case _ => (c: String) => c
+      }
+      nullSafeCodeGen(ctx, ev, c => {
+        val dig = ctx.freshName("dig")
+        s"""
+           |$md.reset();
+           |byte[] $dig = $md.digest(${bytesExpr(c)});
+           |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |  new Object[] { $pack($dig, 0), $pack($dig, 5) });
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Register `float_dot`, `hamming`, `first_chunk_within`,
     * `winnow_minima` and `simhash64` as SQL functions in the session, so
     * they are usable from `expr(...)`/`spark.sql(...)`.
@@ -723,6 +808,8 @@ object NativeExpressions {
     reg.createOrReplaceTempFunction(
       "hilbert_pos",
       exprs => HilbertPos(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "md5_h1h2", exprs => Md5H1H2(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64",
       exprs => Simhash64(exprs(0),

@@ -29,6 +29,30 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("md5_h1h2 matches the conv(substring(md5)) pair bit-for-bit") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    // real shingle-like strings plus edge cases: empty string, multi-byte
+    // UTF-8, long text — h1/h2 must equal the former hex-parse formulation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select(col("text").as("s"))
+      .unionAll(Seq("", "a", "héllo wörld ✓", "x " * 500)
+        .toDF("s"))
+    val both = docs
+      .withColumn("hh", md5(col("s").cast("binary")))
+      .select(
+        expr("md5_h1h2(s)").as("fast"),
+        expr("CAST(conv(substring(hh, 1, 10), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(hh, 11, 10), 16, 10) AS BIGINT)").as("h2"))
+    assert(both.collect().forall { r =>
+      val st = r.getStruct(0)
+      st.getLong(0) == r.getLong(1) && st.getLong(1) == r.getLong(2)
+    })
+    // null flows through as null
+    assert(Seq[String](null).toDF("s").selectExpr("md5_h1h2(s)")
+      .collect()(0).isNullAt(0))
+  }
+
   test("l2_argmin_idx matches the interpreted aggregate fold bit-for-bit") {
     NativeExpressions.register(spark)
     // real embeddings as the queries; a synthetic sorted codebook built
