@@ -783,6 +783,101 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** word_shingles(toks, n) → array<string>: all n-grams of consecutive
+    * tokens joined by a single space — bit-identical to the HOF
+    * formulation it replaces
+    * (`when(size(toks) >= n, transform(sequence(1, size(toks)-n+1),
+    * i -> concat_ws(" ", element_at(toks, i), …))).otherwise(array())`),
+    * including the edges: a NULL or shorter-than-n token array yields an
+    * EMPTY array (the unmatched `when` falls to `otherwise`), and NULL
+    * elements are skipped by the join exactly as `concat_ws` skips them.
+    *
+    * The HOF version evaluates its lambda through the interpreted path —
+    * per shingle: a lambda-variable bind, n boxed `element_at` calls and a
+    * generic `concat_ws` — on EVERY text key's hot explode (shingle/
+    * MinHash/Jaccard/trigram/CMS). Here the whole generator is one
+    * generated loop over the array data with a single byte-copying join
+    * per shingle, inside whole-stage codegen.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(n >= 1, s"word_shingles: n >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "word_shingles"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles expects array<string>, got $t")
+    }
+
+    private val sep = UTF8String.fromString(" ")
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      val arr = if (v == null) null else v.asInstanceOf[ArrayData]
+      val m = if (arr == null) -1 else arr.numElements()
+      if (m < n)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) {
+          parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+          j += 1
+        }
+        out(i) = UTF8String.concatWs(sep, parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val childGen = child.genCode(ctx)
+      val sepRef = ctx.addReferenceObj("wordShinglesSep", sep,
+        classOf[UTF8String].getName)
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val us = classOf[UTF8String].getName
+      val arr = ctx.freshName("toks")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val javaCode =
+        code"""
+           |${childGen.code}
+           |org.apache.spark.sql.catalyst.util.ArrayData $arr =
+           |  ${childGen.isNull} ? null : ${childGen.value};
+           |int $m = ($arr == null) ? -1 : $arr.numElements();
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value};
+           |if ($m < $n) {
+           |  ${ev.value} = new $gad(new Object[0]);
+           |} else {
+           |  Object[] $out = new Object[$m - $n + 1];
+           |  for (int $i = 0; $i <= $m - $n; $i++) {
+           |    $us[] $parts = new $us[$n];
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      $parts[$j] = $arr.isNullAt($i + $j) ? null : $arr.getUTF8String($i + $j);
+           |    }
+           |    $out[$i] = $us.concatWs($sepRef, $parts);
+           |  }
+           |  ${ev.value} = new $gad($out);
+           |}
+         """.stripMargin
+      ev.copy(code = javaCode,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Register `float_dot`, `hamming`, `first_chunk_within`,
     * `winnow_minima` and `simhash64` as SQL functions in the session, so
     * they are usable from `expr(...)`/`spark.sql(...)`.

@@ -28,13 +28,17 @@ object TextFunctions {
     filter(tokens(text, sepRe), t => t =!= "")
 
   /** Word n-gram shingles as an array column; empty for docs shorter than
-    * `n` tokens. 1-based `element_at` keeps parity with SQL list indexing.
+    * `n` tokens. Backed by the native [[NativeExpressions.WordShingles]]
+    * generator — bit-identical to (and spec-checked against) the HOF
+    * formulation `when(size(toks) >= n, transform(sequence(1,
+    * size(toks)-n+1), i -> concat_ws(" ", element_at(toks, i), …)))
+    * .otherwise(array())`, whose lambda evaluated INTERPRETED per shingle
+    * on every text key's hot explode.
     */
   def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array())
+    org.apache.spark.sql.graft.PlanBuilder.columnOf(
+      NativeExpressions.WordShingles(
+        org.apache.spark.sql.graft.PlanBuilder.expressionOf(toks), n))
 
   /** md5 of a string column as lowercase hex — the cross-engine stable hash
     * used for fingerprints, MinHash and SimHash.

@@ -53,6 +53,30 @@ class NativeExpressionsSpec extends SparkSpecBase {
       .collect()(0).isNullAt(0))
   }
 
+  test("word_shingles matches the HOF transform/concat_ws formulation") {
+    import spark.implicits._
+    def hofShingles(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array())
+    // real fixture token arrays plus adversarial shapes: exactly-n tokens,
+    // shorter-than-n, empty tokens from double separators, a null array
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+      .select(split(col("text"), " ").as("w"))
+      .unionAll(Seq("a b c", "a b", "a", "", "x  y", "a b c d e")
+        .toDF("t").select(split(col("t"), " ").as("w")))
+      .unionAll(Seq(1).toDF("i").select(lit(null).cast("array<string>").as("w")))
+    for (n <- Seq(1, 2, 3, 4)) {
+      val both = docs.select(
+        graft.functions.TextFunctions.wordShingles(col("w"), n).as("fast"),
+        hofShingles(col("w"), n).as("hof"))
+      assert(both.collect().forall { r =>
+        r.getSeq[String](0) == r.getSeq[String](1)
+      }, s"n=$n")
+    }
+  }
+
   test("l2_argmin_idx matches the interpreted aggregate fold bit-for-bit") {
     NativeExpressions.register(spark)
     // real embeddings as the queries; a synthetic sorted codebook built
