@@ -2382,9 +2382,16 @@ object Similarity {
   def kCenterSample(emb: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, "kCenterSample: k >= 1")
     val spark = emb.sparkSession
-    val q = emb.select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))")
-      .as("qv"))
+    // spread before quantizing (each of the k Gonzalez steps is a full
+    // corpus aggregate, and the one-row-group fixture scan otherwise runs
+    // every step single-task), and cut the lineage once so the k steps
+    // read the quantized relation instead of re-scanning and re-quantizing
+    // the corpus per step (aggregates are order-independent — results
+    // unchanged)
+    val q = graft.engine.Materialize.local(
+      emb.repartition(col("vec_id")).select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))")
+        .as("qv")))
     def d2To(sel: Array[Long]): org.apache.spark.sql.Column = {
       val litArr = typedlit(sel.toSeq)
       aggregate(
