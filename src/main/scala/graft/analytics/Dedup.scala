@@ -786,6 +786,30 @@ object Dedup {
       .filter(lit(thresholdDen) * col("n_common") >= col("n_union"))
   }
 
+  /** Co-occurrence pair counts `(id_a < id_b, n_common)` over a
+    * duplicate-free `(doc_id, s)` shingle relation — the shared verify
+    * kernel of the exact-Jaccard/containment family. Replaces the shingle
+    * self-join `a.join(b, s && id_a < id_b).groupBy(id_a, id_b).count()`
+    * with `groupBy(s) → collect_list → sorted_pairs generator`: the same
+    * single exchange on `s` (the join shuffled the identical relation on
+    * the identical key), but the C(df, 2) pair rows are emitted by one
+    * compiled loop per shingle group instead of the sort-merge join's
+    * sort + merge + row-build per pair, and the pair aggregate consumes
+    * them map-side inside the same stage. Identical output: inputs are
+    * distinct per (doc_id, s) in every caller, so the generator's
+    * distinct-ascending pairs are exactly the join's `id_a < id_b` rows
+    * (spec-checked against the join formulation).
+    */
+  private def coocPairCounts(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBuilder
+    val pairs = PlanBuilder.columnOf(graft.functions.NativeExpressions
+      .SortedPairs(PlanBuilder.expressionOf(col("ids"))))
+    sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+  }
+
   /** The all-pairs intersection relation both [[ngramJaccardPairs]] and
     * [[jaccardThresholdCurve]] score: every sharing pair over the
     * df-capped universe with its exact `(n_common, n_union)`.
@@ -806,11 +830,7 @@ object Dedup {
     val sh = shAll.join(rare, Seq("s"), "left_semi")
       .select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("id_a", "s")
-    val b = sh.toDF("id_b", "s")
-    val inter = a.join(b, a("s") === b("s") && a("id_a") < b("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val inter = coocPairCounts(sh)
     inter
       .join(sizes.toDF("id_a", "sz_a"), "id_a")
       .join(sizes.toDF("id_b", "sz_b"), "id_b")
@@ -960,11 +980,7 @@ object Dedup {
         .select(col("doc_id")).distinct()
       shP.join(candDocs, Seq("doc_id"), "left_semi")
     } else shP
-    val inter = shC.toDF("id_a", "s")
-      .join(shC.toDF("id_b", "s2"),
-        col("s") === col("s2") && col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val inter = coocPairCounts(shC)
     // every J ≥ t pair survives the doc pruning (both endpoints are
     // candidate docs), so thresholding the pruned co-occurrence counts
     // reproduces the all-pairs answer bit-for-bit
@@ -1092,11 +1108,7 @@ object Dedup {
       val candDocs = prefixDocs.union(fullDocs).distinct()
       sh.join(candDocs, Seq("doc_id"), "left_semi")
     } else sh
-    val inter = shC.toDF("id_a", "s")
-      .join(shC.toDF("id_b", "s2"),
-        col("s") === col("s2") && col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val inter = coocPairCounts(shC)
     inter
       .join(sizes.toDF("id_a", "sz_a"), "id_a")
       .join(sizes.toDF("id_b", "sz_b"), "id_b")

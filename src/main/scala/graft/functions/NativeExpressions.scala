@@ -878,6 +878,97 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** All unordered pairs of one co-occurrence group in a single compiled
+    * pass — the per-group core of [[SortedPairs]]. Sorts a copy ascending
+    * and emits `(a[i], a[j])` for `i < j` over the DISTINCT values
+    * (equal neighbors are skipped), so the result is exactly the pair set
+    * a self-join `a.id < b.id` produces on a duplicate-free group, in
+    * deterministic (ascending, ascending) order.
+    */
+  def sortedPairsJava(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val a = arr.toLongArray()
+    java.util.Arrays.sort(a)
+    // distinct count after sort (callers' inputs are distinct already —
+    // this is the defensive equivalent of the join's strict a < b)
+    var m = 1
+    var i = 1
+    while (i < n) { if (a(i) != a(i - 1)) { a(m) = a(i); m += 1 }; i += 1 }
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(a(i), a(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** sorted_pairs(ids: array<bigint>) → array<struct<id_a, id_b>>: every
+    * unordered pair of distinct ids, ordered `id_a < id_b` — the
+    * co-occurrence pair generator. `explode(sorted_pairs(collect_list(id)))`
+    * over a groupBy on the join key produces exactly the rows of the
+    * self-join `a.join(b, key && a.id < b.id)` those operators ran
+    * (inputs are distinct per (id, key) in every caller), without paying
+    * the join's sort + merge + row-build machinery per pair: one compiled
+    * loop per GROUP emits the C(df, 2) pair structs directly, and the
+    * downstream pair aggregate consumes them inside the same stage.
+    * NULL or short input yields an EMPTY array (the join emits no rows).
+    */
+  case class SortedPairs(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id_a", LongType, nullable = false),
+        StructField("id_b", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "sorted_pairs"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"sorted_pairs expects array<bigint>, got $t")
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null)
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+      else sortedPairsJava(v.asInstanceOf[ArrayData])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val childGen = child.genCode(ctx)
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val javaCode =
+        code"""
+           |${childGen.code}
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value};
+           |if (${childGen.isNull}) {
+           |  ${ev.value} = new $gad(new Object[0]);
+           |} else {
+           |  ${ev.value} = graft.functions.NativeExpressions.sortedPairsJava(
+           |    ${childGen.value});
+           |}
+         """.stripMargin
+      ev.copy(code = javaCode,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Register `float_dot`, `hamming`, `first_chunk_within`,
     * `winnow_minima` and `simhash64` as SQL functions in the session, so
     * they are usable from `expr(...)`/`spark.sql(...)`.
@@ -905,6 +996,8 @@ object NativeExpressions {
       exprs => HilbertPos(exprs(0), exprs(1), exprs(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "md5_h1h2", exprs => Md5H1H2(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "sorted_pairs", exprs => SortedPairs(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64",
       exprs => Simhash64(exprs(0),

@@ -1644,15 +1644,20 @@ object ExtensionQueries {
         t(s, dir, "events"), t(s, dir, "orders"), "user_id", "o_custkey")),
     // market-basket pair mining: parts bought together in one order, top
     // 25 by support with integer-basis-point lift (the co-purchase signal
-    // behind "frequently bought together"). Baskets self-join on the
-    // order key (fan-out bounded by basket size squared), counts shuffle
-    // on the pair, the part-frequency side broadcasts.
+    // behind "frequently bought together"). Basket pairs come from the
+    // sorted_pairs generator over per-order part lists (fan-out bounded by
+    // basket size squared, identical rows to the former basket self-join
+    // at a fraction of its row-build cost), counts shuffle on the pair,
+    // the part-frequency side broadcasts.
     "basket_pairs_topk" -> ((s, dir) => {
+      graft.functions.NativeExpressions.register(s)
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val pairs = li.toDF("ok", "part_a").join(li.toDF("ok", "part_b"), "ok")
-        .filter(col("part_a") < col("part_b"))
+      val pairs = li.groupBy(col("ok"))
+        .agg(collect_list(col("pk")).as("ids"))
+        .select(explode(expr("sorted_pairs(ids)")).as("p"))
+        .select(col("p.id_a").as("part_a"), col("p.id_b").as("part_b"))
         .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
       val freq = li.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
       val nOrders = li.select(col("ok")).distinct()

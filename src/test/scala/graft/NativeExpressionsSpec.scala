@@ -146,6 +146,40 @@ class NativeExpressionsSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq(2, 0, 2))
   }
 
+  test("sorted_pairs reproduces the self-join pair relation exactly") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    // real co-occurrence groups off the fixture corpus (distinct per
+    // (doc_id, s), exactly the callers' precondition) + adversarial edges
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
+    val sh = graft.analytics.Dedup.shingles(docs, 3)
+    val joinPairs = sh.toDF("id_a", "s")
+      .join(sh.toDF("id_b", "s2"),
+        col("s") === col("s2") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val genPairs = sh.groupBy(col("s"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(expr("sorted_pairs(ids)")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(genPairs == joinPairs && genPairs.nonEmpty)
+    // edges: empty / singleton / null arrays emit no pairs; unsorted input
+    // is ordered; defensive dedup matches the join's strict a < b on a
+    // distinct group
+    val edges = Seq(
+      (1L, Seq.empty[Long]), (2L, Seq(7L)), (3L, Seq(9L, 3L, 5L)),
+      (4L, Seq(2L, 2L, 8L))).toDF("k", "ids")
+      .select(col("k"), explode(expr("sorted_pairs(ids)")).as("p"))
+      .select(col("k"), col("p.id_a"), col("p.id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(edges == Seq((3L, 3L, 5L), (3L, 3L, 9L), (3L, 5L, 9L), (4L, 2L, 8L)))
+    assert(Seq(Tuple1(null: Seq[java.lang.Long])).toDF("ids")
+      .selectExpr("size(sorted_pairs(ids))").head.getInt(0) == 0)
+  }
+
   test("type checking rejects wrong argument types") {
     NativeExpressions.register(spark)
     import spark.implicits._
