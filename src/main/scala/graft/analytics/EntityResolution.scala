@@ -126,21 +126,31 @@ object EntityResolution {
       materialize: DataFrame => DataFrame =
         graft.engine.Materialize.none): DataFrame = {
     require(strategies.nonEmpty, "blockingEval: need strategies")
+    graft.functions.NativeExpressions.register(records.sparkSession)
     val base = records.select(col(idCol).as("rid"), col(nameCol).as("name"))
-    // truth: dist <= 1 pairs with NO blocking (deletion variants are a
-    // complete candidate generator at threshold 1). `v` feeds both sides
-    // of the self-join, `truth` feeds every strategy branch — cut each
-    // once so the variant explode and the Levenshtein verify run once.
+    // truth: dist <= 1 pairs with NO blocking (distinct deletion variants
+    // are a complete candidate generator at threshold 1). Both hot frames
+    // of the old formulation are now single codegen kernels: variant
+    // generation is `deletion_variants` (one compiled pass over the UTF-8
+    // bytes instead of the interpreted transform/substring/concat/
+    // array_distinct lambda stack) and the per-candidate verify is
+    // `edit_within_1` (allocation-free prefix/suffix scan instead of the
+    // banded-DP `levenshtein(…, 1)` that thread dumps measured as this
+    // key's hottest executor frame). A position-annotated FastSS variant
+    // (verify-free kind join) was A/B'd and REJECTED: it forfeits variant
+    // distinctness, and names with digit runs ("Customer#000000042") then
+    // multiply the per-variant join groups quadratically.
     // The repartition on the join key BEFORE the cut matters: a compact
     // source (one parquet row group) leaves the explode on 1 partition,
     // and a 1-partition checkpoint serializes the whole self-join
     // (measured 3x wall at sf0.1); verify runs BEFORE distinct so the
     // pair dedup shuffles only the surviving matches.
     val v = materialize(base.select(col("rid"), col("name"),
-      explode(expr(deletionVariants)).as("vv")).repartition(col("vv")))
+      explode(expr("deletion_variants(name)")).as("vv"))
+      .repartition(col("vv")))
     val truth = materialize(v.alias("a").join(v.alias("b"),
         col("a.vv") === col("b.vv") && col("a.rid") < col("b.rid"))
-      .filter(expr("levenshtein(a.name, b.name, 1) >= 0"))
+      .filter(expr("edit_within_1(a.name, b.name)"))
       .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"))
       .distinct())
     val perStrategy = strategies.map { case (sname, keyCol) =>

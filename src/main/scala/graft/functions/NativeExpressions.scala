@@ -969,6 +969,157 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** One record's DISTINCT FastSS deletion neighborhood in a single
+    * compiled pass — the per-row core of [[DeletionVariants]]: the string
+    * itself plus every distinct single-code-point-deletion variant.
+    * Deleting either of two adjacent EQUAL code points yields the same
+    * string (and any non-adjacent duplicate implies an adjacent one inside
+    * the run), so skipping positions whose code point equals its
+    * predecessor emits exactly the distinct set — no hash set, no
+    * `array_distinct` pass. Works on the raw UTF-8 bytes: one `arraycopy`
+    * pair per variant, no codePoints() boxing, no StringBuilder.
+    */
+  def deletionVariantsJava(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var cnt = 0
+    var o = 0
+    while (o < n) { cnt += 1; o += UTF8String.numBytesForFirstByte(bytes(o)) }
+    val starts = new Array[Int](cnt + 1)
+    o = 0
+    var i = 0
+    while (o < n) {
+      starts(i) = o; i += 1
+      o += UTF8String.numBytesForFirstByte(bytes(o))
+    }
+    starts(cnt) = n
+    val out = new Array[AnyRef](cnt + 1)
+    out(0) = s
+    var k = 1
+    i = 0
+    while (i < cnt) {
+      val len = starts(i + 1) - starts(i)
+      val dup = i > 0 && len == starts(i) - starts(i - 1) &&
+        java.util.Arrays.equals(
+          bytes, starts(i - 1), starts(i), bytes, starts(i), starts(i + 1))
+      if (!dup) {
+        val vb = new Array[Byte](n - len)
+        System.arraycopy(bytes, 0, vb, 0, starts(i))
+        System.arraycopy(bytes, starts(i + 1), vb, starts(i), n - starts(i + 1))
+        out(k) = UTF8String.fromBytes(vb)
+        k += 1
+      }
+      i += 1
+    }
+    val res: Array[AnyRef] =
+      if (k == cnt + 1) out else java.util.Arrays.copyOf(out, k)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  /** deletion_variants(name) → array<string>: the DISTINCT FastSS/SymSpell
+    * deletion neighborhood (Bocek et al., "Fast Similarity Search in Large
+    * Dictionaries") — `name` itself plus every distinct single-code-point
+    * deletion. Two names within edit distance ≤ 1 always share a variant
+    * (substitution at i: both drop i; insert/delete: the shorter IS a
+    * variant of the longer; equality: the name itself), so the equi-join
+    * on variants is a complete dist-≤1 candidate generator; a shared
+    * variant only bounds the distance by 2, so pair an exact verify
+    * ([[EditWithin1]]) with it. Distinctness matters for the join shape:
+    * names with character runs ("Customer#000000042") emit each run
+    * deletion once instead of run-length times, keeping the candidate
+    * join's per-variant groups (and their pair products) small. Replaces
+    * the interpreted `array_distinct(array_union(array(name),
+    * transform(sequence(…), i -> concat(substring…))))` lambda stack with
+    * one generated loop over the UTF-8 bytes. NULL name → NULL (explode
+    * then emits nothing, like the lambda formulation).
+    */
+  case class DeletionVariants(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "deletion_variants"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"deletion_variants expects string, got $t")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      deletionVariantsJava(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.deletionVariantsJava($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** True iff Levenshtein(a, b) ≤ 1, by the classic one-edit scan: strip
+    * the longest common byte prefix and suffix (each re-aligned to a
+    * code-point boundary — safe on valid UTF-8, where a position is a
+    * boundary iff its byte is not a continuation byte), then the middle
+    * remainders must be empty/empty (equal), empty/one code point
+    * (insert or delete), or one/one (substitution). O(n) with ZERO
+    * allocation per call — no DP rows, unlike `levenshtein(a, b, 1)`
+    * whose banded matrix still allocates and runs per cell.
+    */
+  def editWithin1Java(a: UTF8String, b: UTF8String): Boolean = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val la = ab.length
+    val lb = bb.length
+    if (la - lb > 4 || lb - la > 4) return false // one code point is ≤ 4 bytes
+    val minL = math.min(la, lb)
+    var p = 0
+    while (p < minL && ab(p) == bb(p)) p += 1
+    // mid-code-point positions carry continuation bytes in BOTH strings
+    // (the shared prefix fixed the lead byte), so backing up over a's
+    // continuation bytes lands on a common boundary
+    while (p > 0 && p < minL && (ab(p) & 0xC0) == 0x80) p -= 1
+    var sfx = 0
+    while (sfx < minL - p && ab(la - 1 - sfx) == bb(lb - 1 - sfx)) sfx += 1
+    // identical suffix bytes ⇒ identical boundary structure: align the
+    // suffix start to a code-point lead byte
+    while (sfx > 0 && (ab(la - sfx) & 0xC0) == 0x80) sfx -= 1
+    val midA = la - p - sfx
+    val midB = lb - p - sfx
+    if (midA == 0 && midB == 0) true
+    else if (midA == 0) UTF8String.numBytesForFirstByte(bb(p)) == midB
+    else if (midB == 0) UTF8String.numBytesForFirstByte(ab(p)) == midA
+    else UTF8String.numBytesForFirstByte(ab(p)) == midA &&
+      UTF8String.numBytesForFirstByte(bb(p)) == midB
+  }
+
+  /** edit_within_1(a, b) → boolean: `levenshtein(a, b) <= 1` as one
+    * allocation-free codegen scan (see [[editWithin1Java]]). The verify
+    * predicate for FastSS candidate pairs. NULL if either side is NULL.
+    */
+  case class EditWithin1(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "edit_within_1"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"edit_within_1 expects (string, string), got " +
+          s"(${left.dataType}, ${right.dataType})")
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      editWithin1Java(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.NativeExpressions.editWithin1Java($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register `float_dot`, `hamming`, `first_chunk_within`,
     * `winnow_minima` and `simhash64` as SQL functions in the session, so
     * they are usable from `expr(...)`/`spark.sql(...)`.
@@ -998,6 +1149,10 @@ object NativeExpressions {
       "md5_h1h2", exprs => Md5H1H2(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "sorted_pairs", exprs => SortedPairs(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "deletion_variants", exprs => DeletionVariants(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "edit_within_1", exprs => EditWithin1(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64",
       exprs => Simhash64(exprs(0),

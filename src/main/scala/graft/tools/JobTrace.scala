@@ -16,7 +16,7 @@ object JobTrace {
     case class J(start: Long, var end: Long, var stages: Int, var tasks: Int,
         site: String)
     val jobs = new ConcurrentHashMap[Int, J]()
-    val stageToJob = new ConcurrentHashMap[Int, Int]()
+    val stageToJob = new ConcurrentHashMap[Int, Integer]()
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val site = Option(e.properties)
         .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
@@ -27,8 +27,12 @@ object JobTrace {
       val j = jobs.get(e.jobId); if (j != null) j.end = System.nanoTime()
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      val jid = stageToJob.get(e.stageId)
-      val j = jobs.get(jid); if (j != null) j.synchronized { j.tasks += 1 }
+      // boxed lookup: an unmapped stage (task racing reset(), or a job
+      // started before attach) must be dropped, not unboxed to job 0
+      val jid = stageToJob.get(e.stageId: Integer)
+      if (jid != null) {
+        val j = jobs.get(jid); if (j != null) j.synchronized { j.tasks += 1 }
+      }
     }
     def reset(): Unit = { jobs.clear(); stageToJob.clear() }
     def report(t0: Long): Unit = {

@@ -30,12 +30,29 @@ object Solo {
     ConfHook(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // task CPU is the host-noise-robust reading (wall swings 2x with
+    // hypervisor steal; CPU doesn't) — accumulate it per rep
+    val cpu = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            cpu.addAndGet(e.taskMetrics.executorCpuTime / 1000000)
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.incrementAndGet()
+      })
     spark.read.parquet(s"$dir/region.parquet").groupBy("r_name").count().count()
     args.foreach { name =>
       (1 to reps).foreach { i =>
+        cpu.set(0L); jobs.set(0L)
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, dir).count()
-        println(f"SOLO $name%-32s rep$i ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"SOLO $name%-32s rep$i $wall%7.2fs cpu=${cpu.get / 1000.0}%7.2fs " +
+          f"jobs=${jobs.get}%3d rows=$n")
       }
     }
     spark.stop()

@@ -102,4 +102,56 @@ class EntityResolutionSpec extends SparkSpecBase {
     // weight = 5000·10000 div max(u,1) = 50,000,000
     assert(got.toSeq == Seq(("attr_eq", 2L, 4L, 5000L, 0L, 50000000L)))
   }
+
+  test("deletion-variant join + edit_within_1 equals the levenshtein truth") {
+    graft.functions.NativeExpressions.register(spark)
+    // fixture names PLUS adversarial shapes: equal strings, pure
+    // insert/delete pairs, substitution pairs, transposition (dist 2 —
+    // must NOT match), repeated chars (del_i = del_j collisions),
+    // multi-byte text, empty and single-char strings
+    val extra = Seq("abc", "abc", "abcd", "bbc", "ab", "ba", "aab", "ab",
+      "aa", "a", "", "héllo", "hëllo", "hèllo", "héllò", "xx yy", "xxyy")
+      .zipWithIndex.map { case (s, i) => (100000L + i, s) }
+    val recs = cust.select(col("c_custkey").as("rid"), col("c_name").as("name"))
+      .unionAll(extra.toDF("rid", "name"))
+    // truth by definition: all-pairs bounded levenshtein (small input)
+    val a = recs.toDF("id_a", "na")
+    val b = recs.toDF("id_b", "nb")
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(expr("levenshtein(na, nb, 1) >= 0"))
+      .select(col("id_a"), col("id_b"))
+    // the blockingEval formulation: distinct-variant join + native verify
+    val v = recs.select(col("rid"), col("name"),
+      explode(expr("deletion_variants(name)")).as("vv"))
+    val fast = v.alias("a").join(v.alias("b"),
+        col("a.vv") === col("b.vv") && col("a.rid") < col("b.rid"))
+      .filter(expr("edit_within_1(a.name, b.name)"))
+      .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"))
+      .distinct()
+    assert(fast.count() == brute.count() && fast.count() > 0)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  test("deletion_variants kernel matches the SQL lambda; edit_within_1 matches bounded levenshtein") {
+    graft.functions.NativeExpressions.register(spark)
+    val names = Seq("abc", "abcd", "aab", "aa", "a", "", "héllo", "xx yy",
+      "Customer#000000042", "aaaa", "héé", "ab")
+    val df = names.toDF("name")
+    // kernel variant SET == the old interpreted formulation's variant set
+    val lambda = "array_distinct(array_union(array(name), " +
+      "transform(sequence(1, length(name)), " +
+      "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))))"
+    val cmp = df.select(col("name"),
+      expr(s"array_sort(deletion_variants(name))").as("k"),
+      expr(s"array_sort($lambda)").as("l"))
+      .filter(not(col("k") === col("l")))
+    assert(cmp.count() == 0)
+    // edit_within_1 == (levenshtein <= 1) over the full cross product
+    val pairs = df.toDF("na").crossJoin(df.toDF("nb"))
+      .select(col("na"), col("nb"),
+        expr("edit_within_1(na, nb)").as("fast"),
+        expr("levenshtein(na, nb, 1) >= 0").as("truth"))
+      .filter(not(col("fast") === col("truth")))
+    assert(pairs.count() == 0)
+  }
 }
