@@ -117,6 +117,23 @@ object Bench {
     (System.nanoTime() - t0) / 1000000
   }
 
+  /** SINGLE-PARTITION canary (r19 VERDICT #7): the 32-partition canary is
+    * not a single-core yardstick (433 ms at 32 CPUs vs 1124 ms at 8), so
+    * `valueWarmNorm` — warm total ÷ (canaryMs/440) — conflates host speed
+    * with the session's parallelism and is only comparable BETWEEN RUNS AT
+    * THE SAME CPU COUNT. `canary1Ms` times the same hash fold over one
+    * partition (1/8 the rows, one core by construction): the
+    * core-count-independent host-speed reading. The legacy fields keep
+    * their series; read cross-CPU-count comparisons against canary1Ms.
+    */
+  private def canary1Rep(spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    val t0 = System.nanoTime()
+    spark.range(0L, 250L * 1000 * 1000, 1L, 1)
+      .select(bit_xor(xxhash64(col("id")))).head()
+    (System.nanoTime() - t0) / 1000000
+  }
+
   /** JVM-level readings that task metrics can't see: total collector time
     * (wall, all causes), heap occupancy, and the JIT code-cache pools. The
     * code-cache numbers are the tell for the "late-sweep keys run
@@ -306,6 +323,12 @@ object Bench {
       try {
         canaryRep(spark)
         Seq(canaryRep(spark), canaryRep(spark), canaryRep(spark)).sorted.apply(1)
+      } catch { case _: Throwable => -1L }
+    val canary1Ms: Long =
+      try {
+        canary1Rep(spark)
+        Seq(canary1Rep(spark), canary1Rep(spark), canary1Rep(spark))
+          .sorted.apply(1)
       } catch { case _: Throwable => -1L }
     val hostStart = hostSnap()
     // Accounted SETUP phase: build the shared pinned relations (token
@@ -565,7 +588,7 @@ object Bench {
         jstr(k) + f""":{"r":$r%.2f,"cpuR":$cpuR%.2f}""" }
       .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"valueWarm":$totalWarm%.3f,"valueWarmNorm":$totalWarmNorm%.3f,"canaryMs":$canaryMs,"canary2Ms":$canary2Ms,"canaryBaselineMs":$CanaryBaselineMs,"host":$hostJson,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"setupSec":$setupSec%.1f,"warmRegrN":${warmRegressions.size},"warmRegr":$warmRegrInline,"diag":$diag,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"valueWarm":$totalWarm%.3f,"valueWarmNorm":$totalWarmNorm%.3f,"canaryMs":$canaryMs,"canary1Ms":$canary1Ms,"canary2Ms":$canary2Ms,"canaryBaselineMs":$CanaryBaselineMs,"host":$hostJson,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"setupSec":$setupSec%.1f,"warmRegrN":${warmRegressions.size},"warmRegr":$warmRegrInline,"diag":$diag,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     println(json)
     System.out.flush()
     if (errors.nonEmpty) {

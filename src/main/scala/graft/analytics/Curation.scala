@@ -622,7 +622,7 @@ object Curation {
     val comp = Dedup.connectedComponents(
         Dedup.lshCandidatePairs(docs, materialize = materialize)
           .select(col("id_a"), col("id_b")),
-        materialize = materialize)
+        materialize = graft.engine.Materialize.lazily(materialize))
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id"), lit(1).as("nd"))
     val bands = docs.agg(
@@ -1344,7 +1344,11 @@ object Curation {
     * index head). Returns (step, pair, n).
     */
   def bpeMerges(docs: DataFrame, nMerges: Int = 4,
-      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      // LAZY checkpoint: each step's argmax head() doubles as the
+      // materializing job for the previous step's vocabulary rewrite (2
+      // jobs/step -> 1), and the final step's rewrite — consumed by
+      // nothing — never computes at all
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.localLazy)
       : DataFrame = {
     val spark = docs.sparkSession
     // " h e l l o " — space-padded so every symbol occurrence, including

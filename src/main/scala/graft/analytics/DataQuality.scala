@@ -51,6 +51,12 @@ object DataQuality {
     */
   def profileApproxEval(df: DataFrame, columns: Seq[String],
       rsd: Double = 0.02): DataFrame = {
+    // the split plan below builds `approxAggs.head`, which would NPE-class
+    // (NoSuchElementException) on an empty column list the one-aggregate
+    // formulation tolerated; fail fast with a real message instead. Note
+    // the split also scans df twice (exact and approx jobs) — fine for a
+    // deterministic input frame, which is this operator's contract.
+    require(columns.nonEmpty, "profileApproxEval: need at least one column")
     // The HLL sketches live in their OWN single-group aggregate, NOT inside
     // the countDistinct expand: a non-distinct ImperativeAggregate riding
     // the multi-countDistinct rewrite is allocated per (gid, value) GROUP

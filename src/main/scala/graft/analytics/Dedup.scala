@@ -194,7 +194,7 @@ object Dedup {
     */
   def connectedComponents(
       edges: DataFrame, maxRounds: Int = 100, checkEvery: Int = 4,
-      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.localLazy): DataFrame = {
     // undirected adjacency, self-loops so isolated endpoints keep a row
     val adj = materialize(
       edges.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -210,6 +210,11 @@ object Dedup {
     // until convergence. Comparing two scalars replaces the former
     // node-relation self-join + isEmpty probe per block: one cheap scan of
     // the just-checkpointed labels instead of an extra shuffle stage.
+    // With the LAZY default materializer the probe is also the
+    // materializing action — the checkpoint data persists inside the
+    // labelSum job, one job per block instead of checkpoint + probe
+    // (measured: the per-key fixed cost of the ~100-job iterative keys is
+    // driver job latency, not task work).
     // DECIMAL(38,0) keeps the sum exact for any realistic id space
     // (~1e20 × 1e18 before overflow), where a BIGINT sum could wrap.
     // coalesce to zero so an EMPTY edge set (a batch that merged nothing
@@ -460,7 +465,11 @@ object Dedup {
     * staleness signature — not data).
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 3,
-      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      // LAZY checkpoints: each cut materializes inside its first consumer
+      // (dir in the node-count job, each iteration inside the next one's
+      // stages) — the consumption chain is strictly sequential, so nothing
+      // double-computes and the loop sheds one dedicated job per cut
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.localLazy)
       : DataFrame = {
     val S = 1000000000000L
     val e0 = edges.select(col("id_a"), col("id_b"))
@@ -530,7 +539,7 @@ object Dedup {
 
   def connectedComponentsStar(
       edges: DataFrame, maxRounds: Int = 60,
-      materialize: DataFrame => DataFrame = graft.engine.Materialize.local): DataFrame = {
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.localLazy): DataFrame = {
     val verts = materialize(
       edges.select(col("id_a").as("id"))
         .union(edges.select(col("id_b").as("id"))).distinct())
@@ -539,7 +548,13 @@ object Dedup {
           greatest(col("id_a"), col("id_b")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
     var round = 0
-    var converged = e.isEmpty
+    // the count doubles as the lazy checkpoint's materializing action (one
+    // job), and carrying it across rounds halves the probe: set equality of
+    // two DISTINCT edge sets needs equal cardinality (prev count, free)
+    // plus one-direction emptiness — and the exceptAll only runs at all
+    // when the counts match, i.e. at or near the fixpoint
+    var eCount = e.count()
+    var converged = eCount == 0L
     while (!converged) {
       // large-star: m(u) = min over u's closed neighborhood; (v, m) per v > u
       val sym = e.select(col("a").as("u"), col("b").as("v"))
@@ -558,15 +573,14 @@ object Dedup {
           .union(withM.select(col("m").as("a"), col("a").as("b")))
           .filter(col("a") =!= col("b")).distinct())
       round += 1
-      // e and next are both distinct edge sets, so set equality reduces to
-      // equal cardinality plus one-direction emptiness — one exceptAll
-      // shuffle instead of two per round
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      val nextCount = next.count() // materializes the lazy checkpoint
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       if (!converged && round >= maxRounds)
         throw new IllegalStateException(
           s"connectedComponentsStar: no fixpoint after $round rounds — " +
             "raise maxRounds")
       e = next
+      eCount = nextCount
     }
     // at the fixpoint e is a star set (component-min, member); vertices
     // absent from it (isolated, incl. self-loop-only inputs) are their own
@@ -610,7 +624,10 @@ object Dedup {
       .select(coalesce(col("ca"), col("id_a")).as("id_a"),
         coalesce(col("cb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val superCC = materialize(connectedComponents(contracted))
+    // no extra cut: connectedComponents returns its final label relation
+    // already materialized (the last convergence probe persisted it), so a
+    // wrapper checkpoint here would only add a dedicated job
+    val superCC = connectedComponents(contracted)
     val relabel = superCC
       .select(col("doc_id").as("component"), col("component").as("newc"))
     val oldExpanded = oldLabels.join(relabel, Seq("component"), "left")
@@ -690,7 +707,10 @@ object Dedup {
     * form one community.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
-      materialize: DataFrame => DataFrame = graft.engine.Materialize.local)
+      // LAZY checkpoints — same sequential-consumer fusion as
+      // [[pageRankFixedPoint]]: round 1's join materializes dir, each
+      // round's label relation materializes inside the next round
+      materialize: DataFrame => DataFrame = graft.engine.Materialize.localLazy)
       : DataFrame = {
     val e0 = edges.select(
       least(col("id_a"), col("id_b")).as("id_a"),

@@ -192,10 +192,13 @@ object Similarity {
   }
 
   /** Corpus size for the adaptive dials (nlist / queryMod), read from the
-    * PRE-repartition input: `repartition` never changes the count, and on a
-    * bare parquet scan the count resolves from footer statistics
-    * (`spark.sql.parquet.aggregatePushdown`) instead of paying a
-    * scan+shuffle job per key just to pick a dial.
+    * PRE-repartition input: `repartition` never changes the count, and
+    * WHEN the input is a bare parquet scan in a session with
+    * `spark.sql.parquet.aggregatePushdown` (the Bench/Verify/tool
+    * sessions), the count resolves from footer statistics instead of
+    * paying a scan+shuffle job per key just to pick a dial. An upstream
+    * filter or projection defeats the pushdown — the count is then a
+    * plain (cheap, correct) scan job.
     */
   private def countInput(embeddings: DataFrame): Long = embeddings.count()
 
@@ -1831,7 +1834,8 @@ object Similarity {
           .as("sim"))
       .filter(col("sim") >= minSim)
     val drop = Dedup.connectedComponents(
-        pairs.select(col("id_a"), col("id_b")), materialize = materialize)
+        pairs.select(col("id_a"), col("id_b")),
+        materialize = graft.engine.Materialize.lazily(materialize))
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.join(drop, Seq("vec_id"), "left_anti")
@@ -1884,7 +1888,8 @@ object Similarity {
     val pairs = semDedupHierLeafPairs(embeddings, topCells, maxCellPop,
       subCells, iters, trainMod, minSim, materialize)
     val drop = Dedup.connectedComponents(
-        pairs.select(col("id_a"), col("id_b")), materialize = materialize)
+        pairs.select(col("id_a"), col("id_b")),
+        materialize = graft.engine.Materialize.lazily(materialize))
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.join(drop, Seq("vec_id"), "left_anti")
@@ -2009,7 +2014,8 @@ object Similarity {
           .as("sim"))
       .filter(col("sim") >= minSim)
     val drop = Dedup.connectedComponents(
-        pairs.select(col("id_a"), col("id_b")), materialize = materialize)
+        pairs.select(col("id_a"), col("id_b")),
+        materialize = graft.engine.Materialize.lazily(materialize))
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.join(drop, Seq("vec_id"), "left_anti")
@@ -2096,20 +2102,24 @@ object Similarity {
     */
   def topComponentPower(embeddings: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
+    graft.functions.NativeExpressions.register(spark)
+    // the Gram is symmetric: emit only the upper triangle, and emit it
+    // with the `tri_products` codegen generator — one compiled loop per
+    // vector yields the d(d+1)/2 (i, j, xf_i·xf_j) rows that the former
+    // posexplode + co-partitioned self-join built through sort-merge
+    // machinery (measured: the join formulation was this key's whole
+    // task-CPU cost; products and quantization are unchanged bit-for-bit,
+    // so the DECIMAL Gram — and the oracle hash — are identical)
     val coords = embeddings.repartition(col("vec_id"))
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        expr("CAST(floor(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,16)) * 1000000) AS BIGINT)")
-          .as("xf"))
-    // the Gram is symmetric: aggregate only the upper triangle (halves
-    // the N·d² row volume through the partial agg) and mirror the
-    // parameter-sized result on the driver
-    val gram = coords.alias("a").join(coords.alias("b"), Seq("vec_id"))
-      .filter(col("a.i") <= col("b.i"))
-      .select(col("a.i").as("i"), col("b.i").as("j"),
+      .select(expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,16)) * 1000000) AS BIGINT))")
+        .as("xf"))
+    val gram = coords
+      .select(explode(expr("tri_products(xf)")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"),
         // ppm² products sum past BIGINT at full corpus row counts;
         // DECIMAL(38,0) accumulation matches the oracle's HUGEINT
-        (col("a.xf") * col("b.xf")).cast("decimal(38,0)").as("p"))
+        col("t.p").cast("decimal(38,0)").as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
     // d² entries — parameter-sized (d=64 → 4096 entries), the documented
     // bounded-collect class (codebooks, shortlists)

@@ -24,8 +24,29 @@ object Materialize {
   /** Executor-local checkpoint — fast, non-reliable (single-JVM default). */
   val local: DataFrame => DataFrame = _.localCheckpoint()
 
+  /** Executor-local checkpoint, LAZY: the logical plan is cut at this
+    * boundary immediately (same analysis-depth control as [[local]]), but
+    * the data materializes inside the CALLER'S next action instead of a
+    * dedicated eager job. The iterative-loop fusion primitive: a
+    * fixpoint's convergence probe (label sum, edge count) doubles as the
+    * materializing job, one job per round instead of two. Same
+    * non-reliability class as [[local]] — pass [[parquet]] on a real
+    * cluster.
+    */
+  val localLazy: DataFrame => DataFrame = _.localCheckpoint(eager = false)
+
   /** No-op: keep the plan lazy. */
   val none: DataFrame => DataFrame = identity
+
+  /** The lazy twin of a forwarded strategy where one exists: [[local]] →
+    * [[localLazy]] (callers that PROVED their consumption is sequential
+    * fuse the materializing job into the next action); anything else —
+    * [[parquet]], [[none]], a custom hook — passes through unchanged,
+    * keeping the cluster-durability contract of an explicitly chosen
+    * materializer.
+    */
+  def lazily(m: DataFrame => DataFrame): DataFrame => DataFrame =
+    if (m eq local) localLazy else m
 
   private val counter = new AtomicLong(0)
 

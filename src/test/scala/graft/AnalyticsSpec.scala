@@ -978,6 +978,40 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(math.abs(got(0)) < 100000 && math.abs(got(2)) < 100000)
   }
 
+  test("tri_products gram equals the posexplode self-join gram") {
+    graft.functions.NativeExpressions.register(spark)
+    // the kernel path (what topComponentPower now runs)
+    val coords = emb.repartition(col("vec_id"))
+      .select(expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,16)) * 1000000) AS BIGINT))")
+        .as("xf"))
+    val kernelGram = coords.select(explode(expr("tri_products(xf)")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"),
+        col("t.p").cast("decimal(38,0)").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+    // the former join formulation, verbatim
+    val old = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(floor(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,16)) * 1000000) AS BIGINT)")
+          .as("xf"))
+    val joinGram = old.alias("a").join(old.alias("b"), Seq("vec_id"))
+      .filter(col("a.i") <= col("b.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.xf") * col("b.xf")).cast("decimal(38,0)").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+    assert(kernelGram.count() > 0)
+    assert(kernelGram.exceptAll(joinGram).isEmpty &&
+      joinGram.exceptAll(kernelGram).isEmpty)
+    // degenerate inputs: empty and single-element vectors
+    import spark.implicits._
+    val tiny = Seq(Seq.empty[Long], Seq(7L)).toDF("xf")
+    val got = tiny.select(expr("tri_products(xf)").as("t")).collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2))))
+    assert(got(0).isEmpty && got(1) == Seq((0, 0, 49L)))
+  }
+
   test("bitext margin pairs match a full driver-side replica") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val langOf = docs.select("doc_id", "lang").collect()
